@@ -1,0 +1,548 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Etl
+
+/** One declared query per reference operator class (SURVEY.md §2 / §7.3).
+  *
+  * Each query has a DuckDB oracle; the driver hash-compares results, sorting
+  * columns by name. Conventions that make the compare bit-exact:
+  *
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - double aggregation goes through DECIMAL (exact, order-independent) and
+  *    is cast back to DOUBLE, because parallel float summation is otherwise
+  *    non-deterministic across engines;
+  *  - timestamps are emitted as formatted strings or epoch bigints, never as
+  *    raw timestamp columns (Spark writes UTC-adjusted micros, DuckDB reads
+  *    naive nanos — raw values cannot hash-match);
+  *  - every query is fully ordered by a deterministic key.
+  */
+case class Q(name: String, doc: String, oracle: Option[String],
+             run: (SparkSession, String) => DataFrame)
+
+object Inventory {
+
+  /** Exact sum of a 2-dp money double: decimal-cast, sum, back to double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---------------------------------------------------------------- q01
+  private val q01 = Q("q01_filter_project",
+    "P1-P9: conjunctive filters, null predicates, projection pruning",
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+             nullif(o_orderpriority, '1-URGENT') IS NULL AS is_urgent,
+             coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT') AS prio
+      FROM orders
+      WHERE o_orderstatus = 'O' AND o_totalprice > 50000
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O" && col("o_totalprice") > 50000)
+        .withColumn("prio_n", expr("nullif(o_orderpriority, '1-URGENT')"))
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          col("prio_n").isNull.as("is_urgent"),
+          coalesce(col("prio_n"), lit("URGENT")).as("prio"))
+        .orderBy("o_orderkey")
+    })
+
+  // ---------------------------------------------------------------- q02
+  private val q02 = Q("q02_hash_dedup",
+    "F1+A2: sha256 record-identity hash (db.py:49-55) + distinct",
+    Some("""
+      SELECT DISTINCT sha256(l_returnflag || CAST(l_orderkey AS VARCHAR)) AS rec_hash
+      FROM lineitem
+      ORDER BY rec_hash"""),
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(Etl.recordHash(col("l_returnflag"),
+          col("l_orderkey").cast("string")).as("rec_hash"))
+        .distinct()
+        .orderBy("rec_hash")
+    })
+
+  // ---------------------------------------------------------------- q03
+  private val q03 = Q("q03_anti_join_dedup",
+    "J1: ledger dedup as left-anti join on sha256 identity (dags/dreem.py:44-67)",
+    Some("""
+      WITH inc AS (
+        SELECT event_id, sha256('DRM' || CAST(event_id AS VARCHAR)) AS rec_hash
+        FROM events),
+      led AS (
+        SELECT sha256('DRM' || CAST(event_id AS VARCHAR)) AS rec_hash
+        FROM events WHERE event_id % 10 < 3)
+      SELECT event_id, rec_hash FROM inc
+      WHERE rec_hash NOT IN (SELECT rec_hash FROM led)
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val inc = ev.select(col("event_id"),
+        Etl.recordHash(lit("DRM"), col("event_id").cast("string")).as("rec_hash"))
+      val ledger = ev.filter(pmod(col("event_id"), lit(10)) < 3)
+        .select(Etl.recordHash(lit("DRM"), col("event_id").cast("string")).as("rec_hash"))
+      // At 100 TB the ledger side is the big one: anti-join shuffles on the
+      // 64-hex hash (uniform keys, no skew); a Bloom pre-filter is planted by
+      // Spark's InjectRuntimeFilter when thresholds allow.
+      inc.join(ledger, Seq("rec_hash"), "left_anti")
+        .select(col("event_id"), col("rec_hash"))
+        .orderBy("event_id")
+    })
+
+  // ---------------------------------------------------------------- q04
+  private val q04 = Q("q04_lookup_join",
+    "J2/J3: broadcast equi-join enrichment (uid→serial→device-id pattern)",
+    Some("""
+      SELECT l_orderkey, l_linenumber, p_name, p_brand, s_name, l_extendedprice
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_size > 45
+      ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_size") > 45)
+      val su = t(s, dir, "supplier")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+          col("p_brand"), col("s_name"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+
+  // ---------------------------------------------------------------- q05
+  private val q05 = Q("q05_interval_first_match",
+    "J4: wear-period containment join, day-normalised, open-ended intervals, " +
+      "deterministic first-match via row_number (ucam.py:119-136)",
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, ts, ts + INTERVAL 2 HOUR AS te FROM events),
+      a AS (
+        SELECT o_orderkey, o_custkey,
+               DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) AS a_start,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) + 3
+               END AS a_end
+        FROM orders),
+      j AS (
+        SELECT e.event_id, a.o_orderkey, a.o_custkey, a.a_start,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY a.a_start NULLS LAST,
+                                           a.o_orderkey NULLS LAST) AS rn
+        FROM ev e LEFT JOIN a
+          ON e.user_id = a.o_custkey
+         AND CAST(e.ts AS DATE) BETWEEN a.a_start
+                                    AND coalesce(a.a_end, DATE '2024-02-15')
+         AND CAST(e.te AS DATE) BETWEEN a.a_start
+                                    AND coalesce(a.a_end, DATE '2024-02-15'))
+      SELECT event_id, o_orderkey AS assignment_ref,
+             'P-' || CAST(o_custkey AS VARCHAR) AS patient_id,
+             strftime(a_start, '%Y-%m-%d') AS wear_start
+      FROM j WHERE rn = 1
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("te"))
+      val aStart = date_add(to_date(lit("2024-01-01")),
+        pmod(col("o_orderkey"), lit(25)).cast("int"))
+      val a = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), aStart.as("a_start"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(date_add(aStart, 3)).as("a_end"))
+      // `end_wear ?? today` (ucam.py:129) with a pinned "today" for oracle
+      // stability; day-normalised containment of BOTH record endpoints.
+      val aEndEff = coalesce(col("a_end"), to_date(lit("2024-02-15")))
+      val joined = ev.join(a,
+        col("user_id") === col("o_custkey") &&
+          to_date(col("ts")).between(col("a_start"), aEndEff) &&
+          to_date(col("te")).between(col("a_start"), aEndEff),
+        "left")
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("a_start").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+      joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey").as("assignment_ref"),
+          concat(lit("P-"), col("o_custkey").cast("string")).as("patient_id"),
+          date_format(col("a_start"), "yyyy-MM-dd").as("wear_start"))
+        .orderBy("event_id")
+    })
+
+  // ---------------------------------------------------------------- q06
+  private val q06 = Q("q06_day_bucket",
+    "A1: day-cut-off tumbling window + composite dmp_id " +
+      "(operators/ucam.py:103-124, cut-off 12:00:00)",
+    Some("""
+      WITH b AS (
+        SELECT 'DEV-' || CAST(user_id AS VARCHAR) AS dev,
+               'P-' || CAST(user_id % 7 AS VARCHAR) AS pat,
+               CASE WHEN strftime(ts, '%H:%M:%S') < '12:00:00'
+                    THEN CAST(ts AS DATE) - 1 ELSE CAST(ts AS DATE) END AS bs,
+               value
+        FROM events)
+      SELECT regexp_replace(dev, '-', '', 'g') || '-' ||
+             regexp_replace(pat, '-', '', 'g') || '-' ||
+             strftime(bs, '%Y%m%d') || '-' ||
+             strftime(bs + 1, '%Y%m%d') AS dmp_id,
+             count(*) AS n_records,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM b GROUP BY 1
+      ORDER BY dmp_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("dev", concat(lit("DEV-"), col("user_id").cast("string")))
+        .withColumn("pat", concat(lit("P-"), pmod(col("user_id"), lit(7)).cast("string")))
+      val bs = Etl.bucketStart(col("ts"), "12:00:00")
+      val be = Etl.bucketEnd(col("ts"), "12:00:00")
+      ev.withColumn("dmp_id", Etl.dmpId(col("dev"), col("pat"), bs, be))
+        .groupBy("dmp_id")
+        .agg(count(lit(1)).as("n_records"), dsum(col("value")).as("sum_value"))
+        .orderBy("dmp_id")
+    })
+
+  // ---------------------------------------------------------------- q07
+  private val q07 = Q("q07_aggregates",
+    "A2-A5: count / exact sum / min / max / avg / distinct / bool_or",
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+             count(DISTINCT user_id) AS n_users,
+             bool_or(value > 90) AS any_high
+      FROM events GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) => {
+      t(s, dir, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        (dsum(col("value")) / count(lit(1))).as("avg_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("bool_or(value > 90)").as("any_high"))
+        .orderBy("event_type")
+    })
+
+  // ---------------------------------------------------------------- q08
+  private val q08 = Q("q08_topk",
+    "L1 + sort/top-k: TakeOrderedAndProject with deterministic tiebreak",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10"""),
+    (s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    })
+
+  // ---------------------------------------------------------------- q09
+  private val q09 = Q("q09_set_ops",
+    "§2.7: union / except / intersect (distinct set semantics)",
+    Some("""
+      WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day_str FROM (
+        SELECT user_id, day FROM (
+          (SELECT user_id, day FROM ud WHERE event_type = 'click'
+           UNION
+           SELECT user_id, day FROM ud WHERE event_type = 'purchase')
+          EXCEPT
+          SELECT user_id, day FROM ud WHERE event_type = 'error')
+        INTERSECT
+        SELECT user_id, day FROM ud WHERE event_type = 'view')
+      ORDER BY user_id, day_str"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      def slice(et: String) = ev.filter(col("event_type") === et)
+        .select("user_id", "day")
+      slice("click").union(slice("purchase")).distinct()
+        .except(slice("error"))
+        .intersect(slice("view"))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_str"))
+        .orderBy("user_id", "day_str")
+    })
+
+  // ---------------------------------------------------------------- q10
+  private val q10 = Q("q10_window_functions",
+    "§2.5: row_number / rank / lag / exact running sum per key",
+    Some("""
+      SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+      FROM events
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val wRank = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("value"),
+        row_number().over(w).as("rn"),
+        rank().over(wRank).as("value_rank"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        sum(col("value").cast(DecimalType(18, 2))).over(wSum)
+          .cast("double").as("run_sum"))
+        .orderBy("event_id")
+    })
+
+  // ---------------------------------------------------------------- q11
+  private val q11 = Q("q11_scalar_functions",
+    "F2-F13: regexp_replace, date_format/strftime, date_trunc, epoch millis, " +
+      "concat_ws composite key, split/element_at reverse parse",
+    Some("""
+      SELECT o_orderkey,
+             regexp_replace(regexp_replace(c_name, 'Customer#', '', 'g'), '^0+', '', 'g') AS cid,
+             strftime(o_orderdate, '%Y%m%d') AS day_key,
+             strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S') AS day_trunc,
+             epoch_ms(o_orderdate) AS order_epoch_ms,
+             epoch_ms(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d')) AS weartime_ms,
+             regexp_replace(regexp_replace(c_name, 'Customer#', '', 'g'), '^0+', '', 'g')
+               || '-' || o_orderstatus || '-' || strftime(o_orderdate, '%Y%m%d') AS composite,
+             string_split(regexp_replace(regexp_replace(c_name, 'Customer#', '', 'g'), '^0+', '', 'g')
+               || '-' || o_orderstatus || '-' || strftime(o_orderdate, '%Y%m%d'), '-')[2] AS parsed_status
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey % 100 = 0
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val cid = regexp_replace(regexp_replace(col("c_name"), "Customer#", ""), "^0+", "")
+      val dayKey = date_format(col("o_orderdate"), "yyyyMMdd")
+      val composite = concat_ws("-", cid, col("o_orderstatus"), dayKey)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(
+          col("o_orderkey"),
+          cid.as("cid"),
+          dayKey.as("day_key"),
+          date_format(Etl.normaliseDay(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("day_trunc"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("order_epoch_ms"),
+          Etl.weartimeMs(dayKey).as("weartime_ms"),
+          composite.as("composite"),
+          element_at(split(composite, "-"), 2).as("parsed_status"))
+        .orderBy("o_orderkey")
+    })
+
+  // ---------------------------------------------------------------- q12
+  private val q12 = Q("q12_tpch_q1",
+    "TPC-H Q1 pricing summary: scan-heavy multi-aggregate (exact decimals)",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      val discPrice = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      val charge = (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        (lit(1) + col("l_tax"))).cast(DecimalType(18, 6))
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    })
+
+  // ---------------------------------------------------------------- q13
+  private val q13 = Q("q13_tpch_q3",
+    "TPC-H Q3 shipping priority: 3-way join + agg + ordered top-k",
+    Some("""
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15 00:00:00").cast("timestamp"))
+      val discPrice = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    })
+
+  // ---------------------------------------------------------------- q14
+  private val q14 = Q("q14_rollup",
+    "multi-join + ROLLUP grouping sets over region/nation hierarchy",
+    Some("""
+      SELECT coalesce(r_name, 'ALL') AS region_name,
+             coalesce(n_name, 'ALL') AS nation_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             count(*) AS n_orders
+      FROM region JOIN nation ON r_regionkey = n_regionkey
+                  JOIN customer ON n_nationkey = c_nationkey
+                  JOIN orders ON c_custkey = o_custkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region_name, nation_name"""),
+    (s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("total_price"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("total_price"), col("n_orders"))
+        .orderBy("region_name", "nation_name")
+    })
+
+  // ---------------------------------------------------------------- q15
+  private val q15 = Q("q15_merge_no_override",
+    "§4 MERGE semantics: update only where target still null " +
+      "(db.py:99,105-106; tests/hooks/test_db.py:16-47)",
+    Some("""
+      WITH ledger AS (
+        SELECT o_orderkey AS key,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE 'S' || CAST(o_orderkey % 100 AS VARCHAR) END AS device_serial
+        FROM orders WHERE o_orderkey % 50 < 5),
+      updates AS (
+        SELECT o_orderkey AS key, 'N' || CAST(o_orderkey % 100 AS VARCHAR) AS new_serial
+        FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT l.key, l.device_serial, u.new_serial,
+             coalesce(l.device_serial, u.new_serial) AS merged,
+             (l.device_serial IS NULL AND u.new_serial IS NOT NULL) AS advanced
+      FROM ledger l LEFT JOIN updates u ON l.key = u.key
+      ORDER BY l.key"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val ledger = o.filter(pmod(col("o_orderkey"), lit(50)) < 5).select(
+        col("o_orderkey").as("key"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, lit(null))
+          .otherwise(concat(lit("S"), pmod(col("o_orderkey"), lit(100)).cast("string")))
+          .as("device_serial"))
+      val updates = o.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        col("o_orderkey").as("ukey"),
+        concat(lit("N"), pmod(col("o_orderkey"), lit(100)).cast("string")).as("new_serial"))
+      ledger.join(updates, col("key") === col("ukey"), "left")
+        .select(col("key"), col("device_serial"), col("new_serial"),
+          coalesce(col("device_serial"), col("new_serial")).as("merged"),
+          (col("device_serial").isNull && col("new_serial").isNotNull).as("advanced"))
+        .orderBy("key")
+    })
+
+  // ---------------------------------------------------------------- q16
+  private val q16 = Q("q16_distinct_enrich_rejoin",
+    "§4 dedup-then-rejoin rewrite: resolve each distinct key once, fan back",
+    Some("""
+      WITH dim AS (
+        SELECT p_partkey,
+               CASE WHEN p_retailprice > 1500 THEN 'hi'
+                    WHEN p_retailprice > 900 THEN 'mid'
+                    ELSE 'lo' END AS price_band
+        FROM part)
+      SELECT price_band, count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem JOIN dim ON l_partkey = p_partkey
+      GROUP BY price_band
+      ORDER BY price_band"""),
+    (s, dir) => {
+      val dim = t(s, dir, "part").select(col("p_partkey"),
+        when(col("p_retailprice") > 1500, "hi")
+          .when(col("p_retailprice") > 900, "mid")
+          .otherwise("lo").as("price_band"))
+      t(s, dir, "lineitem")
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .groupBy("price_band")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+        .orderBy("price_band")
+    })
+
+  // ---------------------------------------------------------------- q17
+  private val q17 = Q("q17_upload_manifest",
+    "P6+J5+A4+A5: unfinished-group manifest with bool_or / span / size " +
+      "(dags/dreem.py:153-234)",
+    Some("""
+      WITH b AS (
+        SELECT event_id, value,
+               'DEV' || CAST(user_id AS VARCHAR) || '-' ||
+               'P' || CAST(user_id % 7 AS VARCHAR) || '-' ||
+               strftime(CASE WHEN strftime(ts, '%H:%M:%S') < '12:00:00'
+                             THEN CAST(ts AS DATE) - 1 ELSE CAST(ts AS DATE) END, '%Y%m%d') AS dmp_id,
+               ts
+        FROM events)
+      SELECT dmp_id, count(*) AS n_records,
+             bool_or(event_id % 5 = 0) AS any_uploaded,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS span_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS span_end
+      FROM b GROUP BY dmp_id
+      HAVING NOT bool_and(event_id % 5 = 0)
+      ORDER BY dmp_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val bs = Etl.bucketStart(col("ts"), "12:00:00")
+      val dmp = concat_ws("-",
+        concat(lit("DEV"), col("user_id").cast("string")),
+        concat(lit("P"), pmod(col("user_id"), lit(7)).cast("string")),
+        date_format(bs, "yyyyMMdd"))
+      ev.withColumn("dmp_id", dmp)
+        .groupBy("dmp_id")
+        .agg(count(lit(1)).as("n_records"),
+          expr("bool_or(event_id % 5 = 0)").as("any_uploaded"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("span_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("span_end"),
+          expr("bool_and(event_id % 5 = 0)").as("all_uploaded"))
+        .filter(!col("all_uploaded"))
+        .drop("all_uploaded")
+        .orderBy("dmp_id")
+    })
+
+  def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17)
+
+  def all: Seq[Q] = core
+}

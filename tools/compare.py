@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over <sfDir>/*.parquet, sorts
+columns by name + rows, and compares values exactly (floats bit-for-bit).
+"""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as ds
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize cell values to python objects for comparison
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if hasattr(v, "item"):
+            try:
+                v = v.item()
+            except Exception:
+                pass
+        if isinstance(v, bytes):
+            return v.hex()
+        if hasattr(v, "tolist"):  # numpy arrays / lists
+            return tuple(v.tolist())
+        if isinstance(v, list):
+            return tuple(v)
+        return v
+    rows = [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+    return df.columns.tolist(), rows
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = ds.dataset(f"{out_dir}/{name}").to_table().to_pandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark result unreadable: {ex}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.execute(sql).df()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle sql error: {str(ex).splitlines()[0]}")
+            n_fail += 1
+            continue
+        gc, gr = norm(got)
+        ec, er = norm(exp)
+        if [c.lower() for c in gc] != [c.lower() for c in ec]:
+            print(f"FAIL {name}: columns differ spark={gc} duck={ec}")
+            n_fail += 1
+            continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rowcount spark={len(gr)} duck={len(er)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(gr, er)):
+            if a != b:
+                bad = (i, a, b)
+                break
+        if bad:
+            print(f"FAIL {name}: first diff at sorted-row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
