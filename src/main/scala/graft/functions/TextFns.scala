@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DecimalType, StringType}
+
+/** Deterministic, engine-portable text/hash primitives used by the dedup /
+  * similarity / text-analysis operators.
+  *
+  * Everything here is a codegen-friendly built-in expression. The 64-bit hash
+  * is sha256-based (NOT murmur/xxhash) so the DuckDB oracle can reproduce it
+  * bit-for-bit: `hash64(x) == CAST('0x' || substr(sha256(x),1,15) AS BIGINT)`.
+  */
+object TextFns {
+
+  /** 60-bit positive hash from the sha256 hex prefix (15 hex chars). */
+  def hash64(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant — the family {h_i} used for MinHash / hyperplanes. */
+  def seededHash64(seed: Column, c: Column): Column =
+    hash64(concat(seed.cast("string"), lit(":"), c))
+
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles, 1-based indexing (mirrors DuckDB list[i]).
+    * Empty array (not [1,0]-sequence garbage) when the doc is too short.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Polynomial rolling-hash document fingerprint over the first `prefixLen`
+    * chars: fold(acc*31 + code) mod 1e9+7. Oracle equivalent:
+    * list_reduce(list_prepend(0, codes), (a,b)->(a*31+b)%1000000007).
+    */
+  def rollingFingerprint(text: Column, prefixLen: Int = 64): Column =
+    aggregate(
+      transform(split(substring(text, 1, prefixLen), ""), ch =>
+        ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + c, lit(1000000007L)))
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+
+/** Deduplication operators for large-scale document corpora — the
+  * generalization of the reference's exact-hash ledger dedup
+  * (ideafast_etl/hooks/db.py:49-55, dags/dreem.py:49-67) to near-duplicate
+  * detection.
+  *
+  * Scale design: every operator is expressed as explode → hash-aggregate →
+  * (band-bucketed) self-join, i.e. shuffle keys are uniform hashes or small
+  * band buckets, never whole documents. Nothing materializes on the driver.
+  * The O(n²) comparisons only ever happen WITHIN an LSH band bucket or
+  * blocking group, which is the standard way these stay tractable at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: documents sharing sha256(text). Keeps min id as canonical.
+    * One hash-aggregate; at scale this is a single shuffle on a 64-hex key.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), sha2(col(textCol), 256).as("text_sha"))
+      .groupBy("text_sha")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: one row per (id, hashIndex) with the min seeded
+    * hash over the doc's distinct word-`shingleSize`-gram shingles.
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleSize: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .distinct() // MinHash is over the shingle SET
+    sh.select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("h"), col("sh"))
+      .select(col(idCol), col("h"),
+        TextFns.seededHash64(col("h"), col("sh")).as("hv"))
+      .groupBy(col(idCol), col("h"))
+      .agg(min(col("hv")).as("minh"))
+  }
+
+  /** LSH banding: group each signature into bands of `rowsPerBand` hashes,
+    * serialize the band signature, and emit candidate pairs that collide in
+    * at least one band. The self-join key is (band, band_sig) — tiny buckets,
+    * so the pair blow-up is bounded by bucket size, not corpus size.
+    */
+  def minHashLshCandidates(signatures: DataFrame, idCol: String,
+                           rowsPerBand: Int): DataFrame = {
+    val bands = signatures
+      .withColumn("band", floor(col("h") / rowsPerBand))
+      .groupBy(col(idCol), col("band"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("h"), col("minh")))),
+          s => s.getField("minh").cast("string")), ",").as("band_sig"))
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** SimHash: `bits`-bit signature; bit b is the sign of the sum of ±1 votes
+    * from every word token's hash bit b (term frequency = vote weight).
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFns.words(col(textCol))).as("w"))
+      .select(col(idCol), TextFns.hash64(col("w")).as("wh"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .withColumn("vote",
+        when(expr("(wh >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("vote")).as("votes"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("votes") > 0,
+        expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
+
+  /** SimHash near-dup pairs under a Hamming-distance threshold. `blockBits`
+    * high bits form the blocking key so the self-join is bucket-local (the
+    * scale path); pass 0 to compare all pairs (test scale only).
+    */
+  def simHashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
+                   blockBits: Int = 0): DataFrame = {
+    val withBlock = sigs.withColumn("block",
+      if (blockBits > 0) expr(s"simhash >> (32 - $blockBits)") else lit(0))
+    val a = withBlock.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"), col("block"))
+    val b = withBlock.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"), col("block"))
+    a.join(b, "block")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** N-gram Jaccard similarity over candidate pairs inside blocking groups
+    * (`blockCols`). intersection via shingle equi-join, union from set sizes.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], shingleSize: Int = 3,
+                   minJaccard: Double = 0.0): DataFrame = {
+    val sh = docs.select(
+      col(idCol) +: blockCols.map(col) :+
+        explode(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"): _*)
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("doc_a") +: blockCols.map(col) :+ col("sh"): _*)
+    val b = sh.select(col(idCol).as("doc_b") +: blockCols.map(c => col(c).as(s"b_$c")) :+ col("sh").as("b_sh"): _*)
+    val joinCond = blockCols.map(c => col(c) === col(s"b_$c"))
+      .reduce(_ && _) && col("sh") === col("b_sh") && col("doc_a") < col("doc_b")
+    val inter = a.join(b, joinCond)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+  }
+
+  /** Embedding near-duplicates: cosine above threshold, blocked by `blockCol`
+    * (e.g. a label / coarse cluster) so comparisons stay bucket-local.
+    */
+  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+                       blockCol: String, minCosine: Double): DataFrame = {
+    val withNorm = embs.select(col(idCol), col(blockCol),
+      VectorFns.toDoubleArray(col(vecCol)).as("dvec"))
+      .withColumn("n2s", VectorFns.norm2Scaled(col("dvec")))
+    val a = withNorm.select(col(idCol).as("doc_a"), col(blockCol),
+      col("dvec").as("vec_a"), col("n2s").as("n2s_a"))
+    val b = withNorm.select(col(idCol).as("doc_b"), col(blockCol),
+      col("dvec").as("vec_b"), col("n2s").as("n2s_b"))
+    a.join(b, blockCol)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", VectorFns.cosineScaled(
+        VectorFns.dotScaled(col("vec_a"), col("vec_b")), col("n2s_a"), col("n2s_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+  }
+}

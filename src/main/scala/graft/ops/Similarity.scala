@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, per the standard scale playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k; the query side is broadcast so
+  *    the corpus is scanned exactly once with no shuffle of the big side.
+  *    Right answer for small query batches at any corpus size.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus and queries are bucketed by
+  *    a `numPlanes`-bit signature, candidates come only from the query's
+  *    bucket, then exact cosine re-ranks. Signatures use scaled-integer
+  *    accumulation (VectorFns) so bucket assignment is deterministic — a
+  *    float-sum sign flip would silently move a vector across buckets.
+  */
+object Similarity {
+
+  private def withNorm2(embs: DataFrame, idCol: String, vecCol: String) =
+    embs.select(col(idCol), VectorFns.toDoubleArray(col(vecCol)).as("dvec"))
+      .withColumn("n2s", VectorFns.norm2Scaled(col("dvec")))
+
+  /** Exact top-k neighbors for each query vector (queries ⊆ corpus shape:
+    * both need (idCol, vecCol)). Output: query_id, neighbor_id, rank, cosine.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = withNorm2(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("dvec").as("q_vec"), col("n2s").as("q_n2s"))
+    val c = withNorm2(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("dvec").as("c_vec"), col("n2s").as("c_n2s"))
+    val pairs = c.join(broadcast(q)) // query side small → broadcast NL join
+      .withColumn("cosine", VectorFns.cosineScaled(
+        VectorFns.dotScaled(col("q_vec"), col("c_vec")), col("q_n2s"), col("c_n2s")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane b, dim i):
+    * integer in [-1000, 1000], derived from the shared sha256-based hash so
+    * the DuckDB oracle reproduces it exactly.
+    */
+  private def hpCoef(b: Column, i: Column): Column =
+    pmod(TextFns.hash64(concat(b.cast("string"), lit(","), i.cast("string"))),
+      lit(2001L)) - 1000L
+
+  /** `numPlanes`-bit signature: bit b = sign of <plane_b, vec>, accumulated
+    * as scaled integers (1e9 fixed point — coefficients are ≤1000).
+    */
+  def planeSignature(embs: DataFrame, idCol: String, vecCol: String,
+                     numPlanes: Int): DataFrame =
+    embs.select(col(idCol), VectorFns.toDoubleArray(col(vecCol)).as("dvec"))
+      .select(col(idCol), col("dvec"),
+        explode(sequence(lit(0), lit(numPlanes - 1))).as("b"))
+      .withColumn("pdot", aggregate(
+        sequence(lit(1), size(col("dvec"))),
+        lit(0L),
+        (acc, i) => acc + floor(hpCoef(col("b"), i).cast("double") *
+          element_at(col("dvec"), i.cast("int")) * lit(1e9))))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("pdot") >= 0,
+        expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("sig"))
+
+  /** Bucketed ANN: candidates share the full signature bucket; exact cosine
+    * re-rank inside the bucket. Output like [[bruteForceTopK]] (queries whose
+    * bucket is otherwise empty yield no rows — the recall/latency trade).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int): DataFrame = {
+    val qSig = planeSignature(queries, idCol, vecCol, numPlanes)
+      .withColumnRenamed(idCol, "query_id")
+    val cSig = planeSignature(corpus, idCol, vecCol, numPlanes)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = withNorm2(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("dvec").as("q_vec"), col("n2s").as("q_n2s"))
+      .join(qSig, "query_id")
+    val c = withNorm2(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("dvec").as("c_vec"), col("n2s").as("c_n2s"))
+      .join(cSig, "neighbor_id")
+    val pairs = c.join(broadcast(q), "sig")
+      .withColumn("cosine", VectorFns.cosineScaled(
+        VectorFns.dotScaled(col("q_vec"), col("c_vec")), col("q_n2s"), col("c_n2s")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All pure column expressions over the `documents` schema — no UDFs, no
+  * driver materialization; each op is one scan (+ one tiny broadcast join
+  * for the language wordlists).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/wordlist language-ID
+    * heuristic. Deliberately small + inlined so the oracle can mirror them.
+    */
+  val LangWordlists: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "en" -> "to", "en" -> "in",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "fr" -> "le", "fr" -> "la", "fr" -> "les", "fr" -> "et", "fr" -> "est",
+    "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "es", "es" -> "un",
+    "zh" -> "的", "zh" -> "是", "zh" -> "了")
+
+  /** Language-ID: score = wordlist hits per language; argmax with
+    * lexicographic tiebreak (deterministic for zero-evidence docs).
+    * Output: doc_id, pred_lang, score + the labelled lang for comparison.
+    */
+  def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dict = LangWordlists.toDF("dlang", "word")
+    val langs = dict.select(col("dlang")).distinct()
+    val hits = docs
+      .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
+      .join(broadcast(dict), "word")
+      .groupBy(col("doc_id"), col("dlang"))
+      .agg(count(lit(1)).as("hits"))
+    val grid = docs.select(col("doc_id"), col("lang")).crossJoin(broadcast(langs))
+    val scored = grid.join(hits, Seq("doc_id", "dlang"), "left")
+      .withColumn("score", coalesce(col("hits"), lit(0L)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("dlang").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("dlang").as("pred_lang"), col("score"),
+        col("lang").as("labelled_lang"))
+  }
+
+  /** Quality scoring: length/stopword/punctuation features + a weighted
+    * score. Only +,*,/ and min — no transcendentals (engine-portable).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val w = TextFns.words(col("text"))
+    val nWords = size(w).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nNonSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+    val nStop = size(filter(w, x =>
+      x.isin(stopwords.map(lit): _*))).cast("long")
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long")
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nChars.as("n_chars_measured"),
+      nStop.as("n_stopwords"),
+      (nNonSpace.cast("double") / nWords).as("avg_word_len"),
+      (nStop.cast("double") / nWords).as("stopword_ratio"),
+      (punct.cast("double") / nChars).as("punct_ratio"),
+      (lit(0.5) * (nStop.cast("double") / nWords)
+        + lit(0.3) * (lit(1.0) - punct.cast("double") / nChars)
+        + lit(0.2) * least(nWords.cast("double") / 100.0, lit(1.0))).as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * (letter-runs | digit-runs | single other), chars/4 estimate.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(TextFns.words(col("text"))).cast("long").as("ws_tokens"),
+      expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("long").as("re_tokens"),
+      ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
+
+  /** Rolling-hash fingerprint + per-fingerprint duplicate count. */
+  def fingerprints(docs: DataFrame, prefixLen: Int = 64): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      TextFns.rollingFingerprint(col("text"), prefixLen).as("fingerprint"))
+    val w = Window.partitionBy(col("fingerprint"))
+    fp.withColumn("n_same_fp", count(lit(1)).over(w))
+  }
+}

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Scale-extension queries: dedup suite, similarity search, text analysis,
+  * multimodal binary plumbing — each oracle-backed over `documents` /
+  * `embeddings` (SURVEY.md §7.1 step 7; builder-prompt extension mandate).
+  *
+  * The sha256-based `hash64` (TextFns) keeps every pseudo-random choice
+  * reproducible in DuckDB: CAST('0x' || substr(sha256(x),1,15) AS BIGINT).
+  */
+object Extensions {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.table(s, dir, n)
+
+  private val q20 = Q("q20_dedup_exact",
+    "exact dedup: sha256(text) group, canonical id, copy count",
+    Some("""
+      SELECT sha256(text) AS text_sha, min(doc_id) AS canonical_id,
+             count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY text_sha"""),
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("text_sha"))
+
+  private val q21 = Q("q21_dedup_minhash_lsh",
+    "MinHash(16) + LSH banding (8 bands of 2): near-dup candidate pairs",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      sh AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
+      mh AS (SELECT doc_id, h,
+             min(CAST('0x' || substr(sha256(CAST(h AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)) AS minh
+             FROM sh CROSS JOIN generate_series(0, 15) t(h) GROUP BY doc_id, h),
+      bands AS (SELECT doc_id, h // 2 AS band,
+                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS band_sig
+                FROM mh GROUP BY doc_id, h // 2)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val sigs = Dedup.minHashSignatures(t(s, dir, "documents"),
+        "doc_id", "text", numHashes = 16)
+      Dedup.minHashLshCandidates(sigs, "doc_id", rowsPerBand = 2)
+        .orderBy("doc_a", "doc_b")
+    })
+
+  private val q22 = Q("q22_dedup_simhash_sig",
+    "SimHash 32-bit signatures (term-frequency ±1 votes per bit)",
+    Some("""
+      WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wh AS (SELECT doc_id, CAST('0x' || substr(sha256(w), 1, 15) AS BIGINT) AS wh FROM wds),
+      votes AS (SELECT doc_id, b,
+                SUM(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM wh CROSS JOIN generate_series(0, 31) t(b) GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+              SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id)
+      SELECT doc_id, simhash FROM sig ORDER BY doc_id"""),
+    (s, dir) => Dedup.simHash(t(s, dir, "documents"), "doc_id", "text", bits = 32)
+      .orderBy("doc_id"))
+
+  private val q23 = Q("q23_dedup_simhash_pairs",
+    "SimHash near-dup pairs at Hamming distance <= 2",
+    Some("""
+      WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wh AS (SELECT doc_id, CAST('0x' || substr(sha256(w), 1, 15) AS BIGINT) AS wh FROM wds),
+      votes AS (SELECT doc_id, b,
+                SUM(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM wh CROSS JOIN generate_series(0, 31) t(b) GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+              SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val sigs = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text", bits = 32)
+      Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2).orderBy("doc_a", "doc_b")
+    })
+
+  private val q24 = Q("q24_dedup_ngram_jaccard",
+    "word-3-gram Jaccard similarity, blocked by (lang, source)",
+    Some("""
+      WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, lang, source, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      sh AS (SELECT DISTINCT doc_id, lang, source,
+             w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter,
+             CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+      blockCols = Seq("lang", "source"), minJaccard = 0.05)
+      .orderBy("doc_a", "doc_b"))
+
+  private val q25 = Q("q25_emb_cosine_topk",
+    "brute-force cosine top-5 for query vectors (vec_id < 10), exact decimal dot",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(floor(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+               FROM el q JOIN el c ON q.i = c.i WHERE q.vec_id < 10 GROUP BY 1, 2),
+      nrm AS (SELECT vec_id,
+              CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS n2s
+              FROM el GROUP BY 1),
+      cosv AS (SELECT query_id, neighbor_id,
+               CAST(d.dot_s AS DOUBLE) / (sqrt(CAST(nq.n2s AS DOUBLE)) * sqrt(CAST(nc.n2s AS DOUBLE))) AS cosine
+               FROM dots d JOIN nrm nq ON d.query_id = nq.vec_id
+                           JOIN nrm nc ON d.neighbor_id = nc.vec_id),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank FROM cosv)
+      SELECT query_id, neighbor_id, rank, cosine FROM rk WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    })
+
+  private val q26 = Q("q26_emb_ann_lsh",
+    "ANN via 8 random-hyperplane LSH buckets + exact re-rank (top-3)",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      planes AS (SELECT vec_id, b,
+                 SUM(CAST(floor((CAST('0x' || substr(sha256(CAST(b AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+                           % 2001 - 1000) * CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS pdot
+                 FROM el CROSS JOIN generate_series(0, 7) t(b) GROUP BY vec_id, b),
+      sig AS (SELECT vec_id,
+              SUM(CASE WHEN pdot >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+              FROM planes GROUP BY vec_id),
+      nrm AS (SELECT vec_id,
+              CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS n2s
+              FROM el GROUP BY 1),
+      cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM sig q JOIN sig c ON q.sig = c.sig WHERE q.vec_id < 10),
+      dots AS (SELECT cand.query_id, cand.neighbor_id,
+               CAST(SUM(CAST(floor(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+               FROM cand JOIN el a ON a.vec_id = cand.query_id
+                         JOIN el b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+               GROUP BY 1, 2),
+      cosv AS (SELECT query_id, neighbor_id,
+               CAST(d.dot_s AS DOUBLE) / (sqrt(CAST(nq.n2s AS DOUBLE)) * sqrt(CAST(nc.n2s AS DOUBLE))) AS cosine
+               FROM dots d JOIN nrm nq ON d.query_id = nq.vec_id
+                           JOIN nrm nc ON d.neighbor_id = nc.vec_id),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank FROM cosv)
+      SELECT query_id, neighbor_id, rank, cosine FROM rk WHERE rank <= 3
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3, numPlanes = 8)
+        .orderBy("query_id", "rank")
+    })
+
+  private val q27 = Q("q27_emb_neardup",
+    "embedding near-duplicates: cosine >= 0.3 within label block",
+    Some("""
+      WITH el AS (SELECT vec_id, label, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      dots AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               CAST(SUM(CAST(floor(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+               FROM el a JOIN el b
+                 ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+               GROUP BY 1, 2),
+      nrm AS (SELECT vec_id,
+              CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS n2s
+              FROM el GROUP BY 1)
+      SELECT doc_a, doc_b,
+             CAST(d.dot_s AS DOUBLE) / (sqrt(CAST(na.n2s AS DOUBLE)) * sqrt(CAST(nb.n2s AS DOUBLE))) AS cosine
+      FROM dots d JOIN nrm na ON doc_a = na.vec_id
+                  JOIN nrm nb ON doc_b = nb.vec_id
+      WHERE CAST(d.dot_s AS DOUBLE) / (sqrt(CAST(na.n2s AS DOUBLE)) * sqrt(CAST(nb.n2s AS DOUBLE))) >= 0.3
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", minCosine = 0.3)
+      .orderBy("doc_a", "doc_b"))
+
+  private val q28 = Q("q28_text_langid",
+    "wordlist language-ID heuristic with deterministic argmax",
+    Some("""
+      WITH dict(dlang, word) AS (VALUES
+        ('en','the'),('en','a'),('en','of'),('en','and'),('en','is'),('en','to'),('en','in'),
+        ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+        ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+        ('es','el'),('es','los'),('es','y'),('es','es'),('es','un'),
+        ('zh','的'),('zh','是'),('zh','了')),
+      langs AS (SELECT DISTINCT dlang FROM dict),
+      wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      hits AS (SELECT doc_id, dlang, count(*) AS hits
+               FROM wds JOIN dict USING (word) GROUP BY 1, 2),
+      grid AS (SELECT d.doc_id, d.lang, l.dlang FROM documents d CROSS JOIN langs l),
+      scored AS (SELECT g.doc_id, g.lang, g.dlang, coalesce(h.hits, CAST(0 AS BIGINT)) AS score
+                 FROM grid g LEFT JOIN hits h
+                   ON g.doc_id = h.doc_id AND g.dlang = h.dlang),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, dlang) AS rn FROM scored)
+      SELECT doc_id, dlang AS pred_lang, score, lang AS labelled_lang
+      FROM rk WHERE rn = 1 ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.langId(s, t(s, dir, "documents")).orderBy("doc_id"))
+
+  private val q29 = Q("q29_text_quality",
+    "quality scoring: stopword/punct ratios, word stats, weighted score",
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(text) AS BIGINT) AS n_chars_measured,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','a','of','and','is','to','in'], x))) AS BIGINT) AS n_stopwords,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_word_len,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             0.5 * (CAST(len(list_filter(string_split(text, ' '),
+                      x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+             + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                      / length(text))
+             + 0.2 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+               AS quality_score
+      FROM documents ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.quality(t(s, dir, "documents")).orderBy("doc_id"))
+
+  private val q30 = Q("q30_text_tokens",
+    "token counting: whitespace, BPE-ish regex, chars/4 estimate",
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+             CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+      FROM documents ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id"))
+
+  private val q31 = Q("q31_text_fingerprint",
+    "rolling-hash fingerprint over 64-char prefix + duplicate-group size",
+    Some("""
+      WITH f AS (SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(substr(text, 1, 64), ''),
+            s -> CAST(unicode(s) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        FROM documents)
+      SELECT doc_id, fingerprint,
+             count(*) OVER (PARTITION BY fingerprint) AS n_same_fp
+      FROM f ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"), prefixLen = 64)
+      .orderBy("doc_id"))
+
+  private val q32 = Q("q32_multimodal_binary",
+    "multimodal plumbing: opaque binary payload + typed metadata + checksum",
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS payload_sha,
+             upper(substr(hex(encode(text)), 1, 16)) AS hex_prefix,
+             (CAST(octet_length(encode(text)) AS BIGINT) * 31 + doc_id) % 1000003 AS fake_feature,
+             doc_id % 640 + 1 AS meta_width,
+             doc_id % 480 + 1 AS meta_height
+      FROM documents ORDER BY doc_id"""),
+    (s, dir) => {
+      val payload = col("text").cast("binary")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(payload).cast("long").as("n_bytes"),
+        sha2(col("text"), 256).as("payload_sha"),
+        upper(substring(hex(payload), 1, 16)).as("hex_prefix"),
+        pmod(octet_length(payload).cast("long") * 31 + col("doc_id"),
+          lit(1000003L)).as("fake_feature"),
+        (pmod(col("doc_id"), lit(640)) + 1).as("meta_width"),
+        (pmod(col("doc_id"), lit(480)) + 1).as("meta_height"))
+        .orderBy("doc_id")
+    })
+
+  def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32)
+}
