@@ -1,0 +1,119 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Etl
+
+/** The reference pipeline's five dataflow stages as `DataFrame => DataFrame`
+  * transformations (SURVEY.md §2/§3; each mirrors one Airflow task of
+  * dags/dreem.py:297-307).
+  *
+  * State machine: each stage only advances rows whose target column is still
+  * null (the reference's no-override guards, db.py:99,105-106,115,120-121) —
+  * realized as left join + coalesce, so re-running a stage is idempotent.
+  *
+  * Scale notes: lookup sides are broadcast (they are the reference's
+  * lru_cached CSV dicts, ucam.py:138-153); the ledger side of the dedup
+  * anti-join stays distributed and shuffles on the uniform sha256 key; the
+  * interval join is an equi-join on device_id plus a range predicate, and
+  * its first-match is a window over the record key — no driver collection
+  * anywhere.
+  */
+object Stages {
+
+  /** J1+L1+S7 prep — compute the sha256 identity and drop records whose hash
+    * already exists in the ledger (dags/dreem.py:44-67, db.py:49-55,228-231).
+    * `limit` mirrors the reference's islice backpressure; deterministic only
+    * if the caller ordered the input (documented reference quirk, §2.6).
+    */
+  def ingestDedup(incoming: DataFrame, ledger: DataFrame,
+                  limit: Option[Int] = None): DataFrame = {
+    val hashed = incoming.withColumn("hash",
+      Etl.recordHash(col("device_type"), col("manufacturer_ref")))
+    val fresh = hashed.join(ledger.select("hash"), Seq("hash"), "left_anti")
+    limit.fold(fresh)(fresh.limit)
+  }
+
+  /** J2 — uid→serial broadcast lookup; only rows with a dreem uid and a null
+    * serial advance (db.py:97-109,158-170; dags/dreem.py:75-115).
+    */
+  def resolveSerials(records: DataFrame, uidSerial: DataFrame): DataFrame = {
+    val lk = broadcast(uidSerial.select(col("uid").as("_lk_uid"),
+      col("serial").as("_lk_serial")))
+    records
+      .join(lk, element_at(col("meta"), "dreem_uid") === col("_lk_uid"), "left")
+      .withColumn("device_serial",
+        coalesce(col("device_serial"), col("_lk_serial")))
+      .drop("_lk_uid", "_lk_serial")
+  }
+
+  /** J3 — serial→device-id broadcast lookup (operators/ucam.py:12-68,
+    * db.py:111-125); same no-override shape.
+    */
+  def resolveDeviceIds(records: DataFrame, serialToId: DataFrame): DataFrame = {
+    val lk = broadcast(serialToId.select(col("serial").as("_lk_serial"),
+      col("device_id").as("_lk_device_id")))
+    records
+      .join(lk, col("device_serial") === col("_lk_serial"), "left")
+      .withColumn("device_id", coalesce(col("device_id"), col("_lk_device_id")))
+      .drop("_lk_serial", "_lk_device_id")
+  }
+
+  /** J4 — wear-period interval join (ucam.py:95-136): all bounds normalised
+    * to days, open-ended `end_wear` defaults to `today`, a patient matches
+    * when BOTH record endpoints fall inside the wear period, and first-match
+    * is made deterministic by (start_wear, patient_id) — the reference
+    * depends on payload order (flagged in SURVEY.md §7.5.4).
+    *
+    * `assignments`: (device_id, patient_id, start_wear, end_wear).
+    * `today`: pinned "now" for open intervals — a parameter, not
+    * `current_date()`, so runs are reproducible.
+    */
+  def resolvePatients(records: DataFrame, assignments: DataFrame,
+                      today: String): DataFrame = {
+    val asg = assignments.select(
+      col("device_id").as("_a_device"),
+      col("patient_id").as("_a_patient"),
+      to_date(col("start_wear")).as("_a_start"),
+      to_date(coalesce(col("end_wear"), lit(today).cast("date"))).as("_a_end"))
+    val joined = records.join(asg,
+      col("device_id") === col("_a_device") &&
+        to_date(col("start")).between(col("_a_start"), col("_a_end")) &&
+        to_date(col("end")).between(col("_a_start"), col("_a_end")),
+      "left")
+    val w = Window.partitionBy(col("hash"))
+      .orderBy(col("_a_start").asc_nulls_last, col("_a_patient").asc_nulls_last)
+    joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .withColumn("patient_id", coalesce(col("patient_id"), col("_a_patient")))
+      .drop("_a_device", "_a_patient", "_a_start", "_a_end", "_rn")
+  }
+
+  /** A1 — day-cut-off bucketing + composite dmp_id for fully-enriched rows
+    * (operators/ucam.py:71-134). Unlimited by design ("avoid data gaps").
+    */
+  def groupRecords(records: DataFrame, cutOff: String): DataFrame = {
+    val ready = col("device_id").isNotNull && col("patient_id").isNotNull
+    records.withColumn("dmp_id",
+      coalesce(col("dmp_id"),
+        when(ready, Etl.dmpId(col("device_id"), col("patient_id"),
+          Etl.bucketStart(col("start"), cutOff),
+          Etl.bucketEnd(col("start"), cutOff)))))
+  }
+
+  /** P6+J5+A4+A5 — per-group upload manifest of unfinished groups
+    * (dags/dreem.py:153-234): member refs, size, partial-upload flag.
+    */
+  def uploadManifest(records: DataFrame): DataFrame =
+    records
+      .filter(col("dmp_id").isNotNull)
+      .groupBy("dmp_id")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sort_array(collect_list(col("manufacturer_ref"))).as("member_refs"),
+        expr("bool_or(is_uploaded)").as("any_uploaded"),
+        expr("bool_and(is_uploaded)").as("all_uploaded"))
+      .filter(!col("all_uploaded"))
+      .drop("all_uploaded")
+}

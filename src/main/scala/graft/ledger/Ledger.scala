@@ -1,0 +1,108 @@
+package graft.ledger
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed mutable ledger with append + conditional no-override merge
+  * — the reference's MongoDB collection semantics (db.py:66-231) on
+  * immutable columnar storage, with no external table format available
+  * offline (SURVEY.md §7.5.1).
+  *
+  * Layout: hash-prefix bucketed partitions (`bucket=0..15`, first hex char of
+  * the sha256 key). A merge:
+  *   1. bucketizes the updates,
+  *   2. reads ONLY the affected buckets (partition pruning),
+  *   3. join-rewrites them (coalesce per enrichable column — existing value
+  *      wins, so updates can never override, matching
+  *      tests/hooks/test_db.py:16-47),
+  *   4. dynamically overwrites just those partitions.
+  *
+  * At 100 TB: buckets become e.g. 4096 partitions; a merge touching k
+  * buckets rewrites k/4096 of the table, and the join inside a bucket is
+  * co-partitioned on the uniform hash key (no skew). Deletes stay
+  * quarantined, as in the reference (db.py:127-133): append + update only.
+  */
+final class Ledger(spark: SparkSession, path: String) {
+
+  private val enrichable =
+    Seq("device_serial", "device_id", "patient_id", "dmp_dataset", "dmp_id")
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", substring(col("hash"), 1, 1))
+
+  def exists: Boolean = new java.io.File(path).exists()
+
+  def read(): DataFrame =
+    spark.read.parquet(path).drop("bucket")
+
+  /** Initialize (overwrite-all) with a first batch. */
+  def init(records: DataFrame): Unit =
+    withBucket(records).write
+      .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
+
+  /** S7 — append records whose hash is not yet present (insert-only dedup,
+    * db.py:76-86 + the J1 anti-join).
+    */
+  def append(records: DataFrame): Unit = {
+    val fresh = records.join(read().select("hash"), Seq("hash"), "left_anti")
+    withBucket(fresh).write
+      .partitionBy("bucket").mode(SaveMode.Append).parquet(path)
+  }
+
+  /** No-override merge: for rows matched by hash, fill each `fields` column
+    * only where the ledger value is still null. Only affected buckets are
+    * read and rewritten.
+    */
+  def mergeNoOverride(updates: DataFrame,
+                      fields: Seq[String] = enrichable): Unit = {
+    require(fields.forall(enrichable.contains),
+      s"only $enrichable are enrichable; is_uploaded goes via markUploaded")
+    val upd = withBucket(updates
+      .select(col("hash") +: fields.map(f => col(f).as(s"_u_$f")): _*))
+    val buckets = upd.select("bucket").distinct()
+      .collect().map(_.getString(0)) // bounded: ≤16 bucket ids, not data
+    if (buckets.isEmpty) return
+    val current = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+    val merged = current.join(upd.drop("bucket"), Seq("hash"), "left")
+    val advanced = fields.foldLeft(merged) { (df, f) =>
+      df.withColumn(f, coalesce(col(f), col(s"_u_$f")))
+    }.drop(fields.map(f => s"_u_$f"): _*)
+    writeBuckets(advanced)
+  }
+
+  /** Terminal flag for whole upload groups (db.py:189-196): set
+    * is_uploaded=true for every record of the given dmp_ids.
+    */
+  def markUploaded(dmpIds: DataFrame): Unit = {
+    val ids = broadcast(dmpIds.select(col("dmp_id").as("_u_dmp_id")).distinct())
+    val current = spark.read.parquet(path)
+    val merged = current
+      .join(ids, col("dmp_id") === col("_u_dmp_id"), "left")
+      .withColumn("is_uploaded",
+        col("is_uploaded") || col("_u_dmp_id").isNotNull)
+      .drop("_u_dmp_id")
+    writeBuckets(merged)
+  }
+
+  /** Dynamic partition overwrite of the buckets present in `df`. */
+  private def writeBuckets(df: DataFrame): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // The parquet source cannot overwrite partitions it is concurrently
+      // reading; materialize the merged buckets first. At scale this staging
+      // write is the standard copy-on-write merge cost (Delta/Iceberg do the
+      // same file rewrite under the hood).
+      val staging = path + "_staging"
+      df.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(staging)
+      spark.read.parquet(staging).write
+        .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+}

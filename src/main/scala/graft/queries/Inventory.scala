@@ -544,5 +544,5 @@ object Inventory {
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17)
 
-  def all: Seq[Q] = core ++ Extensions.all
+  def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }

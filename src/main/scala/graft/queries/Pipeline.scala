@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.Stages
+
+/** The flagship end-to-end pipeline query (SURVEY.md §7.2) plus incremental
+  * upsert semantics, exercised through the real `graft.etl.Stages` library
+  * over synthetic frames derived from the shared testdata (so the DuckDB
+  * oracle can replay the whole chain as one CTE pipeline):
+  *
+  *   ingest-dedup (J1) → uid→serial (J2) → serial→device (J3) →
+  *   wear-period first-match (J4) → day-bucket dmp_id (A1)
+  */
+object Pipeline {
+
+  private val q18 = Q("q18_pipeline_e2e",
+    "full reference chain over synthetic inputs derived from events/customer/part/orders",
+    Some("""
+      WITH recs AS (
+        SELECT event_id AS record_id, CAST(event_id AS VARCHAR) AS ref,
+               ts AS rs, ts + INTERVAL 2 HOUR AS re,
+               'U' || CAST(user_id % 50 AS VARCHAR) AS uid
+        FROM events),
+      led AS (SELECT sha256('DRM' || ref) AS hash FROM recs WHERE record_id % 11 = 0),
+      newr AS (SELECT r.*, sha256('DRM' || ref) AS hash FROM recs r
+               WHERE sha256('DRM' || ref) NOT IN (SELECT hash FROM led)),
+      us AS (SELECT 'U' || CAST(c_custkey AS VARCHAR) AS uid,
+                    'S' || CAST(c_custkey * 7 % 100 AS VARCHAR) AS serial
+             FROM customer WHERE c_custkey < 50 AND c_custkey % 9 <> 0),
+      si AS (SELECT 'S' || CAST(p_partkey AS VARCHAR) AS serial,
+                    'DEV-' || CAST(p_partkey % 25 AS VARCHAR) AS device_id
+             FROM part WHERE p_partkey < 100 AND p_partkey % 8 <> 0),
+      r1 AS (SELECT n.*, us.serial AS device_serial FROM newr n
+             LEFT JOIN us ON n.uid = us.uid),
+      r2 AS (SELECT r1.*, si.device_id FROM r1
+             LEFT JOIN si ON r1.device_serial = si.serial),
+      asg AS (SELECT DISTINCT
+                'DEV-' || CAST(o_custkey % 25 AS VARCHAR) AS a_device,
+                'P-' || CAST(o_custkey AS VARCHAR) AS a_patient,
+                DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) AS start_wear,
+                CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                     ELSE DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) + 3
+                END AS end_wear
+              FROM orders),
+      j AS (SELECT r2.*, a.a_patient, a.start_wear,
+                   ROW_NUMBER() OVER (PARTITION BY r2.record_id
+                     ORDER BY a.start_wear NULLS LAST, a.a_patient NULLS LAST) AS rn
+            FROM r2 LEFT JOIN asg a
+              ON r2.device_id = a.a_device
+             AND CAST(r2.rs AS DATE) BETWEEN a.start_wear
+                   AND coalesce(a.end_wear, DATE '2024-02-15')
+             AND CAST(r2.re AS DATE) BETWEEN a.start_wear
+                   AND coalesce(a.end_wear, DATE '2024-02-15')),
+      r3 AS (SELECT *, a_patient AS patient_id FROM j WHERE rn = 1),
+      r4 AS (SELECT *,
+               CASE WHEN device_id IS NOT NULL AND patient_id IS NOT NULL THEN
+                 regexp_replace(device_id, '-', '', 'g') || '-' ||
+                 regexp_replace(patient_id, '-', '', 'g') || '-' ||
+                 strftime(bs, '%Y%m%d') || '-' || strftime(bs + 1, '%Y%m%d')
+               END AS dmp_id
+             FROM (SELECT *,
+                     CASE WHEN strftime(rs, '%H:%M:%S') < '12:00:00'
+                          THEN CAST(rs AS DATE) - 1 ELSE CAST(rs AS DATE)
+                     END AS bs
+                   FROM r3))
+      SELECT record_id, hash, uid, device_serial, device_id, patient_id, dmp_id
+      FROM r4 ORDER BY record_id"""),
+    (s, dir) => {
+      def t(n: String) = Tables.table(s, dir, n)
+      val recs = t("events").select(
+        col("event_id").as("record_id"),
+        col("event_id").cast("string").as("manufacturer_ref"),
+        lit("DRM").as("device_type"),
+        col("ts").as("start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end"),
+        map(lit("dreem_uid"),
+          concat(lit("U"), pmod(col("user_id"), lit(50)).cast("string"))).as("meta"),
+        lit(null).cast("string").as("device_serial"),
+        lit(null).cast("string").as("device_id"),
+        lit(null).cast("string").as("patient_id"),
+        lit(null).cast("string").as("dmp_id"))
+      val ledger0 = recs.filter(pmod(col("record_id"), lit(11)) === 0)
+        .select(sha2(concat(lit("DRM"), col("manufacturer_ref")), 256).as("hash"))
+      val uidSerial = t("customer")
+        .filter(col("c_custkey") < 50 && pmod(col("c_custkey"), lit(9)) =!= 0)
+        .select(concat(lit("U"), col("c_custkey").cast("string")).as("uid"),
+          concat(lit("S"), pmod(col("c_custkey") * 7, lit(100)).cast("string")).as("serial"))
+      val serialToId = t("part")
+        .filter(col("p_partkey") < 100 && pmod(col("p_partkey"), lit(8)) =!= 0)
+        .select(concat(lit("S"), col("p_partkey").cast("string")).as("serial"),
+          concat(lit("DEV-"), pmod(col("p_partkey"), lit(25)).cast("string")).as("device_id"))
+      val aStart = date_add(to_date(lit("2024-01-01")),
+        pmod(col("o_orderkey"), lit(25)).cast("int"))
+      val assignments = t("orders").select(
+        concat(lit("DEV-"), pmod(col("o_custkey"), lit(25)).cast("string")).as("device_id"),
+        concat(lit("P-"), col("o_custkey").cast("string")).as("patient_id"),
+        aStart.cast("timestamp").as("start_wear"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(date_add(aStart, 3)).cast("timestamp").as("end_wear"))
+        .distinct()
+      val fresh = Stages.ingestDedup(recs, ledger0)
+      val r1 = Stages.resolveSerials(fresh, uidSerial)
+      val r2 = Stages.resolveDeviceIds(r1, serialToId)
+      val r3 = Stages.resolvePatients(r2, assignments, today = "2024-02-15")
+      val r4 = Stages.groupRecords(r3, cutOff = "12:00:00")
+      r4.select(col("record_id"), col("hash"),
+        element_at(col("meta"), "dreem_uid").as("uid"),
+        col("device_serial"), col("device_id"), col("patient_id"), col("dmp_id"))
+        .orderBy("record_id")
+    })
+
+  private val q19 = Q("q19_incremental_upsert",
+    "ledger upsert semantics: insert new keys, fill null fields on matched " +
+      "keys, never override set fields (S7 + §4 MERGE)",
+    Some("""
+      WITH ledger AS (
+        SELECT event_id AS key,
+               CASE WHEN event_id % 4 = 0 THEN NULL
+                    ELSE 'X' || CAST(event_id % 97 AS VARCHAR) END AS serial
+        FROM events WHERE event_id % 2 = 0),
+      updates AS (
+        SELECT event_id AS key, 'B' || CAST(event_id % 97 AS VARCHAR) AS serial_new
+        FROM events WHERE event_id % 3 = 0)
+      SELECT coalesce(l.key, u.key) AS key,
+             l.serial AS serial_old, u.serial_new,
+             coalesce(l.serial, u.serial_new) AS serial_final,
+             CASE WHEN l.key IS NULL THEN 'insert'
+                  WHEN l.serial IS NULL AND u.serial_new IS NOT NULL THEN 'update'
+                  ELSE 'keep' END AS action
+      FROM ledger l FULL JOIN updates u ON l.key = u.key
+      ORDER BY key"""),
+    (s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+      val ledger = ev.filter(pmod(col("event_id"), lit(2)) === 0).select(
+        col("event_id").as("key"),
+        when(pmod(col("event_id"), lit(4)) === 0, lit(null))
+          .otherwise(concat(lit("X"), pmod(col("event_id"), lit(97)).cast("string")))
+          .as("serial"))
+      val updates = ev.filter(pmod(col("event_id"), lit(3)) === 0).select(
+        col("event_id").as("ukey"),
+        concat(lit("B"), pmod(col("event_id"), lit(97)).cast("string")).as("serial_new"))
+      ledger.join(updates, col("key") === col("ukey"), "full_outer")
+        .select(
+          coalesce(col("key"), col("ukey")).as("key"),
+          col("serial").as("serial_old"),
+          col("serial_new"),
+          coalesce(col("serial"), col("serial_new")).as("serial_final"),
+          when(col("key").isNull, "insert")
+            .when(col("serial").isNull && col("serial_new").isNotNull, "update")
+            .otherwise("keep").as("action"))
+        .orderBy("key")
+    })
+
+  def all: Seq[Q] = Seq(q18, q19)
+}
