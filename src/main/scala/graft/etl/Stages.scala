@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,33 +61,46 @@ object Stages {
       .drop("_lk_serial", "_lk_device_id")
   }
 
-  /** J4 — wear-period interval join (ucam.py:95-136): all bounds normalised
-    * to days, open-ended `end_wear` defaults to `today`, a patient matches
-    * when BOTH record endpoints fall inside the wear period, and first-match
-    * is made deterministic by (start_wear, patient_id) — the reference
-    * depends on payload order (flagged in SURVEY.md §7.5.4).
+  /** J4 — wear-period interval join (ucam.py:95-136): assignment bounds are
+    * always day-normalised and open-ended `end_wear` defaults to `today`
+    * (pinned as a parameter, not `current_date()`, so runs reproduce); a
+    * patient matches when BOTH record endpoints fall inside the wear period.
     *
-    * `assignments`: (device_id, patient_id, start_wear, end_wear).
-    * `today`: pinned "now" for open intervals — a parameter, not
-    * `current_date()`, so runs are reproducible.
+    * `normaliseRecordDays=true` mirrors the pipeline entry
+    * `resolve_patient_id` (ucam.py:95-105), which truncates the record
+    * endpoints too; `false` mirrors the raw-time semantics of the inner
+    * `get_patient_by_wear_period`, which the reference's unit tests pin
+    * (tests/hooks/test_ucam_hook.py:81-110).
+    *
+    * First-match: the reference takes the first patient in payload order
+    * (flagged nondeterministic, SURVEY.md §7.5.4); `firstMatchOrder` names
+    * assignment columns that define a deterministic order instead — pass an
+    * explicit ordinal column to replay payload order exactly.
     */
   def resolvePatients(records: DataFrame, assignments: DataFrame,
-                      today: String): DataFrame = {
-    val asg = assignments.select(
+                      today: String,
+                      normaliseRecordDays: Boolean = true,
+                      firstMatchOrder: Seq[String] = Seq("start_wear", "patient_id")): DataFrame = {
+    val orderCols = firstMatchOrder.map(c => col(c).as(s"_o_$c"))
+    val asg = assignments.select(Seq(
       col("device_id").as("_a_device"),
       col("patient_id").as("_a_patient"),
-      to_date(col("start_wear")).as("_a_start"),
-      to_date(coalesce(col("end_wear"), lit(today).cast("date"))).as("_a_end"))
+      to_date(col("start_wear")).cast("timestamp").as("_a_start"),
+      to_date(coalesce(col("end_wear"), lit(today).cast("timestamp")))
+        .cast("timestamp").as("_a_end")) ++ orderCols: _*)
+    def bound(c: Column) =
+      if (normaliseRecordDays) to_date(c).cast("timestamp") else c
     val joined = records.join(asg,
       col("device_id") === col("_a_device") &&
-        to_date(col("start")).between(col("_a_start"), col("_a_end")) &&
-        to_date(col("end")).between(col("_a_start"), col("_a_end")),
+        bound(col("start")).between(col("_a_start"), col("_a_end")) &&
+        bound(col("end")).between(col("_a_start"), col("_a_end")),
       "left")
     val w = Window.partitionBy(col("hash"))
-      .orderBy(col("_a_start").asc_nulls_last, col("_a_patient").asc_nulls_last)
+      .orderBy(firstMatchOrder.map(c => col(s"_o_$c").asc_nulls_last): _*)
     joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .withColumn("patient_id", coalesce(col("patient_id"), col("_a_patient")))
-      .drop("_a_device", "_a_patient", "_a_start", "_a_end", "_rn")
+      .drop(Seq("_a_device", "_a_patient", "_a_start", "_a_end", "_rn") ++
+        firstMatchOrder.map(c => s"_o_$c"): _*)
   }
 
   /** A1 — day-cut-off bucketing + composite dmp_id for fully-enriched rows

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Semantic checks of the dedup / similarity operators on hand-built
+  * corpora with known duplicates.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),   // near dup
+    (4L, "completely different words about spark engines here"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+    assert(got.count() == 3)
+    val dup = got.filter($"n_copies" === 2)
+      .select($"canonical_id").as[Long].collect()
+    assert(dup.toSeq == Seq(1L))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 16)
+    assert(sigs.count() == 4 * 16)
+    val cand = Dedup.minHashLshCandidates(sigs, "doc_id", rowsPerBand = 2)
+      .select($"doc_a", $"doc_b", $"n_shared_bands")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cand((1L, 2L)) == 8)        // identical docs collide in all 8 bands
+    assert(cand.contains((1L, 3L)))    // near dup shares some bands
+    assert(!cand.contains((1L, 4L)))   // unrelated doc does not
+  }
+
+  test("simhash: identical docs at hamming 0, near dups close, others far") {
+    val sigs = Dedup.simHash(docs, "doc_id", "text", bits = 32)
+    val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 32)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) < pairs((1L, 4L)))
+  }
+
+  test("ngram jaccard: identical 1.0, near dup in (0,1), blocked pairs only") {
+    val blocked = docs.withColumn("lang", lit("en"))
+      .withColumn("source", when($"doc_id" === 4, "other").otherwise("main"))
+    val got = Dedup.ngramJaccard(blocked, "doc_id", "text",
+      blockCols = Seq("lang", "source"))
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) > 0 && got((1L, 3L)) < 1)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L)) // other block
+  }
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: self first at cosine 1.0, nearest vector second") {
+    val got = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", k = 2)
+      .select($"rank", $"neighbor_id", $"cosine")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got(0)._2 == 1L && got(0)._3 == 1.0)
+    assert(got(1)._2 == 2L && got(1)._3 > 0.9)
+  }
+
+  test("lshTopK buckets aligned vectors together, opposites apart") {
+    val got = Similarity.lshTopK(
+      vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding",
+      k = 4, numPlanes = 12)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(got.contains(1L))   // self always shares its own bucket
+    assert(!got.contains(4L))  // antipodal vector lands in another bucket
+  }
+
+  test("embeddingNearDup finds the aligned pair within the block") {
+    val got = Dedup.embeddingNearDup(vecs.withColumn("label", lit(0)),
+      "vec_id", "embedding", "label", minCosine = 0.9)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

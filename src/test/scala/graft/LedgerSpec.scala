@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ledger.Ledger
+
+/** Ledger semantics: append-dedup, no-override merge (idempotent), group
+  * upload flags — the reference's Mongo collection contract
+  * (db.py:66-231, tests/hooks/test_db.py) on bucketed parquet.
+  */
+class LedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ledger").toString + "/ledger"
+
+  private def rec(ref: String, serial: Option[String] = None,
+                  dmpId: Option[String] = None): (String, String, String, Timestamp, Timestamp, Map[String, String], Option[String], Option[String], Option[String], Option[String], Option[String], Boolean) = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(("DRM" + ref).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (h, ref, "DRM", Timestamp.valueOf("2021-11-29 10:00:00"),
+      Timestamp.valueOf("2021-11-29 12:00:00"), Map("dreem_uid" -> "U1"),
+      serial, None, None, None, dmpId, false)
+  }
+
+  private val cols = Seq("hash", "manufacturer_ref", "device_type", "start",
+    "end", "meta", "device_serial", "device_id", "patient_id", "dmp_dataset",
+    "dmp_id", "is_uploaded")
+
+  private def df(rows: Seq[(String, String, String, Timestamp, Timestamp, Map[String, String], Option[String], Option[String], Option[String], Option[String], Option[String], Boolean)]): DataFrame =
+    rows.toDF(cols: _*)
+
+  test("append deduplicates by hash") {
+    val path = tmp()
+    val led = new Ledger(spark, path)
+    led.init(df(Seq(rec("a"), rec("b"))))
+    led.append(df(Seq(rec("b"), rec("c"))))
+    assert(led.read().count() == 3)
+    assert(led.read().select("manufacturer_ref").as[String].collect().toSet
+      == Set("a", "b", "c"))
+  }
+
+  test("mergeNoOverride fills nulls, preserves set values, is idempotent") {
+    val path = tmp()
+    val led = new Ledger(spark, path)
+    led.init(df(Seq(rec("a", serial = Some("KEEP")), rec("b"), rec("c"))))
+    val updates = df(Seq(rec("a", serial = Some("NEW")),
+      rec("b", serial = Some("S-B"))))
+      .select($"hash", $"device_serial", $"device_id", $"patient_id",
+        $"dmp_dataset", $"dmp_id")
+    led.mergeNoOverride(updates)
+    def state() = led.read().select($"manufacturer_ref", $"device_serial")
+      .as[(String, Option[String])].collect().toMap
+    val s1 = state()
+    assert(s1("a").contains("KEEP"))   // never overridden
+    assert(s1("b").contains("S-B"))    // advanced
+    assert(s1("c").isEmpty)            // untouched
+    led.mergeNoOverride(updates)       // merge is idempotent
+    assert(state() == s1)
+    assert(led.read().count() == 3)
+  }
+
+  test("markUploaded flags whole dmp groups") {
+    val path = tmp()
+    val led = new Ledger(spark, path)
+    led.init(df(Seq(rec("a", dmpId = Some("G1")), rec("b", dmpId = Some("G1")),
+      rec("c", dmpId = Some("G2")))))
+    led.markUploaded(Seq("G1").toDF("dmp_id"))
+    val got = led.read().select($"manufacturer_ref", $"is_uploaded")
+      .as[(String, Boolean)].collect().toMap
+    assert(got == Map("a" -> true, "b" -> true, "c" -> false))
+  }
+}
