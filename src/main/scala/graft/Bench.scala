@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every SparkEntry query on
+  * $SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Forcing: `.write.format("noop")` executes the FULL plan including every
+  * projected column — a bare `.count()` would let Catalyst prune the
+  * expensive expressions and under-measure. A warmup query first absorbs
+  * JVM/codegen JIT so per-query numbers reflect steady state.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,14 +23,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup: exercise scan+shuffle+codegen paths once
+    try force(SparkEntry.queries("q12_tpch_q1")(spark, sfDir))
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

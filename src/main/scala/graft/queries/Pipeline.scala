@@ -1,9 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.etl.Stages
+import graft.functions.Etl
 
 /** The flagship end-to-end pipeline query (SURVEY.md §7.2) plus incremental
   * upsert semantics, exercised through the real `graft.etl.Stages` library
@@ -153,5 +156,34 @@ object Pipeline {
         .orderBy("key")
     })
 
-  def all: Seq[Q] = Seq(q18, q19)
+  private val q33 = Q("q33_streaming_ingest",
+    "§2.9: Structured Streaming AvailableNow drain — sha256 dedup state + " +
+      "aggregation; result equals the batch query (exactly-once semantics)",
+    Some("""
+      SELECT event_type, count(*) AS n_records
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val cp = java.nio.file.Files.createTempDirectory("graft-q33-cp").toString
+      // the file-stream source requires a directory; glob-filter to events
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("hash",
+          Etl.recordHash(lit("DRM"), col("event_id").cast("string")))
+        .dropDuplicates("hash")
+        .groupBy("event_type").agg(count(lit(1)).as("n_records"))
+      val name = "q33_out_" + math.abs(cp.hashCode).toString
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("event_type")
+    })
+
+  def all: Seq[Q] = Seq(q18, q19, q33)
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Etl
+
+/** Structured-streaming re-expression of the reference's incremental
+  * poll-and-process architecture (SURVEY.md §2.9):
+  *
+  *  - the unscheduled DAG that "polls the data … and acts when new data is
+  *    found" (README.md:124-128) becomes a file-arrival source +
+  *    `Trigger.AvailableNow` — one run drains exactly what is new;
+  *  - the ledger hash set (db.py:228-231) becomes `dropDuplicates("hash")`
+  *    state, checkpointed and unbounded — the reference never expires
+  *    hashes either; `dropDuplicatesWithinWatermark` is the opt-in bound;
+  *  - at-least-once redelivery of unready files (drm.py:62-66 → retry next
+  *    run) is the source's replay + idempotent dedup.
+  */
+object IncrementalIngest {
+
+  /** Drain all currently-available files from `srcDir` into `outDir`,
+    * emitting each sha256 identity at most once across ALL runs sharing
+    * `checkpointDir`. Blocks until the drain completes.
+    */
+  def runAvailableNow(spark: SparkSession, srcDir: String, schema: StructType,
+                      checkpointDir: String, outDir: String): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .withColumn("hash",
+        Etl.recordHash(col("device_type"), col("manufacturer_ref")))
+      .dropDuplicates("hash")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** A1 as a *streaming* window: the non-midnight day bucket is a 1-day
+    * tumbling event-time window anchored at the cut-off time
+    * (operators/ucam.py:115-119 ≡ window(start, 1d, 1d, startTime=cutOff)).
+    * Returns the aggregated frame for the caller to sink.
+    */
+  def dayBucketCounts(stream: DataFrame, cutOff: String,
+                      watermark: String = "1 day"): DataFrame = {
+    val t = Etl.validateCutOff(cutOff)
+    val offset = s"${t.getHour} hours ${t.getMinute} minutes ${t.getSecond} seconds"
+    stream
+      .withWatermark("start", watermark)
+      .groupBy(window(col("start"), "1 day", "1 day", offset), col("device_id"))
+      .agg(count(lit(1)).as("n_records"))
+      .select(
+        col("device_id"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("bucket_end"),
+        col("n_records"))
+  }
+}

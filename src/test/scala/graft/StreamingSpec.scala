@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.IncrementalIngest
+
+/** Streaming posture (SURVEY.md §2.9): incremental dedup across runs via
+  * checkpointed state, and the day-bucket tumbling window.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("manufacturer_ref", StringType),
+    StructField("device_type", StringType)))
+
+  test("AvailableNow ingest dedups within and ACROSS runs (ledger state)") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val src = s"$base/src"; val out = s"$base/out"; val cp = s"$base/cp"
+    Seq(("a", "DRM"), ("b", "DRM"), ("a", "DRM"))
+      .toDF("manufacturer_ref", "device_type")
+      .coalesce(1).write.parquet(src)
+    IncrementalIngest.runAvailableNow(spark, src, schema, cp, out)
+    val run1 = spark.read.parquet(out)
+    assert(run1.select("manufacturer_ref").as[String].collect().toSet == Set("a", "b"))
+
+    // second "poll": b is a replay, c is new — only c flows through
+    Seq(("b", "DRM"), ("c", "DRM"))
+      .toDF("manufacturer_ref", "device_type")
+      .coalesce(1).write.mode("append").parquet(src)
+    IncrementalIngest.runAvailableNow(spark, src, schema, cp, out)
+    val run2 = spark.read.parquet(out)
+    assert(run2.count() == 3)
+    assert(run2.select("manufacturer_ref").as[String].collect().toSet
+      == Set("a", "b", "c"))
+  }
+
+  test("streaming day-bucket window reproduces the 12:00 cut-off buckets") {
+    val base = Files.createTempDirectory("graft-stream2").toString
+    val src = s"$base/src"
+    Seq(
+      ("DEV-1", "2021-11-29 08:00:00"),  // before cut-off → bucket 11-28 12:00
+      ("DEV-1", "2021-11-29 13:00:00"),  // after cut-off  → bucket 11-29 12:00
+      ("DEV-1", "2021-11-30 11:59:59"))  // before cut-off → bucket 11-29 12:00
+      .toDF("device_id", "s")
+      .withColumn("start", $"s".cast("timestamp")).drop("s")
+      .coalesce(1).write.parquet(src)
+    val stream = spark.readStream.schema(
+      StructType(Seq(StructField("device_id", StringType),
+        StructField("start", TimestampType)))).parquet(src)
+    val agg = IncrementalIngest.dayBucketCounts(stream, "12:00:00")
+    val q = agg.writeStream.format("memory").queryName("buckets")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("buckets")
+      .select($"bucket_start", $"n_records").as[(String, Long)]
+      .collect().toMap
+    assert(got == Map(
+      "2021-11-28 12:00:00" -> 1L,
+      "2021-11-29 12:00:00" -> 2L))
+  }
+}
