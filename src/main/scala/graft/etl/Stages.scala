@@ -73,34 +73,62 @@ object Stages {
     * (tests/hooks/test_ucam_hook.py:81-110).
     *
     * First-match: the reference takes the first patient in payload order
-    * (flagged nondeterministic, SURVEY.md §7.5.4); `firstMatchOrder` names
-    * assignment columns that define a deterministic order instead — pass an
-    * explicit ordinal column to replay payload order exactly.
+    * (flagged nondeterministic, SURVEY.md §7.5.4); here the winner is the
+    * minimum `firstMatchOrder` assignment column (timestamp/date/numeric,
+    * non-null), ties broken by min patient_id — pass an explicit ordinal
+    * column to replay payload order exactly.
+    *
+    * Scale design — the naive `join ON device && between` degenerates:
+    * device_id is low-cardinality, so the equi-key fans out to
+    * |records/device| × |assignments/device| pairs, which would then crawl
+    * through a row_number sort. Three rewrites keep it fast:
+    *  1. range bucketing: assignment intervals are exploded into covered
+    *     DAYS and the join key becomes (device, record-start-day) —
+    *     containment implies the start day is covered (no match lost) and a
+    *     record meets an assignment on exactly one day (no duplicates);
+    *  2. first-match pass 1 reduces a NUMERIC order key per record in a
+    *     fully-codegen'd HashAggregate with map-side combine (no sort of
+    *     the joined pairs — min(struct)/min(string) would SortAggregate);
+    *  3. pass 2 re-joins with the winning order value IN the equi-join key,
+    *     so only winning assignments survive to the tiny patient tiebreak.
     */
   def resolvePatients(records: DataFrame, assignments: DataFrame,
                       today: String,
                       normaliseRecordDays: Boolean = true,
-                      firstMatchOrder: Seq[String] = Seq("start_wear", "patient_id")): DataFrame = {
-    val orderCols = firstMatchOrder.map(c => col(c).as(s"_o_$c"))
-    val asg = assignments.select(Seq(
+                      firstMatchOrder: String = "start_wear"): DataFrame = {
+    val asg = assignments.select(
       col("device_id").as("_a_device"),
       col("patient_id").as("_a_patient"),
       to_date(col("start_wear")).cast("timestamp").as("_a_start"),
       to_date(coalesce(col("end_wear"), lit(today).cast("timestamp")))
-        .cast("timestamp").as("_a_end")) ++ orderCols: _*)
+        .cast("timestamp").as("_a_end"),
+      (assignments.schema(firstMatchOrder).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType |
+             _: org.apache.spark.sql.types.DateType =>
+          unix_timestamp(col(firstMatchOrder).cast("timestamp"))
+        case _ => col(firstMatchOrder).cast("long")
+      }).as("_a_ord"))
+      .filter(col("_a_start") <= col("_a_end"))
+    val asgDays = asg.withColumn("_a_day",
+      explode(sequence(to_date(col("_a_start")), to_date(col("_a_end")))))
     def bound(c: Column) =
       if (normaliseRecordDays) to_date(c).cast("timestamp") else c
-    val joined = records.join(asg,
-      col("device_id") === col("_a_device") &&
-        bound(col("start")).between(col("_a_start"), col("_a_end")) &&
-        bound(col("end")).between(col("_a_start"), col("_a_end")),
-      "left")
-    val w = Window.partitionBy(col("hash"))
-      .orderBy(firstMatchOrder.map(c => col(s"_o_$c").asc_nulls_last): _*)
-    joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    def contained = bound(col("start")).between(col("_a_start"), col("_a_end")) &&
+      bound(col("end")).between(col("_a_start"), col("_a_end"))
+    val recKeys = records.select(col("hash"), col("device_id"),
+      col("start"), col("end"))
+    val bestOrd = recKeys
+      .join(asgDays, col("device_id") === col("_a_device") &&
+        to_date(col("start")) === col("_a_day") && contained)
+      .groupBy(col("hash")).agg(min(col("_a_ord")).as("_bo"))
+    val best = recKeys.join(bestOrd, Seq("hash"))
+      .join(asgDays, col("device_id") === col("_a_device") &&
+        to_date(col("start")) === col("_a_day") &&
+        col("_bo") === col("_a_ord") && contained)
+      .groupBy(col("hash")).agg(min(col("_a_patient")).as("_a_patient"))
+    records.join(best, Seq("hash"), "left")
       .withColumn("patient_id", coalesce(col("patient_id"), col("_a_patient")))
-      .drop(Seq("_a_device", "_a_patient", "_a_start", "_a_end", "_rn") ++
-        firstMatchOrder.map(c => s"_o_$c"): _*)
+      .drop("_a_patient")
   }
 
   /** A1 — day-cut-off bucketing + composite dmp_id for fully-enriched rows

@@ -41,7 +41,7 @@ class StagesSpec extends SparkSpec {
       ("2021-11-06 13:00:00", "2021-11-08 00:00:00") -> None)
     val got = Stages.resolvePatients(records(cases.map(_._1)), nr1Assignments,
       today = "2022-01-01", normaliseRecordDays = false,
-      firstMatchOrder = Seq("ordinal"))
+      firstMatchOrder = "ordinal")
       .select($"manufacturer_ref", $"patient_id")
       .as[(String, Option[String])].collect().toMap
     cases.zipWithIndex.foreach { case ((_, expected), i) =>
