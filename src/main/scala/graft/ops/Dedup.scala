@@ -29,17 +29,22 @@ object Dedup {
 
   /** MinHash signatures: one row per (id, hashIndex) with the min seeded
     * hash over the doc's distinct word-`shingleSize`-gram shingles.
+    *
+    * Computed as ONE wide aggregation (numHashes min-columns per doc) so the
+    * shuffle carries |shingles| narrow rows with map-side combine — the
+    * explode-by-hash-index form would shuffle numHashes× the rows through a
+    * (doc, h) key. Unpivoted afterwards (tiny: docs × numHashes).
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleSize: Int = 3): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
       .distinct() // MinHash is over the shingle SET
-    sh.select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("h"), col("sh"))
-      .select(col(idCol), col("h"),
-        TextFns.seededHash64(col("h"), col("sh")).as("hv"))
-      .groupBy(col(idCol), col("h"))
-      .agg(min(col("hv")).as("minh"))
+    val hashCols = (0 until numHashes).map(h =>
+      min(TextFns.seededHash64(lit(h), col("sh"))).as(s"_mh$h"))
+    val wide = sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
+    val stackArgs = (0 until numHashes).map(h => s"$h, _mh$h").mkString(", ")
+    wide.selectExpr(idCol, s"stack($numHashes, $stackArgs) as (h, minh)")
   }
 
   /** LSH banding: group each signature into bands of `rowsPerBand` hashes,
@@ -65,20 +70,25 @@ object Dedup {
 
   /** SimHash: `bits`-bit signature; bit b is the sign of the sum of ±1 votes
     * from every word token's hash bit b (term frequency = vote weight).
+    *
+    * One wide aggregation — `bits` vote-sum columns per doc — instead of
+    * exploding a (doc, bit) row per word×bit: the shuffle carries |words|
+    * rows once, partially combined map-side, not bits× that through an
+    * extra aggregation.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
-              bits: Int = 32): DataFrame =
-    docs
+              bits: Int = 32): DataFrame = {
+    val words = docs
       .select(col(idCol), explode(TextFns.words(col(textCol))).as("w"))
-      .select(col(idCol), TextFns.hash64(col("w")).as("wh"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .withColumn("vote",
-        when(expr("(wh >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("vote")).as("votes"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("votes") > 0,
-        expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
+      .withColumn("wh", TextFns.hash64(col("w")))
+    val voteCols = (0 until bits).map(b =>
+      sum(when(expr(s"(wh >> $b) & 1") === 1, 1).otherwise(-1)).as(s"_v$b"))
+    val votes = words.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until bits).map(b =>
+      when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col(idCol), sig.as("simhash"))
+  }
 
   /** SimHash near-dup pairs under a Hamming-distance threshold. `blockBits`
     * high bits form the blocking key so the self-join is bucket-local (the
@@ -86,11 +96,20 @@ object Dedup {
     */
   def simHashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
                    blockBits: Int = 0): DataFrame = {
-    val withBlock = sigs.withColumn("block",
-      if (blockBits > 0) expr(s"simhash >> (32 - $blockBits)") else lit(0))
-    val a = withBlock.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"), col("block"))
-    val b = withBlock.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"), col("block"))
-    a.join(b, "block")
+    val a = sigs.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"))
+    val b = sigs.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"))
+    val paired =
+      if (blockBits > 0) {
+        // scale path: bucket-local comparisons on the high signature bits
+        val ab = a.withColumn("block", expr(s"sig_a >> (32 - $blockBits)"))
+        val bb = b.withColumn("block", expr(s"sig_b >> (32 - $blockBits)"))
+        ab.join(bb, "block").drop("block")
+      } else {
+        // all-pairs: broadcast NL join parallelizes across left partitions —
+        // a join on a constant key would funnel every pair into one task
+        a.crossJoin(broadcast(b))
+      }
+    paired
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
