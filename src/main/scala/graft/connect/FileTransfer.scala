@@ -1,0 +1,106 @@
+package graft.connect
+
+import java.io.{BufferedInputStream, BufferedOutputStream, File, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S2/S8/S9/S10 — the extract-prep-load tail of the pipeline
+  * (dags/dreem.py:153-251): per-group download of raw files, zip bundling,
+  * checksummed upload, local cleanup, with per-group isolation (one failing
+  * group logs and continues; state only advances on success).
+  *
+  * Executor-parallel: the upload plan is a DataFrame of groups; the
+  * transfer runs in `mapPartitions` (one task per partition, groups
+  * streamed), so 1000 executors drain 1000 groups at a time. The fetch and
+  * push sides are injected functions, keeping the operator testable offline
+  * and the HTTP/cloud specifics pluggable — the reference's equivalent
+  * seams are DreemHook.download_file and DmpHook.upload.
+  */
+object FileTransfer {
+
+  /** One file to land: (ref, target name). `fetch` returns false when the
+    * file is not yet available upstream (drm.py:62-66) — the group is then
+    * skipped this run and retried next run, state unadvanced.
+    */
+  final case class GroupResult(dmp_id: String, n_files: Int, zipped: Boolean,
+                               uploaded: Boolean, error: String)
+
+  def sha256File(p: Path): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = new BufferedInputStream(new FileInputStream(p.toFile))
+    try {
+      val buf = new Array[Byte](8192) // reference upload block size, dmp.py:108
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest.map("%02x".format(_)).mkString
+  }
+
+  /** shutil.make_archive equivalent (dmp.py:172-177). */
+  def zipFolder(folder: Path): Path = {
+    val zipPath = Paths.get(folder.toString + ".zip")
+    val out = new ZipOutputStream(new BufferedOutputStream(
+      new FileOutputStream(zipPath.toFile)))
+    try {
+      Files.list(folder).sorted().forEach { f =>
+        out.putNextEntry(new ZipEntry(f.getFileName.toString))
+        Files.copy(f, out)
+        out.closeEntry()
+      }
+    } finally out.close()
+    zipPath
+  }
+
+  def rmTree(p: Path): Unit = {
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
+  /** Execute an upload plan: for every (dmp_id, member_refs) group —
+  *  download members → zip → upload → cleanup; any failure inside a group
+  *  marks only that group failed (per-group try/except, dags/dreem.py:219-228)
+  *  and cleanup always runs (the ALL_DONE trigger rule, dags/dreem.py:236-251).
+  *
+  * Returns one row per group; the caller advances `is_uploaded` in the
+  * ledger ONLY for rows with uploaded=true (at-least-once + idempotent
+  * redelivery).
+  */
+  def executePlan(spark: SparkSession, plan: DataFrame, workDir: String,
+                  fetch: (String, Path) => Boolean,
+                  push: (String, Path) => Boolean): DataFrame = {
+    import spark.implicits._
+    val groups = plan.select(col("dmp_id"), col("member_refs"))
+      .as[(String, Seq[String])]
+    groups.mapPartitions { it =>
+      it.map { case (dmpId, refs) =>
+        val folder = Paths.get(workDir, dmpId)
+        var zipped = false
+        try {
+          Files.createDirectories(folder)
+          val all = refs.forall { ref =>
+            fetch(ref, folder.resolve(s"$ref.h5"))
+          }
+          if (!all) GroupResult(dmpId, refs.size, zipped = false,
+            uploaded = false, error = "file not ready upstream")
+          else {
+            val zip = zipFolder(folder)
+            zipped = true
+            try {
+              val ok = push(dmpId, zip)
+              GroupResult(dmpId, refs.size, zipped, uploaded = ok,
+                error = if (ok) "" else "upload failed")
+            } finally Files.deleteIfExists(zip)
+          }
+        } catch {
+          case e: Exception =>
+            GroupResult(dmpId, refs.size, zipped, uploaded = false,
+              error = String.valueOf(e.getMessage))
+        } finally rmTree(folder)
+      }
+    }.toDF()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.connect
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest => JHttpRequest, HttpResponse => JHttpResponse}
+import java.time.Duration
+
+/** Minimal HTTP transport seam. Connector logic (auth, pagination, upload)
+  * is written against this trait so every piece is testable with a mock —
+  * exactly how the reference tests its hooks against mocked `requests`
+  * sessions (tests/hooks/conftest.py:129-183).
+  */
+final case class HttpRequest(
+    method: String,
+    url: String,
+    headers: Map[String, String] = Map.empty,
+    body: Array[Byte] = Array.emptyByteArray)
+
+final case class HttpResponse(
+    status: Int,
+    headers: Map[String, String] = Map.empty,
+    body: Array[Byte] = Array.emptyByteArray) {
+  def bodyString: String = new String(body, "UTF-8")
+  def isSuccess: Boolean = status >= 200 && status < 300
+}
+
+trait Transport {
+  def send(req: HttpRequest): HttpResponse
+}
+
+/** Production transport on the JDK 17 HttpClient (no extra deps).
+  * Timeouts mirror the reference's upload posture: 4 s connect / 302 s read
+  * ("required … after uploading large files", dmp.py:125-136).
+  */
+final class JavaNetTransport(
+    connectTimeout: Duration = Duration.ofSeconds(4),
+    readTimeout: Duration = Duration.ofSeconds(302)) extends Transport {
+
+  private lazy val client = HttpClient.newBuilder()
+    .connectTimeout(connectTimeout).build()
+
+  override def send(req: HttpRequest): HttpResponse = {
+    val b = JHttpRequest.newBuilder(URI.create(req.url)).timeout(readTimeout)
+    req.headers.foreach { case (k, v) => b.header(k, v) }
+    val jreq = req.method.toUpperCase match {
+      case "GET" => b.GET().build()
+      case "POST" => b.POST(JHttpRequest.BodyPublishers.ofByteArray(req.body)).build()
+      case m => b.method(m, JHttpRequest.BodyPublishers.ofByteArray(req.body)).build()
+    }
+    val resp = client.send(jreq, JHttpResponse.BodyHandlers.ofByteArray())
+    import scala.jdk.CollectionConverters._
+    HttpResponse(resp.statusCode(),
+      resp.headers().map().asScala.view.mapValues(_.asScala.mkString(",")).toMap,
+      resp.body())
+  }
+}
+
+/** Scripted transport for tests: responses served in order per URL matcher. */
+final class MockTransport(script: Seq[PartialFunction[HttpRequest, HttpResponse]])
+  extends Transport {
+  private var calls = 0
+  val log = scala.collection.mutable.ArrayBuffer.empty[HttpRequest]
+  override def send(req: HttpRequest): HttpResponse = synchronized {
+    log += req
+    val handler = script.find(_.isDefinedAt(req))
+      .getOrElse(throw new IllegalStateException(s"unexpected request: ${req.method} ${req.url}"))
+    calls += 1
+    handler(req)
+  }
+}

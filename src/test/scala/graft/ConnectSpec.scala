@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import graft.connect._
+
+/** Connector layer semantics: JWT expiry/refresh/persistence, dot-path
+  * navigation, pagination exhaustion, transfer plan execution — mirroring
+  * tests/hooks/test_jwt.py, test_drm.py, test_dmp.py.
+  */
+class ConnectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jwt(expEpochSec: Long): String = {
+    def b64(s: String) = Base64.getUrlEncoder.withoutPadding()
+      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+    s"${b64("""{"alg":"HS256"}""")}.${b64(s"""{"exp": $expEpochSec}""")}.sig"
+  }
+
+  test("Jwt.expiry parses the exp claim; malformed tokens are expired") {
+    assert(Jwt.expiry(jwt(12345)).contains(12345L))
+    assert(Jwt.expiry("garbage").isEmpty)
+    assert(Jwt.isExpired(jwt(100), nowEpochSec = 200))
+    assert(!Jwt.isExpired(jwt(300), nowEpochSec = 200))
+    assert(Jwt.isExpired("garbage", 0))
+  }
+
+  test("Jwt.dotPath navigates objects and list indices, None-safe") {
+    // tests/hooks/test_jwt.py:11-88 haystack semantics
+    val json = """{"a": {"b": [{"c": "deep"}, {"c": "deeper"}]}, "top": "t"}"""
+    assert(Jwt.dotPath(json, "top").contains("t"))
+    assert(Jwt.dotPath(json, "a.b.[1].c").contains("deeper"))
+    assert(Jwt.dotPath(json, "a.b.[5].c").isEmpty)   // out of bounds
+    assert(Jwt.dotPath(json, "a.missing").isEmpty)
+    assert(Jwt.dotPath("""{"a": null}""", "a.b").isEmpty)
+  }
+
+  test("TokenProvider refreshes only when expired and persists the new token") {
+    val fresh = jwt(System.currentTimeMillis() / 1000 + 3600)
+    val transport = new MockTransport(Seq({
+      case r if r.url == "https://x/jwt" =>
+        HttpResponse(200, body = s"""{"token": "$fresh"}""".getBytes)
+    }))
+    var persisted = List.empty[String]
+    val p = new BasicAuthTokenProvider(transport,
+      ConnectionConfig("https://x", "u", "pw", "https://x/jwt", "token",
+        jwtToken = Some(jwt(0)))) { // cached token long expired
+      override protected def persist(t: String): Unit = persisted ::= t
+    }
+    assert(p.token() == fresh)       // refreshed
+    assert(p.token() == fresh)       // cached now — no second call
+    assert(transport.log.size == 1)
+    assert(persisted == List(fresh))
+    val basic = transport.log.head.headers("Authorization")
+    assert(basic.startsWith("Basic "))
+  }
+
+  test("JsonBodyTokenProvider posts UCAM-style credentials") {
+    val fresh = jwt(System.currentTimeMillis() / 1000 + 3600)
+    val transport = new MockTransport(Seq({
+      case r => HttpResponse(200, body = s"""{"token": "$fresh"}""".getBytes)
+    }))
+    val p = new JsonBodyTokenProvider(transport,
+      ConnectionConfig("https://u", "usr", "pw", "https://u/jwt"))
+    p.token()
+    val body = new String(transport.log.head.body, "UTF-8")
+    assert(body.contains(""""Username": "usr""""))
+  }
+
+  test("PaginatedRestSource follows next cursors until null (drm.py:41-46)") {
+    val fresh = jwt(System.currentTimeMillis() / 1000 + 3600)
+    def page(items: Seq[Int], next: Option[String]) =
+      s"""{"next": ${next.map("\"" + _ + "\"").getOrElse("null")},
+          "results": [${items.map(i => s"""{"id": "$i"}""").mkString(",")}]}"""
+    val transport = new MockTransport(Seq(
+      { case r if r.url.contains("limit=2") && !r.url.contains("p2") =>
+          HttpResponse(200, body = page(Seq(1, 2), Some("https://h/p2")).getBytes) },
+      { case r if r.url == "https://h/p2" =>
+          HttpResponse(200, body = page(Seq(3), None).getBytes) }))
+    val auth = new BasicAuthTokenProvider(transport,
+      ConnectionConfig("https://h", jwtToken = Some(fresh)))
+    val src = new PaginatedRestSource(transport, auth, "https://h", pageSize = 2)
+    val got = src.fetchAll("/records").toList
+    assert(got.size == 3)
+    assert(got.map(_.fields("id")) ==
+      List(MiniJson.JStr("1"), MiniJson.JStr("2"), MiniJson.JStr("3")))
+  }
+
+  test("FileTransfer.executePlan: download→zip→upload per group; unready files retry") {
+    val work = Files.createTempDirectory("graft-transfer").toString
+    val landedDir = Files.createTempDirectory("graft-landed").toString
+    val plan = Seq(
+      ("G1", Seq("r1", "r2")),   // both files available → uploaded
+      ("G2", Seq("r3", "MISSING"))) // one unready → whole group retried
+      .toDF("dmp_id", "member_refs")
+    val got = FileTransfer.executePlan(spark, plan, work,
+      fetch = (ref, path) => {
+        if (ref == "MISSING") false
+        else { Files.write(path, s"payload-$ref".getBytes); true }
+      },
+      push = (dmpId, zip) => {
+        Files.copy(zip, Paths.get(landedDir, s"$dmpId.zip")); true
+      })
+      .select($"dmp_id", $"uploaded", $"error")
+      .as[(String, Boolean, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got("G1") == ((true, "")))
+    assert(got("G2") == ((false, "file not ready upstream")))
+    assert(Files.exists(Paths.get(landedDir, "G1.zip")))
+    assert(!Files.exists(Paths.get(landedDir, "G2.zip")))
+    // work dirs cleaned up (the ALL_DONE finalizer)
+    assert(!Files.exists(Paths.get(work, "G1")) && !Files.exists(Paths.get(work, "G2")))
+  }
+
+  test("zip + sha256 checksum round-trip") {
+    val dir = Files.createTempDirectory("graft-zip")
+    Files.write(dir.resolve("a.h5"), "aaa".getBytes)
+    Files.write(dir.resolve("b.h5"), "bbb".getBytes)
+    val zip = FileTransfer.zipFolder(dir)
+    assert(Files.exists(zip) && Files.size(zip) > 0)
+    val sum = FileTransfer.sha256File(zip)
+    assert(sum.length == 64)
+    assert(sum == FileTransfer.sha256File(zip)) // deterministic
+  }
+}
