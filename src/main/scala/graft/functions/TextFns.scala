@@ -13,8 +13,15 @@ import org.apache.spark.sql.types.{ArrayType, DecimalType, StringType}
   */
 object TextFns {
 
-  /** 60-bit positive hash from the sha256 hex prefix (15 hex chars). */
-  def hash64(c: Column): Column =
+  /** 60-bit positive hash from the sha256 hex prefix (15 hex chars).
+    * Implemented as the native codegen expression [[graft.expressions.Sha256Prefix60]]
+    * (no per-row hex/substring/decimal strings); [[hash64Composed]] is the
+    * equivalent built-in chain, kept as the executable spec.
+    */
+  def hash64(c: Column): Column = graft.expressions.Sha256Prefix60(c)
+
+  /** Built-in-only form of [[hash64]] — bit-identical, slower. */
+  def hash64Composed(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
 
   /** Seeded variant — the family {h_i} used for MinHash / hyperplanes. */

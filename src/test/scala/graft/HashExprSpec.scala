@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFns
+
+/** The native Sha256Prefix60 expression must be bit-identical to the
+  * composed built-in chain conv(substring(sha2(x,256),1,15),16,10) — that
+  * chain is what the DuckDB oracle mirrors.
+  */
+class HashExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native hash64 equals the composed chain on assorted strings") {
+    val samples = Seq("", "a", "abc", "0:the quick brown", "ü¢∆ unicode ✓",
+      "15:word shingle here", "x" * 500) ++
+      (0 until 200).map(i => s"$i:shingle $i of many")
+    val df = samples.toDF("s")
+    val mismatches = df.select(
+      TextFns.hash64($"s").as("fast"),
+      TextFns.hash64Composed($"s").as("spec"))
+      .filter($"fast" =!= $"spec").count()
+    assert(mismatches == 0)
+  }
+
+  test("property: equality holds for generated strings (500 samples)") {
+    val gen = Gen.listOfN(500, Gen.oneOf(Gen.asciiPrintableStr,
+      Gen.listOf(Gen.choose(32.toChar, 0x2FFF.toChar)).map(_.mkString)))
+    val ss = gen.apply(Gen.Parameters.default, Seed(42L)).get
+    val bad = ss.toDF("s")
+      .select(TextFns.hash64($"s").as("f"), TextFns.hash64Composed($"s").as("g"))
+      .filter($"f" =!= $"g").count()
+    assert(bad == 0)
+  }
+
+  test("graft_hash64 is SQL-callable when GraftExtensions is installed") {
+    // register directly on the active session's registry (same injection
+    // path GraftExtensions uses at session build)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.expressions.GraftExtensions().apply(ext)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash64",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.Sha256Prefix60(children.head),
+      "scala_udf")
+    val got = spark.sql("SELECT graft_hash64('abc') AS h").as[Long].head()
+    val expected = Seq("abc").toDF("s")
+      .select(TextFns.hash64Composed($"s")).as[Long].head()
+    assert(got == expected)
+  }
+}
