@@ -92,10 +92,17 @@ object Stages {
     *  3. pass 2 re-joins with the winning order value IN the equi-join key,
     *     so only winning assignments survive to the tiny patient tiebreak.
     */
+  /** `broadcastAssignments`: the assignment table is the reference's small
+    * per-device UCAM payload — broadcast by default (the exploded day form
+    * exceeds Spark's 10MB auto-threshold long before it stops fitting in
+    * executor memory, which would force a duplicate-key-heavy sort-merge
+    * join); disable for genuinely huge assignment tables.
+    */
   def resolvePatients(records: DataFrame, assignments: DataFrame,
                       today: String,
                       normaliseRecordDays: Boolean = true,
-                      firstMatchOrder: String = "start_wear"): DataFrame = {
+                      firstMatchOrder: String = "start_wear",
+                      broadcastAssignments: Boolean = true): DataFrame = {
     val asg = assignments.select(
       col("device_id").as("_a_device"),
       col("patient_id").as("_a_patient"),
@@ -109,8 +116,9 @@ object Stages {
         case _ => col(firstMatchOrder).cast("long")
       }).as("_a_ord"))
       .filter(col("_a_start") <= col("_a_end"))
-    val asgDays = asg.withColumn("_a_day",
+    val asgDaysRaw = asg.withColumn("_a_day",
       explode(sequence(to_date(col("_a_start")), to_date(col("_a_end")))))
+    val asgDays = if (broadcastAssignments) broadcast(asgDaysRaw) else asgDaysRaw
     def bound(c: Column) =
       if (normaliseRecordDays) to_date(c).cast("timestamp") else c
     def contained = bound(col("start")).between(col("_a_start"), col("_a_end")) &&
