@@ -36,6 +36,31 @@ object Stages {
     limit.fold(fresh)(fresh.limit)
   }
 
+  /** J1 at 100 TB (SURVEY.md §7.5.5): the reference materializes every
+    * ledger hash in driver memory (db.py:228-231) — at scale the ledger side
+    * of the anti-join is enormous. A Bloom filter built over the ledger
+    * hashes splits incoming records BEFORE the shuffle:
+    *   - `mightContain == false` → definitely new, no join needed;
+    *   - `mightContain == true` → possible duplicate (fpp false-positives),
+    *     exact anti-join on just that sliver.
+    * With a mostly-new incoming stream this removes almost all anti-join
+    * input. The filter itself is a distributed aggregation (~MBs on the
+    * driver, broadcast back) — hashes never materialize row-by-row.
+    */
+  def ingestDedupBloom(incoming: DataFrame, ledger: DataFrame,
+                       expectedLedgerItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = ledger.stat.bloomFilter("hash", expectedLedgerItems, fpp)
+    val spark = incoming.sparkSession
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => h != null && bfBc.value.mightContainString(h))
+    val hashed = incoming.withColumn("hash",
+      Etl.recordHash(col("device_type"), col("manufacturer_ref")))
+    val definitelyNew = hashed.filter(!mightContain(col("hash")))
+    val suspects = hashed.filter(mightContain(col("hash")))
+      .join(ledger.select("hash"), Seq("hash"), "left_anti")
+    definitelyNew.unionByName(suspects)
+  }
+
   /** J2 — uid→serial broadcast lookup; only rows with a dreem uid and a null
     * serial advance (db.py:97-109,158-170; dags/dreem.py:75-115).
     */

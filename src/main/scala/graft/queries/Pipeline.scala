@@ -185,5 +185,20 @@ object Pipeline {
       s.table(name).orderBy("event_type")
     })
 
-  def all: Seq[Q] = Seq(q18, q19, q33)
+  private val q34 = Q("q34_approx_distinct",
+    "HLL-sketch cardinality next to exact counts (no oracle: sketch " +
+      "estimates are engine-specific; the driver records a rows-only check, " +
+      "the ScalaTest suite asserts the <5% error bound)",
+    None,
+    (s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+      ev.groupBy("event_type").agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("event_id"), rsd = 0.02).as("approx_events"),
+        count(lit(1)).as("n"))
+        .orderBy("event_type")
+    })
+
+  def all: Seq[Q] = Seq(q18, q19, q33, q34)
 }

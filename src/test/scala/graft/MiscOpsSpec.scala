@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Stages
+import graft.ops.TopK
+import graft.sources.LookupCsv
+
+/** CSV lookup source (S4), Bloom-prefiltered dedup, typed top-k Aggregator,
+  * approx-distinct error bound.
+  */
+class MiscOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LookupCsv reads headerless key,value and dedups keys first-wins") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.write(dir.resolve("uid_serial.csv"),
+      "U1,S1\nU2,S2\nU1,S9\n".getBytes)
+    val lk = LookupCsv.read(spark, dir.toString + "/uid_serial.csv", "uid", "serial")
+    val got = lk.as[(String, String)].collect().toMap
+    assert(got == Map("U1" -> "S1", "U2" -> "S2"))
+  }
+
+  test("ingestDedupBloom returns exactly what the exact anti-join returns") {
+    val incoming = (1 to 500).map(i => (s"r$i", "DRM"))
+      .toDF("manufacturer_ref", "device_type")
+    val ledger = incoming.filter(pmod(expr("cast(substring(manufacturer_ref, 2, 10) as int)"), lit(3)) === 0)
+      .select(sha2(concat($"device_type", $"manufacturer_ref"), 256).as("hash"))
+    val exact = Stages.ingestDedup(incoming, ledger)
+      .select("manufacturer_ref").as[String].collect().toSet
+    val bloom = Stages.ingestDedupBloom(incoming, ledger,
+      expectedLedgerItems = 1000, fpp = 0.03)
+      .select("manufacturer_ref").as[String].collect().toSet
+    assert(bloom == exact)
+    assert(exact.nonEmpty && exact.size < 500)
+  }
+
+  test("TopKAgg keeps the k best per group with deterministic tiebreak") {
+    val data = Seq(
+      ("a", 1.0, 1L), ("a", 3.0, 2L), ("a", 2.0, 3L), ("a", 3.0, 4L),
+      ("b", 5.0, 5L))
+      .toDF("g", "score", "id")
+    val topk = TopK.TopKAgg(2).toColumn
+    val got = data.as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk)
+      .collect().toMap
+    // equal scores 3.0: lower id first
+    assert(got("a") == Seq((3.0, 2L), (3.0, 4L)))
+    assert(got("b") == Seq((5.0, 5L)))
+  }
+
+  test("TopKAgg is partition-count independent (heap merge correctness)") {
+    val rows = (1 to 1000).map(i => ("g", (i * 37 % 1000).toDouble, i.toLong))
+    def run(parts: Int) = rows.toDF("g", "score", "id")
+      .repartition(parts).as[(String, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(TopK.TopKAgg(5).toColumn).collect().toMap.apply("g")
+    assert(run(1) == run(7))
+  }
+
+  test("approx_count_distinct stays within 5% of exact on the testdata") {
+    val got = SparkEntry.queries("q34_approx_distinct")(spark, "/root/testdata/sf0.01")
+      .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
+    got.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05)
+    }
+  }
+}
