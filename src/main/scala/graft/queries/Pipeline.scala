@@ -200,5 +200,30 @@ object Pipeline {
         .orderBy("event_type")
     })
 
-  def all: Seq[Q] = Seq(q18, q19, q33, q34)
+  private val q35 = Q("q35_topk_aggregator",
+    "§2.10: typed bounded-heap Aggregator — per-group top-3 with " +
+      "deterministic tiebreak, equal to the window-function formulation",
+    Some("""
+      SELECT event_type, rank, value, event_id FROM (
+        SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rank
+        FROM events)
+      WHERE rank <= 3
+      ORDER BY event_type, rank"""),
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .as[(String, Double, Long)]
+      val top = ev.groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(graft.ops.TopK.TopKAgg(3).toColumn.name("top"))
+      top.toDF("event_type", "top")
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._1").as("value"), col("col._2").as("event_id"))
+        .orderBy("event_type", "rank")
+    })
+
+  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35)
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Etl
+
+/** Property-style laws (SURVEY.md §5.3.2) over generated inputs:
+  * bucket totality/adjacency, containment vs brute force, merge idempotence.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val tsGen: Gen[Timestamp] = for {
+    day <- Gen.choose(0, 3650)
+    sec <- Gen.choose(0, 86399)
+  } yield new Timestamp(1577836800000L + day * 86400000L + sec * 1000L) // 2020+
+
+  test("bucket law: non-midnight cut-off ⇒ end = start + 1 day; " +
+    "start day-offset decided by time-of-day vs cut-off") {
+    val cutoffs = Seq("00:30:00", "09:00:00", "12:00:00", "23:59:59")
+    val stamps = gen(Gen.listOfN(300, tsGen), 1L)
+    for (cutOff <- cutoffs) {
+      val df = stamps.toDF("start")
+      val got = df.select(
+        date_format(col("start"), "HH:mm:ss").as("tod"),
+        to_date(col("start")).as("day"),
+        Etl.bucketStart(col("start"), cutOff).as("bs"),
+        Etl.bucketEnd(col("start"), cutOff).as("be"))
+        .withColumn("span_ok", datediff(col("be"), col("bs")) === 1)
+        .withColumn("offset_ok",
+          when(col("tod") < cutOff, col("bs") === date_sub(col("day"), 1))
+            .otherwise(col("bs") === col("day")))
+      assert(got.filter(!col("span_ok") || !col("offset_ok")).count() == 0,
+        s"cutOff=$cutOff")
+    }
+  }
+
+  test("bucket law: midnight cut-off ⇒ degenerate [day, day] window") {
+    val stamps = gen(Gen.listOfN(200, tsGen), 2L)
+    val got = stamps.toDF("start").select(
+      (Etl.bucketStart(col("start"), "00:00:00") === to_date(col("start"))).as("a"),
+      (Etl.bucketEnd(col("start"), "00:00:00") === to_date(col("start"))).as("b"))
+    assert(got.filter(!col("a") || !col("b")).count() == 0)
+  }
+
+  test("interval containment matches a brute-force Scala check") {
+    val recs = gen(Gen.listOfN(120, tsGen), 3L).zipWithIndex.map {
+      case (t, i) =>
+        (s"h$i", s"r$i", "DRM", t,
+          new Timestamp(t.getTime + 2 * 3600 * 1000L), "DEV")
+    }
+    val asgs = gen(Gen.listOfN(40, for {
+      t <- tsGen; span <- Gen.choose(0, 20); open <- Gen.prob(0.2)
+    } yield (t, span, open)), 4L).zipWithIndex.map { case ((t, span, open), i) =>
+      val end =
+        if (open) None
+        else Some(new Timestamp(t.getTime + span * 86400000L))
+      ("DEV", s"P$i", t, end)
+    }
+    val today = "2031-01-01"
+    val recsDf = recs.toDF("hash", "manufacturer_ref", "device_type",
+      "start", "end", "device_id")
+      .withColumn("patient_id", lit(null).cast("string"))
+    val asgDf = asgs.toDF("device_id", "patient_id", "start_wear", "end_wear")
+    val got = Stages2.resolve(recsDf, asgDf, today)
+      .select($"hash", $"patient_id").as[(String, Option[String])]
+      .collect().toMap
+
+    def day(t: Timestamp): Long = t.getTime / 86400000L // UTC days
+    val todayTs = Timestamp.valueOf("2031-01-01 00:00:00")
+    val expected = recs.map { case (h, _, _, s, e, _) =>
+      val matching = asgs.filter { case (_, _, ws, we) =>
+        val lo = day(ws)
+        val hi = day(we.getOrElse(todayTs))
+        day(s) >= lo && day(s) <= hi && day(e) >= lo && day(e) <= hi
+      }
+      // first-match order: raw start_wear epoch (the _a_ord), then patient
+      val best = matching.sortBy { case (_, p, ws, _) => (ws.getTime / 1000, p) }.headOption
+      h -> best.map(_._2)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("no-override merge is idempotent: merge(merge(s,u),u) == merge(s,u)") {
+    val base = gen(Gen.listOfN(100, Gen.option(Gen.identifier)), 5L).zipWithIndex
+      .map { case (v, i) => (s"k$i", v) }
+    val upd = gen(Gen.listOfN(100, Gen.option(Gen.identifier)), 6L).zipWithIndex
+      .map { case (v, i) => (s"k$i", v) }
+    def merge(s: Map[String, Option[String]], u: Map[String, Option[String]]) =
+      s.map { case (k, v) => k -> v.orElse(u.getOrElse(k, None)) }
+    val sm = base.toMap
+    val um = upd.toMap
+    val once = merge(sm, um)
+    assert(merge(once, um) == once)
+    // and the DataFrame realization agrees
+    val df = base.toDF("key", "v")
+    val u = upd.toDF("ukey", "uv")
+    val merged = df.join(u, col("key") === col("ukey"), "left")
+      .select(col("key"), coalesce(col("v"), col("uv")).as("v"))
+    val got = merged.as[(String, Option[String])].collect().toMap
+    assert(got == once)
+  }
+}
+
+/** Thin forwarding (keeps the spec readable). */
+private object Stages2 {
+  def resolve(records: org.apache.spark.sql.DataFrame,
+              asg: org.apache.spark.sql.DataFrame, today: String) =
+    graft.etl.Stages.resolvePatients(records, asg, today)
+}
