@@ -68,6 +68,53 @@ object Similarity {
       .agg(sum(when(col("pdot") >= 0,
         expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("sig"))
 
+  /** IVF-style ANN: the corpus is coarsely quantized to its nearest
+    * centroid (an inverted file per centroid); a query probes only its
+    * `nProbe` closest centroid lists and exact-re-ranks inside them.
+    *
+    * `centroids` stands in for a trained codebook (k-means at scale; any
+    * deterministic seed set works for correctness) — shape (idCol, vecCol).
+    * All similarity math uses the scaled-integer kernels, so cluster
+    * assignment is deterministic and oracle-reproducible.
+    *
+    * Scale: centroids broadcast twice (assignment + probe); the corpus
+    * shuffles once on its centroid id — the partition IS the inverted list,
+    * so a probe touches |corpus|·nProbe/C candidates instead of |corpus|.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cent = broadcast(centroids
+      .select(col(idCol).as("cent_id"),
+        VectorFns.toDoubleArray(col(vecCol)).as("cent_vec"))
+      .withColumn("cent_n2s", VectorFns.norm2Scaled(col("cent_vec"))))
+    def assign(df: DataFrame, side: String, probes: Int) = {
+      val w = Window.partitionBy(col(s"${side}_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id").asc)
+      df.join(cent)
+        .withColumn("cent_cos", VectorFns.cosineScaled(
+          VectorFns.dotScaled(col(s"${side}_vec"), col("cent_vec")),
+          col(s"${side}_n2s"), col("cent_n2s")))
+        .withColumn("_cr", row_number().over(w))
+        .filter(col("_cr") <= probes)
+        .drop("cent_vec", "cent_n2s", "cent_cos", "_cr")
+    }
+    val c = assign(withNorm2(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("dvec").as("neighbor_vec"),
+        col("n2s").as("neighbor_n2s")), "neighbor", probes = 1)
+    val q = assign(withNorm2(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("dvec").as("query_vec"),
+        col("n2s").as("query_n2s")), "query", probes = nProbe)
+    val pairs = c.join(broadcast(q), "cent_id")
+      .withColumn("cosine", VectorFns.cosineScaled(
+        VectorFns.dotScaled(col("query_vec"), col("neighbor_vec")),
+        col("query_n2s"), col("neighbor_n2s")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Bucketed ANN: candidates share the full signature bucket; exact cosine
     * re-rank inside the bucket. Output like [[bruteForceTopK]] (queries whose
     * bucket is otherwise empty yield no rows — the recall/latency trade).

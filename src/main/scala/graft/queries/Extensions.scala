@@ -293,6 +293,74 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q36 = Q("q36_emb_ivf_topk",
+    "IVF ANN: coarse quantization to 8 centroid lists, nprobe=2, exact " +
+      "re-rank top-3 (centroids = lowest vec_ids as a deterministic codebook)",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      n2 AS (SELECT vec_id,
+             CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS n2s
+             FROM el GROUP BY 1),
+      cd AS (SELECT a.vec_id AS vid, c.vec_id AS cent_id,
+             CAST(SUM(CAST(floor(CAST(a.v AS DOUBLE) * CAST(c.v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+             FROM el a JOIN el c ON a.i = c.i AND c.vec_id < 8 GROUP BY 1, 2),
+      cc AS (SELECT vid, cent_id,
+             CAST(dot_s AS DOUBLE) / (sqrt(CAST(na.n2s AS DOUBLE)) * sqrt(CAST(nc.n2s AS DOUBLE))) AS ccos
+             FROM cd JOIN n2 na ON vid = na.vec_id JOIN n2 nc ON cent_id = nc.vec_id),
+      cr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                       ORDER BY ccos DESC, cent_id) AS r FROM cc),
+      cassign AS (SELECT vid, cent_id FROM cr WHERE r = 1),
+      qprobe AS (SELECT vid AS query_id, cent_id FROM cr WHERE r <= 2 AND vid < 10),
+      cand AS (SELECT q.query_id, a.vid AS neighbor_id
+               FROM qprobe q JOIN cassign a ON q.cent_id = a.cent_id),
+      dots AS (SELECT cand.query_id, cand.neighbor_id,
+               CAST(SUM(CAST(floor(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+               FROM cand JOIN el a ON a.vec_id = cand.query_id
+                         JOIN el b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+               GROUP BY 1, 2),
+      cosv AS (SELECT query_id, neighbor_id,
+               CAST(d.dot_s AS DOUBLE) / (sqrt(CAST(nq.n2s AS DOUBLE)) * sqrt(CAST(nc.n2s AS DOUBLE))) AS cosine
+               FROM dots d JOIN n2 nq ON d.query_id = nq.vec_id
+                           JOIN n2 nc ON d.neighbor_id = nc.vec_id),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank FROM cosv)
+      SELECT query_id, neighbor_id, rank, cosine FROM rk WHERE rank <= 3
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        centroids = emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    })
+
+  private val q37 = Q("q37_cube",
+    "CUBE grouping sets over (event_type, day)",
+    Some("""
+      WITH e AS (SELECT event_type,
+                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value
+                 FROM events)
+      SELECT coalesce(event_type, 'ALL') AS etype,
+             coalesce(day, 'ALL') AS day_str,
+             count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY CUBE(event_type, day)
+      ORDER BY etype, day_str"""),
+    (s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), col("value"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("day"), lit("ALL")).as("day_str"),
+          col("n"), col("sum_value"))
+        .orderBy("etype", "day_str")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32)
+    q31, q32, q36, q37)
 }

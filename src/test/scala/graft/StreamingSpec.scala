@@ -38,6 +38,31 @@ class StreamingSpec extends SparkSpec {
       == Set("a", "b", "c"))
   }
 
+  test("dropDuplicatesWithinWatermark bounds the dedup state (opt-in, §2.9)") {
+    // The reference's ledger state is unbounded; with an arrival-lateness
+    // bound the streaming dedup can expire state instead. Semantics check:
+    // duplicates within the watermark window are still collapsed.
+    val base = Files.createTempDirectory("graft-wm").toString
+    Seq(("a", "DRM", "2024-01-01 10:00:00"), ("a", "DRM", "2024-01-01 10:05:00"),
+      ("b", "DRM", "2024-01-01 11:00:00"))
+      .toDF("manufacturer_ref", "device_type", "t")
+      .withColumn("event_time", $"t".cast("timestamp")).drop("t")
+      .coalesce(1).write.parquet(s"$base/src")
+    val stream = spark.readStream.schema(
+      StructType(Seq(StructField("manufacturer_ref", StringType),
+        StructField("device_type", StringType),
+        StructField("event_time", TimestampType)))).parquet(s"$base/src")
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("manufacturer_ref")
+    val q = stream.writeStream.format("memory").queryName("wm_out")
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("wm_out").select($"manufacturer_ref")
+      .as[String].collect().sorted
+    assert(got.toSeq == Seq("a", "b"))
+  }
+
   test("streaming day-bucket window reproduces the 12:00 cut-off buckets") {
     val base = Files.createTempDirectory("graft-stream2").toString
     val src = s"$base/src"
