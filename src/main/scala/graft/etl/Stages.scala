@@ -146,14 +146,28 @@ object Stages {
     val asgDays = if (broadcastAssignments) broadcast(asgDaysRaw) else asgDaysRaw
     def bound(c: Column) =
       if (normaliseRecordDays) to_date(c).cast("timestamp") else c
-    def contained = bound(col("start")).between(col("_a_start"), col("_a_end")) &&
-      bound(col("end")).between(col("_a_start"), col("_a_end"))
+    // Given _a_day == start-day, full containment collapses to ONE predicate:
+    //   _a_start ≤ _a_day·00:00 ≤ bound(start) ≤ bound(end)  (automatic), so
+    //   contained ⟺ _a_end >= bound(end).
+    // That single threshold admits a SUFFIX-MIN index: per (device, day,
+    // a_end) keep min-ord over all assignments ending at-or-after a_end —
+    // pass 1 then joins |distinct end-days| rows per key instead of
+    // |assignments| (orders of magnitude fewer pairs on dense tables).
+    def contained = col("_a_end") >= bound(col("end"))
+    val wSfx = Window.partitionBy(col("_a_device"), col("_a_day"))
+      .orderBy(col("_a_end").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sfxRaw = asgDaysRaw
+      .groupBy(col("_a_device"), col("_a_day"), col("_a_end"))
+      .agg(min(col("_a_ord")).as("_mo"))
+      .withColumn("_smo", min(col("_mo")).over(wSfx))
+    val sfx = if (broadcastAssignments) broadcast(sfxRaw) else sfxRaw
     val recKeys = records.select(col("hash"), col("device_id"),
       col("start"), col("end"))
     val bestOrd = recKeys
-      .join(asgDays, col("device_id") === col("_a_device") &&
+      .join(sfx, col("device_id") === col("_a_device") &&
         to_date(col("start")) === col("_a_day") && contained)
-      .groupBy(col("hash")).agg(min(col("_a_ord")).as("_bo"))
+      .groupBy(col("hash")).agg(min(col("_smo")).as("_bo"))
     val best = recKeys.join(bestOrd, Seq("hash"))
       .join(asgDays, col("device_id") === col("_a_device") &&
         to_date(col("start")) === col("_a_day") &&
