@@ -40,8 +40,18 @@ object Dedup {
     val sh = docs
       .select(col(idCol), explode(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
       .distinct() // MinHash is over the shingle SET
-    val hashCols = (0 until numHashes).map(h =>
-      min(TextFns.seededHash64(lit(h), col("sh"))).as(s"_mh$h"))
+    // One sha256 per shingle, split into four 60-bit parts; the k hash
+    // functions are xor/shift mixes of the parts (standard practice — k
+    // independent strong hashes are unnecessary, and k digests per shingle
+    // would dominate the cost). Subexpression elimination keeps the digest
+    // computed once across all k aggregate columns.
+    val hex = sha2(col("sh"), 256)
+    def part(j: Int) =
+      conv(substring(hex, 1 + 15 * j, 15), 16, 10).cast("long")
+    val hashCols = (0 until numHashes).map { h =>
+      min(part(h % 4).bitwiseXOR(
+        shiftright(part((h + 1) % 4), (h * 7) % 29))).as(s"_mh$h")
+    }
     val wide = sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
     val stackArgs = (0 until numHashes).map(h => s"$h, _mh$h").mkString(", ")
     wide.selectExpr(idCol, s"stack($numHashes, $stackArgs) as (h, minh)")

@@ -31,9 +31,20 @@ object Extensions {
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
-      sh AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
+      shs AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
+      sh AS (SELECT doc_id,
+             CAST('0x' || substr(sha256(sh), 1, 15) AS BIGINT) AS p0,
+             CAST('0x' || substr(sha256(sh), 16, 15) AS BIGINT) AS p1,
+             CAST('0x' || substr(sha256(sh), 31, 15) AS BIGINT) AS p2,
+             CAST('0x' || substr(sha256(sh), 46, 15) AS BIGINT) AS p3
+             FROM shs),
       mh AS (SELECT doc_id, h,
-             min(CAST('0x' || substr(sha256(CAST(h AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)) AS minh
+             min(xor(
+               CASE WHEN h % 4 = 0 THEN p0 WHEN h % 4 = 1 THEN p1
+                    WHEN h % 4 = 2 THEN p2 ELSE p3 END,
+               (CASE WHEN (h + 1) % 4 = 0 THEN p0 WHEN (h + 1) % 4 = 1 THEN p1
+                     WHEN (h + 1) % 4 = 2 THEN p2 ELSE p3 END)
+                 >> ((h * 7) % 29))) AS minh
              FROM sh CROSS JOIN generate_series(0, 15) t(h) GROUP BY doc_id, h),
       bands AS (SELECT doc_id, h // 2 AS band,
                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS band_sig

@@ -10,11 +10,13 @@ import graft.ops.{Dedup, Similarity}
 class DedupSimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  private val base = "the quick brown fox jumps over the lazy dog while " +
+    "seven wise badgers quietly watch the river flow past the old stone mill"
   private val docs = Seq(
-    (1L, "the quick brown fox jumps over the lazy dog"),
-    (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
-    (3L, "the quick brown fox jumps over the sleepy dog"),   // near dup
-    (4L, "completely different words about spark engines here"))
+    (1L, base),
+    (2L, base),                                   // exact dup of 1
+    (3L, base.replace("stone", "brick")),         // near dup (1 word of 24)
+    (4L, "completely different words about spark engines and shuffle plans"))
     .toDF("doc_id", "text")
 
   test("exact dedup groups identical texts") {
