@@ -48,11 +48,15 @@ object Dedup {
     val hex = sha2(col("sh"), 256)
     def part(j: Int) =
       conv(substring(hex, 1 + 15 * j, 15), 16, 10).cast("long")
+    // materialize the parts in one Project so the digest is computed once
+    // per shingle (subexpression elimination does not cross the children of
+    // distinct aggregate functions)
+    val parts = sh.select(col(idCol) +: (0 until 4).map(j => part(j).as(s"_p$j")): _*)
     val hashCols = (0 until numHashes).map { h =>
-      min(part(h % 4).bitwiseXOR(
-        shiftright(part((h + 1) % 4), (h * 7) % 29))).as(s"_mh$h")
+      min(col(s"_p${h % 4}").bitwiseXOR(
+        shiftright(col(s"_p${(h + 1) % 4}"), (h * 7) % 29))).as(s"_mh$h")
     }
-    val wide = sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
+    val wide = parts.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
     val stackArgs = (0 until numHashes).map(h => s"$h, _mh$h").mkString(", ")
     wide.selectExpr(idCol, s"stack($numHashes, $stackArgs) as (h, minh)")
   }
