@@ -132,13 +132,19 @@ object Dedup {
 
   /** N-gram Jaccard similarity over candidate pairs inside blocking groups
     * (`blockCols`). intersection via shingle equi-join, union from set sizes.
+    *
+    * Shingles are joined by their 60-bit sha256 hash, not the string — the
+    * shuffled self-join carries fixed-width longs, and the oracle computes
+    * the identical hash so even a (2^-60-rare) collision cannot diverge.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], shingleSize: Int = 3,
                    minJaccard: Double = 0.0): DataFrame = {
     val sh = docs.select(
       col(idCol) +: blockCols.map(col) :+
-        explode(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"): _*)
+        explode(TextFns.wordShingles(col(textCol), shingleSize)).as("_sh_str"): _*)
+      .select(col(idCol) +: blockCols.map(col) :+
+        TextFns.hash64(col("_sh_str")).as("sh"): _*)
       .distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("doc_a") +: blockCols.map(col) :+ col("sh"): _*)

@@ -103,7 +103,8 @@ object Extensions {
       WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents),
       jx AS (SELECT doc_id, lang, source, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
       sh AS (SELECT DISTINCT doc_id, lang, source,
-             w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
+             CAST('0x' || substr(sha256(w[j] || ' ' || w[j+1] || ' ' || w[j+2]), 1, 15) AS BIGINT) AS sh
+             FROM jx),
       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
                 FROM sh a JOIN sh b

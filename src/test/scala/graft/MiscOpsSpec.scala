@@ -62,6 +62,24 @@ class MiscOpsSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    // 90% of the big side hits one hot key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))
+      .toDF("k", "v")
+    val small = Seq(("HOT", "hot-dim"), ("k10", "ten"), ("k20", "twenty"))
+      .toDF("k", "dim")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"v", $"dim").as[(String, Int, String)].collect().sorted.toSeq
+    val plain = canon(big.join(small, Seq("k")))
+    val salted = canon(graft.ops.Skew.saltedJoin(big, small, Seq("k"), saltBuckets = 8))
+    assert(salted == plain && plain.nonEmpty)
+    val leftPlain = canon(big.join(small, Seq("k"), "left")
+      .na.fill("∅", Seq("dim")))
+    val leftSalted = canon(graft.ops.Skew.saltedJoin(big, small, Seq("k"), 8, "left")
+      .na.fill("∅", Seq("dim")))
+    assert(leftSalted == leftPlain)
+  }
+
   test("approx_count_distinct stays within 5% of exact on the testdata") {
     val got = SparkEntry.queries("q34_approx_distinct")(spark, "/root/testdata/sf0.01")
       .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
