@@ -31,13 +31,17 @@ object Bench {
     try force(SparkEntry.queries("q12_tpch_q1")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    // min of 2 runs: the steady-state cost, damping GC/JIT/compile noise
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
