@@ -541,8 +541,66 @@ object Inventory {
         .orderBy("dmp_id")
     })
 
+  // ---------------------------------------------------------------- q38
+  private val q38 = Q("q38_tpch_q5",
+    "TPC-H Q5 local-supplier revenue: 6-way join with region filter " +
+      "(join-order/broadcast selection left to Catalyst)",
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""),
+    (s, dir) => {
+      val discPrice = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    })
+
+  // ---------------------------------------------------------------- q39
+  private val q39 = Q("q39_enum_decode",
+    "F15: int-coded enum decode (DiseaseType 1..7, ucam.py:53) as a when-chain",
+    Some("""
+      SELECT CASE CAST(user_id % 7 + 1 AS INT)
+               WHEN 1 THEN 'Healthy' WHEN 2 THEN 'HD' WHEN 3 THEN 'IBD'
+               WHEN 4 THEN 'PD' WHEN 5 THEN 'PSS' WHEN 6 THEN 'RA'
+               ELSE 'SLE' END AS disease,
+             count(*) AS n
+      FROM events GROUP BY 1 ORDER BY disease"""),
+    (s, dir) => {
+      val code = (pmod(col("user_id"), lit(7)) + 1).cast("int")
+      val decoded = graft.model.DiseaseType.ByCode.toSeq.sortBy(_._1)
+        .foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+          when(code === k, v).otherwise(acc)
+        }
+      t(s, dir, "events")
+        .select(decoded.as("disease"))
+        .groupBy("disease").agg(count(lit(1)).as("n"))
+        .orderBy("disease")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17)
+    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
