@@ -126,6 +126,31 @@ object MiniJson {
 
   def parse(s: String): J = { val p = new P(s); val v = p.value(); p.ws(); v }
 
+  /** Compact re-serialization (used by the DSv2 source to emit result
+    * objects as JSON-string rows). Field order is preserved from parse.
+    */
+  def render(j: J): String = j match {
+    case JObj(fields) =>
+      fields.map { case (k, v) => s"${renderStr(k)}:${render(v)}" }
+        .mkString("{", ",", "}")
+    case JArr(items) => items.map(render).mkString("[", ",", "]")
+    case JStr(s) => renderStr(s)
+    case JNum(n) => n
+    case JBool(b) => b.toString
+    case JNull => "null"
+  }
+
+  private def renderStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private final class P(s: String) {
     private var i = 0
     def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
@@ -176,10 +201,10 @@ object MiniJson {
         if (s(i) != ':') fail("expected :"); i += 1
         fields(k) = value(); ws()
         if (s(i) == ',') i += 1
-        else if (s(i) == '}') { i += 1; return JObj(fields.toMap) }
+        else if (s(i) == '}') { i += 1; return JObj(scala.collection.immutable.VectorMap.from(fields)) }
         else fail("expected , or }")
       }
-      JObj(fields.toMap)
+      JObj(scala.collection.immutable.VectorMap.from(fields))
     }
     private def arr(): J = {
       i += 1; ws()
