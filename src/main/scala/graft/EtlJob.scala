@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.connect.FileTransfer
+import graft.etl.Stages
+import graft.ledger.Ledger
+import graft.sources.LookupCsv
+
+/** The runnable pipeline — what an Airflow `SparkSubmitOperator` schedules
+  * per run (the reference's 7-task `dreem` DAG collapsed into one Spark job;
+  * task boundaries become ordinary sequential stage calls, state flows
+  * through the Ledger exactly as it flowed through MongoDB).
+  *
+  * Usage:
+  *   runMain graft.EtlJob --ledger <dir> --incoming <parquet>
+  *     --uid-serial <csv> --serial-id <csv> --assignments <parquet>
+  *     --workdir <dir> [--cutoff 12:00:00] [--today 2024-02-15]
+  *     [--limit N] [--simulate-transfer]
+  *
+  * `--incoming` schema: manufacturer_ref, device_type, start, end, meta
+  * (the S1 fetch output — see connect.PaginatedRestSource / the DSv2
+  * source for producing it from a live API).
+  * `--simulate-transfer` replaces the network download/upload with local
+  * file writes (this container has no egress); wire real transfer lambdas
+  * through connect.FileTransfer for production.
+  */
+object EtlJob {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val spark = Tables.session("graft-etl-job",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    try {
+      val summary = run(spark, opts)
+      println(summary.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}"))
+    } finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession,
+          opts: Map[String, String]): Seq[(String, Long)] = {
+    val ledger = new Ledger(spark, opts("ledger"))
+    val cutOff = opts.getOrElse("cutoff", "12:00:00")
+    val today = opts.getOrElse("today", java.time.LocalDate.now().toString)
+    val limit = opts.get("limit").map(_.toInt)
+
+    // task 1 — download_metadata: ingest-dedup + append (J1+L1+S7)
+    val incoming = spark.read.parquet(opts("incoming"))
+      .withColumn("device_serial", lit(null).cast("string"))
+      .withColumn("device_id", lit(null).cast("string"))
+      .withColumn("patient_id", lit(null).cast("string"))
+      .withColumn("dmp_dataset", lit(null).cast("string"))
+      .withColumn("dmp_id", lit(null).cast("string"))
+      .withColumn("is_uploaded", lit(false))
+    val fresh = Stages.ingestDedup(incoming,
+      if (ledger.exists) ledger.read()
+      else incoming.limit(0).withColumn("hash", lit("")).select("hash"),
+      limit)
+    val nNew = fresh.count()
+    if (!ledger.exists) ledger.init(fresh) else ledger.append(fresh)
+
+    // tasks 2-3 — resolve serials / device ids (J2, J3)
+    val uidSerial = LookupCsv.read(spark, opts("uid-serial"), "uid", "serial")
+    val serialToId = LookupCsv.read(spark, opts("serial-id"), "serial", "device_id")
+    ledger.mergeNoOverride(Stages.resolveSerials(ledger.read(), uidSerial)
+      .select("hash", "device_serial"), Seq("device_serial"))
+    ledger.mergeNoOverride(Stages.resolveDeviceIds(ledger.read(), serialToId)
+      .select("hash", "device_id"), Seq("device_id"))
+
+    // task 4 — resolve patients (J4)
+    val assignments = spark.read.parquet(opts("assignments"))
+    ledger.mergeNoOverride(Stages.resolvePatients(ledger.read(), assignments, today)
+      .select("hash", "patient_id"), Seq("patient_id"))
+
+    // task 5 — group records (A1, unlimited by design)
+    ledger.mergeNoOverride(Stages.groupRecords(ledger.read(), cutOff)
+      .select("hash", "dmp_id"), Seq("dmp_id"))
+
+    // task 6 — extract-prep-load (P6+J5+S2+S8-S10)
+    val manifest = Stages.uploadManifest(ledger.read())
+    val nGroups = manifest.count()
+    val uploaded =
+      if (opts.contains("simulate-transfer")) {
+        val work = opts("workdir")
+        val results = FileTransfer.executePlan(spark, manifest, work,
+          fetch = (ref, path) => { Files.write(path, ref.getBytes); true },
+          push = (dmpId, zip) => {
+            val landed = Paths.get(work, "landed")
+            Files.createDirectories(landed)
+            Files.copy(zip, landed.resolve(s"$dmpId.zip"))
+            true
+          })
+        // Materialize ONCE: the transfer dataset has side effects (each
+        // execution re-downloads/re-uploads), and markUploaded rewrites the
+        // very ledger files the manifest plan captured — a later
+        // re-execution would read deleted files. The id list is the per-run
+        // upload batch (reference caps it at 1 group), so driver-side is
+        // fine.
+        import spark.implicits._
+        val okIds = results.filter(col("uploaded"))
+          .select("dmp_id").as[String].collect().toSeq
+        ledger.markUploaded(okIds.toDF("dmp_id"))
+        okIds.size.toLong
+      } else 0L
+
+    val state = ledger.read()
+    Seq(
+      "ingested_new" -> nNew,
+      "ledger_rows" -> state.count(),
+      "with_serial" -> state.filter(col("device_serial").isNotNull).count(),
+      "with_device" -> state.filter(col("device_id").isNotNull).count(),
+      "with_patient" -> state.filter(col("patient_id").isNotNull).count(),
+      "grouped" -> state.filter(col("dmp_id").isNotNull).count(),
+      "pending_groups" -> nGroups,
+      "uploaded_groups" -> uploaded)
+  }
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val it = args.iterator
+    val m = scala.collection.mutable.Map.empty[String, String]
+    while (it.hasNext) {
+      val k = it.next()
+      require(k.startsWith("--"), s"unexpected argument: $k")
+      val key = k.stripPrefix("--")
+      if (key == "simulate-transfer") m(key) = "true"
+      else m(key) = it.next()
+    }
+    m.toMap
+  }
+}

@@ -36,9 +36,11 @@ final class Ledger(spark: SparkSession, path: String) {
     spark.read.parquet(path).drop("bucket")
 
   /** Initialize (overwrite-all) with a first batch. */
-  def init(records: DataFrame): Unit =
+  def init(records: DataFrame): Unit = {
     withBucket(records).write
       .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
+    spark.catalog.refreshByPath(path)
+  }
 
   /** S7 — append records whose hash is not yet present (insert-only dedup,
     * db.py:76-86 + the J1 anti-join).
@@ -47,6 +49,7 @@ final class Ledger(spark: SparkSession, path: String) {
     val fresh = records.join(read().select("hash"), Seq("hash"), "left_anti")
     withBucket(fresh).write
       .partitionBy("bucket").mode(SaveMode.Append).parquet(path)
+    spark.catalog.refreshByPath(path)
   }
 
   /** No-override merge: for rows matched by hash, fill each `fields` column
@@ -96,8 +99,11 @@ final class Ledger(spark: SparkSession, path: String) {
       // same file rewrite under the hood).
       val staging = path + "_staging"
       df.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(staging)
+      spark.catalog.refreshByPath(staging)
       spark.read.parquet(staging).write
         .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
+      // the rewrite invalidates any file listing cached for this path
+      spark.catalog.refreshByPath(path)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
