@@ -1,0 +1,49 @@
+package graft
+
+/** Plan-integrity checks — the engine analog of the reference's DagBag
+  * validation tests (tests/dags/conftest.py:10-22): instead of task-graph
+  * shape, we pin the PHYSICAL PLAN properties the scale story depends on.
+  * If a refactor silently drops a broadcast or breaks pushdown, these fail
+  * before any benchmark does.
+  */
+class PlanIntegritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filters and projection reach the parquet scan") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus)") ||
+      p.contains("EqualTo(o_orderstatus,O)"))
+    assert(!p.contains("o_orderdate"), "unused column must be pruned")
+  }
+
+  test("q04: dimension lookups are broadcast joins") {
+    val p = plan("q04_lookup_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q03: ledger dedup plans as a left-anti join") {
+    val p = plan("q03_anti_join_dedup")
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("q18: pipeline stays broadcast-joined with hash aggregation for pass 1") {
+    val p = plan("q18_pipeline_e2e")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q12: scan-heavy aggregate runs inside whole-stage codegen") {
+    // AQE finalizes the plan only on execution; force it, then inspect
+    val df = SparkEntry.queries("q12_tpch_q1")(spark, sf)
+    df.collect() // finalize THIS queryExecution's adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"))
+    assert(p.contains("HashAggregate"))
+  }
+}
