@@ -32,6 +32,26 @@ object Multimodal {
         (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
         lit(3).as("channels")).as("media_meta"))
 
+  /** Frame sampling over a binary payload: fixed-size windows every `stride`
+    * bytes (the video/audio frame-extraction shape — here over opaque bytes;
+    * a real codec would seek keyframes instead). Pure codegen expressions:
+    * `substring` operates directly on BinaryType.
+    */
+  def frameSample(df: DataFrame, payloadCol: String, frameSize: Int,
+                  stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0)
+    val n = octet_length(col(payloadCol))
+    val nFrames = when(n >= frameSize,
+      floor((n - frameSize).cast("double") / stride).cast("long") + 1L)
+      .otherwise(0L)
+    df.withColumn("n_frames", nFrames)
+      .withColumn("frames",
+        when(col("n_frames") > 0,
+          transform(sequence(lit(0L), col("n_frames") - 1),
+            i => col(payloadCol).substr((i * stride).cast("int") + 1, lit(frameSize))))
+          .otherwise(array().cast("array<binary>")))
+  }
+
   /** Partition-parallel feature extraction over the binary payload.
     *
     * ???-equivalent STUB: a real implementation would decode the media here

@@ -373,6 +373,49 @@ object Extensions {
         .orderBy("etype", "day_str")
     })
 
+  private val q40 = Q("q40_multimodal_frames",
+    "frame sampling over binary payloads: 32-byte frames every 24 bytes; " +
+      "oracle mirrors the byte windows over the hex encoding (DuckDB 1.0 " +
+      "cannot substring BLOBs)",
+    Some("""
+      WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n FROM documents)
+      SELECT doc_id,
+             CASE WHEN n >= 32
+                  THEN CAST(floor(CAST(n - 32 AS DOUBLE) / 24) AS BIGINT) + 1
+                  ELSE 0 END AS n_frames,
+             upper(substr(hx, 1, 64)) AS first_frame_hex,
+             upper(substr(hx,
+               CAST((CASE WHEN n >= 32
+                     THEN CAST(floor(CAST(n - 32 AS DOUBLE) / 24) AS BIGINT) + 1
+                     ELSE 0 END) // 2 AS BIGINT) * 48 + 1, 64)) AS mid_frame_hex
+      FROM p ORDER BY doc_id"""),
+    (s, dir) => {
+      val withPayload = graft.ops.Multimodal.withPayload(t(s, dir, "documents"))
+      graft.ops.Multimodal.frameSample(withPayload, "payload", frameSize = 32, stride = 24)
+        .select(col("doc_id"), col("n_frames"),
+          upper(hex(element_at(col("frames"), 1))).as("first_frame_hex"),
+          upper(hex(element_at(col("frames"),
+            (col("n_frames") / 2).cast("int") + 1))).as("mid_frame_hex"))
+        .orderBy("doc_id")
+    })
+
+  private val q41 = Q("q41_salted_join",
+    "skew-salted join equals the plain join (hot key spread across salt buckets)",
+    Some("""
+      SELECT event_id, CAST(user_id % 5 AS INT) AS hot, r_name
+      FROM events JOIN region ON user_id % 5 = r_regionkey
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val big = t(s, dir, "events")
+        .select(col("event_id"), pmod(col("user_id"), lit(5)).cast("int").as("hot"))
+      val small = t(s, dir, "region")
+        .select(col("r_regionkey").cast("int").as("hot"), col("r_name"))
+      graft.ops.Skew.saltedJoin(big, small, Seq("hot"), saltBuckets = 8)
+        .select(col("event_id"), col("hot"), col("r_name"))
+        .orderBy("event_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q36, q37)
+    q31, q32, q36, q37, q40, q41)
 }

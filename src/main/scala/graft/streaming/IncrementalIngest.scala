@@ -43,6 +43,22 @@ object IncrementalIngest {
     q.awaitTermination()
   }
 
+  /** Session windows per device: gap-based grouping of recording activity —
+    * absent from the reference (§2.9 notes only the day bucket exists) but a
+    * natural engine extension for wear-session analytics.
+    */
+  def sessionCounts(stream: DataFrame, gap: String,
+                    watermark: String = "1 day"): DataFrame =
+    stream
+      .withWatermark("start", watermark)
+      .groupBy(session_window(col("start"), gap), col("device_id"))
+      .agg(count(lit(1)).as("n_records"))
+      .select(
+        col("device_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_records"))
+
   /** A1 as a *streaming* window: the non-midnight day bucket is a 1-day
     * tumbling event-time window anchored at the cut-off time
     * (operators/ucam.py:115-119 ≡ window(start, 1d, 1d, startTime=cutOff)).

@@ -22,6 +22,20 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.toSeq == Seq(11L, 25L, 11L))
   }
 
+  test("frameSample windows the payload bytes with stride and clamps short docs") {
+    val p = Multimodal.withPayload(docs) // "hello world" = 11 bytes
+    val got = Multimodal.frameSample(p, "payload", frameSize = 4, stride = 3)
+      .select($"doc_id", $"n_frames",
+        expr("transform(frames, f -> cast(f as string))").as("fs"))
+      .as[(Long, Long, Seq[String])].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // 11 bytes, frame 4, stride 3 → floor((11-4)/3)+1 = 3 frames
+    assert(got(1L) == ((3L, Seq("hell", "lo w", "worl"))))
+    val tiny = Seq((9L, "ab")).toDF("doc_id", "text")
+    val g2 = Multimodal.frameSample(Multimodal.withPayload(tiny), "payload", 4, 3)
+      .select($"n_frames", size($"frames")).as[(Long, Int)].head()
+    assert(g2 == ((0L, 0)))
+  }
+
   test("extractFeatures is deterministic, dimension-correct, partition-independent") {
     val p = Multimodal.withPayload(docs)
     def run(parts: Int) =

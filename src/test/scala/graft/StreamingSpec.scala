@@ -38,6 +38,30 @@ class StreamingSpec extends SparkSpec {
       == Set("a", "b", "c"))
   }
 
+  test("session windows group activity by gap per device") {
+    val base = Files.createTempDirectory("graft-sess").toString
+    Seq(("DEV-1", "2021-11-29 08:00:00"), ("DEV-1", "2021-11-29 08:20:00"),
+      ("DEV-1", "2021-11-29 12:00:00"),   // > 30 min gap → new session
+      ("DEV-2", "2021-11-29 08:10:00"))
+      .toDF("device_id", "s")
+      .withColumn("start", $"s".cast("timestamp")).drop("s")
+      .coalesce(1).write.parquet(s"$base/src")
+    val stream = spark.readStream.schema(
+      StructType(Seq(StructField("device_id", StringType),
+        StructField("start", TimestampType)))).parquet(s"$base/src")
+    val agg = graft.streaming.IncrementalIngest.sessionCounts(stream, "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sessions")
+      .select($"device_id", $"session_start", $"n_records")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("DEV-1", "2021-11-29 08:00:00", 2L),
+      ("DEV-1", "2021-11-29 12:00:00", 1L),
+      ("DEV-2", "2021-11-29 08:10:00", 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark bounds the dedup state (opt-in, §2.9)") {
     // The reference's ledger state is unbounded; with an arrival-lateness
     // bound the streaming dedup can expire state instead. Semantics check:
