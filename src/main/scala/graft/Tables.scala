@@ -40,6 +40,7 @@ object Tables {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -64,14 +64,38 @@ object Stages {
   /** J2 — uid→serial broadcast lookup; only rows with a dreem uid and a null
     * serial advance (db.py:97-109,158-170; dags/dreem.py:75-115).
     */
-  def resolveSerials(records: DataFrame, uidSerial: DataFrame): DataFrame = {
+  /** `stringNullIsMissing` replicates a reference quirk: its Mongo query
+    * compares `meta.dreem_uid` against the STRING "null" (db.py:164,
+    * flagged in SURVEY.md §7.5.3) — uids that are literally the text "null"
+    * are treated as absent. Off by default (the sane semantics); on to
+    * reproduce the reference bit-for-bit.
+    */
+  def resolveSerials(records: DataFrame, uidSerial: DataFrame,
+                     stringNullIsMissing: Boolean = false): DataFrame = {
     val lk = broadcast(uidSerial.select(col("uid").as("_lk_uid"),
       col("serial").as("_lk_serial")))
+    val uid = element_at(col("meta"), "dreem_uid")
+    val uidKey = if (stringNullIsMissing) nullif(uid, lit("null")) else uid
     records
-      .join(lk, element_at(col("meta"), "dreem_uid") === col("_lk_uid"), "left")
+      .join(lk, uidKey === col("_lk_uid"), "left")
       .withColumn("device_serial",
         coalesce(col("device_serial"), col("_lk_serial")))
       .drop("_lk_uid", "_lk_serial")
+  }
+
+  /** Destination-dataset assignment: the DAG overrides every record's
+    * dmp_dataset from the `dmp_dataset_mappings` Variable — note the
+    * reference reads `records[0].dmp_dataset` is commented OUT and the
+    * config key has a `mappings`/`mapping` spelling drift
+    * (dags/dreem.py:169,186-187; SURVEY.md §7.5.3). Engine: explicit
+    * config map + explicit key, no drift.
+    */
+  def assignDataset(records: DataFrame, mapping: Map[String, String],
+                    key: String): DataFrame = {
+    val dataset = mapping.getOrElse(key,
+      throw new NoSuchElementException(s"dmp_dataset_mappings has no key '$key'"))
+    records.withColumn("dmp_dataset",
+      when(col("dmp_id").isNotNull, lit(dataset)).otherwise(col("dmp_dataset")))
   }
 
   /** J3 — serial→device-id broadcast lookup (operators/ucam.py:12-68,
@@ -192,9 +216,15 @@ object Stages {
 
   /** P6+J5+A4+A5 — per-group upload manifest of unfinished groups
     * (dags/dreem.py:153-234): member refs, size, partial-upload flag.
+    *
+    * `skipPartial=true` replicates the reference exactly: a group that is
+    * PARTIALLY uploaded hits the `NotImplementedError` update path and is
+    * skipped for the run (dags/dreem.py:202-204; SURVEY.md §7.5.3). The
+    * default keeps partial groups in the manifest (the caller decides).
     */
-  def uploadManifest(records: DataFrame): DataFrame =
-    records
+  def uploadManifest(records: DataFrame,
+                     skipPartial: Boolean = false): DataFrame = {
+    val m = records
       .filter(col("dmp_id").isNotNull)
       .groupBy("dmp_id")
       .agg(
@@ -204,4 +234,6 @@ object Stages {
         expr("bool_and(is_uploaded)").as("all_uploaded"))
       .filter(!col("all_uploaded"))
       .drop("all_uploaded")
+    if (skipPartial) m.filter(!col("any_uploaded")) else m
+  }
 }

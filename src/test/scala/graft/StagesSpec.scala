@@ -115,5 +115,35 @@ class StagesSpec extends SparkSpec {
       .select($"dmp_id", $"n_records", $"any_uploaded")
       .as[(String, Long, Boolean)].collect().sortBy(_._1)
     assert(got.toSeq == Seq(("g1", 2L, true), ("g3", 1L, false)))
+    // reference mode: partial groups skipped (the NotImplementedError path)
+    val strict = Stages.uploadManifest(recs, skipPartial = true)
+      .select($"dmp_id").as[String].collect()
+    assert(strict.toSeq == Seq("g3"))
+  }
+
+  test("stringNullIsMissing quirk: uid 'null' treated as absent (db.py:164)") {
+    val recs = Seq(
+      ("h1", Map("dreem_uid" -> "null"), None: Option[String]),
+      ("h2", Map("dreem_uid" -> "U1"), None: Option[String]))
+      .toDF("hash", "meta", "device_serial")
+    val lk = Seq(("null", "S-BAD"), ("U1", "S1")).toDF("uid", "serial")
+    val loose = Stages.resolveSerials(recs, lk)
+      .select($"hash", $"device_serial").as[(String, Option[String])].collect().toMap
+    assert(loose("h1").contains("S-BAD")) // sane semantics: matches
+    val quirk = Stages.resolveSerials(recs, lk, stringNullIsMissing = true)
+      .select($"hash", $"device_serial").as[(String, Option[String])].collect().toMap
+    assert(quirk("h1").isEmpty)           // reference semantics: missing
+    assert(quirk("h2").contains("S1"))
+  }
+
+  test("assignDataset overrides from the config mapping for grouped rows") {
+    val recs = Seq(("h1", Some("G1"), None: Option[String]),
+      ("h2", None: Option[String], None: Option[String]))
+      .toDF("hash", "dmp_id", "dmp_dataset")
+    val got = Stages.assignDataset(recs, Map("TEST" -> "ds-123"), "TEST")
+      .select($"hash", $"dmp_dataset").as[(String, Option[String])].collect().toMap
+    assert(got == Map("h1" -> Some("ds-123"), "h2" -> None))
+    assertThrows[NoSuchElementException](
+      Stages.assignDataset(recs, Map("OTHER" -> "x"), "TEST"))
   }
 }
