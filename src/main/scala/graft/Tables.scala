@@ -25,8 +25,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long source
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // already a timestamp (e.g. a ScaleUp replica)
+    }
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -165,6 +165,21 @@ object Dedup {
   /** Embedding near-duplicates: cosine above threshold, blocked by `blockCol`
     * (e.g. a label / coarse cluster) so comparisons stay bucket-local.
     */
+  /** Scale path for [[embeddingNearDup]]: candidates must ALSO collide in a
+    * `numPlanes`-bit random-hyperplane bucket, so block size (and the
+    * quadratic pair count) shrinks ~2^numPlanes-fold at a recall cost —
+    * measured in SCALING.md: the exact variant is the one operator that
+    * scales quadratically with density.
+    */
+  def embeddingNearDupLsh(embs: DataFrame, idCol: String, vecCol: String,
+                          blockCol: String, minCosine: Double,
+                          numPlanes: Int): DataFrame = {
+    val sig = Similarity.planeSignature(embs, idCol, vecCol, numPlanes)
+    val blocked = embs.join(sig, idCol)
+      .withColumn("_block2", concat_ws("|", col(blockCol), col("sig")))
+    embeddingNearDup(blocked, idCol, vecCol, "_block2", minCosine)
+  }
+
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, minCosine: Double): DataFrame = {
     val withNorm = embs.select(col(idCol), col(blockCol),

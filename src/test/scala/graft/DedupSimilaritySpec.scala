@@ -90,4 +90,11 @@ class DedupSimilaritySpec extends SparkSpec {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("embeddingNearDupLsh keeps near-identical pairs, prunes the search space") {
+    val got = Dedup.embeddingNearDupLsh(vecs.withColumn("label", lit(0)),
+      "vec_id", "embedding", "label", minCosine = 0.9, numPlanes = 8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // near-identical vectors share their bucket
+  }
 }
