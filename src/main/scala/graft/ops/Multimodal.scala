@@ -52,6 +52,31 @@ object Multimodal {
           .otherwise(array().cast("array<binary>")))
   }
 
+  /** Resize stub: decimate a binary payload to ~`targetBytes` by keeping
+    * every k-th byte (k = ceil(n/target)) — the byte-domain stand-in for an
+    * image resize (a real implementation decodes, resamples pixels, and
+    * re-encodes inside this same mapPartitions seam). Deterministic,
+    * partition-parallel, output length ≤ targetBytes.
+    */
+  final case class ResizedPayload(doc_id: Long, n_bytes_in: Long,
+                                  n_bytes_out: Long, payload: Array[Byte])
+
+  def resize(spark: SparkSession, withPayload: DataFrame,
+             targetBytes: Int): Dataset[ResizedPayload] = {
+    import spark.implicits._
+    require(targetBytes > 0)
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          // [STUB decode/resample/encode]
+          val k = math.max(1, math.ceil(bytes.length.toDouble / targetBytes).toInt)
+          val out = bytes.indices.collect { case i if i % k == 0 => bytes(i) }.toArray
+          ResizedPayload(id, bytes.length.toLong, out.length.toLong, out)
+        }
+      }
+  }
+
   /** Partition-parallel feature extraction over the binary payload.
     *
     * ???-equivalent STUB: a real implementation would decode the media here

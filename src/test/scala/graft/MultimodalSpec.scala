@@ -36,6 +36,16 @@ class MultimodalSpec extends SparkSpec {
     assert(g2 == ((0L, 0)))
   }
 
+  test("resize decimates payload bytes toward the target size") {
+    val p = Multimodal.withPayload(docs)
+    val got = Multimodal.resize(spark, p, targetBytes = 5)
+      .collect().map(r => r.doc_id -> ((r.n_bytes_in, r.n_bytes_out,
+        new String(r.payload, "UTF-8")))).toMap
+    // "hello world" (11 bytes), k = ceil(11/5) = 3 → indices 0,3,6,9
+    assert(got(1L) == ((11L, 4L, "hlwl")))
+    assert(got.values.forall(v => v._2 <= 5 || v._1 <= 5))
+  }
+
   test("extractFeatures is deterministic, dimension-correct, partition-independent") {
     val p = Multimodal.withPayload(docs)
     def run(parts: Int) =

@@ -38,6 +38,47 @@ class StreamingSpec extends SparkSpec {
       == Set("a", "b", "c"))
   }
 
+  test("mapGroupsWithState accumulates per-device state across runs") {
+    val base = Files.createTempDirectory("graft-state").toString
+    def writeBatch(rows: Seq[(String, String)]): Unit =
+      rows.toDF("device_id", "s")
+        .withColumn("event_time", $"s".cast("timestamp")).drop("s")
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+    def runOnce(): Map[String, (Long, String)] = {
+      val stream = spark.readStream.schema(
+        StructType(Seq(StructField("device_id", StringType),
+          StructField("event_time", TimestampType)))).parquet(s"$base/src")
+        .as[(String, java.sql.Timestamp)]
+      val tracked = graft.streaming.StatefulTracking
+        .trackDeviceActivity(spark, stream)
+      val emitted = scala.collection.mutable.Map.empty[String, (Long, String)]
+      // memory sink cannot recover from a checkpoint; foreachBatch can
+      val q = tracked.toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.select(col("device_id"), col("n_records"),
+            date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss"))
+            .collect().foreach(r => emitted.synchronized {
+              emitted(r.getString(0)) = (r.getLong(1), r.getString(2))
+            })
+          ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      emitted.toMap
+    }
+    writeBatch(Seq(("D1", "2024-01-01 10:00:00"), ("D1", "2024-01-01 11:00:00"),
+      ("D2", "2024-01-01 09:00:00")))
+    val r1 = runOnce()
+    assert(r1("D1") == ((2L, "2024-01-01 11:00:00")))
+    assert(r1("D2") == ((1L, "2024-01-01 09:00:00")))
+    // second drain: state picked up from the checkpoint, counts accumulate
+    writeBatch(Seq(("D1", "2024-01-01 12:00:00")))
+    val r2 = runOnce()
+    assert(r2("D1") == ((3L, "2024-01-01 12:00:00")))
+  }
+
   test("session windows group activity by gap per device") {
     val base = Files.createTempDirectory("graft-sess").toString
     Seq(("DEV-1", "2021-11-29 08:00:00"), ("DEV-1", "2021-11-29 08:20:00"),
