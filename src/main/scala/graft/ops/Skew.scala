@@ -23,6 +23,11 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    // right/full-outer would emit each unmatched SMALL-side row once per
+    // replica — salting only preserves inner/left/semi/anti semantics
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin cannot preserve '$joinType' semantics (small side is replicated)")
     val bigSalted = big.withColumn("_salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets)).cast("int"))
     val smallExploded = small.withColumn("_salt",
