@@ -599,8 +599,46 @@ object Inventory {
         .orderBy("disease")
     })
 
+  // ---------------------------------------------------------------- q42
+  private val q42 = Q("q42_tpch_q7",
+    "TPC-H Q7 volume shipping: supplier-nation x customer-nation pairs, " +
+      "per-year revenue (self-joined dimension, non-equi pair filter)",
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+        AND n1.n_nationkey <> n2.n_nationkey
+      GROUP BY 1, 2, 3
+      ORDER BY supp_nation, cust_nation, l_year"""),
+    (s, dir) => {
+      val n1 = t(s, dir, "nation").filter(col("n_nationkey") < 3)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_nationkey") < 3)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val discPrice = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(col("n1_key") =!= col("n2_key"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39)
+    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
