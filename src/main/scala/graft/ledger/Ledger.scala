@@ -88,6 +88,22 @@ final class Ledger(spark: SparkSession, path: String) {
     writeBuckets(merged)
   }
 
+  /** Compaction: every append adds files and every merge rewrites a bucket
+    * into shuffle-width pieces; periodic compaction coalesces each bucket
+    * back to `filesPerBucket` (small-file hygiene — the operational chore
+    * Delta/Iceberg schedule as OPTIMIZE).
+    */
+  def compact(filesPerBucket: Int = 1): Unit = {
+    val current = spark.read.parquet(path).coalesce(filesPerBucket * 16)
+    writeBuckets(current)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** Dynamic partition overwrite of the buckets present in `df`. */
   private def writeBuckets(df: DataFrame): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -104,6 +120,7 @@ final class Ledger(spark: SparkSession, path: String) {
         .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
       // the rewrite invalidates any file listing cached for this path
       spark.catalog.refreshByPath(path)
+      deleteRecursively(new java.io.File(staging))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

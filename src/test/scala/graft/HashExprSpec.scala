@@ -35,6 +35,21 @@ class HashExprSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("derived minhash family: 16 mixes of one digest stay distinct") {
+    // the xor/shift mixing must not collapse hash functions into each other
+    val shingles = (0 until 100).map(i => s"shingle $i word${i % 7}")
+    val hex = sha2($"s", 256)
+    def part(j: Int) = conv(substring(hex, 1 + 15 * j, 15), 16, 10).cast("long")
+    val mixes = (0 until 16).map { h =>
+      part(h % 4).bitwiseXOR(shiftright(part((h + 1) % 4), (h * 7) % 29)).as(s"h$h")
+    }
+    val rows = shingles.toDF("s").select(mixes: _*).collect()
+    rows.foreach { r =>
+      val vals = (0 until 16).map(r.getLong)
+      assert(vals.distinct.size == 16, s"collapsed hash family: $vals")
+    }
+  }
+
   test("graft_hash64 is SQL-callable when GraftExtensions is installed") {
     // register directly on the active session's registry (same injection
     // path GraftExtensions uses at session build)

@@ -64,6 +64,20 @@ class LedgerSpec extends SparkSpec {
     assert(led.read().count() == 3)
   }
 
+  test("compact preserves content and cleans the staging dir") {
+    val path = tmp()
+    val led = new Ledger(spark, path)
+    led.init(df(Seq(rec("a"), rec("b"))))
+    led.append(df(Seq(rec("c"))))
+    led.mergeNoOverride(df(Seq(rec("a", serial = Some("S"))))
+      .select($"hash", $"device_serial", $"device_id", $"patient_id",
+        $"dmp_dataset", $"dmp_id"))
+    val before = led.read().orderBy("manufacturer_ref").collect().toSeq
+    led.compact()
+    assert(led.read().orderBy("manufacturer_ref").collect().toSeq == before)
+    assert(!new java.io.File(path + "_staging").exists())
+  }
+
   test("markUploaded flags whole dmp groups") {
     val path = tmp()
     val led = new Ledger(spark, path)
