@@ -637,8 +637,24 @@ object Inventory {
         .orderBy("supp_nation", "cust_nation", "l_year")
     })
 
+  // ---------------------------------------------------------------- q43
+  private val q43 = Q("q43_percentiles",
+    "exact interpolated percentiles (sort-based order statistics) per group",
+    Some("""
+      SELECT event_type,
+             quantile_cont(value, [0.25, 0.5, 0.9]) AS pcts,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) => {
+      t(s, dir, "events").groupBy("event_type").agg(
+        expr("percentile(value, array(0.25d, 0.5d, 0.9d))").as("pcts"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+        .orderBy("event_type")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42)
+    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
