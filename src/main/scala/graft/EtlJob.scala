@@ -126,7 +126,10 @@ object EtlJob {
       require(k.startsWith("--"), s"unexpected argument: $k")
       val key = k.stripPrefix("--")
       if (key == "simulate-transfer") m(key) = "true"
-      else m(key) = it.next()
+      else {
+        require(it.hasNext, s"--$key requires a value")
+        m(key) = it.next()
+      }
     }
     m.toMap
   }

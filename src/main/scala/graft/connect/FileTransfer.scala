@@ -45,19 +45,23 @@ object FileTransfer {
     val out = new ZipOutputStream(new BufferedOutputStream(
       new FileOutputStream(zipPath.toFile)))
     try {
-      Files.list(folder).sorted().forEach { f =>
+      val listing = Files.list(folder) // close the dir stream: executors
+      try listing.sorted().forEach { f => // loop over many groups per task
         out.putNextEntry(new ZipEntry(f.getFileName.toString))
         Files.copy(f, out)
         out.closeEntry()
-      }
+      } finally listing.close()
     } finally out.close()
     zipPath
   }
 
   def rmTree(p: Path): Unit = {
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   /** Execute an upload plan: for every (dmp_id, member_refs) group —

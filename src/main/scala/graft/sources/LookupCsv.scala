@@ -11,10 +11,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Spark mapping: a declared-schema CSV scan marked for broadcast — the
   * broadcast IS the cache (built once, shipped to every executor, reused by
-  * every join in the plan). Duplicate keys keep the FIRST occurrence, like
-  * a dict built by insertion would keep the last — the reference's csv
-  * module keeps the LAST; we pin first-wins deterministically and note the
-  * divergence (duplicate keys in the lookup are a data error either way).
+  * every join in the plan). Duplicate keys keep the SMALLEST value — "file
+  * order" is not meaningful in a distributed scan, so min-wins is the
+  * deterministic policy under any partitioning (the reference's dict build
+  * keeps the last row; duplicate keys are a data error either way).
   */
 object LookupCsv {
 
@@ -25,7 +25,7 @@ object LookupCsv {
         StructField(keyName, StringType), StructField(valueName, StringType))))
       .option("header", "false")
       .csv(path)
-    // first-wins dedup on the key → safe for equi-join enrichment
+    // min-wins dedup on the key → safe for equi-join enrichment
     broadcast(raw.groupBy(col(keyName)).agg(min(col(valueName)).as(valueName)))
   }
 }
