@@ -653,8 +653,34 @@ object Inventory {
         .orderBy("event_type")
     })
 
+  // ---------------------------------------------------------------- q44
+  private val q44 = Q("q44_portable_variance",
+    "variance/stddev from exact decimal sums — engine-portable (builtin " +
+      "stddev uses Welford accumulation whose float path differs per engine)",
+    Some("""
+      WITH s AS (
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(24,4)) ) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type)
+      SELECT event_type, n,
+             (sxx - sx * sx / n) / (n - 1) AS var_value,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_value
+      FROM s ORDER BY event_type"""),
+    (s, dir) => {
+      val grouped = t(s, dir, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(24, 4)))
+          .cast("double").as("sxx"))
+      val variance = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+      grouped.select(col("event_type"), col("n"),
+        variance.as("var_value"), sqrt(variance).as("stddev_value"))
+        .orderBy("event_type")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43)
+    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
