@@ -679,8 +679,45 @@ object Inventory {
         .orderBy("event_type")
     })
 
+  // ---------------------------------------------------------------- q45
+  private val q45 = Q("q45_histogram",
+    "fixed-width histogram binning per group (portable floor arithmetic)",
+    Some("""
+      SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+             count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_sum
+      FROM events GROUP BY 1, 2 ORDER BY event_type, bin"""),
+    (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / 25.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("bin_sum"))
+        .orderBy("event_type", "bin")
+    })
+
+  // ---------------------------------------------------------------- q46
+  private val q46 = Q("q46_mode",
+    "per-group mode with deterministic tiebreak (count desc, value asc)",
+    Some("""
+      WITH c AS (SELECT user_id, event_type, count(*) AS n
+                 FROM events GROUP BY 1, 2),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY n DESC, event_type) AS r FROM c)
+      SELECT user_id, event_type AS mode_event, n AS mode_count
+      FROM rk WHERE r = 1 ORDER BY user_id"""),
+    (s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      counts.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("user_id"), col("event_type").as("mode_event"),
+          col("n").as("mode_count"))
+        .orderBy("user_id")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44)
+    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45, q46)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
