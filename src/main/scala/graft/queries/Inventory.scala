@@ -716,8 +716,81 @@ object Inventory {
         .orderBy("user_id")
     })
 
+  // ---------------------------------------------------------------- q47
+  private val q47 = Q("q47_edit_distance",
+    "fuzzy matching: Levenshtein pairs within a blocking group (the " +
+      "string-similarity sibling of the near-dup family)",
+    Some("""
+      SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+             levenshtein(a.c_name, b.c_name) AS dist
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+      ORDER BY cust_a, cust_b"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("cust_a"), col("c_name").as("name_a"),
+        col("c_nationkey").as("nk_a"))
+      val b = c.select(col("c_custkey").as("cust_b"), col("c_name").as("name_b"),
+        col("c_nationkey").as("nk_b"))
+      a.join(b, col("nk_a") === col("nk_b") && col("cust_a") < col("cust_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("cust_a"), col("cust_b"), col("dist"))
+        .orderBy("cust_a", "cust_b")
+    })
+
+  // ---------------------------------------------------------------- q48
+  private val q48 = Q("q48_pivot",
+    "pivot: per-user event-type counts as fixed columns (conditional aggs)",
+    Some("""
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    (s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    })
+
+  // ---------------------------------------------------------------- q49
+  private val q49 = Q("q49_null_semantics",
+    "null-safe equality (<=> / IS NOT DISTINCT FROM), NULLS FIRST/LAST " +
+      "ordering, null-propagating vs null-skipping aggregates",
+    Some("""
+      WITH v AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS st
+                 FROM orders WHERE o_orderkey % 20 = 0)
+      SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b, a.st
+      FROM v a JOIN v b
+        ON a.st IS NOT DISTINCT FROM b.st AND a.o_orderkey < b.o_orderkey
+      WHERE a.o_orderkey % 100 = 0 AND b.o_orderkey % 100 = 0
+      ORDER BY a.st NULLS FIRST, key_a, key_b"""),
+    (s, dir) => {
+      val v = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(3)) === 0, lit(null))
+            .otherwise(col("o_orderstatus")).as("st"))
+      val a = v.select(col("o_orderkey").as("key_a"), col("st"))
+      val b = v.select(col("o_orderkey").as("key_b"), col("st").as("st_b"))
+      a.join(b, col("st") <=> col("st_b") && col("key_a") < col("key_b"))
+        .filter(pmod(col("key_a"), lit(100)) === 0 &&
+          pmod(col("key_b"), lit(100)) === 0)
+        .select(col("key_a"), col("key_b"), col("st"))
+        .orderBy(col("st").asc_nulls_first, col("key_a"), col("key_b"))
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45, q46)
+    q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45,
+    q46, q47, q48, q49)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
