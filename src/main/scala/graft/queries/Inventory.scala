@@ -725,10 +725,11 @@ object Inventory {
              levenshtein(a.c_name, b.c_name) AS dist
       FROM customer a JOIN customer b
         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-      WHERE levenshtein(a.c_name, b.c_name) <= 2
+      WHERE a.c_custkey < 2000 AND b.c_custkey < 2000
+        AND levenshtein(a.c_name, b.c_name) <= 2
       ORDER BY cust_a, cust_b"""),
     (s, dir) => {
-      val c = t(s, dir, "customer")
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 2000)
       val a = c.select(col("c_custkey").as("cust_a"), col("c_name").as("name_a"),
         col("c_nationkey").as("nk_a"))
       val b = c.select(col("c_custkey").as("cust_b"), col("c_name").as("name_b"),
