@@ -768,23 +768,25 @@ object Inventory {
     Some("""
       WITH v AS (SELECT o_orderkey,
                  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS st
-                 FROM orders WHERE o_orderkey % 20 = 0)
+                 FROM orders WHERE o_orderkey % 100 = 0)
       SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b, a.st
       FROM v a JOIN v b
-        ON a.st IS NOT DISTINCT FROM b.st AND a.o_orderkey < b.o_orderkey
-      WHERE a.o_orderkey % 100 = 0 AND b.o_orderkey % 100 = 0
+        ON a.st IS NOT DISTINCT FROM b.st
+       AND a.o_orderkey < b.o_orderkey
+       AND b.o_orderkey - a.o_orderkey <= 2000
       ORDER BY a.st NULLS FIRST, key_a, key_b"""),
     (s, dir) => {
       val v = t(s, dir, "orders")
-        .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+        .filter(pmod(col("o_orderkey"), lit(100)) === 0)
         .select(col("o_orderkey"),
           when(pmod(col("o_orderkey"), lit(3)) === 0, lit(null))
             .otherwise(col("o_orderstatus")).as("st"))
       val a = v.select(col("o_orderkey").as("key_a"), col("st"))
       val b = v.select(col("o_orderkey").as("key_b"), col("st").as("st_b"))
-      a.join(b, col("st") <=> col("st_b") && col("key_a") < col("key_b"))
-        .filter(pmod(col("key_a"), lit(100)) === 0 &&
-          pmod(col("key_b"), lit(100)) === 0)
+      // band condition bounds the per-row pairing window: a self-join on a
+      // low-cardinality key is otherwise quadratic in the data size
+      a.join(b, col("st") <=> col("st_b") && col("key_a") < col("key_b") &&
+          col("key_b") - col("key_a") <= 2000)
         .select(col("key_a"), col("key_b"), col("st"))
         .orderBy(col("st").asc_nulls_first, col("key_a"), col("key_b"))
     })
