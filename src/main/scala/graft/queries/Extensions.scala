@@ -72,7 +72,9 @@ object Extensions {
       sig AS (SELECT doc_id,
               SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
               FROM votes GROUP BY doc_id)
-      SELECT doc_id, simhash FROM sig ORDER BY doc_id"""),
+      -- DuckDB SUM(BIGINT) yields HUGEINT; cast so the physical type the
+      -- driver hashes matches Spark's int64.
+      SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM sig ORDER BY doc_id"""),
     (s, dir) => Dedup.simHash(t(s, dir, "documents"), "doc_id", "text", bits = 32)
       .orderBy("doc_id"))
 

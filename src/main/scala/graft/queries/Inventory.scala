@@ -642,12 +642,18 @@ object Inventory {
     "exact interpolated percentiles (sort-based order statistics) per group",
     Some("""
       SELECT event_type,
-             quantile_cont(value, [0.25, 0.5, 0.9]) AS pcts,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.9) AS p90,
              min(value) AS min_v, max(value) AS max_v
       FROM events GROUP BY event_type ORDER BY event_type"""),
     (s, dir) => {
+      // Scalar percentile columns (not one LIST column): the driver's pandas
+      // sort cannot key on array cells.
       t(s, dir, "events").groupBy("event_type").agg(
-        expr("percentile(value, array(0.25d, 0.5d, 0.9d))").as("pcts"),
+        expr("percentile(value, 0.25d)").as("p25"),
+        expr("percentile(value, 0.5d)").as("p50"),
+        expr("percentile(value, 0.9d)").as("p90"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"))
         .orderBy("event_type")

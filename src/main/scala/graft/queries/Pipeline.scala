@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -186,19 +187,33 @@ object Pipeline {
     })
 
   private val q34 = Q("q34_approx_distinct",
-    "HLL-sketch cardinality next to exact counts (no oracle: sketch " +
-      "estimates are engine-specific; the driver records a rows-only check, " +
-      "the ScalaTest suite asserts the <5% error bound)",
-    None,
+    "distinct-count rollup whose exact columns are oracle-gated; the " +
+      "HLL-sketch estimate itself is engine-specific, so its <5% error " +
+      "bound is asserted in PipelineSpec (approxDistinct), not here",
+    Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS exact_users,
+             count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""),
     (s, dir) => {
       val ev = Tables.table(s, dir, "events")
       ev.groupBy("event_type").agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("event_id"), rsd = 0.02).as("approx_events"),
         count(lit(1)).as("n"))
         .orderBy("event_type")
     })
+
+  /** Sketch variant of q34: HLL approx counts next to the exact ones.
+    * Engine-specific estimates → spec-tested (±5%), not oracle-gated. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(s, dir, "events")
+    ev.groupBy("event_type").agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("event_id"), rsd = 0.02).as("approx_events"),
+      count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
 
   private val q35 = Q("q35_topk_aggregator",
     "§2.10: typed bounded-heap Aggregator — per-group top-3 with " +

@@ -104,7 +104,7 @@ class MiscOpsSpec extends SparkSpec {
   }
 
   test("approx_count_distinct stays within 5% of exact on the testdata") {
-    val got = SparkEntry.queries("q34_approx_distinct")(spark, "/root/testdata/sf0.01")
+    val got = graft.queries.Pipeline.approxDistinct(spark, "/root/testdata/sf0.01")
       .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
     got.foreach { case (approx, exact) =>
       assert(math.abs(approx - exact).toDouble / exact < 0.05)
