@@ -31,22 +31,32 @@ object Bench {
     try force(SparkEntry.queries("q12_tpch_q1")(spark, sfDir))
     catch { case _: Throwable => () }
 
-    // min of 2 runs: the steady-state cost, damping GC/JIT/compile noise
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated substring filter for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=q21,q24 — the driver never sets it (full run).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains))
+    }
+
+    // min of 2 runs: the steady-state cost, damping GC/JIT/compile noise.
+    // A failed run is recorded as -1 (never a fake fast timing) so the JSON
+    // cannot mask a broken query inside a healthy-looking total.
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir))
+        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,6 +29,115 @@ object HashUtil {
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
+
+  /** All four 60-bit parts of sha256(s) from ONE digest — part j covers hex
+    * chars 15j+1..15j+15 (1-based), bit-identical to the DuckDB oracle form
+    * `CAST('0x' || substr(sha256(s), 15*j+1, 15) AS BIGINT)` for j in 0..3.
+    * The composed built-in equivalent runs one sha2 hex materialization plus
+    * four substring+conv string-decimal decodes per row.
+    */
+  def sha256Parts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = digests.get()
+    md.reset()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      partsOf(md.digest(s.getBytes)))
+  }
+
+  private def partsOf(d: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](4)
+    var j = 0
+    while (j < 4) {
+      var v = 0L
+      var i = 15 * j
+      val end = i + 15
+      while (i < end) {
+        val nib =
+          if ((i & 1) == 0) (d(i >> 1) & 0xf0) >>> 4
+          else d(i >> 1) & 0x0f
+        v = (v << 4) | nib
+        i += 1
+      }
+      out(j) = v
+      j += 1
+    }
+    out
+  }
+
+  /** Byte ranges [from, until) of each word-`n`-gram shingle of `text` when
+    * split on single spaces (0x20 — safe byte-wise in UTF-8): because the
+    * separator is exactly one space, the joined shingle string IS the
+    * contiguous substring from the start of word i to the end of word i+n-1,
+    * so each digest runs straight over a slice of the original bytes with no
+    * per-shingle string construction. Matches
+    * `concat_ws(' ', w[i..i+n-1])` over `split(text, ' ')` bit-for-bit,
+    * including empty words from consecutive spaces.
+    */
+  private def shingleRanges(bytes: Array[Byte], n: Int): (Array[Int], Int) = {
+    var words = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) words += 1; i += 1 }
+    val numShingles = if (words < n) 0 else words - n + 1
+    if (numShingles == 0) return (Array.emptyIntArray, 0)
+    // starts(k) = byte offset of word k; word k ends at starts(k+1)-1 (space)
+    val starts = new Array[Int](words + 1)
+    starts(0) = 0
+    var k = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(words) = bytes.length + 1 // sentinel: end-of-word w = starts(w+1)-1
+    (starts, numShingles)
+  }
+
+  /** hash64 (60-bit sha256 prefix) of every word-n-gram shingle — the native
+    * fused form of explode(wordShingles(text)) → hash64(sh): the composed
+    * chain pays a non-codegen higher-order transform building one string per
+    * shingle (3 element_at + concat_ws each), which profiling showed
+    * dominates the dedup queries' cost, not the digest itself.
+    */
+  def shingleHashes(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.getBytes
+    val (starts, numShingles) = shingleRanges(bytes, n)
+    val out = new Array[Long](numShingles)
+    val md = digests.get()
+    var s = 0
+    while (s < numShingles) {
+      val from = starts(s)
+      val until = starts(s + n) - 1
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      out(s) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** All four 60-bit sha256 parts of every word-n-gram shingle (inner array
+    * element 0 == [[shingleHashes]]' value) — feeds MinHash, where the k
+    * hash functions mix the four parts.
+    */
+  def shingleParts(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.getBytes
+    val (starts, numShingles) = shingleRanges(bytes, n)
+    val out = new Array[Any](numShingles)
+    val md = digests.get()
+    var s = 0
+    while (s < numShingles) {
+      val from = starts(s)
+      val until = starts(s + n) - 1
+      md.reset()
+      md.update(bytes, from, until - from)
+      out(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(partsOf(md.digest()))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Native Catalyst expression for the engine's portable 64-bit hash
@@ -43,6 +152,10 @@ object HashUtil {
   */
 case class Sha256Prefix60(child: Expression) extends UnaryExpression {
 
+  // null in -> null out, never null otherwise: lets the optimizer rewrite
+  // isnotnull(graft_hash64(x)) to isnotnull(x) instead of running the digest
+  // twice per row (once in the join-key null filter, once in the project).
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hash64"
 
@@ -64,6 +177,87 @@ object Sha256Prefix60 {
     Bridge.column(Sha256Prefix60(Bridge.expression(c.cast("string"))))
 }
 
+/** Four 60-bit sha256 parts as array<long> from a single digest — the hash
+  * family feeding MinHash (graft.ops.Dedup.minHashSignatures). One native
+  * call replaces sha2 → 64-char hex → 4 × (substring + conv base-16 decimal
+  * decode) per shingle, which dominated the MinHash stage's profile.
+  */
+case class Sha256Parts(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hash64_parts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.sha256Parts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashUtil.sha256Parts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Sha256Parts =
+    copy(child = newChild)
+}
+
+object Sha256Parts {
+  def apply(c: Column): Column =
+    Bridge.column(Sha256Parts(Bridge.expression(c.cast("string"))))
+}
+
+/** array<long> of hash64(shingle) for every word-`n`-gram of the text —
+  * fuses explode(wordShingles) + hash64 into one codegen'd pass over the
+  * text bytes (see HashUtil.shingleHashes for why the composed form is
+  * slow: the higher-order transform is interpreted, one string per shingle).
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashUtil.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(c.cast("string")), n))
+}
+
+/** array<array<long>> — the four 60-bit sha256 parts of every word-n-gram
+  * shingle; inner element 0 equals the [[ShingleHashes]] value.
+  */
+case class ShingleParts(child: Expression, n: Int) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+      containsNull = false)
+  override def prettyName: String = "graft_shingle_parts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.shingleParts(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashUtil.shingleParts($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleParts =
+    copy(child = newChild)
+}
+
+object ShingleParts {
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(ShingleParts(Bridge.expression(c.cast("string")), n))
+}
+
 /** Session extension registering the function for SQL use:
   *   SELECT graft_hash64(text) FROM documents
   * Install with .withExtensions(new GraftExtensions) or
@@ -75,5 +269,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hash64"),
       new ExpressionInfo(classOf[Sha256Prefix60].getName, "graft_hash64"),
       (children: Seq[Expression]) => Sha256Prefix60(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash64_parts"),
+      new ExpressionInfo(classOf[Sha256Parts].getName, "graft_hash64_parts"),
+      (children: Seq[Expression]) => Sha256Parts(children.head)))
   }
 }

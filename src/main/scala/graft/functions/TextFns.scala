@@ -41,6 +41,20 @@ object TextFns {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** `transform(wordShingles(text, n), hash64)` fused into one native pass
+    * over the text bytes ([[graft.expressions.ShingleHashes]]) — the
+    * composed form above is an interpreted higher-order lambda building one
+    * string per shingle, which profiling showed dominates the dedup suite.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.expressions.ShingleHashes(text, n)
+
+  /** Four 60-bit sha256 parts per shingle (inner array; element 0 equals
+    * [[shingleHashes]]) — the MinHash hash-family input.
+    */
+  def shingleParts(text: Column, n: Int = 3): Column =
+    graft.expressions.ShingleParts(text, n)
+
   /** Polynomial rolling-hash document fingerprint over the first `prefixLen`
     * chars: fold(acc*31 + code) mod 1e9+7. Oracle equivalent:
     * list_reduce(list_prepend(0, codes), (a,b)->(a*31+b)%1000000007).

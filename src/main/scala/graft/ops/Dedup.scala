@@ -37,21 +37,20 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleSize: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col(idCol), explode(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
-      .distinct() // MinHash is over the shingle SET
-    // One sha256 per shingle, split into four 60-bit parts; the k hash
-    // functions are xor/shift mixes of the parts (standard practice — k
-    // independent strong hashes are unnecessary, and k digests per shingle
-    // would dominate the cost). Subexpression elimination keeps the digest
-    // computed once across all k aggregate columns.
-    val hex = sha2(col("sh"), 256)
-    def part(j: Int) =
-      conv(substring(hex, 1 + 15 * j, 15), 16, 10).cast("long")
-    // materialize the parts in one Project so the digest is computed once
-    // per shingle (subexpression elimination does not cross the children of
-    // distinct aggregate functions)
-    val parts = sh.select(col(idCol) +: (0 until 4).map(j => part(j).as(s"_p$j")): _*)
+    // min() is duplicate-insensitive, so MinHash-over-the-shingle-SET needs
+    // no distinct(): the per-doc min over raw shingle occurrences equals the
+    // min over the set, and skipping the dedup removes an entire shuffle of
+    // shingle rows (the signature stage becomes ONE shuffle — the final
+    // groupBy(id) with map-side partial min combine).
+    //
+    // One sha256 per shingle via the native ShingleParts (four 60-bit parts
+    // from one digest, computed straight from the text bytes — no shingle
+    // strings, no hex/conv decodes); the k hash functions are xor/shift
+    // mixes of the parts (standard practice — k independent strong hashes
+    // are unnecessary).
+    val parts = docs
+      .select(col(idCol), explode(TextFns.shingleParts(col(textCol), shingleSize)).as("_ps"))
+      .select(col(idCol) +: (0 until 4).map(j => col("_ps")(j).as(s"_p$j")): _*)
     val hashCols = (0 until numHashes).map { h =>
       min(col(s"_p${h % 4}").bitwiseXOR(
         shiftright(col(s"_p${(h + 1) % 4}"), (h * 7) % 29))).as(s"_mh$h")
@@ -142,9 +141,7 @@ object Dedup {
                    minJaccard: Double = 0.0): DataFrame = {
     val sh = docs.select(
       col(idCol) +: blockCols.map(col) :+
-        explode(TextFns.wordShingles(col(textCol), shingleSize)).as("_sh_str"): _*)
-      .select(col(idCol) +: blockCols.map(col) :+
-        TextFns.hash64(col("_sh_str")).as("sh"): _*)
+        explode(TextFns.shingleHashes(col(textCol), shingleSize)).as("sh"): _*)
       .distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("doc_a") +: blockCols.map(col) :+ col("sh"): _*)

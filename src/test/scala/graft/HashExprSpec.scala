@@ -50,6 +50,39 @@ class HashExprSpec extends SparkSpec {
     }
   }
 
+  test("ShingleHashes fuses explode(wordShingles)+hash64 bit-identically") {
+    // texts chosen to hit the edge cases the byte-slice fast path must
+    // preserve: consecutive/leading/trailing spaces (empty words), unicode,
+    // short docs (< n words -> empty), empty string
+    val texts = Seq("", "one", "one two", "one two three",
+      "a  doubled  space run", " leading and trailing ", "ü¢∆ uni ✓ code ✗ más",
+      "w " * 200 + "end") ++
+      (0 until 100).map(i => s"doc $i body ${"tok " * (i % 17)}tail")
+    val df = texts.toDF("t")
+    for (n <- Seq(2, 3, 5)) {
+      val spec = df.select(
+        transform(TextFns.wordShingles($"t", n), s => TextFns.hash64Composed(s))
+          .as("spec"),
+        TextFns.shingleHashes($"t", n).as("fast"))
+      assert(spec.filter(not($"spec" <=> $"fast")).count() == 0, s"n=$n")
+    }
+  }
+
+  test("ShingleParts: element 0 matches ShingleHashes, all parts match conv chain") {
+    val texts = Seq("alpha beta gamma delta epsilon", "a  b  c  d", "x y z")
+    val df = texts.toDF("t")
+    val hex = sha2($"s", 256)
+    def part(j: Int) = conv(substring(hex, 1 + 15 * j, 15), 16, 10).cast("long")
+    val flat = df.select(posexplode(TextFns.shingleParts($"t", 3)).as(Seq("i", "ps")),
+      $"t")
+    val shingleStr = df.select($"t", posexplode(TextFns.wordShingles($"t", 3))
+      .as(Seq("i", "s")))
+    val expected = shingleStr.select($"t", $"i",
+      array((0 until 4).map(part): _*).as("exp_ps"))
+    val joined = flat.join(expected, Seq("t", "i"))
+    assert(joined.filter(not($"ps" <=> $"exp_ps")).count() == 0)
+  }
+
   test("graft_hash64 is SQL-callable when GraftExtensions is installed") {
     // register directly on the active session's registry (same injection
     // path GraftExtensions uses at session build)
