@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expressions.DeletionNeighborhood
+
+/** Fuzzy string matching: all pairs within a Levenshtein threshold — the
+  * string-similarity sibling of the near-dup family (generalizes the
+  * reference's exact-key record matching, ideafast_etl/dags/dreem.py:49-67,
+  * to noisy identifiers).
+  */
+object Fuzzy {
+
+  /** All pairs (idCol a < b) whose `strCol` values are within Levenshtein
+    * distance `maxDist` (1 or 2), optionally also equal on `blockCols`.
+    *
+    * Candidate generation is the symmetric-delete signature: each string
+    * explodes into its <=maxDist-deletion variants and candidates are pairs
+    * sharing a variant — a COMPLETE blocking (lev(a,b)<=k implies a shared
+    * variant) with no length/prefix assumption, then verified with the
+    * exact levenshtein. Scale shape: the explode is a constant ~O(len^k)
+    * per row, the self-join key (blockCols, variant) is near-unique, and
+    * the quadratic blow-up of naive per-block pairing never happens — this
+    * replaced a `custkey < 2000` bench bound that hid an O(n²/25)
+    * nation-block pairing.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        blockCols: Seq[String], maxDist: Int): DataFrame = {
+    // Candidate join carries ONLY (blockCols, id, xxhash64(variant)) — an
+    // 8-byte key instead of the variant string, and no name strings through
+    // the self-join shuffle or the pair dedup. A hash collision merely
+    // merges two buckets: extra candidates, removed by the verify below;
+    // equal variants always hash equal, so completeness is unaffected.
+    val v = df.select(
+      col(idCol) +: blockCols.map(col) :+
+        explode(DeletionNeighborhood(col(strCol), maxDist)).as("_v"): _*)
+      .select(col(idCol) +: blockCols.map(col) :+ xxhash64(col("_v")).as("_vh"): _*)
+    val a = v.select(col(idCol).as("id_a") +: col("_vh") +: blockCols.map(col): _*)
+    val b = v.select(col(idCol).as("id_b") +: col("_vh").as("_vh_b") +:
+      blockCols.map(c => col(c).as(s"_b_$c")): _*)
+    val joinCond = (blockCols.map(c => col(c) === col(s"_b_$c")) :+
+      (col("_vh") === col("_vh_b")) :+ (col("id_a") < col("id_b"))).reduce(_ && _)
+    // variant buckets are near-unique -> hash join beats sorting both sides
+    val cand = a.join(b.hint("shuffle_hash"), joinCond)
+      // a true pair shares many variants: dedup the narrow (id, id) pairs
+      // BEFORE fetching strings so the exact distance runs once per pair
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val names = df.select(col(idCol), col(strCol))
+    cand
+      .join(names.select(col(idCol).as("id_a"), col(strCol).as("_s_a")), "id_a")
+      .join(names.select(col(idCol).as("id_b"), col(strCol).as("_s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("_s_a"), col("_s_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

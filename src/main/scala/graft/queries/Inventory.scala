@@ -724,26 +724,21 @@ object Inventory {
 
   // ---------------------------------------------------------------- q47
   private val q47 = Q("q47_edit_distance",
-    "fuzzy matching: Levenshtein pairs within a blocking group (the " +
-      "string-similarity sibling of the near-dup family)",
+    "fuzzy matching: all same-nation customer pairs within Levenshtein 2, " +
+      "FULL table — Spark side blocks by complete symmetric-delete " +
+      "signatures (graft.ops.Fuzzy) and verifies; the oracle checks the " +
+      "same result the naive all-pairs way",
     Some("""
       SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
              levenshtein(a.c_name, b.c_name) AS dist
       FROM customer a JOIN customer b
         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-      WHERE a.c_custkey < 2000 AND b.c_custkey < 2000
-        AND levenshtein(a.c_name, b.c_name) <= 2
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
       ORDER BY cust_a, cust_b"""),
     (s, dir) => {
-      val c = t(s, dir, "customer").filter(col("c_custkey") < 2000)
-      val a = c.select(col("c_custkey").as("cust_a"), col("c_name").as("name_a"),
-        col("c_nationkey").as("nk_a"))
-      val b = c.select(col("c_custkey").as("cust_b"), col("c_name").as("name_b"),
-        col("c_nationkey").as("nk_b"))
-      a.join(b, col("nk_a") === col("nk_b") && col("cust_a") < col("cust_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
-        .select(col("cust_a"), col("cust_b"), col("dist"))
+      graft.ops.Fuzzy.editDistancePairs(t(s, dir, "customer"),
+        "c_custkey", "c_name", Seq("c_nationkey"), maxDist = 2)
+        .select(col("id_a").as("cust_a"), col("id_b").as("cust_b"), col("dist"))
         .orderBy("cust_a", "cust_b")
     })
 

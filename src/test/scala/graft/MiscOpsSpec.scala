@@ -103,6 +103,32 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("Fuzzy.editDistancePairs is complete vs brute force (subs AND indels)") {
+    // strings engineered to need every edit kind: substitutions, inserts,
+    // deletes, transposition-ish (lev 2), plus length-2 gaps that a naive
+    // length-band blocking would miss and decoys beyond the threshold
+    val strs = Seq(
+      1L -> "kitten", 2L -> "sitten", 3L -> "sittin", 4L -> "kiten",
+      5L -> "kittten", 6L -> "ktiten", 7L -> "mitten", 8L -> "kitt",
+      9L -> "banana", 10L -> "bananas", 11L -> "bananza", 12L -> "bonanza",
+      13L -> "abcdef", 14L -> "abdcef", 15L -> "xyz", 16L -> "zyx")
+    val df = strs.toDF("id", "s").withColumn("blk", lit(0))
+    val got = graft.ops.Fuzzy.editDistancePairs(df, "id", "s", Seq("blk"), 2)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect().toSet
+    val lev = { (a: String, b: String) =>
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      dist = lev(sa, sb) if dist <= 2
+    } yield (ia, ib, dist)).toSet
+    assert(got == expected)
+  }
+
   test("approx_count_distinct stays within 5% of exact on the testdata") {
     val got = graft.queries.Pipeline.approxDistinct(spark, "/root/testdata/sf0.01")
       .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
