@@ -418,6 +418,93 @@ object Extensions {
         .orderBy("event_id")
     })
 
+  // ---- scale-path variants, oracle-gated (VERDICT r1 item 5): the
+  // sub-quadratic siblings of q23/q27 and the Bloom-prefiltered J1, each
+  // pinned to the same DuckDB oracle discipline as their exact forms.
+
+  private val q50 = Q("q50_emb_neardup_lsh",
+    "embedding near-dup SCALE PATH: label block AND 6-plane LSH bucket " +
+      "must both match (recall trade documented in SCALING.md), cosine >= 0.3",
+    Some("""
+      WITH el AS (SELECT vec_id, label, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      planes AS (SELECT vec_id, b,
+                 SUM(CAST(floor((CAST('0x' || substr(sha256(CAST(b AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+                           % 2001 - 1000) * CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS pdot
+                 FROM el CROSS JOIN generate_series(0, 5) t(b) GROUP BY vec_id, b),
+      sig AS (SELECT vec_id,
+              SUM(CASE WHEN pdot >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+              FROM planes GROUP BY vec_id),
+      nrm AS (SELECT vec_id,
+              CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS n2s
+              FROM el GROUP BY 1),
+      dots AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               CAST(SUM(CAST(floor(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+               FROM el a JOIN sig sa ON a.vec_id = sa.vec_id
+                         JOIN el b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+                         JOIN sig sb ON b.vec_id = sb.vec_id AND sa.sig = sb.sig
+               GROUP BY 1, 2),
+      cosv AS (SELECT doc_a, doc_b,
+               CAST(d.dot_s AS DOUBLE) / (sqrt(CAST(na.n2s AS DOUBLE)) * sqrt(CAST(nb.n2s AS DOUBLE))) AS cosine
+               FROM dots d JOIN nrm na ON doc_a = na.vec_id
+                           JOIN nrm nb ON doc_b = nb.vec_id)
+      SELECT doc_a, doc_b, cosine FROM cosv WHERE cosine >= 0.3
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", minCosine = 0.3, numPlanes = 6)
+      .orderBy("doc_a", "doc_b"))
+
+  private val q51 = Q("q51_simhash_blocked_pairs",
+    "SimHash pairs SCALE PATH: 4 high signature bits block the self-join " +
+      "(bucket-local comparisons), Hamming <= 2 within the block",
+    Some("""
+      WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wh AS (SELECT doc_id, CAST('0x' || substr(sha256(w), 1, 15) AS BIGINT) AS wh FROM wds),
+      votes AS (SELECT doc_id, b,
+                SUM(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM wh CROSS JOIN generate_series(0, 31) t(b) GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sig a JOIN sig b
+        ON (a.simhash >> 28) = (b.simhash >> 28) AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val sigs = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text", bits = 32)
+      Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2, blockBits = 4)
+        .orderBy("doc_a", "doc_b")
+    })
+
+  private val q52 = Q("q52_bloom_dedup",
+    "J1 SCALE PATH: Bloom-prefiltered ledger dedup — result is identical " +
+      "to the exact anti-join (the filter only routes rows; suspects still " +
+      "anti-join exactly), so the q03 oracle applies verbatim",
+    Some("""
+      WITH inc AS (
+        SELECT event_id, sha256('DRM' || CAST(event_id AS VARCHAR)) AS hash
+        FROM events),
+      led AS (
+        SELECT sha256('DRM' || CAST(event_id AS VARCHAR)) AS hash
+        FROM events WHERE event_id % 10 < 3)
+      SELECT event_id, hash FROM inc
+      WHERE hash NOT IN (SELECT hash FROM led)
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val incoming = ev.select(col("event_id"), lit("DRM").as("device_type"),
+        col("event_id").cast("string").as("manufacturer_ref"))
+      val ledger = ev.filter(pmod(col("event_id"), lit(10)) < 3)
+        .select(graft.functions.Etl.recordHash(lit("DRM"),
+          col("event_id").cast("string")).as("hash"))
+      graft.etl.Stages.ingestDedupBloom(incoming, ledger,
+        expectedLedgerItems = 100000)
+        .select(col("event_id"), col("hash"))
+        .orderBy("event_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q36, q37, q40, q41)
+    q31, q32, q36, q37, q40, q41, q50, q51, q52)
 }
