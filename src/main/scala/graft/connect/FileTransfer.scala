@@ -64,6 +64,54 @@ object FileTransfer {
     }
   }
 
+  /** S2 default fetch implementation — the reference's two-step download
+    * (ideafast_etl/hooks/drm.py:48-90): query the record endpoint for the
+    * file's location; a missing/empty `data_url` means the file is not
+    * ready upstream (still on-device or mid-processing, drm.py:62-66) →
+    * false, group retried next run. Otherwise stream the payload to disk
+    * in chunks (reference uses 1 KiB iter_content) and return true.
+    *
+    * `recordUrl` builds the metadata URL from the ref (the reference's
+    * `base_url + "dreem/algorythm/record/<ref>/h5/"`, drm.py:56).
+    */
+  def chunkedFetch(transport: Transport, tokens: TokenProvider,
+                   recordUrl: String => String,
+                   log: String => Unit = _ => ())(
+                   ref: String, target: Path): Boolean = {
+    val meta = transport.send(HttpRequest("GET", recordUrl(ref),
+      tokens.authHeader()))
+    require(meta.isSuccess, s"record query failed: HTTP ${meta.status}")
+    Jwt.dotPath(meta.bodyString, "data_url").filter(_.nonEmpty) match {
+      case None => false // not ready upstream: no data_url yet
+      case Some(fileUrl) =>
+        // file_url embeds its own auth (drm.py:52-53) — no headers
+        val resp = transport.send(HttpRequest("GET", fileUrl))
+        require(resp.isSuccess, s"file download failed: HTTP ${resp.status}")
+        val out = new BufferedOutputStream(new FileOutputStream(target.toFile))
+        try {
+          // chunked copy with 10%-step progress (drm.py:69-88); the
+          // Transport seam already buffered the body, so the chunk loop
+          // preserves the reference's progress/IO shape, not its socket use
+          val bytes = resp.body
+          val chunk = 1024
+          var off = 0
+          var percentDown = 0
+          while (off < bytes.length) {
+            val n = math.min(chunk, bytes.length - off)
+            out.write(bytes, off, n)
+            off += n
+            val status = (off.toLong * 100 / math.max(1, bytes.length)).toInt
+            if (status > percentDown + 10) {
+              percentDown = status / 10 * 10
+              log(s"$percentDown% Downloaded")
+            }
+          }
+          log("100% Downloaded")
+        } finally out.close()
+        true
+    }
+  }
+
   /** Execute an upload plan: for every (dmp_id, member_refs) group —
   *  download members → zip → upload → cleanup; any failure inside a group
   *  marks only that group failed (per-group try/except, dags/dreem.py:219-228)
@@ -84,6 +132,12 @@ object FileTransfer {
         val folder = Paths.get(workDir, dmpId)
         var zipped = false
         try {
+          // refs come from ledger data: reject anything that could resolve
+          // outside the per-group work folder (path separators, '..') or
+          // break zipFolder's flat listing
+          val badRef = refs.find(r => !r.matches("[A-Za-z0-9._-]+") || r.contains(".."))
+          badRef.foreach(r => throw new IllegalArgumentException(
+            s"unsafe member_ref rejected: '$r'"))
           Files.createDirectories(folder)
           val all = refs.forall { ref =>
             fetch(ref, folder.resolve(s"$ref.h5"))

@@ -18,7 +18,12 @@ final case class ConnectionConfig(
     password: String = "",
     jwtUrl: String = "",
     jwtTokenPath: String = "token",
-    jwtToken: Option[String] = None) {
+    jwtToken: Option[String] = None,
+    /** Free-form connection extras (the Airflow `extra` dict, jwt.py:157+);
+      * long credentials can live here behind `extra://<key>` indirection
+      * (dmp.py:41-47).
+      */
+    extras: Map[String, String] = Map.empty) {
   require(host.nonEmpty, "connection requires host")
 }
 
@@ -101,14 +106,55 @@ class BasicAuthTokenProvider(val transport: Transport,
 }
 
 /** JSON `{Username, Password}` body refresh (the UcamHook override,
-  * ucam.py:89-93).
+  * ucam.py:89-93). Credentials are serialized through MiniJson so quotes /
+  * backslashes in them cannot break the JSON or inject fields.
   */
 class JsonBodyTokenProvider(val transport: Transport,
                             val conn: ConnectionConfig) extends TokenProvider {
   override protected def prepareRefreshRequest(): HttpRequest =
     HttpRequest("POST", conn.jwtUrl,
       Map("Content-Type" -> "application/json"),
-      s"""{"Username": "${conn.login}", "Password": "${conn.password}"}"""
+      MiniJson.render(MiniJson.JObj(scala.collection.immutable.VectorMap(
+        "Username" -> MiniJson.JStr(conn.login),
+        "Password" -> MiniJson.JStr(conn.password))))
+        .getBytes(StandardCharsets.UTF_8))
+}
+
+/** GraphQL signature-auth refresh — the DmpHook override (dmp.py:37-57):
+  * POST `{query: <token mutation>, variables: {pubkey, signature}}` to the
+  * token endpoint. A login of the form `extra://<key>` is resolved through
+  * the connection extras, the reference's escape hatch for storing long
+  * public keys outside the user field (dmp.py:41-47).
+  */
+class SignatureAuthTokenProvider(val transport: Transport,
+                                 val conn: ConnectionConfig) extends TokenProvider {
+  /** The token-issuance GraphQL document (the reference ships it as the
+    * dmpy `token.graphql` resource, dmp.py:50).
+    */
+  val tokenQuery: String =
+    """mutation issueAccessToken($pubkey: String!, $signature: String!) {
+      |  issueAccessToken(pubkey: $pubkey, signature: $signature) {
+      |    accessToken
+      |  }
+      |}""".stripMargin
+
+  private val extraPrefix = "extra://"
+
+  private[connect] def resolvedPubkey: String =
+    if (conn.login.startsWith(extraPrefix))
+      conn.extras.getOrElse(conn.login.drop(extraPrefix.length),
+        throw new NoSuchElementException(
+          s"extras key '${conn.login.drop(extraPrefix.length)}' not found"))
+    else conn.login
+
+  override protected def prepareRefreshRequest(): HttpRequest =
+    HttpRequest("POST", conn.jwtUrl,
+      Map("Content-Type" -> "application/json"),
+      MiniJson.render(MiniJson.JObj(scala.collection.immutable.VectorMap(
+        "query" -> MiniJson.JStr(tokenQuery),
+        "variables" -> MiniJson.JObj(scala.collection.immutable.VectorMap(
+          "pubkey" -> MiniJson.JStr(resolvedPubkey),
+          "signature" -> MiniJson.JStr(conn.password))))))
         .getBytes(StandardCharsets.UTF_8))
 }
 

@@ -66,7 +66,9 @@ class ConnectSpec extends SparkSpec {
       ConnectionConfig("https://u", "usr", "pw", "https://u/jwt"))
     p.token()
     val body = new String(transport.log.head.body, "UTF-8")
-    assert(body.contains(""""Username": "usr""""))
+    val parsed = MiniJson.parse(body).asInstanceOf[MiniJson.JObj]
+    assert(parsed.fields("Username") == MiniJson.JStr("usr"))
+    assert(parsed.fields("Password") == MiniJson.JStr("pw"))
   }
 
   test("PaginatedRestSource follows next cursors until null (drm.py:41-46)") {
@@ -123,5 +125,146 @@ class ConnectSpec extends SparkSpec {
     val sum = FileTransfer.sha256File(zip)
     assert(sum.length == 64)
     assert(sum == FileTransfer.sha256File(zip)) // deterministic
+  }
+
+  test("executePlan rejects member_refs that escape the work folder") {
+    val work = Files.createTempDirectory("graft-evil").toString
+    val plan = Seq(("G1", Seq("../../etc/passwd")), ("G2", Seq("sub/dir")))
+      .toDF("dmp_id", "member_refs")
+    val got = FileTransfer.executePlan(spark, plan, work,
+      fetch = (_, path) => { Files.write(path, "x".getBytes); true },
+      push = (_, _) => true)
+      .select($"dmp_id", $"uploaded", $"error")
+      .as[(String, Boolean, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(!got("G1")._1 && got("G1")._2.contains("unsafe member_ref"))
+    assert(!got("G2")._1 && got("G2")._2.contains("unsafe member_ref"))
+  }
+
+  // --- SignatureAuthTokenProvider (dmp.py:37-57 parity) -------------------
+
+  test("SignatureAuthTokenProvider posts GraphQL pubkey/signature; extra:// resolves") {
+    val fresh = jwt(System.currentTimeMillis() / 1000 + 3600)
+    val transport = new MockTransport(Seq({
+      case r => HttpResponse(200,
+        body = s"""{"data": {"issueAccessToken": {"accessToken": "$fresh"}}}""".getBytes)
+    }))
+    val p = new SignatureAuthTokenProvider(transport,
+      ConnectionConfig("https://dmp", login = "extra://pub_key", password = "sig\"ned",
+        jwtUrl = "https://dmp/graphql",
+        jwtTokenPath = "data.issueAccessToken.accessToken",
+        extras = Map("pub_key" -> "LONG-PUBLIC-KEY")))
+    assert(p.token() == fresh)
+    val body = new String(transport.log.head.body, "UTF-8")
+    val parsed = MiniJson.parse(body).asInstanceOf[MiniJson.JObj]
+    val vars = parsed.fields("variables").asInstanceOf[MiniJson.JObj]
+    assert(vars.fields("pubkey") == MiniJson.JStr("LONG-PUBLIC-KEY"))
+    assert(vars.fields("signature") == MiniJson.JStr("sig\"ned")) // escaped, not injected
+    assert(parsed.fields("query").asInstanceOf[MiniJson.JStr].s.contains("issueAccessToken"))
+  }
+
+  test("SignatureAuthTokenProvider fails clearly on a missing extras key") {
+    val p = new SignatureAuthTokenProvider(new MockTransport(Seq.empty),
+      ConnectionConfig("https://dmp", login = "extra://nope",
+        jwtUrl = "https://dmp/graphql"))
+    intercept[NoSuchElementException](p.token())
+  }
+
+  // --- Dmp.upload (tests/hooks/test_dmp.py:11-63 parity) ------------------
+
+  private def dmpFixture(bodyOrStatus: Either[Int, String]): (MockTransport, java.nio.file.Path) = {
+    val dir = Files.createTempDirectory("graft-dmp")
+    val f = dir.resolve("P001-D042-20240101-20240107.zip")
+    Files.write(f, "zipbytes".getBytes)
+    val transport = new MockTransport(Seq({
+      case r if r.url == "https://dmp/graphql" => bodyOrStatus match {
+        case Left(status) => HttpResponse(status)
+        case Right(body) => HttpResponse(200, body = body.getBytes)
+      }
+    }))
+    (transport, f)
+  }
+
+  private def dmpTokens(transport: MockTransport) =
+    new SignatureAuthTokenProvider(transport,
+      ConnectionConfig("https://dmp",
+        jwtToken = Some(jwt(System.currentTimeMillis() / 1000 + 3600))))
+
+  test("Dmp.upload success: multipart payload parses filename, checksum, weartimes") {
+    val (transport, f) = dmpFixture(Right("{}"))
+    assert(Dmp.upload(transport, dmpTokens(transport), "https://dmp/graphql",
+      "STUDY1", f))
+    val req = transport.log.head
+    val body = new String(req.body, "UTF-8")
+    assert(req.headers("Content-Type").startsWith("multipart/form-data; boundary="))
+    // operations part carries the parsed stem fields and checksum
+    assert(body.contains(""""studyId":"STUDY1""""))
+    assert(body.contains("P001"))
+    assert(body.contains("D042"))
+    assert(body.contains(FileTransfer.sha256File(f)))
+    assert(body.contains(Dmp.weartimeMs("20240101").toString))
+    // map part binds the file part per the GraphQL multipart convention
+    assert(body.contains(""""fileName": ["variables.file"]"""))
+    assert(body.contains("zipbytes"))
+  }
+
+  test("Dmp.upload error: body with errors key -> false (test_upload_error)") {
+    val (transport, f) = dmpFixture(Right("""{"errors": "error"}"""))
+    assert(!Dmp.upload(transport, dmpTokens(transport), "https://dmp/graphql", "S", f))
+  }
+
+  test("Dmp.upload error: non-JSON body -> false (test_upload_error_no_json)") {
+    val (transport, f) = dmpFixture(Right("not json at all"))
+    assert(!Dmp.upload(transport, dmpTokens(transport), "https://dmp/graphql", "S", f))
+  }
+
+  test("Dmp.upload error: HTTP failure -> false") {
+    val (transport, f) = dmpFixture(Left(500))
+    assert(!Dmp.upload(transport, dmpTokens(transport), "https://dmp/graphql", "S", f))
+  }
+
+  test("Dmp.weartimeMs matches the dataflow Etl.weartimeMs") {
+    val driverSide = Seq("20240101", "19991231", "20250615").map(Dmp.weartimeMs)
+    val sparkSide = Seq("20240101", "19991231", "20250615").toDF("d")
+      .select(graft.functions.Etl.weartimeMs($"d")).as[Long].collect().toSeq
+    assert(driverSide == sparkSide)
+  }
+
+  // --- chunkedFetch (drm.py:48-90 parity) ---------------------------------
+
+  test("chunkedFetch: missing data_url -> not ready (false), no download attempted") {
+    val fresh = jwt(System.currentTimeMillis() / 1000 + 3600)
+    val transport = new MockTransport(Seq({
+      case r if r.url == "https://drm/rec/R1/h5/" =>
+        HttpResponse(200, body = """{"status": "processing"}""".getBytes)
+    }))
+    val tokens = new BasicAuthTokenProvider(transport,
+      ConnectionConfig("https://drm", jwtToken = Some(fresh)))
+    val target = Files.createTempDirectory("graft-dl").resolve("R1.h5")
+    val ok = FileTransfer.chunkedFetch(transport, tokens,
+      ref => s"https://drm/rec/$ref/h5/")("R1", target)
+    assert(!ok)
+    assert(!Files.exists(target))
+    assert(transport.log.size == 1) // never hit a file url
+  }
+
+  test("chunkedFetch: data_url present -> streams bytes to target, true") {
+    val fresh = jwt(System.currentTimeMillis() / 1000 + 3600)
+    val payload = Array.tabulate[Byte](5000)(i => (i % 251).toByte)
+    val transport = new MockTransport(Seq(
+      { case r if r.url == "https://drm/rec/R2/h5/" =>
+          HttpResponse(200, body = """{"data_url": "https://cdn/signed/R2"}""".getBytes) },
+      { case r if r.url == "https://cdn/signed/R2" =>
+          assert(!r.headers.contains("Authorization")) // url embeds auth
+          HttpResponse(200, body = payload) }))
+    val tokens = new BasicAuthTokenProvider(transport,
+      ConnectionConfig("https://drm", jwtToken = Some(fresh)))
+    val target = Files.createTempDirectory("graft-dl").resolve("R2.h5")
+    val progress = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ok = FileTransfer.chunkedFetch(transport, tokens,
+      ref => s"https://drm/rec/$ref/h5/", progress += _)("R2", target)
+    assert(ok)
+    assert(java.util.Arrays.equals(Files.readAllBytes(target), payload))
+    assert(progress.last == "100% Downloaded")
   }
 }
