@@ -76,10 +76,21 @@ final class Ledger(spark: SparkSession, path: String) {
 
   /** Terminal flag for whole upload groups (db.py:189-196): set
     * is_uploaded=true for every record of the given dmp_ids.
+    *
+    * Bucket-pruned like mergeNoOverride: a cheap semi-join scan (dmp_id +
+    * bucket columns only) finds which hash-prefix buckets actually contain
+    * the groups, and only those are rewritten — flagging one upload group
+    * at 100 TB touches k/|buckets| of the table, not all of it.
     */
   def markUploaded(dmpIds: DataFrame): Unit = {
     val ids = broadcast(dmpIds.select(col("dmp_id").as("_u_dmp_id")).distinct())
+    val buckets = spark.read.parquet(path)
+      .join(ids, col("dmp_id") === col("_u_dmp_id"), "left_semi")
+      .select("bucket").distinct()
+      .collect().map(_.getString(0)) // bounded: ≤16 bucket ids, not data
+    if (buckets.isEmpty) return
     val current = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.toSeq: _*))
     val merged = current
       .join(ids, col("dmp_id") === col("_u_dmp_id"), "left")
       .withColumn("is_uploaded",
@@ -104,28 +115,51 @@ final class Ledger(spark: SparkSession, path: String) {
     ()
   }
 
-  /** Dynamic partition overwrite of the buckets present in `df`. */
+  /** Overwrite the buckets present in `df` via stage-then-rename:
+    *
+    *  1. write the merged buckets to a UNIQUE staging dir (a crashed
+    *     previous run can never leave stale partitions that a later call
+    *     silently republishes — the failure mode of a fixed staging path);
+    *  2. require Spark's `_SUCCESS` marker before publishing (a partial
+    *     staging write is abandoned, never swapped in);
+    *  3. publish each bucket with an atomic directory rename (old bucket
+    *     moved to a trash dir first, so a crash mid-publish leaves every
+    *     bucket fully old or fully new — never half-written).
+    *
+    * The parquet source cannot overwrite partitions it is concurrently
+    * reading, so the staging materialization is also what makes the merge
+    * read-its-own-input safe; at scale it is the standard copy-on-write
+    * cost (Delta/Iceberg rewrite the same files under the hood — this is
+    * the no-table-format-offline stand-in, with the atomicity window
+    * narrowed to per-bucket renames instead of a whole second Spark write).
+    */
   private def writeBuckets(df: DataFrame): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new java.io.File(s"${path}_staging_$runId")
+    df.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      .parquet(staging.getPath)
+    require(new java.io.File(staging, "_SUCCESS").exists(),
+      s"staging write incomplete (no _SUCCESS): ${staging.getPath} — not publishing")
+    val trash = new java.io.File(s"${path}_trash_$runId")
+    trash.mkdirs()
     try {
-      // The parquet source cannot overwrite partitions it is concurrently
-      // reading; materialize the merged buckets first. At scale this staging
-      // write is the standard copy-on-write merge cost (Delta/Iceberg do the
-      // same file rewrite under the hood).
-      val staging = path + "_staging"
-      df.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(staging)
-      spark.catalog.refreshByPath(staging)
-      spark.read.parquet(staging).write
-        .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
+      staging.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .foreach { stagedBucket =>
+          val target = new java.io.File(path, stagedBucket.getName)
+          if (target.exists()) {
+            java.nio.file.Files.move(target.toPath,
+              new java.io.File(trash, stagedBucket.getName).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          java.nio.file.Files.move(stagedBucket.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    } finally {
+      deleteRecursively(trash)
+      deleteRecursively(staging)
       // the rewrite invalidates any file listing cached for this path
       spark.catalog.refreshByPath(path)
-      deleteRecursively(new java.io.File(staging))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
     }
   }
 }

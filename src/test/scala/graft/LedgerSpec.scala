@@ -75,7 +75,14 @@ class LedgerSpec extends SparkSpec {
     val before = led.read().orderBy("manufacturer_ref").collect().toSeq
     led.compact()
     assert(led.read().orderBy("manufacturer_ref").collect().toSeq == before)
-    assert(!new java.io.File(path + "_staging").exists())
+    assert(stagingDirs(path).isEmpty)
+  }
+
+  private def stagingDirs(path: String): Seq[java.io.File] = {
+    val parent = new java.io.File(path).getParentFile
+    val base = new java.io.File(path).getName
+    parent.listFiles().toSeq.filter(f =>
+      f.getName.startsWith(base + "_staging_") || f.getName.startsWith(base + "_trash_"))
   }
 
   test("markUploaded flags whole dmp groups") {
@@ -87,5 +94,55 @@ class LedgerSpec extends SparkSpec {
     val got = led.read().select($"manufacturer_ref", $"is_uploaded")
       .as[(String, Boolean)].collect().toMap
     assert(got == Map("a" -> true, "b" -> true, "c" -> false))
+  }
+
+  test("markUploaded rewrites only buckets containing the dmp group") {
+    val path = tmp()
+    val led = new Ledger(spark, path)
+    // enough rows to populate many hash-prefix buckets
+    val rows = (0 until 64).map(i =>
+      rec(s"r$i", dmpId = Some(if (i == 0) "G1" else "G2")))
+    led.init(df(rows))
+    // bucket of the single G1 record
+    val g1Hash = rows.head._1
+    val g1Bucket = "bucket=" + g1Hash.substring(0, 1)
+    def bucketFiles(): Map[String, Seq[(String, Long)]] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().toSeq.map(f => (f.getName, f.lastModified())).sorted)
+        .toMap
+    val before = bucketFiles()
+    led.markUploaded(Seq("G1").toDF("dmp_id"))
+    val after = bucketFiles()
+    assert(before.keySet == after.keySet)
+    // untouched buckets: identical file names AND mtimes (never rewritten)
+    before.keySet.filterNot(_ == g1Bucket).foreach { b =>
+      assert(before(b) == after(b), s"bucket $b was rewritten")
+    }
+    assert(before(g1Bucket) != after(g1Bucket)) // the affected one did change
+    val got = led.read().filter($"is_uploaded").select($"manufacturer_ref")
+      .as[String].collect().toSeq
+    assert(got == Seq("r0"))
+  }
+
+  test("a stale staging dir from a crashed run cannot corrupt a later merge") {
+    val path = tmp()
+    val led = new Ledger(spark, path)
+    led.init(df(Seq(rec("a"), rec("b"), rec("c"))))
+    // simulate a previous run that crashed after staging: a leftover dir
+    // with plausible-but-stale bucket data and no publish
+    val stale = new java.io.File(path + "_staging_deadbeef")
+    df(Seq(rec("a", serial = Some("STALE-GARBAGE"))))
+      .withColumn("bucket", substring($"hash", 1, 1))
+      .write.partitionBy("bucket").mode("overwrite").parquet(stale.getPath)
+    val before = led.read().orderBy("manufacturer_ref").collect().toSeq
+    led.mergeNoOverride(df(Seq(rec("b", serial = Some("S-B"))))
+      .select($"hash", $"device_serial", $"device_id", $"patient_id",
+        $"dmp_dataset", $"dmp_id"))
+    val got = led.read().select($"manufacturer_ref", $"device_serial")
+      .as[(String, Option[String])].collect().toMap
+    // only the intended update landed; nothing from the stale dir leaked
+    assert(got == Map("a" -> None, "b" -> Some("S-B"), "c" -> None))
+    assert(before.size == 3 && led.read().count() == 3)
   }
 }
