@@ -19,9 +19,13 @@ object TopK {
   type Entry = (Double, Long) // (score, tiebreak id)
 
   final case class TopKAgg(k: Int) extends Aggregator[Entry, mutable.PriorityQueue[Entry], Seq[Entry]] {
-    // min-heap of the current best k (smallest of the kept at the head)
+    // min-heap of the current best k: dequeue() evicts the WORST kept entry
+    // = lowest score, and among equal scores the LARGEST id (natural Long
+    // ordering here), because the keep-contract ranks (score desc, id asc) —
+    // a reversed tiebreak would evict the smallest id and diverge from the
+    // window-function oracle when ties straddle the k boundary
     private def ord: Ordering[Entry] =
-      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long.reverse)
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
 
     override def zero: mutable.PriorityQueue[Entry] =
       mutable.PriorityQueue.empty[Entry](ord)

@@ -53,6 +53,18 @@ class MiscOpsSpec extends SparkSpec {
     assert(got("b") == Seq((5.0, 5L)))
   }
 
+  test("TopKAgg evicts the largest id when equal scores straddle the k boundary") {
+    // 3 equal scores, k=2: the keep-contract (score desc, id asc) must keep
+    // ids 1,2 and evict 3 — an inverted tiebreak would keep 2,3
+    val data = Seq(("a", 3.0, 3L), ("a", 3.0, 1L), ("a", 3.0, 2L))
+      .toDF("g", "score", "id")
+    val got = data.as[(String, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(TopK.TopKAgg(2).toColumn)
+      .collect().toMap
+    assert(got("a") == Seq((3.0, 1L), (3.0, 2L)))
+  }
+
   test("TopKAgg is partition-count independent (heap merge correctness)") {
     val rows = (1 to 1000).map(i => ("g", (i * 37 % 1000).toDouble, i.toLong))
     def run(parts: Int) = rows.toDF("g", "score", "id")
