@@ -179,8 +179,9 @@ object Dedup {
 
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, minCosine: Double): DataFrame = {
+    // raw float vectors through the shuffle; native kernels widen per element
     val withNorm = embs.select(col(idCol), col(blockCol),
-      VectorFns.toDoubleArray(col(vecCol)).as("dvec"))
+      col(vecCol).as("dvec"))
       .withColumn("n2s", VectorFns.norm2Scaled(col("dvec")))
     val a = withNorm.select(col(idCol).as("doc_a"), col(blockCol),
       col("dvec").as("vec_a"), col("n2s").as("n2s_a"))

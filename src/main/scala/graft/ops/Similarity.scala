@@ -20,8 +20,10 @@ import graft.functions.{TextFns, VectorFns}
   */
 object Similarity {
 
+  // the raw (float) vector ships through shuffles/broadcasts — half the
+  // width of a widened double array; the native kernels widen per element
   private def withNorm2(embs: DataFrame, idCol: String, vecCol: String) =
-    embs.select(col(idCol), VectorFns.toDoubleArray(col(vecCol)).as("dvec"))
+    embs.select(col(idCol), col(vecCol).as("dvec"))
       .withColumn("n2s", VectorFns.norm2Scaled(col("dvec")))
 
   /** Exact top-k neighbors for each query vector (queries ⊆ corpus shape:
@@ -43,30 +45,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane coefficient for (plane b, dim i):
-    * integer in [-1000, 1000], derived from the shared sha256-based hash so
-    * the DuckDB oracle reproduces it exactly.
+  /** Deterministic pseudo-random hyperplane coefficient for (plane b, dim i,
+    * 1-based): integer in [-1000, 1000], derived from the shared
+    * sha256-based hash so the DuckDB oracle reproduces it exactly.
+    * Driver-side: the (planes × dims) matrix is model-parameter sized and
+    * computed ONCE — the previous inline form re-derived a sha256 per
+    * row × plane × dim inside an interpreted higher-order aggregate.
     */
-  private def hpCoef(b: Column, i: Column): Column =
-    pmod(TextFns.hash64(concat(b.cast("string"), lit(","), i.cast("string"))),
-      lit(2001L)) - 1000L
+  private[ops] def hpCoefMatrix(numPlanes: Int, dims: Int): Array[Array[Long]] =
+    Array.tabulate(numPlanes, dims) { (b, i) =>
+      (graft.expressions.HashUtil.sha256Prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$b,${i + 1}"))
+        % 2001L) - 1000L
+    }
 
   /** `numPlanes`-bit signature: bit b = sign of <plane_b, vec>, accumulated
-    * as scaled integers (1e9 fixed point — coefficients are ≤1000).
+    * as scaled integers (1e9 fixed point — coefficients are ≤1000). One
+    * narrow native expression per row (graft.expressions.PlaneSig) — no
+    * explode, no per-row aggregation.
     */
   def planeSignature(embs: DataFrame, idCol: String, vecCol: String,
-                     numPlanes: Int): DataFrame =
-    embs.select(col(idCol), VectorFns.toDoubleArray(col(vecCol)).as("dvec"))
-      .select(col(idCol), col("dvec"),
-        explode(sequence(lit(0), lit(numPlanes - 1))).as("b"))
-      .withColumn("pdot", aggregate(
-        sequence(lit(1), size(col("dvec"))),
-        lit(0L),
-        (acc, i) => acc + floor(hpCoef(col("b"), i).cast("double") *
-          element_at(col("dvec"), i.cast("int")) * lit(1e9))))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("pdot") >= 0,
-        expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("sig"))
+                     numPlanes: Int): DataFrame = {
+    val dims = embs.select(max(size(col(vecCol)))).head().getInt(0)
+    val coefs = hpCoefMatrix(numPlanes, dims)
+    embs.select(col(idCol),
+      graft.expressions.PlaneSig(col(vecCol), coefs, 1e9).as("sig"))
+  }
 
   /** IVF-style ANN: the corpus is coarsely quantized to its nearest
     * centroid (an inverted file per centroid); a query probes only its
@@ -84,8 +88,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val cent = broadcast(centroids
-      .select(col(idCol).as("cent_id"),
-        VectorFns.toDoubleArray(col(vecCol)).as("cent_vec"))
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
       .withColumn("cent_n2s", VectorFns.norm2Scaled(col("cent_vec"))))
     def assign(df: DataFrame, side: String, probes: Int) = {
       val w = Window.partitionBy(col(s"${side}_id"))

@@ -83,6 +83,56 @@ class HashExprSpec extends SparkSpec {
     assert(joined.filter(not($"ps" <=> $"exp_ps")).count() == 0)
   }
 
+  test("native DotScaled/Norm2Scaled equal the composed HOF forms (float and double)") {
+    import graft.functions.VectorFns
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1),
+        Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    // float inputs straight into the native kernel vs widened composed form
+    val cmp = df.select(
+      VectorFns.dotScaled($"a", $"b").as("dot_fast"),
+      VectorFns.dotScaledComposed(
+        VectorFns.toDoubleArray($"a"), VectorFns.toDoubleArray($"b")).as("dot_spec"),
+      VectorFns.norm2Scaled($"a").as("n2_fast"),
+      VectorFns.norm2ScaledComposed(VectorFns.toDoubleArray($"a")).as("n2_spec"))
+    assert(cmp.filter($"dot_fast" =!= $"dot_spec" || $"n2_fast" =!= $"n2_spec")
+      .count() == 0)
+    // double-array inputs take the same path
+    val cmpD = df.select(VectorFns.toDoubleArray($"a").as("ad"),
+        VectorFns.toDoubleArray($"b").as("bd"))
+      .select(VectorFns.dotScaled($"ad", $"bd").as("f"),
+        VectorFns.dotScaledComposed($"ad", $"bd").as("g"))
+    assert(cmpD.filter($"f" =!= $"g").count() == 0)
+  }
+
+  test("native PlaneSig equals the per-row hash-derived signature") {
+    import graft.ops.Similarity
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 100).map(i => (i.toLong, Array.fill(32)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val fast = Similarity.planeSignature(df, "vec_id", "embedding", numPlanes = 8)
+      .as[(Long, Long)].collect().toMap
+    // composed spec: coefficient re-derived per (b, i) via the hash chain
+    val hex = (b: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      graft.functions.TextFns.hash64Composed(
+        concat(b.cast("string"), lit(","), i.cast("string")))
+    val spec = df
+      .select($"vec_id", graft.functions.VectorFns.toDoubleArray($"embedding").as("dvec"))
+      .select($"vec_id", $"dvec", explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("pdot", aggregate(
+        sequence(lit(1), size($"dvec")), lit(0L),
+        (acc, i) => acc + floor((pmod(hex($"b", i), lit(2001L)) - 1000L).cast("double") *
+          element_at($"dvec", i.cast("int")) * lit(1e9))))
+      .groupBy($"vec_id")
+      .agg(sum(when($"pdot" >= 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast == spec)
+  }
+
   test("graft_hash64 is SQL-callable when GraftExtensions is installed") {
     // register directly on the active session's registry (same injection
     // path GraftExtensions uses at session build)
