@@ -46,4 +46,37 @@ class PlanIntegritySpec extends SparkSpec {
     assert(p.contains("*(1)") || p.contains("WholeStageCodegen"))
     assert(p.contains("HashAggregate"))
   }
+
+  test("q21: MinHash signature stage has exactly one exchange (no distinct shuffle)") {
+    val p = plan("q21_dedup_minhash_lsh")
+    // the signature computation feeds ONE groupBy(id) shuffle; a
+    // reintroduced distinct() before it would add a second Exchange on the
+    // shingle rows and double the shuffle volume
+    assert(p.contains("graft_shingle_parts"),
+      "native fused shingle hashing must be in the plan")
+    assert(!p.contains("sha2"), "composed sha2 hex chain must not reappear")
+  }
+
+  test("q24/q27: dedup hot paths contain no interpreted higher-order lambdas") {
+    for (q <- Seq("q24_dedup_ngram_jaccard", "q27_emb_neardup", "q25_emb_cosine_topk")) {
+      val p = plan(q)
+      assert(!p.contains("lambdafunction"),
+        s"$q: higher-order lambda (CodegenFallback) reappeared in the hot path")
+    }
+  }
+
+  test("q47: fuzzy matching joins on the hashed variant key, then verifies") {
+    val p = plan("q47_edit_distance")
+    assert(p.contains("graft_deletion_neighborhood"))
+    assert(p.contains("xxhash64"))
+    assert(p.contains("levenshtein"))
+    assert(p.contains("ShuffledHashJoin"), "variant self-join should hash, not sort")
+  }
+
+  test("q50: LSH near-dup computes signatures via the native PlaneSig kernel") {
+    val p = plan("q50_emb_neardup_lsh")
+    assert(p.contains("graft_plane_sig"))
+    assert(p.contains("graft_dot_scaled"))
+    assert(!p.contains("lambdafunction"))
+  }
 }
