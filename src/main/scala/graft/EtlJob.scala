@@ -4,7 +4,8 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-import graft.connect.FileTransfer
+import graft.connect.{BasicAuthTokenProvider, ConnectionConfig, Dmp,
+  FileTransfer, JavaNetTransport, SignatureAuthTokenProvider, Transport}
 import graft.etl.Stages
 import graft.ledger.Ledger
 import graft.sources.LookupCsv
@@ -23,9 +24,16 @@ import graft.sources.LookupCsv
   * `--incoming` schema: manufacturer_ref, device_type, start, end, meta
   * (the S1 fetch output — see connect.PaginatedRestSource / the DSv2
   * source for producing it from a live API).
-  * `--simulate-transfer` replaces the network download/upload with local
-  * file writes (this container has no egress); wire real transfer lambdas
-  * through connect.FileTransfer for production.
+  * Transfer modes for task 6 (extract-prep-load):
+  *  - `--simulate-transfer`: local file writes standing in for the network
+  *    (this container has no egress);
+  *  - live: pass `--drm-base`, `--drm-jwt-url`, `--drm-user`, `--drm-pass`,
+  *    `--dmp-url`, `--dmp-jwt-url`, `--dmp-user`, `--dmp-pass`,
+  *    `--dmp-dataset` — downloads run through
+  *    `FileTransfer.chunkedFetch` (not-ready detection included) and
+  *    uploads through `Dmp.upload` (GraphQL multipart + signature auth),
+  *    i.e. the reference's DreemHook.download_file / DmpHook.upload
+  *    behaviors end-to-end. `transport` is injectable for testing.
   */
 object EtlJob {
 
@@ -40,8 +48,34 @@ object EtlJob {
     } finally spark.stop()
   }
 
+  /** Live fetch/push pair built from connection options (testable: pass a
+    * scripted Transport).
+    */
+  def liveTransfer(opts: Map[String, String], transport: Transport):
+      ((String, java.nio.file.Path) => Boolean, (String, java.nio.file.Path) => Boolean) = {
+    val drmTokens = new BasicAuthTokenProvider(transport, ConnectionConfig(
+      host = opts("drm-base"), login = opts.getOrElse("drm-user", ""),
+      password = opts.getOrElse("drm-pass", ""),
+      jwtUrl = opts("drm-jwt-url"),
+      jwtTokenPath = opts.getOrElse("drm-token-path", "token")))
+    val dmpTokens = new SignatureAuthTokenProvider(transport, ConnectionConfig(
+      host = opts("dmp-url"), login = opts.getOrElse("dmp-user", ""),
+      password = opts.getOrElse("dmp-pass", ""),
+      jwtUrl = opts("dmp-jwt-url"),
+      jwtTokenPath = opts.getOrElse("dmp-token-path", "data.issueAccessToken.accessToken")))
+    val drmBase = opts("drm-base")
+    val dmpUrl = opts("dmp-url")
+    val dataset = opts("dmp-dataset")
+    val fetch = FileTransfer.chunkedFetch(transport, drmTokens,
+      ref => s"$drmBase/dreem/algorythm/record/$ref/h5/") _
+    val push = (dmpId: String, zip: java.nio.file.Path) =>
+      Dmp.upload(transport, dmpTokens, dmpUrl, dataset, zip)
+    (fetch, push)
+  }
+
   def run(spark: org.apache.spark.sql.SparkSession,
-          opts: Map[String, String]): Seq[(String, Long)] = {
+          opts: Map[String, String],
+          transport: Transport = new JavaNetTransport()): Seq[(String, Long)] = {
     val ledger = new Ledger(spark, opts("ledger"))
     val cutOff = opts.getOrElse("cutoff", "12:00:00")
     val today = opts.getOrElse("today", java.time.LocalDate.now().toString)
@@ -82,29 +116,38 @@ object EtlJob {
     // task 6 — extract-prep-load (P6+J5+S2+S8-S10)
     val manifest = Stages.uploadManifest(ledger.read())
     val nGroups = manifest.count()
-    val uploaded =
+    val transferFns: Option[((String, java.nio.file.Path) => Boolean,
+                             (String, java.nio.file.Path) => Boolean)] =
       if (opts.contains("simulate-transfer")) {
         val work = opts("workdir")
-        val results = FileTransfer.executePlan(spark, manifest, work,
-          fetch = (ref, path) => { Files.write(path, ref.getBytes); true },
-          push = (dmpId, zip) => {
+        Some((
+          (ref: String, path: java.nio.file.Path) => {
+            Files.write(path, ref.getBytes); true
+          },
+          (dmpId: String, zip: java.nio.file.Path) => {
             val landed = Paths.get(work, "landed")
             Files.createDirectories(landed)
             Files.copy(zip, landed.resolve(s"$dmpId.zip"))
             true
-          })
-        // Materialize ONCE: the transfer dataset has side effects (each
-        // execution re-downloads/re-uploads), and markUploaded rewrites the
-        // very ledger files the manifest plan captured — a later
-        // re-execution would read deleted files. The id list is the per-run
-        // upload batch (reference caps it at 1 group), so driver-side is
-        // fine.
-        import spark.implicits._
-        val okIds = results.filter(col("uploaded"))
-          .select("dmp_id").as[String].collect().toSeq
-        ledger.markUploaded(okIds.toDF("dmp_id"))
-        okIds.size.toLong
-      } else 0L
+          }))
+      } else if (opts.contains("drm-base")) {
+        Some(liveTransfer(opts, transport))
+      } else None
+    val uploaded = transferFns.fold(0L) { case (fetch, push) =>
+      val results = FileTransfer.executePlan(spark, manifest,
+        opts("workdir"), fetch, push)
+      // Materialize ONCE: the transfer dataset has side effects (each
+      // execution re-downloads/re-uploads), and markUploaded rewrites the
+      // very ledger files the manifest plan captured — a later
+      // re-execution would read deleted files. The id list is the per-run
+      // upload batch (reference caps it at 1 group), so driver-side is
+      // fine.
+      import spark.implicits._
+      val okIds = results.filter(col("uploaded"))
+        .select("dmp_id").as[String].collect().toSeq
+      ledger.markUploaded(okIds.toDF("dmp_id"))
+      okIds.size.toLong
+    }
 
     val state = ledger.read()
     Seq(

@@ -66,7 +66,7 @@ object Jwt {
   }
 }
 
-trait TokenProvider {
+trait TokenProvider extends Serializable {
   protected def transport: Transport
   protected def conn: ConnectionConfig
   /** Strategy override point: the refresh request (jwt.py:87-97). */

@@ -23,7 +23,11 @@ final case class HttpResponse(
   def isSuccess: Boolean = status >= 200 && status < 300
 }
 
-trait Transport {
+/** Serializable so connector closures (fetch/push lambdas built over a
+  * transport + token provider) can run inside executor-side mapPartitions
+  * (FileTransfer.executePlan); the JDK client itself is rebuilt per JVM.
+  */
+trait Transport extends Serializable {
   def send(req: HttpRequest): HttpResponse
 }
 
@@ -35,7 +39,7 @@ final class JavaNetTransport(
     connectTimeout: Duration = Duration.ofSeconds(4),
     readTimeout: Duration = Duration.ofSeconds(302)) extends Transport {
 
-  private lazy val client = HttpClient.newBuilder()
+  @transient private lazy val client = HttpClient.newBuilder()
     .connectTimeout(connectTimeout).build()
 
   override def send(req: HttpRequest): HttpResponse = {

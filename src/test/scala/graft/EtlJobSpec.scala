@@ -4,6 +4,25 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
+/** JVM-global request log: executePlan serializes the transport into
+  * executor tasks (copies, even in local mode), so a per-instance log never
+  * sees executor traffic — a singleton object does (same JVM at local[*]).
+  */
+object EtlJobSpecLog {
+  val log = new java.util.concurrent.ConcurrentLinkedQueue[graft.connect.HttpRequest]()
+}
+
+/** Top-level (no outer pointer) so the executor-serialized closure carries
+  * only the scripted mock, while recording globally.
+  */
+class RecordingTransport(inner: graft.connect.MockTransport)
+  extends graft.connect.Transport {
+  override def send(r: graft.connect.HttpRequest): graft.connect.HttpResponse = {
+    EtlJobSpecLog.log.add(r)
+    inner.send(r)
+  }
+}
+
 /** Drives the runnable job end-to-end (the SparkSubmitOperator surface). */
 class EtlJobSpec extends SparkSpec {
   import spark.implicits._
@@ -48,5 +67,70 @@ class EtlJobSpec extends SparkSpec {
     assert(again("ledger_rows") == 2)
     assert(again("pending_groups") == 0)
     assert(again("uploaded_groups") == 0)
+  }
+
+  test("EtlJob.run live transfer: chunkedFetch + Dmp.upload against scripted endpoints") {
+    import graft.connect.{HttpResponse, MockTransport}
+    val base = Files.createTempDirectory("graft-job-live").toString
+    Seq(("r1", "U1", "2021-11-10 13:00:00"), ("r2", "U1", "2021-11-10 14:00:00"))
+      .toDF("manufacturer_ref", "uid", "s")
+      .select(col("manufacturer_ref"), lit("DRM").as("device_type"),
+        col("s").cast("timestamp").as("start"),
+        (col("s").cast("timestamp") + expr("INTERVAL 2 HOURS")).as("end"),
+        map(lit("dreem_uid"), col("uid")).as("meta"))
+      .write.parquet(s"$base/incoming")
+    Files.write(Paths.get(base, "uid_serial.csv"), "U1,S1\n".getBytes)
+    Files.write(Paths.get(base, "serial_id.csv"), "S1,DEV-1\n".getBytes)
+    Seq(("DEV-1", "P-A", "2021-11-01 00:00:00", null: String))
+      .toDF("device_id", "patient_id", "sw", "ew")
+      .select(col("device_id"), col("patient_id"),
+        col("sw").cast("timestamp").as("start_wear"),
+        col("ew").cast("timestamp").as("end_wear"))
+      .write.parquet(s"$base/assignments")
+
+    def jwtTok(exp: Long): String = {
+      val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+      enc.encodeToString("""{"alg":"none"}""".getBytes) + "." +
+        enc.encodeToString(s"""{"exp":$exp}""".getBytes) + ".s"
+    }
+    val tok = jwtTok(System.currentTimeMillis() / 1000 + 3600)
+    val mock = new MockTransport(Seq(
+      { case r if r.url == "https://drm/token" =>
+          HttpResponse(200, body = s"""{"token": "$tok"}""".getBytes) },
+      { case r if r.url == "https://dmp/token" =>
+          HttpResponse(200, body =
+            s"""{"data": {"issueAccessToken": {"accessToken": "$tok"}}}""".getBytes) },
+      { case r if r.url.matches("https://drm/dreem/algorythm/record/r./h5/") =>
+          val ref = r.url.split("/")(5)
+          HttpResponse(200, body = s"""{"data_url": "https://cdn/$ref"}""".getBytes) },
+      { case r if r.url.startsWith("https://cdn/") =>
+          HttpResponse(200, body = ("payload-" + r.url.split("/").last).getBytes) },
+      { case r if r.url == "https://dmp/graphql" && r.method == "POST" =>
+          HttpResponse(200, body = "{}".getBytes) }))
+    val transport = new RecordingTransport(mock)
+
+    val opts = Map(
+      "ledger" -> s"$base/ledger", "incoming" -> s"$base/incoming",
+      "uid-serial" -> s"$base/uid_serial.csv",
+      "serial-id" -> s"$base/serial_id.csv",
+      "assignments" -> s"$base/assignments",
+      "workdir" -> s"$base/work", "today" -> "2021-12-01",
+      "drm-base" -> "https://drm", "drm-jwt-url" -> "https://drm/token",
+      "dmp-url" -> "https://dmp/graphql", "dmp-jwt-url" -> "https://dmp/token",
+      "dmp-dataset" -> "STUDY1")
+    EtlJobSpecLog.log.clear()
+    val summary = EtlJob.run(spark, opts, transport).toMap
+    assert(summary("uploaded_groups") == 1) // one group (same uid/device/day)
+    // the upload POST carried the GraphQL multipart payload with the dataset
+    import scala.jdk.CollectionConverters._
+    val upload = EtlJobSpecLog.log.asScala
+      .find(r => r.url == "https://dmp/graphql" && r.body.nonEmpty)
+    assert(upload.isDefined)
+    assert(new String(upload.get.body, "UTF-8").contains(""""studyId":"STUDY1""""))
+    // second run: group already uploaded, no further transfer requests
+    val posts = EtlJobSpecLog.log.size
+    val again = EtlJob.run(spark, opts, transport).toMap
+    assert(again("uploaded_groups") == 0)
+    assert(EtlJobSpecLog.log.size == posts) // no new fetch/upload traffic
   }
 }
