@@ -177,6 +177,59 @@ object Dedup {
     embeddingNearDup(blocked, idCol, vecCol, "_block2", minCosine)
   }
 
+  /** Canonicalize near-dup PAIR output into dedup decisions: connected
+    * components over the candidate-pair graph, labeling every doc with the
+    * minimum doc id reachable from it — the step that turns "these pairs
+    * look alike" (MinHash/SimHash/Jaccard/embedding pairs) into "keep this
+    * one, drop those".
+    *
+    * Min-label propagation: labels(v) = min over N(v) ∪ {v}, iterated to
+    * fixpoint — rounds = component diameter, which for near-dup graphs is
+    * tiny (dup clusters are dense). Each round is one join + one
+    * hash-aggregate on (node), both on uniform keys; lineage is truncated
+    * per round (localCheckpoint) so plans stay flat. For adversarial
+    * long-chain graphs the standard large-star/small-star contraction
+    * halves rounds; dup clusters never need it.
+    *
+    * Output: (idCol, canonical_id) for every node that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          outIdCol: String = "doc_id",
+                          maxRounds: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .head().getDecimal(0)
+    var round = 0
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // neighbor labels (via edges) + own label, min per node
+      val next = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so an unchanged (exact decimal) sum IS
+      // the fixpoint — one cheap aggregate instead of a join per round
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      labels = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    labels.select(col("node").as(outIdCol), col("label").as("canonical_id"))
+  }
+
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, minCosine: Double): DataFrame = {
     // raw float vectors through the shuffle; native kernels widen per element

@@ -505,6 +505,85 @@ object Extensions {
         .orderBy("event_id")
     })
 
+  // ---- training-data pipeline machinery: deterministic splits, sequence
+  // packing, and dedup-cluster canonicalization — the steps between "score
+  // the corpus" and "emit training batches".
+
+  private val q53 = Q("q53_hash_split",
+    "deterministic stratified train/val/test split (90/5/5 by hashed doc " +
+      "id — stable across runs AND engines, no RNG), counts per (split, lang)",
+    Some("""
+      WITH b AS (SELECT doc_id, lang,
+                 CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+                 FROM documents),
+      s AS (SELECT lang,
+            CASE WHEN bucket < 90 THEN 'train'
+                 WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+            FROM b)
+      SELECT split, lang, count(*) AS n_docs
+      FROM s GROUP BY 1, 2 ORDER BY split, lang"""),
+    (s, dir) => {
+      graft.ops.Sampling.hashSplit(t(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    })
+
+  private val q54 = Q("q54_token_packing",
+    "sequence packing: docs binned into 2000-token packs per source " +
+      "(offset binning over one window sum — the batch-construction step " +
+      "of a training pipeline)",
+    Some("""
+      WITH d AS (SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT source, doc_id, n_tokens,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+            FROM d)
+      SELECT source, CAST(prev // 2000 AS BIGINT) AS pack_id,
+             count(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+      FROM c GROUP BY 1, 2 ORDER BY source, pack_id"""),
+    (s, dir) => {
+      graft.ops.Packing.packByTokenBudget(t(s, dir, "documents"),
+        "doc_id", "text", Seq("source"), budget = 2000)
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("source", "pack_id")
+    })
+
+  private val q55 = Q("q55_dedup_clusters",
+    "near-dup canonicalization: connected components over the SimHash pair " +
+      "graph; every clustered doc labeled with the min reachable doc id " +
+      "(oracle: recursive-CTE transitive closure)",
+    Some("""
+      WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wh AS (SELECT doc_id, CAST('0x' || substr(sha256(w), 1, 15) AS BIGINT) AS wh FROM wds),
+      votes AS (SELECT doc_id, b,
+                SUM(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM wh CROSS JOIN generate_series(0, 31) t(b) GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        WITH RECURSIVE r(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN r ON e.dst = r.node)
+        SELECT node, min(lab) AS canonical_id FROM r GROUP BY node)
+      SELECT node AS doc_id, canonical_id FROM reach ORDER BY doc_id"""),
+    (s, dir) => {
+      val sigs = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text", bits = 32)
+      val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b", outIdCol = "doc_id")
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q36, q37, q40, q41, q50, q51, q52)
+    q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55)
 }

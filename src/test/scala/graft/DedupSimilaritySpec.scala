@@ -97,4 +97,46 @@ class DedupSimilaritySpec extends SparkSpec {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L))) // near-identical vectors share their bucket
   }
+
+  test("connectedComponents labels chains, cliques and isolated pairs correctly") {
+    // component 1: a 4-node chain 1-2-3-4 (diameter > 1 forces iteration);
+    // component 2: triangle 10-11-12; component 3: pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("hashSplit is stable, total, and respects the 90/5/5 proportions") {
+    import graft.ops.Sampling
+    val docs = (0L until 2000L).toDF("doc_id")
+    val split = Sampling.hashSplit(docs, $"doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1700 && counts("train") < 1900) // ~90%
+    assert(counts("val") > 50 && counts("val") < 150)
+    // deterministic: second run assigns identical labels
+    val again = Sampling.hashSplit(docs, $"doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    assert(split.except(again).count() == 0 && again.except(split).count() == 0)
+  }
+
+  test("packByTokenBudget: packs are contiguous in id order and near-budget") {
+    import graft.ops.Packing
+    val docs = (1L to 100L).map(i => (i, "src", ("w " * 100).trim))
+      .toDF("doc_id", "source", "text")
+    val packed = Packing.packByTokenBudget(docs, "doc_id", "text",
+      Seq("source"), budget = 250)
+    val rows = packed.select($"doc_id", $"pack_id").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    // contiguity: pack ids are non-decreasing in doc order
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    // each 100-token doc starts at prev = (i-1)*100 -> pack floor(prev/250):
+    // packs hold 2-3 docs (200-300 tokens, may overflow by < 1 doc)
+    val sizes = rows.groupBy(_._2).map(_._2.length).toSet
+    assert(sizes.subsetOf(Set(2, 3)))
+  }
 }
