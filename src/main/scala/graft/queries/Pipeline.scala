@@ -186,6 +186,40 @@ object Pipeline {
       s.table(name).orderBy("event_type")
     })
 
+  private val q56 = Q("q56_streaming_day_window",
+    "§2.9: streaming 1-day tumbling event-time window anchored at the " +
+      "12:00 cut-off (IncrementalIngest.dayBucketCounts) — the A1 day " +
+      "bucket as a streaming aggregation; oracle computes the identical " +
+      "windows in plain SQL",
+    Some("""
+      SELECT event_type AS device_id,
+             strftime(date_trunc('day', ts - INTERVAL 12 HOUR) + INTERVAL 12 HOUR,
+                      '%Y-%m-%d %H:%M:%S') AS bucket_start,
+             strftime(date_trunc('day', ts - INTERVAL 12 HOUR) + INTERVAL 36 HOUR,
+                      '%Y-%m-%d %H:%M:%S') AS bucket_end,
+             count(*) AS n_records
+      FROM events GROUP BY 1, 2, 3 ORDER BY device_id, bucket_start"""),
+    (s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val cp = java.nio.file.Files.createTempDirectory("graft-q56-cp").toString
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_type").as("device_id"),
+          timestamp_micros(expr("ts div 1000")).as("start"))
+      val agg = graft.streaming.IncrementalIngest.dayBucketCounts(stream, "12:00:00")
+      val name = "q56_out_" + math.abs(cp.hashCode).toString
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("device_id", "bucket_start")
+    })
+
   private val q34 = Q("q34_approx_distinct",
     "distinct-count rollup whose exact columns are oracle-gated; the " +
       "HLL-sketch estimate itself is engine-specific, so its <5% error " +
@@ -240,5 +274,5 @@ object Pipeline {
         .orderBy("event_type", "rank")
     })
 
-  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35)
+  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56)
 }
