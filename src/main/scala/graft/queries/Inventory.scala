@@ -792,9 +792,77 @@ object Inventory {
         .orderBy(col("st").asc_nulls_first, col("key_a"), col("key_b"))
     })
 
+  // ---------------------------------------------------------------- q57
+  private val q57 = Q("q57_correlated_scalar_subquery",
+    "TPC-H Q17 shape: per-brand revenue of below-half-average-quantity " +
+      "lineitems — a correlated SCALAR subquery Catalyst decorrelates into " +
+      "an aggregate + join (the per-part average is decimal-exact so the " +
+      "threshold compare is bit-stable across engines)",
+    Some("""
+      SELECT p_brand,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_low
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_quantity < (
+        SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      GROUP BY p_brand ORDER BY p_brand"""),
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql("""
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_low
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+          SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand ORDER BY p_brand""")
+    })
+
+  // ---------------------------------------------------------------- q58
+  private val q58 = Q("q58_exists_not_exists",
+    "TPC-H Q21 shape: suppliers who shipped last in multi-supplier " +
+      "finished orders — correlated EXISTS (semi-join) + NOT EXISTS " +
+      "(anti-join) in one decorrelated plan",
+    Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > l1.l_shipdate)
+      GROUP BY s_name ORDER BY numwait DESC, s_name"""),
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name ORDER BY numwait DESC, s_name""")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45,
-    q46, q47, q48, q49)
+    q46, q47, q48, q49, q57, q58)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
