@@ -88,6 +88,36 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("connectedComponents matches brute-force union-find on random graphs") {
+    val rng = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 60
+      // sparse random graph: ~n edges -> a mix of chains, trees, cycles,
+      // singletons-in-pairs; node ids sparse (×7+trial) so labels aren't
+      // accidentally dense
+      val edges = (0 until n).map { _ =>
+        val a = rng.nextInt(n).toLong * 7 + trial
+        val b = rng.nextInt(n).toLong * 7 + trial
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // union-find ground truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val roots = nodes.map(v => v -> find(v)).toMap
+      val expected = nodes.map(v =>
+        v -> nodes.filter(u => roots(u) == roots(v)).min).toMap
+      val got = graft.ops.Dedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("no-override merge is idempotent: merge(merge(s,u),u) == merge(s,u)") {
     val base = gen(Gen.listOfN(100, Gen.option(Gen.identifier)), 5L).zipWithIndex
       .map { case (v, i) => (s"k$i", v) }
