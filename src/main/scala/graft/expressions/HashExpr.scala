@@ -258,20 +258,45 @@ object ShingleParts {
     Bridge.column(ShingleParts(Bridge.expression(c.cast("string")), n))
 }
 
-/** Session extension registering the function for SQL use:
-  *   SELECT graft_hash64(text) FROM documents
+/** Session extension registering the engine's native functions for SQL use:
+  *   SELECT graft_hash64(text), graft_shingle_hashes(text, 3) FROM documents
   * Install with .withExtensions(new GraftExtensions) or
   * spark.sql.extensions=graft.expressions.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Non-column parameters (shingle n, deletion k) arrive as literal
+    * arguments in SQL; they parameterize codegen, so they must fold to an
+    * int at plan time.
+    */
+  private def litInt(e: Expression, fn: String, default: Option[Int] = None): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal integer parameter, got $other")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_hash64"),
-      new ExpressionInfo(classOf[Sha256Prefix60].getName, "graft_hash64"),
-      (children: Seq[Expression]) => Sha256Prefix60(children.head)))
-    ext.injectFunction((
-      new FunctionIdentifier("graft_hash64_parts"),
-      new ExpressionInfo(classOf[Sha256Parts].getName, "graft_hash64_parts"),
-      (children: Seq[Expression]) => Sha256Parts(children.head)))
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    inject("graft_hash64", c => Sha256Prefix60(c.head))
+    inject("graft_hash64_parts", c => Sha256Parts(c.head))
+    inject("graft_shingle_hashes", c =>
+      ShingleHashes(c.head,
+        if (c.length > 1) litInt(c(1), "graft_shingle_hashes") else 3))
+    inject("graft_shingle_parts", c =>
+      ShingleParts(c.head,
+        if (c.length > 1) litInt(c(1), "graft_shingle_parts") else 3))
+    inject("graft_deletion_neighborhood", c =>
+      DeletionNeighborhood(c.head,
+        if (c.length > 1) litInt(c(1), "graft_deletion_neighborhood") else 2))
+    inject("graft_dot_scaled", c =>
+      DotScaled(c(0), c(1), graft.functions.VectorFns.Scale))
+    inject("graft_norm2_scaled", c =>
+      Norm2Scaled(c.head, graft.functions.VectorFns.Scale))
   }
 }

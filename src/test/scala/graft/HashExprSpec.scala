@@ -133,19 +133,36 @@ class HashExprSpec extends SparkSpec {
     assert(fast == spec)
   }
 
-  test("graft_hash64 is SQL-callable when GraftExtensions is installed") {
-    // register directly on the active session's registry (same injection
-    // path GraftExtensions uses at session build)
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new graft.expressions.GraftExtensions().apply(ext)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hash64",
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.expressions.Sha256Prefix60(children.head),
-      "scala_udf")
+  test("the graft function family is SQL-callable when GraftExtensions is installed") {
+    // register directly on the active session's registry (same builders
+    // GraftExtensions injects at session build)
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def register(name: String, builder: Seq[Expression] => Expression): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    register("graft_hash64", c => graft.expressions.Sha256Prefix60(c.head))
+    register("graft_shingle_hashes", c => graft.expressions.ShingleHashes(c.head, 3))
+    register("graft_deletion_neighborhood",
+      c => graft.expressions.DeletionNeighborhood(c.head, 2))
+    register("graft_dot_scaled", c => graft.expressions.DotScaled(c(0), c(1),
+      graft.functions.VectorFns.Scale))
+
     val got = spark.sql("SELECT graft_hash64('abc') AS h").as[Long].head()
     val expected = Seq("abc").toDF("s")
       .select(TextFns.hash64Composed($"s")).as[Long].head()
     assert(got == expected)
+
+    val sh = spark.sql(
+      "SELECT graft_shingle_hashes('a b c d') AS a").as[Seq[Long]].head()
+    assert(sh.length == 2) // two 3-gram shingles of a 4-word text
+
+    val dn = spark.sql(
+      "SELECT size(graft_deletion_neighborhood('abc')) AS n").as[Int].head()
+    assert(dn == 7) // abc, bc, ac, ab, c, b, a
+
+    val dot = spark.sql(
+      "SELECT graft_dot_scaled(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Long].head()
+    assert(dot == (3e12.toLong + 8e12.toLong))
   }
 }
