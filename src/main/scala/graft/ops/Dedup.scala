@@ -103,30 +103,59 @@ object Dedup {
     votes.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs under a Hamming-distance threshold. `blockBits`
-    * high bits form the blocking key so the self-join is bucket-local (the
-    * scale path); pass 0 to compare all pairs (test scale only).
+  /** SimHash near-dup pairs under a Hamming-distance threshold.
+    *
+    * Default path (`blockBits = 0`) is EXACT and sub-quadratic via the
+    * pigeonhole multi-probe: the signature splits into `maxHamming + 1`
+    * bit-blocks, and a pair within the threshold differs in at most
+    * `maxHamming` blocks — so it matches EXACTLY in at least one block.
+    * Candidates come from an equi-join on (block index, block value)
+    * (~(k+1)× row fan-out, near-unique keys), then the true Hamming
+    * distance verifies. Identical result to all-pairs comparison, without
+    * the n² — this is what replaced the round-1 `crossJoin(broadcast)`.
+    *
+    * `blockBits > 0` is the LOSSY recall-trading variant: only pairs
+    * sharing the `blockBits` high signature bits are compared at all
+    * (bucket-local; documented recall trade, gate q51).
     */
   def simHashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
-                   blockBits: Int = 0): DataFrame = {
-    val a = sigs.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"))
-    val b = sigs.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"))
-    val paired =
-      if (blockBits > 0) {
-        // scale path: bucket-local comparisons on the high signature bits
-        val ab = a.withColumn("block", expr(s"sig_a >> (32 - $blockBits)"))
-        val bb = b.withColumn("block", expr(s"sig_b >> (32 - $blockBits)"))
-        ab.join(bb, "block").drop("block")
-      } else {
-        // all-pairs: broadcast NL join parallelizes across left partitions —
-        // a join on a constant key would funnel every pair into one task
-        a.crossJoin(broadcast(b))
+                   blockBits: Int = 0, bits: Int = 32): DataFrame = {
+    if (blockBits > 0) {
+      val a = sigs.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"))
+      val b = sigs.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"))
+      val ab = a.withColumn("block", expr(s"sig_a >> ($bits - $blockBits)"))
+      val bb = b.withColumn("block", expr(s"sig_b >> ($bits - $blockBits)"))
+      ab.join(bb, "block").drop("block")
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    } else {
+      val nBlocks = maxHamming + 1
+      val base = bits / nBlocks
+      val widths = (0 until nBlocks).map(j => base + (if (j < bits % nBlocks) 1 else 0))
+      val shifts = widths.scanLeft(0)(_ + _).init
+      val probes = (0 until nBlocks).map { j =>
+        struct(lit(j).as("j"),
+          expr(s"(simhash >> ${shifts(j)}) & ${(1L << widths(j)) - 1}").as("bv"))
       }
-    paired
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      val probed = sigs.select(col(idCol), col("simhash"),
+        explode(array(probes: _*)).as("p"))
+        .select(col(idCol), col("simhash"), col("p.j").as("j"), col("p.bv").as("bv"))
+      val a = probed.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"),
+        col("j"), col("bv"))
+      val b = probed.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"),
+        col("j").as("j_b"), col("bv").as("bv_b"))
+      a.join(b.hint("shuffle_hash"),
+          col("j") === col("j_b") && col("bv") === col("bv_b") &&
+            col("doc_a") < col("doc_b"))
+        // a close pair can match in several blocks — dedup before the verify
+        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
   }
 
   /** N-gram Jaccard similarity over candidate pairs inside blocking groups

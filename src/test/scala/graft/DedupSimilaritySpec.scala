@@ -98,6 +98,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Set((1L, 2L))) // near-identical vectors share their bucket
   }
 
+  test("pigeonhole simHashPairs equals brute-force all-pairs on random signatures") {
+    val rng = new scala.util.Random(29)
+    // random 32-bit sigs plus planted near-pairs at hamming 1..3
+    val base = (0 until 150).map(i => (i.toLong, rng.nextLong() & 0xffffffffL))
+    val planted = base.take(20).zipWithIndex.map { case ((id, sig), k) =>
+      (1000L + id, sig ^ ((1L << (k % 32)) | (if (k % 3 == 0) 1L << ((k + 7) % 32) else 0L)))
+    }
+    val sigs = (base ++ planted).toDF("doc_id", "simhash")
+    for (k <- Seq(1, 2, 3)) {
+      val got = Dedup.simHashPairs(sigs, "doc_id", maxHamming = k)
+        .as[(Long, Long, Int)].collect().toSet
+      val rows = (base ++ planted)
+      val expected = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= k
+      } yield (ia, ib, h)).toSet
+      assert(got == expected, s"maxHamming=$k")
+    }
+  }
+
   test("connectedComponents labels chains, cliques and isolated pairs correctly") {
     // component 1: a 4-node chain 1-2-3-4 (diameter > 1 forces iteration);
     // component 2: triangle 10-11-12; component 3: pair 20-21
