@@ -118,6 +118,47 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** SimHash signature in one pass over the text bytes: for every word
+    * (single-space split, like shingleRanges), hash64 votes ±1 on each of
+    * `bits` signature bits (term frequency = vote weight); bit b is set
+    * when its vote sum is positive. Bit-identical to the composed form
+    * (explode words → 32 sum(when) columns → pack) and the DuckDB oracle,
+    * without the word-row explode or the 32-accumulator aggregation —
+    * the signature becomes a narrow per-row map.
+    */
+  def simHashBits(text: UTF8String, bits: Int): Long = {
+    val bytes = text.getBytes
+    val votes = new Array[Int](bits)
+    val md = digests.get()
+    var wordStart = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == 0x20) {
+        md.reset()
+        md.update(bytes, wordStart, i - wordStart)
+        val d = md.digest()
+        var v = 0L
+        var k = 0
+        while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+        val wh = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+        var b = 0
+        while (b < bits) {
+          if (((wh >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        wordStart = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** All four 60-bit sha256 parts of every word-n-gram shingle (inner array
     * element 0 == [[shingleHashes]]' value) — feeds MinHash, where the k
     * hash functions mix the four parts.
@@ -256,6 +297,32 @@ case class ShingleParts(child: Expression, n: Int) extends UnaryExpression {
 object ShingleParts {
   def apply(c: Column, n: Int): Column =
     Bridge.column(ShingleParts(Bridge.expression(c.cast("string")), n))
+}
+
+/** Whole-document SimHash signature as one codegen'd call (see
+  * HashUtil.simHashBits) — replaces explode(words) + a `bits`-column
+  * vote aggregation with a narrow per-row expression.
+  */
+case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 60, s"simhash bits must be 1..60, got $bits")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.simHashBits(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashUtil.simHashBits($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+object SimHashBits {
+  def apply(c: Column, bits: Int): Column =
+    Bridge.column(SimHashBits(Bridge.expression(c.cast("string")), bits))
 }
 
 /** Session extension registering the engine's native functions for SQL use:

@@ -90,7 +90,16 @@ object Dedup {
     * extra aggregation.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
-              bits: Int = 32): DataFrame = {
+              bits: Int = 32): DataFrame =
+    docs.select(col(idCol),
+      graft.expressions.SimHashBits(col(textCol), bits).as("simhash"))
+
+  /** Built-in-only form of [[simHash]] — bit-identical (explode words →
+    * `bits` vote-sum columns → pack); kept as the executable spec the
+    * native single-pass expression is pinned against.
+    */
+  def simHashComposed(docs: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 32): DataFrame = {
     val words = docs
       .select(col(idCol), explode(TextFns.words(col(textCol))).as("w"))
       .withColumn("wh", TextFns.hash64(col("w")))
@@ -241,11 +250,19 @@ object Dedup {
     var converged = false
     while (!converged && round < maxRounds) {
       // neighbor labels (via edges) + own label, min per node
-      val next = edges
+      val neighborMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("label"))
         .union(labels)
         .groupBy("node").agg(min(col("label")).as("label"))
+      // pointer jumping: follow label -> label(label) so the hop distance
+      // to each component's minimum DOUBLES per round — O(log diameter)
+      // rounds instead of O(diameter) (a label is always a node id, so the
+      // lookup is a self-join on the same frame)
+      val next = neighborMin
+        .join(neighborMin.select(col("node").as("_l"), col("label").as("_l2")),
+          col("label") === col("_l"), "left")
+        .select(col("node"), coalesce(col("_l2"), col("label")).as("label"))
         .localCheckpoint(true)
       // labels only ever decrease, so an unchanged (exact decimal) sum IS
       // the fixpoint — one cheap aggregate instead of a join per round

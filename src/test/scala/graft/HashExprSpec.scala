@@ -83,6 +83,20 @@ class HashExprSpec extends SparkSpec {
     assert(joined.filter(not($"ps" <=> $"exp_ps")).count() == 0)
   }
 
+  test("native SimHashBits equals the composed explode+vote-column form") {
+    val texts = Seq("", "one", "alpha beta gamma alpha alpha",
+      "a  double  space", " lead trail ", "ü¢∆ uni ✓", "w " * 150 + "end") ++
+      (0 until 60).map(i => s"doc $i ${"tok " * (i % 11)}body")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (bits <- Seq(16, 32)) {
+      val fast = df.select($"id", graft.expressions.SimHashBits($"t", bits).as("s"))
+        .as[(Long, Long)].collect().toMap
+      val spec = graft.ops.Dedup.simHashComposed(df, "id", "t", bits)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == spec, s"bits=$bits")
+    }
+  }
+
   test("native DotScaled/Norm2Scaled equal the composed HOF forms (float and double)") {
     import graft.functions.VectorFns
     val rng = new scala.util.Random(7)
