@@ -43,6 +43,32 @@ object IncrementalIngest {
     q.awaitTermination()
   }
 
+  /** Drain all currently-available files straight INTO the ledger: each
+    * micro-batch appends through [[graft.ledger.Ledger.append]], whose
+    * hash anti-join makes redelivered batches idempotent — so the
+    * at-least-once `foreachBatch` sink composes to exactly-once ledger
+    * state (the streaming twin of the reference's poll→dedup→insert loop,
+    * dags/dreem.py:44-67 + db.py:76-86).
+    */
+  def runIntoLedger(spark: SparkSession, srcDir: String, schema: StructType,
+                    checkpointDir: String,
+                    ledger: graft.ledger.Ledger): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .withColumn("hash",
+        Etl.recordHash(col("device_type"), col("manufacturer_ref")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (ledger.exists) ledger.append(batch)
+        else ledger.init(batch.dropDuplicates("hash"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Session windows per device: gap-based grouping of recording activity —
     * absent from the reference (§2.9 notes only the day bucket exists) but a
     * natural engine extension for wear-session analytics.

@@ -38,6 +38,27 @@ class StreamingSpec extends SparkSpec {
       == Set("a", "b", "c"))
   }
 
+  test("foreachBatch into the Ledger: replays collapse to exactly-once state") {
+    val base = Files.createTempDirectory("graft-stream-ledger").toString
+    val src = s"$base/src"; val cp = s"$base/cp"
+    val ledger = new graft.ledger.Ledger(spark, s"$base/ledger")
+    Seq(("a", "DRM"), ("b", "DRM"), ("a", "DRM"))
+      .toDF("manufacturer_ref", "device_type")
+      .coalesce(1).write.parquet(src)
+    IncrementalIngest.runIntoLedger(spark, src, schema, cp, ledger)
+    assert(ledger.read().select("manufacturer_ref").as[String].collect().toSet
+      == Set("a", "b"))
+
+    // replayed b + new c; ledger's hash anti-join keeps state exactly-once
+    Seq(("b", "DRM"), ("c", "DRM"))
+      .toDF("manufacturer_ref", "device_type")
+      .coalesce(1).write.mode("append").parquet(src)
+    IncrementalIngest.runIntoLedger(spark, src, schema, cp, ledger)
+    assert(ledger.read().count() == 3)
+    assert(ledger.read().select("manufacturer_ref").as[String].collect().toSet
+      == Set("a", "b", "c"))
+  }
+
   test("mapGroupsWithState accumulates per-device state across runs") {
     val base = Files.createTempDirectory("graft-state").toString
     def writeBatch(rows: Seq[(String, String)]): Unit =
