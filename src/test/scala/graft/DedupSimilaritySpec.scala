@@ -118,6 +118,39 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN recall: LSH and IVF recover most of the exact top-k on testdata") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topSets(graft.ops.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 5))
+    val ivf = topSets(graft.ops.Similarity.ivfTopK(
+      queries, emb, emb.filter($"vec_id" % 17 === 3), "vec_id", "embedding",
+      k = 5, nProbe = 3))
+    val lsh = topSets(graft.ops.Similarity.lshTopK(
+      queries, emb, "vec_id", "embedding", k = 5, numPlanes = 4))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, ex) =>
+        approx.get(q).fold(0.0)(ap => (ap & ex).size.toDouble / ex.size)
+      }
+      per.sum / per.size
+    }
+    // the synthetic embeddings are near-random — the ANN worst case — so
+    // these floors are measured-on-this-data sanity bounds (0.45 / 0.34 at
+    // pinning time), not general recall claims; clustered real embeddings
+    // recall far higher at the same parameters
+    assert(recall(ivf) >= 0.35, f"ivf recall ${recall(ivf)}%.2f")
+    assert(recall(lsh) >= 0.25, f"lsh recall ${recall(lsh)}%.2f")
+    // structural guarantee regardless of data: each query recovers itself
+    // (it shares its own centroid list / hyperplane bucket)
+    exact.keySet.foreach { q =>
+      assert(ivf.get(q).exists(_.contains(q)), s"ivf lost query $q")
+      assert(lsh.get(q).exists(_.contains(q)), s"lsh lost query $q")
+    }
+  }
+
   test("connectedComponents labels chains, cliques and isolated pairs correctly") {
     // component 1: a 4-node chain 1-2-3-4 (diameter > 1 forces iteration);
     // component 2: triangle 10-11-12; component 3: pair 20-21
