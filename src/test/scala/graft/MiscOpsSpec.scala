@@ -141,6 +141,30 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("writeSharded: non-overlapping ranges, sorted shards, bounded files") {
+    import org.apache.spark.sql.functions.input_file_name
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
+    val df = (1L to 1000L).map(i => (i * 7919 % 1000, s"row$i")).toDF("k", "v")
+    graft.ops.Output.writeSharded(df, dir, shards = 4, sortCols = Seq("k"),
+      maxRecordsPerFile = 200)
+    val back = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), $"k").as[(String, Long)].collect()
+    assert(back.length == 1000)
+    // bounded files: 1000 rows / cap 200 -> at least 5 files
+    val perFile = back.groupBy(_._1).map { case (f, rows) => f -> rows.map(_._2) }
+    assert(perFile.size >= 5)
+    assert(perFile.values.forall(_.length <= 200))
+    // each file internally sorted (parquet preserves write order per file)
+    perFile.values.foreach(ks => assert(ks.toSeq == ks.toSeq.sorted))
+    // range sharding: file key-ranges do not interleave (allowing the
+    // boundary key to repeat across adjacent files)
+    val ranges = perFile.values.map(ks => (ks.min, ks.max)).toSeq.sortBy(r => (r._1, r._2))
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact on the testdata") {
     val got = graft.queries.Pipeline.approxDistinct(spark, "/root/testdata/sf0.01")
       .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
