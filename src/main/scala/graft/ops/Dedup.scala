@@ -242,9 +242,12 @@ object Dedup {
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-      .head().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df
+        .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+    }
     var round = 0
     var prevSum = labelSum(labels)
     var converged = false

@@ -162,6 +162,11 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents on an empty pair set returns an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0)
+  }
+
   test("hashSplit is stable, total, and respects the 90/5/5 proportions") {
     import graft.ops.Sampling
     val docs = (0L until 2000L).toDF("doc_id")
