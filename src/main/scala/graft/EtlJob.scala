@@ -27,9 +27,9 @@ import graft.sources.LookupCsv
   * Transfer modes for task 6 (extract-prep-load):
   *  - `--simulate-transfer`: local file writes standing in for the network
   *    (this container has no egress);
-  *  - live: pass `--drm-base`, `--drm-jwt-url`, `--drm-user`, `--drm-pass`,
-  *    `--dmp-url`, `--dmp-jwt-url`, `--dmp-user`, `--dmp-pass`,
-  *    `--dmp-dataset` — downloads run through
+  *  - live: pass `--workdir` plus `--drm-base`, `--drm-jwt-url`,
+  *    `--drm-user`, `--drm-pass`, `--dmp-url`, `--dmp-jwt-url`,
+  *    `--dmp-user`, `--dmp-pass`, `--dmp-dataset` — downloads run through
   *    `FileTransfer.chunkedFetch` (not-ready detection included) and
   *    uploads through `Dmp.upload` (GraphQL multipart + signature auth),
   *    i.e. the reference's DreemHook.download_file / DmpHook.upload
@@ -131,6 +131,8 @@ object EtlJob {
             true
           }))
       } else if (opts.contains("drm-base")) {
+        require(opts.contains("workdir"),
+          "live transfer needs --workdir (per-group download/zip scratch space)")
         Some(liveTransfer(opts, transport))
       } else None
     val uploaded = transferFns.fold(0L) { case (fetch, push) =>

@@ -81,26 +81,32 @@ object Dmp {
         s"expected patient-device-start-end stem, got ${parts.length} parts: $stem")
     }
 
-  /** Build the multipart/form-data body per the GraphQL multipart request
+  /** Stream the multipart/form-data body per the GraphQL multipart request
     * spec the reference's MultipartEncoder emits (dmp.py:84-96):
     * `operations` (the mutation + variables), `map` (binds the file part to
-    * variables.file), then the binary file part.
+    * variables.file), then the binary file part — written to `out` with a
+    * fixed-size copy buffer, so a multi-GB bundle never materializes in
+    * memory (the reference streams its upload the same way).
     */
-  def multipartBody(boundary: String, payload: FileUploadPayload,
-                    fileBytes: Array[Byte]): Array[Byte] = {
-    val sb = new java.io.ByteArrayOutputStream()
+  def writeMultipart(out: java.io.OutputStream, boundary: String,
+                     payload: FileUploadPayload, file: Path): Unit = {
     def field(name: String, value: String): Unit =
-      sb.write((s"--$boundary\r\n" +
+      out.write((s"--$boundary\r\n" +
         s"""Content-Disposition: form-data; name="$name"\r\n\r\n""" +
         value + "\r\n").getBytes(StandardCharsets.UTF_8))
     field("operations", payload.operations)
     field("map", """{"fileName": ["variables.file"]}""")
-    sb.write((s"--$boundary\r\n" +
+    out.write((s"--$boundary\r\n" +
       s"""Content-Disposition: form-data; name="fileName"; filename="${payload.fileName}"\r\n""" +
       "Content-Type: application/octet-stream\r\n\r\n").getBytes(StandardCharsets.UTF_8))
-    sb.write(fileBytes)
-    sb.write(s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.UTF_8))
-    sb.toByteArray
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(file.toFile))
+    try {
+      val buf = new Array[Byte](8192) // reference upload block size, dmp.py:108
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    out.write(s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.UTF_8))
   }
 
   /** Upload one bundle file to the DMP; true only on a fully-confirmed
@@ -120,7 +126,6 @@ object Dmp {
         if (dot > 0) n.substring(0, dot) else n
       }
       val (patientId, deviceId, start, end) = parseStem(stem)
-      val bytes = Files.readAllBytes(path)
       val payload = FileUploadPayload(
         fileName = path.getFileName.toString,
         patientId = patientId,
@@ -129,12 +134,23 @@ object Dmp {
         endWearMs = weartimeMs(end),
         checksum = FileTransfer.sha256File(path),
         dataset = dataset,
-        fileLength = bytes.length.toLong)
+        fileLength = Files.size(path))
       val boundary = "graft-" + java.util.UUID.randomUUID().toString
-      val resp = transport.send(HttpRequest("POST", baseUrl,
-        Map("Content-Type" -> s"multipart/form-data; boundary=$boundary",
-          "Authorization" -> tokens.token()),
-        multipartBody(boundary, payload, bytes)))
+      // stream the multipart body through a temp file next to the bundle:
+      // constant memory regardless of bundle size, and the transport
+      // streams it out with a file publisher
+      val bodyTmp = Files.createTempFile(
+        path.getParent, ".dmp-body-", ".multipart")
+      val resp =
+        try {
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(bodyTmp.toFile))
+          try writeMultipart(out, boundary, payload, path) finally out.close()
+          transport.send(HttpRequest("POST", baseUrl,
+            Map("Content-Type" -> s"multipart/form-data; boundary=$boundary",
+              "Authorization" -> tokens.token()),
+            bodyFile = Some(bodyTmp)))
+        } finally Files.deleteIfExists(bodyTmp)
       if (!resp.isSuccess) {
         log(s"upload failed: HTTP ${resp.status}")
         return false

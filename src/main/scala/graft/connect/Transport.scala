@@ -13,7 +13,18 @@ final case class HttpRequest(
     method: String,
     url: String,
     headers: Map[String, String] = Map.empty,
-    body: Array[Byte] = Array.emptyByteArray)
+    body: Array[Byte] = Array.emptyByteArray,
+    /** Large payloads stream from disk instead of materializing in memory
+      * (an in-memory multipart body caps uploads at <2 GB and triples the
+      * footprint); when set, `body` is ignored by transports.
+      */
+    bodyFile: Option[java.nio.file.Path] = None) {
+  /** The payload bytes regardless of backing — for tests/mocks only;
+    * production transports stream `bodyFile` without loading it.
+    */
+  def effectiveBody: Array[Byte] =
+    bodyFile.fold(body)(java.nio.file.Files.readAllBytes)
+}
 
 final case class HttpResponse(
     status: Int,
@@ -45,10 +56,14 @@ final class JavaNetTransport(
   override def send(req: HttpRequest): HttpResponse = {
     val b = JHttpRequest.newBuilder(URI.create(req.url)).timeout(readTimeout)
     req.headers.foreach { case (k, v) => b.header(k, v) }
+    def publisher = req.bodyFile match {
+      case Some(f) => JHttpRequest.BodyPublishers.ofFile(f)
+      case None => JHttpRequest.BodyPublishers.ofByteArray(req.body)
+    }
     val jreq = req.method.toUpperCase match {
       case "GET" => b.GET().build()
-      case "POST" => b.POST(JHttpRequest.BodyPublishers.ofByteArray(req.body)).build()
-      case m => b.method(m, JHttpRequest.BodyPublishers.ofByteArray(req.body)).build()
+      case "POST" => b.POST(publisher).build()
+      case m => b.method(m, publisher).build()
     }
     val resp = client.send(jreq, JHttpResponse.BodyHandlers.ofByteArray())
     import scala.jdk.CollectionConverters._
@@ -64,7 +79,9 @@ final class MockTransport(script: Seq[PartialFunction[HttpRequest, HttpResponse]
   private var calls = 0
   val log = scala.collection.mutable.ArrayBuffer.empty[HttpRequest]
   override def send(req: HttpRequest): HttpResponse = synchronized {
-    log += req
+    // materialize streaming bodies NOW: callers may delete the temp body
+    // file right after send returns, and tests inspect the log later
+    log += req.copy(body = req.effectiveBody, bodyFile = None)
     val handler = script.find(_.isDefinedAt(req))
       .getOrElse(throw new IllegalStateException(s"unexpected request: ${req.method} ${req.url}"))
     calls += 1

@@ -336,7 +336,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * arguments in SQL; they parameterize codegen, so they must fold to an
     * int at plan time.
     */
-  private def litInt(e: Expression, fn: String, default: Option[Int] = None): Int =
+  private def litInt(e: Expression, fn: String): Int =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt

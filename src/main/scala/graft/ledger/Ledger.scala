@@ -155,9 +155,28 @@ final class Ledger(spark: SparkSession, path: String) {
           java.nio.file.Files.move(stagedBucket.toPath, target.toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
-    } finally {
+      // cleanup ONLY after every bucket published — a failed rename must
+      // never reach a path that deletes the surviving copies of a bucket
+      // (the old one in trash, the new one in staging)
       deleteRecursively(trash)
       deleteRecursively(staging)
+    } catch {
+      case e: Throwable =>
+        // best-effort rollback: restore any bucket whose old copy was
+        // already trashed; leave trash/staging on disk for inspection if
+        // even the restore fails (their unique names cannot corrupt a
+        // later run)
+        Option(trash.listFiles()).getOrElse(Array.empty).foreach { old =>
+          val target = new java.io.File(path, old.getName)
+          if (!target.exists()) {
+            try java.nio.file.Files.move(old.toPath, target.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: Exception => () }
+          }
+        }
+        if (Option(trash.listFiles()).forall(_.isEmpty)) deleteRecursively(trash)
+        throw e
+    } finally {
       // the rewrite invalidates any file listing cached for this path
       spark.catalog.refreshByPath(path)
     }

@@ -23,6 +23,11 @@ object Sampling {
     * Seq("train" -> 90, "val" -> 5, "test" -> 5). Keyed on `key` — pass the
     * row id for row-level splits or a group id (source, url domain, author)
     * for leakage-safe group splits.
+    *
+    * A null key yields a NULL split (surfaced, not silently routed into the
+    * last split): deciding where unkeyed rows belong is the caller's call,
+    * and a silent default would skew whichever split it picked. Matches
+    * [[hashSample]], which likewise drops null-key rows.
     */
   def hashSplit(df: DataFrame, key: Column,
                 splits: Seq[(String, Int)]): DataFrame = {
@@ -30,7 +35,7 @@ object Sampling {
     val bucket = hashBucket(key, 100)
     val label = splits.tail.scanLeft((splits.head._1, splits.head._2)) {
       case ((_, acc), (name, pct)) => (name, acc + pct)
-    }.foldRight(lit(splits.last._1): Column) {
+    }.foldRight(lit(null).cast("string")) {
       case ((name, cum), other) => when(bucket < cum, lit(name)).otherwise(other)
     }
     df.withColumn("split", label)

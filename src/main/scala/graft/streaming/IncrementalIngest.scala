@@ -60,8 +60,12 @@ object IncrementalIngest {
         Etl.recordHash(col("device_type"), col("manufacturer_ref")))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (ledger.exists) ledger.append(batch)
-        else ledger.init(batch.dropDuplicates("hash"))
+        // dedup WITHIN the batch too: append's anti-join only screens
+        // against hashes already in the ledger, so an intra-batch repeat
+        // (duplicate rows in one file, or two files delivering the same
+        // record in one drain) would otherwise land twice
+        val d = batch.dropDuplicates("hash")
+        if (ledger.exists) ledger.append(d) else ledger.init(d)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

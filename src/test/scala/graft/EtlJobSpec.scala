@@ -18,7 +18,9 @@ object EtlJobSpecLog {
 class RecordingTransport(inner: graft.connect.MockTransport)
   extends graft.connect.Transport {
   override def send(r: graft.connect.HttpRequest): graft.connect.HttpResponse = {
-    EtlJobSpecLog.log.add(r)
+    // materialize streamed bodies: the sender deletes its temp body file
+    // right after send returns, but assertions read the log later
+    EtlJobSpecLog.log.add(r.copy(body = r.effectiveBody, bodyFile = None))
     inner.send(r)
   }
 }
