@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join: for every left row, the single latest right row with
+  * `rightTs <= leftTs` in the same key group — the time-series lookup
+  * (quotes-to-trades, sensor-state-at-event) that plain equi-joins can't
+  * express without a quadratic candidate pairing.
+  *
+  * Distributed shape: tag both inputs, UNION them, and run ONE window sort
+  * per key ordered by (ts, side, tiebreak) with `last(value, ignoreNulls)`
+  * carrying the right side forward — right rows sort BEFORE left rows at
+  * equal timestamps, so "at or before" includes ties. One shuffle + one
+  * partition-local sort over |L| + |R| rows; never a per-pair join. The
+  * matched row is deterministic under timestamp ties: the right row with
+  * the greatest (ts, tiebreak).
+  */
+object AsOf {
+
+  /** @param left      query rows (keyCols, leftTs, carried columns)
+    * @param right     state rows (keyCols, rightTs, tiebreakCol, payload)
+    * @param keyCols   equality keys
+    * @param leftTs    left timestamp column name (any orderable numeric/ts)
+    * @param rightTs   right timestamp column name
+    * @param tiebreak  right-side column ordering rows within one timestamp
+    * @param payload   right-side columns to attach to each left row
+    * Output: all left columns + `asof_<rightTs>`, `asof_<tiebreak>`, and
+    * `asof_<c>` for each payload column (null when no right row precedes).
+    */
+  def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           leftTs: String, rightTs: String, tiebreak: String,
+           payload: Seq[String]): DataFrame = {
+    val carried = Seq(rightTs, tiebreak) ++ payload
+    // left passthrough columns: everything except the keys and the left
+    // timestamp (which travels as the shared sort column `_ts`)
+    val leftCols = left.columns.toSeq.filterNot(_ == leftTs)
+    // one unioned frame: left rows carry nulls in the right-side slots
+    val taggedRight = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).as("_ts"), lit(0).as("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(
+          left.schema(c).dataType).as(c)) ++
+        carried.map(c => col(c).as(s"_r_$c")): _*)
+    val taggedLeft = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTs).as("_ts"), lit(1).as("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts").asc, col("_side").asc, col(s"_r_$tiebreak").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carriedCols = carried.map(c =>
+      last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
+    taggedRight.unionByName(taggedLeft)
+      .select((keyCols.map(col) ++ Seq(col("_ts"), col("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(col)) ++ carriedCols: _*)
+      .filter(col("_side") === 1)
+      .drop("_side")
+      .withColumnRenamed("_ts", leftTs)
+  }
+}

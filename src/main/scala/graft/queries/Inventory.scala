@@ -860,9 +860,74 @@ object Inventory {
         GROUP BY s_name ORDER BY numwait DESC, s_name""")
     })
 
+  // ---------------------------------------------------------------- q59
+  private val q59 = Q("q59_range_frame_window",
+    "RANGE-frame window: per-user trailing-1-hour event count and exact " +
+      "decimal sum ordered by event time (a value-range frame, not a row " +
+      "count — the moving-aggregate shape row frames can't express)",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,
+                 value FROM events)
+      SELECT user_id, event_id, tms,
+             count(*) OVER w AS n_1h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tms
+                   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""),
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("tms"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      e.select(col("user_id"), col("event_id"), col("tms"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    })
+
+  // ---------------------------------------------------------------- q60
+  private val q60 = Q("q60_asof_join",
+    "AS-OF join: each query event matched to the latest preceding state " +
+      "event of the same user (graft.ops.AsOf: union + one ordered window " +
+      "carry-forward — never a per-pair join); oracle verifies via " +
+      "ROW_NUMBER over the candidate pairing",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,
+                 value FROM events),
+      l AS (SELECT user_id, event_id AS q_id, tms AS q_tms FROM e
+            WHERE event_id % 7 = 0),
+      r AS (SELECT user_id, event_id, tms, value FROM e
+            WHERE event_id % 7 <> 0),
+      cand AS (SELECT l.user_id, l.q_id, l.q_tms, r.tms AS asof_tms,
+               r.event_id AS asof_event_id, r.value AS asof_value,
+               ROW_NUMBER() OVER (PARTITION BY l.q_id
+                 ORDER BY r.tms DESC, r.event_id DESC) AS rn
+               FROM l JOIN r ON l.user_id = r.user_id AND r.tms <= l.q_tms)
+      SELECT user_id, q_id, q_tms, asof_tms, asof_event_id, asof_value
+      FROM cand WHERE rn = 1
+      UNION ALL
+      SELECT user_id, q_id, q_tms, NULL, NULL, NULL FROM l
+      WHERE NOT EXISTS (SELECT 1 FROM r
+                        WHERE r.user_id = l.user_id AND r.tms <= l.q_tms)
+      ORDER BY q_id"""),
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("tms"), col("value"))
+      val l = e.filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("user_id"), col("event_id").as("q_id"),
+          col("tms").as("q_tms"))
+      val r = e.filter(pmod(col("event_id"), lit(7)) =!= 0)
+      graft.ops.AsOf.join(l, r, Seq("user_id"),
+        leftTs = "q_tms", rightTs = "tms", tiebreak = "event_id",
+        payload = Seq("value"))
+        .orderBy("q_id")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45,
-    q46, q47, q48, q49, q57, q58)
+    q46, q47, q48, q49, q57, q58, q59, q60)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
