@@ -182,6 +182,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(split.except(again).count() == 0 && again.except(split).count() == 0)
   }
 
+  test("hashSplit surfaces NULL for null keys instead of silently bucketing them") {
+    import graft.ops.Sampling
+    val df = Seq(Some(1L), Some(2L), None).toDF("k")
+    val got = Sampling.hashSplit(df, $"k", Seq("train" -> 90, "test" -> 10))
+      .select($"k", $"split").as[(Option[Long], Option[String])].collect().toMap
+    assert(got(None).isEmpty)            // null key -> null split
+    assert(got(Some(1L)).nonEmpty && got(Some(2L)).nonEmpty)
+  }
+
   test("packByTokenBudget: packs are contiguous in id order and near-budget") {
     import graft.ops.Packing
     val docs = (1L to 100L).map(i => (i, "src", ("w " * 100).trim))
