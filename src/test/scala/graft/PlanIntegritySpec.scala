@@ -79,4 +79,11 @@ class PlanIntegritySpec extends SparkSpec {
     assert(p.contains("graft_dot_scaled"))
     assert(!p.contains("lambdafunction"))
   }
+
+  test("q60: as-of is a union + ONE window — no join operator anywhere") {
+    val p = plan("q60_asof_join")
+    assert(p.contains("Union"))
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "as-of must not plan as a per-pair join")
+  }
 }
