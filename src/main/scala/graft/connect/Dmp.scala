@@ -88,25 +88,38 @@ object Dmp {
     * fixed-size copy buffer, so a multi-GB bundle never materializes in
     * memory (the reference streams its upload the same way).
     */
-  def writeMultipart(out: java.io.OutputStream, boundary: String,
-                     payload: FileUploadPayload, file: Path): Unit = {
-    def field(name: String, value: String): Unit =
-      out.write((s"--$boundary\r\n" +
+  /** The multipart body's fixed parts: (prologue, epilogue) byte arrays —
+    * everything before and after the raw file bytes. The composite body is
+    * then `prologue ++ <file bytes> ++ epilogue`, streamed without ever
+    * materializing the file in memory or copying it on disk.
+    */
+  def multipartParts(boundary: String,
+                     payload: FileUploadPayload): (Array[Byte], Array[Byte]) = {
+    def field(name: String, value: String): String =
+      s"--$boundary\r\n" +
         s"""Content-Disposition: form-data; name="$name"\r\n\r\n""" +
-        value + "\r\n").getBytes(StandardCharsets.UTF_8))
-    field("operations", payload.operations)
-    field("map", """{"fileName": ["variables.file"]}""")
-    out.write((s"--$boundary\r\n" +
-      s"""Content-Disposition: form-data; name="fileName"; filename="${payload.fileName}"\r\n""" +
-      "Content-Type: application/octet-stream\r\n\r\n").getBytes(StandardCharsets.UTF_8))
-    val in = new java.io.BufferedInputStream(
-      new java.io.FileInputStream(file.toFile))
-    try {
-      val buf = new Array[Byte](8192) // reference upload block size, dmp.py:108
-      var n = in.read(buf)
-      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-    } finally in.close()
-    out.write(s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.UTF_8))
+        value + "\r\n"
+    val prologue =
+      field("operations", payload.operations) +
+        field("map", """{"fileName": ["variables.file"]}""") +
+        s"--$boundary\r\n" +
+        s"""Content-Disposition: form-data; name="fileName"; filename="${payload.fileName}"\r\n""" +
+        "Content-Type: application/octet-stream\r\n\r\n"
+    (prologue.getBytes(StandardCharsets.UTF_8),
+      s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Composite InputStream: prologue + file + epilogue, a fresh stream per
+    * invocation (HTTP retries re-invoke the supplier).
+    */
+  def multipartStream(boundary: String, payload: FileUploadPayload,
+                      file: Path): () => java.io.InputStream = { () =>
+    val (pro, epi) = multipartParts(boundary, payload)
+    val parts = java.util.List.of[java.io.InputStream](
+      new java.io.ByteArrayInputStream(pro),
+      new java.io.BufferedInputStream(new java.io.FileInputStream(file.toFile)),
+      new java.io.ByteArrayInputStream(epi))
+    new java.io.SequenceInputStream(java.util.Collections.enumeration(parts))
   }
 
   /** Upload one bundle file to the DMP; true only on a fully-confirmed
@@ -136,21 +149,12 @@ object Dmp {
         dataset = dataset,
         fileLength = Files.size(path))
       val boundary = "graft-" + java.util.UUID.randomUUID().toString
-      // stream the multipart body through a temp file next to the bundle:
-      // constant memory regardless of bundle size, and the transport
-      // streams it out with a file publisher
-      val bodyTmp = Files.createTempFile(
-        path.getParent, ".dmp-body-", ".multipart")
-      val resp =
-        try {
-          val out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(bodyTmp.toFile))
-          try writeMultipart(out, boundary, payload, path) finally out.close()
-          transport.send(HttpRequest("POST", baseUrl,
-            Map("Content-Type" -> s"multipart/form-data; boundary=$boundary",
-              "Authorization" -> tokens.token()),
-            bodyFile = Some(bodyTmp)))
-        } finally Files.deleteIfExists(bodyTmp)
+      // fully streaming body (prologue + file + epilogue composite):
+      // constant memory, no temp copy on disk, any bundle size
+      val resp = transport.send(HttpRequest("POST", baseUrl,
+        Map("Content-Type" -> s"multipart/form-data; boundary=$boundary",
+          "Authorization" -> tokens.token()),
+        bodyStream = Some(multipartStream(boundary, payload, path))))
       if (!resp.isSuccess) {
         log(s"upload failed: HTTP ${resp.status}")
         return false

@@ -18,12 +18,22 @@ final case class HttpRequest(
       * (an in-memory multipart body caps uploads at <2 GB and triples the
       * footprint); when set, `body` is ignored by transports.
       */
-    bodyFile: Option[java.nio.file.Path] = None) {
+    bodyFile: Option[java.nio.file.Path] = None,
+    /** Fully streaming body: a supplier of a fresh InputStream per send
+      * attempt (e.g. a multipart prologue + file + epilogue composite) —
+      * constant memory, no temp copy on disk. Takes precedence over
+      * `bodyFile`/`body`.
+      */
+    bodyStream: Option[() => java.io.InputStream] = None) {
   /** The payload bytes regardless of backing — for tests/mocks only;
-    * production transports stream `bodyFile` without loading it.
+    * production transports stream without loading.
     */
-  def effectiveBody: Array[Byte] =
-    bodyFile.fold(body)(java.nio.file.Files.readAllBytes)
+  def effectiveBody: Array[Byte] = bodyStream match {
+    case Some(mk) =>
+      val in = mk()
+      try in.readAllBytes() finally in.close()
+    case None => bodyFile.fold(body)(java.nio.file.Files.readAllBytes)
+  }
 }
 
 final case class HttpResponse(
@@ -56,9 +66,10 @@ final class JavaNetTransport(
   override def send(req: HttpRequest): HttpResponse = {
     val b = JHttpRequest.newBuilder(URI.create(req.url)).timeout(readTimeout)
     req.headers.foreach { case (k, v) => b.header(k, v) }
-    def publisher = req.bodyFile match {
-      case Some(f) => JHttpRequest.BodyPublishers.ofFile(f)
-      case None => JHttpRequest.BodyPublishers.ofByteArray(req.body)
+    def publisher = (req.bodyStream, req.bodyFile) match {
+      case (Some(mk), _) => JHttpRequest.BodyPublishers.ofInputStream(() => mk())
+      case (None, Some(f)) => JHttpRequest.BodyPublishers.ofFile(f)
+      case _ => JHttpRequest.BodyPublishers.ofByteArray(req.body)
     }
     val jreq = req.method.toUpperCase match {
       case "GET" => b.GET().build()
@@ -79,12 +90,15 @@ final class MockTransport(script: Seq[PartialFunction[HttpRequest, HttpResponse]
   private var calls = 0
   val log = scala.collection.mutable.ArrayBuffer.empty[HttpRequest]
   override def send(req: HttpRequest): HttpResponse = synchronized {
-    // materialize streaming bodies NOW: callers may delete the temp body
-    // file right after send returns, and tests inspect the log later
-    log += req.copy(body = req.effectiveBody, bodyFile = None)
-    val handler = script.find(_.isDefinedAt(req))
+    // materialize streaming bodies NOW — callers may free the backing
+    // stream/file right after send returns, tests inspect the log later,
+    // and script handlers must see the same bytes the log records
+    val eff = req.copy(body = req.effectiveBody, bodyFile = None,
+      bodyStream = None)
+    log += eff
+    val handler = script.find(_.isDefinedAt(eff))
       .getOrElse(throw new IllegalStateException(s"unexpected request: ${req.method} ${req.url}"))
     calls += 1
-    handler(req)
+    handler(eff)
   }
 }

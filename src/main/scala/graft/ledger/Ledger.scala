@@ -32,8 +32,41 @@ final class Ledger(spark: SparkSession, path: String) {
 
   def exists: Boolean = new java.io.File(path).exists()
 
-  def read(): DataFrame =
+  /** Startup/entry recovery for a crash inside a previous publish: a kill
+    * between "old bucket -> trash" and "staged bucket -> live" leaves that
+    * bucket absent from the live table, with its old copy in a
+    * `_trash_<runId>` dir and its new copy in `_staging_<runId>`. Restore
+    * any trashed bucket whose live dir is missing (per-bucket old state —
+    * consistent with the publish contract), then drop the orphan dirs
+    * (unique names: they can never belong to the current call). The ledger
+    * is single-writer by design, as its Mongo counterpart was.
+    */
+  private def recoverOrphans(): Unit = {
+    val self = new java.io.File(path)
+    val parent = self.getParentFile
+    if (parent == null || !parent.exists()) return
+    val base = self.getName
+    Option(parent.listFiles()).getOrElse(Array.empty).foreach { d =>
+      if (d.getName.startsWith(base + "_trash_")) {
+        Option(d.listFiles()).getOrElse(Array.empty).foreach { old =>
+          val target = new java.io.File(path, old.getName)
+          if (!target.exists()) {
+            java.nio.file.Files.move(old.toPath, target.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
+        deleteRecursively(d)
+        spark.catalog.refreshByPath(path)
+      } else if (d.getName.startsWith(base + "_staging_")) {
+        deleteRecursively(d) // never published; safe to drop
+      }
+    }
+  }
+
+  def read(): DataFrame = {
+    recoverOrphans()
     spark.read.parquet(path).drop("bucket")
+  }
 
   /** Initialize (overwrite-all) with a first batch. */
   def init(records: DataFrame): Unit = {
@@ -58,6 +91,7 @@ final class Ledger(spark: SparkSession, path: String) {
     */
   def mergeNoOverride(updates: DataFrame,
                       fields: Seq[String] = enrichable): Unit = {
+    recoverOrphans()
     require(fields.forall(enrichable.contains),
       s"only $enrichable are enrichable; is_uploaded goes via markUploaded")
     val upd = withBucket(updates
@@ -83,6 +117,7 @@ final class Ledger(spark: SparkSession, path: String) {
     * at 100 TB touches k/|buckets| of the table, not all of it.
     */
   def markUploaded(dmpIds: DataFrame): Unit = {
+    recoverOrphans()
     val ids = broadcast(dmpIds.select(col("dmp_id").as("_u_dmp_id")).distinct())
     val buckets = spark.read.parquet(path)
       .join(ids, col("dmp_id") === col("_u_dmp_id"), "left_semi")
@@ -105,6 +140,7 @@ final class Ledger(spark: SparkSession, path: String) {
     * Delta/Iceberg schedule as OPTIMIZE).
     */
   def compact(filesPerBucket: Int = 1): Unit = {
+    recoverOrphans()
     val current = spark.read.parquet(path).coalesce(filesPerBucket * 16)
     writeBuckets(current)
   }

@@ -36,23 +36,33 @@ object AsOf {
     // left passthrough columns: everything except the keys and the left
     // timestamp (which travels as the shared sort column `_ts`)
     val leftCols = left.columns.toSeq.filterNot(_ == leftTs)
-    // one unioned frame: left rows carry nulls in the right-side slots
-    val taggedRight = right.select(
+    // The right side travels as ONE nullable struct, null for left rows:
+    // last(_r, ignoreNulls) then selects the whole matched row ATOMICALLY.
+    // Per-column lasts would mix values from different rows whenever a
+    // payload field is null (the null would be skipped back to an older
+    // row while ts/tiebreak report the newer one).
+    //
+    // Null right timestamps are excluded up front — "at or before" is
+    // undefined for them (the SQL pairing r.ts <= l.ts excludes them too),
+    // and under NULLS FIRST ordering they would otherwise leak phantom
+    // matches into left rows with no preceding state.
+    val taggedRight = right.filter(col(rightTs).isNotNull).select(
       keyCols.map(col) ++
         Seq(col(rightTs).as("_ts"), lit(0).as("_side")) ++
         leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(
-          left.schema(c).dataType).as(c)) ++
-        carried.map(c => col(c).as(s"_r_$c")): _*)
+          left.schema(c).dataType).as(c)) :+
+        struct(carried.map(col): _*).as("_r"): _*)
+    val rStructType = taggedRight.schema("_r").dataType
     val taggedLeft = left.select(
       keyCols.map(col) ++
         Seq(col(leftTs).as("_ts"), lit(1).as("_side")) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(rStructType).as("_r"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc, col(s"_r_$tiebreak").asc)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_r")(tiebreak).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carriedCols = carried.map(c =>
-      last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
+    val matched = last(col("_r"), ignoreNulls = true).over(w)
+    val carriedCols = carried.map(c => matched(c).as(s"asof_$c"))
     taggedRight.unionByName(taggedLeft)
       .select((keyCols.map(col) ++ Seq(col("_ts"), col("_side")) ++
         leftCols.filterNot(keyCols.contains).map(col)) ++ carriedCols: _*)

@@ -66,14 +66,14 @@ object Similarity {
     */
   def planeSignature(embs: DataFrame, idCol: String, vecCol: String,
                      numPlanes: Int): DataFrame = {
-    // dimensionality probe: vectors are uniform length, so one non-null row
-    // suffices (not an eager max() full scan); an empty / all-null input
-    // yields an empty signature frame instead of an NPE
-    val probe = embs.select(size(col(vecCol)).as("n"))
-      .filter(col("n") >= 0).head(1)
-    if (probe.isEmpty)
+    // dimensionality = max vector length (an arbitrary first row would
+    // truncate longer vectors on ragged input AND vary with partition
+    // layout); the aggregate scans only the size of the vector column.
+    // Empty / all-null input yields an empty signature frame, not an NPE.
+    val probe = embs.select(max(size(col(vecCol))).as("d")).head()
+    if (probe.isNullAt(0))
       return embs.select(col(idCol), lit(0L).as("sig")).limit(0)
-    val coefs = hpCoefMatrix(numPlanes, probe(0).getInt(0))
+    val coefs = hpCoefMatrix(numPlanes, probe.getInt(0))
     embs.select(col(idCol),
       graft.expressions.PlaneSig(col(vecCol), coefs, 1e9).as("sig"))
   }

@@ -125,6 +125,24 @@ class LedgerSpec extends SparkSpec {
     assert(got == Seq("r0"))
   }
 
+  test("recovery restores a bucket stranded in trash by a crashed publish") {
+    val path = tmp()
+    val led = new Ledger(spark, path)
+    led.init(df(Seq(rec("a"), rec("b"), rec("c"))))
+    val before = led.read().orderBy("manufacturer_ref").collect().toSeq
+    // simulate a kill between the two publish renames: one live bucket dir
+    // moved to the trash dir, nothing moved in from staging yet
+    val bucketDir = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("bucket=")).head
+    val trash = new java.io.File(path + "_trash_cafe01")
+    trash.mkdirs()
+    java.nio.file.Files.move(bucketDir.toPath,
+      new java.io.File(trash, bucketDir.getName).toPath)
+    // next entry to the ledger restores the stranded bucket and drops trash
+    assert(led.read().orderBy("manufacturer_ref").collect().toSeq == before)
+    assert(!trash.exists())
+  }
+
   test("a stale staging dir from a crashed run cannot corrupt a later merge") {
     val path = tmp()
     val led = new Ledger(spark, path)

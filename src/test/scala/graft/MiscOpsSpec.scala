@@ -166,6 +166,23 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("AsOf.join attributes the matched row atomically (null payloads, null rts)") {
+    // rid=2 is the latest preceding row but carries a NULL payload: the
+    // result must report (ts=20, rid=2, v=NULL), never mix in rid=1's value
+    val right = Seq((1L, Some(10L), 1L, Some(5.0)), (1L, Some(20L), 2L, None),
+      // null right timestamp: excluded entirely ("at or before" undefined)
+      (2L, None, 9L, Some(7.0)))
+      .toDF("k", "rts", "rid", "v")
+    val left = Seq((1L, 30L, 100L), (2L, 5L, 200L)).toDF("k", "lts", "q_id")
+    val got = graft.ops.AsOf.join(left, right, Seq("k"),
+      leftTs = "lts", rightTs = "rts", tiebreak = "rid", payload = Seq("v"))
+      .select($"q_id", $"asof_rts", $"asof_rid", $"asof_v")
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(100L) == ((Some(20L), Some(2L), None)))   // atomic: rid=2's null v
+    assert(got(200L) == ((None, None, None)))            // no phantom match
+  }
+
   test("writeSharded: non-overlapping ranges, sorted shards, bounded files") {
     import org.apache.spark.sql.functions.input_file_name
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
