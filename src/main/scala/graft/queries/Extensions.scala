@@ -542,7 +542,7 @@ object Extensions {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
             FROM d)
       SELECT source, CAST(prev // 2000 AS BIGINT) AS pack_id,
-             count(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+             count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
       FROM c GROUP BY 1, 2 ORDER BY source, pack_id"""),
     (s, dir) => {
       graft.ops.Packing.packByTokenBudget(t(s, dir, "documents"),

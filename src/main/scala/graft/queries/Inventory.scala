@@ -841,23 +841,49 @@ object Inventory {
                           AND l3.l_shipdate > l1.l_shipdate)
       GROUP BY s_name ORDER BY numwait DESC, s_name"""),
     (s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-      t(s, dir, "orders").createOrReplaceTempView("orders")
-      t(s, dir, "supplier").createOrReplaceTempView("supplier")
-      s.sql("""
-        SELECT s_name, count(*) AS numwait
-        FROM supplier
-        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE o_orderstatus = 'F'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate > l1.l_shipdate)
-        GROUP BY s_name ORDER BY numwait DESC, s_name""")
+      // Single-pass rewrite of the decorrelated EXISTS/NOT-EXISTS plan
+      // (which scanned + shuffled lineitem three times). Both subqueries
+      // probe only rows of l1's own order, and an order is uniformly 'F'
+      // or not, so restricting lineitem to 'F' orders FIRST is semantics-
+      // preserving. Then per row we need
+      //   EXISTS other supplier        <=> min(supp) != max(supp) in order
+      //   NOT EXISTS later other-supp  <=> l_shipdate >= otherMax, where
+      // otherMax = max shipdate among rows of a DIFFERENT supplier:
+      //   if >=2 suppliers ship at the order max m1 -> m1 for everyone;
+      //   else (unique s* at m1) -> m1 for rows of s != s*,
+      //        and max-shipdate-over-supp!=s* for rows of s*.
+      // All windows partition by l_orderkey with no ORDER BY, so the join
+      // exchange is reused: lineitem shuffles exactly once.
+      val ord = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val step1 = li
+        .withColumn("m1", max(col("l_shipdate")).over(w))
+        .withColumn("supp_lo", min(col("l_suppkey")).over(w))
+        .withColumn("supp_hi", max(col("l_suppkey")).over(w))
+      val step2 = step1
+        .withColumn("at_m1_lo",
+          min(when(col("l_shipdate") === col("m1"), col("l_suppkey"))).over(w))
+        .withColumn("at_m1_hi",
+          max(when(col("l_shipdate") === col("m1"), col("l_suppkey"))).over(w))
+      val step3 = step2
+        .withColumn("m2_excl",
+          max(when(col("l_suppkey") =!= col("at_m1_lo"), col("l_shipdate"))).over(w))
+      val otherMax = when(col("at_m1_lo") =!= col("at_m1_hi"), col("m1"))
+        .when(col("l_suppkey") =!= col("at_m1_lo"), col("m1"))
+        .otherwise(col("m2_excl"))
+      val qual = step3
+        .where(col("supp_lo") =!= col("supp_hi"))
+        .where(col("l_shipdate") >= otherMax)
+      qual.join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     })
 
   // ---------------------------------------------------------------- q59
