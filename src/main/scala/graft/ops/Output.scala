@@ -33,4 +33,52 @@ object Output {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Deterministic twin of `repartitionByRange`'s sampled boundaries:
+    * integer-width ranges over [min(key), max(key)], all BIGINT math, so
+    * the shard of a row is a pure function of the dataset — reproducible
+    * across runs AND engines (the property the sampled path cannot give,
+    * and what lets an oracle gate the manifest). Equal-width, not
+    * equal-count: under heavy key skew prefer the sampled writer; for
+    * manifest-auditable output this is the path.
+    *
+    * One tiny aggregate (min/max) broadcast back over the data — no
+    * extra shuffle on the big side; the assignment is row-local.
+    */
+  def rangeShardAssign(df: DataFrame, keyCol: String, shards: Int,
+                       shardCol: String = "shard_id"): DataFrame = {
+    require(shards > 0, "rangeShardAssign needs shards > 0")
+    val stats = df.agg(min(col(keyCol)).as("__lo"), max(col(keyCol)).as("__hi"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(shardCol, expr(
+        s"CAST(least(${shards - 1}, (($keyCol - __lo) * $shards) div (__hi - __lo + 1)) AS BIGINT)"))
+      .drop("__lo", "__hi")
+  }
+
+  /** Shard manifest: what a loader checks before consuming — per-shard row
+    * count and key range (non-overlapping, ordered by construction). */
+  def shardManifest(assigned: DataFrame, keyCol: String,
+                    shardCol: String = "shard_id"): DataFrame =
+    assigned.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key"))
+      .orderBy(col(shardCol))
+
+  /** Write pre-assigned shards as a partitioned layout (`shard_id=N/`
+    * directories), sorted within each shard — the deterministic-manifest
+    * variant of [[writeSharded]]. One exchange on the shard id. */
+  def writeShardedBy(assigned: DataFrame, path: String,
+                     sortCols: Seq[String],
+                     shardCol: String = "shard_id",
+                     maxRecordsPerFile: Long = 1000000L): Unit = {
+    require(sortCols.nonEmpty, "writeShardedBy needs at least one sort column")
+    assigned.repartition(col(shardCol))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(shardCol)
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

@@ -584,6 +584,26 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q61 = Q("q61_shard_manifest",
+    "range-sharded training-data writer manifest: deterministic integer-" +
+      "width shard assignment over [min,max] doc_id (graft.ops.Output." +
+      "rangeShardAssign — the auditable twin of repartitionByRange's " +
+      "sampled boundaries), then per-shard row count and key range",
+    Some("""
+      WITH s AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      a AS (SELECT doc_id,
+            CAST(least(15, ((doc_id - lo) * 16) // (hi - lo + 1)) AS BIGINT)
+              AS shard_id
+            FROM documents, s)
+      SELECT shard_id, count(*) AS n_rows,
+             min(doc_id) AS min_key, max(doc_id) AS max_key
+      FROM a GROUP BY 1 ORDER BY shard_id"""),
+    (s, dir) => {
+      val assigned = graft.ops.Output.rangeShardAssign(
+        t(s, dir, "documents"), "doc_id", shards = 16)
+      graft.ops.Output.shardManifest(assigned, "doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55)
+    q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61)
 }

@@ -207,6 +207,32 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("rangeShardAssign + writeShardedBy: written layout matches the manifest") {
+    val dir = Files.createTempDirectory("graft-detshards").toString + "/out"
+    val df = (1L to 997L).map(i => (i * 7919 % 5000, s"row$i")).toDF("k", "v")
+    val assigned = graft.ops.Output.rangeShardAssign(df, "k", shards = 8)
+    val manifest = graft.ops.Output.shardManifest(assigned, "k")
+      .as[(Long, Long, Long, Long)].collect()
+    // deterministic: a second assignment produces the identical manifest
+    val manifest2 = graft.ops.Output.shardManifest(
+      graft.ops.Output.rangeShardAssign(df, "k", shards = 8), "k")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(manifest.toSeq == manifest2.toSeq)
+    // non-overlapping ordered ranges, all rows accounted for
+    assert(manifest.map(_._2).sum == 997L)
+    manifest.sliding(2).foreach {
+      case Array((s1, _, _, hi), (s2, _, lo, _)) =>
+        assert(s1 < s2); assert(hi < lo)
+      case _ =>
+    }
+    // the written partitioned layout agrees with the manifest per shard
+    graft.ops.Output.writeShardedBy(assigned, dir, sortCols = Seq("k"))
+    val back = spark.read.parquet(dir)
+      .groupBy($"shard_id").agg(count(lit(1)).as("n"), min($"k").as("lo"), max($"k").as("hi"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(back.toSeq == manifest.toSeq)
+  }
+
   test("approx_count_distinct stays within 5% of exact on the testdata") {
     val got = graft.queries.Pipeline.approxDistinct(spark, "/root/testdata/sf0.01")
       .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
