@@ -118,6 +118,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pigeonhole simHashPairs is COMPLETE vs brute-force Hamming pairs") {
+    // The exact-pair path (Dedup.simHashPairs, blockBits=0) rests on the
+    // pigeonhole argument: distance <= k means at least one of the k+1 bit
+    // blocks matches exactly. Verify completeness (and soundness) against
+    // an all-pairs O(n^2) check on random signatures, across k values that
+    // exercise both even (32/2, 32/4) and uneven (32/3) block widths.
+    val rng = new scala.util.Random(41)
+    for (maxHamming <- Seq(1, 2, 3)) {
+      // bases plus near-duplicates with <= maxHamming+1 flipped bits, so
+      // both accepted and just-rejected distances occur at volume
+      val bases = (0 until 30).map(i => (i.toLong, rng.nextLong() & 0xFFFFFFFFL))
+      val derived = (0 until 50).map { i =>
+        val (_, base) = bases(rng.nextInt(bases.length))
+        val flips = rng.nextInt(maxHamming + 2)
+        val sig = (0 until flips).foldLeft(base)((s, _) => s ^ (1L << rng.nextInt(32)))
+        (100L + i, sig)
+      }
+      val docs = bases ++ derived
+      val expected = (for {
+        (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxHamming
+      } yield (ia, ib, h.toLong)).toSet
+      val got = graft.ops.Dedup.simHashPairs(
+        docs.toDF("doc_id", "simhash"), "doc_id", maxHamming = maxHamming)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"maxHamming=$maxHamming: " +
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("no-override merge is idempotent: merge(merge(s,u),u) == merge(s,u)") {
     val base = gen(Gen.listOfN(100, Gen.option(Gen.identifier)), 5L).zipWithIndex
       .map { case (v, i) => (s"k$i", v) }
