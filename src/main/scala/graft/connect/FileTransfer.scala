@@ -84,30 +84,42 @@ object FileTransfer {
     Jwt.dotPath(meta.bodyString, "data_url").filter(_.nonEmpty) match {
       case None => false // not ready upstream: no data_url yet
       case Some(fileUrl) =>
-        // file_url embeds its own auth (drm.py:52-53) — no headers
-        val resp = transport.send(HttpRequest("GET", fileUrl))
-        require(resp.isSuccess, s"file download failed: HTTP ${resp.status}")
+        // file_url embeds its own auth (drm.py:52-53) — no headers.
+        // Streaming body: socket → disk in 1 KiB chunks (drm.py:70-88's
+        // iter_content loop), constant memory regardless of file size —
+        // the download-side twin of Dmp.multipartStream's upload posture.
+        val resp = transport.sendStreaming(HttpRequest("GET", fileUrl))
+        if (!resp.isSuccess) {
+          resp.body.close()
+          throw new IllegalStateException(s"file download failed: HTTP ${resp.status}")
+        }
+        val total = resp.contentLength // -1 when the server omits it
         val out = new BufferedOutputStream(new FileOutputStream(target.toFile))
         try {
-          // chunked copy with 10%-step progress (drm.py:69-88); the
-          // Transport seam already buffered the body, so the chunk loop
-          // preserves the reference's progress/IO shape, not its socket use
-          val bytes = resp.body
-          val chunk = 1024
-          var off = 0
+          val buf = new Array[Byte](1024)
+          var got = 0L
           var percentDown = 0
-          while (off < bytes.length) {
-            val n = math.min(chunk, bytes.length - off)
-            out.write(bytes, off, n)
-            off += n
-            val status = (off.toLong * 100 / math.max(1, bytes.length)).toInt
-            if (status > percentDown + 10) {
-              percentDown = status / 10 * 10
-              log(s"$percentDown% Downloaded")
+          var n = resp.body.read(buf)
+          while (n >= 0) {
+            if (n > 0) {
+              out.write(buf, 0, n)
+              got += n
+              if (total > 0) {
+                // 10%-step progress (drm.py:80-86)
+                val status = (got * 100 / total).toInt
+                if (status > percentDown + 10) {
+                  percentDown = status / 10 * 10
+                  log(s"$percentDown% Downloaded")
+                }
+              }
             }
+            n = resp.body.read(buf)
           }
           log("100% Downloaded")
-        } finally out.close()
+        } finally {
+          out.close()
+          resp.body.close()
+        }
         true
     }
   }

@@ -44,12 +44,40 @@ final case class HttpResponse(
   def isSuccess: Boolean = status >= 200 && status < 300
 }
 
+/** Download-side twin of `HttpRequest.bodyStream`: the body is handed back
+  * as the (socket) InputStream, never materialized — a multi-GB `.h5`
+  * download costs one chunk buffer of memory, matching the reference's
+  * 1 KiB `iter_content` loop (drm.py:70-88). Caller closes `body`.
+  */
+final case class StreamingHttpResponse(
+    status: Int,
+    headers: Map[String, String] = Map.empty,
+    body: java.io.InputStream) {
+  def isSuccess: Boolean = status >= 200 && status < 300
+  /** Content-Length if the server sent one (case-insensitive), else -1. */
+  def contentLength: Long = headers.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("content-length") => v.trim.toLong
+  }.getOrElse(-1L)
+}
+
 /** Serializable so connector closures (fetch/push lambdas built over a
   * transport + token provider) can run inside executor-side mapPartitions
   * (FileTransfer.executePlan); the JDK client itself is rebuilt per JVM.
   */
 trait Transport extends Serializable {
   def send(req: HttpRequest): HttpResponse
+
+  /** Streaming-body variant for large downloads. The default adapts `send`
+    * (fine for mocks and small control-plane responses — the body is
+    * already in memory, so it also synthesizes Content-Length);
+    * production transports override it to hand back the live stream.
+    */
+  def sendStreaming(req: HttpRequest): StreamingHttpResponse = {
+    val r = send(req)
+    val h = if (r.headers.keys.exists(_.equalsIgnoreCase("content-length"))) r.headers
+            else r.headers + ("content-length" -> r.body.length.toString)
+    StreamingHttpResponse(r.status, h, new java.io.ByteArrayInputStream(r.body))
+  }
 }
 
 /** Production transport on the JDK 17 HttpClient (no extra deps).
@@ -63,7 +91,7 @@ final class JavaNetTransport(
   @transient private lazy val client = HttpClient.newBuilder()
     .connectTimeout(connectTimeout).build()
 
-  override def send(req: HttpRequest): HttpResponse = {
+  private def buildJdkRequest(req: HttpRequest): JHttpRequest = {
     val b = JHttpRequest.newBuilder(URI.create(req.url)).timeout(readTimeout)
     req.headers.foreach { case (k, v) => b.header(k, v) }
     def publisher = (req.bodyStream, req.bodyFile) match {
@@ -71,16 +99,31 @@ final class JavaNetTransport(
       case (None, Some(f)) => JHttpRequest.BodyPublishers.ofFile(f)
       case _ => JHttpRequest.BodyPublishers.ofByteArray(req.body)
     }
-    val jreq = req.method.toUpperCase match {
+    req.method.toUpperCase match {
       case "GET" => b.GET().build()
       case "POST" => b.POST(publisher).build()
       case m => b.method(m, publisher).build()
     }
-    val resp = client.send(jreq, JHttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def headerMap(resp: JHttpResponse[_]): Map[String, String] = {
     import scala.jdk.CollectionConverters._
-    HttpResponse(resp.statusCode(),
-      resp.headers().map().asScala.view.mapValues(_.asScala.mkString(",")).toMap,
-      resp.body())
+    resp.headers().map().asScala.view.mapValues(_.asScala.mkString(",")).toMap
+  }
+
+  override def send(req: HttpRequest): HttpResponse = {
+    val resp = client.send(buildJdkRequest(req),
+      JHttpResponse.BodyHandlers.ofByteArray())
+    HttpResponse(resp.statusCode(), headerMap(resp), resp.body())
+  }
+
+  /** Socket-backed body: nothing buffered beyond the client's flow-control
+    * window; the caller's chunk loop is the only full pass over the bytes.
+    */
+  override def sendStreaming(req: HttpRequest): StreamingHttpResponse = {
+    val resp = client.send(buildJdkRequest(req),
+      JHttpResponse.BodyHandlers.ofInputStream())
+    StreamingHttpResponse(resp.statusCode(), headerMap(resp), resp.body())
   }
 }
 

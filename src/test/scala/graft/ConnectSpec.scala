@@ -267,4 +267,47 @@ class ConnectSpec extends SparkSpec {
     assert(java.util.Arrays.equals(Files.readAllBytes(target), payload))
     assert(progress.last == "100% Downloaded")
   }
+
+  test("chunkedFetch: body is STREAMED in bounded chunks, never buffered") {
+    val fresh = jwt(System.currentTimeMillis() / 1000 + 3600)
+    val payload = Array.tabulate[Byte](64 * 1024 + 37)(i => (i % 251).toByte)
+    val readSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // a transport whose streaming body records every read request — if
+    // chunkedFetch materialized the body (readAllBytes-style), single read
+    // lengths would exceed the 1 KiB chunk contract
+    val inner = new MockTransport(Seq({
+      case r if r.url == "https://drm/rec/R3/h5/" =>
+        HttpResponse(200, body = """{"data_url": "https://cdn/signed/R3"}""".getBytes)
+    }))
+    val transport = new Transport {
+      override def send(req: HttpRequest): HttpResponse = inner.send(req)
+      override def sendStreaming(req: HttpRequest): StreamingHttpResponse = {
+        assert(req.url == "https://cdn/signed/R3")
+        val src = new java.io.ByteArrayInputStream(payload)
+        val spying = new java.io.InputStream {
+          override def read(): Int = { readSizes += 1; src.read() }
+          override def read(b: Array[Byte], off: Int, len: Int): Int = {
+            readSizes += len; src.read(b, off, len)
+          }
+        }
+        StreamingHttpResponse(200,
+          Map("Content-Length" -> payload.length.toString), spying)
+      }
+    }
+    val tokens = new BasicAuthTokenProvider(inner,
+      ConnectionConfig("https://drm", jwtToken = Some(fresh)))
+    val target = Files.createTempDirectory("graft-dl").resolve("R3.h5")
+    val progress = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ok = FileTransfer.chunkedFetch(transport, tokens,
+      ref => s"https://drm/rec/$ref/h5/", progress += _)("R3", target)
+    assert(ok)
+    assert(java.util.Arrays.equals(Files.readAllBytes(target), payload))
+    // constant-memory contract: every read bounded by the 1 KiB chunk,
+    // and the copy took many reads (no one-shot slurp)
+    assert(readSizes.nonEmpty && readSizes.forall(_ <= 1024))
+    assert(readSizes.size >= payload.length / 1024)
+    // 10%-step progress derived from Content-Length while streaming
+    assert(progress.count(_.endsWith("% Downloaded")) >= 5)
+    assert(progress.last == "100% Downloaded")
+  }
 }
