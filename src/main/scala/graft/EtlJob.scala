@@ -17,13 +17,19 @@ import graft.sources.LookupCsv
   *
   * Usage:
   *   runMain graft.EtlJob --ledger <dir> --incoming <parquet>
+  *     [--incoming <parquet> ...]
   *     --uid-serial <csv> --serial-id <csv> --assignments <parquet>
   *     --workdir <dir> [--cutoff 12:00:00] [--today 2024-02-15]
   *     [--limit N] [--simulate-transfer]
   *
   * `--incoming` schema: manufacturer_ref, device_type, start, end, meta
   * (the S1 fetch output — see connect.PaginatedRestSource / the DSv2
-  * source for producing it from a live API).
+  * source for producing it from a live API). The flag repeats for
+  * multi-site ingest — the reference runs one Dreem connection per site
+  * (`dreem_kiel`/`dreem_newcastle`, init/connections.yaml.example:5-18)
+  * into a single pipeline; here the per-site frames are unioned by name
+  * before ingest, and the hash anti-join dedups ACROSS sites as well as
+  * against the ledger.
   * Transfer modes for task 6 (extract-prep-load):
   *  - `--simulate-transfer`: local file writes standing in for the network
   *    (this container has no egress);
@@ -81,8 +87,18 @@ object EtlJob {
     val today = opts.getOrElse("today", java.time.LocalDate.now().toString)
     val limit = opts.get("limit").map(_.toInt)
 
-    // task 1 — download_metadata: ingest-dedup + append (J1+L1+S7)
-    val incoming = spark.read.parquet(opts("incoming"))
+    // task 1 — download_metadata: ingest-dedup + append (J1+L1+S7).
+    // Multi-site fan-in: one frame per --incoming source, unioned by name
+    // (same S1 schema per site, init/connections.yaml.example:5-18). The
+    // ledger anti-join only removes ALREADY-SEEN records, so a record
+    // surfacing at several sites in the same run is collapsed here on the
+    // same identity the ledger hash is built from (Etl.recordHash).
+    val sites = opts("incoming").split('\u0000').toSeq
+      .map(spark.read.parquet(_))
+    val unioned = sites.reduce(_.unionByName(_))
+    val incoming = (if (sites.sizeIs > 1)
+        unioned.dropDuplicates("device_type", "manufacturer_ref")
+      else unioned)
       .withColumn("device_serial", lit(null).cast("string"))
       .withColumn("device_id", lit(null).cast("string"))
       .withColumn("patient_id", lit(null).cast("string"))
@@ -173,7 +189,11 @@ object EtlJob {
       if (key == "simulate-transfer") m(key) = "true"
       else {
         require(it.hasNext, s"--$key requires a value")
-        m(key) = it.next()
+        val v = it.next()
+        // --incoming repeats (one per site); NUL-joined so any legal path
+        // round-trips. Other flags keep last-wins semantics.
+        if (key == "incoming" && m.contains(key)) m(key) = m(key) + "\u0000" + v
+        else m(key) = v
       }
     }
     m.toMap

@@ -71,6 +71,44 @@ class EtlJobSpec extends SparkSpec {
     assert(again("uploaded_groups") == 0)
   }
 
+  test("EtlJob.run multi-site: unions per-site incoming, dedups across sites") {
+    val base = Files.createTempDirectory("graft-job-sites").toString
+    def incoming(rows: Seq[(String, String, String)]) = rows
+      .toDF("manufacturer_ref", "uid", "s")
+      .select(col("manufacturer_ref"), lit("DRM").as("device_type"),
+        col("s").cast("timestamp").as("start"),
+        (col("s").cast("timestamp") + expr("INTERVAL 2 HOURS")).as("end"),
+        map(lit("dreem_uid"), col("uid")).as("meta"))
+    // r2 appears at BOTH sites with identical fields -> one ledger row
+    incoming(Seq(("r1", "U1", "2021-11-10 13:00:00"),
+      ("r2", "U2", "2021-11-10 14:00:00"))).write.parquet(s"$base/site_kiel")
+    incoming(Seq(("r2", "U2", "2021-11-10 14:00:00"),
+      ("r3", "U1", "2021-11-11 09:00:00"))).write.parquet(s"$base/site_newcastle")
+    Files.write(Paths.get(base, "uid_serial.csv"), "U1,S1\nU2,S2\n".getBytes)
+    Files.write(Paths.get(base, "serial_id.csv"), "S1,DEV-1\nS2,DEV-2\n".getBytes)
+    Seq(("DEV-1", "P-A", "2021-11-01 00:00:00", null: String),
+      ("DEV-2", "P-B", "2021-11-01 00:00:00", "2021-11-30 00:00:00"))
+      .toDF("device_id", "patient_id", "sw", "ew")
+      .select(col("device_id"), col("patient_id"),
+        col("sw").cast("timestamp").as("start_wear"),
+        col("ew").cast("timestamp").as("end_wear"))
+      .write.parquet(s"$base/assignments")
+    val opts = Map(
+      "ledger" -> s"$base/ledger",
+      // what parseArgs builds from a repeated --incoming flag
+      "incoming" -> Seq(s"$base/site_kiel", s"$base/site_newcastle")
+        .mkString(0.toChar.toString),
+      "uid-serial" -> s"$base/uid_serial.csv",
+      "serial-id" -> s"$base/serial_id.csv",
+      "assignments" -> s"$base/assignments",
+      "workdir" -> s"$base/work", "today" -> "2021-12-01",
+      "simulate-transfer" -> "true")
+    val summary = EtlJob.run(spark, opts).toMap
+    assert(summary("ingested_new") == 3) // 4 site rows, r2 cross-site deduped
+    assert(summary("ledger_rows") == 3)
+    assert(summary("with_patient") == 3)
+  }
+
   test("EtlJob.run live transfer: chunkedFetch + Dmp.upload against scripted endpoints") {
     import graft.connect.{HttpResponse, MockTransport}
     val base = Files.createTempDirectory("graft-job-live").toString
