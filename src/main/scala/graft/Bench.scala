@@ -14,14 +14,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra confs for experiments (e.g. the AQE skew-join pass in
+    // SCALING.md): SPARK_GRAFT_CONF="k=v;k=v". Driver never sets it.
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
@@ -52,11 +60,15 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: full double repr once overflowed the driver's line
+    // capture and truncated the first (alphabetically: q01) entry
+    def r3(v: Double): String =
+      if (v < 0) "-1" else (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -157,6 +157,21 @@ object Pipeline {
         .orderBy("key")
     })
 
+  /** Stream source for the events table. The file source needs a
+    * directory: the driver's testdata keeps `events.parquet` as a single
+    * FILE in `dir` (glob-filter it), while ScaleUp replicas write it as a
+    * DIRECTORY of part files (point at it directly — a leaf-name glob of
+    * "events.parquet" would match nothing inside and silently stream zero
+    * rows, which is how the round-2 10× streaming numbers went vacuous).
+    */
+  private def eventsStream(s: SparkSession, dir: String,
+                           schema: StructType): DataFrame = {
+    val asDir = new java.io.File(dir, "events.parquet")
+    if (asDir.isDirectory) s.readStream.schema(schema).parquet(asDir.toString)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   private val q33 = Q("q33_streaming_ingest",
     "§2.9: Structured Streaming AvailableNow drain — sha256 dedup state + " +
       "aggregation; result equals the batch query (exactly-once semantics)",
@@ -170,9 +185,7 @@ object Pipeline {
         StructField("value", DoubleType), StructField("props", StringType)))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val cp = java.nio.file.Files.createTempDirectory("graft-q33-cp").toString
-      // the file-stream source requires a directory; glob-filter to events
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = eventsStream(s, dir, schema)
         .withColumn("hash",
           Etl.recordHash(lit("DRM"), col("event_id").cast("string")))
         .dropDuplicates("hash")
@@ -206,8 +219,7 @@ object Pipeline {
         StructField("value", DoubleType), StructField("props", StringType)))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val cp = java.nio.file.Files.createTempDirectory("graft-q56-cp").toString
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = eventsStream(s, dir, schema)
         .select(col("event_type").as("device_id"),
           timestamp_micros(expr("ts div 1000")).as("start"))
       val agg = graft.streaming.IncrementalIngest.dayBucketCounts(stream, "12:00:00")

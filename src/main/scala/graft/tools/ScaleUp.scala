@@ -23,8 +23,16 @@ object ScaleUp {
 
     def replicate(name: String, idCols: Map[String, Long]): Unit = {
       val base = Tables.table(spark, src, name)
+      // keep the replica physically faithful to the source: events.ts is
+      // int64 nanos there (Tables.events converts it to timestamp on read),
+      // so convert back before writing — otherwise the replica carries a
+      // real timestamp column and consumers with a pinned nanos-long schema
+      // (the streaming gates) fail on it
+      val faithful =
+        if (name == "events") base.withColumn("ts", expr("unix_micros(ts) * 1000"))
+        else base
       val copies = (0 until factor).map { i =>
-        idCols.foldLeft(base) { case (df, (c, stride)) =>
+        idCols.foldLeft(faithful) { case (df, (c, stride)) =>
           df.withColumn(c, col(c) + lit(i * stride))
         }
       }
