@@ -92,13 +92,21 @@ object EtlJob {
     // (same S1 schema per site, init/connections.yaml.example:5-18). The
     // ledger anti-join only removes ALREADY-SEEN records, so a record
     // surfacing at several sites in the same run is collapsed here on the
-    // same identity the ledger hash is built from (Etl.recordHash).
+    // same identity the ledger hash is built from (Etl.recordHash). The
+    // survivor is chosen DETERMINISTICALLY (earliest start/end, then the
+    // serialized meta) — dropDuplicates would keep whichever partition won
+    // the race, making ledger contents differ between identical runs when
+    // sites disagree on non-key fields.
     val sites = opts("incoming").split('\u0000').toSeq
       .map(spark.read.parquet(_))
     val unioned = sites.reduce(_.unionByName(_))
-    val incoming = (if (sites.sizeIs > 1)
-        unioned.dropDuplicates("device_type", "manufacturer_ref")
-      else unioned)
+    val incoming = (if (sites.sizeIs > 1) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("device_type"), col("manufacturer_ref"))
+          .orderBy(col("start"), col("end"), to_json(col("meta")))
+        unioned.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      } else unioned)
       .withColumn("device_serial", lit(null).cast("string"))
       .withColumn("device_id", lit(null).cast("string"))
       .withColumn("patient_id", lit(null).cast("string"))

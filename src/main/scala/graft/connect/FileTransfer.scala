@@ -89,37 +89,39 @@ object FileTransfer {
         // iter_content loop), constant memory regardless of file size —
         // the download-side twin of Dmp.multipartStream's upload posture.
         val resp = transport.sendStreaming(HttpRequest("GET", fileUrl))
-        if (!resp.isSuccess) {
-          resp.body.close()
-          throw new IllegalStateException(s"file download failed: HTTP ${resp.status}")
-        }
-        val total = resp.contentLength // -1 when the server omits it
-        val out = new BufferedOutputStream(new FileOutputStream(target.toFile))
-        try {
-          val buf = new Array[Byte](1024)
-          var got = 0L
-          var percentDown = 0
-          var n = resp.body.read(buf)
-          while (n >= 0) {
-            if (n > 0) {
-              out.write(buf, 0, n)
-              got += n
-              if (total > 0) {
-                // 10%-step progress (drm.py:80-86)
-                val status = (got * 100 / total).toInt
-                if (status > percentDown + 10) {
-                  percentDown = status / 10 * 10
-                  log(s"$percentDown% Downloaded")
+        try { // body closed on EVERY exit — incl. setup throws below
+          if (!resp.isSuccess)
+            throw new IllegalStateException(s"file download failed: HTTP ${resp.status}")
+          val total = resp.contentLength // -1 when absent or unusable
+          val out = new BufferedOutputStream(new FileOutputStream(target.toFile))
+          try {
+            val buf = new Array[Byte](1024)
+            var got = 0L
+            var percentDown = 0
+            var n = resp.body.read(buf)
+            while (n >= 0) {
+              if (n > 0) {
+                out.write(buf, 0, n)
+                got += n
+                if (total > 0) {
+                  // 10%-step progress (drm.py:80-86)
+                  val status = (got * 100 / total).toInt
+                  if (status > percentDown + 10) {
+                    percentDown = status / 10 * 10
+                    log(s"$percentDown% Downloaded")
+                  }
                 }
               }
+              n = resp.body.read(buf)
             }
-            n = resp.body.read(buf)
-          }
-          log("100% Downloaded")
-        } finally {
-          out.close()
-          resp.body.close()
-        }
+            // a dropped connection can surface as clean EOF, not an
+            // exception — never accept a short body as a good download
+            if (total > 0 && got != total)
+              throw new java.io.IOException(
+                s"truncated download: got $got of $total bytes")
+            log("100% Downloaded")
+          } finally out.close()
+        } finally resp.body.close()
         true
     }
   }

@@ -54,10 +54,14 @@ final case class StreamingHttpResponse(
     headers: Map[String, String] = Map.empty,
     body: java.io.InputStream) {
   def isSuccess: Boolean = status >= 200 && status < 300
-  /** Content-Length if the server sent one (case-insensitive), else -1. */
+  /** Content-Length if the server sent a usable one, else -1. Malformed or
+    * duplicated values (headerMap comma-joins repeats) degrade to -1 —
+    * the length only drives progress logging, never correctness, so a bad
+    * proxy header must not fail an otherwise-good download.
+    */
   def contentLength: Long = headers.collectFirst {
-    case (k, v) if k.equalsIgnoreCase("content-length") => v.trim.toLong
-  }.getOrElse(-1L)
+    case (k, v) if k.equalsIgnoreCase("content-length") => v
+  }.flatMap(_.split(',').head.trim.toLongOption).getOrElse(-1L)
 }
 
 /** Serializable so connector closures (fetch/push lambdas built over a
@@ -119,12 +123,57 @@ final class JavaNetTransport(
 
   /** Socket-backed body: nothing buffered beyond the client's flow-control
     * window; the caller's chunk loop is the only full pass over the bytes.
+    *
+    * Wrapped in an idle watchdog: the JDK request timeout stops applying
+    * once headers arrive, so with `ofInputStream` a mid-body stall would
+    * otherwise block a read forever (the buffered path was implicitly
+    * bounded because `ofByteArray` ran under the request timeout). The
+    * watchdog closes the stream after `readTimeout` without progress,
+    * failing the blocked read instead of wedging the executor task.
     */
   override def sendStreaming(req: HttpRequest): StreamingHttpResponse = {
     val resp = client.send(buildJdkRequest(req),
       JHttpResponse.BodyHandlers.ofInputStream())
-    StreamingHttpResponse(resp.statusCode(), headerMap(resp), resp.body())
+    StreamingHttpResponse(resp.statusCode(), headerMap(resp),
+      new IdleTimeoutInputStream(resp.body(), readTimeout))
   }
+}
+
+/** Closes the wrapped stream when no read has completed for `idle` —
+  * closing unblocks a read stuck on a dead socket with an IOException,
+  * which the watchdog rewraps with a diagnosable message. One shared
+  * daemon timer; the task dies with the stream.
+  */
+private[graft] final class IdleTimeoutInputStream(
+    in: java.io.InputStream, idle: Duration) extends java.io.InputStream {
+  @volatile private var last = System.nanoTime()
+  @volatile private var timedOut = false
+  private val task = new java.util.TimerTask {
+    override def run(): Unit =
+      if (System.nanoTime() - last > idle.toNanos) {
+        timedOut = true
+        try in.close() catch { case _: Exception => () }
+        cancel()
+      }
+  }
+  IdleTimeoutInputStream.timer.schedule(task,
+    math.max(1, idle.toMillis / 2), math.max(1, idle.toMillis / 2))
+  private def touched[A](f: => A): A =
+    try { val r = f; last = System.nanoTime(); r }
+    catch {
+      case e: java.io.IOException if timedOut =>
+        throw new java.io.IOException(
+          s"download body idle for > ${idle.getSeconds}s, stream aborted", e)
+    }
+  override def read(): Int = touched(in.read())
+  override def read(b: Array[Byte], off: Int, len: Int): Int =
+    touched(in.read(b, off, len))
+  override def available(): Int = in.available()
+  override def close(): Unit = { task.cancel(); in.close() }
+}
+
+private[graft] object IdleTimeoutInputStream {
+  val timer = new java.util.Timer("graft-body-idle-watchdog", true)
 }
 
 /** Scripted transport for tests: responses served in order per URL matcher. */

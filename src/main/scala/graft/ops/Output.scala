@@ -49,9 +49,22 @@ object Output {
                        shardCol: String = "shard_id"): DataFrame = {
     require(shards > 0, "rangeShardAssign needs shards > 0")
     val stats = df.agg(min(col(keyCol)).as("__lo"), max(col(keyCol)).as("__hi"))
+    // DECIMAL(38,0) math: (key - lo) * shards wraps in long arithmetic for
+    // snowflake-width key ranges (> Long.MAX/shards) and would corrupt
+    // shard ids silently; decimal keeps it exact and matches the oracle's
+    // HUGEINT. `div` on decimals yields the integral quotient (a long —
+    // the quotient is < shards by construction). The key identifier is
+    // backtick-quoted so non-plain column names parse as one reference.
+    val q = "`" + keyCol.replace("`", "``") + "`"
+    val bounded = expr(
+      s"CAST(least(${shards - 1}, ((CAST($q AS DECIMAL(38,0)) - __lo) * $shards)" +
+        s" div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1)) AS BIGINT)")
     df.crossJoin(broadcast(stats))
-      .withColumn(shardCol, expr(
-        s"CAST(least(${shards - 1}, (($keyCol - __lo) * $shards) div (__hi - __lo + 1)) AS BIGINT)"))
+      // a null key surfaces as a null shard id (least() would otherwise
+      // swallow the null and route the row to the top shard, invisible in
+      // that shard's manifest range) — same discipline as Sampling's q53
+      .withColumn(shardCol,
+        when(col(keyCol).isNull, lit(null).cast("long")).otherwise(bounded))
       .drop("__lo", "__hi")
   }
 

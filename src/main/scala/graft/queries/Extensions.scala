@@ -592,7 +592,8 @@ object Extensions {
     Some("""
       WITH s AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
       a AS (SELECT doc_id,
-            CAST(least(15, ((doc_id - lo) * 16) // (hi - lo + 1)) AS BIGINT)
+            CAST(least(15, ((CAST(doc_id AS HUGEINT) - lo) * 16)
+                           // (CAST(hi AS HUGEINT) - lo + 1)) AS BIGINT)
               AS shard_id
             FROM documents, s)
       SELECT shard_id, count(*) AS n_rows,

@@ -166,8 +166,14 @@ object Pipeline {
     */
   private def eventsStream(s: SparkSession, dir: String,
                            schema: StructType): DataFrame = {
-    val asDir = new java.io.File(dir, "events.parquet")
-    if (asDir.isDirectory) s.readStream.schema(schema).parquet(asDir.toString)
+    // Hadoop FS, not java.io.File: the data dir can be hdfs://, s3a://, …
+    // where a local-FS probe would always say "not a directory" and
+    // silently re-open the zero-rows hole on exactly the layouts it exists
+    // to handle.
+    val p = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
+    if (isDir) s.readStream.schema(schema).parquet(p.toString)
     else s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
   }

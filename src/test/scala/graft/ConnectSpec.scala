@@ -310,4 +310,56 @@ class ConnectSpec extends SparkSpec {
     assert(progress.count(_.endsWith("% Downloaded")) >= 5)
     assert(progress.last == "100% Downloaded")
   }
+
+  test("StreamingHttpResponse.contentLength degrades on bad headers; " +
+      "truncated bodies are rejected") {
+    import graft.connect.StreamingHttpResponse
+    def resp(v: String) = StreamingHttpResponse(200,
+      Map("Content-Length" -> v), new java.io.ByteArrayInputStream(Array[Byte]()))
+    assert(resp("1048576").contentLength == 1048576L)
+    assert(resp("1048576,1048576").contentLength == 1048576L) // comma-joined repeat
+    assert(resp("garbage").contentLength == -1L)              // degrade, not throw
+    // a body shorter than Content-Length must fail the fetch, not pass as EOF
+    val fresh = jwt(System.currentTimeMillis() / 1000 + 3600)
+    val inner = new MockTransport(Seq({
+      case r if r.url == "https://drm/rec/R4/h5/" =>
+        HttpResponse(200, body = """{"data_url": "https://cdn/signed/R4"}""".getBytes)
+    }))
+    val transport = new graft.connect.Transport {
+      override def send(req: HttpRequest): HttpResponse = inner.send(req)
+      override def sendStreaming(req: HttpRequest): StreamingHttpResponse =
+        StreamingHttpResponse(200, Map("Content-Length" -> "5000"),
+          new java.io.ByteArrayInputStream(new Array[Byte](1234))) // short!
+    }
+    val tokens = new BasicAuthTokenProvider(inner,
+      ConnectionConfig("https://drm", jwtToken = Some(fresh)))
+    val target = Files.createTempDirectory("graft-dl").resolve("R4.h5")
+    val e = intercept[java.io.IOException] {
+      FileTransfer.chunkedFetch(transport, tokens,
+        ref => s"https://drm/rec/$ref/h5/")("R4", target)
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("IdleTimeoutInputStream aborts a stalled body read") {
+    // a stream that serves one chunk then blocks forever (until closed)
+    val lock = new Object
+    @volatile var closed = false
+    val stalling = new java.io.InputStream {
+      private var first = true
+      override def read(): Int = {
+        if (first) { first = false; 42 }
+        else lock.synchronized {
+          while (!closed) lock.wait(50)
+          throw new java.io.IOException("closed while blocked")
+        }
+      }
+      override def close(): Unit = { closed = true; lock.synchronized(lock.notifyAll()) }
+    }
+    val in = new graft.connect.IdleTimeoutInputStream(
+      stalling, java.time.Duration.ofMillis(150))
+    assert(in.read() == 42) // live reads pass through
+    val e = intercept[java.io.IOException](in.read()) // stall -> watchdog abort
+    assert(e.getMessage.contains("idle"))
+  }
 }

@@ -79,10 +79,12 @@ class EtlJobSpec extends SparkSpec {
         col("s").cast("timestamp").as("start"),
         (col("s").cast("timestamp") + expr("INTERVAL 2 HOURS")).as("end"),
         map(lit("dreem_uid"), col("uid")).as("meta"))
-    // r2 appears at BOTH sites with identical fields -> one ledger row
+    // r2 appears at BOTH sites — and the sites DISAGREE on start (clock
+    // skew): one ledger row, and the survivor must be the deterministic
+    // minimum (earliest start), not whichever partition wins a race
     incoming(Seq(("r1", "U1", "2021-11-10 13:00:00"),
       ("r2", "U2", "2021-11-10 14:00:00"))).write.parquet(s"$base/site_kiel")
-    incoming(Seq(("r2", "U2", "2021-11-10 14:00:00"),
+    incoming(Seq(("r2", "U2", "2021-11-10 13:30:00"),
       ("r3", "U1", "2021-11-11 09:00:00"))).write.parquet(s"$base/site_newcastle")
     Files.write(Paths.get(base, "uid_serial.csv"), "U1,S1\nU2,S2\n".getBytes)
     Files.write(Paths.get(base, "serial_id.csv"), "S1,DEV-1\nS2,DEV-2\n".getBytes)
@@ -107,6 +109,10 @@ class EtlJobSpec extends SparkSpec {
     assert(summary("ingested_new") == 3) // 4 site rows, r2 cross-site deduped
     assert(summary("ledger_rows") == 3)
     assert(summary("with_patient") == 3)
+    val r2start = new graft.ledger.Ledger(spark, s"$base/ledger").read()
+      .filter(col("manufacturer_ref") === "r2")
+      .select(date_format(col("start"), "HH:mm:ss")).as[String].collect()
+    assert(r2start.toSeq == Seq("13:30:00")) // deterministic earliest-start survivor
   }
 
   test("EtlJob.run live transfer: chunkedFetch + Dmp.upload against scripted endpoints") {

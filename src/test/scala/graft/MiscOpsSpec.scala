@@ -233,6 +233,29 @@ class MiscOpsSpec extends SparkSpec {
     assert(back.toSeq == manifest.toSeq)
   }
 
+  test("rangeShardAssign: snowflake-width key ranges don't overflow; null keys surface") {
+    // keys spanning nearly the full Long range: (key - lo) * shards wraps
+    // in long math — the decimal path must keep shard ids in [0, shards)
+    val wide = Seq(Long.MinValue + 10, -3L, 0L, 7L,
+      Long.MaxValue / 2, Long.MaxValue - 10).map(Tuple1(_)).toDF("k")
+    val m = graft.ops.Output.shardManifest(
+      graft.ops.Output.rangeShardAssign(wide, "k", shards = 16), "k")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(m.map(_._2).sum == 6L)
+    assert(m.forall(r => r._1 >= 0 && r._1 < 16))
+    m.sliding(2).foreach {
+      case Array((s1, _, _, hi), (s2, _, lo, _)) =>
+        assert(s1 < s2); assert(hi < lo)
+      case _ =>
+    }
+    // null keys: null shard id (visible), never silently in the top shard
+    val withNull = Seq(Some(1L), Some(100L), None).map(Tuple1(_)).toDF("k")
+    val a = graft.ops.Output.rangeShardAssign(withNull, "k", shards = 4)
+      .select($"k", $"shard_id").as[(Option[Long], Option[Long])].collect()
+    assert(a.find(_._1.isEmpty).get._2.isEmpty)
+    assert(a.filter(_._1.nonEmpty).forall(_._2.nonEmpty))
+  }
+
   test("approx_count_distinct stays within 5% of exact on the testdata") {
     val got = graft.queries.Pipeline.approxDistinct(spark, "/root/testdata/sf0.01")
       .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
