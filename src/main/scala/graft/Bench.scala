@@ -26,8 +26,10 @@ object Bench {
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        // trim around '=' too: "k = v" must set k, not the silent no-op
+        // key "k " (Spark stores unknown keys verbatim)
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
+        if (k.nonEmpty) builder.config(k, v)
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -90,23 +90,27 @@ object EtlJob {
     // task 1 — download_metadata: ingest-dedup + append (J1+L1+S7).
     // Multi-site fan-in: one frame per --incoming source, unioned by name
     // (same S1 schema per site, init/connections.yaml.example:5-18). The
-    // ledger anti-join only removes ALREADY-SEEN records, so a record
-    // surfacing at several sites in the same run is collapsed here on the
-    // same identity the ledger hash is built from (Etl.recordHash). The
+    // ledger anti-join only removes ALREADY-SEEN records, so duplicates
+    // WITHIN one run's batch — the same record at two sites, or a
+    // paginated fetch emitting a row twice — are collapsed here,
+    // unconditionally, and on the exact identity the ledger keys on: the
+    // hash expression itself (recordHash concats without a separator, a
+    // reference quirk, so distinct (device_type, ref) pairs can share a
+    // hash — partitioning on the pair would under-dedup those). The
     // survivor is chosen DETERMINISTICALLY (earliest start/end, then the
     // serialized meta) — dropDuplicates would keep whichever partition won
     // the race, making ledger contents differ between identical runs when
-    // sites disagree on non-key fields.
+    // sources disagree on non-key fields.
     val sites = opts("incoming").split('\u0000').toSeq
       .map(spark.read.parquet(_))
     val unioned = sites.reduce(_.unionByName(_))
-    val incoming = (if (sites.sizeIs > 1) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("device_type"), col("manufacturer_ref"))
-          .orderBy(col("start"), col("end"), to_json(col("meta")))
-        unioned.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      } else unioned)
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.Etl.recordHash(
+        col("device_type"), col("manufacturer_ref")))
+      .orderBy(col("start"), col("end"), to_json(col("meta")))
+    val incoming = unioned
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1).drop("__rn")
       .withColumn("device_serial", lit(null).cast("string"))
       .withColumn("device_id", lit(null).cast("string"))
       .withColumn("patient_id", lit(null).cast("string"))

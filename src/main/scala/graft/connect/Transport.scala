@@ -139,32 +139,54 @@ final class JavaNetTransport(
   }
 }
 
-/** Closes the wrapped stream when no read has completed for `idle` —
-  * closing unblocks a read stuck on a dead socket with an IOException,
-  * which the watchdog rewraps with a diagnosable message. One shared
-  * daemon timer; the task dies with the stream.
+/** Closes the wrapped stream when a single read has been BLOCKED for more
+  * than `idle` — closing unblocks the stuck read, which then fails with a
+  * diagnosable IOException. Two subtleties the implementation pins down:
+  *
+  *  - only an in-flight read arms the watchdog (`inFlight` + entry
+  *    timestamp): a slow CONSUMER between reads (GC pause, disk stall in
+  *    the copy loop) must never abort a healthy socket;
+  *  - the JDK client's blocked read can unblock from an async close with
+  *    a clean -1 (EOF sentinel), not an exception — an aborted read must
+  *    surface as a throw either way, or a stalled download would pass as
+  *    complete (and `Content-Length`-less responses have no second
+  *    guard).
+  *
+  * One shared daemon timer; the task dies with the stream; the task body
+  * never lets a Throwable escape into the Timer thread (that would kill
+  * the JVM-wide watchdog silently).
   */
 private[graft] final class IdleTimeoutInputStream(
     in: java.io.InputStream, idle: Duration) extends java.io.InputStream {
-  @volatile private var last = System.nanoTime()
+  @volatile private var readStart = 0L
+  @volatile private var inFlight = false
   @volatile private var timedOut = false
   private val task = new java.util.TimerTask {
     override def run(): Unit =
-      if (System.nanoTime() - last > idle.toNanos) {
-        timedOut = true
-        try in.close() catch { case _: Exception => () }
-        cancel()
-      }
+      try {
+        if (inFlight && System.nanoTime() - readStart > idle.toNanos) {
+          timedOut = true
+          try in.close() catch { case _: Throwable => () }
+          cancel()
+        }
+      } catch { case _: Throwable => () }
   }
   IdleTimeoutInputStream.timer.schedule(task,
-    math.max(1, idle.toMillis / 2), math.max(1, idle.toMillis / 2))
-  private def touched[A](f: => A): A =
-    try { val r = f; last = System.nanoTime(); r }
-    catch {
-      case e: java.io.IOException if timedOut =>
-        throw new java.io.IOException(
-          s"download body idle for > ${idle.getSeconds}s, stream aborted", e)
-    }
+    math.max(1, idle.toMillis / 4), math.max(1, idle.toMillis / 4))
+  private def abort(cause: Throwable): Nothing =
+    throw new java.io.IOException(
+      s"download body read blocked for > ${idle.getSeconds}s, stream aborted",
+      cause)
+  private def touched(f: => Int): Int = {
+    readStart = System.nanoTime()
+    inFlight = true
+    val r = try f
+      catch { case e: java.io.IOException if timedOut => abort(e) }
+      finally inFlight = false
+    // an async close can unblock the read as clean EOF rather than a throw
+    if (timedOut) abort(null)
+    r
+  }
   override def read(): Int = touched(in.read())
   override def read(b: Array[Byte], off: Int, len: Int): Int =
     touched(in.read(b, off, len))

@@ -23,11 +23,14 @@ object ScaleUp {
 
     def replicate(name: String, idCols: Map[String, Long]): Unit = {
       val base = Tables.table(spark, src, name)
-      // keep the replica physically faithful to the source: events.ts is
-      // int64 nanos there (Tables.events converts it to timestamp on read),
-      // so convert back before writing — otherwise the replica carries a
-      // real timestamp column and consumers with a pinned nanos-long schema
-      // (the streaming gates) fail on it
+      // events.ts: write back as int64 nanos — the representation every
+      // repo consumer reads (Tables.events' nanos-as-long branch, the
+      // streaming gates' pinned LongType schema). NOT byte-identical to
+      // the source: parquet TIMESTAMP(NANOS) is unwritable from Spark, and
+      // sub-microsecond digits were already truncated on read. Oracle SQL
+      // that does timestamp arithmetic on ts therefore runs against the
+      // SOURCE dirs only (where the driver's gate runs it), never a
+      // replica — the replica serves the Spark-side Bench.
       val faithful =
         if (name == "events") base.withColumn("ts", expr("unix_micros(ts) * 1000"))
         else base

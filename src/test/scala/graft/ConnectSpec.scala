@@ -341,25 +341,40 @@ class ConnectSpec extends SparkSpec {
     assert(e.getMessage.contains("truncated"))
   }
 
-  test("IdleTimeoutInputStream aborts a stalled body read") {
-    // a stream that serves one chunk then blocks forever (until closed)
-    val lock = new Object
-    @volatile var closed = false
-    val stalling = new java.io.InputStream {
-      private var first = true
+  test("IdleTimeoutInputStream aborts a stalled body read — even when the " +
+      "unblocked read surfaces as clean EOF, and never for slow consumers") {
+    // mimic the REAL JDK client body stream: a read blocked during an
+    // async close() unblocks with -1 (EOF sentinel), NOT an exception —
+    // the watchdog must turn that into a throw or a stalled download
+    // would pass as complete
+    def stallingStream(chunks: Int): java.io.InputStream = new java.io.InputStream {
+      private val lock = new Object
+      @volatile private var closed = false
+      private var served = 0
       override def read(): Int = {
-        if (first) { first = false; 42 }
+        if (served < chunks) { served += 1; 42 }
         else lock.synchronized {
           while (!closed) lock.wait(50)
-          throw new java.io.IOException("closed while blocked")
+          -1 // clean EOF on close-while-blocked, like HttpResponseInputStream
         }
       }
-      override def close(): Unit = { closed = true; lock.synchronized(lock.notifyAll()) }
+      override def close(): Unit = {
+        closed = true; lock.synchronized(lock.notifyAll())
+      }
     }
     val in = new graft.connect.IdleTimeoutInputStream(
-      stalling, java.time.Duration.ofMillis(150))
+      stallingStream(1), java.time.Duration.ofMillis(150))
     assert(in.read() == 42) // live reads pass through
-    val e = intercept[java.io.IOException](in.read()) // stall -> watchdog abort
-    assert(e.getMessage.contains("idle"))
+    val e = intercept[java.io.IOException](in.read()) // stall -> abort
+    assert(e.getMessage.contains("blocked"))
+
+    // slow CONSUMER, fast producer: long pauses BETWEEN reads must not
+    // abort — only an in-flight blocked read arms the watchdog
+    val in2 = new graft.connect.IdleTimeoutInputStream(
+      stallingStream(3), java.time.Duration.ofMillis(120))
+    assert(in2.read() == 42)
+    Thread.sleep(400) // consumer busy elsewhere, way past the idle bound
+    assert(in2.read() == 42) // still healthy
+    in2.close()
   }
 }
