@@ -86,4 +86,22 @@ class PlanIntegritySpec extends SparkSpec {
     assert(p.contains("Window"))
     assert(!p.contains("Join"), "as-of must not plan as a per-pair join")
   }
+
+  test("q58: single-pass rewrite scans lineitem once, windows reuse one exchange") {
+    val p = plan("q58_exists_not_exists")
+    // the round-2 decorrelated form scanned lineitem three times (base +
+    // EXISTS semi + NOT-EXISTS anti); the rewrite must keep ONE scan, the
+    // supplier side broadcast, and every window on the same l_orderkey
+    // partitioning (no per-window exchange)
+    val lineitemScans =
+      p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans")
+    assert(p.contains("BroadcastHashJoin"), "supplier side must broadcast")
+    // plan tree prefixes lines with ":- "/"+- ", so match the operator token
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(windows >= 3, s"expected the 3 chained window stages, got $windows")
+    assert(exchanges <= 1,
+      s"windows must reuse one l_orderkey exchange, got $exchanges")
+  }
 }
