@@ -605,6 +605,88 @@ object Extensions {
       graft.ops.Output.shardManifest(assigned, "doc_id")
     })
 
+  private val q62 = Q("q62_corpus_e2e",
+    "training-corpus curation end-to-end — the LLM-data analog of q18's " +
+      "reference chain: quality filter (word count + punct ratio) → exact " +
+      "sha256 dedup (min-id canonical) → MinHash-LSH near-dup removal " +
+      "(drop the larger id of every candidate pair) → deterministic 90/5/5 " +
+      "hash split → per-(split, lang) doc and token accounting. Every stage " +
+      "is an already-gated operator (q29/q20/q21/q53/q54 semantics); this " +
+      "gate proves they COMPOSE under one oracle.",
+    Some("""
+      WITH feat AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio
+        FROM documents),
+      kept AS (SELECT * FROM feat WHERE n_words >= 10 AND punct_ratio < 0.2),
+      canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+      uniq AS (SELECT k.* FROM kept k JOIN canon c USING (doc_id)),
+      w AS (SELECT doc_id, string_split(text, ' ') AS w FROM uniq),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      shs AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
+      sh AS (SELECT doc_id,
+             CAST('0x' || substr(sha256(sh), 1, 15) AS BIGINT) AS p0,
+             CAST('0x' || substr(sha256(sh), 16, 15) AS BIGINT) AS p1,
+             CAST('0x' || substr(sha256(sh), 31, 15) AS BIGINT) AS p2,
+             CAST('0x' || substr(sha256(sh), 46, 15) AS BIGINT) AS p3
+             FROM shs),
+      mh AS (SELECT doc_id, h,
+             min(xor(
+               CASE WHEN h % 4 = 0 THEN p0 WHEN h % 4 = 1 THEN p1
+                    WHEN h % 4 = 2 THEN p2 ELSE p3 END,
+               (CASE WHEN (h + 1) % 4 = 0 THEN p0 WHEN (h + 1) % 4 = 1 THEN p1
+                     WHEN (h + 1) % 4 = 2 THEN p2 ELSE p3 END)
+                 >> ((h * 7) % 29))) AS minh
+             FROM sh CROSS JOIN generate_series(0, 15) t(h) GROUP BY doc_id, h),
+      bands AS (SELECT doc_id, h // 2 AS band,
+                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS band_sig
+                FROM mh GROUP BY doc_id, h // 2),
+      dropd AS (SELECT DISTINCT b.doc_id
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id),
+      surv AS (SELECT u.* FROM uniq u LEFT JOIN dropd d ON u.doc_id = d.doc_id
+               WHERE d.doc_id IS NULL),
+      sp AS (SELECT *, CASE WHEN bucket < 90 THEN 'train'
+                            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+             FROM (SELECT *,
+                   CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 100 AS bucket
+                   FROM surv))
+      SELECT split, lang, count(*) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM sp GROUP BY 1, 2 ORDER BY split, lang"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // stage 1 — quality filter (q29's features; integer + ratio gates)
+      val feat = TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("n_words"), col("punct_ratio"))
+      val kept = docs.select(col("doc_id"), col("lang"), col("text"))
+        .join(feat, "doc_id")
+        .filter(col("n_words") >= 10 && col("punct_ratio") < 0.2)
+      // stage 2 — exact dedup, min-id canonical survivors (q20)
+      val canon = Dedup.exact(kept, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val uniq = kept.join(canon, "doc_id")
+      // stage 3 — near-dup removal: drop the larger id of every
+      // MinHash-LSH candidate pair (q21's banding)
+      val sigs = Dedup.minHashSignatures(uniq, "doc_id", "text", numHashes = 16)
+      val dropped = Dedup.minHashLshCandidates(sigs, "doc_id", rowsPerBand = 2)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val survivors = uniq.join(dropped, Seq("doc_id"), "left_anti")
+      // stage 4 — deterministic split (q53) + accounting
+      graft.ops.Sampling.hashSplit(survivors, col("doc_id"),
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("split", "lang")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61)
+    q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62)
 }
