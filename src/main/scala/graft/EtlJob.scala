@@ -54,6 +54,34 @@ object EtlJob {
     } finally spark.stop()
   }
 
+  /** Collapse duplicates WITHIN one run's batch — the same record at two
+    * sites, or a paginated fetch emitting a row twice. Keyed on the exact
+    * identity the ledger keys on: the hash expression itself (recordHash
+    * concats without a separator, a reference quirk, so distinct
+    * (device_type, ref) pairs can share a hash — partitioning on the pair
+    * would under-dedup those). The hash is computed ONCE here and reused
+    * by Stages.ingestDedup downstream.
+    *
+    * Null-key records (recordHash is null-intolerant) BYPASS the dedup:
+    * a null hash is not an identity — Window.partitionBy would pool every
+    * null-key record into one partition and keep a single survivor,
+    * silently dropping the rest. The survivor among real duplicates is
+    * chosen DETERMINISTICALLY (earliest start/end, then serialized meta) —
+    * dropDuplicates would keep whichever partition won the race, making
+    * ledger contents differ between identical runs when sources disagree
+    * on non-key fields.
+    */
+  private[graft] def dedupBatch(unioned: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val hashed = unioned.withColumn("hash",
+      graft.functions.Etl.recordHash(col("device_type"), col("manufacturer_ref")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hash"))
+      .orderBy(col("start"), col("end"), to_json(col("meta")))
+    hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("hash").isNull || col("__rn") === 1).drop("__rn")
+  }
+
   /** Live fetch/push pair built from connection options (testable: pass a
     * scripted Transport).
     */
@@ -90,27 +118,11 @@ object EtlJob {
     // task 1 — download_metadata: ingest-dedup + append (J1+L1+S7).
     // Multi-site fan-in: one frame per --incoming source, unioned by name
     // (same S1 schema per site, init/connections.yaml.example:5-18). The
-    // ledger anti-join only removes ALREADY-SEEN records, so duplicates
-    // WITHIN one run's batch — the same record at two sites, or a
-    // paginated fetch emitting a row twice — are collapsed here,
-    // unconditionally, and on the exact identity the ledger keys on: the
-    // hash expression itself (recordHash concats without a separator, a
-    // reference quirk, so distinct (device_type, ref) pairs can share a
-    // hash — partitioning on the pair would under-dedup those). The
-    // survivor is chosen DETERMINISTICALLY (earliest start/end, then the
-    // serialized meta) — dropDuplicates would keep whichever partition won
-    // the race, making ledger contents differ between identical runs when
-    // sources disagree on non-key fields.
+    // ledger anti-join only removes ALREADY-SEEN records; duplicates
+    // WITHIN one run's batch are collapsed by dedupBatch (below).
     val sites = opts("incoming").split('\u0000').toSeq
       .map(spark.read.parquet(_))
-    val unioned = sites.reduce(_.unionByName(_))
-    val dedupW = org.apache.spark.sql.expressions.Window
-      .partitionBy(graft.functions.Etl.recordHash(
-        col("device_type"), col("manufacturer_ref")))
-      .orderBy(col("start"), col("end"), to_json(col("meta")))
-    val incoming = unioned
-      .withColumn("__rn", row_number().over(dedupW))
-      .filter(col("__rn") === 1).drop("__rn")
+    val incoming = dedupBatch(sites.reduce(_.unionByName(_)))
       .withColumn("device_serial", lit(null).cast("string"))
       .withColumn("device_id", lit(null).cast("string"))
       .withColumn("patient_id", lit(null).cast("string"))

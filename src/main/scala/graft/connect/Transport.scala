@@ -166,7 +166,15 @@ private[graft] final class IdleTimeoutInputStream(
       try {
         if (inFlight && System.nanoTime() - readStart > idle.toNanos) {
           timedOut = true
-          try in.close() catch { case _: Throwable => () }
+          // close on a throwaway daemon thread: the Timer is shared
+          // JVM-wide, and a close() that itself blocks (dead peer during
+          // TLS shutdown) must not stop the watchdog for every other
+          // concurrent download
+          val t = new Thread(() => {
+            try in.close() catch { case _: Throwable => () }
+          }, "graft-body-abort")
+          t.setDaemon(true)
+          t.start()
           cancel()
         }
       } catch { case _: Throwable => () }

@@ -51,8 +51,12 @@ object TextAnalysis {
 
   /** Quality scoring: length/stopword/punctuation features + a weighted
     * score. Only +,*,/ and min — no transcendentals (engine-portable).
+    *
+    * `passthrough` carries extra input columns into the output so a
+    * downstream stage (q62's filter) doesn't pay a second corpus scan +
+    * join just to recover columns this single pass already read.
     */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val w = TextFns.words(col("text"))
     val nWords = size(w).cast("long")
     val nChars = length(col("text")).cast("long")
@@ -61,8 +65,7 @@ object TextAnalysis {
     val nStop = size(filter(w, x =>
       x.isin(stopwords.map(lit): _*))).cast("long")
     val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long")
-    docs.select(
-      col("doc_id"),
+    val features = Seq(
       nWords.as("n_words"),
       nChars.as("n_chars_measured"),
       nStop.as("n_stopwords"),
@@ -72,6 +75,7 @@ object TextAnalysis {
       (lit(0.5) * (nStop.cast("double") / nWords)
         + lit(0.3) * (lit(1.0) - punct.cast("double") / nChars)
         + lit(0.2) * least(nWords.cast("double") / 100.0, lit(1.0))).as("quality_score"))
+    docs.select((col("doc_id") +: passthrough.map(col)) ++ features: _*)
   }
 
   /** Token counting: whitespace tokens, BPE-ish regex tokens

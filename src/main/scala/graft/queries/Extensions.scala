@@ -661,12 +661,13 @@ object Extensions {
       FROM sp GROUP BY 1, 2 ORDER BY split, lang"""),
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      // stage 1 — quality filter (q29's features; integer + ratio gates)
-      val feat = TextAnalysis.quality(docs)
-        .select(col("doc_id"), col("n_words"), col("punct_ratio"))
-      val kept = docs.select(col("doc_id"), col("lang"), col("text"))
-        .join(feat, "doc_id")
+      // stage 1 — quality filter (q29's features; integer + ratio gates).
+      // passthrough keeps lang/text in the SAME scan — no second corpus
+      // read + join just to recover them.
+      val kept = TextAnalysis.quality(docs, passthrough = Seq("lang", "text"))
         .filter(col("n_words") >= 10 && col("punct_ratio") < 0.2)
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("n_words"), col("punct_ratio"))
       // stage 2 — exact dedup, min-id canonical survivors (q20)
       val canon = Dedup.exact(kept, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))

@@ -115,6 +115,27 @@ class EtlJobSpec extends SparkSpec {
     assert(r2start.toSeq == Seq("13:30:00")) // deterministic earliest-start survivor
   }
 
+  test("dedupBatch: hash-keyed survivor is deterministic; null-key rows bypass") {
+    val batch = Seq(
+      // two true duplicates (same identity, sites disagree on start)
+      (Some("DRM"), "r1", "2021-11-10 14:00:00"),
+      (Some("DRM"), "r1", "2021-11-10 13:30:00"),
+      // null device_type -> null hash: NOT an identity; both must survive
+      (None: Option[String], "r8", "2021-11-10 10:00:00"),
+      (None: Option[String], "r9", "2021-11-10 11:00:00"))
+      .toDF("device_type", "manufacturer_ref", "s")
+      .select(col("device_type"), col("manufacturer_ref"),
+        col("s").cast("timestamp").as("start"),
+        (col("s").cast("timestamp") + expr("INTERVAL 2 HOURS")).as("end"),
+        map(lit("k"), lit("v")).as("meta"))
+    val out = EtlJob.dedupBatch(batch)
+      .select(col("manufacturer_ref"), date_format(col("start"), "HH:mm:ss"))
+      .as[(String, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("r1", "13:30:00"), // deterministic earliest-start survivor
+      ("r8", "10:00:00"), ("r9", "11:00:00"))) // null-key rows untouched
+  }
+
   test("EtlJob.run live transfer: chunkedFetch + Dmp.upload against scripted endpoints") {
     import graft.connect.{HttpResponse, MockTransport}
     val base = Files.createTempDirectory("graft-job-live").toString
