@@ -148,6 +148,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("symmetric-delete editDistancePairs is COMPLETE vs brute-force Levenshtein") {
+    // The q47 path's exactness rests on the SymSpell argument: lev(a,b)<=k
+    // implies a shared <=k-deletion variant. Verify against all-pairs
+    // ground truth over a vocabulary dense in near-misses (short strings
+    // over a 3-letter alphabet: substitutions, insertions, deletions,
+    // transpositions all occur), for both supported thresholds.
+    val rng = new scala.util.Random(7)
+    val alpha = "abc"
+    val words = (0 until 120).map { i =>
+      val len = 1 + rng.nextInt(5)
+      (i.toLong, (0 until len).map(_ => alpha(rng.nextInt(alpha.length))).mkString)
+    }.distinctBy(_._2) // distinct strings: pairs at dist 0 are out of scope
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (maxDist <- Seq(1, 2)) {
+      val expected = (for {
+        (ia, sa) <- words; (ib, sb) <- words if ia < ib
+        d = lev(sa, sb) if d <= maxDist
+      } yield (ia, ib, d.toLong)).toSet
+      val got = graft.ops.Fuzzy.editDistancePairs(
+        words.toDF("id", "s"), "id", "s", blockCols = Nil, maxDist = maxDist)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"maxDist=$maxDist: " +
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("no-override merge is idempotent: merge(merge(s,u),u) == merge(s,u)") {
     val base = gen(Gen.listOfN(100, Gen.option(Gen.identifier)), 5L).zipWithIndex
       .map { case (v, i) => (s"k$i", v) }
