@@ -264,3 +264,39 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 }
+
+/** Release flow (reference cli.py parity): semver bump laws, plan shape,
+  * and the documented divergence from the digit-concat version compare.
+  */
+class ReleaseSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.tools.Release
+  import graft.tools.Release.Version
+
+  test("semver bump: patch/minor/major reset lower components") {
+    val v = Release.parse("1.2.9")
+    assert(Release.bump(v, "patch") == Version(1, 2, 10))
+    assert(Release.bump(v, "minor") == Version(1, 3, 0))
+    assert(Release.bump(v, "major") == Version(2, 0, 0))
+    intercept[IllegalArgumentException](Release.bump(v, "huge"))
+    intercept[IllegalArgumentException](Release.parse("1.2"))
+  }
+
+  test("componentwise ordering fixes the reference's digit-concat quirk") {
+    // cli.py:99-101 compares int("1.2.10".replace('.','')) = 1210 against
+    // int("1.3.0".replace('.','')) = 130 and concludes 1.2.10 > 1.3.0
+    val ord = Release.versionOrdering
+    assert(ord.lt(Release.parse("1.2.10"), Release.parse("1.3.0")))
+    assert(ord.gt(Release.parse("10.0.0"), Release.parse("9.9.9")))
+  }
+
+  test("plans carry the version into every tag and never execute by themselves") {
+    val (next, cmds) = Release.bumpPlan(Release.parse("0.4.1"), "minor", pushTag = true)
+    assert(next == Version(0, 5, 0))
+    assert(cmds.exists(_.contains("git tag 0.5.0")))
+    assert(cmds.last == "git push origin 0.5.0")
+    val build = Release.buildPlan(next)
+    assert(build.exists(_.contains(s"${Release.DockerRegistry}:0.5.0")))
+    assert(build.exists(_.contains(s"${Release.DockerRegistry}:latest")))
+    assert(Release.publishPlan(next).forall(_.startsWith("docker push")))
+  }
+}
