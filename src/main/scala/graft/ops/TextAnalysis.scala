@@ -88,6 +88,45 @@ object TextAnalysis {
       expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("long").as("re_tokens"),
       ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
 
+  /** Within-document repetition metrics (the Gopher/C4 boilerplate
+    * filters): duplicate-word fraction, duplicate-2-gram fraction, and the
+    * most-repeated-2-gram count.
+    *
+    * One scan: word stats are row-local (`array_distinct`); 2-grams go
+    * through a two-level hash aggregate — (doc, gram) then (doc) — both
+    * keyed on the doc id so AQE coalesces them and map-side combine does
+    * the heavy counting. Grams are 60-bit hashes ([[TextFns.shingleHashes]]
+    * with n=2): counting collapses two different grams only at 2^-60 odds,
+    * and the oracle hashes identically so even that cannot diverge.
+    *
+    * Docs with <2 words have no 2-grams: gram columns are NULL (kept via
+    * `explode_outer` + hit-only aggregates), mirroring the oracle's LEFT
+    * JOIN — not silently zero, which would claim "measured, no repetition".
+    */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val w = TextFns.words(col(textCol))
+    val exploded = docs.select(
+      col(idCol),
+      size(w).cast("long").as("n_words"),
+      size(array_distinct(w)).cast("long").as("n_distinct_words"),
+      explode_outer(TextFns.shingleHashes(col(textCol), 2)).as("g"))
+    val hit = when(col("g").isNotNull, col("c"))
+    val perDoc = exploded
+      .groupBy(col(idCol), col("n_words"), col("n_distinct_words"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n_words"), col("n_distinct_words"))
+      .agg(sum(hit).as("n_grams"),
+        (sum(hit) - count(hit)).as("n_dup_grams"),
+        max(hit).as("max_gram_count"))
+    perDoc.select(
+      col(idCol), col("n_words"), col("n_distinct_words"),
+      (lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"))
+        .as("dup_word_ratio"),
+      col("n_grams"), col("n_dup_grams"), col("max_gram_count"),
+      (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_gram_ratio"))
+  }
+
   /** Rolling-hash fingerprint + per-fingerprint duplicate count. */
   def fingerprints(docs: DataFrame, prefixLen: Int = 64): DataFrame = {
     val fp = docs.select(col("doc_id"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -688,6 +688,57 @@ object Extensions {
         .orderBy("split", "lang")
     })
 
+  private val q63 = Q("q63_decontamination",
+    "benchmark decontamination: corpus docs sharing word-3-gram shingles " +
+      "with the held-out eval slice (doc_id % 97 = 0). Eval shingles " +
+      "broadcast (benchmarks are tiny vs a 100 TB corpus); corpus shingles " +
+      "dedup row-locally and never shuffle — the one exchange is the " +
+      "hit-only groupBy(doc)",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      sh AS (SELECT DISTINCT doc_id,
+             CAST('0x' || substr(sha256(w[j] || ' ' || w[j+1] || ' ' || w[j+2]), 1, 15) AS BIGINT) AS sh
+             FROM jx),
+      ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
+      hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+               FROM corp c JOIN ev USING (sh) GROUP BY 1)
+      SELECT h.doc_id, s.n_shingles, h.n_contaminated,
+             CAST(h.n_contaminated AS DOUBLE) / s.n_shingles AS contam_ratio
+      FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+      ORDER BY h.doc_id"""),
+    (s, dir) => Decontamination.contamination(
+      t(s, dir, "documents"), "doc_id", "text",
+      evalPred = col("doc_id") % 97 === 0).orderBy("doc_id"))
+
+  private val q64 = Q("q64_text_repetition",
+    "within-doc repetition metrics (Gopher/C4 boilerplate filters): " +
+      "duplicate-word fraction, duplicate-2-gram fraction, most-repeated-" +
+      "2-gram count; single scan, row-local word stats, two-level hash " +
+      "aggregate on hashed grams; <2-word docs keep NULL gram columns",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words, w
+               FROM w),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS j FROM base),
+      g AS (SELECT doc_id, w[j] || ' ' || w[j+1] AS g FROM jx),
+      gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      ga AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_grams,
+             MAX(c) AS max_gram_count FROM gc GROUP BY 1)
+      SELECT b.doc_id, n_words, n_distinct_words,
+             1.0 - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_ratio,
+             n_grams, n_dup_grams, max_gram_count,
+             CAST(n_dup_grams AS DOUBLE) / n_grams AS dup_gram_ratio
+      FROM base b LEFT JOIN ga USING (doc_id)
+      ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))
+      .orderBy("doc_id"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62)
+    q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
+    q63, q64)
 }

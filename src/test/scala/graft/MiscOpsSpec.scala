@@ -300,3 +300,63 @@ class ReleaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Release.publishPlan(next).forall(_.startsWith("docker push")))
   }
 }
+
+/** Decontamination + repetition ops: hand-computable fixtures, null
+  * semantics for gram-less docs, and the broadcast shape of the eval probe.
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.{Decontamination, TextAnalysis}
+
+  test("contamination flags exactly the corpus docs sharing a 3-gram with eval") {
+    // doc 0 = eval; doc 1 shares "a b c"; doc 2 shares nothing; doc 3 too short
+    val docs = Seq(
+      (0L, "a b c d"),           // eval: shingles {a b c, b c d}
+      (1L, "x a b c y"),         // corpus: {x a b, a b c, b c y} -> 1 hit of 3
+      (2L, "p q r s"),           // corpus: no overlap
+      (3L, "a b")                // corpus: no shingles at all
+    ).toDF("doc_id", "text")
+    val got = Decontamination.contamination(docs, "doc_id", "text",
+      evalPred = col("doc_id") === 0L)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List((1L, 3L, 1L, 1.0 / 3)))
+  }
+
+  test("contamination dedups shingles per doc before counting") {
+    val docs = Seq(
+      (0L, "a b c"),             // eval: {a b c}
+      (1L, "a b c a b c a b c") // corpus: 7 raw shingles but {a b c, b c a, c a b} distinct
+    ).toDF("doc_id", "text")
+    val Array((id, n, hits, ratio)) = Decontamination.contamination(
+      docs, "doc_id", "text", evalPred = col("doc_id") === 0L)
+      .as[(Long, Long, Long, Double)].collect()
+    assert((id, n, hits) == ((1L, 3L, 1L)) && math.abs(ratio - 1.0 / 3) < 1e-15)
+  }
+
+  test("repetition: word + 2-gram duplicate fractions, null for gram-less docs") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // words 5, distinct 2; 2-grams: ab,ba,ab,ba -> 4 grams, 2 dup, max 2
+      (2L, "x y z"),      // no repetition: 3 words distinct, 2 grams distinct
+      (3L, "solo")        // 1 word: no 2-grams -> NULL gram columns
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetition(docs).orderBy("doc_id").collect()
+    val r1 = rows(0)
+    assert(r1.getLong(1) == 5 && r1.getLong(2) == 2)
+    assert(math.abs(r1.getDouble(3) - 0.6) < 1e-15)            // 1 - 2/5
+    assert(r1.getLong(4) == 4 && r1.getLong(5) == 2 && r1.getLong(6) == 2)
+    assert(math.abs(r1.getDouble(7) - 0.5) < 1e-15)            // 2/4
+    val r2 = rows(1)
+    assert(r2.getLong(4) == 2 && r2.getLong(5) == 0 && r2.getDouble(7) == 0.0)
+    val r3 = rows(2)
+    assert(r3.getLong(1) == 1 && r3.getDouble(3) == 0.0)
+    assert(r3.isNullAt(4) && r3.isNullAt(5) && r3.isNullAt(6) && r3.isNullAt(7))
+  }
+
+  test("the contamination probe join is broadcast (corpus shingles never shuffle into it)") {
+    val docs = (0L to 200L).map(i => (i, s"w$i a b c d w${i % 7}")).toDF("doc_id", "text")
+    val plan = Decontamination.contamination(docs, "doc_id", "text",
+      evalPred = col("doc_id") % 97 === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe, got:\n$plan")
+  }
+}
