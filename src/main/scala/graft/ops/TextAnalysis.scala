@@ -92,39 +92,53 @@ object TextAnalysis {
     * filters): duplicate-word fraction, duplicate-2-gram fraction, and the
     * most-repeated-2-gram count.
     *
-    * One scan: word stats are row-local (`array_distinct`); 2-grams go
-    * through a two-level hash aggregate — (doc, gram) then (doc) — both
-    * keyed on the doc id so AQE coalesces them and map-side combine does
-    * the heavy counting. Grams are 60-bit hashes ([[TextFns.shingleHashes]]
-    * with n=2): counting collapses two different grams only at 2^-60 odds,
-    * and the oracle hashes identically so even that cannot diverge.
+    * ZERO shuffles: a per-document metric never needs an exchange, because
+    * every gram of a doc lives in that doc's row. Word stats are
+    * `array_distinct`; the duplicate-gram count is size − distinct-size;
+    * the most-repeated-gram count is a run-length fold over the SORTED
+    * hash array (`array_sort` + `aggregate`, O(L log L) row-local) — vs
+    * the obvious explode + two-level groupBy, which shuffles every gram
+    * occurrence in the corpus. Grams are 60-bit hashes
+    * ([[TextFns.shingleHashes]] n=2): two different grams collapse only at
+    * 2^-60 odds, and the oracle hashes identically so even that cannot
+    * diverge.
     *
-    * Docs with <2 words have no 2-grams: gram columns are NULL (kept via
-    * `explode_outer` + hit-only aggregates), mirroring the oracle's LEFT
-    * JOIN — not silently zero, which would claim "measured, no repetition".
+    * Docs with <2 words have no 2-grams: gram columns are NULL, mirroring
+    * the oracle's LEFT JOIN — not silently zero, which would claim
+    * "measured, no repetition".
     */
   def repetition(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val w = TextFns.words(col(textCol))
-    val exploded = docs.select(
+    val g = TextFns.shingleHashes(col(textCol), 2)
+    // longest equal run in the sorted array = max multiplicity of any gram
+    val maxRun = aggregate(
+      array_sort(g),
+      struct(lit(null).cast("long").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(
       col(idCol),
       size(w).cast("long").as("n_words"),
       size(array_distinct(w)).cast("long").as("n_distinct_words"),
-      explode_outer(TextFns.shingleHashes(col(textCol), 2)).as("g"))
-    val hit = when(col("g").isNotNull, col("c"))
-    val perDoc = exploded
-      .groupBy(col(idCol), col("n_words"), col("n_distinct_words"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol), col("n_words"), col("n_distinct_words"))
-      .agg(sum(hit).as("n_grams"),
-        (sum(hit) - count(hit)).as("n_dup_grams"),
-        max(hit).as("max_gram_count"))
-    perDoc.select(
-      col(idCol), col("n_words"), col("n_distinct_words"),
-      (lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"))
-        .as("dup_word_ratio"),
-      col("n_grams"), col("n_dup_grams"), col("max_gram_count"),
-      (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_gram_ratio"))
+      size(g).cast("long").as("_ng"),
+      (size(g) - size(array_distinct(g))).cast("long").as("_nd"),
+      maxRun.as("_mx"))
+      .select(
+        col(idCol), col("n_words"), col("n_distinct_words"),
+        (lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"))
+          .as("dup_word_ratio"),
+        when(col("_ng") > 0, col("_ng")).as("n_grams"),
+        when(col("_ng") > 0, col("_nd")).as("n_dup_grams"),
+        when(col("_ng") > 0, col("_mx")).as("max_gram_count"),
+        when(col("_ng") > 0, col("_nd").cast("double") / col("_ng"))
+          .as("dup_gram_ratio"))
   }
 
   /** Rolling-hash fingerprint + per-fingerprint duplicate count. */
