@@ -104,4 +104,31 @@ class PlanIntegritySpec extends SparkSpec {
     assert(exchanges <= 1,
       s"windows must reuse one l_orderkey exchange, got $exchanges")
   }
+
+  test("q63: eval shingles broadcast; corpus side has only the hit groupBy exchange") {
+    val p = plan("q63_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "eval probe must be broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shingles must never sort-merge against the eval set")
+    // allowed exchanges: hit-only groupBy(doc_id, n_shingles), the gate's
+    // orderBy range exchange, and the eval-side distinct feeding the
+    // broadcast (eval rows only). A corpus-side distinct() would add a
+    // hashpartitioning(doc_id, sh) exchange carrying EVERY corpus shingle —
+    // pin its absence.
+    val corpusShingleShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id") && l.contains("sh#"))
+    assert(corpusShingleShuffles == 0,
+      "corpus shingle rows must dedup row-locally, not via distinct()")
+  }
+
+  test("q64: per-doc repetition metrics plan with ZERO data exchanges") {
+    val p = plan("q64_text_repetition")
+    // the only allowed exchange is the gate's deterministic ORDER BY
+    // (rangepartitioning); any hashpartitioning means the gram fold
+    // regressed to an explode + groupBy shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-doc metric must not shuffle:\n$p")
+    assert(!p.contains("Generate explode"),
+      "grams must fold row-locally, not explode")
+  }
 }
