@@ -106,11 +106,25 @@ object TextAnalysis {
     * Docs with <2 words have no 2-grams: gram columns are NULL, mirroring
     * the oracle's LEFT JOIN — not silently zero, which would claim
     * "measured, no repetition".
+    *
+    * Metrics are strictly per input ROW; `idCol` is carried as a label
+    * (unique in `documents`, which is why the SQL oracle's per-id grouping
+    * reads the same — duplicate ids would make the oracle merge rows this
+    * op deliberately keeps apart).
     */
   def repetition(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val w = TextFns.words(col(textCol))
-    val g = TextFns.shingleHashes(col(textCol), 2)
+    // the gram-hash array materializes in its own projection so its three
+    // consumers (two sizes + the fold) share ONE ShingleHashes evaluation
+    // per row — the interpreted `aggregate` HOF sits outside codegen
+    // subexpression elimination and would otherwise re-hash every gram.
+    val pre = docs.select(
+      col(idCol),
+      size(w).cast("long").as("n_words"),
+      size(array_distinct(w)).cast("long").as("n_distinct_words"),
+      TextFns.shingleHashes(col(textCol), 2).as("_g"))
+    val g = col("_g")
     // longest equal run in the sorted array = max multiplicity of any gram
     val maxRun = aggregate(
       array_sort(g),
@@ -123,10 +137,8 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    docs.select(
-      col(idCol),
-      size(w).cast("long").as("n_words"),
-      size(array_distinct(w)).cast("long").as("n_distinct_words"),
+    pre.select(
+      col(idCol), col("n_words"), col("n_distinct_words"),
       size(g).cast("long").as("_ng"),
       (size(g) - size(array_distinct(g))).cast("long").as("_nd"),
       maxRun.as("_mx"))

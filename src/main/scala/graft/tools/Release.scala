@@ -21,9 +21,11 @@ object Release {
     override def toString = s"$major.$minor.$patch"
   }
 
-  def parse(s: String): Version = s.trim.split('.') match {
-    case Array(ma, mi, pa) => Version(ma.toInt, mi.toInt, pa.toInt)
-    case _ => throw new IllegalArgumentException(s"not a semver string: '$s'")
+  private val SemVer = """(\d+)\.(\d+)\.(\d+)""".r
+
+  def parse(s: String): Version = s.trim match {
+    case SemVer(ma, mi, pa) => Version(ma.toInt, mi.toInt, pa.toInt)
+    case other => throw new IllegalArgumentException(s"not a semver string: '$other'")
   }
 
   def bump(v: Version, bumpType: String): Version =
@@ -40,14 +42,16 @@ object Release {
   implicit val versionOrdering: Ordering[Version] =
     Ordering.by(v => (v.major, v.minor, v.patch))
 
-  /** The bump command plan: write VERSION, tag git, optionally push the
-    * tag (cli.py:71-83). */
-  def bumpPlan(current: Version, bumpType: String,
-               pushTag: Boolean): (Version, Seq[String]) = {
+  /** The bump command plan: write the version file (the SAME path main
+    * reads the current version from — a hardcoded "VERSION" here would
+    * leave a GRAFT_VERSION_FILE install permanently stuck on the old
+    * number), tag git, optionally push the tag (cli.py:71-83). */
+  def bumpPlan(current: Version, bumpType: String, pushTag: Boolean,
+               versionFile: String = "VERSION"): (Version, Seq[String]) = {
     val next = bump(current, bumpType)
     val cmds = Seq(
-      s"echo $next > VERSION",
-      s"git add VERSION && git commit -m 'release $next'",
+      s"echo $next > $versionFile",
+      s"git add $versionFile && git commit -m 'release $next'",
       s"git tag $next") ++
       (if (pushTag) Seq(s"git push origin $next") else Nil)
     (next, cmds)
@@ -84,8 +88,10 @@ object Release {
       }
       else cmd => println(s"[dry-run] $cmd")
     val plan = args.toSeq match {
-      case Seq("bump", bumpType) => bumpPlan(current, bumpType, pushTag = false)._2
-      case Seq("bump", bumpType, "--push") => bumpPlan(current, bumpType, pushTag = true)._2
+      case Seq("bump", bumpType) =>
+        bumpPlan(current, bumpType, pushTag = false, versionFile.toString)._2
+      case Seq("bump", bumpType, "--push") =>
+        bumpPlan(current, bumpType, pushTag = true, versionFile.toString)._2
       case Seq("build") => buildPlan(current)
       case Seq("publish") => publishPlan(current)
       case other => throw new IllegalArgumentException(

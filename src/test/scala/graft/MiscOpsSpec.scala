@@ -281,6 +281,18 @@ class ReleaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException](Release.parse("1.2"))
   }
 
+  test("parse rejects malformed semver (trailing dot, signs, extra parts)") {
+    for (bad <- Seq("1.2.3.", "-1.2.3", "1.+2.3", "1.2.3.4", "v1.2.3", ""))
+      intercept[IllegalArgumentException](Release.parse(bad))
+  }
+
+  test("bumpPlan writes the SAME version file main reads (GRAFT_VERSION_FILE)") {
+    val (_, cmds) = Release.bumpPlan(Release.parse("1.0.0"), "patch",
+      pushTag = false, versionFile = "/etc/graft/VERSION")
+    assert(cmds.head == "echo 1.0.1 > /etc/graft/VERSION")
+    assert(cmds(1).startsWith("git add /etc/graft/VERSION"))
+  }
+
   test("componentwise ordering fixes the reference's digit-concat quirk") {
     // cli.py:99-101 compares int("1.2.10".replace('.','')) = 1210 against
     // int("1.3.0".replace('.','')) = 130 and concludes 1.2.10 > 1.3.0
@@ -331,6 +343,18 @@ class TextOpsSpec extends SparkSpec {
       docs, "doc_id", "text", evalPred = col("doc_id") === 0L)
       .as[(Long, Long, Long, Double)].collect()
     assert((id, n, hits) == ((1L, 3L, 1L)) && math.abs(ratio - 1.0 / 3) < 1e-15)
+  }
+
+  test("fully duplicated corpus rows collapse like the oracle's global distinct") {
+    val docs = Seq(
+      (0L, "a b c d"),    // eval
+      (1L, "x a b c y"),  // corpus, duplicated row below
+      (1L, "x a b c y")
+    ).toDF("doc_id", "text")
+    val got = Decontamination.contamination(docs, "doc_id", "text",
+      evalPred = col("doc_id") === 0L)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List((1L, 3L, 1L, 1.0 / 3)), s"ratio must stay <= 1: $got")
   }
 
   test("repetition: word + 2-gram duplicate fractions, null for gram-less docs") {

@@ -110,13 +110,19 @@ class PlanIntegritySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "eval probe must be broadcast")
     assert(!p.contains("SortMergeJoin"),
       "corpus shingles must never sort-merge against the eval set")
-    // allowed exchanges: hit-only groupBy(doc_id, n_shingles), the gate's
-    // orderBy range exchange, and the eval-side distinct feeding the
-    // broadcast (eval rows only). A corpus-side distinct() would add a
-    // hashpartitioning(doc_id, sh) exchange carrying EVERY corpus shingle —
-    // pin its absence.
-    val corpusShingleShuffles = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning(doc_id") && l.contains("sh#"))
+    // allowed exchanges: the countDistinct partial + groupBy over HIT rows
+    // (ancestors of the probe join — the plan prints parents before
+    // children, so they sit ABOVE the BroadcastHashJoin line), the gate's
+    // orderBy range exchange, and the eval-side sh-only distinct feeding
+    // the broadcast. A corpus-side distinct() would add a
+    // hashpartitioning(doc_id, sh) exchange carrying EVERY corpus shingle
+    // BELOW the join — pin its absence.
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val corpusShingleShuffles = lines.zipWithIndex.count { case (l, i) =>
+      i > joinIdx && l.contains("Exchange hashpartitioning(doc_id") &&
+        l.contains("sh#")
+    }
     assert(corpusShingleShuffles == 0,
       "corpus shingle rows must dedup row-locally, not via distinct()")
   }
