@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontamination, Dedup, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Sessionize, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -738,7 +738,33 @@ object Extensions {
     (s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))
       .orderBy("doc_id"))
 
+  private val q65 = Q("q65_sessionization",
+    "batch sessionization of the events stream: per-user sessions split at " +
+      ">30 min inactivity gaps (lag-gap flag + running sum), summarized per " +
+      "session; ONE exchange — the summary groupBy reuses the windows' " +
+      "user_id hashpartitioning. Batch twin of the streaming session " +
+      "windows (IncrementalIngest.sessionCounts)",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms
+                 FROM events),
+      l AS (SELECT user_id, event_id, tms,
+            CASE WHEN tms - LAG(tms) OVER
+                   (PARTITION BY user_id ORDER BY tms, event_id) <= 1800000
+                 THEN 0 ELSE 1 END AS new_s
+            FROM e),
+      s AS (SELECT user_id, tms,
+            CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM l)
+      SELECT user_id, session_idx, count(*) AS n_events,
+             min(tms) AS start_ms, max(tms) AS end_ms,
+             max(tms) - min(tms) AS duration_ms
+      FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx"""),
+    (s, dir) => Sessionize.sessionize(t(s, dir, "events"),
+      "user_id", "ts", "event_id", gapMs = 30L * 60 * 1000)
+      .orderBy("user_id", "session_idx"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64)
+    q63, q64, q65)
 }

@@ -384,3 +384,46 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe, got:\n$plan")
   }
 }
+
+/** Batch sessionization: hand-computed gap splits, tie determinism, and
+  * first-event session opening.
+  */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Sessionize
+
+  test("sessions split at gaps > gapMs; first event opens session 1") {
+    // user 1: events at t=0s, 10s, 2000s, 2010s with gap 60s -> two sessions
+    // user 2: single event -> one singleton session
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10000L), (3L, 1L, 2000000L), (4L, 1L, 2010000L),
+      (5L, 2L, 500L)
+    ).toDF("event_id", "user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val got = Sessionize.sessionize(ev, "user_id", "ts", "event_id", gapMs = 60000L)
+      .orderBy("user_id", "session_idx")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 1L, 2L, 0L, 10000L, 10000L),
+      (1L, 2L, 2L, 2000000L, 2010000L, 10000L),
+      (2L, 1L, 1L, 500L, 500L, 0L)))
+  }
+
+  test("boundary: a gap of exactly gapMs stays in the same session") {
+    val ev = Seq((1L, 1L, 0L), (2L, 1L, 60000L), (3L, 1L, 120001L))
+      .toDF("event_id", "user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val got = Sessionize.sessionize(ev, "user_id", "ts", "event_id", gapMs = 60000L)
+      .orderBy("session_idx").as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._2, r._3)).toList == List((1L, 2L), (2L, 1L)))
+  }
+
+  test("equal timestamps order by the tie column, deterministically") {
+    val ev = Seq((9L, 1L, 1000L), (2L, 1L, 1000L), (5L, 1L, 999000L))
+      .toDF("event_id", "user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val assigned = Sessionize.assignSessions(ev, "user_id", "ts", "event_id", 60000L)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(assigned == Map(2L -> 1L, 9L -> 1L, 5L -> 2L))
+  }
+}

@@ -127,6 +127,15 @@ class PlanIntegritySpec extends SparkSpec {
       "corpus shingle rows must dedup row-locally, not via distinct()")
   }
 
+  test("q65: sessionization is ONE exchange — summary groupBy reuses the window partitioning") {
+    val p = plan("q65_sessionization")
+    // windows hashpartition on user_id; groupBy(user_id, session_idx) must
+    // NOT add a second hash exchange (user_id is a prefix of the grouping)
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (user_id), got $hashExchanges:\n$p")
+  }
+
   test("q64: per-doc repetition metrics plan with ZERO data exchanges") {
     val p = plan("q64_text_repetition")
     // the only allowed exchange is the gate's deterministic ORDER BY
