@@ -25,20 +25,34 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Per-event session assignment: input columns + `_tms` (epoch millis)
-    * + `session_idx` (1-based, per key, in time order). */
+    * + `session_idx` (1-based, per key, in time order). Fails fast if the
+    * input already carries either output column (silently overwriting a
+    * previous assignment — e.g. re-sessionizing with a different gap —
+    * would hide a caller bug; select them away first).
+    *
+    * Null ordering is pinned NULLS LAST on both order columns (the repo's
+    * oracle-parity convention: Spark defaults nulls FIRST, DuckDB LAST —
+    * an unpinned sort would shift every session index after a NULL ts).
+    */
   def assignSessions(events: DataFrame, keyCol: String, tsCol: String,
                      tieCol: String, gapMs: Long): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("_tms"), col(tieCol))
+    val clash = events.columns.toSet
+      .intersect(Set("_tms", "session_idx", "_graft_new_session"))
+    require(clash.isEmpty,
+      s"assignSessions output columns already present in input: " +
+        s"${clash.mkString(", ")} — drop or rename them first")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_tms").asc_nulls_last, col(tieCol).asc_nulls_last)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // lag is NULL on the first event: NULL <= gap is NULL -> otherwise(1),
     // opening the first session — same CASE semantics as the SQL oracle.
     events
       .withColumn("_tms", unix_millis(col(tsCol)))
-      .withColumn("_new",
+      .withColumn("_graft_new_session",
         when(col("_tms") - lag(col("_tms"), 1).over(w) <= gapMs, 0L)
           .otherwise(1L))
-      .withColumn("session_idx", sum(col("_new")).over(run))
-      .drop("_new")
+      .withColumn("session_idx", sum(col("_graft_new_session")).over(run))
+      .drop("_graft_new_session")
   }
 
   /** Session summaries: (key, session_idx, n_events, start_ms, end_ms,

@@ -749,11 +749,13 @@ object Extensions {
                  FROM events),
       l AS (SELECT user_id, event_id, tms,
             CASE WHEN tms - LAG(tms) OVER
-                   (PARTITION BY user_id ORDER BY tms, event_id) <= 1800000
+                   (PARTITION BY user_id
+                    ORDER BY tms NULLS LAST, event_id NULLS LAST) <= 1800000
                  THEN 0 ELSE 1 END AS new_s
             FROM e),
       s AS (SELECT user_id, tms,
-            CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+            CAST(SUM(new_s) OVER (PARTITION BY user_id
+                 ORDER BY tms NULLS LAST, event_id NULLS LAST
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
             FROM l)
       SELECT user_id, session_idx, count(*) AS n_events,

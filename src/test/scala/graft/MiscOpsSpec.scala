@@ -418,6 +418,14 @@ class SessionizeSpec extends SparkSpec {
     assert(got.map(r => (r._2, r._3)).toList == List((1L, 2L), (2L, 1L)))
   }
 
+  test("pre-existing output columns fail fast instead of silently clobbering") {
+    val ev = Seq((1L, 1L, 0L)).toDF("event_id", "user_id", "session_idx")
+      .withColumn("ts", timestamp_millis(col("session_idx")))
+    val e = intercept[IllegalArgumentException](
+      Sessionize.assignSessions(ev, "user_id", "ts", "event_id", 1000L))
+    assert(e.getMessage.contains("session_idx"))
+  }
+
   test("equal timestamps order by the tie column, deterministically") {
     val ev = Seq((9L, 1L, 1000L), (2L, 1L, 1000L), (5L, 1L, 999000L))
       .toDF("event_id", "user_id", "ms")
