@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling: per-column row/non-null/distinct counts and min/max,
+  * in long format — the data-quality snapshot a curation pipeline takes
+  * before and after every stage (and diffs between runs).
+  *
+  * ONE scan: all columns' aggregates evaluate in a single global
+  * aggregation, then `stack` unpivots the 1-row wide result into one row
+  * per column (driver-side-free: the wide row is a single-row DataFrame).
+  *
+  * Scale note: `exact = true` uses `count(distinct c)` per column, which
+  * plans an Expand of the scan ×(columns+1) — the right default for the
+  * oracle gate and for modest column lists. At full corpus width/scale,
+  * pass `exact = false` for `approx_count_distinct` (HLL++, one pass, no
+  * Expand) — same output schema, ±~2% distinct counts.
+  *
+  * min/max stringify (`CAST AS STRING`) so heterogeneous column types
+  * share one schema; keep double columns out of `cols` when oracle
+  * parity matters (float formatting differs across engines).
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val nd = if (exact) countDistinct(col(c))
+               else approx_count_distinct(col(c))
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        nd.as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    wide.select(
+      expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nonnull, n_distinct, min_v, max_v)"),
+      col("__n").as("n_rows"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+  }
+}

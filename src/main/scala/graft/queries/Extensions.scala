@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontamination, Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Profile, Sessionize, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -766,7 +766,35 @@ object Extensions {
       "user_id", "ts", "event_id", gapMs = 30L * 60 * 1000)
       .orderBy("user_id", "session_idx"))
 
+  private val q66 = Q("q66_table_profile",
+    "table profiling: per-column row/non-null/null/distinct counts and " +
+      "stringified min/max over documents(doc_id, lang, source, n_chars) — " +
+      "one scan, one global aggregate (exact-distinct Expand; " +
+      "approx_count_distinct variant for full-width scale), stack-unpivoted",
+    Some("""
+      WITH p AS (
+        SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+               count(doc_id) AS n_nonnull, count(*) - count(doc_id) AS n_null,
+               count(DISTINCT doc_id) AS n_distinct,
+               CAST(min(doc_id) AS VARCHAR) AS min_v,
+               CAST(max(doc_id) AS VARCHAR) AS max_v FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(lang), count(*) - count(lang),
+               count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+               CAST(max(lang) AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(source), count(*) - count(source),
+               count(DISTINCT source), CAST(min(source) AS VARCHAR),
+               CAST(max(source) AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), count(n_chars), count(*) - count(n_chars),
+               count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+               CAST(max(n_chars) AS VARCHAR) FROM documents)
+      SELECT * FROM p ORDER BY col_name"""),
+    (s, dir) => Profile.profile(t(s, dir, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars")).orderBy("col_name"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64, q65)
+    q63, q64, q65, q66)
 }

@@ -435,3 +435,40 @@ class SessionizeSpec extends SparkSpec {
     assert(assigned == Map(2L -> 1L, 9L -> 1L, 5L -> 2L))
   }
 }
+
+/** Table profiler: exact stats on a hand-built frame with nulls, and the
+  * approx variant's schema/act-alike contract.
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Profile
+
+  test("profile counts rows, nulls, distincts, min/max per column") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("b")), (None, Some("a"))
+    ).toDF("k", "s")
+    val got = Profile.profile(df, Seq("k", "s")).orderBy("col_name")
+      .as[(String, Long, Long, Long, Long, String, String)].collect().toList
+    assert(got == List(
+      ("k", 4L, 3L, 1L, 2L, "1", "2"),
+      ("s", 4L, 3L, 1L, 2L, "a", "b")))
+  }
+
+  test("approx variant keeps the exact schema and exact row/null counts") {
+    val df = (1L to 1000L).map(i => (i, s"v${i % 10}")).toDF("k", "s")
+    val got = Profile.profile(df, Seq("k", "s"), exact = false)
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Long, String, String)].collect().toList
+    assert(got.map(_._1) == List("k", "s"))
+    assert(got.forall(r => r._2 == 1000L && r._4 == 0L))
+    val kDistinct = got.head._5
+    assert(math.abs(kDistinct - 1000L) <= 50L, s"HLL estimate off: $kDistinct")
+    assert(got(1)._5 == 10L || math.abs(got(1)._5 - 10L) <= 1L)
+  }
+
+  test("empty column list is rejected") {
+    intercept[IllegalArgumentException](
+      Profile.profile(Seq((1, 2)).toDF("a", "b"), Nil))
+  }
+}
