@@ -153,6 +153,36 @@ object TextAnalysis {
           .as("dup_gram_ratio"))
   }
 
+  /** Corpus vocabulary: per-token term frequency (total occurrences) and
+    * document frequency (docs containing it), top `topK` by tf with a
+    * lexicographic tiebreak.
+    *
+    * The canonical map-side-combine workload: ONE scan, one hash aggregate
+    * keyed on the token (partial aggregation collapses each partition's
+    * token counts before the shuffle — the exchange carries ~|vocab| rows
+    * per partition, not ~|tokens|), then a distributed top-k
+    * (TakeOrderedAndProject: per-partition heaps, k rows to the driver).
+    * df dedups (token, doc) pairs ROW-locally: each row explodes its words
+    * concatenated with its `array_distinct` words (tf/df contribution
+    * flags), so there is no second corpus scan and no count-distinct
+    * Expand.
+    */
+  def vocabulary(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", topK: Int = 100): DataFrame = {
+    val w = TextFns.words(col(textCol))
+    val pairs = concat(
+      transform(w, t =>
+        struct(t.as("tok"), lit(1L).as("tf1"), lit(0L).as("df1"))),
+      transform(array_distinct(w), t =>
+        struct(t.as("tok"), lit(0L).as("tf1"), lit(1L).as("df1"))))
+    docs.select(explode(pairs).as("p"))
+      .select(col("p.tok").as("tok"), col("p.tf1"), col("p.df1"))
+      .groupBy(col("tok"))
+      .agg(sum(col("tf1")).as("tf"), sum(col("df1")).as("df"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(topK)
+  }
+
   /** Rolling-hash fingerprint + per-fingerprint duplicate count. */
   def fingerprints(docs: DataFrame, prefixLen: Int = 64): DataFrame = {
     val fp = docs.select(col("doc_id"),

@@ -794,7 +794,23 @@ object Extensions {
     (s, dir) => Profile.profile(t(s, dir, "documents"),
       Seq("doc_id", "lang", "source", "n_chars")).orderBy("col_name"))
 
+  private val q67 = Q("q67_vocabulary",
+    "corpus vocabulary: per-token term frequency + document frequency, " +
+      "top-100 by tf (lexicographic tiebreak). One scan: each row explodes " +
+      "words ++ distinct-words with tf/df flags (row-local df dedup, no " +
+      "count-distinct Expand), one map-side-combined aggregate, " +
+      "distributed top-k",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tf AS (SELECT unnest(w) AS tok FROM w),
+      tfc AS (SELECT tok, count(*) AS tf FROM tf GROUP BY 1),
+      df AS (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM w),
+      dfc AS (SELECT tok, count(*) AS df FROM df GROUP BY 1)
+      SELECT tok, tf, df FROM tfc JOIN dfc USING (tok)
+      ORDER BY tf DESC, tok LIMIT 100"""),
+    (s, dir) => TextAnalysis.vocabulary(t(s, dir, "documents"), topK = 100))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64, q65, q66)
+    q63, q64, q65, q66, q67)
 }

@@ -357,6 +357,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got == List((1L, 3L, 1L, 1.0 / 3)), s"ratio must stay <= 1: $got")
   }
 
+  test("vocabulary: tf counts occurrences, df counts docs, top-k tiebreaks on token") {
+    val docs = Seq(
+      (1L, "a a b"),   // tf: a=2, b=1; df: a,b
+      (2L, "a c c"),   // tf: a=1(3), c=2; df: a(2), c
+      (3L, "b")        // tf: b=1(2); df: b(2)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(docs, topK = 2)
+      .as[(String, Long, Long)].collect().toList
+    // tf: a=3, b=2, c=2 -> top2 = a, then b (tie with c, 'b' < 'c')
+    assert(got == List(("a", 3L, 2L), ("b", 2L, 2L)))
+  }
+
   test("repetition: word + 2-gram duplicate fractions, null for gram-less docs") {
     val docs = Seq(
       (1L, "a b a b a"),  // words 5, distinct 2; 2-grams: ab,ba,ab,ba -> 4 grams, 2 dup, max 2
