@@ -23,8 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Column names must be simple identifiers (they are spliced into the
+    * `stack` SQL string; a quote or backtick would break parsing) and
+    * unique (duplicates would alias-collide in the aggregate). */
+  private val SafeName = "[A-Za-z_][A-Za-z0-9_]*".r
+
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in profile list: ${cols.diff(cols.distinct).mkString(", ")}")
+    val unsafe = cols.filterNot(SafeName.matches)
+    require(unsafe.isEmpty,
+      s"profile column names must be simple identifiers, got: ${unsafe.mkString(", ")}")
     val aggs = cols.flatMap { c =>
       val nd = if (exact) countDistinct(col(c))
                else approx_count_distinct(col(c))

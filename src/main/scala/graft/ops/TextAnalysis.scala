@@ -165,17 +165,23 @@ object TextAnalysis {
     * df dedups (token, doc) pairs ROW-locally: each row explodes its words
     * concatenated with its `array_distinct` words (tf/df contribution
     * flags), so there is no second corpus scan and no count-distinct
-    * Expand.
+    * Expand. df therefore counts ROWS containing the token — equal to
+    * document frequency when each document is one row (the same per-row
+    * contract `repetition` documents).
     */
-  def vocabulary(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text", topK: Int = 100): DataFrame = {
-    val w = TextFns.words(col(textCol))
+  def vocabulary(docs: DataFrame, textCol: String = "text",
+                 topK: Int = 100): DataFrame = {
+    // the word array materializes in its own projection so both transform
+    // consumers share ONE split per row (HOFs sit outside codegen
+    // subexpression elimination — same workaround as repetition's grams)
+    val pre = docs.select(TextFns.words(col(textCol)).as("_w"))
+    val w = col("_w")
     val pairs = concat(
       transform(w, t =>
         struct(t.as("tok"), lit(1L).as("tf1"), lit(0L).as("df1"))),
       transform(array_distinct(w), t =>
         struct(t.as("tok"), lit(0L).as("tf1"), lit(1L).as("df1"))))
-    docs.select(explode(pairs).as("p"))
+    pre.select(explode(pairs).as("p"))
       .select(col("p.tok").as("tok"), col("p.tf1"), col("p.df1"))
       .groupBy(col("tok"))
       .agg(sum(col("tf1")).as("tf"), sum(col("df1")).as("df"))

@@ -476,11 +476,14 @@ class ProfileSpec extends SparkSpec {
     assert(got.forall(r => r._2 == 1000L && r._4 == 0L))
     val kDistinct = got.head._5
     assert(math.abs(kDistinct - 1000L) <= 50L, s"HLL estimate off: $kDistinct")
-    assert(got(1)._5 == 10L || math.abs(got(1)._5 - 10L) <= 1L)
+    assert(math.abs(got(1)._5 - 10L) <= 1L)
   }
 
-  test("empty column list is rejected") {
-    intercept[IllegalArgumentException](
-      Profile.profile(Seq((1, 2)).toDF("a", "b"), Nil))
+  test("empty, duplicate, and non-identifier column lists are rejected") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    intercept[IllegalArgumentException](Profile.profile(df, Nil))
+    intercept[IllegalArgumentException](Profile.profile(df, Seq("a", "a")))
+    intercept[IllegalArgumentException](Profile.profile(df, Seq("it's")))
+    intercept[IllegalArgumentException](Profile.profile(df, Seq("a`b")))
   }
 }
