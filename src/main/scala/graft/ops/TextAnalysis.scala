@@ -189,6 +189,40 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document top-`k` terms by a TF-IDF-style score. The idf factor is
+    * the RATIONAL `n_docs / df` (score = tf * n_docs / df) rather than the
+    * textbook `ln(n/df)` — ln is order-preserving, so the per-doc ranking
+    * is identical, and pure multiply/divide is IEEE-deterministic across
+    * engines (the same no-transcendentals rule as [[quality]]).
+    *
+    * Plan shape: one explode feeds BOTH frequencies — tf is the
+    * (doc, token) hash aggregate, df re-aggregates that same result by
+    * token (already (doc, token)-distinct, so no count-distinct Expand).
+    * The df/corpus-size sides are vocabulary-sized and broadcast back; the
+    * only big exchanges are the tf aggregate and the per-doc ranking
+    * window. Per-row doc contract as [[repetition]].
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFns.words(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("tok"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Rolling-hash fingerprint + per-fingerprint duplicate count. */
   def fingerprints(docs: DataFrame, prefixLen: Int = 64): DataFrame = {
     val fp = docs.select(col("doc_id"),

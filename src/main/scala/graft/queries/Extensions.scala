@@ -810,7 +810,27 @@ object Extensions {
       ORDER BY tf DESC, tok LIMIT 100"""),
     (s, dir) => TextAnalysis.vocabulary(t(s, dir, "documents"), topK = 100))
 
+  private val q68 = Q("q68_tfidf_top_terms",
+    "per-doc top-3 terms by rational TF-IDF (tf * n_docs / df — ln-free, " +
+      "rank-identical, IEEE-deterministic): one explode feeds both " +
+      "frequencies, df + corpus size broadcast back, per-doc ranking window",
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      t AS (SELECT doc_id, tok, count(*) AS tf FROM w GROUP BY 1, 2),
+      d AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      s AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+            CAST(t.tf AS DOUBLE) * n.n_docs / d.df AS score
+            FROM t JOIN d USING (tok) CROSS JOIN n),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, tok NULLS LAST) AS rank FROM s)
+      SELECT doc_id, tok, tf, df, score, rank FROM r
+      WHERE rank <= 3 ORDER BY doc_id, rank"""),
+    (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+      .orderBy("doc_id", "rank"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64, q65, q66, q67)
+    q63, q64, q65, q66, q67, q68)
 }

@@ -369,6 +369,20 @@ class TextOpsSpec extends SparkSpec {
     assert(got == List(("a", 3L, 2L), ("b", 2L, 2L)))
   }
 
+  test("tfidf: rare terms outrank common ones; rank ties break on token") {
+    // 4 docs; "x" only in doc 1 (df=1), "a" in all (df=4)
+    val docs = Seq(
+      (1L, "a x x"), (2L, "a b"), (3L, "a b"), (4L, "a c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect().toList
+    // doc 1: x tf=2 df=1 -> 2*4/1=8; a tf=1 df=4 -> 1
+    assert(got.take(2) == List((1L, "x", 2L, 1L, 8.0, 1), (1L, "a", 1L, 4L, 1.0, 2)))
+    // doc 2: b (df=2 -> 2.0) beats a (1.0)
+    assert(got(2) == ((2L, "b", 1L, 2L, 2.0, 1)) && got(3) == ((2L, "a", 1L, 4L, 1.0, 2)))
+  }
+
   test("repetition: word + 2-gram duplicate fractions, null for gram-less docs") {
     val docs = Seq(
       (1L, "a b a b a"),  // words 5, distinct 2; 2-grams: ab,ba,ab,ba -> 4 grams, 2 dup, max 2
