@@ -198,9 +198,11 @@ object TextAnalysis {
     * Plan shape: one explode feeds BOTH frequencies — tf is the
     * (doc, token) hash aggregate, df re-aggregates that same result by
     * token (already (doc, token)-distinct, so no count-distinct Expand).
-    * The df/corpus-size sides are vocabulary-sized and broadcast back; the
-    * only big exchanges are the tf aggregate and the per-doc ranking
-    * window. Per-row doc contract as [[repetition]].
+    * The 1-row corpus-size side broadcasts unconditionally; the df side is
+    * left to the planner — vocabulary is usually broadcast-sized, but its
+    * cardinality is data-dependent (Heaps'-law tail of typos/ids), so a
+    * forced hint would strip the shuffle-join fallback the 100 TB case
+    * needs. Per-row doc contract as [[repetition]].
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 3): DataFrame = {
@@ -211,7 +213,7 @@ object TextAnalysis {
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "tok")
+      .join(df, "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs") / col("df"))

@@ -813,7 +813,9 @@ object Extensions {
   private val q68 = Q("q68_tfidf_top_terms",
     "per-doc top-3 terms by rational TF-IDF (tf * n_docs / df — ln-free, " +
       "rank-identical, IEEE-deterministic): one explode feeds both " +
-      "frequencies, df + corpus size broadcast back, per-doc ranking window",
+      "frequencies, corpus size broadcast, df joined back (planner picks " +
+      "broadcast vs shuffle — vocab cardinality is data-dependent), " +
+      "per-doc ranking window",
     Some("""
       WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                  FROM documents),

@@ -383,6 +383,15 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2) == ((2L, "b", 1L, 2L, 2.0, 1)) && got(3) == ((2L, "a", 1L, 4L, 1.0, 2)))
   }
 
+  test("tfidf: equal scores rank by token ascending") {
+    // p and q each: tf=1, df=1 -> identical score 2.0; 'p' must rank 1
+    val docs = Seq((1L, "p q"), (2L, "z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect().toList
+    assert(got == List((1L, "p", 1L, 1L, 2.0, 1), (1L, "q", 1L, 1L, 2.0, 2)))
+  }
+
   test("repetition: word + 2-gram duplicate fractions, null for gram-less docs") {
     val docs = Seq(
       (1L, "a b a b a"),  // words 5, distinct 2; 2-grams: ab,ba,ab,ba -> 4 grams, 2 dup, max 2
