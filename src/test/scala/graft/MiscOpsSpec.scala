@@ -510,3 +510,10 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.profile(df, Seq("a`b")))
   }
 }
+
+/** Driver-contract smoke: the flagship entry() must return rows. */
+class EntrySmokeSpec extends SparkSpec {
+  test("SparkEntry.entry returns a non-empty flagship result at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
