@@ -832,7 +832,42 @@ object Extensions {
     (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 3)
       .orderBy("doc_id", "rank"))
 
+  private val q69 = Q("q69_dedup_clusters_blocked",
+    "cluster canonicalization SCALE PATH: connected components over the " +
+      "BLOCKED SimHash pair graph (q51's 4-bit-bucketed candidates instead " +
+      "of q55's exact pigeonhole graph) — bounds the input edge count, " +
+      "which SCALING.md shows is q55's 10x cost driver; same min-label + " +
+      "pointer-jumping operator",
+    Some("""
+      WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wh AS (SELECT doc_id, CAST('0x' || substr(sha256(w), 1, 15) AS BIGINT) AS wh FROM wds),
+      votes AS (SELECT doc_id, b,
+                SUM(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM wh CROSS JOIN generate_series(0, 31) t(b) GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b
+                  ON (a.simhash >> 28) = (b.simhash >> 28) AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        WITH RECURSIVE r(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN r ON e.dst = r.node)
+        SELECT node, min(lab) AS canonical_id FROM r GROUP BY node)
+      SELECT node AS doc_id, canonical_id FROM reach ORDER BY doc_id"""),
+    (s, dir) => {
+      val sigs = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text", bits = 32)
+      val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2, blockBits = 4)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b", outIdCol = "doc_id")
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64, q65, q66, q67, q68)
+    q63, q64, q65, q66, q67, q68, q69)
 }
