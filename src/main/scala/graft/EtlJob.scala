@@ -20,7 +20,8 @@ import graft.sources.LookupCsv
   *     [--incoming <parquet> ...]
   *     --uid-serial <csv> --serial-id <csv> --assignments <parquet>
   *     --workdir <dir> [--cutoff 12:00:00] [--today 2024-02-15]
-  *     [--limit N] [--simulate-transfer]
+  *     [--limit N] [--upload-limit N] [--ledger-bucket-width k]
+  *     [--simulate-transfer]
   *
   * `--incoming` schema: manufacturer_ref, device_type, start, end, meta
   * (the S1 fetch output — see connect.PaginatedRestSource / the DSv2
@@ -110,10 +111,20 @@ object EtlJob {
   def run(spark: org.apache.spark.sql.SparkSession,
           opts: Map[String, String],
           transport: Transport = new JavaNetTransport()): Seq[(String, Long)] = {
-    val ledger = new Ledger(spark, opts("ledger"))
+    // --ledger-bucket-width: 16^k hash-prefix buckets; pick k so a bucket
+    // stays rewrite-sized at the deployment's scale (k=3 → 4096 buckets
+    // at 100 TB). Fixed per table — Ledger fail-fasts on a mismatch.
+    val ledger = new Ledger(spark, opts("ledger"),
+      opts.getOrElse("ledger-bucket-width", "1").toInt)
     val cutOff = opts.getOrElse("cutoff", "12:00:00")
     val today = opts.getOrElse("today", java.time.LocalDate.now().toString)
     val limit = opts.get("limit").map(_.toInt)
+    // --upload-limit: per-run cap on transferred groups (the reference
+    // slices its group list to 1 per run, dags/dreem.py:283-287). Defaulted
+    // rather than optional so the driver-side collect of uploaded ids below
+    // is bounded BY CONSTRUCTION — unuploaded groups simply go next run
+    // (at-least-once + idempotent redelivery).
+    val uploadLimit = opts.getOrElse("upload-limit", "100000").toInt
 
     // task 1 — download_metadata: ingest-dedup + append (J1+L1+S7).
     // Multi-site fan-in: one frame per --incoming source, unioned by name
@@ -153,9 +164,12 @@ object EtlJob {
     ledger.mergeNoOverride(Stages.groupRecords(ledger.read(), cutOff)
       .select("hash", "dmp_id"), Seq("dmp_id"))
 
-    // task 6 — extract-prep-load (P6+J5+S2+S8-S10)
+    // task 6 — extract-prep-load (P6+J5+S2+S8-S10). The transferred batch
+    // is capped (deterministically: first groups by dmp_id) so the
+    // uploaded-ids collect can never exceed uploadLimit rows.
     val manifest = Stages.uploadManifest(ledger.read())
     val nGroups = manifest.count()
+    val batch = manifest.orderBy(col("dmp_id")).limit(uploadLimit)
     val transferFns: Option[((String, java.nio.file.Path) => Boolean,
                              (String, java.nio.file.Path) => Boolean)] =
       if (opts.contains("simulate-transfer")) {
@@ -176,14 +190,13 @@ object EtlJob {
         Some(liveTransfer(opts, transport))
       } else None
     val uploaded = transferFns.fold(0L) { case (fetch, push) =>
-      val results = FileTransfer.executePlan(spark, manifest,
+      val results = FileTransfer.executePlan(spark, batch,
         opts("workdir"), fetch, push)
       // Materialize ONCE: the transfer dataset has side effects (each
       // execution re-downloads/re-uploads), and markUploaded rewrites the
       // very ledger files the manifest plan captured — a later
-      // re-execution would read deleted files. The id list is the per-run
-      // upload batch (reference caps it at 1 group), so driver-side is
-      // fine.
+      // re-execution would read deleted files. The id list is ≤ uploadLimit
+      // rows by construction (batch above), so driver-side is bounded.
       import spark.implicits._
       val okIds = results.filter(col("uploaded"))
         .select("dmp_id").as[String].collect().toSeq

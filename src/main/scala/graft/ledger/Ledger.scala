@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * immutable columnar storage, with no external table format available
   * offline (SURVEY.md §7.5.1).
   *
-  * Layout: hash-prefix bucketed partitions (`bucket=0..15`, first hex char of
-  * the sha256 key). A merge:
+  * Layout: hash-prefix bucketed partitions (`bucket=<first k hex chars>` of
+  * the sha256 key → 16^k buckets, `bucketWidth` = k). A merge:
   *   1. bucketizes the updates,
   *   2. reads ONLY the affected buckets (partition pruning),
   *   3. join-rewrites them (coalesce per enrichable column — existing value
@@ -17,20 +17,46 @@ import org.apache.spark.sql.functions._
   *      tests/hooks/test_db.py:16-47),
   *   4. dynamically overwrites just those partitions.
   *
-  * At 100 TB: buckets become e.g. 4096 partitions; a merge touching k
-  * buckets rewrites k/4096 of the table, and the join inside a bucket is
-  * co-partitioned on the uniform hash key (no skew). Deletes stay
-  * quarantined, as in the reference (db.py:127-133): append + update only.
+  * At 100 TB: pick bucketWidth=3 → 4096 buckets of ~25 GB each; a merge
+  * touching m buckets rewrites m/4096 of the table, and the join inside a
+  * bucket is co-partitioned on the uniform hash key (no skew). The width is
+  * fixed at table creation (it is the physical layout); widening is a
+  * one-off re-init, and a width mismatch against the on-disk layout
+  * fail-fasts rather than silently missing every bucket in the prune
+  * filter. Deletes stay quarantined, as in the reference (db.py:127-133):
+  * append + update only.
   */
-final class Ledger(spark: SparkSession, path: String) {
+final class Ledger(spark: SparkSession, path: String, bucketWidth: Int = 1) {
+  require(bucketWidth >= 1 && bucketWidth <= 4,
+    s"bucketWidth must be 1..4 (16..65536 buckets), got $bucketWidth")
+
+  /** 16^bucketWidth. */
+  val numBuckets: Int = 1 << (4 * bucketWidth)
 
   private val enrichable =
     Seq("device_serial", "device_id", "patient_id", "dmp_dataset", "dmp_id")
 
   private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", substring(col("hash"), 1, 1))
+    df.withColumn("bucket", substring(col("hash"), 1, bucketWidth))
 
   def exists: Boolean = new java.io.File(path).exists()
+
+  /** The prune filters compare `bucket` partition values against prefixes of
+    * the configured width — opening a table written at a different width
+    * would make every filter miss (a silently-dropped merge). Check the
+    * on-disk dir names once per mutating entry point.
+    */
+  private def validateWidth(): Unit = {
+    val dirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    dirs.headOption.foreach { d =>
+      val w = d.getName.stripPrefix("bucket=").length
+      require(w == bucketWidth,
+        s"ledger at $path is bucketed at width $w but Ledger was opened " +
+          s"with bucketWidth=$bucketWidth — widths must match the layout")
+    }
+  }
 
   /** Startup/entry recovery for a crash inside a previous publish: a kill
     * between "old bucket -> trash" and "staged bucket -> live" leaves that
@@ -65,6 +91,7 @@ final class Ledger(spark: SparkSession, path: String) {
 
   def read(): DataFrame = {
     recoverOrphans()
+    validateWidth()
     spark.read.parquet(path).drop("bucket")
   }
 
@@ -79,7 +106,7 @@ final class Ledger(spark: SparkSession, path: String) {
     * db.py:76-86 + the J1 anti-join).
     */
   def append(records: DataFrame): Unit = {
-    val fresh = records.join(read().select("hash"), Seq("hash"), "left_anti")
+    val fresh = records.join(read().select("hash"), Seq("hash"), "left_anti") // read() validates width
     withBucket(fresh).write
       .partitionBy("bucket").mode(SaveMode.Append).parquet(path)
     spark.catalog.refreshByPath(path)
@@ -92,12 +119,13 @@ final class Ledger(spark: SparkSession, path: String) {
   def mergeNoOverride(updates: DataFrame,
                       fields: Seq[String] = enrichable): Unit = {
     recoverOrphans()
+    validateWidth()
     require(fields.forall(enrichable.contains),
       s"only $enrichable are enrichable; is_uploaded goes via markUploaded")
     val upd = withBucket(updates
       .select(col("hash") +: fields.map(f => col(f).as(s"_u_$f")): _*))
     val buckets = upd.select("bucket").distinct()
-      .collect().map(_.getString(0)) // bounded: ≤16 bucket ids, not data
+      .collect().map(_.getString(0)) // bounded: ≤16^k bucket ids, not data
     if (buckets.isEmpty) return
     val current = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets.toSeq: _*))
@@ -118,11 +146,12 @@ final class Ledger(spark: SparkSession, path: String) {
     */
   def markUploaded(dmpIds: DataFrame): Unit = {
     recoverOrphans()
+    validateWidth()
     val ids = broadcast(dmpIds.select(col("dmp_id").as("_u_dmp_id")).distinct())
     val buckets = spark.read.parquet(path)
       .join(ids, col("dmp_id") === col("_u_dmp_id"), "left_semi")
       .select("bucket").distinct()
-      .collect().map(_.getString(0)) // bounded: ≤16 bucket ids, not data
+      .collect().map(_.getString(0)) // bounded: ≤16^k bucket ids, not data
     if (buckets.isEmpty) return
     val current = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets.toSeq: _*))
@@ -141,7 +170,8 @@ final class Ledger(spark: SparkSession, path: String) {
     */
   def compact(filesPerBucket: Int = 1): Unit = {
     recoverOrphans()
-    val current = spark.read.parquet(path).coalesce(filesPerBucket * 16)
+    validateWidth()
+    val current = spark.read.parquet(path).coalesce(filesPerBucket * numBuckets)
     writeBuckets(current)
   }
 

@@ -71,6 +71,45 @@ class EtlJobSpec extends SparkSpec {
     assert(again("uploaded_groups") == 0)
   }
 
+  test("EtlJob.run --upload-limit bounds the per-run transfer batch (reference limit=1)") {
+    val base = Files.createTempDirectory("graft-job-lim").toString
+    // two distinct devices/days -> two upload groups
+    Seq(("r1", "U1", "2021-11-10 13:00:00"), ("r2", "U2", "2021-11-11 13:00:00"))
+      .toDF("manufacturer_ref", "uid", "s")
+      .select(col("manufacturer_ref"), lit("DRM").as("device_type"),
+        col("s").cast("timestamp").as("start"),
+        (col("s").cast("timestamp") + expr("INTERVAL 2 HOURS")).as("end"),
+        map(lit("dreem_uid"), col("uid")).as("meta"))
+      .write.parquet(s"$base/incoming")
+    Files.write(Paths.get(base, "uid_serial.csv"), "U1,S1\nU2,S2\n".getBytes)
+    Files.write(Paths.get(base, "serial_id.csv"), "S1,DEV-1\nS2,DEV-2\n".getBytes)
+    Seq(("DEV-1", "P-A", "2021-11-01 00:00:00", null: String),
+      ("DEV-2", "P-B", "2021-11-01 00:00:00", null: String))
+      .toDF("device_id", "patient_id", "sw", "ew")
+      .select(col("device_id"), col("patient_id"),
+        col("sw").cast("timestamp").as("start_wear"),
+        col("ew").cast("timestamp").as("end_wear"))
+      .write.parquet(s"$base/assignments")
+    val opts = Map(
+      "ledger" -> s"$base/ledger", "incoming" -> s"$base/incoming",
+      "uid-serial" -> s"$base/uid_serial.csv",
+      "serial-id" -> s"$base/serial_id.csv",
+      "assignments" -> s"$base/assignments",
+      "workdir" -> s"$base/work", "today" -> "2021-12-01",
+      "upload-limit" -> "1", // the reference's per-run group cap
+      "ledger-bucket-width" -> "2", // exercise the threaded width too
+      "simulate-transfer" -> "true")
+    val run1 = EtlJob.run(spark, opts).toMap
+    assert(run1("pending_groups") == 2)
+    assert(run1("uploaded_groups") == 1) // capped, not 2
+    // the un-transferred group drains on the next run (at-least-once)
+    val run2 = EtlJob.run(spark, opts).toMap
+    assert(run2("pending_groups") == 1)
+    assert(run2("uploaded_groups") == 1)
+    val run3 = EtlJob.run(spark, opts).toMap
+    assert(run3("pending_groups") == 0 && run3("uploaded_groups") == 0)
+  }
+
   test("EtlJob.run multi-site: unions per-site incoming, dedups across sites") {
     val base = Files.createTempDirectory("graft-job-sites").toString
     def incoming(rows: Seq[(String, String, String)]) = rows

@@ -125,6 +125,48 @@ class LedgerSpec extends SparkSpec {
     assert(got == Seq("r0"))
   }
 
+  test("bucketWidth=2 lays out 2-hex-char buckets and merge rewrites only touched ones") {
+    val path = tmp()
+    val led = new Ledger(spark, path, bucketWidth = 2)
+    val rows = (0 until 64).map(i => rec(s"r$i"))
+    led.init(df(rows))
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.stripPrefix("bucket=").length == 2))
+    def bucketFiles(): Map[String, Seq[(String, Long)]] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().toSeq.map(f => (f.getName, f.lastModified())).sorted)
+        .toMap
+    val target = rows.head
+    val targetBucket = "bucket=" + target._1.substring(0, 2)
+    val before = bucketFiles()
+    led.mergeNoOverride(df(Seq(rec("r0", serial = Some("S-0"))))
+      .select($"hash", $"device_serial", $"device_id", $"patient_id",
+        $"dmp_dataset", $"dmp_id"))
+    val after = bucketFiles()
+    assert(before.keySet == after.keySet)
+    before.keySet.filterNot(_ == targetBucket).foreach { b =>
+      assert(before(b) == after(b), s"bucket $b was rewritten")
+    }
+    assert(before(targetBucket) != after(targetBucket))
+    val got = led.read().select($"manufacturer_ref", $"device_serial")
+      .as[(String, Option[String])].collect().toMap
+    assert(got("r0").contains("S-0"))
+    assert(got.count(_._2.nonEmpty) == 1)
+  }
+
+  test("opening a ledger at a mismatched bucketWidth fails fast, not silently") {
+    val path = tmp()
+    new Ledger(spark, path, bucketWidth = 2).init(df(Seq(rec("a"), rec("b"))))
+    val wrong = new Ledger(spark, path) // default width 1 vs on-disk 2
+    val e = intercept[IllegalArgumentException](
+      wrong.mergeNoOverride(df(Seq(rec("a", serial = Some("X"))))
+        .select($"hash", $"device_serial", $"device_id", $"patient_id",
+          $"dmp_dataset", $"dmp_id")))
+    assert(e.getMessage.contains("width"))
+  }
+
   test("recovery restores a bucket stranded in trash by a crashed publish") {
     val path = tmp()
     val led = new Ledger(spark, path)
