@@ -56,11 +56,14 @@ object Stages {
     val bf = ledger.stat.bloomFilter("hash", expectedLedgerItems, fpp)
     val spark = incoming.sparkSession
     val bfBc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: String) => h != null && bfBc.value.mightContainString(h))
+    // native codegen probe (expressions.BloomMightContain) — a scalar UDF
+    // here would break whole-stage codegen on the filter EVERY ingest row
+    // passes through; null hashes probe false → definitely-new branch
+    val mightContain = graft.expressions.BloomMightContain(col("hash"), bfBc)
     val hashed = incoming.withColumn("hash",
       Etl.recordHash(col("device_type"), col("manufacturer_ref")))
-    val definitelyNew = hashed.filter(!mightContain(col("hash")))
-    val suspects = hashed.filter(mightContain(col("hash")))
+    val definitelyNew = hashed.filter(!mightContain)
+    val suspects = hashed.filter(mightContain)
       .join(ledger.select("hash"), Seq("hash"), "left_anti")
     definitelyNew.unionByName(suspects)
   }

@@ -136,6 +136,14 @@ class PlanIntegritySpec extends SparkSpec {
       s"expected exactly one hash exchange (user_id), got $hashExchanges:\n$p")
   }
 
+  test("q52: bloom pre-filter probes via the native codegen expression, no UDF") {
+    val p = plan("q52_bloom_dedup")
+    assert(p.contains("graft_bloom_might_contain"),
+      "bloom probe must be the native expression")
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("),
+      "no scalar UDF may reappear on the ingest pre-filter hot path")
+  }
+
   test("q64: per-doc repetition metrics plan with ZERO data exchanges") {
     val p = plan("q64_text_repetition")
     // the only allowed exchange is the gate's deterministic ORDER BY
