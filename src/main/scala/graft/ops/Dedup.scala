@@ -222,12 +222,19 @@ object Dedup {
     * one, drop those".
     *
     * Min-label propagation: labels(v) = min over N(v) ∪ {v}, iterated to
-    * fixpoint — rounds = component diameter, which for near-dup graphs is
-    * tiny (dup clusters are dense). Each round is one join + one
-    * hash-aggregate on (node), both on uniform keys; lineage is truncated
-    * per round (localCheckpoint) so plans stay flat. For adversarial
-    * long-chain graphs the standard large-star/small-star contraction
-    * halves rounds; dup clusters never need it.
+    * fixpoint with pointer jumping (follow label→label(label)), so the hop
+    * distance to each component's minimum doubles per round — O(log
+    * diameter) rounds. Each round is one join + one hash-aggregate on
+    * (node), both on uniform keys; lineage is truncated per round
+    * (localCheckpoint) so plans stay flat.
+    *
+    * If the label loop still hasn't converged after `maxRounds` (an
+    * adversarial graph whose diameter exceeds 2^maxRounds — not a shape
+    * near-dup clusters produce, but the 100 TB posture is degrade, don't
+    * crash), the computation FALLS BACK to alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"), which provably converges in O(log n) rounds
+    * on any graph and shrinks the edge set as it goes.
     *
     * Output: (idCol, canonical_id) for every node that appears in a pair.
     */
@@ -275,8 +282,67 @@ object Dedup {
       labels = next
       round += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    if (!converged) {
+      // degrade to the guaranteed-O(log n) contraction instead of crashing
+      labels = starContraction(edges)
+    }
     labels.select(col("node").as(outIdCol), col("label").as("canonical_id"))
+  }
+
+  /** Alternating large-star/small-star contraction over a SYMMETRIC distinct
+    * edge list — the adversarial-diameter fallback for
+    * [[connectedComponents]]. Each alternation strictly contracts long
+    * chains toward component minima; the fixpoint is a star set (every
+    * surviving edge connects a node to its component's minimum id).
+    *
+    *  - large-star: per node u with m = min(N(u) ∪ {u}), rewire every
+    *    LARGER neighbor v > u to (v, m);
+    *  - small-star (on the canonical big→small pairs): per node a with
+    *    m = min of its smaller neighbors, rewire those neighbors and a
+    *    itself to m.
+    *
+    * Both steps are groupBy-min + join on node ids (uniform keys, no
+    * driver materialization); the edge set only shrinks, and convergence
+    * is an exact set comparison (count + anti-join) per alternation.
+    */
+  private[ops] def starContraction(edgesSym: DataFrame): DataFrame = {
+    val allNodes = edgesSym.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    // canonical undirected pairs (a > b); self-loops carry no connectivity
+    var e = edgesSym.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("a"),
+        least(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(true)
+    var stable = e.isEmpty
+    var rounds = 0
+    while (!stable) {
+      rounds += 1
+      require(rounds <= 60, // O(log n) bound: unreachable for any real graph
+        "starContraction failed to converge — inconceivable edge set")
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val mins2 = large.groupBy("a").agg(min(col("b")).as("m"))
+      val small = large.join(mins2, "a")
+        .select(col("b").as("node"), col("m"))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("a"), col("m").as("b"))
+        .union(mins2.select(col("a"), col("m").as("b")))
+        .distinct().localCheckpoint(true)
+      stable = small.count() == e.count() && small.except(e).isEmpty
+      e = small
+    }
+    // star set → labels: leaves point at the root, roots at themselves,
+    // nodes whose edges were all self-loops label themselves
+    val leafLabels = e.select(col("a").as("node"), col("b").as("label"))
+      .union(e.select(col("b").as("node"), col("b").as("label")))
+      .groupBy("node").agg(min(col("label")).as("label"))
+    allNodes.join(leafLabels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,

@@ -115,7 +115,35 @@ class PropertySpec extends SparkSpec {
         edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"trial $trial")
+      // the adversarial-diameter fallback must agree on the same graphs:
+      // maxRounds=0 skips the label loop entirely and forces contraction
+      val viaStars = graft.ops.Dedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxRounds = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == expected, s"trial $trial (star contraction)")
     }
+  }
+
+  test("connectedComponents survives a 10^4-node path graph (adversarial diameter)") {
+    // a pure chain is the worst case for label propagation: diameter n-1.
+    // pointer jumping converges in O(log n) rounds; every node must label
+    // to the chain head
+    val n = 10000L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val got = graft.ops.Dedup.connectedComponents(
+      chain.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+    assert(got.count() == n)
+    assert(got.filter($"canonical_id" =!= 0L).count() == 0)
+  }
+
+  test("star-contraction fallback converges on a long chain when the label loop is capped") {
+    // force the fallback with a round budget far below the chain's needs
+    val n = 2000L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val got = graft.ops.Dedup.connectedComponents(
+      chain.toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxRounds = 1)
+    assert(got.count() == n)
+    assert(got.filter($"canonical_id" =!= 0L).count() == 0)
   }
 
   test("pigeonhole simHashPairs is COMPLETE vs brute-force Hamming pairs") {
