@@ -29,23 +29,36 @@ object TextAnalysis {
   /** Language-ID: score = wordlist hits per language; argmax with
     * lexicographic tiebreak (deterministic for zero-evidence docs).
     * Output: doc_id, pred_lang, score + the labelled lang for comparison.
+    *
+    * The argmax runs over the HITS aggregate only (rows exist solely for
+    * (doc, lang) pairs with ≥1 wordlist hit) and zero-evidence docs come
+    * back via a left join + coalesce to the lexicographically-first
+    * language — the exact value the old docs×langs grid's (score=0,
+    * dlang asc) ordering produced. A grid form multiplies every corpus row
+    * by |langs|, which at a realistic 100+-language wordlist is a 100× row
+    * blow-up on the corpus side; the hits aggregate instead carries at
+    * most one row per language a doc actually touches.
     */
   def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val dict = LangWordlists.toDF("dlang", "word")
-    val langs = dict.select(col("dlang")).distinct()
+    val defaultLang = LangWordlists.map(_._1).min
     val hits = docs
       .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
       .join(broadcast(dict), "word")
       .groupBy(col("doc_id"), col("dlang"))
       .agg(count(lit(1)).as("hits"))
-    val grid = docs.select(col("doc_id"), col("lang")).crossJoin(broadcast(langs))
-    val scored = grid.join(hits, Seq("doc_id", "dlang"), "left")
-      .withColumn("score", coalesce(col("hits"), lit(0L)))
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("dlang").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("dlang").as("pred_lang"), col("score"),
+      .orderBy(col("hits").desc, col("dlang").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("dlang").as("_best_lang"),
+        col("hits").as("_best_hits"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_best_lang"), lit(defaultLang)).as("pred_lang"),
+        coalesce(col("_best_hits"), lit(0L)).as("score"),
         col("lang").as("labelled_lang"))
   }
 

@@ -136,6 +136,12 @@ class PlanIntegritySpec extends SparkSpec {
       s"expected exactly one hash exchange (user_id), got $hashExchanges:\n$p")
   }
 
+  test("q28: language-ID never multiplies corpus rows by the language grid") {
+    val p = plan("q28_text_langid")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-side crossJoin against the language list reappeared:\n$p")
+  }
+
   test("q52: bloom pre-filter probes via the native codegen expression, no UDF") {
     val p = plan("q52_bloom_dedup")
     assert(p.contains("graft_bloom_might_contain"),
