@@ -292,5 +292,58 @@ object Pipeline {
         .orderBy("event_type", "rank")
     })
 
-  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56)
+  private val q70 = Q("q70_interval_join_production",
+    "J4 production path, standalone: Stages.resolvePatients (day-bucket " +
+      "equi-join + suffix-min interval index + two-pass min-agg) over the " +
+      "q05 fixture shape — gates the optimized interval join outside q18's " +
+      "composite (ucam.py:119-136). q05 keeps the deliberately-naive " +
+      "row_number form for contrast; this is the one the pipeline runs.",
+    Some("""
+      WITH recs AS (
+        SELECT event_id AS record_id,
+               'DEV-' || CAST(user_id % 25 AS VARCHAR) AS device_id,
+               ts AS rs, ts + INTERVAL 2 HOUR AS re
+        FROM events),
+      asg AS (SELECT DISTINCT
+                'DEV-' || CAST(o_custkey % 25 AS VARCHAR) AS a_device,
+                'P-' || CAST(o_custkey AS VARCHAR) AS a_patient,
+                DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) AS start_wear,
+                CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                     ELSE DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) + 3
+                END AS end_wear
+              FROM orders),
+      j AS (SELECT r.record_id, a.a_patient,
+                   ROW_NUMBER() OVER (PARTITION BY r.record_id
+                     ORDER BY a.start_wear NULLS LAST, a.a_patient NULLS LAST) AS rn
+            FROM recs r LEFT JOIN asg a
+              ON r.device_id = a.a_device
+             AND CAST(r.rs AS DATE) BETWEEN a.start_wear
+                   AND coalesce(a.end_wear, DATE '2024-02-15')
+             AND CAST(r.re AS DATE) BETWEEN a.start_wear
+                   AND coalesce(a.end_wear, DATE '2024-02-15'))
+      SELECT record_id, a_patient AS patient_id FROM j WHERE rn = 1
+      ORDER BY record_id"""),
+    (s, dir) => {
+      val recs = Tables.table(s, dir, "events").select(
+        col("event_id").as("record_id"),
+        col("event_id").cast("string").as("hash"),
+        concat(lit("DEV-"), pmod(col("user_id"), lit(25)).cast("string")).as("device_id"),
+        col("ts").as("start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end"),
+        lit(null).cast("string").as("patient_id"))
+      val aStart = date_add(to_date(lit("2024-01-01")),
+        pmod(col("o_orderkey"), lit(25)).cast("int"))
+      val assignments = Tables.table(s, dir, "orders").select(
+        concat(lit("DEV-"), pmod(col("o_custkey"), lit(25)).cast("string")).as("device_id"),
+        concat(lit("P-"), col("o_custkey").cast("string")).as("patient_id"),
+        aStart.cast("timestamp").as("start_wear"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(date_add(aStart, 3)).cast("timestamp").as("end_wear"))
+        .distinct()
+      Stages.resolvePatients(recs, assignments, today = "2024-02-15")
+        .select(col("record_id"), col("patient_id"))
+        .orderBy("record_id")
+    })
+
+  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70)
 }
