@@ -7,15 +7,29 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata; decode / feature-extraction runs
   * partition-parallel over the binary column.
   *
-  * The actual media codecs are NOT in this container, so the decode step is
-  * a clearly-marked deterministic STUB — but the Spark-side contract
-  * (schema, encoders, partition-level batch shape, checksum) is real and
-  * tested, and the stub body is the single place a real codec would slot in.
+  * IMAGE decode is REAL: `image/…` payloads go through the JDK's
+  * `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with the JDK — zero new
+  * dependencies, headless-safe), yielding true width/height/channels and
+  * per-channel pixel-mean features. Audio/video codecs are NOT in this
+  * container, so those formats take the clearly-marked deterministic STUB
+  * path — the Spark-side contract (schema, encoders, partition-level batch
+  * shape, checksum) is identical for both, and the stub body is the single
+  * place a real codec would slot in.
   */
 object Multimodal {
 
   case class MediaFeature(doc_id: Long, n_bytes: Long, format: String,
-                          checksum: String, feature: Array[Float])
+                          checksum: String, decoded: Boolean,
+                          width: Int, height: Int, channels: Int,
+                          feature: Array[Float])
+
+  /** JDK image decode; None when the payload is not a decodable image (the
+    * reader returns null / throws on corrupt bytes — both map to the stub
+    * path, never a task failure).
+    */
+  private[ops] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
 
   /** Wrap a text corpus as binary payloads + typed metadata — the shape a
     * real media table would have (payload from object storage, metadata from
@@ -79,12 +93,16 @@ object Multimodal {
 
   /** Partition-parallel feature extraction over the binary payload.
     *
-    * ???-equivalent STUB: a real implementation would decode the media here
-    * (e.g. JPEG → pixels → model features); this derives a deterministic
-    * pseudo-feature from the bytes so the distributed plumbing is testable.
-    * One task per partition, rows streamed — no per-row JVM setup cost; a
-    * codec handle would be opened once per partition in the mapPartitions
-    * closure (exactly where a JNI/ONNX session would live).
+    * `image/…` formats DECODE FOR REAL (javax.imageio): width/height/
+    * channels come from the decoded raster and the feature vector is the
+    * per-channel pixel mean in [0,1] (ARGB-normalized, so the values are
+    * independent of the on-disk band layout), stride-sampled to ≤ 256×256
+    * probe points so a pathological 100-megapixel payload cannot pin an
+    * executor core. Anything else — and any image the reader rejects —
+    * takes the deterministic STUB projection of the raw bytes
+    * (`decoded=false`), where an audio/video codec would slot in. One task
+    * per partition, rows streamed; a heavier codec/session handle would be
+    * opened once per partition in this same mapPartitions closure.
     */
   def extractFeatures(spark: SparkSession, withPayload: DataFrame,
                       dim: Int = 8): Dataset[MediaFeature] = {
@@ -97,17 +115,48 @@ object Multimodal {
         rows.map { case (id, bytes, fmt) =>
           val checksum = java.security.MessageDigest.getInstance("SHA-256")
             .digest(bytes).map("%02x".format(_)).mkString
-          // [STUB decode] deterministic rolling projection of the bytes:
-          val feature = Array.tabulate(dim) { i =>
-            var acc = i.toLong
-            var j = 0
-            while (j < bytes.length) {
-              acc = (acc * 31 + (bytes(j) & 0xff)) % 1000003L
-              j += 1
-            }
-            (acc.toDouble / 1000003.0).toFloat
+          val img = if (fmt.startsWith("image/")) decodeImage(bytes) else None
+          img match {
+            case Some(im) =>
+              val w = im.getWidth
+              val h = im.getHeight
+              val ch = im.getColorModel.getNumComponents
+              val stepX = math.max(1, w / 256)
+              val stepY = math.max(1, h / 256)
+              val sums = new Array[Double](4) // r, g, b, a from packed ARGB
+              var n = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = im.getRGB(x, y)
+                  sums(0) += (rgb >>> 16) & 0xff
+                  sums(1) += (rgb >>> 8) & 0xff
+                  sums(2) += rgb & 0xff
+                  sums(3) += (rgb >>> 24) & 0xff
+                  n += 1
+                  x += stepX
+                }
+                y += stepY
+              }
+              val feature = Array.tabulate(dim)(i =>
+                if (i < sums.length) (sums(i) / (n * 255.0)).toFloat else 0f)
+              MediaFeature(id, bytes.length.toLong, fmt, checksum,
+                decoded = true, w, h, ch, feature)
+            case None =>
+              // [STUB decode] deterministic rolling projection of the bytes:
+              val feature = Array.tabulate(dim) { i =>
+                var acc = i.toLong
+                var j = 0
+                while (j < bytes.length) {
+                  acc = (acc * 31 + (bytes(j) & 0xff)) % 1000003L
+                  j += 1
+                }
+                (acc.toDouble / 1000003.0).toFloat
+              }
+              MediaFeature(id, bytes.length.toLong, fmt, checksum,
+                decoded = false, width = -1, height = -1, channels = -1, feature)
           }
-          MediaFeature(id, bytes.length.toLong, fmt, checksum, feature)
         }
       }
   }

@@ -46,6 +46,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.forall(v => v._2 <= 5 || v._1 <= 5))
   }
 
+  test("extractFeatures REALLY decodes a generated PNG (javax.imageio): geometry + channel means") {
+    // 4x2 solid red PNG, plus a corrupt image/* payload that must fall back
+    // to the stub path instead of failing the task
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until 4; y <- 0 until 2) img.setRGB(x, y, 0xff0000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val rows = Seq(
+      (42L, baos.toByteArray, "image/png"),
+      (43L, Array[Byte](1, 2, 3), "image/png"),
+      (44L, "just text".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "payload", "format")
+    val got = Multimodal.extractFeatures(spark, rows, dim = 4)
+      .collect().sortBy(_.doc_id)
+    val png = got(0)
+    assert(png.decoded && png.width == 4 && png.height == 2 && png.channels == 3)
+    assert(math.abs(png.feature(0) - 1.0f) < 1e-6, "red mean must be 1.0")
+    assert(png.feature(1) == 0f && png.feature(2) == 0f, "green/blue means 0")
+    assert(!got(1).decoded && got(1).width == -1) // corrupt image -> stub
+    assert(!got(2).decoded) // non-image format never attempts decode
+  }
+
   test("extractFeatures is deterministic, dimension-correct, partition-independent") {
     val p = Multimodal.withPayload(docs)
     def run(parts: Int) =
