@@ -11,17 +11,20 @@ import graft.ledger.Ledger
 import graft.sources.LookupCsv
 
 /** The runnable pipeline — what an Airflow `SparkSubmitOperator` schedules
-  * per run (the reference's 7-task `dreem` DAG collapsed into one Spark job;
-  * task boundaries become ordinary sequential stage calls, state flows
-  * through the Ledger exactly as it flowed through MongoDB).
+  * per run. The reference's 7-task `dreem` DAG (dags/dreem.py:297-307) maps
+  * 1:1 onto `stageNames`; state flows between tasks through the Ledger
+  * exactly as it flowed through MongoDB, so the chain runs either as seven
+  * separate spark-submits (`--stage <id>` per task — the
+  * dags/graft_dreem.py deployment, generated from graft.dag.DreemDag) or
+  * collapsed into one Spark job (`run`, no `--stage`).
   *
   * Usage:
   *   runMain graft.EtlJob --ledger <dir> --incoming <parquet>
   *     [--incoming <parquet> ...]
   *     --uid-serial <csv> --serial-id <csv> --assignments <parquet>
-  *     --workdir <dir> [--cutoff 12:00:00] [--today 2024-02-15]
-  *     [--limit N] [--upload-limit N] [--ledger-bucket-width k]
-  *     [--simulate-transfer]
+  *     --workdir <dir> [--stage <task-id>] [--cutoff 12:00:00]
+  *     [--today 2024-02-15] [--limit N] [--upload-limit N]
+  *     [--ledger-bucket-width k] [--simulate-transfer]
   *
   * `--incoming` schema: manufacturer_ref, device_type, start, end, meta
   * (the S1 fetch output — see connect.PaginatedRestSource / the DSv2
@@ -44,12 +47,24 @@ import graft.sources.LookupCsv
   */
 object EtlJob {
 
+  /** The reference DAG's task ids, in chain order (dags/dreem.py:297-307).
+    * Each is independently submittable via `--stage <id>` — every stage
+    * re-opens the ledger from disk and leaves its result there, so no
+    * in-process state crosses a stage boundary.
+    */
+  val stageNames: Seq[String] = Seq(
+    "download_metadata", "resolve_device_serials", "resolve_device_ids",
+    "resolve_patient_ids", "group_records", "extract_prep_load", "cleanup")
+
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     val spark = Tables.session("graft-etl-job",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     try {
-      val summary = run(spark, opts)
+      val summary = opts.get("stage") match {
+        case Some(stage) => runStage(spark, stage, opts)
+        case None        => run(spark, opts)
+      }
       println(summary.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}"))
     } finally spark.stop()
@@ -108,29 +123,91 @@ object EtlJob {
     (fetch, push)
   }
 
+  /** The whole chain as one job: the seven stages in DAG order, with the
+    * reference's ALL_DONE trigger rule on cleanup (dags/dreem.py:293-295 —
+    * scratch cleanup runs even when an upstream task failed).
+    */
   def run(spark: org.apache.spark.sql.SparkSession,
           opts: Map[String, String],
           transport: Transport = new JavaNetTransport()): Seq[(String, Long)] = {
-    // --ledger-bucket-width: 16^k hash-prefix buckets; pick k so a bucket
-    // stays rewrite-sized at the deployment's scale (k=3 → 4096 buckets
-    // at 100 TB). Fixed per table — Ledger fail-fasts on a mismatch.
-    val ledger = new Ledger(spark, opts("ledger"),
-      opts.getOrElse("ledger-bucket-width", "1").toInt)
-    val cutOff = opts.getOrElse("cutoff", "12:00:00")
-    val today = opts.getOrElse("today", java.time.LocalDate.now().toString)
-    val limit = opts.get("limit").map(_.toInt)
-    // --upload-limit: per-run cap on transferred groups (the reference
-    // slices its group list to 1 per run, dags/dreem.py:283-287). Defaulted
-    // rather than optional so the driver-side collect of uploaded ids below
-    // is bounded BY CONSTRUCTION — unuploaded groups simply go next run
-    // (at-least-once + idempotent redelivery).
-    val uploadLimit = opts.getOrElse("upload-limit", "100000").toInt
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    try
+      stageNames.filterNot(_ == "cleanup")
+        .foreach(s => parts ++= runStage(spark, s, opts, transport))
+    finally
+      try parts ++= runStage(spark, "cleanup", opts, transport)
+      catch { case _: Exception => () }
+    val state = openLedger(spark, opts).read()
+    (parts :+ ("ledger_rows" -> state.count())).toSeq
+  }
 
-    // task 1 — download_metadata: ingest-dedup + append (J1+L1+S7).
-    // Multi-site fan-in: one frame per --incoming source, unioned by name
-    // (same S1 schema per site, init/connections.yaml.example:5-18). The
-    // ledger anti-join only removes ALREADY-SEEN records; duplicates
-    // WITHIN one run's batch are collapsed by dedupBatch (below).
+  /** One DAG task (see `stageNames`). Tasks 2-5 are single
+    * read→transform→merge steps and are inlined here; tasks 1 and 6 have
+    * their own methods below.
+    */
+  def runStage(spark: org.apache.spark.sql.SparkSession, stage: String,
+               opts: Map[String, String],
+               transport: Transport = new JavaNetTransport()): Seq[(String, Long)] =
+    stage match {
+      case "download_metadata" =>
+        stageDownloadMetadata(spark, openLedger(spark, opts), opts)
+      case "resolve_device_serials" => // task 2 (J2)
+        val ledger = openLedger(spark, opts)
+        val uidSerial = LookupCsv.read(spark, opts("uid-serial"), "uid", "serial")
+        ledger.mergeNoOverride(Stages.resolveSerials(ledger.read(), uidSerial)
+          .select("hash", "device_serial"), Seq("device_serial"))
+        Seq("with_serial" ->
+          ledger.read().filter(col("device_serial").isNotNull).count())
+      case "resolve_device_ids" => // task 3 (J3)
+        val ledger = openLedger(spark, opts)
+        val serialToId =
+          LookupCsv.read(spark, opts("serial-id"), "serial", "device_id")
+        ledger.mergeNoOverride(Stages.resolveDeviceIds(ledger.read(), serialToId)
+          .select("hash", "device_id"), Seq("device_id"))
+        Seq("with_device" ->
+          ledger.read().filter(col("device_id").isNotNull).count())
+      case "resolve_patient_ids" => // task 4 (J4)
+        val ledger = openLedger(spark, opts)
+        val today = opts.getOrElse("today", java.time.LocalDate.now().toString)
+        val assignments = spark.read.parquet(opts("assignments"))
+        ledger.mergeNoOverride(
+          Stages.resolvePatients(ledger.read(), assignments, today)
+            .select("hash", "patient_id"), Seq("patient_id"))
+        Seq("with_patient" ->
+          ledger.read().filter(col("patient_id").isNotNull).count())
+      case "group_records" => // task 5 (A1, unlimited by design)
+        val ledger = openLedger(spark, opts)
+        val cutOff = opts.getOrElse("cutoff", "12:00:00")
+        ledger.mergeNoOverride(Stages.groupRecords(ledger.read(), cutOff)
+          .select("hash", "dmp_id"), Seq("dmp_id"))
+        Seq("grouped" -> ledger.read().filter(col("dmp_id").isNotNull).count())
+      case "extract_prep_load" =>
+        stageExtractPrepLoad(spark, openLedger(spark, opts), opts, transport)
+      case "cleanup" =>
+        stageCleanup(opts)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown stage '$other' — expected one of: ${stageNames.mkString(", ")}")
+    }
+
+  // --ledger-bucket-width: 16^k hash-prefix buckets; pick k so a bucket
+  // stays rewrite-sized at the deployment's scale (k=3 → 4096 buckets at
+  // 100 TB). Fixed per table — Ledger fail-fasts on a mismatch.
+  private def openLedger(spark: org.apache.spark.sql.SparkSession,
+                         opts: Map[String, String]): Ledger =
+    new Ledger(spark, opts("ledger"),
+      opts.getOrElse("ledger-bucket-width", "1").toInt)
+
+  /** Task 1 — download_metadata: ingest-dedup + append (J1+L1+S7).
+    * Multi-site fan-in: one frame per --incoming source, unioned by name
+    * (same S1 schema per site, init/connections.yaml.example:5-18). The
+    * ledger anti-join only removes ALREADY-SEEN records; duplicates
+    * WITHIN one run's batch are collapsed by dedupBatch (above).
+    */
+  private def stageDownloadMetadata(spark: org.apache.spark.sql.SparkSession,
+                                    ledger: Ledger,
+                                    opts: Map[String, String]): Seq[(String, Long)] = {
+    val limit = opts.get("limit").map(_.toInt)
     val sites = opts("incoming").split('\u0000').toSeq
       .map(spark.read.parquet(_))
     val incoming = dedupBatch(sites.reduce(_.unionByName(_)))
@@ -146,27 +223,22 @@ object EtlJob {
       limit)
     val nNew = fresh.count()
     if (!ledger.exists) ledger.init(fresh) else ledger.append(fresh)
+    Seq("ingested_new" -> nNew)
+  }
 
-    // tasks 2-3 — resolve serials / device ids (J2, J3)
-    val uidSerial = LookupCsv.read(spark, opts("uid-serial"), "uid", "serial")
-    val serialToId = LookupCsv.read(spark, opts("serial-id"), "serial", "device_id")
-    ledger.mergeNoOverride(Stages.resolveSerials(ledger.read(), uidSerial)
-      .select("hash", "device_serial"), Seq("device_serial"))
-    ledger.mergeNoOverride(Stages.resolveDeviceIds(ledger.read(), serialToId)
-      .select("hash", "device_id"), Seq("device_id"))
-
-    // task 4 — resolve patients (J4)
-    val assignments = spark.read.parquet(opts("assignments"))
-    ledger.mergeNoOverride(Stages.resolvePatients(ledger.read(), assignments, today)
-      .select("hash", "patient_id"), Seq("patient_id"))
-
-    // task 5 — group records (A1, unlimited by design)
-    ledger.mergeNoOverride(Stages.groupRecords(ledger.read(), cutOff)
-      .select("hash", "dmp_id"), Seq("dmp_id"))
-
-    // task 6 — extract-prep-load (P6+J5+S2+S8-S10). The transferred batch
-    // is capped (deterministically: first groups by dmp_id) so the
-    // uploaded-ids collect can never exceed uploadLimit rows.
+  /** Task 6 — extract-prep-load (P6+J5+S2+S8-S10). The transferred batch
+    * is capped (deterministically: first groups by dmp_id) so the
+    * uploaded-ids collect can never exceed uploadLimit rows.
+    */
+  private def stageExtractPrepLoad(spark: org.apache.spark.sql.SparkSession,
+                                   ledger: Ledger, opts: Map[String, String],
+                                   transport: Transport): Seq[(String, Long)] = {
+    // --upload-limit: per-run cap on transferred groups (the reference
+    // slices its group list to 1 per run, dags/dreem.py:283-287). Defaulted
+    // rather than optional so the driver-side collect of uploaded ids below
+    // is bounded BY CONSTRUCTION — unuploaded groups simply go next run
+    // (at-least-once + idempotent redelivery).
+    val uploadLimit = opts.getOrElse("upload-limit", "100000").toInt
     val manifest = Stages.uploadManifest(ledger.read())
     val nGroups = manifest.count()
     val batch = manifest.orderBy(col("dmp_id")).limit(uploadLimit)
@@ -203,17 +275,26 @@ object EtlJob {
       ledger.markUploaded(okIds.toDF("dmp_id"))
       okIds.size.toLong
     }
+    Seq("pending_groups" -> nGroups, "uploaded_groups" -> uploaded)
+  }
 
-    val state = ledger.read()
-    Seq(
-      "ingested_new" -> nNew,
-      "ledger_rows" -> state.count(),
-      "with_serial" -> state.filter(col("device_serial").isNotNull).count(),
-      "with_device" -> state.filter(col("device_id").isNotNull).count(),
-      "with_patient" -> state.filter(col("patient_id").isNotNull).count(),
-      "grouped" -> state.filter(col("dmp_id").isNotNull).count(),
-      "pending_groups" -> nGroups,
-      "uploaded_groups" -> uploaded)
+  /** Task 7 — cleanup: the always-run finalizer (trigger rule ALL_DONE,
+    * dags/dreem.py:293-295). A healthy extract run already removes its
+    * per-group scratch (FileTransfer.executePlan's finally); this sweeps
+    * whatever a CRASHED run left under --workdir. `landed/` is the
+    * simulate-mode DMP stand-in — an external sink, not scratch — and is
+    * preserved (the reference's upload target is the remote DMP, outside
+    * its download folder entirely).
+    */
+  private def stageCleanup(opts: Map[String, String]): Seq[(String, Long)] = {
+    val removed = opts.get("workdir").fold(0L) { w =>
+      val entries =
+        Option(new java.io.File(w).listFiles()).getOrElse(Array.empty)
+      entries.filterNot(_.getName == "landed").map { f =>
+        FileTransfer.rmTree(f.toPath); 1L
+      }.sum
+    }
+    Seq("cleaned_entries" -> removed)
   }
 
   private def parseArgs(args: Array[String]): Map[String, String] = {

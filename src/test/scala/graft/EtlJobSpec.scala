@@ -71,6 +71,59 @@ class EtlJobSpec extends SparkSpec {
     assert(again("uploaded_groups") == 0)
   }
 
+  test("stage-per-submit parity: 7 runStage calls ≡ one run (DAG deployment mode)") {
+    val base = Files.createTempDirectory("graft-job-stages").toString
+    Seq(("r1", "U1", "2021-11-10 13:00:00"), ("r2", "U2", "2021-11-10 14:00:00"))
+      .toDF("manufacturer_ref", "uid", "s")
+      .select(col("manufacturer_ref"), lit("DRM").as("device_type"),
+        col("s").cast("timestamp").as("start"),
+        (col("s").cast("timestamp") + expr("INTERVAL 2 HOURS")).as("end"),
+        map(lit("dreem_uid"), col("uid")).as("meta"))
+      .write.parquet(s"$base/incoming")
+    Files.write(Paths.get(base, "uid_serial.csv"), "U1,S1\nU2,S2\n".getBytes)
+    Files.write(Paths.get(base, "serial_id.csv"), "S1,DEV-1\nS2,DEV-2\n".getBytes)
+    Seq(("DEV-1", "P-A", "2021-11-01 00:00:00", null: String),
+      ("DEV-2", "P-B", "2021-11-01 00:00:00", "2021-11-30 00:00:00"))
+      .toDF("device_id", "patient_id", "sw", "ew")
+      .select(col("device_id"), col("patient_id"),
+        col("sw").cast("timestamp").as("start_wear"),
+        col("ew").cast("timestamp").as("end_wear"))
+      .write.parquet(s"$base/assignments")
+    val opts = Map(
+      "ledger" -> s"$base/ledger", "incoming" -> s"$base/incoming",
+      "uid-serial" -> s"$base/uid_serial.csv",
+      "serial-id" -> s"$base/serial_id.csv",
+      "assignments" -> s"$base/assignments",
+      "workdir" -> s"$base/work", "today" -> "2021-12-01",
+      "simulate-transfer" -> "true")
+
+    // seven separate submissions, state crossing only through the ledger —
+    // the dags/graft_dreem.py deployment shape
+    val summary = EtlJob.stageNames
+      .flatMap(s => EtlJob.runStage(spark, s, opts)).toMap
+    assert(summary("ingested_new") == 2)
+    assert(summary("with_serial") == 2)
+    assert(summary("with_device") == 2)
+    assert(summary("with_patient") == 2)
+    assert(summary("grouped") == 2)
+    assert(summary("uploaded_groups") == 2)
+    assert(Files.exists(Paths.get(s"$base/work/landed")),
+      "cleanup must preserve the landed (external-sink stand-in) dir")
+
+    // a crashed extract's scratch is swept by the cleanup task
+    Files.createDirectories(Paths.get(s"$base/work/GROUP-crashed"))
+    val cleaned = EtlJob.runStage(spark, "cleanup", opts).toMap
+    assert(cleaned("cleaned_entries") == 1)
+    assert(!Files.exists(Paths.get(s"$base/work/GROUP-crashed")))
+    assert(Files.exists(Paths.get(s"$base/work/landed")))
+
+    // unknown stage fail-fasts with the valid ids listed
+    val err = intercept[IllegalArgumentException] {
+      EtlJob.runStage(spark, "no_such_stage", opts)
+    }
+    assert(err.getMessage.contains("download_metadata"))
+  }
+
   test("EtlJob.run --upload-limit bounds the per-run transfer batch (reference limit=1)") {
     val base = Files.createTempDirectory("graft-job-lim").toString
     // two distinct devices/days -> two upload groups
