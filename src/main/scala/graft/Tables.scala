@@ -51,6 +51,10 @@ object Tables {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // SPARK_GRAFT_STATE_STORE=rocksdb — the 100 TB posture for unbounded
+    // streaming state (see graft.streaming.StateStores for the trade-off)
+    sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .foreach(graft.streaming.StateStores.configure(spark, _))
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
