@@ -46,4 +46,53 @@ object Sampling {
     */
   def hashSample(df: DataFrame, key: Column, percent: Int): DataFrame =
     df.filter(hashBucket(key, 100) < percent)
+
+  /** Domain balancing: keep at most `cap` rows per `group` value (the
+    * C4/Pile-style guard against one domain dominating the corpus). The
+    * survivors are chosen DETERMINISTICALLY — hash-ordered by `key` with
+    * the key itself as tiebreak — so the cap is a stable uniform sample of
+    * the group, not "whatever the scan returned first" (which varies with
+    * file order and parallelism, and silently biases toward old data when
+    * sources append chronologically).
+    *
+    * One shuffle on `group`; the per-group sort is bounded by WindowExec's
+    * spilling sort. For pathological single-group skew, compose with
+    * [[graft.ops.Skew]] salting or pre-filter via [[hashSample]] at
+    * cap/|group| percent to shed rows before the window.
+    */
+  def capPerGroup(df: DataFrame, group: Column, key: Column,
+                  cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group)
+      .orderBy(TextFns.hash64(key.cast("string")), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Source-mixture downsampling: per-row keep-percentage chosen by the
+    * row's `group` value (e.g. language or domain weights when flattening
+    * a multi-source corpus into one training mix). Decided row-locally
+    * from the shared hash — no shuffle, reproducible across runs and
+    * engines, and upsampling-free by construction (a percentage can only
+    * keep ≤ 100%; repetition policy belongs to the training loader).
+    *
+    * Groups absent from `pcts` keep `defaultPct`; null group values use
+    * the default too (a null domain is still data — silently dropping it
+    * would skew the mix).
+    */
+  def weightedMixture(df: DataFrame, key: Column, group: Column,
+                      pcts: Seq[(String, Int)],
+                      defaultPct: Int = 100): DataFrame = {
+    pcts.foreach { case (g, p) =>
+      require(p >= 0 && p <= 100, s"percentage for '$g' out of [0,100]: $p")
+    }
+    require(defaultPct >= 0 && defaultPct <= 100,
+      s"defaultPct out of [0,100]: $defaultPct")
+    val pct = pcts.foldRight(lit(defaultPct)) {
+      case ((g, p), other) => when(group === g, lit(p)).otherwise(other)
+    }
+    df.filter(hashBucket(key, 100) < pct)
+  }
 }

@@ -239,6 +239,38 @@ object TextAnalysis {
   }
 
   /** Rolling-hash fingerprint + per-fingerprint duplicate count. */
+  /** Corpus-frequency token scoring — the bit-portable core of unigram-LM
+    * (perplexity-style) quality filtering: a doc whose tokens are rare in
+    * the corpus scores a low mean/min frequency, exactly the signal a
+    * perplexity filter thresholds on. The natural formulation
+    * (avg of -ln p(token)) is rank-equivalent to the mean corpus frequency
+    * computed here but sums doubles — whose value depends on partition
+    * order and engine libm, so it can never hash-match an oracle; this
+    * form aggregates BIGINT counts exactly and performs ONE double
+    * division at the end (IEEE-deterministic in every engine).
+    *
+    * Shape at 100 TB: the frequency table is vocab-sized (≪ corpus), so
+    * the planner broadcasts it into the token stream; the only large
+    * shuffles are the two aggregates (token→count, doc→score), both
+    * map-side combined.
+    *
+    * Output: idCol, n_tokens, min_tok_freq (rarest token's corpus count),
+    * mean_tok_freq.
+    */
+  def tokenFrequencyScore(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("word"))
+    val freq = toks.groupBy("word").agg(count(lit(1)).as("c"))
+    toks.join(freq, "word")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        min(col("c")).as("min_tok_freq"),
+        (sum(col("c")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_tok_freq"))
+  }
+
   def fingerprints(docs: DataFrame, prefixLen: Int = 64): DataFrame = {
     val fp = docs.select(col("doc_id"),
       TextFns.rollingFingerprint(col("text"), prefixLen).as("fingerprint"))

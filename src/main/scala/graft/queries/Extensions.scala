@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontamination, Dedup, Profile, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -867,7 +867,58 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q71 = Q("q71_token_freq_score",
+    "unigram-LM quality scoring (perplexity-filter core): per-doc mean/min " +
+      "corpus frequency of its tokens — exact BIGINT aggregation, ONE " +
+      "trailing double division (the ln-sum form can never hash-match " +
+      "across engines; this rank-equivalent core can)",
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+      freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word)
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(min(f.c) AS BIGINT) AS min_tok_freq,
+             CAST(sum(f.c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tok_freq
+      FROM toks t JOIN freq f ON t.word = f.word
+      GROUP BY t.doc_id ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.tokenFrequencyScore(t(s, dir, "documents"))
+      .orderBy("doc_id"))
+
+  private val q72 = Q("q72_domain_cap",
+    "domain balancing: at most 20 docs per source, survivors chosen by " +
+      "deterministic hash order (a stable uniform sample per group — scan " +
+      "order would bias toward old data)",
+    Some("""
+      WITH r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY
+                   CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   doc_id) AS rn
+                 FROM documents)
+      SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id"""),
+    (s, dir) => Sampling.capPerGroup(
+      t(s, dir, "documents").select("doc_id", "source"),
+      col("source"), col("doc_id"), cap = 20)
+      .orderBy("doc_id"))
+
+  private val q73 = Q("q73_language_mixture",
+    "training-mix downsampling: per-language keep percentages " +
+      "(en 100 / de 50 / fr 50 / es 25 / default 10) applied row-locally " +
+      "from the shared deterministic hash — no shuffle, no RNG, " +
+      "reproducible across engines",
+    Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 <
+        CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                  WHEN 'es' THEN 25 ELSE 10 END
+      ORDER BY doc_id"""),
+    (s, dir) => Sampling.weightedMixture(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      col("doc_id"), col("lang"),
+      Seq("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 25), defaultPct = 10)
+      .orderBy("doc_id"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69)
+    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73)
 }

@@ -191,6 +191,65 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(Some(1L)).nonEmpty && got(Some(2L)).nonEmpty)
   }
 
+  test("capPerGroup keeps exactly cap deterministic survivors per group") {
+    import graft.ops.Sampling
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val capped = Sampling.capPerGroup(docs, $"source", $"doc_id", cap = 10)
+    val perGroup = capped.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perGroup.values.toSeq == Seq(10L, 10L, 10L))
+    // deterministic: identical survivor set on re-run
+    val again = Sampling.capPerGroup(docs, $"source", $"doc_id", cap = 10)
+    assert(capped.except(again).count() == 0 && again.except(capped).count() == 0)
+    // a group smaller than the cap survives whole
+    val small = Sampling.capPerGroup(docs.limit(4), $"source", $"doc_id", 10)
+    assert(small.count() == 4)
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(docs, $"source", $"doc_id", cap = 0)
+    }
+  }
+
+  test("capPerGroup survivors are hash-chosen, not scan-ordered") {
+    import graft.ops.Sampling
+    // if survivors were "first cap rows scanned" the kept ids would be a
+    // prefix of 0..; the hash order must NOT collapse to the id order
+    val docs = (0L until 200L).map(i => (i, "only")).toDF("doc_id", "source")
+    val kept = Sampling.capPerGroup(docs, $"source", $"doc_id", cap = 20)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.length == 20)
+    assert(kept.toSeq != (0L until 20L).toSeq,
+      "cap picked the id prefix — survivors are scan-biased, not hash-uniform")
+  }
+
+  test("weightedMixture keeps ~pct per group, exact default, reproducibly") {
+    import graft.ops.Sampling
+    val docs = (0L until 3000L).map(i => (i, s"g${i % 3}"))
+      .toDF("doc_id", "grp")
+    val mixed = Sampling.weightedMixture(docs, $"doc_id", $"grp",
+      Seq("g0" -> 100, "g1" -> 50), defaultPct = 0)
+    val counts = mixed.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts("g0") == 1000)              // 100% keeps everything
+    assert(counts("g1") > 400 && counts("g1") < 600) // ~50%
+    assert(!counts.contains("g2"))            // default 0% drops the group
+    // the g1 survivors are exactly the hashSample(50) rows — same hash law
+    val expected = Sampling.hashSample(docs.filter($"grp" === "g1"),
+      $"doc_id", 50)
+    assert(mixed.filter($"grp" === "g1").except(expected).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedMixture(docs, $"doc_id", $"grp", Seq("g0" -> 101))
+    }
+  }
+
+  test("weightedMixture: null group values take the default percentage") {
+    import graft.ops.Sampling
+    val df = Seq((1L, Some("a")), (2L, None), (3L, None)).toDF("id", "grp")
+    val kept = Sampling.weightedMixture(df, $"id", $"grp",
+      Seq("a" -> 0), defaultPct = 100)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), "null-group rows must follow defaultPct")
+  }
+
   test("packByTokenBudget: packs are contiguous in id order and near-budget") {
     import graft.ops.Packing
     val docs = (1L to 100L).map(i => (i, "src", ("w " * 100).trim))

@@ -478,6 +478,34 @@ class ProfileSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Profile
 
+  test("tokenFrequencyScore: exact corpus-frequency stats per doc") {
+    // corpus: "x" appears 4x, "y" 2x, "z" 1x
+    val docs = Seq(
+      (1L, "x x y"),   // freqs 4,4,2 -> n=3 min=2 mean=10/3
+      (2L, "x y z"),   // freqs 4,2,1 -> n=3 min=1 mean=7/3
+      (3L, "x")        // freq 4      -> n=1 min=4 mean=4
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.tokenFrequencyScore(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, 3L, 2L, 10.0 / 3.0),
+      (2L, 3L, 1L, 7.0 / 3.0),
+      (3L, 1L, 4L, 4.0)))
+  }
+
+  test("tokenFrequencyScore ranks rare-token docs below common-token docs") {
+    // the perplexity-filter property: a doc of corpus-rare tokens scores a
+    // LOWER mean frequency than one of corpus-common tokens
+    val docs = Seq(
+      (1L, "common common common common common common"),
+      (2L, "rare1 rare2 rare3")).toDF("doc_id", "text")
+    val scores = graft.ops.TextAnalysis.tokenFrequencyScore(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(scores(1)._4 < scores(0)._4)
+    assert(scores(1)._3 == 1L) // every rare token is a corpus hapax
+  }
+
   test("profile counts rows, nulls, distincts, min/max per column") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None),

@@ -150,6 +150,33 @@ class PlanIntegritySpec extends SparkSpec {
       "no scalar UDF may reappear on the ingest pre-filter hot path")
   }
 
+  test("q73: mixture downsampling is a row-local filter — ZERO data exchanges") {
+    val p = plan("q73_language_mixture")
+    // keep/drop is decided from the row's own hash: the only exchange is
+    // the gate's deterministic ORDER BY (rangepartitioning); a
+    // hashpartitioning means the filter grew a join or aggregation
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"mixture filter must not shuffle:\n$p")
+    assert(!p.contains("Join"), "mixture filter must not join")
+  }
+
+  test("q72: domain cap is ONE exchange (group window), no join") {
+    val p = plan("q72_domain_cap")
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly the per-source window exchange, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), "cap must not join")
+  }
+
+  test("q71: token scoring broadcasts the vocab-sized frequency table") {
+    val p = plan("q71_token_freq_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"freq table (vocab-sized << corpus) should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "token->freq join regressed to a sort-merge shuffle of the token stream")
+  }
+
   test("q64: per-doc repetition metrics plan with ZERO data exchanges") {
     val p = plan("q64_text_repetition")
     // the only allowed exchange is the gate's deterministic ORDER BY
