@@ -174,36 +174,46 @@ object Stages {
       .filter(col("_a_start") <= col("_a_end"))
     val asgDaysRaw = asg.withColumn("_a_day",
       explode(sequence(to_date(col("_a_start")), to_date(col("_a_end")))))
-    val asgDays = if (broadcastAssignments) broadcast(asgDaysRaw) else asgDaysRaw
     def bound(c: Column) =
       if (normaliseRecordDays) to_date(c).cast("timestamp") else c
     // Given _a_day == start-day, full containment collapses to ONE predicate:
     //   _a_start ≤ _a_day·00:00 ≤ bound(start) ≤ bound(end)  (automatic), so
     //   contained ⟺ _a_end >= bound(end).
     // That single threshold admits a SUFFIX-MIN index: per (device, day,
-    // a_end) keep min-ord over all assignments ending at-or-after a_end —
-    // pass 1 then joins |distinct end-days| rows per key instead of
+    // a_end) keep the best assignment over all ending at-or-after a_end —
+    // the probe then joins |distinct end-days| rows per key instead of
     // |assignments| (orders of magnitude fewer pairs on dense tables).
+    //
+    // The index entry is min(struct(ord, patient)) — a lexicographic min,
+    // so ONE aggregate yields both the first-match order value AND its
+    // patient with the min-patient tiebreak. Carrying the winner inside
+    // the index removes the whole second pass (re-join records→best-ord→
+    // assignment-days→min-patient) that a min-ord-only index needs: on a
+    // 1M-record fixture that pass was two more million-row joins and a
+    // third wide aggregate.
+    //
+    // Null-order rows are dropped from the index explicitly — under the
+    // two-pass form they could never win either (the pass-2 equality
+    // rejoin on the order value never matches NULL), but a struct-min
+    // would sort them FIRST; the filter pins the same can't-win contract.
     def contained = col("_a_end") >= bound(col("end"))
     val wSfx = Window.partitionBy(col("_a_device"), col("_a_day"))
       .orderBy(col("_a_end").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sfxRaw = asgDaysRaw
+      .filter(col("_a_ord").isNotNull)
       .groupBy(col("_a_device"), col("_a_day"), col("_a_end"))
-      .agg(min(col("_a_ord")).as("_mo"))
-      .withColumn("_smo", min(col("_mo")).over(wSfx))
+      .agg(min(struct(col("_a_ord"), col("_a_patient"))).as("_m"))
+      .withColumn("_smo", min(col("_m")).over(wSfx))
+      .drop("_m")
     val sfx = if (broadcastAssignments) broadcast(sfxRaw) else sfxRaw
     val recKeys = records.select(col("hash"), col("device_id"),
       col("start"), col("end"))
-    val bestOrd = recKeys
+    val best = recKeys
       .join(sfx, col("device_id") === col("_a_device") &&
         to_date(col("start")) === col("_a_day") && contained)
-      .groupBy(col("hash")).agg(min(col("_smo")).as("_bo"))
-    val best = recKeys.join(bestOrd, Seq("hash"))
-      .join(asgDays, col("device_id") === col("_a_device") &&
-        to_date(col("start")) === col("_a_day") &&
-        col("_bo") === col("_a_ord") && contained)
-      .groupBy(col("hash")).agg(min(col("_a_patient")).as("_a_patient"))
+      .groupBy(col("hash")).agg(min(col("_smo")).as("_best"))
+      .select(col("hash"), col("_best").getField("_a_patient").as("_a_patient"))
     records.join(best, Seq("hash"), "left")
       .withColumn("patient_id", coalesce(col("patient_id"), col("_a_patient")))
       .drop("_a_patient")
