@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: `image/…` payloads go through the JDK's
   * `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with the JDK — zero new
   * dependencies, headless-safe), yielding true width/height/channels and
-  * per-channel pixel-mean features. Audio/video codecs are NOT in this
-  * container, so those formats take the clearly-marked deterministic STUB
-  * path — the Spark-side contract (schema, encoders, partition-level batch
-  * shape, checksum) is identical for both, and the stub body is the single
-  * place a real codec would slot in.
+  * per-channel pixel-mean features. AUDIO decode is REAL for the JDK's
+  * container formats (WAV/AIFF/AU, PCM 8/16-bit via
+  * `javax.sound.sampled`): true frame count, sample rate, channels, and
+  * per-channel mean-amplitude features. Video codecs (and compressed
+  * audio) are NOT in this container, so those payloads take the
+  * clearly-marked deterministic STUB path — the Spark-side contract
+  * (schema, encoders, partition-level batch shape, checksum) is identical
+  * for all paths, and the stub body is the single place a real codec
+  * would slot in.
   */
 object Multimodal {
 
@@ -30,6 +34,67 @@ object Multimodal {
   private[ops] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
+
+  private[ops] case class AudioInfo(frames: Long, sampleRate: Int,
+                                    channels: Int, meanAbs: Array[Double])
+
+  /** JDK audio decode (javax.sound.sampled ships WAV/AIFF/AU parsers —
+    * zero new dependencies): PCM 8/16-bit payloads yield true frame count,
+    * sample rate, channel count, and per-channel mean absolute amplitude
+    * in [0,1]. Compressed encodings (no codecs offline) and corrupt bytes
+    * return None — the stub path, never a task failure.
+    */
+  private[ops] def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        import javax.sound.sampled.AudioFormat.Encoding
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val pcmOk =
+          (fmt.getEncoding == Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+          (fmt.getEncoding == Encoding.PCM_UNSIGNED && bits == 8)
+        if (!pcmOk || fmt.getFrameSize <= 0) None
+        else {
+          val ch = fmt.getChannels
+          val bytesPerSample = bits / 8
+          val frameBytes = fmt.getFrameSize
+          val data = in.readAllBytes()
+          val frames = data.length.toLong / frameBytes
+          // stride-sample ≤ 65536 probe frames so an hour-long payload
+          // cannot pin an executor core (same cap idea as the image path)
+          val step = math.max(1L, frames / 65536L).toInt
+          val sums = new Array[Double](ch)
+          var f = 0L
+          var n = 0L
+          while (f < frames) {
+            val base = (f * frameBytes).toInt
+            var c = 0
+            while (c < ch) {
+              val off = base + c * bytesPerSample
+              val v =
+                if (bits == 16) {
+                  val s =
+                    if (fmt.isBigEndian)
+                      ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                    else
+                      ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                  s / 32768.0
+                } else if (fmt.getEncoding == Encoding.PCM_SIGNED)
+                  data(off) / 128.0
+                else ((data(off) & 0xff) - 128) / 128.0
+              sums(c) += math.abs(v)
+              c += 1
+            }
+            n += 1
+            f += step
+          }
+          Some(AudioInfo(frames, fmt.getSampleRate.toInt, ch,
+            sums.map(_ / math.max(1L, n))))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
 
   /** Wrap a text corpus as binary payloads + typed metadata — the shape a
     * real media table would have (payload from object storage, metadata from
@@ -115,9 +180,8 @@ object Multimodal {
         rows.map { case (id, bytes, fmt) =>
           val checksum = java.security.MessageDigest.getInstance("SHA-256")
             .digest(bytes).map("%02x".format(_)).mkString
-          val img = if (fmt.startsWith("image/")) decodeImage(bytes) else None
-          img match {
-            case Some(im) =>
+          val decodedImage: Option[MediaFeature] =
+            (if (fmt.startsWith("image/")) decodeImage(bytes) else None).map { im =>
               val w = im.getWidth
               val h = im.getHeight
               val ch = im.getColorModel.getNumComponents
@@ -143,19 +207,35 @@ object Multimodal {
                 if (i < sums.length) (sums(i) / (n * 255.0)).toFloat else 0f)
               MediaFeature(id, bytes.length.toLong, fmt, checksum,
                 decoded = true, w, h, ch, feature)
-            case None =>
-              // [STUB decode] deterministic rolling projection of the bytes:
-              val feature = Array.tabulate(dim) { i =>
-                var acc = i.toLong
-                var j = 0
-                while (j < bytes.length) {
-                  acc = (acc * 31 + (bytes(j) & 0xff)) % 1000003L
-                  j += 1
-                }
-                (acc.toDouble / 1000003.0).toFloat
-              }
+            }
+          // audio geometry reuses the modality-agnostic columns: width
+          // carries the frame count (clamped to Int), height the sample
+          // rate — documented here rather than widening the schema per
+          // modality
+          val decodedAudio: Option[MediaFeature] =
+            (if (fmt.startsWith("audio/")) decodeAudio(bytes) else None).map { a =>
+              val feature = Array.tabulate(dim)(i =>
+                if (i < a.meanAbs.length) a.meanAbs(i).toFloat else 0f)
               MediaFeature(id, bytes.length.toLong, fmt, checksum,
-                decoded = false, width = -1, height = -1, channels = -1, feature)
+                decoded = true,
+                width = math.min(a.frames, Int.MaxValue.toLong).toInt,
+                height = a.sampleRate, channels = a.channels, feature)
+            }
+          decodedImage.orElse(decodedAudio).getOrElse {
+            // [STUB decode] deterministic rolling projection of the bytes:
+            // video (and any payload the JDK readers reject) lands here —
+            // no codecs offline; this body is where a real codec slots in
+            val feature = Array.tabulate(dim) { i =>
+              var acc = i.toLong
+              var j = 0
+              while (j < bytes.length) {
+                acc = (acc * 31 + (bytes(j) & 0xff)) % 1000003L
+                j += 1
+              }
+              (acc.toDouble / 1000003.0).toFloat
+            }
+            MediaFeature(id, bytes.length.toLong, fmt, checksum,
+              decoded = false, width = -1, height = -1, channels = -1, feature)
           }
         }
       }

@@ -69,6 +69,42 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(2).decoded) // non-image format never attempts decode
   }
 
+  test("extractFeatures REALLY decodes a generated WAV (javax.sound.sampled): geometry + amplitude") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // 800 frames of a full-scale square wave, 16-bit PCM mono 8000 Hz:
+    // mean |amplitude| is exactly 1.0 (32768 unreachable; use -32768/32767
+    // alternating => mean ≈ 1.0 within 16-bit quantization)
+    val frames = 800
+    val pcm = new Array[Byte](frames * 2)
+    for (f <- 0 until frames) {
+      val s: Short = if (f % 2 == 0) 32767 else -32768
+      pcm(2 * f) = (s & 0xff).toByte          // little-endian lo
+      pcm(2 * f + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val rows = Seq(
+      (50L, baos.toByteArray, "audio/wav"),
+      (51L, Array[Byte](9, 9, 9), "audio/wav"),
+      (52L, baos.toByteArray, "video/mp4"))
+      .toDF("doc_id", "payload", "format")
+    val got = Multimodal.extractFeatures(spark, rows, dim = 4)
+      .collect().sortBy(_.doc_id)
+    val wav = got(0)
+    assert(wav.decoded, "PCM WAV must decode for real")
+    assert(wav.width == frames, "width carries the frame count")
+    assert(wav.height == 8000, "height carries the sample rate")
+    assert(wav.channels == 1)
+    assert(math.abs(wav.feature(0) - 1.0f) < 1e-3,
+      s"square-wave mean |amp| must be ~1.0, got ${wav.feature(0)}")
+    assert(wav.feature(1) == 0f, "dims past channel count are zero")
+    assert(!got(1).decoded && got(1).width == -1) // corrupt audio -> stub
+    assert(!got(2).decoded, "video never claims a decode (no codec offline)")
+  }
+
   test("extractFeatures is deterministic, dimension-correct, partition-independent") {
     val p = Multimodal.withPayload(docs)
     def run(parts: Int) =
