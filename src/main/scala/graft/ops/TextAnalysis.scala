@@ -271,6 +271,27 @@ object TextAnalysis {
           .as("mean_tok_freq"))
   }
 
+  /** Percentile-threshold filter — the corpus-relative form of a quality
+    * cut (drop the shortest/lowest-scoring p% of the corpus, rather than
+    * guessing a fixed constant that goes stale as the corpus drifts).
+    * Uses the EXACT interpolated percentile (sort-based order statistic,
+    * engine-portable — the approx sketch differs per engine), computed
+    * once and broadcast as a one-row threshold relation: rows never
+    * leave executors, no driver collect, no correlated subquery.
+    *
+    * `keepAtOrAbove = false` flips the cut for "drop the top p" uses
+    * (e.g. truncating pathological outliers by length).
+    */
+  def filterByPercentile(docs: DataFrame, valueCol: String, p: Double,
+                         keepAtOrAbove: Boolean = true): DataFrame = {
+    require(p > 0 && p < 1, s"percentile must be in (0,1), got $p")
+    val thr = broadcast(
+      docs.agg(expr(s"percentile($valueCol, ${p}d)").as("__thr")))
+    val kept = docs.crossJoin(thr)
+    (if (keepAtOrAbove) kept.filter(col(valueCol) >= col("__thr"))
+     else kept.filter(col(valueCol) <= col("__thr"))).drop("__thr")
+  }
+
   def fingerprints(docs: DataFrame, prefixLen: Int = 64): DataFrame = {
     val fp = docs.select(col("doc_id"),
       TextFns.rollingFingerprint(col("text"), prefixLen).as("fingerprint"))

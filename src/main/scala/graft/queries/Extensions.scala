@@ -918,7 +918,21 @@ object Extensions {
       Seq("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 25), defaultPct = 10)
       .orderBy("doc_id"))
 
+  private val q74 = Q("q74_percentile_filter",
+    "corpus-relative quality cut: drop docs below the exact p10 of " +
+      "n_chars — the percentile is computed once (sort-based order " +
+      "statistic, engine-portable) and broadcast as a one-row threshold " +
+      "relation; no driver collect, no correlated subquery",
+    Some("""
+      WITH t AS (SELECT quantile_cont(n_chars, 0.1) AS thr FROM documents)
+      SELECT d.doc_id, d.n_chars
+      FROM documents d, t WHERE d.n_chars >= t.thr
+      ORDER BY d.doc_id"""),
+    (s, dir) => TextAnalysis.filterByPercentile(
+      t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars", 0.1)
+      .orderBy("doc_id"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73)
+    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74)
 }

@@ -506,6 +506,19 @@ class ProfileSpec extends SparkSpec {
     assert(scores(1)._3 == 1L) // every rare token is a corpus hapax
   }
 
+  test("filterByPercentile cuts at the exact corpus percentile, both directions") {
+    val df = (1L to 100L).toDF("v") // p10 of 1..100 = 10.9 (interpolated)
+    val kept = graft.ops.TextAnalysis.filterByPercentile(df, "v", 0.1)
+      .as[Long].collect().sorted
+    assert(kept.head == 11L && kept.length == 90)
+    val low = graft.ops.TextAnalysis.filterByPercentile(df, "v", 0.1,
+      keepAtOrAbove = false).as[Long].collect().sorted
+    assert(low.toSeq == (1L to 10L))
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.filterByPercentile(df, "v", 1.5)
+    }
+  }
+
   test("profile counts rows, nulls, distincts, min/max per column") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None),
