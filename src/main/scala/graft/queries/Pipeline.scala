@@ -165,17 +165,21 @@ object Pipeline {
     * rows, which is how the round-2 10× streaming numbers went vacuous).
     */
   private def eventsStream(s: SparkSession, dir: String,
-                           schema: StructType): DataFrame = {
+                           schema: StructType): DataFrame =
+    tableStream(s, dir, "events.parquet", schema)
+
+  private def tableStream(s: SparkSession, dir: String, leaf: String,
+                          schema: StructType): DataFrame = {
     // Hadoop FS, not java.io.File: the data dir can be hdfs://, s3a://, …
     // where a local-FS probe would always say "not a directory" and
     // silently re-open the zero-rows hole on exactly the layouts it exists
     // to handle.
-    val p = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+    val p = new org.apache.hadoop.fs.Path(dir, leaf)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
     if (isDir) s.readStream.schema(schema).parquet(p.toString)
     else s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .option("pathGlobFilter", leaf).parquet(dir)
   }
 
   private val q33 = Q("q33_streaming_ingest",
@@ -345,5 +349,34 @@ object Pipeline {
         .orderBy("record_id")
     })
 
-  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70)
+  private val q75 = Q("q75_streaming_curation",
+    "incremental corpus curation: AvailableNow drain through the quality " +
+      "filter + (lang, content-hash) dedup state (IncrementalIngest." +
+      "curateDocuments) — the streaming twin of q62's batch chain; result " +
+      "equals the batch distinct count (exactly-once curation)",
+    Some("""
+      SELECT lang, count(DISTINCT text) AS n_docs
+      FROM documents
+      WHERE n_chars >= 150 AND lang IN ('de', 'en', 'fr')
+      GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val cp = java.nio.file.Files.createTempDirectory("graft-q75-cp").toString
+      val curated = graft.streaming.IncrementalIngest.curateDocuments(
+        tableStream(s, dir, "documents.parquet", schema),
+        minChars = 150, langs = Seq("de", "en", "fr"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val name = "q75_out_" + math.abs(cp.hashCode).toString
+      val q = curated.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("lang")
+    })
+
+  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75)
 }

@@ -73,6 +73,25 @@ object IncrementalIngest {
     q.awaitTermination()
   }
 
+  /** Streaming corpus curation — the incremental form of the batch
+    * curation chain (quality gate + content dedup): keep documents passing
+    * the length/language filter, then emit each (lang, sha256(text))
+    * identity at most once across all runs sharing a checkpoint. The lang
+    * in the dedup key makes the survivors DETERMINISTIC (a same-text doc
+    * in two languages keeps one per language — plain text-hash dedup would
+    * keep whichever language arrived first, varying run to run). Compose
+    * with `dropDuplicatesWithinWatermark` upstream state bounds and the
+    * RocksDB provider (StateStores) for unbounded corpora.
+    */
+  def curateDocuments(stream: DataFrame, minChars: Long,
+                      langs: Seq[String]): DataFrame = {
+    require(langs.nonEmpty, "langs must be non-empty")
+    stream
+      .filter(col("n_chars") >= minChars && col("lang").isin(langs: _*))
+      .withColumn("hash", sha2(col("text"), 256))
+      .dropDuplicates("lang", "hash")
+  }
+
   /** Session windows per device: gap-based grouping of recording activity —
     * absent from the reference (§2.9 notes only the day bucket exists) but a
     * natural engine extension for wear-session analytics.

@@ -106,6 +106,49 @@ class StreamingSpec extends SparkSpec {
       == Set("a", "b", "c"))
   }
 
+  test("curateDocuments: quality filter + (lang, content) dedup across runs") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val base = Files.createTempDirectory("graft-stream-curate").toString
+    val src = s"$base/src"; val out = s"$base/out"; val cp = s"$base/cp"
+    def drain(): Unit = {
+      val q = IncrementalIngest.curateDocuments(
+        spark.readStream.schema(docSchema).parquet(src),
+        minChars = 10, langs = Seq("en", "de"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq(
+      (1L, "long enough text", "en", 16L),
+      (2L, "long enough text", "en", 16L),  // same (lang, content) -> dropped
+      (3L, "long enough text", "de", 16L),  // same text, other lang -> kept
+      (4L, "short", "en", 5L),              // fails min length
+      (5L, "long enough text 2", "fr", 18L) // lang not admitted
+    ).toDF("doc_id", "text", "lang", "n_chars")
+      .coalesce(1).write.parquet(src)
+    drain()
+    val run1 = spark.read.parquet(out)
+    assert(run1.count() == 2)
+    assert(run1.select("lang").as[String].collect().toSet == Set("en", "de"))
+
+    // second poll: replayed content is suppressed by checkpoint state,
+    // genuinely new content flows
+    Seq(
+      (6L, "long enough text", "en", 16L),  // cross-RUN duplicate
+      (7L, "brand new text here", "en", 19L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val run2 = spark.read.parquet(out)
+    assert(run2.count() == 3, "only the new content may pass the second drain")
+  }
+
   test("mapGroupsWithState accumulates per-device state across runs") {
     val base = Files.createTempDirectory("graft-state").toString
     def writeBatch(rows: Seq[(String, String)]): Unit =
