@@ -30,6 +30,7 @@ COMMON_ARGS = [
     "--assignments", "{{ var.value.graft_assignments }}",
     "--workdir", "{{ var.value.graft_workdir }}/{{ run_id }}",
     "--today", "{{ ds }}",
+    "--ledger-bucket-width", "{{ var.value.graft_ledger_bucket_width }}",
 ]
 
 with DAG(
@@ -85,7 +86,7 @@ with DAG(
         application=GRAFT_JAR,
         java_class="graft.EtlJob",
         conn_id="spark_default",
-        application_args=COMMON_ARGS + ["--stage", "extract_prep_load", "--upload-limit", "1"],
+        application_args=COMMON_ARGS + ["--stage", "extract_prep_load", "--upload-limit", "1", "--drm-base", "{{ conn.graft_drm.host }}", "--drm-jwt-url", "{{ conn.graft_drm.extra_dejson.jwt_url }}", "--drm-user", "{{ conn.graft_drm.login }}", "--drm-pass", "{{ conn.graft_drm.password }}", "--dmp-url", "{{ conn.graft_dmp.host }}", "--dmp-jwt-url", "{{ conn.graft_dmp.extra_dejson.jwt_url }}", "--dmp-user", "{{ conn.graft_dmp.login }}", "--dmp-pass", "{{ conn.graft_dmp.password }}", "--dmp-dataset", "{{ var.value.graft_dmp_dataset }}"],
     )
 
     cleanup = SparkSubmitOperator(

@@ -131,12 +131,18 @@ object EtlJob {
           opts: Map[String, String],
           transport: Transport = new JavaNetTransport()): Seq[(String, Long)] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var upstreamFailure: Throwable = null
     try
       stageNames.filterNot(_ == "cleanup")
         .foreach(s => parts ++= runStage(spark, s, opts, transport))
+    catch { case t: Throwable => upstreamFailure = t; throw t }
     finally
+      // ALL_DONE means "cleanup runs even after an upstream failure", NOT
+      // "cleanup's own failure is ignored": swallow only to preserve an
+      // in-flight upstream exception; on a healthy chain it propagates
+      // (the reference's cleanup task still reports failed)
       try parts ++= runStage(spark, "cleanup", opts, transport)
-      catch { case _: Exception => () }
+      catch { case e: Exception => if (upstreamFailure == null) throw e }
     val state = openLedger(spark, opts).read()
     (parts :+ ("ledger_rows" -> state.count())).toSeq
   }

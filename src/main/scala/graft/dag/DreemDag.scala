@@ -81,7 +81,22 @@ object DreemDag {
     Task("resolve_patient_ids", upstream = Seq("resolve_device_ids")),
     Task("group_records", upstream = Seq("resolve_patient_ids")),
     Task("extract_prep_load", upstream = Seq("group_records"),
-      extraArgs = Seq("--upload-limit", "1")),
+      // the transfer cap (reference slices to 1 group/run) plus the LIVE
+      // transfer endpoints/credentials — without these the stage resolves
+      // no transfer mode and silently uploads nothing (EtlJob falls back
+      // to transferFns = None); secrets come from Airflow's connection
+      // store, never the DAG file
+      extraArgs = Seq(
+        "--upload-limit", "1",
+        "--drm-base", "{{ conn.graft_drm.host }}",
+        "--drm-jwt-url", "{{ conn.graft_drm.extra_dejson.jwt_url }}",
+        "--drm-user", "{{ conn.graft_drm.login }}",
+        "--drm-pass", "{{ conn.graft_drm.password }}",
+        "--dmp-url", "{{ conn.graft_dmp.host }}",
+        "--dmp-jwt-url", "{{ conn.graft_dmp.extra_dejson.jwt_url }}",
+        "--dmp-user", "{{ conn.graft_dmp.login }}",
+        "--dmp-pass", "{{ conn.graft_dmp.password }}",
+        "--dmp-dataset", "{{ var.value.graft_dmp_dataset }}")),
     Task("cleanup", upstream = Seq("extract_prep_load"),
       triggerRule = "all_done"))
 
@@ -139,6 +154,7 @@ object DreemDag {
        |    "--assignments", "{{ var.value.graft_assignments }}",
        |    "--workdir", "{{ var.value.graft_workdir }}/{{ run_id }}",
        |    "--today", "{{ ds }}",
+       |    "--ledger-bucket-width", "{{ var.value.graft_ledger_bucket_width }}",
        |]
        |
        |with DAG(

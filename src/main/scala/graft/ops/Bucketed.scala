@@ -27,8 +27,8 @@ object Bucketed {
     * count so each bucket is one file, not one per input partition),
     * zero join shuffles later.
     */
-  def coLocate(spark: SparkSession, df: DataFrame, table: String,
-               key: String, buckets: Int): Unit = {
+  def coLocate(df: DataFrame, table: String, key: String,
+               buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     df.repartition(buckets, org.apache.spark.sql.functions.col(key))
       .write.mode(SaveMode.Overwrite)

@@ -233,8 +233,9 @@ object Dedup {
     * near-dup clusters produce, but the 100 TB posture is degrade, don't
     * crash), the computation FALLS BACK to alternating large-star /
     * small-star contraction (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond"), which provably converges in O(log n) rounds
-    * on any graph and shrinks the edge set as it goes.
+    * MapReduce and Beyond"), which provably converges in O(log² n) rounds
+    * on any graph (the paper proves log²; observed behavior is O(log n))
+    * and shrinks the edge set as it goes.
     *
     * Output: (idCol, canonical_id) for every node that appears in a pair.
     */
@@ -317,8 +318,14 @@ object Dedup {
     var rounds = 0
     while (!stable) {
       rounds += 1
-      require(rounds <= 60, // O(log n) bound: unreachable for any real graph
-        "starContraction failed to converge — inconceivable edge set")
+      // runaway backstop sized to the PROVEN bound, not the observed one:
+      // Kiveris et al. prove O(log² n) alternations (≈ 63² for any graph
+      // addressable by Long ids); observed convergence is ~log n. 4096
+      // covers the proven bound with slack — hitting it means a logic bug,
+      // not an adversarial input, so failing loudly beats looping forever.
+      require(rounds <= 4096,
+        "starContraction failed to converge within the proven O(log² n) " +
+          "round bound — edge-shrink logic bug")
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val mins = sym.groupBy("u")

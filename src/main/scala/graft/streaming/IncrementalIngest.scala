@@ -86,10 +86,14 @@ object IncrementalIngest {
   def curateDocuments(stream: DataFrame, minChars: Long,
                       langs: Seq[String]): DataFrame = {
     require(langs.nonEmpty, "langs must be non-empty")
+    // internal dedup key, dropped from the output: the input schema passes
+    // through unchanged (and an existing `hash` column — the ledger-ingest
+    // convention — is never clobbered)
     stream
       .filter(col("n_chars") >= minChars && col("lang").isin(langs: _*))
-      .withColumn("hash", sha2(col("text"), 256))
-      .dropDuplicates("lang", "hash")
+      .withColumn("__curate_hash", sha2(col("text"), 256))
+      .dropDuplicates("lang", "__curate_hash")
+      .drop("__curate_hash")
   }
 
   /** Session windows per device: gap-based grouping of recording activity —

@@ -15,8 +15,8 @@ class BucketedSpec extends SparkSpec {
   test("co-located bucketed join: zero Exchange, zero Sort, right rows") {
     val facts = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val dims = (0L until 1000L by 2).map(i => (i, i * 10)).toDF("doc_id", "score")
-    Bucketed.coLocate(spark, facts, "b_facts", "doc_id", buckets = 4)
-    Bucketed.coLocate(spark, dims, "b_dims", "doc_id", buckets = 4)
+    Bucketed.coLocate(facts, "b_facts", "doc_id", buckets = 4)
+    Bucketed.coLocate(dims, "b_dims", "doc_id", buckets = 4)
 
     // forbid the broadcast fallback so the test proves BUCKET alignment,
     // not broadcast shuffle-avoidance (restore after)
@@ -55,7 +55,7 @@ class BucketedSpec extends SparkSpec {
   test("coLocate writes one file per bucket (repartition aligned)") {
     val df = (0L until 100L).map(i => (i, i.toString)).toDF("doc_id", "v")
     try {
-      Bucketed.coLocate(spark, df, "b_files", "doc_id", buckets = 3)
+      Bucketed.coLocate(df, "b_files", "doc_id", buckets = 3)
       val loc = spark.sql("DESCRIBE TABLE EXTENDED b_files")
         .filter(col("col_name") === "Location")
         .select("data_type").as[String].head()

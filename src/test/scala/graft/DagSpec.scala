@@ -31,9 +31,19 @@ class DagSpec extends AnyFunSuite {
       .forall(_.triggerRule == "all_success"))
   }
 
-  test("extract carries the reference's per-run transfer cap (limit=1)") {
+  test("extract carries the transfer cap AND a live transfer mode") {
     val extract = DreemDag.tasks.find(_.id == "extract_prep_load").get
-    assert(extract.extraArgs == Seq("--upload-limit", "1"))
+    assert(extract.extraArgs.containsSlice(Seq("--upload-limit", "1")))
+    // without a transfer mode the deployed stage silently uploads nothing
+    // (EtlJob resolves transferFns = None) — the DAG must wire the live
+    // endpoints (simulate-transfer is the test-only mode)
+    assert(extract.extraArgs.contains("--drm-base"))
+    assert(extract.extraArgs.contains("--dmp-url"))
+    assert(extract.extraArgs.contains("--dmp-dataset"))
+    // credentials come from Airflow's connection store, not Variables or
+    // literals
+    val credVals = extract.extraArgs.filter(_.contains("password"))
+    assert(credVals.nonEmpty && credVals.forall(_.startsWith("{{ conn.")))
   }
 
   test("topoSort rejects cycles, duplicate ids, and dangling upstreams") {

@@ -59,6 +59,21 @@ class StagesSpec extends SparkSpec {
     assert(got.contains("B-PATIENT"))
   }
 
+  test("resolvePatients: a null-patient assignment can never win a first-match tie") {
+    // two assignments tied on start_wear; the null-patient one must lose
+    // (struct-min would otherwise sort the null field first and return a
+    // NULL enrichment — the record would then silently never group/upload)
+    val asg = Seq(
+      ("NR1_DEVICE", null: String, ts("2021-11-04 00:00:00"), Some(ts("2021-11-08 00:00:00"))),
+      ("NR1_DEVICE", "P-REAL", ts("2021-11-04 00:00:00"), Some(ts("2021-11-08 00:00:00"))))
+      .toDF("device_id", "patient_id", "start_wear", "end_wear")
+    val got = Stages.resolvePatients(
+      records(Seq(("2021-11-05 10:00:00", "2021-11-05 12:00:00"))),
+      asg, today = "2022-01-01")
+      .select($"patient_id").as[Option[String]].head()
+    assert(got.contains("P-REAL"))
+  }
+
   test("ingestDedup anti-joins on the sha256 identity and honors limit") {
     val incoming = Seq(("r1", "DRM"), ("r2", "DRM"), ("r3", "DRM"), ("r4", "DRM"))
       .toDF("manufacturer_ref", "device_type")

@@ -135,6 +135,8 @@ class StreamingSpec extends SparkSpec {
     drain()
     val run1 = spark.read.parquet(out)
     assert(run1.count() == 2)
+    assert(run1.columns.toSeq == Seq("doc_id", "text", "lang", "n_chars"),
+      "input schema must pass through — no internal dedup columns leaked")
     assert(run1.select("lang").as[String].collect().toSet == Set("en", "de"))
 
     // second poll: replayed content is suppressed by checkpoint state,
