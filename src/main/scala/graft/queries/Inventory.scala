@@ -951,9 +951,33 @@ object Inventory {
         .orderBy("q_id")
     })
 
+  // ---------------------------------------------------------------- q76
+  private val q76 = Q("q76_json_extraction",
+    "semi-structured columns at scale: JSON payload parsed with a declared " +
+      "schema (from_json — codegen'd parse, no UDF; the F11 dot-path " +
+      "scalar's set-oriented twin) and aggregated per group",
+    Some("""
+      SELECT event_type,
+             CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(count(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) > 50)
+                  AS BIGINT) AS n_high
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) => {
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, lit(1))).as("n_high"))
+        .orderBy("event_type")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45,
-    q46, q47, q48, q49, q57, q58, q59, q60)
+    q46, q47, q48, q49, q57, q58, q59, q60, q76)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
