@@ -71,12 +71,45 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Epoch-weighted repetition — the UPSAMPLING half of the training-mix
+    * story ([[weightedMixture]] is the downsampling half): each row is
+    * emitted `factorPct/100` times, plus one more copy for the fractional
+    * remainder decided row-locally from the shared hash (factorPct = 250
+    * → every row twice, and a deterministic 50% of rows a third time).
+    * No shuffle, no RNG; the emitted `copy` ordinal (1-based) keeps the
+    * repetitions distinguishable for downstream shard writers and
+    * dedup-safe accounting. factorPct = 0 drops the group entirely;
+    * groups absent from `factors` (and null group values) take
+    * `defaultFactorPct`.
+    */
+  def repeatWeighted(df: DataFrame, key: Column, group: Column,
+                     factors: Seq[(String, Int)],
+                     defaultFactorPct: Int = 100,
+                     copyCol: String = "copy"): DataFrame = {
+    (factors.map { case (g, p) => (s"'$g'", p) } :+
+      (("default", defaultFactorPct))).foreach { case (g, p) =>
+      require(p >= 0, s"factor percent for $g must be >= 0, got $p")
+    }
+    require(!df.columns.contains(copyCol),
+      s"output column '$copyCol' already exists on the input")
+    val pct = factors.foldRight(lit(defaultFactorPct)) {
+      case ((g, p), other) => when(group === g, lit(p)).otherwise(other)
+    }
+    val copies = (pct / 100).cast("int") +
+      when(hashBucket(key, 100) < pct % 100, 1).otherwise(0)
+    // Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of returning
+    // empty — guard so zero-copy rows vanish rather than duplicating
+    val seq = when(copies >= 1,
+      sequence(lit(1), copies)).otherwise(array())
+    df.withColumn(copyCol, explode(seq))
+  }
+
   /** Source-mixture downsampling: per-row keep-percentage chosen by the
     * row's `group` value (e.g. language or domain weights when flattening
     * a multi-source corpus into one training mix). Decided row-locally
     * from the shared hash — no shuffle, reproducible across runs and
     * engines, and upsampling-free by construction (a percentage can only
-    * keep ≤ 100%; repetition policy belongs to the training loader).
+    * keep ≤ 100%; repetition policy is [[repeatWeighted]]).
     *
     * Groups absent from `pcts` keep `defaultPct`; null group values use
     * the default too (a null domain is still data — silently dropping it

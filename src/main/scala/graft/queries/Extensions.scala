@@ -932,7 +932,31 @@ object Extensions {
       t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars", 0.1)
       .orderBy("doc_id"))
 
+  private val q77 = Q("q77_epoch_weighted_repeat",
+    "training-mix UPSAMPLING: epoch-weighted repetition (en 1.0x / de " +
+      "2.5x / fr 1.5x / default 0.5x) — integer copies plus a hash-" +
+      "deterministic fractional copy, emitted with a 1-based copy ordinal; " +
+      "row-local, no shuffle, no RNG",
+    Some("""
+      WITH d AS (SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 250
+                             WHEN 'fr' THEN 150 ELSE 50 END AS pct,
+                   CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+                 FROM documents),
+      c AS (SELECT doc_id, lang,
+              pct // 100 + CASE WHEN b < pct % 100 THEN 1 ELSE 0 END AS n
+            FROM d)
+      SELECT doc_id, lang,
+             CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+      FROM c ORDER BY doc_id, copy"""),
+    (s, dir) => Sampling.repeatWeighted(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      col("doc_id"), col("lang"),
+      Seq("en" -> 100, "de" -> 250, "fr" -> 150), defaultFactorPct = 50)
+      .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
+      .orderBy("doc_id", "copy"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74)
+    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77)
 }

@@ -241,6 +241,39 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("repeatWeighted: integer copies exact, fractional copies hash-deterministic") {
+    import graft.ops.Sampling
+    val docs = (0L until 1000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val out = Sampling.repeatWeighted(docs, $"id", $"grp",
+      Seq("g0" -> 100, "g1" -> 250, "g2" -> 0), defaultFactorPct = 50)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts("g0") == 250)                       // 1.0x exact
+    assert(counts("g1") >= 500 && counts("g1") <= 750) // 2.5x: 2 + ~50%
+    assert(!counts.contains("g2"))                    // 0x drops the group
+    assert(counts("g3") > 75 && counts("g3") < 175)   // default 0.5x
+    // every g1 row appears at least twice with ordinals 1..n
+    val g1 = out.filter($"grp" === "g1").groupBy("id")
+      .agg(count(lit(1)).as("n"), max($"copy").as("mx"), min($"copy").as("mn"))
+      .as[(Long, Long, Int, Int)].collect()
+    assert(g1.forall(r => (r._2 == 2 || r._2 == 3) && r._3 == r._2 && r._4 == 1))
+    // deterministic across runs
+    val again = Sampling.repeatWeighted(docs, $"id", $"grp",
+      Seq("g0" -> 100, "g1" -> 250, "g2" -> 0), defaultFactorPct = 50)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    // fractional 50% copies are EXACTLY the hashSample(50) rows (same law)
+    val extra = out.filter($"grp" === "g1" && $"copy" === 3).select($"id")
+    val law = Sampling.hashSample(docs.filter($"grp" === "g1"), $"id", 50)
+      .select($"id")
+    assert(extra.except(law).count() == 0 && law.except(extra).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.repeatWeighted(docs, $"id", $"grp", Seq("g0" -> -1))
+    }
+    intercept[IllegalArgumentException] { // output column collision
+      Sampling.repeatWeighted(docs.withColumn("copy", lit(1)),
+        $"id", $"grp", Seq("g0" -> 100))
+    }
+  }
+
   test("weightedMixture: null group values take the default percentage") {
     import graft.ops.Sampling
     val df = Seq((1L, Some("a")), (2L, None), (3L, None)).toDF("id", "grp")
