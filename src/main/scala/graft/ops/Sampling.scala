@@ -47,6 +47,36 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, percent: Int): DataFrame =
     df.filter(hashBucket(key, 100) < percent)
 
+  /** Deterministic negative sampling — the contrastive-pair generator an
+    * embedding-training pipeline needs: k partners per row chosen by the
+    * shared hash over a DENSE id space [0, n), so the samples are
+    * reproducible across runs and engines (no RNG, no shuffle to pick —
+    * the only exchange is the caller's join to fetch partner payloads).
+    * Self-pairs are remapped by +1 rotation, never dropped (every row
+    * gets exactly k negatives — a dropped sample would skew batch
+    * composition).
+    *
+    * `idCol` must be dense 0..n-1 (the testdata's doc_id; build one with
+    * zipWithIndex/rangeShardAssign otherwise). Emits (idCol, neg_rank,
+    * neg_id); join payloads on neg_id downstream.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // n as a one-row broadcast relation — no driver collect
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    val ranked = df.select(col(idCol))
+      .crossJoin(n)
+      .select(col(idCol), col("__n"),
+        explode(sequence(lit(0), lit(k - 1))).as("neg_rank"))
+    val raw = pmod(TextFns.hash64(
+      concat(col(idCol).cast("string"), lit("#"),
+        col("neg_rank").cast("string"))), col("__n"))
+    ranked
+      .withColumn("neg_id",
+        when(raw === col(idCol), pmod(raw + 1, col("__n"))).otherwise(raw))
+      .drop("__n")
+  }
+
   /** Domain balancing: keep at most `cap` rows per `group` value (the
     * C4/Pile-style guard against one domain dominating the corpus). The
     * survivors are chosen DETERMINISTICALLY — hash-ordered by `key` with

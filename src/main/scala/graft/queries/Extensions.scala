@@ -956,7 +956,35 @@ object Extensions {
       .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
       .orderBy("doc_id", "copy"))
 
+  private val q78 = Q("q78_negative_samples",
+    "contrastive negative sampling: 3 hash-deterministic partners per doc " +
+      "over the dense id space, self-pairs remapped by +1 rotation (never " +
+      "dropped), partner payload joined — reproducible across runs AND " +
+      "engines, no RNG",
+    Some("""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      s AS (SELECT d.doc_id, t.i AS neg_rank,
+              CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || '#' ||
+                CAST(t.i AS VARCHAR)), 1, 15) AS BIGINT) % nn.n AS raw, nn.n AS n
+            FROM documents d CROSS JOIN nn, generate_series(0, 2) t(i)),
+      p AS (SELECT doc_id, neg_rank,
+              CASE WHEN raw = doc_id THEN (raw + 1) % n ELSE raw END AS neg_id
+            FROM s)
+      SELECT p.doc_id, CAST(p.neg_rank AS BIGINT) AS neg_rank, p.neg_id,
+             d2.lang AS neg_lang
+      FROM p JOIN documents d2 ON d2.doc_id = p.neg_id
+      ORDER BY p.doc_id, neg_rank"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val negs = Sampling.negativeSamples(docs, "doc_id", k = 3)
+      negs.join(docs.select(col("doc_id").as("neg_id"),
+          col("lang").as("neg_lang")), Seq("neg_id"))
+        .select(col("doc_id"), col("neg_rank").cast("long").as("neg_rank"),
+          col("neg_id"), col("neg_lang"))
+        .orderBy("doc_id", "neg_rank")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77)
+    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78)
 }

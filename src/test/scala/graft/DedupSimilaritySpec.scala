@@ -274,6 +274,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("negativeSamples: k per row, no self-pairs, in-range, deterministic") {
+    import graft.ops.Sampling
+    val docs = (0L until 200L).toDF("doc_id")
+    val negs = Sampling.negativeSamples(docs, "doc_id", k = 4)
+    assert(negs.count() == 800)
+    val rows = negs.as[(Long, Int, Long)].collect()
+    assert(rows.forall { case (id, _, neg) => neg != id && neg >= 0 && neg < 200 })
+    assert(rows.map { case (id, r, _) => (id, r) }.toSet.size == 800,
+      "every (id, rank) pair exactly once")
+    val again = Sampling.negativeSamples(docs, "doc_id", k = 4)
+    assert(negs.except(again).count() == 0 && again.except(negs).count() == 0)
+    // negatives spread over the id space, not clustered (sanity: > 100
+    // distinct partners among 800 draws from 200 ids)
+    assert(negs.select("neg_id").distinct().count() > 100)
+    intercept[IllegalArgumentException] {
+      Sampling.negativeSamples(docs, "doc_id", k = 0)
+    }
+  }
+
   test("weightedMixture: null group values take the default percentage") {
     import graft.ops.Sampling
     val df = Seq((1L, Some("a")), (2L, None), (3L, None)).toDF("id", "grp")
