@@ -177,6 +177,29 @@ class PlanIntegritySpec extends SparkSpec {
       "token->freq join regressed to a sort-merge shuffle of the token stream")
   }
 
+  test("q74: percentile threshold rides a broadcast, not a driver collect") {
+    val p = plan("q74_percentile_filter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row threshold must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "threshold join must not plan as a full cartesian product")
+  }
+
+  test("q77: epoch-weighted repetition is generate-only — ZERO data exchanges") {
+    val p = plan("q77_epoch_weighted_repeat")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"row-local repetition must not shuffle:\n$p")
+    assert(p.contains("Generate explode"), "copies come from one explode")
+  }
+
+  test("q78: negative sampling's only exchange is the payload join") {
+    val p = plan("q78_negative_samples")
+    // corpus count rides a broadcast; partner ids are computed row-locally
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"corpus count must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q64: per-doc repetition metrics plan with ZERO data exchanges") {
     val p = plan("q64_text_repetition")
     // the only allowed exchange is the gate's deterministic ORDER BY
