@@ -52,9 +52,16 @@ object Sampling {
     * shared hash over a DENSE id space [0, n), so the samples are
     * reproducible across runs and engines (no RNG, no shuffle to pick —
     * the only exchange is the caller's join to fetch partner payloads).
-    * Self-pairs are remapped by +1 rotation, never dropped (every row
-    * gets exactly k negatives — a dropped sample would skew batch
-    * composition).
+    *
+    * Partner law: `neg = (id + 1 + hash64(id # rank) mod (n-1)) mod n` —
+    * the stride lies in [1, n-1], so a self-pair is IMPOSSIBLE by
+    * construction (no rotation special-case). Draws are independent per
+    * rank, i.e. sampling WITH replacement: a row can draw the same
+    * partner at two ranks with ~k²/2n probability — the standard
+    * negative-sampling law, benign for InfoNCE-style losses; dedup
+    * downstream if a use case needs distinct partners. A single-row
+    * corpus has no possible negative and yields an EMPTY result (not a
+    * self-pair).
     *
     * `idCol` must be dense 0..n-1 (the testdata's doc_id; build one with
     * zipWithIndex/rangeShardAssign otherwise). Emits (idCol, neg_rank,
@@ -68,12 +75,15 @@ object Sampling {
       .crossJoin(n)
       .select(col(idCol), col("__n"),
         explode(sequence(lit(0), lit(k - 1))).as("neg_rank"))
-    val raw = pmod(TextFns.hash64(
+    val stride = lit(1) + pmod(TextFns.hash64(
       concat(col(idCol).cast("string"), lit("#"),
-        col("neg_rank").cast("string"))), col("__n"))
+        col("neg_rank").cast("string"))),
+      greatest(col("__n") - 1, lit(1))) // ANSI-safe when n = 1
     ranked
+      // n = 1 → no negative exists; emit nothing rather than a self-pair
       .withColumn("neg_id",
-        when(raw === col(idCol), pmod(raw + 1, col("__n"))).otherwise(raw))
+        when(col("__n") > 1, pmod(col(idCol) + stride, col("__n"))))
+      .filter(col("neg_id").isNotNull)
       .drop("__n")
   }
 
@@ -110,16 +120,21 @@ object Sampling {
     * repetitions distinguishable for downstream shard writers and
     * dedup-safe accounting. factorPct = 0 drops the group entirely;
     * groups absent from `factors` (and null group values) take
-    * `defaultFactorPct`.
+    * `defaultFactorPct`. A NULL `key` has no hash identity, so such rows
+    * get exactly the integer copies and never the fractional one (the
+    * same null-key law as [[hashSample]] — for factorPct < 100 that
+    * means null-key rows are dropped; pre-assign keys if they must
+    * survive).
     */
   def repeatWeighted(df: DataFrame, key: Column, group: Column,
                      factors: Seq[(String, Int)],
                      defaultFactorPct: Int = 100,
                      copyCol: String = "copy"): DataFrame = {
-    (factors.map { case (g, p) => (s"'$g'", p) } :+
-      (("default", defaultFactorPct))).foreach { case (g, p) =>
-      require(p >= 0, s"factor percent for $g must be >= 0, got $p")
+    factors.foreach { case (g, p) =>
+      require(p >= 0, s"factor percent for '$g' must be >= 0, got $p")
     }
+    require(defaultFactorPct >= 0,
+      s"defaultFactorPct must be >= 0, got $defaultFactorPct")
     require(!df.columns.contains(copyCol),
       s"output column '$copyCol' already exists on the input")
     val pct = factors.foldRight(lit(defaultFactorPct)) {

@@ -958,17 +958,18 @@ object Extensions {
 
   private val q78 = Q("q78_negative_samples",
     "contrastive negative sampling: 3 hash-deterministic partners per doc " +
-      "over the dense id space, self-pairs remapped by +1 rotation (never " +
-      "dropped), partner payload joined — reproducible across runs AND " +
-      "engines, no RNG",
+      "over the dense id space via a [1, n-1] stride (self-pairs " +
+      "impossible by construction), partner payload joined — reproducible " +
+      "across runs AND engines, no RNG",
     Some("""
       WITH nn AS (SELECT count(*) AS n FROM documents),
       s AS (SELECT d.doc_id, t.i AS neg_rank,
               CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || '#' ||
-                CAST(t.i AS VARCHAR)), 1, 15) AS BIGINT) % nn.n AS raw, nn.n AS n
+                CAST(t.i AS VARCHAR)), 1, 15) AS BIGINT) % (nn.n - 1) AS st,
+              nn.n AS n
             FROM documents d CROSS JOIN nn, generate_series(0, 2) t(i)),
       p AS (SELECT doc_id, neg_rank,
-              CASE WHEN raw = doc_id THEN (raw + 1) % n ELSE raw END AS neg_id
+              (doc_id + 1 + st) % n AS neg_id
             FROM s)
       SELECT p.doc_id, CAST(p.neg_rank AS BIGINT) AS neg_rank, p.neg_id,
              d2.lang AS neg_lang

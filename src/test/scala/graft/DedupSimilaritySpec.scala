@@ -272,6 +272,13 @@ class DedupSimilaritySpec extends SparkSpec {
       Sampling.repeatWeighted(docs.withColumn("copy", lit(1)),
         $"id", $"grp", Seq("g0" -> 100))
     }
+    // null keys have no hash identity: integer copies only (the
+    // documented hashSample null law) — 2 copies at 250%, dropped at 50%
+    val nulls = Seq((Some(1L), "g"), (None, "g")).toDF("id", "grp")
+    val at250 = Sampling.repeatWeighted(nulls, $"id", $"grp", Seq("g" -> 250))
+    assert(at250.filter($"id".isNull).count() == 2)
+    val at50 = Sampling.repeatWeighted(nulls, $"id", $"grp", Seq("g" -> 50))
+    assert(at50.filter($"id".isNull).count() == 0)
   }
 
   test("negativeSamples: k per row, no self-pairs, in-range, deterministic") {
@@ -288,6 +295,9 @@ class DedupSimilaritySpec extends SparkSpec {
     // negatives spread over the id space, not clustered (sanity: > 100
     // distinct partners among 800 draws from 200 ids)
     assert(negs.select("neg_id").distinct().count() > 100)
+    // a single-row corpus has NO possible negative: empty, never a
+    // self-pair
+    assert(Sampling.negativeSamples(docs.limit(1), "doc_id", 3).count() == 0)
     intercept[IllegalArgumentException] {
       Sampling.negativeSamples(docs, "doc_id", k = 0)
     }

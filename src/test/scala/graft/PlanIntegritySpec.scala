@@ -198,6 +198,11 @@ class PlanIntegritySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       s"corpus count must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // partner computation must never shuffle (the payload join broadcasts
+    // at gate size; the only non-broadcast exchange allowed is the gate's
+    // deterministic ORDER BY rangepartitioning)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"partner ids are row-local — no hash shuffle expected:\n$p")
   }
 
   test("q64: per-doc repetition metrics plan with ZERO data exchanges") {
