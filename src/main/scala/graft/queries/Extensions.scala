@@ -985,7 +985,44 @@ object Extensions {
         .orderBy("doc_id", "neg_rank")
     })
 
+  private val q79 = Q("q79_scd2_history",
+    "SCD2 effective-dated history from an update log: consecutive equal " +
+      "values collapse, each change opens a version with [valid_from, " +
+      "valid_to) and is_current — the audit-history twin of the ledger's " +
+      "no-override merge; ONE shuffle (both windows share the key " +
+      "partitioning)",
+    Some("""
+      WITH h AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                   LAG(o_orderpriority) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+                   ROW_NUMBER() OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+                 FROM orders),
+      c AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority FROM h
+            WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority),
+      v AS (SELECT o_custkey, o_orderpriority, o_orderdate AS vf,
+              LEAD(o_orderdate) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vt
+            FROM c)
+      SELECT o_custkey, o_orderpriority,
+             strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+             vt IS NULL AS is_current
+      FROM v ORDER BY o_custkey, valid_from"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+      graft.ops.Scd.scd2(o, keyCols = Seq("o_custkey"),
+        orderCols = Seq("o_orderdate", "o_orderkey"),
+        trackedCols = Seq("o_orderpriority"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("o_custkey", "valid_from")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78)
+    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79)
 }

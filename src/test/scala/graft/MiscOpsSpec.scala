@@ -506,6 +506,33 @@ class ProfileSpec extends SparkSpec {
     assert(scores(1)._3 == 1L) // every rare token is a corpus hapax
   }
 
+  test("scd2 collapses equal runs, versions changes, half-open intervals") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val log = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 1L, "x"),
+      ("A", ts("2024-01-02 00:00:00"), 2L, "x"), // unchanged -> collapses
+      ("A", ts("2024-01-03 00:00:00"), 3L, "y"), // change -> new version
+      ("A", ts("2024-01-04 00:00:00"), 4L, "x"), // back to x -> NEW version
+      ("B", ts("2024-01-01 00:00:00"), 5L, null: String), // null first
+      ("B", ts("2024-01-02 00:00:00"), 6L, "z")  // null -> z opens version
+    ).toDF("k", "at", "seq", "v")
+    val got = graft.ops.Scd.scd2(log, Seq("k"), Seq("at", "seq"), Seq("v"))
+      .orderBy("k", "valid_from")
+      .as[(String, Option[String], Timestamp, Option[Timestamp], Boolean)]
+      .collect().toList
+    assert(got == List(
+      ("A", Some("x"), ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      ("A", Some("y"), ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), false),
+      ("A", Some("x"), ts("2024-01-04 00:00:00"), None, true),
+      ("B", None, ts("2024-01-01 00:00:00"), Some(ts("2024-01-02 00:00:00")), false),
+      ("B", Some("z"), ts("2024-01-02 00:00:00"), None, true)))
+    intercept[IllegalArgumentException] { // reserved output column collision
+      graft.ops.Scd.scd2(log.withColumn("is_current", lit(true)),
+        Seq("k"), Seq("at"), Seq("v"))
+    }
+  }
+
   test("filterByPercentile cuts at the exact corpus percentile, both directions") {
     val df = (1L to 100L).toDF("v") // p10 of 1..100 = 10.9 (interpolated)
     val kept = graft.ops.TextAnalysis.filterByPercentile(df, "v", 0.1)
