@@ -1022,7 +1022,47 @@ object Extensions {
         .orderBy("o_custkey", "valid_from")
     })
 
+  private val q80 = Q("q80_rate_anomaly",
+    "ingest-feed observability: per-(type, day) event counts z-scored " +
+      "against the type's own trailing 7-day RANGE window (current day " +
+      "excluded, >=3 baseline days) — moments are exact integer sums, so " +
+      "even the double z-scores hash-match across engines",
+    Some("""
+      WITH c AS (SELECT event_type,
+                   epoch_ns(ts) // 1000000 // 86400000 AS day,
+                   count(*) AS n_events
+                 FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, day, n_events,
+              COUNT(*) OVER win AS trailing_days,
+              CAST(SUM(n_events) OVER win AS DOUBLE) AS sx,
+              CAST(SUM(n_events * n_events) OVER win AS DOUBLE) AS sxx
+            FROM c
+            WINDOW win AS (PARTITION BY event_type ORDER BY day
+                           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      z AS (SELECT event_type, day, n_events, trailing_days,
+              CASE WHEN trailing_days >= 3 AND
+                        (sxx - sx * sx / CAST(trailing_days AS DOUBLE))
+                          / (CAST(trailing_days AS DOUBLE) - 1.0) > 0
+                   THEN (CAST(n_events AS DOUBLE)
+                           - sx / CAST(trailing_days AS DOUBLE))
+                        / sqrt((sxx - sx * sx / CAST(trailing_days AS DOUBLE))
+                               / (CAST(trailing_days AS DOUBLE) - 1.0))
+              END AS z_score
+            FROM w)
+      SELECT event_type, day, n_events, trailing_days, z_score,
+             COALESCE(abs(z_score) > 3.0, FALSE) AS is_anomaly
+      FROM z ORDER BY event_type, day"""),
+    (s, dir) => {
+      val counts = graft.ops.Anomaly.dailyCounts(
+        Tables.table(s, dir, "events").select("event_type", "ts"),
+        Seq("event_type"), unix_millis(col("ts")))
+      graft.ops.Anomaly.rateAnomalies(counts, Seq("event_type"), "day",
+        window = 7, minPeriods = 3, threshold = 3.0)
+        .orderBy("event_type", "day")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79)
+    q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
+    q80)
 }

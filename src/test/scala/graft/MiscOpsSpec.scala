@@ -506,6 +506,42 @@ class ProfileSpec extends SparkSpec {
     assert(scores(1)._3 == 1L) // every rare token is a corpus hapax
   }
 
+  test("rateAnomalies: spike against a flat baseline scores, warmup doesn't") {
+    // key X: 10 events/day for days 0-6, then 100 on day 7 (a real spike);
+    // the first 3 days have <3 baseline days -> unscored (z null)
+    val counts = ((0 to 6).map(d => ("X", d.toLong, 10L)) :+ (("X", 7L, 100L)))
+      .toDF("k", "day", "n_events")
+    val got = graft.ops.Anomaly.rateAnomalies(counts, Seq("k"), "day",
+      window = 7, minPeriods = 3)
+      .orderBy("day")
+      .select("day", "trailing_days", "z_score", "is_anomaly")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toList
+    // days 0-2: too little history; days 3-6: flat baseline (variance 0 ->
+    // unscored, not an anomaly); day 7: flat baseline means variance 0 too
+    assert(got.take(3).forall(r => r._3.isEmpty && !r._4))
+    assert(got.slice(3, 7).forall(r => r._3.isEmpty && !r._4))
+    // add jitter so the baseline has variance, then the spike must fire
+    val jittered = Seq(("Y", 0L, 9L), ("Y", 1L, 11L), ("Y", 2L, 10L),
+      ("Y", 3L, 9L), ("Y", 4L, 11L), ("Y", 5L, 100L))
+      .toDF("k", "day", "n_events")
+    val spike = graft.ops.Anomaly.rateAnomalies(jittered, Seq("k"), "day",
+      window = 7, minPeriods = 3)
+      .filter($"day" === 5L)
+      .select("z_score", "is_anomaly")
+      .as[(Option[Double], Boolean)].head()
+    assert(spike._2 && spike._1.exists(_ > 3.0))
+    // RANGE (not ROWS): a gap in days ages the baseline out by VALUE
+    val gapped = Seq(("Z", 0L, 10L), ("Z", 1L, 12L), ("Z", 2L, 11L),
+      ("Z", 50L, 11L)).toDF("k", "day", "n_events")
+    val afterGap = graft.ops.Anomaly.rateAnomalies(gapped, Seq("k"), "day")
+      .filter($"day" === 50L).select("trailing_days")
+      .as[Long].head()
+    assert(afterGap == 0L, "days 0-2 are outside day-50's 7-day RANGE frame")
+    intercept[IllegalArgumentException] {
+      graft.ops.Anomaly.rateAnomalies(counts, Seq("k"), "day", minPeriods = 1)
+    }
+  }
+
   test("scd2 collapses equal runs, versions changes, half-open intervals") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
