@@ -38,8 +38,8 @@ object Scd {
     require(keyCols.nonEmpty && orderCols.nonEmpty && trackedCols.nonEmpty,
       "keyCols, orderCols and trackedCols must be non-empty")
     val outCols = Seq("valid_from", "valid_to", "is_current")
-    outCols.foreach(c => require(!updates.columns.contains(c),
-      s"output column '$c' already exists on the input"))
+    (outCols :+ "__opens").foreach(c => require(!updates.columns.contains(c),
+      s"column '$c' is reserved by scd2 but exists on the input"))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     // a row opens a version iff any tracked attribute differs (null-safely)
@@ -51,12 +51,10 @@ object Scd {
       .withColumn("__opens", changed)
       .filter(col("__opens"))
       .drop("__opens")
-    val wv = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
     val ts = orderCols.head
     openings
       .withColumn("valid_from", col(ts))
-      .withColumn("valid_to", lead(col(ts), 1).over(wv))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
       .select((keyCols ++ trackedCols ++ outCols).map(col): _*)
   }

@@ -1025,8 +1025,9 @@ object Extensions {
   private val q80 = Q("q80_rate_anomaly",
     "ingest-feed observability: per-(type, day) event counts z-scored " +
       "against the type's own trailing 7-day RANGE window (current day " +
-      "excluded, >=3 baseline days) — moments are exact integer sums, so " +
-      "even the double z-scores hash-match across engines",
+      "excluded, >=3 baseline days; flat-baseline deviations flagged " +
+      "without a fake z) — moments are exact integer sums, so even the " +
+      "double z-scores hash-match across engines",
     Some("""
       WITH c AS (SELECT event_type,
                    epoch_ns(ts) // 1000000 // 86400000 AS day,
@@ -1039,22 +1040,24 @@ object Extensions {
             FROM c
             WINDOW win AS (PARTITION BY event_type ORDER BY day
                            RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      v AS (SELECT event_type, day, n_events, trailing_days, sx,
+              CAST(n_events AS DOUBLE) AS cd,
+              CAST(trailing_days AS DOUBLE) AS nd,
+              (sxx - sx * sx / CAST(trailing_days AS DOUBLE))
+                / (CAST(trailing_days AS DOUBLE) - 1.0) AS var
+            FROM w),
       z AS (SELECT event_type, day, n_events, trailing_days,
-              CASE WHEN trailing_days >= 3 AND
-                        (sxx - sx * sx / CAST(trailing_days AS DOUBLE))
-                          / (CAST(trailing_days AS DOUBLE) - 1.0) > 0
-                   THEN (CAST(n_events AS DOUBLE)
-                           - sx / CAST(trailing_days AS DOUBLE))
-                        / sqrt((sxx - sx * sx / CAST(trailing_days AS DOUBLE))
-                               / (CAST(trailing_days AS DOUBLE) - 1.0))
-              END AS z_score
-            FROM w)
+              CASE WHEN trailing_days >= 3 AND var > 0
+                   THEN (cd - sx / nd) / sqrt(var) END AS z_score,
+              (trailing_days >= 3 AND var = 0 AND cd <> sx / nd) AS flat_dev
+            FROM v)
       SELECT event_type, day, n_events, trailing_days, z_score,
-             COALESCE(abs(z_score) > 3.0, FALSE) AS is_anomaly
+             COALESCE(COALESCE(abs(z_score) > 3.0, FALSE) OR flat_dev,
+                      FALSE) AS is_anomaly
       FROM z ORDER BY event_type, day"""),
     (s, dir) => {
       val counts = graft.ops.Anomaly.dailyCounts(
-        Tables.table(s, dir, "events").select("event_type", "ts"),
+        t(s, dir, "events").select("event_type", "ts"),
         Seq("event_type"), unix_millis(col("ts")))
       graft.ops.Anomaly.rateAnomalies(counts, Seq("event_type"), "day",
         window = 7, minPeriods = 3, threshold = 3.0)

@@ -516,10 +516,13 @@ class ProfileSpec extends SparkSpec {
       .orderBy("day")
       .select("day", "trailing_days", "z_score", "is_anomaly")
       .as[(Long, Long, Option[Double], Boolean)].collect().toList
-    // days 0-2: too little history; days 3-6: flat baseline (variance 0 ->
-    // unscored, not an anomaly); day 7: flat baseline means variance 0 too
+    // days 0-2: too little history; days 3-6: flat baseline, on-baseline
+    // value -> no anomaly; day 7: flat baseline but the value DEVIATES ->
+    // flagged via the flat-baseline rule (z stays null: it is morally ±∞)
     assert(got.take(3).forall(r => r._3.isEmpty && !r._4))
     assert(got.slice(3, 7).forall(r => r._3.isEmpty && !r._4))
+    assert(got(7)._3.isEmpty && got(7)._4,
+      "a spike over a perfectly flat baseline must be flagged")
     // add jitter so the baseline has variance, then the spike must fire
     val jittered = Seq(("Y", 0L, 9L), ("Y", 1L, 11L), ("Y", 2L, 10L),
       ("Y", 3L, 9L), ("Y", 4L, 11L), ("Y", 5L, 100L))
@@ -540,6 +543,24 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.Anomaly.rateAnomalies(counts, Seq("k"), "day", minPeriods = 1)
     }
+  }
+
+  test("densifyDays + rateAnomalies: a device that goes quiet is flagged") {
+    // W emits steadily for days 0-5 then DIES; V keeps emitting to day 9
+    // (so the corpus feed end is day 9 and W's silence is visible)
+    val counts = ((0L to 5L).map(d => ("W", d, 10L + (d % 2))) ++
+      (0L to 9L).map(d => ("V", d, 5L))).toDF("k", "day", "n_events")
+    val dense = graft.ops.Anomaly.densifyDays(counts, Seq("k"), "day")
+    // W now spans day 0..9 with zeros after death
+    assert(dense.filter($"k" === "W").count() == 10)
+    assert(dense.filter($"k" === "W" && $"day" === 7L)
+      .select("n_events").as[Long].head() == 0L)
+    val scored = graft.ops.Anomaly.rateAnomalies(dense, Seq("k"), "day")
+    val death = scored.filter($"k" === "W" && $"day" === 6L)
+      .select("is_anomaly").as[Boolean].head()
+    assert(death, "the first silent day must be flagged")
+    // the steady key never alarms
+    assert(scored.filter($"k" === "V" && $"is_anomaly").count() == 0)
   }
 
   test("scd2 collapses equal runs, versions changes, half-open intervals") {
