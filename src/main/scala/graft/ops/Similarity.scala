@@ -149,4 +149,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** Embedding-space outliers per group — the SemDeDup-style semantic
+    * screen: vectors farthest from their group's centroid are the
+    * mislabeled / off-topic / junk candidates a curation pass reviews or
+    * drops. Exact and engine-portable throughout: components are scaled
+    * to integers (floor(v·scale)), the centroid is a floor of exact
+    * integer sums, and the squared distance is a BIGINT sum — no float
+    * accumulation anywhere, so distances hash-match an oracle in any
+    * engine and are independent of partitioning/order.
+    *
+    * Shape: one explode + two aggregates; the per-(group, dim) centroid
+    * relation is |groups|·dims rows — broadcast-sized by construction no
+    * matter how large the corpus.
+    */
+  def centroidOutliers(embs: DataFrame, groupCol: String, idCol: String,
+                       vecCol: String, k: Int,
+                       scale: Double = 1e6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val el = embs.select(col(groupCol), col(idCol),
+        posexplode(col(vecCol)).as(Seq("i", "v")))
+      .withColumn("s", floor(col("v").cast("double") * scale).cast("long"))
+    val cent = el.groupBy(col(groupCol), col("i"))
+      .agg(sum(col("s")).as("csum"), count(lit(1)).as("n"))
+      // floor (not cast-truncation): negative sums must bucket the same
+      // way in every engine
+      .withColumn("c",
+        floor(col("csum").cast("double") / col("n").cast("double")).cast("long"))
+      .select(col(groupCol), col("i"), col("c"))
+    val d2 = el.join(broadcast(cent), Seq(groupCol, "i"))
+      .withColumn("d", col("s") - col("c"))
+      .groupBy(col(groupCol), col(idCol))
+      .agg(sum(col("d") * col("d")).as("dist2"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("dist2").desc, col(idCol))
+    d2.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

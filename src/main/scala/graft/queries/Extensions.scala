@@ -1064,8 +1064,35 @@ object Extensions {
         .orderBy("event_type", "day")
     })
 
+  private val q81 = Q("q81_centroid_outliers",
+    "SemDeDup-style semantic screen: top-5 farthest-from-centroid vectors " +
+      "per label — scaled-integer components, floored integer centroid, " +
+      "exact BIGINT squared distances (no float accumulation anywhere)",
+    Some("""
+      WITH el AS (SELECT label, vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings),
+      sc AS (SELECT label, vec_id, i,
+               CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS s FROM el),
+      cent AS (SELECT label, i, CAST(SUM(s) AS BIGINT) AS csum,
+                 count(*) AS n FROM sc GROUP BY 1, 2),
+      cc AS (SELECT label, i,
+               CAST(floor(CAST(csum AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS c
+             FROM cent),
+      d AS (SELECT sc.label, sc.vec_id,
+              CAST(SUM((s - c) * (s - c)) AS BIGINT) AS dist2
+            FROM sc JOIN cc ON sc.label = cc.label AND sc.i = cc.i
+            GROUP BY 1, 2),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY dist2 DESC, vec_id) AS rank FROM d)
+      SELECT label, vec_id, dist2, rank FROM rk WHERE rank <= 5
+      ORDER BY label, rank"""),
+    (s, dir) => Similarity.centroidOutliers(t(s, dir, "embeddings"),
+      "label", "vec_id", "embedding", k = 5)
+      .orderBy("label", "rank"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
-    q80)
+    q80, q81)
 }

@@ -303,6 +303,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidOutliers ranks farthest-from-centroid first, exact integers") {
+    import graft.ops.Similarity
+    val embs = Seq(
+      (1L, Array(0f, 0f), 0),
+      (2L, Array(1f, 1f), 0),
+      (3L, Array(10f, 10f), 0),   // the obvious outlier of label 0
+      (4L, Array(-0.5f, -0.5f), 1),
+      (5L, Array(-0.5f, -0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(embs, "label", "vec_id",
+      "embedding", k = 2)
+      .orderBy("label", "rank")
+      .as[(Int, Long, Long, Int)].collect().toList
+    // label 0 centroid per dim = floor(11e6/3) = 3666666
+    val c = 3666666L
+    def d2(s: Long) = 2L * (s - c) * (s - c)
+    assert(got.take(2) == List((0, 3L, d2(10000000L), 1),
+      (0, 1L, d2(0L), 2)))
+    // label 1: both vectors AT the centroid -> dist2 0, id tiebreak
+    assert(got.drop(2) == List((1, 4L, 0L, 1), (1, 5L, 0L, 2)))
+    intercept[IllegalArgumentException] {
+      Similarity.centroidOutliers(embs, "label", "vec_id", "embedding", 0)
+    }
+  }
+
   test("weightedMixture: null group values take the default percentage") {
     import graft.ops.Sampling
     val df = Seq((1L, Some("a")), (2L, None), (3L, None)).toDF("id", "grp")
