@@ -153,20 +153,35 @@ object Similarity {
   /** Embedding-space outliers per group — the SemDeDup-style semantic
     * screen: vectors farthest from their group's centroid are the
     * mislabeled / off-topic / junk candidates a curation pass reviews or
-    * drops. Exact and engine-portable throughout: components are scaled
-    * to integers (floor(v·scale)), the centroid is a floor of exact
-    * integer sums, and the squared distance is a BIGINT sum — no float
-    * accumulation anywhere, so distances hash-match an oracle in any
-    * engine and are independent of partitioning/order.
+    * drops. Components scale to integers (floor(v·scale)), the centroid
+    * floors exact integer sums (exact while |Σs| < 2^53 — the one double
+    * in the pipeline; every distance term is a BIGINT), so results
+    * hash-match an oracle in any engine, independent of partitioning.
+    *
+    * RAGGED vectors (fewer dims than the group's widest — truncated or
+    * corrupt rows) rank FIRST, ahead of every full-width vector: a short
+    * vector accrues distance over fewer dims, so sorting by distance
+    * alone would score exactly the most broken rows as inliers. The
+    * emitted `n_dims` column makes the reason visible.
+    *
+    * NULL-group vectors have no centroid and are NOT screened (the
+    * equi-join drops them, in every engine) — select them separately if
+    * an unlabeled slice needs review. `idCol` null ties order last,
+    * pinned explicitly (engines disagree on default null order).
     *
     * Shape: one explode + two aggregates; the per-(group, dim) centroid
-    * relation is |groups|·dims rows — broadcast-sized by construction no
-    * matter how large the corpus.
+    * relation is |groups|·dims rows — broadcast-sized by construction.
     */
   def centroidOutliers(embs: DataFrame, groupCol: String, idCol: String,
                        vecCol: String, k: Int,
                        scale: Double = 1e6): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // overflow bound: |d| ≤ 2·scale·|v|max, so Σ d² ≤ dims·4·scale²·|v|²max.
+    // scale ≤ 1e7 keeps that under Long.MAX for |v| ≤ ~1, dims ≤ ~4096
+    // (ANSI Spark and the oracle would otherwise ERROR, not wrap — but
+    // fail-fast beats a runtime overflow mid-job)
+    require(scale > 0 && scale <= 1e7,
+      s"scale must be in (0, 1e7] (Long-overflow headroom for the squared distances), got $scale")
     val el = embs.select(col(groupCol), col(idCol),
         posexplode(col(vecCol)).as(Seq("i", "v")))
       .withColumn("s", floor(col("v").cast("double") * scale).cast("long"))
@@ -180,10 +195,17 @@ object Similarity {
     val d2 = el.join(broadcast(cent), Seq(groupCol, "i"))
       .withColumn("d", col("s") - col("c"))
       .groupBy(col(groupCol), col(idCol))
-      .agg(sum(col("d") * col("d")).as("dist2"))
+      .agg(sum(col("d") * col("d")).as("dist2"),
+        count(lit(1)).as("n_dims"))
+    val flagged = d2
+      .withColumn("__wide",
+        max(col("n_dims")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__short", col("n_dims") =!= col("__wide"))
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("dist2").desc, col(idCol))
-    d2.withColumn("rank", row_number().over(w))
+      .orderBy(col("__short").desc, col("dist2").desc,
+        col(idCol).asc_nulls_last)
+    flagged.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .drop("__wide", "__short")
   }
 }

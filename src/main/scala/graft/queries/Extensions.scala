@@ -1080,12 +1080,16 @@ object Extensions {
                CAST(floor(CAST(csum AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS c
              FROM cent),
       d AS (SELECT sc.label, sc.vec_id,
-              CAST(SUM((s - c) * (s - c)) AS BIGINT) AS dist2
+              CAST(SUM((s - c) * (s - c)) AS BIGINT) AS dist2,
+              count(*) AS n_dims
             FROM sc JOIN cc ON sc.label = cc.label AND sc.i = cc.i
             GROUP BY 1, 2),
-      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
-               ORDER BY dist2 DESC, vec_id) AS rank FROM d)
-      SELECT label, vec_id, dist2, rank FROM rk WHERE rank <= 5
+      f AS (SELECT *, MAX(n_dims) OVER (PARTITION BY label) AS mx FROM d),
+      rk AS (SELECT label, vec_id, dist2, n_dims,
+               ROW_NUMBER() OVER (PARTITION BY label
+                 ORDER BY (n_dims <> mx) DESC, dist2 DESC, vec_id) AS rank
+             FROM f)
+      SELECT label, vec_id, dist2, n_dims, rank FROM rk WHERE rank <= 5
       ORDER BY label, rank"""),
     (s, dir) => Similarity.centroidOutliers(t(s, dir, "embeddings"),
       "label", "vec_id", "embedding", k = 5)

@@ -315,6 +315,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = Similarity.centroidOutliers(embs, "label", "vec_id",
       "embedding", k = 2)
       .orderBy("label", "rank")
+      .select("label", "vec_id", "dist2", "rank")
       .as[(Int, Long, Long, Int)].collect().toList
     // label 0 centroid per dim = floor(11e6/3) = 3666666
     val c = 3666666L
@@ -326,6 +327,24 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.centroidOutliers(embs, "label", "vec_id", "embedding", 0)
     }
+    intercept[IllegalArgumentException] { // overflow headroom guard
+      Similarity.centroidOutliers(embs, "label", "vec_id", "embedding",
+        k = 2, scale = 1e9)
+    }
+  }
+
+  test("centroidOutliers ranks ragged (truncated) vectors FIRST, not as inliers") {
+    import graft.ops.Similarity
+    // three full-width on-centroid vectors + one corrupt 1-dim vector:
+    // distance alone would call the corrupt row the best inlier
+    val embs = Seq(
+      (1L, Array(1f, 1f), 0), (2L, Array(1f, 1f), 0), (3L, Array(1f, 1f), 0),
+      (4L, Array(1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.centroidOutliers(embs, "label", "vec_id",
+      "embedding", k = 1)
+      .select("vec_id", "n_dims", "rank").as[(Long, Long, Int)].head()
+    assert(top == ((4L, 1L, 1)), "the truncated vector must rank as the top outlier")
   }
 
   test("weightedMixture: null group values take the default percentage") {
