@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra forked-JVM flags for experiments (e.g. -Xlog:gc for the bench
+  // regression hunt); space-separated, unset in normal runs
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

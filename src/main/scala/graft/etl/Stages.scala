@@ -195,21 +195,30 @@ object Stages {
     // 1M-record fixture that pass was two more million-row joins and a
     // third wide aggregate.
     //
-    // Null-order AND null-patient rows are dropped from the index
-    // explicitly — struct-min sorts a null field FIRST, so either null
-    // could otherwise win a tie and return a NULL enrichment. Under the
-    // old two-pass form neither could win (the pass-2 equality rejoin
-    // never matches a NULL order value, and its min(patient) aggregate
-    // skipped nulls); the filters pin the same can't-win contract, and a
-    // null-patient assignment can never enrich anything anyway.
+    // Null handling in the index, pinned to the oracle's
+    // `ORDER BY ord NULLS LAST, patient NULLS LAST … rn = 1`:
+    //  - null-ORDER rows are dropped (NULLS LAST ⇒ they can never be the
+    //    first match while any real-order assignment covers the record;
+    //    `firstMatchOrder` defaults to start_wear, which is never null
+    //    past the `_a_start <= _a_end` filter, so the residual
+    //    only-null-ord-match case cannot arise from the default entry);
+    //  - null-PATIENT rows STAY in the index: the earliest assignment
+    //    wins even when its patient is null (the record then gets NULL
+    //    enrichment — attributing it to a LATER assignment's patient
+    //    would be a wrong-patient bug). A boolean null-flag between ord
+    //    and patient makes the struct-min safe: struct-min sorts a null
+    //    field first, so without the flag a null patient would also
+    //    steal equal-ord ties that the oracle (patient NULLS LAST)
+    //    gives to the real patient.
     def contained = col("_a_end") >= bound(col("end"))
     val wSfx = Window.partitionBy(col("_a_device"), col("_a_day"))
       .orderBy(col("_a_end").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sfxRaw = asgDaysRaw
-      .filter(col("_a_ord").isNotNull && col("_a_patient").isNotNull)
+      .filter(col("_a_ord").isNotNull)
       .groupBy(col("_a_device"), col("_a_day"), col("_a_end"))
-      .agg(min(struct(col("_a_ord"), col("_a_patient"))).as("_m"))
+      .agg(min(struct(col("_a_ord"), col("_a_patient").isNull.as("_a_pnull"),
+        col("_a_patient"))).as("_m"))
       .withColumn("_smo", min(col("_m")).over(wSfx))
       .drop("_m")
     val sfx = if (broadcastAssignments) broadcast(sfxRaw) else sfxRaw

@@ -211,11 +211,17 @@ object TextAnalysis {
     * Plan shape: one explode feeds BOTH frequencies — tf is the
     * (doc, token) hash aggregate, df re-aggregates that same result by
     * token (already (doc, token)-distinct, so no count-distinct Expand).
-    * The 1-row corpus-size side broadcasts unconditionally; the df side is
-    * left to the planner — vocabulary is usually broadcast-sized, but its
-    * cardinality is data-dependent (Heaps'-law tail of typos/ids), so a
-    * forced hint would strip the shuffle-join fallback the 100 TB case
-    * needs. Per-row doc contract as [[repetition]].
+    * The df branch keeps a reference to the tf COUNT (a vacuous `tf >= 1`
+    * filter) so column pruning cannot specialize its subtree: both
+    * branches then share one identical (doc, token) exchange and
+    * ReuseExchange collapses them — the corpus is scanned and TOKENIZED
+    * once, not twice (at 100 TB the double tokenize pass was the whole
+    * cost of the operator). The 1-row corpus-size side broadcasts
+    * unconditionally; the df side is left to the planner — vocabulary is
+    * usually broadcast-sized, but its cardinality is data-dependent
+    * (Heaps'-law tail of typos/ids), so a forced hint would strip the
+    * shuffle-join fallback the 100 TB case needs. Per-row doc contract as
+    * [[repetition]].
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 3): DataFrame = {
@@ -223,7 +229,10 @@ object TextAnalysis {
       explode(TextFns.words(col(textCol))).as("tok"))
     val tf = toks.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // `tf >= 1` is always true — it exists so this branch consumes the tf
+    // column and stays plan-identical to the tf branch (exchange reuse)
+    val df = tf.filter(col("tf") >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(df, "tok")

@@ -42,7 +42,8 @@ object Pipeline {
              LEFT JOIN si ON r1.device_serial = si.serial),
       asg AS (SELECT DISTINCT
                 'DEV-' || CAST(o_custkey % 25 AS VARCHAR) AS a_device,
-                'P-' || CAST(o_custkey AS VARCHAR) AS a_patient,
+                CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                     ELSE 'P-' || CAST(o_custkey AS VARCHAR) END AS a_patient,
                 DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) AS start_wear,
                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
                      ELSE DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) + 3
@@ -97,9 +98,13 @@ object Pipeline {
           concat(lit("DEV-"), pmod(col("p_partkey"), lit(25)).cast("string")).as("device_id"))
       val aStart = date_add(to_date(lit("2024-01-01")),
         pmod(col("o_orderkey"), lit(25)).cast("int"))
+      // o_orderkey%13 null patients: pins the null-patient-wins-first-match
+      // contract (a null-patient earliest assignment blocks later ones)
       val assignments = t("orders").select(
         concat(lit("DEV-"), pmod(col("o_custkey"), lit(25)).cast("string")).as("device_id"),
-        concat(lit("P-"), col("o_custkey").cast("string")).as("patient_id"),
+        when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
+          .otherwise(concat(lit("P-"), col("o_custkey").cast("string")))
+          .as("patient_id"),
         aStart.cast("timestamp").as("start_wear"),
         when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
           .otherwise(date_add(aStart, 3)).cast("timestamp").as("end_wear"))
@@ -310,7 +315,8 @@ object Pipeline {
         FROM events),
       asg AS (SELECT DISTINCT
                 'DEV-' || CAST(o_custkey % 25 AS VARCHAR) AS a_device,
-                'P-' || CAST(o_custkey AS VARCHAR) AS a_patient,
+                CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                     ELSE 'P-' || CAST(o_custkey AS VARCHAR) END AS a_patient,
                 DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) AS start_wear,
                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
                      ELSE DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) + 3
@@ -339,7 +345,9 @@ object Pipeline {
         pmod(col("o_orderkey"), lit(25)).cast("int"))
       val assignments = Tables.table(s, dir, "orders").select(
         concat(lit("DEV-"), pmod(col("o_custkey"), lit(25)).cast("string")).as("device_id"),
-        concat(lit("P-"), col("o_custkey").cast("string")).as("patient_id"),
+        when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
+          .otherwise(concat(lit("P-"), col("o_custkey").cast("string")))
+          .as("patient_id"),
         aStart.cast("timestamp").as("start_wear"),
         when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
           .otherwise(date_add(aStart, 3)).cast("timestamp").as("end_wear"))

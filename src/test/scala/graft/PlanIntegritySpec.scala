@@ -205,6 +205,43 @@ class PlanIntegritySpec extends SparkSpec {
       s"partner ids are row-local — no hash shuffle expected:\n$p")
   }
 
+  test("q67: vocabulary is ONE map-side-combined aggregate + distributed top-k") {
+    // the BENCH_r04 harness spikes (q67 11x) were chased to environment
+    // contention, not a plan change — these pins make that claim checkable:
+    // if the shape ever regresses (second shuffle, global sort) this fails
+    // before any bench does
+    val p = plan("q67_vocabulary")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global Sort+Limit:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly the token-key exchange (map-side combined), got $hashExchanges:\n$p")
+    assert(!p.contains("Generate explode(") || p.contains("HashAggregate"),
+      "partial aggregation must collapse token counts before the shuffle")
+  }
+
+  test("q68: tfidf tokenizes the corpus ONCE — df reuses the tf exchange") {
+    // AQE stage reuse only materializes at execution, so inspect the final
+    // plan (same pattern as q12). The vacuous `tf >= 1` filter in
+    // tfidfTopTerms exists exactly to keep the two (doc, tok) subtrees
+    // plan-identical; if it's simplified away, the corpus gets scanned and
+    // tokenized twice and this fails.
+    val df = SparkEntry.queries("q68_tfidf_top_terms")(spark, sf)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints the final AND the initial plan —
+    // only the final one reflects runtime stage reuse
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      s"n_docs factor must ride a broadcast, not a cartesian:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"df branch must reuse the tf (doc, tok) shuffle, not re-tokenize:\n$p")
+    val tokenizingScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("text#"))
+    assert(tokenizingScans == 1,
+      s"expected ONE text-reading scan of documents, got $tokenizingScans:\n$p")
+  }
+
   test("q64: per-doc repetition metrics plan with ZERO data exchanges") {
     val p = plan("q64_text_repetition")
     // the only allowed exchange is the gate's deterministic ORDER BY

@@ -74,6 +74,23 @@ class StagesSpec extends SparkSpec {
     assert(got.contains("P-REAL"))
   }
 
+  test("resolvePatients: a null-patient EARLIEST assignment blocks later ones") {
+    // first-match is by order value alone: when the min-start_wear covering
+    // assignment has a NULL patient, the record gets NULL enrichment — it
+    // must NOT fall through to the later assignment's patient (wrong-patient
+    // attribution). Mirrors the oracle's ORDER BY start_wear ... rn = 1.
+    val asg = Seq(
+      ("NR1_DEVICE", null: String, ts("2021-11-03 00:00:00"), Some(ts("2021-11-08 00:00:00"))),
+      ("NR1_DEVICE", "P-LATER", ts("2021-11-04 00:00:00"), Some(ts("2021-11-08 00:00:00"))))
+      .toDF("device_id", "patient_id", "start_wear", "end_wear")
+    val got = Stages.resolvePatients(
+      records(Seq(("2021-11-05 10:00:00", "2021-11-05 12:00:00"))),
+      asg, today = "2022-01-01")
+      .select($"patient_id").as[Option[String]].head()
+    assert(got.isEmpty,
+      "null-patient first match must yield NULL enrichment, not the later patient")
+  }
+
   test("ingestDedup anti-joins on the sha256 identity and honors limit") {
     val incoming = Seq(("r1", "DRM"), ("r2", "DRM"), ("r3", "DRM"), ("r4", "DRM"))
       .toDF("manufacturer_ref", "device_type")
