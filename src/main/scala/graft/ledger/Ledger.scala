@@ -95,8 +95,46 @@ final class Ledger(spark: SparkSession, path: String, bucketWidth: Int = 1) {
     spark.read.parquet(path).drop("bucket")
   }
 
+  /** The ledger is SINGLE-writer (as its Mongo counterpart was via document
+    * atomicity): two concurrent merges could interleave per-bucket renames
+    * and publish a mix of both runs. Every mutating entry point takes this
+    * exclusive lock — an atomic O_EXCL create of `<path>_lock` — so the
+    * second writer fails FAST (before any staging work) instead of
+    * corrupting buckets. The lock carries pid/time/op for the error
+    * message. A writer that crashed while holding it leaves the file
+    * behind: recovery is (1) confirm no writer process is alive, (2)
+    * [[forceReleaseLock]], (3) rerun — recoverOrphans then restores any
+    * half-published bucket.
+    */
+  private def withWriterLock[T](op: String)(body: => T): T = {
+    val lock = new java.io.File(s"${path}_lock")
+    Option(lock.getParentFile).foreach(_.mkdirs())
+    if (!lock.createNewFile()) {
+      val held = try java.nio.file.Files.readString(lock.toPath)
+        catch { case _: Exception => "<unreadable>" }
+      throw new java.util.ConcurrentModificationException(
+        s"ledger at $path is locked by another writer [$held]; the ledger " +
+          "is single-writer — if that writer crashed, verify it is gone " +
+          "and call forceReleaseLock()")
+    }
+    try {
+      java.nio.file.Files.writeString(lock.toPath,
+        s"pid=${ProcessHandle.current().pid()} " +
+          s"at=${java.time.Instant.now()} op=$op")
+      body
+    } finally {
+      lock.delete()
+      ()
+    }
+  }
+
+  /** Break a stale writer lock after a crash — ONLY when the holding
+    * process is confirmed dead (see [[withWriterLock]]).
+    */
+  def forceReleaseLock(): Boolean = new java.io.File(s"${path}_lock").delete()
+
   /** Initialize (overwrite-all) with a first batch. */
-  def init(records: DataFrame): Unit = {
+  def init(records: DataFrame): Unit = withWriterLock("init") {
     withBucket(records).write
       .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
     spark.catalog.refreshByPath(path)
@@ -105,7 +143,7 @@ final class Ledger(spark: SparkSession, path: String, bucketWidth: Int = 1) {
   /** S7 — append records whose hash is not yet present (insert-only dedup,
     * db.py:76-86 + the J1 anti-join).
     */
-  def append(records: DataFrame): Unit = {
+  def append(records: DataFrame): Unit = withWriterLock("append") {
     val fresh = records.join(read().select("hash"), Seq("hash"), "left_anti") // read() validates width
     withBucket(fresh).write
       .partitionBy("bucket").mode(SaveMode.Append).parquet(path)
@@ -117,7 +155,7 @@ final class Ledger(spark: SparkSession, path: String, bucketWidth: Int = 1) {
     * read and rewritten.
     */
   def mergeNoOverride(updates: DataFrame,
-                      fields: Seq[String] = enrichable): Unit = {
+                      fields: Seq[String] = enrichable): Unit = withWriterLock("mergeNoOverride") {
     recoverOrphans()
     validateWidth()
     require(fields.forall(enrichable.contains),
@@ -144,7 +182,7 @@ final class Ledger(spark: SparkSession, path: String, bucketWidth: Int = 1) {
     * the groups, and only those are rewritten — flagging one upload group
     * at 100 TB touches k/|buckets| of the table, not all of it.
     */
-  def markUploaded(dmpIds: DataFrame): Unit = {
+  def markUploaded(dmpIds: DataFrame): Unit = withWriterLock("markUploaded") {
     recoverOrphans()
     validateWidth()
     val ids = broadcast(dmpIds.select(col("dmp_id").as("_u_dmp_id")).distinct())
@@ -168,7 +206,7 @@ final class Ledger(spark: SparkSession, path: String, bucketWidth: Int = 1) {
     * back to `filesPerBucket` (small-file hygiene — the operational chore
     * Delta/Iceberg schedule as OPTIMIZE).
     */
-  def compact(filesPerBucket: Int = 1): Unit = {
+  def compact(filesPerBucket: Int = 1): Unit = withWriterLock("compact") {
     recoverOrphans()
     validateWidth()
     val current = spark.read.parquet(path).coalesce(filesPerBucket * numBuckets)

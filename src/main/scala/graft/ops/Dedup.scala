@@ -114,21 +114,26 @@ object Dedup {
 
   /** SimHash near-dup pairs under a Hamming-distance threshold.
     *
-    * Default path (`blockBits = 0`) is EXACT and sub-quadratic via the
-    * pigeonhole multi-probe: the signature splits into `maxHamming + 1`
-    * bit-blocks, and a pair within the threshold differs in at most
-    * `maxHamming` blocks — so it matches EXACTLY in at least one block.
-    * Candidates come from an equi-join on (block index, block value)
-    * (~(k+1)× row fan-out, near-unique keys), then the true Hamming
-    * distance verifies. Identical result to all-pairs comparison, without
-    * the n² — this is what replaced the round-1 `crossJoin(broadcast)`.
-    *
-    * `blockBits > 0` is the LOSSY recall-trading variant: only pairs
+    * DEFAULT (`blockBits = 4`) is the blocked scale path: only pairs
     * sharing the `blockBits` high signature bits are compared at all
-    * (bucket-local; documented recall trade, gate q51).
+    * (bucket-local; a documented recall trade, gate q51). This is the
+    * behavior a user should hit without reading further — on a
+    * near-duplicate-heavy corpus the exact path's verified OUTPUT alone
+    * grows quadratically with cluster density (measured 5.8M pairs at 10×
+    * in SCALING.md), so exactness is the opt-in, not the default.
+    *
+    * `blockBits = 0` opts into the EXACT sub-quadratic pigeonhole
+    * multi-probe: the signature splits into `maxHamming + 1` bit-blocks,
+    * and a pair within the threshold differs in at most `maxHamming`
+    * blocks — so it matches EXACTLY in at least one block. Candidates
+    * come from an equi-join on (block index, block value) (~(k+1)× row
+    * fan-out, near-unique keys), then the true Hamming distance verifies.
+    * Identical result to all-pairs comparison, without the n² — this is
+    * what replaced the round-1 `crossJoin(broadcast)`. Gates q23/q55 pin
+    * this form explicitly.
     */
   def simHashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
-                   blockBits: Int = 0, bits: Int = 32): DataFrame = {
+                   blockBits: Int = 4, bits: Int = 32): DataFrame = {
     if (blockBits > 0) {
       val a = sigs.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"))
       val b = sigs.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"))
@@ -197,14 +202,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
-  /** Embedding near-duplicates: cosine above threshold, blocked by `blockCol`
-    * (e.g. a label / coarse cluster) so comparisons stay bucket-local.
-    */
-  /** Scale path for [[embeddingNearDup]]: candidates must ALSO collide in a
-    * `numPlanes`-bit random-hyperplane bucket, so block size (and the
-    * quadratic pair count) shrinks ~2^numPlanes-fold at a recall cost —
-    * measured in SCALING.md: the exact variant is the one operator that
-    * scales quadratically with density.
+  /** Scale path for [[embeddingNearDup]] (and its DEFAULT): candidates must
+    * ALSO collide in a `numPlanes`-bit random-hyperplane bucket, so block
+    * size (and the quadratic pair count) shrinks ~2^numPlanes-fold at a
+    * recall cost — measured in SCALING.md: the exact variant is the one
+    * operator that scales quadratically with density.
     */
   def embeddingNearDupLsh(embs: DataFrame, idCol: String, vecCol: String,
                           blockCol: String, minCosine: Double,
@@ -212,7 +214,7 @@ object Dedup {
     val sig = Similarity.planeSignature(embs, idCol, vecCol, numPlanes)
     val blocked = embs.join(sig, idCol)
       .withColumn("_block2", concat_ws("|", col(blockCol), col("sig")))
-    embeddingNearDup(blocked, idCol, vecCol, "_block2", minCosine)
+    embeddingNearDupExact(blocked, idCol, vecCol, "_block2", minCosine)
   }
 
   /** Canonicalize near-dup PAIR output into dedup decisions: connected
@@ -352,8 +354,27 @@ object Dedup {
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
+  /** Embedding near-duplicates: cosine above threshold, blocked by `blockCol`
+    * (e.g. a label / coarse cluster) so comparisons stay bucket-local.
+    *
+    * DEFAULT (`exact = false`) additionally sub-blocks each bucket by a
+    * `numPlanes`-bit hyperplane-LSH signature ([[embeddingNearDupLsh]]) —
+    * in-block comparison is quadratic, so at corpus scale the raw blocks
+    * are the failure mode, not the per-pair math. `exact = true` opts
+    * into the full in-block pairwise comparison (gate q27 pins it) —
+    * correct at any block size that fits the time budget, quadratic in
+    * the densest block.
+    */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
-                       blockCol: String, minCosine: Double): DataFrame = {
+                       blockCol: String, minCosine: Double,
+                       exact: Boolean = false,
+                       numPlanes: Int = 8): DataFrame =
+    if (exact) embeddingNearDupExact(embs, idCol, vecCol, blockCol, minCosine)
+    else embeddingNearDupLsh(embs, idCol, vecCol, blockCol, minCosine, numPlanes)
+
+  private[ops] def embeddingNearDupExact(
+      embs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minCosine: Double): DataFrame = {
     // raw float vectors through the shuffle; native kernels widen per element
     val withNorm = embs.select(col(idCol), col(blockCol),
       col(vecCol).as("dvec"))

@@ -28,14 +28,24 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (queries ⊆ corpus shape:
     * both need (idCol, vecCol)). Output: query_id, neighbor_id, rank, cosine.
+    *
+    * `broadcastQueries = false` drops the broadcast hint for query sets
+    * above the broadcast cap (corpus-vs-corpus): brute force has no
+    * equi-key, so the fallback is a distributed cartesian — every
+    * corpus partition streams past every query partition. That is the
+    * honest cost of EXACT all-pairs top-k; prefer [[lshTopK]] /
+    * [[ivfTopK]] (which keep an equi-key and shuffle instead) when the
+    * query side is large.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
-    val q = withNorm2(queries, idCol, vecCol)
+                     vecCol: String, k: Int,
+                     broadcastQueries: Boolean = true): DataFrame = {
+    val q0 = withNorm2(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("dvec").as("q_vec"), col("n2s").as("q_n2s"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
     val c = withNorm2(corpus, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("dvec").as("c_vec"), col("n2s").as("c_n2s"))
-    val pairs = c.join(broadcast(q)) // query side small → broadcast NL join
+    val pairs = c.join(q) // hinted: query side small → broadcast NL join
       .withColumn("cosine", VectorFns.cosineScaled(
         VectorFns.dotScaled(col("q_vec"), col("c_vec")), col("q_n2s"), col("c_n2s")))
     val w = Window.partitionBy(col("query_id"))
@@ -91,8 +101,14 @@ object Similarity {
     * shuffles once on its centroid id — the partition IS the inverted list,
     * so a probe touches |corpus|·nProbe/C candidates instead of |corpus|.
     */
+  /** `broadcastQueries = false`: the probe join routes through the existing
+    * `cent_id` equi-key as a shuffled join instead of broadcasting the
+    * query side — the corpus-vs-corpus path (gate q82 pins lshTopK's
+    * equivalent; same mechanism here).
+    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nProbe: Int,
+              broadcastQueries: Boolean = true): DataFrame = {
     val cent = broadcast(centroids
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
       .withColumn("cent_n2s", VectorFns.norm2Scaled(col("cent_vec"))))
@@ -110,10 +126,11 @@ object Similarity {
     val c = assign(withNorm2(corpus, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("dvec").as("neighbor_vec"),
         col("n2s").as("neighbor_n2s")), "neighbor", probes = 1)
-    val q = assign(withNorm2(queries, idCol, vecCol)
+    val q0 = assign(withNorm2(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("dvec").as("query_vec"),
         col("n2s").as("query_n2s")), "query", probes = nProbe)
-    val pairs = c.join(broadcast(q), "cent_id")
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val pairs = c.join(q, "cent_id")
       .withColumn("cosine", VectorFns.cosineScaled(
         VectorFns.dotScaled(col("query_vec"), col("neighbor_vec")),
         col("query_n2s"), col("neighbor_n2s")))
@@ -127,20 +144,27 @@ object Similarity {
   /** Bucketed ANN: candidates share the full signature bucket; exact cosine
     * re-rank inside the bucket. Output like [[bruteForceTopK]] (queries whose
     * bucket is otherwise empty yield no rows — the recall/latency trade).
+    *
+    * `broadcastQueries = false`: the candidate join routes through the
+    * existing `sig` equi-key as a shuffled join — the corpus-vs-corpus
+    * path, where the query side exceeds any broadcast cap (gate q82 pins
+    * it equal to the broadcast plan's result).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int): DataFrame = {
+              vecCol: String, k: Int, numPlanes: Int,
+              broadcastQueries: Boolean = true): DataFrame = {
     val qSig = planeSignature(queries, idCol, vecCol, numPlanes)
       .withColumnRenamed(idCol, "query_id")
     val cSig = planeSignature(corpus, idCol, vecCol, numPlanes)
       .withColumnRenamed(idCol, "neighbor_id")
-    val q = withNorm2(queries, idCol, vecCol)
+    val q0 = withNorm2(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("dvec").as("q_vec"), col("n2s").as("q_n2s"))
       .join(qSig, "query_id")
+    val q = if (broadcastQueries) broadcast(q0) else q0
     val c = withNorm2(corpus, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("dvec").as("c_vec"), col("n2s").as("c_n2s"))
       .join(cSig, "neighbor_id")
-    val pairs = c.join(broadcast(q), "sig")
+    val pairs = c.join(q, "sig")
       .withColumn("cosine", VectorFns.cosineScaled(
         VectorFns.dotScaled(col("q_vec"), col("c_vec")), col("q_n2s"), col("c_n2s")))
     val w = Window.partitionBy(col("query_id"))

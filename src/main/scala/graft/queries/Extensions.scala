@@ -96,7 +96,9 @@ object Extensions {
       ORDER BY doc_a, doc_b"""),
     (s, dir) => {
       val sigs = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text", bits = 32)
-      Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2).orderBy("doc_a", "doc_b")
+      // blockBits = 0 opts into the EXACT pigeonhole path — this gate pins it
+      Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2, blockBits = 0)
+        .orderBy("doc_a", "doc_b")
     })
 
   private val q24 = Q("q24_dedup_ngram_jaccard",
@@ -206,7 +208,7 @@ object Extensions {
       WHERE CAST(d.dot_s AS DOUBLE) / (sqrt(CAST(na.n2s AS DOUBLE)) * sqrt(CAST(nb.n2s AS DOUBLE))) >= 0.3
       ORDER BY doc_a, doc_b"""),
     (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"),
-      "vec_id", "embedding", "label", minCosine = 0.3)
+      "vec_id", "embedding", "label", minCosine = 0.3, exact = true)
       .orderBy("doc_a", "doc_b"))
 
   private val q28 = Q("q28_text_langid",
@@ -579,7 +581,7 @@ object Extensions {
       SELECT node AS doc_id, canonical_id FROM reach ORDER BY doc_id"""),
     (s, dir) => {
       val sigs = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text", bits = 32)
-      val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2)
+      val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2, blockBits = 0)
       Dedup.connectedComponents(pairs, "doc_a", "doc_b", outIdCol = "doc_id")
         .orderBy("doc_id")
     })
@@ -1095,8 +1097,48 @@ object Extensions {
       "label", "vec_id", "embedding", k = 5)
       .orderBy("label", "rank"))
 
+  private val q82 = Q("q82_ann_corpus_vs_corpus",
+    "lshTopK with broadcastQueries=false: the query side IS the corpus " +
+      "(exceeds any broadcast cap at scale), so the candidate join routes " +
+      "through the sig equi-key as a shuffled join — result must equal " +
+      "the broadcast plan's (6-plane buckets, top-2 incl. self)",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      planes AS (SELECT vec_id, b,
+                 SUM(CAST(floor((CAST('0x' || substr(sha256(CAST(b AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+                           % 2001 - 1000) * CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS pdot
+                 FROM el CROSS JOIN generate_series(0, 5) t(b) GROUP BY vec_id, b),
+      sig AS (SELECT vec_id,
+              SUM(CASE WHEN pdot >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+              FROM planes GROUP BY vec_id),
+      nrm AS (SELECT vec_id,
+              CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS n2s
+              FROM el GROUP BY 1),
+      cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM sig q JOIN sig c ON q.sig = c.sig),
+      dots AS (SELECT cand.query_id, cand.neighbor_id,
+               CAST(SUM(CAST(floor(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+               FROM cand JOIN el a ON a.vec_id = cand.query_id
+                         JOIN el b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+               GROUP BY 1, 2),
+      cosv AS (SELECT query_id, neighbor_id,
+               CAST(d.dot_s AS DOUBLE) / (sqrt(CAST(nq.n2s AS DOUBLE)) * sqrt(CAST(nc.n2s AS DOUBLE))) AS cosine
+               FROM dots d JOIN nrm nq ON d.query_id = nq.vec_id
+                           JOIN nrm nc ON d.neighbor_id = nc.vec_id),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank FROM cosv)
+      SELECT query_id, neighbor_id, rank, cosine FROM rk WHERE rank <= 2
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb, "vec_id", "embedding",
+        k = 2, numPlanes = 6, broadcastQueries = false)
+        .orderBy("query_id", "rank")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
-    q80, q81)
+    q80, q81, q82)
 }

@@ -40,7 +40,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("simhash: identical docs at hamming 0, near dups close, others far") {
     val sigs = Dedup.simHash(docs, "doc_id", "text", bits = 32)
-    val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 32)
+    val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 32, blockBits = 0)
       .select($"doc_a", $"doc_b", $"hamming")
       .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
     assert(pairs((1L, 2L)) == 0)
@@ -84,6 +84,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!got.contains(4L))  // antipodal vector lands in another bucket
   }
 
+  test("lshTopK / ivfTopK / bruteForceTopK: shuffled query side equals broadcast") {
+    // broadcastQueries=false must be a pure plan change (corpus-vs-corpus
+    // fallback for query sets above the broadcast cap) — same rows out
+    val lshB = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
+      k = 2, numPlanes = 8).collect().toSet
+    val lshS = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
+      k = 2, numPlanes = 8, broadcastQueries = false).collect().toSet
+    assert(lshS == lshB)
+    val bfB = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding",
+      k = 2).collect().toSet
+    val bfS = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding",
+      k = 2, broadcastQueries = false).collect().toSet
+    assert(bfS == bfB)
+    val cents = vecs.filter($"vec_id" <= 2)
+    val ivfB = Similarity.ivfTopK(vecs, vecs, cents, "vec_id", "embedding",
+      k = 2, nProbe = 1).collect().toSet
+    val ivfS = Similarity.ivfTopK(vecs, vecs, cents, "vec_id", "embedding",
+      k = 2, nProbe = 1, broadcastQueries = false).collect().toSet
+    assert(ivfS == ivfB)
+  }
+
   test("embeddingNearDup finds the aligned pair within the block") {
     val got = Dedup.embeddingNearDup(vecs.withColumn("label", lit(0)),
       "vec_id", "embedding", "label", minCosine = 0.9)
@@ -107,7 +128,7 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     val sigs = (base ++ planted).toDF("doc_id", "simhash")
     for (k <- Seq(1, 2, 3)) {
-      val got = Dedup.simHashPairs(sigs, "doc_id", maxHamming = k)
+      val got = Dedup.simHashPairs(sigs, "doc_id", maxHamming = k, blockBits = 0)
         .as[(Long, Long, Int)].collect().toSet
       val rows = (base ++ planted)
       val expected = (for {

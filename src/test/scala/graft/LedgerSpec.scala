@@ -64,6 +64,43 @@ class LedgerSpec extends SparkSpec {
     assert(led.read().count() == 3)
   }
 
+  test("second concurrent writer fails fast; lock releases on completion and error") {
+    val path = tmp()
+    val led = new Ledger(spark, path)
+    led.init(df(Seq(rec("a"), rec("b"))))
+    val updates = df(Seq(rec("a", serial = Some("S-A"))))
+      .select($"hash", $"device_serial", $"device_id", $"patient_id",
+        $"dmp_dataset", $"dmp_id")
+    // a writer holds the lock (as another process would mid-merge):
+    // every mutating entry point must fail fast, before staging anything
+    val lock = new java.io.File(s"${path}_lock")
+    assert(lock.createNewFile())
+    java.nio.file.Files.writeString(lock.toPath, "pid=999999 op=test")
+    for (op <- Seq(
+      () => led.mergeNoOverride(updates),
+      () => led.append(df(Seq(rec("z")))),
+      () => led.markUploaded(Seq("G-1").toDF("dmp_id")),
+      () => led.compact())) {
+      val e = intercept[java.util.ConcurrentModificationException](op())
+      assert(e.getMessage.contains("locked by another writer"))
+    }
+    assert(Option(new java.io.File(path).getParentFile.listFiles())
+      .getOrElse(Array.empty).count(_.getName.contains("_staging_")) == 0,
+      "a lock-blocked writer must not have staged anything")
+    // stale-lock remediation + normal release
+    assert(led.forceReleaseLock())
+    led.mergeNoOverride(updates)
+    assert(!lock.exists(), "lock must release after a successful merge")
+    // lock releases even when the merge itself fails (bad field)
+    intercept[IllegalArgumentException](
+      led.mergeNoOverride(updates.withColumnRenamed("device_serial", "nope"),
+        fields = Seq("nope")))
+    assert(!lock.exists(), "lock must release when the guarded body throws")
+    val got = led.read().select($"manufacturer_ref", $"device_serial")
+      .as[(String, Option[String])].collect().toMap
+    assert(got("a").contains("S-A"))
+  }
+
   test("compact preserves content and cleans the staging dir") {
     val path = tmp()
     val led = new Ledger(spark, path)

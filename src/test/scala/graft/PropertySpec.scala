@@ -169,7 +169,8 @@ class PropertySpec extends SparkSpec {
         h = java.lang.Long.bitCount(sa ^ sb) if h <= maxHamming
       } yield (ia, ib, h.toLong)).toSet
       val got = graft.ops.Dedup.simHashPairs(
-        docs.toDF("doc_id", "simhash"), "doc_id", maxHamming = maxHamming)
+        docs.toDF("doc_id", "simhash"), "doc_id", maxHamming = maxHamming,
+        blockBits = 0)
         .as[(Long, Long, Long)].collect().toSet
       assert(got == expected, s"maxHamming=$maxHamming: " +
         s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
