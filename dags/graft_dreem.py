@@ -86,7 +86,12 @@ with DAG(
         application=GRAFT_JAR,
         java_class="graft.EtlJob",
         conn_id="spark_default",
-        application_args=COMMON_ARGS + ["--stage", "extract_prep_load", "--upload-limit", "1", "--drm-base", "{{ conn.graft_drm.host }}", "--drm-jwt-url", "{{ conn.graft_drm.extra_dejson.jwt_url }}", "--drm-user", "{{ conn.graft_drm.login }}", "--drm-pass", "{{ conn.graft_drm.password }}", "--dmp-url", "{{ conn.graft_dmp.host }}", "--dmp-jwt-url", "{{ conn.graft_dmp.extra_dejson.jwt_url }}", "--dmp-user", "{{ conn.graft_dmp.login }}", "--dmp-pass", "{{ conn.graft_dmp.password }}", "--dmp-dataset", "{{ var.value.graft_dmp_dataset }}"],
+        application_args=COMMON_ARGS + ["--stage", "extract_prep_load", "--upload-limit", "1", "--drm-base", "{{ conn.graft_drm.host }}", "--drm-jwt-url", "{{ conn.graft_drm.extra_dejson.jwt_url }}", "--drm-user", "{{ conn.graft_drm.login }}", "--dmp-url", "{{ conn.graft_dmp.host }}", "--dmp-jwt-url", "{{ conn.graft_dmp.extra_dejson.jwt_url }}", "--dmp-user", "{{ conn.graft_dmp.login }}", "--dmp-dataset", "{{ var.value.graft_dmp_dataset }}"],
+        # secrets: env, NOT application_args (ps / Spark UI / event logs)
+        env_vars={
+            "GRAFT_DRM_PASS": "{{ conn.graft_drm.password }}",
+            "GRAFT_DMP_PASS": "{{ conn.graft_dmp.password }}",
+        },
     )
 
     cleanup = SparkSubmitOperator(

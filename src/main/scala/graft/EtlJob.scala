@@ -100,17 +100,30 @@ object EtlJob {
 
   /** Live fetch/push pair built from connection options (testable: pass a
     * scripted Transport).
+    *
+    * Credentials resolve from the GRAFT_DRM_PASS / GRAFT_DMP_PASS
+    * environment variables first: command-line args are world-readable on
+    * the submit host (`ps`), echoed into the Spark UI Environment tab via
+    * `sun.java.command`, and copied into event logs and YARN/K8s app
+    * specs — none of which conf redaction or a scheduler's log masker
+    * covers. `--drm-pass`/`--dmp-pass` remain as local FALLBACKS for
+    * tests; a deployment should never pass them (the generated DAG sets
+    * the env vars via SparkSubmitOperator env_vars; cluster deploy mode
+    * delivers them with spark.yarn.appMasterEnv.* / K8s secretKeyRef,
+    * DEPLOY.md).
     */
   def liveTransfer(opts: Map[String, String], transport: Transport):
       ((String, java.nio.file.Path) => Boolean, (String, java.nio.file.Path) => Boolean) = {
+    def secret(envKey: String, argKey: String): String =
+      sys.env.get(envKey).orElse(opts.get(argKey)).getOrElse("")
     val drmTokens = new BasicAuthTokenProvider(transport, ConnectionConfig(
       host = opts("drm-base"), login = opts.getOrElse("drm-user", ""),
-      password = opts.getOrElse("drm-pass", ""),
+      password = secret("GRAFT_DRM_PASS", "drm-pass"),
       jwtUrl = opts("drm-jwt-url"),
       jwtTokenPath = opts.getOrElse("drm-token-path", "token")))
     val dmpTokens = new SignatureAuthTokenProvider(transport, ConnectionConfig(
       host = opts("dmp-url"), login = opts.getOrElse("dmp-user", ""),
-      password = opts.getOrElse("dmp-pass", ""),
+      password = secret("GRAFT_DMP_PASS", "dmp-pass"),
       jwtUrl = opts("dmp-jwt-url"),
       jwtTokenPath = opts.getOrElse("dmp-token-path", "data.issueAccessToken.accessToken")))
     val drmBase = opts("drm-base")
@@ -138,11 +151,18 @@ object EtlJob {
     catch { case t: Throwable => upstreamFailure = t; throw t }
     finally
       // ALL_DONE means "cleanup runs even after an upstream failure", NOT
-      // "cleanup's own failure is ignored": swallow only to preserve an
-      // in-flight upstream exception; on a healthy chain it propagates
-      // (the reference's cleanup task still reports failed)
+      // "cleanup's own failure is ignored": on a healthy chain it
+      // propagates (the reference's cleanup task still reports failed).
+      // Catch Throwable, not Exception — a cleanup-time Error (OOM,
+      // LinkageError) thrown from this finally block would otherwise
+      // REPLACE the in-flight upstream exception and lose the root cause;
+      // instead it rides along as suppressed.
       try parts ++= runStage(spark, "cleanup", opts, transport)
-      catch { case e: Exception => if (upstreamFailure == null) throw e }
+      catch {
+        case e: Throwable =>
+          if (upstreamFailure == null) throw e
+          else if (upstreamFailure ne e) upstreamFailure.addSuppressed(e)
+      }
     val state = openLedger(spark, opts).read()
     (parts :+ ("ledger_rows" -> state.count())).toSeq
   }

@@ -26,7 +26,12 @@ final case class Task(
     triggerRule: String = "all_success",
     // extra EtlJob args beyond the common set, e.g. the per-run transfer
     // cap on extract (reference slices to 1 group/run, dags/dreem.py:283-287)
-    extraArgs: Seq[String] = Nil)
+    extraArgs: Seq[String] = Nil,
+    // environment for the spark-submit process — the secrets channel:
+    // application_args land on the driver command line (ps, Spark UI
+    // sun.java.command, event logs, YARN/K8s app specs — none redacted),
+    // env vars don't. EtlJob reads GRAFT_*_PASS from the environment.
+    envVars: Seq[(String, String)] = Nil)
 
 object Dag {
 
@@ -82,21 +87,23 @@ object DreemDag {
     Task("group_records", upstream = Seq("resolve_patient_ids")),
     Task("extract_prep_load", upstream = Seq("group_records"),
       // the transfer cap (reference slices to 1 group/run) plus the LIVE
-      // transfer endpoints/credentials — without these the stage resolves
-      // no transfer mode and silently uploads nothing (EtlJob falls back
-      // to transferFns = None); secrets come from Airflow's connection
-      // store, never the DAG file
+      // transfer endpoints — without these the stage resolves no transfer
+      // mode and silently uploads nothing (EtlJob falls back to
+      // transferFns = None). Endpoints/logins come from Airflow's
+      // connection store; the PASSWORDS go through envVars (never
+      // application args — those leak via ps / Spark UI / event logs)
       extraArgs = Seq(
         "--upload-limit", "1",
         "--drm-base", "{{ conn.graft_drm.host }}",
         "--drm-jwt-url", "{{ conn.graft_drm.extra_dejson.jwt_url }}",
         "--drm-user", "{{ conn.graft_drm.login }}",
-        "--drm-pass", "{{ conn.graft_drm.password }}",
         "--dmp-url", "{{ conn.graft_dmp.host }}",
         "--dmp-jwt-url", "{{ conn.graft_dmp.extra_dejson.jwt_url }}",
         "--dmp-user", "{{ conn.graft_dmp.login }}",
-        "--dmp-pass", "{{ conn.graft_dmp.password }}",
-        "--dmp-dataset", "{{ var.value.graft_dmp_dataset }}")),
+        "--dmp-dataset", "{{ var.value.graft_dmp_dataset }}"),
+      envVars = Seq(
+        "GRAFT_DRM_PASS" -> "{{ conn.graft_drm.password }}",
+        "GRAFT_DMP_PASS" -> "{{ conn.graft_dmp.password }}")),
     Task("cleanup", upstream = Seq("extract_prep_load"),
       triggerRule = "all_done"))
 
@@ -113,12 +120,19 @@ object DreemDag {
         if (t.triggerRule == "all_done")
           "\n        trigger_rule=TriggerRule.ALL_DONE,"
         else ""
+      val env =
+        if (t.envVars.isEmpty) ""
+        else t.envVars
+          .map { case (k, v) => s"""            "$k": "$v",""" }
+          .mkString(
+            "\n        # secrets: env, NOT application_args (ps / Spark UI" +
+              " / event logs)\n        env_vars={\n", "\n", "\n        },")
       s"""    ${t.id} = SparkSubmitOperator(
          |        task_id="${t.id}",
          |        application=GRAFT_JAR,
          |        java_class="graft.EtlJob",
          |        conn_id="spark_default",
-         |        application_args=COMMON_ARGS + ["--stage", "${t.id}"$extra],$trigger
+         |        application_args=COMMON_ARGS + ["--stage", "${t.id}"$extra],$env$trigger
          |    )""".stripMargin
     }.mkString("\n\n")
     val chain = ordered.map(_.id).mkString("\n        >> ")

@@ -156,6 +156,204 @@ object Multimodal {
       }
   }
 
+  // ---- video CONTAINER metadata (no decode) -------------------------------
+  // No video codecs exist offline, but the container headers are plain
+  // structured bytes: ISO BMFF (MP4) boxes and RIFF (AVI) chunks carry
+  // duration, dimensions, and the codec fourcc without touching a single
+  // compressed frame. This is the honest middle ground between "stub" and
+  // "decode": a curation pipeline can filter/route/shard on real geometry
+  // and codec long before any GPU decode stage.
+
+  final case class VideoMeta(doc_id: Long, container: String,
+                             duration_ms: Long, width: Int, height: Int,
+                             codec: String)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** First ISO-BMFF box of type `tpe` within [from, to); returns
+    * (payloadStart, payloadEnd) — payload excludes the 8/16-byte header.
+    */
+  private def findBox(b: Array[Byte], from: Int, to: Int,
+                      tpe: String): Option[(Int, Int)] = {
+    var o = from
+    while (o + 8 <= to) {
+      val size32 = be32(b, o)
+      val (hdr, size) =
+        if (size32 == 1L && o + 16 <= to) (16, be64(b, o + 8))
+        else if (size32 == 0L) (8, (to - o).toLong) // "extends to end"
+        else (8, size32)
+      if (size < hdr || o + size > to) return None // corrupt: stop walking
+      if (fourcc(b, o + 4) == tpe) return Some((o + hdr, o + size.toInt))
+      o += size.toInt
+    }
+    None
+  }
+
+  /** MP4/MOV: mvhd → duration, first trak's tkhd → 16.16 fixed-point
+    * dimensions, its stsd sample entry → codec fourcc. Corrupt or
+    * truncated boxes yield None, never a task failure.
+    */
+  private[graft] def parseMp4(id: Long, b: Array[Byte]): Option[VideoMeta] =
+    try {
+      if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
+      for {
+        (moovS, moovE) <- findBox(b, 0, b.length, "moov")
+        (mvhdS, _) <- findBox(b, moovS, moovE, "mvhd")
+        (trakS, trakE) <- findBox(b, moovS, moovE, "trak")
+        (tkhdS, tkhdE) <- findBox(b, trakS, trakE, "tkhd")
+      } yield {
+        val v = b(mvhdS) & 0xff // FullBox version
+        val (timescale, duration) =
+          if (v == 1) (be32(b, mvhdS + 20), be64(b, mvhdS + 24))
+          else (be32(b, mvhdS + 12), be32(b, mvhdS + 16))
+        // width/height are the LAST 8 bytes of tkhd in both versions
+        val width = (be32(b, tkhdE - 8) >> 16).toInt
+        val height = (be32(b, tkhdE - 4) >> 16).toInt
+        val codec = (for {
+          (mdiaS, mdiaE) <- findBox(b, trakS, trakE, "mdia")
+          (minfS, minfE) <- findBox(b, mdiaS, mdiaE, "minf")
+          (stblS, stblE) <- findBox(b, minfS, minfE, "stbl")
+          (stsdS, stsdE) <- findBox(b, stblS, stblE, "stsd")
+          if stsdS + 16 <= stsdE && be32(b, stsdS + 4) >= 1
+        } yield fourcc(b, stsdS + 12)).getOrElse("")
+        val durMs =
+          if (timescale > 0) duration * 1000L / timescale else 0L
+        VideoMeta(id, "mp4", durMs, width, height, codec)
+      }
+    } catch { case _: Exception => None }
+
+  /** First RIFF chunk of fourcc `tpe` (or LIST with listType `tpe`) within
+    * [from, to); returns the data range (after the 12-byte LIST header /
+    * 8-byte chunk header).
+    */
+  private def findRiff(b: Array[Byte], from: Int, to: Int,
+                       tpe: String): Option[(Int, Int)] = {
+    var o = from
+    while (o + 8 <= to) {
+      val id = fourcc(b, o)
+      val size = le32(b, o + 8 - 4) // chunk size after the fourcc
+      val end = o + 8 + size.toInt
+      if (size < 0 || end > to) return None
+      if (id == "LIST" && o + 12 <= to && fourcc(b, o + 8) == tpe)
+        return Some((o + 12, end))
+      if (id == tpe) return Some((o + 8, end))
+      o = end + (size.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** AVI (RIFF): `hdrl/avih` → µs-per-frame, frame count, dimensions;
+    * `strl/strh` with fccType `vids` → codec fourcc. Little-endian
+    * throughout; corrupt input yields None.
+    */
+  private[graft] def parseAvi(id: Long, b: Array[Byte]): Option[VideoMeta] =
+    try {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+        return None
+      for {
+        (hdrlS, hdrlE) <- findRiff(b, 12, b.length, "hdrl")
+        (avihS, avihE) <- findRiff(b, hdrlS, hdrlE, "avih")
+        if avihS + 40 <= avihE
+      } yield {
+        val usPerFrame = le32(b, avihS)
+        val totalFrames = le32(b, avihS + 16)
+        val width = le32(b, avihS + 32).toInt
+        val height = le32(b, avihS + 36).toInt
+        val codec = (for {
+          (strlS, strlE) <- findRiff(b, hdrlS, hdrlE, "strl")
+          (strhS, strhE) <- findRiff(b, strlS, strlE, "strh")
+          if strhS + 8 <= strhE && fourcc(b, strhS) == "vids"
+        } yield fourcc(b, strhS + 4)).getOrElse("")
+        VideoMeta(id, "avi", usPerFrame * totalFrames / 1000L,
+          width, height, codec)
+      }
+    } catch { case _: Exception => None }
+
+  /** Container metadata for a video payload column: MP4 (ISO BMFF) and AVI
+    * (RIFF) headers parsed without decoding a frame. Unparseable payloads
+    * are dropped (filter upstream on format if presence matters).
+    */
+  def videoMetadata(spark: SparkSession, withPayload: DataFrame):
+      Dataset[VideoMeta] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseMp4(id, bytes).orElse(parseAvi(id, bytes))
+      })
+  }
+
+  // fixture builders — the same byte layouts the parsers read, used by the
+  // q83 gate and MultimodalSpec to synthesize payloads offline (no real
+  // media files ship in this environment)
+
+  private def beBytes(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def leBytes(v: Long): Array[Byte] = beBytes(v).reverse
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    beBytes(payload.length + 8L) ++
+      tpe.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ payload
+
+  /** Minimal valid MP4: ftyp + moov(mvhd v0 + trak(tkhd + mdia/minf/stbl/
+    * stsd(codec))) — exactly the boxes [[parseMp4]] reads.
+    */
+  def buildMp4(timescale: Long, durationUnits: Long, width: Int,
+               height: Int, codec: String): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ beBytes(512) ++
+        "isomiso2".getBytes("ISO-8859-1"))
+    val mvhd = box("mvhd",
+      new Array[Byte](4) ++ // version 0 + flags
+        beBytes(0) ++ beBytes(0) ++ // ctime, mtime
+        beBytes(timescale) ++ beBytes(durationUnits) ++
+        new Array[Byte](80)) // rate..next_track_id
+    val tkhd = box("tkhd",
+      new Array[Byte](4) ++
+        beBytes(0) ++ beBytes(0) ++ beBytes(1) ++ beBytes(0) ++ // times, id
+        beBytes(durationUnits) ++
+        new Array[Byte](52) ++ // reserved, layer, group, volume, matrix
+        beBytes(width.toLong << 16) ++ beBytes(height.toLong << 16))
+    val stsd = box("stsd",
+      new Array[Byte](4) ++ beBytes(1) ++ // entry_count = 1
+        beBytes(86) ++ codec.getBytes("ISO-8859-1") ++ new Array[Byte](78))
+    val trak = box("trak",
+      tkhd ++ box("mdia", box("minf", box("stbl", stsd))))
+    ftyp ++ box("moov", mvhd ++ trak)
+  }
+
+  /** Minimal valid AVI: RIFF(AVI ) + LIST hdrl(avih + LIST strl(strh)) —
+    * exactly the chunks [[parseAvi]] reads.
+    */
+  def buildAvi(usPerFrame: Long, totalFrames: Long, width: Int,
+               height: Int, codec: String): Array[Byte] = {
+    def chunk(tpe: String, payload: Array[Byte]): Array[Byte] =
+      tpe.getBytes("ISO-8859-1") ++ leBytes(payload.length.toLong) ++
+        payload ++ (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tpe: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("ISO-8859-1") ++ payload)
+    val avih = chunk("avih",
+      leBytes(usPerFrame) ++ new Array[Byte](12) ++
+        leBytes(totalFrames) ++ new Array[Byte](12) ++
+        leBytes(width.toLong) ++ leBytes(height.toLong) ++
+        new Array[Byte](16))
+    val strh = chunk("strh",
+      "vids".getBytes("ISO-8859-1") ++ codec.getBytes("ISO-8859-1") ++
+        new Array[Byte](48))
+    val hdrl = list("hdrl", avih ++ list("strl", strh))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl
+    "RIFF".getBytes("ISO-8859-1") ++ leBytes(body.length.toLong) ++ body
+  }
+
   /** Partition-parallel feature extraction over the binary payload.
     *
     * `image/…` formats DECODE FOR REAL (javax.imageio): width/height/

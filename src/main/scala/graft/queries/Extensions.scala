@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontamination, Dedup, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Multimodal, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -1010,7 +1010,7 @@ object Extensions {
              strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
              strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
              vt IS NULL AS is_current
-      FROM v ORDER BY o_custkey, valid_from"""),
+      FROM v ORDER BY o_custkey, valid_from, o_orderpriority"""),
     (s, dir) => {
       val o = t(s, dir, "orders")
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
@@ -1021,7 +1021,12 @@ object Extensions {
           date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
           date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
           col("is_current"))
-        .orderBy("o_custkey", "valid_from")
+        // o_orderpriority tiebreak: two versions for one custkey can OPEN
+        // on the same o_orderdate (two priority changes on one date,
+        // tiebroken into versions by o_orderkey) — without it the gate's
+        // relative row order at equal (custkey, valid_from) is
+        // engine-dependent, a latent hash flake at other scale factors
+        .orderBy("o_custkey", "valid_from", "o_orderpriority")
     })
 
   private val q80 = Q("q80_rate_anomaly",
@@ -1137,8 +1142,45 @@ object Extensions {
         .orderBy("query_id", "rank")
     })
 
+  private val q83 = Q("q83_video_container_metadata",
+    "MP4/AVI container-header metadata without decoding a frame: payloads " +
+      "are synthesized per doc_id (no media files ship offline), parsed " +
+      "back by the ISO-BMFF/RIFF walkers, and the oracle predicts every " +
+      "extracted field arithmetically — a wrong box offset or endianness " +
+      "mismatch breaks the round-trip",
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+             CASE WHEN doc_id % 2 = 0 THEN 1000 + (doc_id * 7) % 100000
+                  ELSE (33333 * (100 + doc_id % 1000)) // 1000
+             END AS duration_ms,
+             CAST(doc_id % 640 + 1 AS INT) AS width,
+             CAST(doc_id % 480 + 1 AS INT) AS height,
+             CASE WHEN doc_id % 2 = 0
+                  THEN ['avc1','hev1','av01'][CAST(doc_id % 3 AS INT) + 1]
+                  ELSE ['XVID','MJPG','H264'][CAST(doc_id % 3 AS INT) + 1]
+             END AS codec
+      FROM documents ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 640 + 1).toInt
+          val h = (id % 480 + 1).toInt
+          if (id % 2 == 0)
+            (id, Multimodal.buildMp4(timescale = 1000,
+              durationUnits = 1000 + (id * 7) % 100000, w, h,
+              Seq("avc1", "hev1", "av01")((id % 3).toInt)))
+          else
+            (id, Multimodal.buildAvi(usPerFrame = 33333,
+              totalFrames = 100 + id % 1000, w, h,
+              Seq("XVID", "MJPG", "H264")((id % 3).toInt)))
+        }).toDF("doc_id", "payload")
+      Multimodal.videoMetadata(s, payloads).toDF().orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
-    q80, q81, q82)
+    q80, q81, q82, q83)
 }

@@ -40,10 +40,14 @@ class DagSpec extends AnyFunSuite {
     assert(extract.extraArgs.contains("--drm-base"))
     assert(extract.extraArgs.contains("--dmp-url"))
     assert(extract.extraArgs.contains("--dmp-dataset"))
-    // credentials come from Airflow's connection store, not Variables or
-    // literals
-    val credVals = extract.extraArgs.filter(_.contains("password"))
-    assert(credVals.nonEmpty && credVals.forall(_.startsWith("{{ conn.")))
+    // credentials come from Airflow's connection store and ride env_vars —
+    // NEVER application args (which leak via ps on the submit host, the
+    // Spark UI Environment tab, event logs, and YARN/K8s app specs)
+    assert(!extract.extraArgs.exists(_.contains("password")),
+      "passwords must not appear in application args")
+    val envKeys = extract.envVars.map(_._1).toSet
+    assert(envKeys == Set("GRAFT_DRM_PASS", "GRAFT_DMP_PASS"))
+    assert(extract.envVars.forall(_._2.startsWith("{{ conn.")))
   }
 
   test("topoSort rejects cycles, duplicate ids, and dangling upstreams") {

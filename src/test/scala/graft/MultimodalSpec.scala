@@ -105,6 +105,55 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(2).decoded, "video never claims a decode (no codec offline)")
   }
 
+  test("parseMp4 round-trips the builder and reads v1 mvhd/64-bit sizes") {
+    val b = Multimodal.buildMp4(timescale = 600, durationUnits = 3600,
+      width = 1920, height = 1080, codec = "avc1")
+    val got = Multimodal.parseMp4(7L, b)
+    assert(got.contains(Multimodal.VideoMeta(7L, "mp4",
+      duration_ms = 3600 * 1000L / 600, width = 1920, height = 1080,
+      codec = "avc1")))
+    // duration uses integer division on the movie timescale
+    val odd = Multimodal.parseMp4(1L, Multimodal.buildMp4(600, 601, 2, 2, "hev1"))
+    assert(odd.get.duration_ms == 601 * 1000L / 600)
+  }
+
+  test("parseAvi round-trips the builder (little-endian throughout)") {
+    val b = Multimodal.buildAvi(usPerFrame = 33333, totalFrames = 300,
+      width = 640, height = 480, codec = "XVID")
+    val got = Multimodal.parseAvi(9L, b)
+    assert(got.contains(Multimodal.VideoMeta(9L, "avi",
+      duration_ms = 33333L * 300 / 1000, width = 640, height = 480,
+      codec = "XVID")))
+  }
+
+  test("video parsers reject garbage, truncation, and the wrong container") {
+    val mp4 = Multimodal.buildMp4(1000, 1000, 64, 48, "avc1")
+    val avi = Multimodal.buildAvi(1000, 10, 64, 48, "MJPG")
+    assert(Multimodal.parseMp4(1L, "not a video at all".getBytes).isEmpty)
+    assert(Multimodal.parseAvi(1L, "RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.parseMp4(1L, avi).isEmpty)
+    assert(Multimodal.parseAvi(1L, mp4).isEmpty)
+    assert(Multimodal.parseMp4(1L, mp4.take(40)).isEmpty)   // truncated moov
+    assert(Multimodal.parseMp4(1L, Array.empty[Byte]).isEmpty)
+    // corrupt box size (claims to extend past the buffer) stops the walk
+    val corrupt = mp4.clone()
+    corrupt(mp4.length - 100) = 0x7f.toByte
+    assert(Multimodal.parseMp4(1L, corrupt.take(mp4.length - 60)).isEmpty ||
+      Multimodal.parseMp4(1L, corrupt.take(mp4.length - 60)).nonEmpty) // never throws
+  }
+
+  test("videoMetadata extracts per-container metadata and drops unparseable rows") {
+    val rows = Seq(
+      (1L, Multimodal.buildMp4(1000, 5000, 320, 240, "av01")),
+      (2L, Multimodal.buildAvi(40000, 250, 720, 576, "H264")),
+      (3L, "plain text payload".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.videoMetadata(spark, rows).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got.keySet == Set(1L, 2L)) // text row dropped, no task failure
+    assert(got(1L) == Multimodal.VideoMeta(1L, "mp4", 5000, 320, 240, "av01"))
+    assert(got(2L) == Multimodal.VideoMeta(2L, "avi", 10000, 720, 576, "H264"))
+  }
+
   test("extractFeatures is deterministic, dimension-correct, partition-independent") {
     val p = Multimodal.withPayload(docs)
     def run(parts: Int) =
