@@ -292,6 +292,103 @@ object Multimodal {
       })
   }
 
+  // ---- compressed-audio CONTAINER metadata (no decode) --------------------
+  // Same posture as video: no MP3/FLAC codecs offline, but the headers are
+  // structured bytes — enough for duration/rate/channel routing before any
+  // decode stage.
+
+  final case class AudioMeta(doc_id: Long, container: String,
+                             duration_ms: Long, sample_rate: Int,
+                             channels: Int, bitrate_kbps: Int)
+
+  // MPEG1 Layer III bitrate (kbps) and sample-rate tables, indexed by the
+  // 4-bit / 2-bit header fields
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  /** MP3 (MPEG1 Layer III, CBR): sync + first frame header → bitrate,
+    * sample rate, channel mode; duration from total size at the constant
+    * bitrate (the ID3-less CBR estimate every tag-free tool uses).
+    */
+  private[graft] def parseMp3(id: Long, b: Array[Byte]): Option[AudioMeta] =
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xfe) != 0xfa)
+        return None // sync 0xFFF + MPEG1(11) + Layer III(01) + any protection
+      val bitrate = Mp3Bitrates((b(2) & 0xf0) >> 4)
+      val rate = Mp3Rates((b(2) & 0x0c) >> 2)
+      if (bitrate == 0 || rate == 0) return None // free/bad indices
+      val channels = if (((b(3) & 0xc0) >> 6) == 3) 1 else 2
+      Some(AudioMeta(id, "mp3",
+        duration_ms = b.length.toLong * 8L / bitrate,
+        sample_rate = rate, channels = channels, bitrate_kbps = bitrate))
+    } catch { case _: Exception => None }
+
+  /** FLAC: `fLaC` magic + STREAMINFO block → sample rate (20 bits),
+    * channels (3 bits + 1), total samples (36 bits) → exact duration.
+    * Bitrate is not a FLAC header concept — reported as 0.
+    */
+  private[graft] def parseFlac(id: Long, b: Array[Byte]): Option[AudioMeta] =
+    try {
+      if (b.length < 42 || fourcc(b, 0) != "fLaC") return None
+      if ((b(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+      val o = 8 + 10 // skip block header (4) + min/max blocksize/framesize
+      // 64 bits at o: rate(20) | channels-1(3) | bps-1(5) | samples(36)
+      val hi = be64(b, o)
+      val rate = (hi >>> 44).toInt
+      val channels = ((hi >>> 41) & 0x7).toInt + 1
+      val samples = hi & 0xfffffffffL
+      if (rate == 0) return None
+      Some(AudioMeta(id, "flac",
+        duration_ms = samples * 1000L / rate,
+        sample_rate = rate, channels = channels, bitrate_kbps = 0))
+    } catch { case _: Exception => None }
+
+  /** Container metadata for compressed-audio payloads (MP3 CBR / FLAC). */
+  def audioMetadata(spark: SparkSession, withPayload: DataFrame):
+      Dataset[AudioMeta] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseFlac(id, bytes).orElse(parseMp3(id, bytes))
+      })
+  }
+
+  /** Minimal CBR MP3: one valid MPEG1-Layer-III header + zero padding to
+    * `totalBytes` (duration_ms = totalBytes * 8 / bitrate_kbps).
+    */
+  def buildMp3(bitrateIdx: Int, rateIdx: Int, mono: Boolean,
+               totalBytes: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
+    require(totalBytes >= 4)
+    val out = new Array[Byte](totalBytes)
+    out(0) = 0xff.toByte
+    out(1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+    out(2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte
+    out(3) = (if (mono) 0xc0 else 0x00).toByte
+    out
+  }
+
+  /** Minimal FLAC: magic + STREAMINFO with the packed rate/channels/samples
+    * word (duration_ms = totalSamples * 1000 / sampleRate).
+    */
+  def buildFlac(sampleRate: Int, channels: Int,
+                totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(channels >= 1 && channels <= 8)
+    require(totalSamples >= 0 && totalSamples < (1L << 36))
+    val hi = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) |
+      (16L - 1 << 36) | // 16-bit samples
+      totalSamples
+    "fLaC".getBytes("ISO-8859-1") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ // last-block flag + STREAMINFO(34)
+      new Array[Byte](10) ++ // blocksize/framesize bounds
+      (0 until 8).map(i => ((hi >>> ((7 - i) * 8)) & 0xff).toByte).toArray ++
+      new Array[Byte](16) // md5 of unencoded audio
+  }
+
   // fixture builders — the same byte layouts the parsers read, used by the
   // q83 gate and MultimodalSpec to synthesize payloads offline (no real
   // media files ship in this environment)

@@ -1179,8 +1179,51 @@ object Extensions {
       Multimodal.videoMetadata(s, payloads).toDF().orderBy("doc_id")
     })
 
+  private val q85 = Q("q85_audio_container_metadata",
+    "MP3/FLAC header metadata without decoding: CBR frame-header duration " +
+      "estimate for MP3, exact STREAMINFO duration for FLAC — synthesized " +
+      "payloads per doc_id, fields predicted arithmetically by the oracle " +
+      "(same round-trip discipline as q83)",
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS container,
+             CASE WHEN doc_id % 2 = 0 THEN
+               (([8000,16000,22050,24000,32000,44100,48000][CAST(doc_id % 7 AS INT) + 1]
+                  * (doc_id % 30 + 1) + doc_id % 997) * 1000)
+                 // [8000,16000,22050,24000,32000,44100,48000][CAST(doc_id % 7 AS INT) + 1]
+             ELSE 8 * (10 + doc_id % 90) END AS duration_ms,
+             CAST(CASE WHEN doc_id % 2 = 0
+                  THEN [8000,16000,22050,24000,32000,44100,48000][CAST(doc_id % 7 AS INT) + 1]
+                  ELSE [44100,48000,32000][CAST(doc_id % 3 AS INT) + 1]
+             END AS INT) AS sample_rate,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 2 + 1
+                  WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS INT) AS channels,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                  ELSE [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(doc_id % 14 AS INT) + 1]
+             END AS INT) AS bitrate_kbps
+      FROM documents ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val rates = Array(8000, 16000, 22050, 24000, 32000, 44100, 48000)
+      val kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      val payloads = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 2 == 0) {
+            val sr = rates((id % 7).toInt)
+            (id, Multimodal.buildFlac(sr, channels = (id % 2 + 1).toInt,
+              totalSamples = sr.toLong * (id % 30 + 1) + id % 997))
+          } else {
+            val bi = (id % 14).toInt + 1
+            (id, Multimodal.buildMp3(bitrateIdx = bi, rateIdx = (id % 3).toInt,
+              mono = id % 4 == 1,
+              totalBytes = kbps(bi - 1) * (10 + (id % 90)).toInt))
+          }
+        }).toDF("doc_id", "payload")
+      Multimodal.audioMetadata(s, payloads).toDF().orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
-    q80, q81, q82, q83)
+    q80, q81, q82, q83, q85)
 }

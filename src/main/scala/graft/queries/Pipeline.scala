@@ -301,13 +301,8 @@ object Pipeline {
         .orderBy("event_type", "rank")
     })
 
-  private val q70 = Q("q70_interval_join_production",
-    "J4 production path, standalone: Stages.resolvePatients (day-bucket " +
-      "equi-join + suffix-min interval index + two-pass min-agg) over the " +
-      "q05 fixture shape — gates the optimized interval join outside q18's " +
-      "composite (ucam.py:119-136). q05 keeps the deliberately-naive " +
-      "row_number form for contrast; this is the one the pipeline runs.",
-    Some("""
+  /** Shared q70/q84 fixture (the q05 shape + null patients) and oracle. */
+  private val intervalOracle = """
       WITH recs AS (
         SELECT event_id AS record_id,
                'DEV-' || CAST(user_id % 25 AS VARCHAR) AS device_id,
@@ -332,30 +327,51 @@ object Pipeline {
              AND CAST(r.re AS DATE) BETWEEN a.start_wear
                    AND coalesce(a.end_wear, DATE '2024-02-15'))
       SELECT record_id, a_patient AS patient_id FROM j WHERE rn = 1
-      ORDER BY record_id"""),
-    (s, dir) => {
-      val recs = Tables.table(s, dir, "events").select(
-        col("event_id").as("record_id"),
-        col("event_id").cast("string").as("hash"),
-        concat(lit("DEV-"), pmod(col("user_id"), lit(25)).cast("string")).as("device_id"),
-        col("ts").as("start"),
-        (col("ts") + expr("INTERVAL 2 HOURS")).as("end"),
-        lit(null).cast("string").as("patient_id"))
-      val aStart = date_add(to_date(lit("2024-01-01")),
-        pmod(col("o_orderkey"), lit(25)).cast("int"))
-      val assignments = Tables.table(s, dir, "orders").select(
-        concat(lit("DEV-"), pmod(col("o_custkey"), lit(25)).cast("string")).as("device_id"),
-        when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
-          .otherwise(concat(lit("P-"), col("o_custkey").cast("string")))
-          .as("patient_id"),
-        aStart.cast("timestamp").as("start_wear"),
-        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
-          .otherwise(date_add(aStart, 3)).cast("timestamp").as("end_wear"))
-        .distinct()
-      Stages.resolvePatients(recs, assignments, today = "2024-02-15")
-        .select(col("record_id"), col("patient_id"))
-        .orderBy("record_id")
-    })
+      ORDER BY record_id"""
+
+  private def intervalJoinQuery(s: SparkSession, dir: String,
+                                broadcastAssignments: Boolean): DataFrame = {
+    val recs = Tables.table(s, dir, "events").select(
+      col("event_id").as("record_id"),
+      col("event_id").cast("string").as("hash"),
+      concat(lit("DEV-"), pmod(col("user_id"), lit(25)).cast("string")).as("device_id"),
+      col("ts").as("start"),
+      (col("ts") + expr("INTERVAL 2 HOURS")).as("end"),
+      lit(null).cast("string").as("patient_id"))
+    val aStart = date_add(to_date(lit("2024-01-01")),
+      pmod(col("o_orderkey"), lit(25)).cast("int"))
+    val assignments = Tables.table(s, dir, "orders").select(
+      concat(lit("DEV-"), pmod(col("o_custkey"), lit(25)).cast("string")).as("device_id"),
+      when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
+        .otherwise(concat(lit("P-"), col("o_custkey").cast("string")))
+        .as("patient_id"),
+      aStart.cast("timestamp").as("start_wear"),
+      when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+        .otherwise(date_add(aStart, 3)).cast("timestamp").as("end_wear"))
+      .distinct()
+    Stages.resolvePatients(recs, assignments, today = "2024-02-15",
+        broadcastAssignments = broadcastAssignments)
+      .select(col("record_id"), col("patient_id"))
+      .orderBy("record_id")
+  }
+
+  private val q70 = Q("q70_interval_join_production",
+    "J4 production path, standalone: Stages.resolvePatients (day-bucket " +
+      "equi-join + suffix-min interval index + two-pass min-agg) over the " +
+      "q05 fixture shape — gates the optimized interval join outside q18's " +
+      "composite (ucam.py:119-136). q05 keeps the deliberately-naive " +
+      "row_number form for contrast; this is the one the pipeline runs.",
+    Some(intervalOracle),
+    (s, dir) => intervalJoinQuery(s, dir, broadcastAssignments = true))
+
+  private val q84 = Q("q84_interval_join_no_broadcast",
+    "the interval join's huge-assignment-table fallback: " +
+      "broadcastAssignments=false degrades the suffix-min index probe to a " +
+      "shuffled join on the (device, day) bucket key — PLANS.md's one " +
+      "deliberate exception to broadcast-the-small-side, gated equal to " +
+      "q70's broadcast plan",
+    Some(intervalOracle),
+    (s, dir) => intervalJoinQuery(s, dir, broadcastAssignments = false))
 
   private val q75 = Q("q75_streaming_curation",
     "incremental corpus curation: AvailableNow drain through the quality " +
@@ -386,5 +402,5 @@ object Pipeline {
       s.table(name).orderBy("lang")
     })
 
-  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75)
+  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84)
 }

@@ -1,0 +1,147 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming steady-state bench: the per-round driver numbers for
+  * q33/q56/q75 are COLD starts (fresh checkpoint, full drain, JVM/codegen
+  * warmup inside the measurement). This tool measures what a production
+  * incremental pipeline actually feels: the SECOND AvailableNow drain
+  * against the same checkpoint, after a new source file lands.
+  *
+  * Method: stage the source table as a file in a scratch dir; drain once
+  * (cold — builds dedup/window state from zero); copy the SAME file in
+  * again under a new name (a redelivery — identical volume, zero schema
+  * drift) and drain again (warm — state loaded from checkpoint, every
+  * incoming row probes existing state). Repeated for the default
+  * (HDFS-backed) and RocksDB state-store providers.
+  *
+  * Output: one JSON line per (query, provider) with cold_s and warm_s.
+  */
+object StreamBench {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def drain(df: DataFrame, name: String, cp: String): Double = {
+    val t0 = System.nanoTime()
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (provider <- Seq("hdfs", "rocksdb")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        if (provider == "rocksdb")
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+
+      val work = Files.createTempDirectory(s"graft-streambench-$provider")
+      // per-SHAPE source dirs: two shapes sharing one dir would see each
+      // other's redelivered files, making the later shape's "warm" drain a
+      // no-op over zero new files
+      def stage(shape: String, table: String, leaf: String): String = {
+        val src = Paths.get(sfDir, s"$table.parquet")
+        val dir = work.resolve(s"$shape-$table")
+        Files.createDirectories(dir)
+        Files.copy(src, dir.resolve(leaf), StandardCopyOption.REPLACE_EXISTING)
+        dir.toString
+      }
+      def redeliver(shape: String, table: String, leaf: String): Unit = {
+        Files.copy(Paths.get(sfDir, s"$table.parquet"),
+          work.resolve(s"$shape-$table").resolve(leaf),
+          StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      // absorb JVM/codegen/stream-machinery warmup outside the measurements
+      // (the first streaming query in a JVM pays JIT + codegen compilation)
+      locally {
+        val dir = stage("warmup", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_warmup").toString
+        drain(spark.readStream.schema(eventsSchema).parquet(dir)
+          .groupBy("event_type").agg(count(lit(1)).as("n")),
+          s"sb_warm_$provider", cp)
+      }
+
+      // q33 shape: sha256 dedup state + aggregate
+      locally {
+        val dir = stage("ingest", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_ingest").toString
+        def q = spark.readStream.schema(eventsSchema).parquet(dir)
+          .withColumn("hash", graft.functions.Etl.recordHash(
+            lit("DRM"), col("event_id").cast("string")))
+          .dropDuplicates("hash")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+        results(s"ingest_dedup/$provider/cold") =
+          drain(q, s"sb_i_$provider", cp)
+        redeliver("ingest", "events", "batch_001.parquet")
+        results(s"ingest_dedup/$provider/warm") =
+          drain(q, s"sb_i2_$provider", cp)
+      }
+
+      // q56 shape: 1-day tumbling window at the 12:00 cut-off
+      locally {
+        val dir = stage("window", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_window").toString
+        def q = graft.streaming.IncrementalIngest.dayBucketCounts(
+          spark.readStream.schema(eventsSchema).parquet(dir)
+            .select(col("event_type").as("device_id"),
+              timestamp_micros(expr("ts div 1000")).as("start")),
+          "12:00:00")
+        results(s"day_window/$provider/cold") =
+          drain(q, s"sb_w_$provider", cp)
+        redeliver("window", "events", "batch_001.parquet")
+        results(s"day_window/$provider/warm") =
+          drain(q, s"sb_w2_$provider", cp)
+      }
+
+      // q75 shape: quality filter + (lang, content-hash) dedup state
+      locally {
+        val dir = stage("curate", "documents", "batch_000.parquet")
+        val cp = work.resolve("cp_curate").toString
+        def q = graft.streaming.IncrementalIngest.curateDocuments(
+          spark.readStream.schema(docsSchema).parquet(dir),
+          minChars = 150, langs = Seq("de", "en", "fr"))
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+        results(s"curation/$provider/cold") =
+          drain(q, s"sb_c_$provider", cp)
+        redeliver("curate", "documents", "batch_001.parquet")
+        results(s"curation/$provider/warm") =
+          drain(q, s"sb_c2_$provider", cp)
+      }
+    }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_bench","sf":"$sfDir","timings":$qs}""")
+    spark.stop()
+  }
+}

@@ -154,6 +154,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == Multimodal.VideoMeta(2L, "avi", 10000, 720, 576, "H264"))
   }
 
+  test("parseMp3/parseFlac round-trip the builders; reject non-audio") {
+    // MP3: CBR estimate — 128 kbps over 16000 bytes = 1000 ms exactly
+    val mp3 = Multimodal.buildMp3(bitrateIdx = 9, rateIdx = 0,
+      mono = true, totalBytes = 16000)
+    assert(Multimodal.parseMp3(3L, mp3).contains(Multimodal.AudioMeta(
+      3L, "mp3", duration_ms = 1000, sample_rate = 44100, channels = 1,
+      bitrate_kbps = 128)))
+    // FLAC: exact STREAMINFO duration, fractional remainder floor-divided
+    val flac = Multimodal.buildFlac(sampleRate = 48000, channels = 2,
+      totalSamples = 48000L * 3 + 12345)
+    assert(Multimodal.parseFlac(5L, flac).contains(Multimodal.AudioMeta(
+      5L, "flac", duration_ms = (48000L * 3 + 12345) * 1000 / 48000,
+      sample_rate = 48000, channels = 2, bitrate_kbps = 0)))
+    assert(Multimodal.parseMp3(1L, flac).isEmpty)
+    assert(Multimodal.parseFlac(1L, mp3).isEmpty)
+    assert(Multimodal.parseMp3(1L, Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseFlac(1L, flac.take(20)).isEmpty) // truncated
+    // free-bitrate (idx 0) and reserved sample-rate indices are rejected
+    val badRate = mp3.clone(); badRate(2) = ((9 << 4) | (3 << 2)).toByte
+    assert(Multimodal.parseMp3(1L, badRate).isEmpty)
+  }
+
   test("extractFeatures is deterministic, dimension-correct, partition-independent") {
     val p = Multimodal.withPayload(docs)
     def run(parts: Int) =
