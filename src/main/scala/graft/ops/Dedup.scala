@@ -27,6 +27,48 @@ object Dedup {
       .groupBy("text_sha")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Span-level corpus dedup (RefinedWeb/Falcon-style): split each document
+    * on `sep`, drop every span occurrence except the corpus-wide FIRST
+    * (minimum (doc, position) over all documents sharing the span's 60-bit
+    * content hash), and reassemble the surviving spans in original order.
+    * Exact-duplicate boilerplate (headers, footers, license blocks,
+    * navigation chrome) vanishes from every document but its first.
+    *
+    * Output: idCol, n_spans, n_kept, text_deduped (empty string when every
+    * span of a document appeared earlier elsewhere).
+    *
+    * Shape at 100 TB: posexplode → ONE hash aggregate on the span hash
+    * (uniform 60-bit key, map-side combined) → join back on that same key →
+    * ONE aggregate on the doc id. Spans travel as 8-byte hashes through the
+    * winner aggregate; full span text only rides the final reassembly.
+    * First-occurrence is a total order (doc, pos), so the result is
+    * deterministic under any partitioning.
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    val spans = docs
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "span")))
+      .withColumn("sh", TextFns.hash64(col("span")))
+    val firsts = spans
+      .groupBy(col("sh"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+      .select(col("sh"), col("_first").getField(idCol).as("_f_id"),
+        col("_first").getField("pos").as("_f_pos"))
+    val kept = spans.join(firsts, "sh")
+      .withColumn("_keep", col(idCol) === col("_f_id") && col("pos") === col("_f_pos"))
+    kept.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"),
+              struct(col("pos"), col("span"))))),
+            s => s.getField("span")),
+          sep).as("text_deduped"))
+  }
+
   /** MinHash signatures: one row per (id, hashIndex) with the min seeded
     * hash over the doc's distinct word-`shingleSize`-gram shingles.
     *

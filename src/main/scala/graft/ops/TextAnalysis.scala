@@ -26,6 +26,39 @@ object TextAnalysis {
     "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "es", "es" -> "un",
     "zh" -> "的", "zh" -> "是", "zh" -> "了")
 
+  /** PII patterns for [[redactPii]] — deliberately engine-portable regex
+    * (character classes + bounded quantifiers only: no lookaround, no
+    * backreferences), so Java regex and the oracle's RE2 agree match for
+    * match. Order matters: emails are scrubbed before digit runs so an
+    * address with a numeric local part counts once, as an email.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "id_number" -> "[0-9]{7,}")
+
+  /** PII redaction — the scrubbing pass every public-data curation pipeline
+    * runs before training: emails, IPv4 literals, and long digit runs
+    * (phone/account/SSN-shaped) are replaced with a typed placeholder like
+    * `<EMAIL>`. Row-local (one scan, zero exchanges); counts per category
+    * ride along for the pipeline's redaction-rate metrics.
+    *
+    * Output: all input columns + text_redacted + n_<category> counts.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // counts are taken in scrub order on the progressively-redacted text —
+    // a digit run inside an email must count as the email, not both
+    val work = docs.withColumn("__pii_work", col(textCol))
+    val scrubbed = PiiPatterns.foldLeft(work) { case (df, (name, pat)) =>
+      df.withColumn(s"n_$name",
+        size(regexp_extract_all(col("__pii_work"), lit(pat), lit(0)))
+          .cast("long"))
+        .withColumn("__pii_work",
+          regexp_replace(col("__pii_work"), pat, s"<${name.toUpperCase}>"))
+    }
+    scrubbed.withColumnRenamed("__pii_work", "text_redacted")
+  }
+
   /** Language-ID: score = wordlist hits per language; argmax with
     * lexicographic tiebreak (deterministic for zero-evidence docs).
     * Output: doc_id, pred_lang, score + the labelled lang for comparison.

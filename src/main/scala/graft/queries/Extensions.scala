@@ -1222,8 +1222,90 @@ object Extensions {
       Multimodal.audioMetadata(s, payloads).toDF().orderBy("doc_id")
     })
 
+  private val q86 = Q("q86_pii_redaction",
+    "PII scrub before training: emails, IPv4 literals, and 7+-digit runs " +
+      "replaced with typed placeholders, per-category counts for redaction-" +
+      "rate metrics; row-local. PII is synthesized deterministically into " +
+      "the corpus (none exists in the testdata) with identical expressions " +
+      "on both sides; patterns are engine-portable (no lookaround).",
+    Some("""
+      WITH p AS (SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 100 AS VARCHAR)
+                        || ' ref ' || CAST(1000000 + doc_id * 13 AS VARCHAR) AS text
+                 FROM documents),
+      s1 AS (SELECT doc_id, text,
+               len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+               regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t1
+             FROM p),
+      s2 AS (SELECT doc_id, n_email,
+               len(regexp_extract_all(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+               regexp_replace(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS t2
+             FROM s1),
+      s3 AS (SELECT doc_id, n_email, n_ipv4,
+               len(regexp_extract_all(t2, '[0-9]{7,}')) AS n_id_number,
+               regexp_replace(t2, '[0-9]{7,}', '<ID_NUMBER>', 'g') AS text_redacted
+             FROM s2)
+      SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+             CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+             CAST(n_id_number AS BIGINT) AS n_id_number, text_redacted
+      FROM s3 ORDER BY doc_id"""),
+    (s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+          pmod(col("doc_id"), lit(100)).cast("string"),
+          lit(" ref "), (col("doc_id") * 13 + 1000000).cast("string"))
+          .as("text"))
+      TextAnalysis.redactPii(withPii)
+        .select("doc_id", "n_email", "n_ipv4", "n_id_number", "text_redacted")
+        .orderBy("doc_id")
+    })
+
+  private val q87 = Q("q87_span_dedup",
+    "RefinedWeb-style span-level corpus dedup: documents split into 5-word " +
+      "spans (synthesized line structure — the corpus is flat text), every " +
+      "span occurrence except the corpus-wide first (min (doc, pos)) " +
+      "removed, survivors reassembled in order. One uniform-hash shuffle + " +
+      "one doc-key aggregate.",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      ln AS (SELECT doc_id,
+               list_transform(generate_series(0, CAST(ceil(len(ws) / 5.0) AS INT) - 1),
+                 i -> array_to_string(ws[(i*5+1):(i*5+5)], ' ')) AS lines
+             FROM w),
+      sp AS (SELECT doc_id, unnest(lines) AS span,
+                    unnest(generate_series(1, len(lines))) - 1 AS pos
+             FROM ln),
+      fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY span
+                        ORDER BY doc_id, pos) AS rn FROM sp),
+      agg AS (SELECT doc_id, count(*) AS n_spans,
+                SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                string_agg(CASE WHEN rn = 1 THEN span END, chr(10) ORDER BY pos) AS text_deduped
+              FROM fr GROUP BY doc_id)
+      SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+             CAST(n_kept AS BIGINT) AS n_kept,
+             coalesce(text_deduped, '') AS text_deduped
+      FROM agg ORDER BY doc_id"""),
+    (s, dir) => {
+      val ws = split(col("text"), " ")
+      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), k - 1),
+            i => array_join(slice(ws, i * 5 + 1, lit(5)), " ")),
+          "\n").as("text"))
+      Dedup.dedupSpans(lined, "doc_id", "text")
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
-    q80, q81, q82, q83, q85)
+    q80, q81, q82, q83, q85, q86, q87)
 }

@@ -14,6 +14,41 @@ import graft.sources.LookupCsv
 class MiscOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("redactPii scrubs emails/ips/digit-runs in order, counts per category") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server 192.168.1.100 acct 12345678 and 999"),
+      (3L, "clean text only"),
+      (4L, "u9999999@d.co then 10.0.0.1")) // digits inside email count ONCE
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.redactPii(docs)
+      .select($"doc_id", $"n_email", $"n_ipv4", $"n_id_number", $"text_redacted")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 1L, 0L, 0L, "mail <EMAIL> now")))
+    assert(got(2L) == ((2L, 0L, 1L, 1L, "server <IPV4> acct <ID_NUMBER> and 999")))
+    assert(got(3L) == ((3L, 0L, 0L, 0L, "clean text only")))
+    assert(got(4L) == ((4L, 1L, 1L, 0L, "<EMAIL> then <IPV4>")))
+  }
+
+  test("dedupSpans keeps the corpus-wide FIRST occurrence of each span") {
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma"),   // 'shared' first seen in doc 1 pos 1
+      (3L, "shared"))           // fully boilerplate -> empty survivor
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dedupSpans(docs, "doc_id", "text")
+      .select($"doc_id", $"n_spans", $"n_kept", $"text_deduped")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 3L, 3L, "alpha\nshared\nbeta")))
+    assert(got(2L) == ((2L, 2L, 1L, "gamma")))
+    assert(got(3L) == ((3L, 1L, 0L, "")))
+    // deterministic under repartitioning (first-occurrence is a total order)
+    val re = graft.ops.Dedup.dedupSpans(docs.repartition(7), "doc_id", "text")
+      .select($"doc_id", $"text_deduped").as[(Long, String)].collect().toMap
+    assert(re(2L) == "gamma" && re(3L) == "")
+  }
+
   test("LookupCsv reads headerless key,value and dedups keys first-wins") {
     val dir = Files.createTempDirectory("graft-csv")
     Files.write(dir.resolve("uid_serial.csv"),
