@@ -37,12 +37,15 @@ object Dedup {
     * Output: idCol, n_spans, n_kept, text_deduped (empty string when every
     * span of a document appeared earlier elsewhere).
     *
-    * Shape at 100 TB: posexplode → ONE hash aggregate on the span hash
-    * (uniform 60-bit key, map-side combined) → join back on that same key →
-    * ONE aggregate on the doc id. Spans travel as 8-byte hashes through the
-    * winner aggregate; full span text only rides the final reassembly.
+    * Shape at 100 TB: posexplode → ONE window over the span hash (uniform
+    * 60-bit key: partitions are duplicate-groups, typically tiny, so the
+    * per-group sort is trivial) → ONE aggregate on the doc id. A
+    * groupBy-winner + join-back formulation was measurably worse: the
+    * winner side re-scans and re-splits the whole corpus (same
+    * double-tokenize trap q68 had), where the window reads spans once.
     * First-occurrence is a total order (doc, pos), so the result is
-    * deterministic under any partitioning.
+    * deterministic under any partitioning — pinned in MiscOpsSpec and
+    * PlanIntegritySpec (2 exchanges, 1 scan).
     */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame = {
@@ -50,13 +53,8 @@ object Dedup {
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "span")))
       .withColumn("sh", TextFns.hash64(col("span")))
-    val firsts = spans
-      .groupBy(col("sh"))
-      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
-      .select(col("sh"), col("_first").getField(idCol).as("_f_id"),
-        col("_first").getField("pos").as("_f_pos"))
-    val kept = spans.join(firsts, "sh")
-      .withColumn("_keep", col(idCol) === col("_f_id") && col("pos") === col("_f_pos"))
+    val w = Window.partitionBy(col("sh")).orderBy(col(idCol), col("pos"))
+    val kept = spans.withColumn("_keep", row_number().over(w) === 1)
     kept.groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_spans"),

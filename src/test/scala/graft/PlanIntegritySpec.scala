@@ -242,6 +242,32 @@ class PlanIntegritySpec extends SparkSpec {
       s"expected ONE text-reading scan of documents, got $tokenizingScans:\n$p")
   }
 
+  test("q86: PII redaction is row-local — ZERO data exchanges, no UDF") {
+    val p = plan("q86_pii_redaction")
+    // only the gate's deterministic ORDER BY (rangepartitioning) may appear
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"redaction must not shuffle:\n$p")
+    assert(!p.contains("Join"), "redaction must not join")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      "regex scrub must stay codegen, not a scalar UDF")
+  }
+
+  test("q87: span dedup is TWO hash exchanges and ONE corpus scan — no join") {
+    val p = plan("q87_span_dedup")
+    // first-occurrence window keys on the 60-bit span hash; reassembly on
+    // doc_id — a 3rd exchange or a Join means the groupBy-winner+join-back
+    // form (which re-scans and re-splits the whole corpus) crept back
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"expected exactly 2 hash exchanges (span window, doc rebuild), got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"span dedup must not join:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$p")
+    assert(p.contains("graft_hash64"),
+      s"span identity must be the shared 60-bit hash family:\n$p")
+  }
+
   test("q64: per-doc repetition metrics plan with ZERO data exchanges") {
     val p = plan("q64_text_repetition")
     // the only allowed exchange is the gate's deterministic ORDER BY
