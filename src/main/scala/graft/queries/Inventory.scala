@@ -975,9 +975,135 @@ object Inventory {
         .orderBy("event_type")
     })
 
+  // ---------------------------------------------------------------- q88
+  /** q88/q89 derive a partsupp stand-in from lineitem (the driver testdata
+    * has no partsupp table): supply cost = exact decimal MIN of the part's
+    * prices at that supplier, availqty = a deterministic function of the
+    * pair — identical CTE text on both sides.
+    */
+  private val q88 = Q("q88_tpch_q2_min_cost_supplier",
+    "TPC-H Q2 shape: minimum-cost supplier per part within a region — a " +
+      "correlated scalar MIN subquery over a 4-table join tree, " +
+      "decorrelated by Catalyst into an aggregate + join (the classic " +
+      "pick-the-argmin-per-group pattern)",
+    Some("""
+      WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                         CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ps_supplycost
+                  FROM lineitem GROUP BY 1, 2)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+      FROM part, ps, supplier, nation, region
+      WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        AND p_size % 10 = 3
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost)
+          FROM ps ps2, supplier s2, nation n2, region r2
+          WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""),
+    (s, dir) => {
+      Seq("lineitem", "part", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ps_supplycost
+                    FROM lineitem GROUP BY 1, 2)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+        FROM part, ps, supplier, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size % 10 = 3
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM ps ps2, supplier s2, nation n2, region r2
+            WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")
+    })
+
+  // ---------------------------------------------------------------- q89
+  private val q89 = Q("q89_tpch_q20_nested_in",
+    "TPC-H Q20 shape: suppliers holding excess stock of a part family " +
+      "moved in 1995 — IN (subquery) nested inside IN (subquery) plus a " +
+      "correlated half-of-shipped-quantity threshold; three levels of " +
+      "semi-join decorrelation in one plan",
+    Some("""
+      WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                         CAST(count(*) * 17 % 95 + 5 AS BIGINT) AS ps_availqty
+                  FROM lineitem GROUP BY 1, 2)
+      SELECT s_name, s_acctbal
+      FROM supplier, nation
+      WHERE s_suppkey IN (
+          SELECT ps_suppkey FROM ps
+          WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_size < 15)
+            AND ps_availqty > (
+              SELECT 0.5 * CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              FROM lineitem l
+              WHERE l.l_partkey = ps_partkey AND l.l_suppkey = ps_suppkey
+                AND l.l_shipdate >= CAST('1995-01-01' AS TIMESTAMP)
+                AND l.l_shipdate < CAST('1996-01-01' AS TIMESTAMP)))
+        AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+      ORDER BY s_name"""),
+    (s, dir) => {
+      Seq("lineitem", "part", "supplier", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                           CAST(count(*) * 17 % 95 + 5 AS BIGINT) AS ps_availqty
+                    FROM lineitem GROUP BY 1, 2)
+        SELECT s_name, s_acctbal
+        FROM supplier, nation
+        WHERE s_suppkey IN (
+            SELECT ps_suppkey FROM ps
+            WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_size < 15)
+              AND ps_availqty > (
+                SELECT 0.5 * CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                FROM lineitem l
+                WHERE l.l_partkey = ps_partkey AND l.l_suppkey = ps_suppkey
+                  AND l.l_shipdate >= CAST('1995-01-01' AS TIMESTAMP)
+                  AND l.l_shipdate < CAST('1996-01-01' AS TIMESTAMP)))
+          AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+        ORDER BY s_name""")
+    })
+
+  // ---------------------------------------------------------------- q90
+  private val q90 = Q("q90_grouping_sets",
+    "explicit GROUPING SETS with grouping() indicator flags — the " +
+      "irregular-aggregation surface ROLLUP/CUBE (q14/q37) can't express: " +
+      "(type, flag), (type), (flag), and grand total in one pass",
+    Some("""
+      SELECT coalesce(event_type, 'ALL') AS etype,
+             coalesce(CAST(user_id % 2 AS VARCHAR), 'ALL') AS uflag,
+             CAST(grouping(event_type) AS BIGINT) AS g_type,
+             CAST(grouping(user_id % 2) AS BIGINT) AS g_flag,
+             count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY GROUPING SETS ((event_type, user_id % 2), (event_type),
+                              (user_id % 2), ())
+      ORDER BY etype, uflag, g_type, g_flag"""),
+    (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        SELECT coalesce(event_type, 'ALL') AS etype,
+               coalesce(CAST(user_id % 2 AS STRING), 'ALL') AS uflag,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(user_id % 2) AS BIGINT) AS g_flag,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, user_id % 2), (event_type),
+                                (user_id % 2), ())
+        ORDER BY etype, uflag, g_type, g_flag""")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45,
-    q46, q47, q48, q49, q57, q58, q59, q60, q76)
+    q46, q47, q48, q49, q57, q58, q59, q60, q76, q88, q89, q90)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
