@@ -174,6 +174,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Deterministic Lloyd k-means over an embedding column — the codebook
+    * trainer for [[ivfTopK]] and the clustering step of SemDeDup-style
+    * curation ([[centroidOutliers]] screens within the clusters this
+    * produces). Fixed `iters` assignment/update rounds; every number is
+    * exact integer math, so the final assignment hash-matches an oracle
+    * in any engine:
+    *  - components scale to BIGINT (floor(v·scale), as [[centroidOutliers]]);
+    *  - seeds are the `k` vectors with the smallest shared hash64(id)
+    *    (deterministic pseudo-random init, no RNG), cluster ids 0..k-1
+    *    assigned in (hash, id) order;
+    *  - squared distances accumulate (s-c)² in BIGINT; argmin ties break
+    *    on the lower cluster id;
+    *  - the centroid update floors the exact integer per-dimension mean.
+    * A cluster that loses all members drops out of later rounds (standard
+    * Lloyd dropout — deterministic, mirrored by the oracle).
+    *
+    * RAGGED rows (width ≠ the corpus max) are EXCLUDED from clustering: a
+    * truncated vector accrues distance over fewer dims and would win every
+    * argmin it touches. Screen them separately — [[centroidOutliers]]
+    * ranks them first for exactly this reason.
+    *
+    * Scale shape per round: the centroid relation is k×dims (model-sized)
+    * and BROADCASTS into the assignment — the corpus is scanned once per
+    * round with no shuffle of the big side; the update is one posexplode
+    * + map-side-combined (cluster, dim) aggregate. Seeding is a
+    * distributed TakeOrdered of k rows, not a global sort. The plan grows
+    * linearly with `iters` (fixed small rounds is the production pattern;
+    * checkpoint between rounds if iters must be large).
+    *
+    * Output: the final assignment (idCol, cluster, dist2).
+    */
+  def kmeansFit(embs: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // same Long-overflow headroom bound as centroidOutliers
+    require(scale > 0 && scale <= 1e7,
+      s"scale must be in (0, 1e7], got $scale")
+    val probe = embs.select(max(size(col(vecCol))).as("d")).head()
+    if (probe.isNullAt(0))
+      return embs.select(col(idCol), lit(0L).as("cluster"), lit(0L).as("dist2"))
+        .limit(0)
+    val d = probe.getInt(0)
+    val sv = embs.filter(size(col(vecCol)) === d)
+      .select(col(idCol),
+        transform(col(vecCol),
+          v => floor(v.cast("double") * scale).cast("long")).as("svec"))
+    // k seed rows: distributed top-k by (hash, id), then a k-row window
+    // hands out cluster ids — never a global sort of the corpus
+    val seedW = Window.orderBy(col("_h"), col(idCol))
+    var cents = sv
+      .withColumn("_h", TextFns.hash64(col(idCol).cast("string")))
+      .orderBy(col("_h"), col(idCol)).limit(k)
+      .withColumn("cluster", (row_number().over(seedW) - 1).cast("long"))
+      .select(col("cluster"), col("svec").as("cvec"))
+    var assigned: DataFrame = null
+    for (round <- 1 to iters) {
+      val d2 = aggregate(
+        zip_with(col("svec"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      assigned = sv.crossJoin(broadcast(cents))
+        .withColumn("_d2", d2)
+        .groupBy(col(idCol), col("svec"))
+        .agg(min(struct(col("_d2"), col("cluster"))).as("_m"))
+        .select(col(idCol), col("svec"),
+          col("_m.cluster").as("cluster"), col("_m._d2").as("dist2"))
+      if (round < iters)
+        cents = assigned
+          .select(col("cluster"), posexplode(col("svec")).as(Seq("i", "s")))
+          .groupBy(col("cluster"), col("i"))
+          .agg(floor(sum(col("s")).cast("double") /
+            count(lit(1)).cast("double")).cast("long").as("c"))
+          .groupBy(col("cluster"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+            x => x.getField("c")).as("cvec"))
+    }
+    assigned.select(col(idCol), col("cluster"), col("dist2"))
+  }
+
   /** Embedding-space outliers per group — the SemDeDup-style semantic
     * screen: vectors farthest from their group's centroid are the
     * mislabeled / off-topic / junk candidates a curation pass reviews or

@@ -340,4 +340,79 @@ object TextAnalysis {
     val w = Window.partitionBy(col("fingerprint"))
     fp.withColumn("n_same_fp", count(lit(1)).over(w))
   }
+
+  /** TF-IDF sparse-vector cosine similarity pairs via an inverted index —
+    * pairwise document similarity WITHOUT an all-pairs join: documents
+    * pair only through shared terms (a posting-list self-join), the
+    * classic formulation that stays viable at corpus scale. Terms are
+    * hashed word-`shingleSize`-grams (8-byte keys on the wire, same
+    * family as [[graft.ops.Dedup.ngramJaccard]]); weights are the
+    * rational idf `(tf·n_docs) div df` — integer division, exact in every
+    * engine — so dot products and norms accumulate in BIGINT and the one
+    * final division/sqrt is IEEE-deterministic.
+    *
+    * `maxDf` prunes posting lists: a term appearing in f documents
+    * contributes O(f²) candidate pairs, so capping df bounds the
+    * quadratic term — the same role LSH banding plays, with the same
+    * recall trade (pairs sharing ONLY ultra-common terms are missed;
+    * their cosine is low-idf-dominated anyway). Norms are computed in the
+    * pruned term space, mirrored exactly by the oracle.
+    *
+    * Output: (doc_a, doc_b, n_common, cosine), doc_a < doc_b, cosine >=
+    * `minCosine`.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleSize: Int = 3,
+                        minCosine: Double = 0.5,
+                        maxDf: Long = Long.MaxValue): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(TextFns.shingleHashes(col(textCol), shingleSize)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfr, "term").crossJoin(broadcast(n))
+      .withColumn("wi", expr("(tf * n_docs) div df"))
+    val norms = w.groupBy(col(idCol)).agg(sum(col("wi") * col("wi")).as("n2"))
+    val a = w.select(col(idCol).as("doc_a"), col("term"), col("wi").as("w_a"))
+    val b = w.select(col(idCol).as("doc_b"), col("term").as("term_b"),
+      col("wi").as("w_b"))
+    a.join(b, col("term") === col("term_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("w_a") * col("w_b")).as("dot"),
+        count(lit(1)).as("n_common"))
+      .join(norms.select(col(idCol).as("doc_a"), col("n2").as("n2_a")), "doc_a")
+      .join(norms.select(col(idCol).as("doc_b"), col("n2").as("n2_b")), "doc_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("cosine"))
+  }
+
+  /** Byte-pair statistics — the scoring step of BPE tokenizer training:
+    * corpus-wide frequency of every adjacent character pair, weighted by
+    * word frequency. The scale trick is aggregation order: identical
+    * words collapse FIRST (one map-side-combined aggregate — corpus text
+    * volume reduces to the vocabulary), then the character-pair explode
+    * runs over DISTINCT words only. Vocabulary grows ~Heaps'-law (≪
+    * corpus), so the expensive step touches a relation orders of
+    * magnitude smaller than the input; the full BPE merge loop re-runs
+    * this scoring with a rewritten symbol column each round, the driver
+    * holding only the learned merges (model-parameter sized).
+    *
+    * Output: top-`topK` (pair, cnt) by cnt desc, pair asc — the next
+    * merge candidates.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String = "text",
+                   topK: Int = 50): DataFrame = {
+    val wc = docs.select(explode(TextFns.words(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    wc.select(explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"), col("wc"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

@@ -1304,8 +1304,84 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q91 = Q("q91_kmeans_fit",
+    "deterministic Lloyd k-means (k=10, 2 rounds) over the embeddings — " +
+      "the IVF codebook trainer: hash-seeded init (no RNG), exact BIGINT " +
+      "squared distances over scaled components, floored integer centroid " +
+      "updates; centroids broadcast each round, corpus never shuffles",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings
+                  WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)),
+      sc AS (SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS s FROM el),
+      seed AS (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS cluster
+               FROM (SELECT DISTINCT vec_id FROM sc)),
+      c0 AS (SELECT cluster, i, s AS c FROM seed JOIN sc USING (vec_id) WHERE cluster < 10),
+      a1 AS (SELECT sc.vec_id, c0.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS d2
+             FROM sc JOIN c0 USING (i) GROUP BY 1, 2),
+      w1 AS (SELECT vec_id, cluster FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS r FROM a1)
+             WHERE r = 1),
+      c1 AS (SELECT w1.cluster, sc.i,
+             CAST(floor(CAST(CAST(SUM(sc.s) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
+             FROM w1 JOIN sc USING (vec_id) GROUP BY 1, 2),
+      a2 AS (SELECT sc.vec_id, c1.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS dist2
+             FROM sc JOIN c1 USING (i) GROUP BY 1, 2)
+      SELECT vec_id, cluster, dist2 FROM
+      (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS r FROM a2)
+      WHERE r = 1 ORDER BY vec_id"""),
+    (s, dir) => Similarity.kmeansFit(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 10, iters = 2)
+      .orderBy("vec_id"))
+
+  private val q92 = Q("q92_sparse_cosine_pairs",
+    "TF-IDF sparse cosine pairs via inverted index: docs pair only through " +
+      "shared hashed 3-gram terms (posting-list self-join, df<=100 pruning " +
+      "bounds the quadratic term); integer idf weights, BIGINT dot/norms, " +
+      "one final IEEE division",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      tf AS (SELECT doc_id,
+             CAST('0x' || substr(sha256(w[j] || ' ' || w[j+1] || ' ' || w[j+2]), 1, 15) AS BIGINT) AS term,
+             count(*) AS tf
+             FROM jx GROUP BY 1, 2),
+      dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      wt AS (SELECT doc_id, term, (tf * n_docs) // df AS wi FROM tf JOIN dfr USING (term) CROSS JOIN n),
+      norms AS (SELECT doc_id, CAST(SUM(wi * wi) AS BIGINT) AS n2 FROM wt GROUP BY 1),
+      dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.wi * b.wi) AS BIGINT) AS dot, count(*) AS n_common
+               FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      cosv AS (SELECT doc_a, doc_b, n_common,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+               FROM dots JOIN norms na ON doc_a = na.doc_id
+                         JOIN norms nb ON doc_b = nb.doc_id)
+      SELECT doc_a, doc_b, n_common, cosine FROM cosv WHERE cosine >= 0.5
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => TextAnalysis.sparseCosinePairs(t(s, dir, "documents"),
+      minCosine = 0.5, maxDf = 100)
+      .orderBy("doc_a", "doc_b"))
+
+  private val q93 = Q("q93_bpe_pair_stats",
+    "BPE tokenizer-training pair statistics: adjacent character-pair " +
+      "frequencies weighted by word frequency — identical words collapse " +
+      "first (corpus volume -> vocabulary), char work runs on distinct " +
+      "words only; top-50 merge candidates",
+    Some("""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      wc AS (SELECT word, count(*) AS wc FROM w WHERE length(word) >= 2 GROUP BY 1),
+      p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, wc
+            FROM (SELECT word, wc, unnest(generate_series(1, length(word) - 1)) AS i FROM wc))
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY 1
+      ORDER BY cnt DESC, pair LIMIT 50"""),
+    (s, dir) => TextAnalysis.bpePairStats(t(s, dir, "documents"), topK = 50))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
-    q80, q81, q82, q83, q85, q86, q87)
+    q80, q81, q82, q83, q85, q86, q87, q91, q92, q93)
 }

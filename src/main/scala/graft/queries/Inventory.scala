@@ -1101,9 +1101,126 @@ object Inventory {
         ORDER BY etype, uflag, g_type, g_flag""")
     })
 
+  // ---------------------------------------------------------------- q94
+  /** q94's exact-arithmetic trick: `l_quantity < 0.2 * avg(...)` cross-
+    * multiplies to `5 * q * count < sum` — two correlated scalar
+    * aggregates (outer reference in WHERE only, the official Q17 shape)
+    * compared with exact DECIMAL multiplication, so no engine-specific
+    * decimal division/rounding can flip a boundary row.
+    */
+  private val q94 = Q("q94_tpch_q17_small_qty_revenue",
+    "TPC-H Q17 shape: revenue lost to small-quantity orders — correlated " +
+      "scalar AVG subquery per part, decorrelated by Catalyst into one " +
+      "aggregate + join; exact cross-multiplied decimal compare instead " +
+      "of a 0.2*avg boundary",
+    Some("""
+      SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      FROM lineitem l, part
+      WHERE p_partkey = l.l_partkey AND p_brand = 'Brand#4'
+        AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+            (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+               FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)"""),
+    (s, dir) => {
+      Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem l, part
+        WHERE p_partkey = l.l_partkey AND p_brand = 'Brand#4'
+          AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+              (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+                 FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)""")
+    })
+
+  // ---------------------------------------------------------------- q95
+  /** q95 adapts Q21's "late" predicate to this schema (no receipt/commit
+    * dates): late = shipped more than 60 days after the order date. The
+    * lateness join happens ONCE in a CTE so both correlated subqueries
+    * correlate on l_orderkey alone — the original query's shape (EXISTS
+    * another supplier + NOT EXISTS another LATE supplier on the same
+    * order), which Spark plans as one semi + one anti join.
+    */
+  private val q95 = Q("q95_tpch_q21_waiting_supplier",
+    "TPC-H Q21 shape: the only-late-supplier-per-order census — EXISTS + " +
+      "NOT EXISTS against the same relation with <> correlation, the " +
+      "hardest decorrelation pattern in the TPC-H suite",
+    Some("""
+      WITH lo AS (SELECT l_orderkey, l_suppkey,
+                  CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60 THEN 1 ELSE 0 END AS late,
+                  o_orderstatus
+                  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lo l1
+      WHERE s_suppkey = l1.l_suppkey AND l1.o_orderstatus = 'F' AND l1.late = 1
+        AND EXISTS (SELECT 1 FROM lo l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lo l3
+                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.late = 1)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name"""),
+    (s, dir) => {
+      Seq("lineitem", "orders", "supplier")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        WITH lo AS (SELECT l_orderkey, l_suppkey,
+                    CASE WHEN datediff(l_shipdate, o_orderdate) > 60 THEN 1 ELSE 0 END AS late,
+                    o_orderstatus
+                    FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lo l1
+        WHERE s_suppkey = l1.l_suppkey AND l1.o_orderstatus = 'F' AND l1.late = 1
+          AND EXISTS (SELECT 1 FROM lo l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo l3
+                          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late = 1)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")
+    })
+
+  // ---------------------------------------------------------------- q96
+  /** q96's anti condition is "no FINISHED order" (every testdata customer
+    * has some order, so Q22's literal no-order census would be empty);
+    * the above-average-balance bar is the exact cross-multiplied form
+    * `bal * count > sum` — decimal sign test, no decimal division.
+    */
+  private val q96 = Q("q96_tpch_q22_idle_balance",
+    "TPC-H Q22 shape: high-balance customers with no finished order, " +
+      "grouped by a derived country code — two uncorrelated scalar " +
+      "subqueries (count + sum, the exact form of the AVG bar) feeding a " +
+      "filter, plus an anti join",
+    Some("""
+      SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, count(*) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_nationkey % 10 < 5
+        AND CAST(c_acctbal AS DECIMAL(18,2)) *
+            (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 < 5)
+            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 < 5)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, count(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_nationkey % 10 < 5
+          AND CAST(c_acctbal AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 < 5)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 < 5)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        GROUP BY CAST(c_nationkey % 10 AS BIGINT) ORDER BY cntrycode""")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45,
-    q46, q47, q48, q49, q57, q58, q59, q60, q76, q88, q89, q90)
+    q46, q47, q48, q49, q57, q58, q59, q60, q76, q88, q89, q90, q94, q95,
+    q96)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }

@@ -392,4 +392,46 @@ class DedupSimilaritySpec extends SparkSpec {
     val sizes = rows.groupBy(_._2).map(_._2.length).toSet
     assert(sizes.subsetOf(Set(2, 3)))
   }
+
+  test("kmeansFit k=1: round-2 distances are to the exact floored mean") {
+    val embs = Seq((1L, Array(1f, 1f)), (2L, Array(3f, 3f)),
+      (3L, Array(5f, 7f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFit(embs, "vec_id", "embedding",
+      k = 1, iters = 2)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toList
+    // after round 1 every row is in cluster 0, so the round-2 centroid is
+    // the floored per-dim mean of ALL rows, seed-independent:
+    // dim0 = (1+3+5)e6/3 = 3e6; dim1 = floor(11e6/3) = 3666666
+    val (c0, c1) = (3000000L, 3666666L)
+    def d2(a: Long, b: Long) = (a - c0) * (a - c0) + (b - c1) * (b - c1)
+    assert(got == List((1L, 0L, d2(1000000L, 1000000L)),
+      (2L, 0L, d2(3000000L, 3000000L)), (3L, 0L, d2(5000000L, 7000000L))))
+  }
+
+  test("kmeansFit: identical vectors collapse to cluster 0; empty cluster drops") {
+    val embs = Seq((1L, Array(2f, 2f)), (2L, Array(2f, 2f)),
+      (3L, Array(2f, 2f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFit(embs, "vec_id", "embedding",
+      k = 2, iters = 2)
+      .as[(Long, Long, Long)].collect().toList
+    // both seeds are the same point -> argmin ties break to cluster 0,
+    // cluster 1 loses all members and drops out of round 2
+    assert(got.map(r => (r._2, r._3)).toSet == Set((0L, 0L)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("kmeansFit excludes ragged vectors and rejects bad params") {
+    val embs = Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f)),
+      (3L, Array(9f))).toDF("vec_id", "embedding")
+    val ids = Similarity.kmeansFit(embs, "vec_id", "embedding", k = 1,
+      iters = 1).select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), "truncated vector must not be clustered")
+    intercept[IllegalArgumentException](
+      Similarity.kmeansFit(embs, "vec_id", "embedding", k = 0, iters = 1))
+    intercept[IllegalArgumentException](
+      Similarity.kmeansFit(embs, "vec_id", "embedding", k = 1, iters = 0))
+    intercept[IllegalArgumentException](
+      Similarity.kmeansFit(embs, "vec_id", "embedding", k = 1, iters = 1,
+        scale = 1e9))
+  }
 }

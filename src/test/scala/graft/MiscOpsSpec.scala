@@ -453,6 +453,32 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe, got:\n$plan")
   }
+
+  test("sparseCosinePairs: identical docs hit cosine 1.0, disjoint docs never pair") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sparseCosinePairs(docs)
+      .as[(Long, Long, Long, Double)].collect().toList
+    // docs 1/2 share both 3-gram terms (tf=1, df=2, wi=(1*3) div 2=1):
+    // dot=2, norms 2 and 2 -> cosine exactly 1.0; doc 3 shares no term
+    assert(got == List((1L, 2L, 2L, 1.0)))
+  }
+
+  test("sparseCosinePairs: maxDf prunes posting lists (shared terms vanish)") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.sparseCosinePairs(docs, maxDf = 1).isEmpty,
+      "df=2 terms must be pruned at maxDf=1, leaving no candidate pairs")
+  }
+
+  test("bpePairStats: pair counts weight by word frequency; ties break on pair") {
+    val docs = Seq((1L, "low low lower"), (2L, "lower low"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(docs, topK = 3)
+      .as[(String, Long)].collect().toList
+    // wc: low=3, lower=2 -> lo=5, ow=5, er=2, we=2; top3 cuts at 'er'<'we'
+    assert(got == List(("lo", 5L), ("ow", 5L), ("er", 2L)))
+  }
 }
 
 /** Batch sessionization: hand-computed gap splits, tie determinism, and
