@@ -253,6 +253,46 @@ object Similarity {
     assigned.select(col(idCol), col("cluster"), col("dist2"))
   }
 
+  /** Exact near-duplicate pairs within LEARNED k-means cells — SemDeDup's
+    * blocking strategy: train a codebook ([[kmeansFit]]), then run the
+    * quadratic pair scan only INSIDE each cell. Where [[graft.ops.Dedup]]
+    * blocks on hashes (LSH bands, SimHash prefixes), this blocks on data
+    * geometry: vectors land in the same cell because they are close, so
+    * the candidate set is semantically targeted, and the per-cell
+    * quadratic is bounded by the cell size (raise `k` to shrink cells as
+    * the corpus grows — the same knob IVF uses). Distances are the exact
+    * BIGINT scaled squares of [[kmeansFit]], hash-stable across engines.
+    *
+    * Recall caveat (inherent to single-assignment blocking): a pair
+    * straddling a cell boundary is missed; multi-probe or overlapping
+    * assignment buys recall back at candidate-volume cost.
+    *
+    * Output: (cluster, id_a, id_b, dist2), id_a < id_b, dist2 <= maxDist2.
+    */
+  def kmeansNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int, maxDist2: Long,
+                         scale: Double = 1e6): DataFrame = {
+    val asg = kmeansFit(embs, idCol, vecCol, k, iters, scale)
+    val probe = embs.select(max(size(col(vecCol))).as("d")).head()
+    if (probe.isNullAt(0)) return asg.select(col("cluster"),
+      col(idCol).as("id_a"), col(idCol).as("id_b"), col("dist2")).limit(0)
+    val d = probe.getInt(0)
+    val sv = embs.filter(size(col(vecCol)) === d)
+      .select(col(idCol),
+        transform(col(vecCol),
+          v => floor(v.cast("double") * scale).cast("long")).as("svec"))
+    val m = asg.join(sv, idCol).select(col("cluster"), col(idCol), col("svec"))
+    val a = m.select(col("cluster"), col(idCol).as("id_a"), col("svec").as("va"))
+    val b = m.select(col("cluster").as("_cb"), col(idCol).as("id_b"),
+      col("svec").as("vb"))
+    a.join(b, col("cluster") === col("_cb") && col("id_a") < col("id_b"))
+      .withColumn("dist2", aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("dist2") <= maxDist2)
+      .select(col("cluster"), col("id_a"), col("id_b"), col("dist2"))
+  }
+
   /** Embedding-space outliers per group — the SemDeDup-style semantic
     * screen: vectors farthest from their group's centroid are the
     * mislabeled / off-topic / junk candidates a curation pass reviews or

@@ -1380,8 +1380,48 @@ object Extensions {
       ORDER BY cnt DESC, pair LIMIT 50"""),
     (s, dir) => TextAnalysis.bpePairStats(t(s, dir, "documents"), topK = 50))
 
+  private val q100 = Q("q100_kmeans_blocked_neardup",
+    "SemDeDup-blocked exact near-dup pairs: k-means cells (q91's learned " +
+      "codebook) replace hash blocks — the quadratic scan runs only " +
+      "inside each cell, candidates are geometrically targeted; exact " +
+      "BIGINT distances, threshold-filtered",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings
+                  WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)),
+      sc AS (SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS s FROM el),
+      seed AS (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS cluster
+               FROM (SELECT DISTINCT vec_id FROM sc)),
+      c0 AS (SELECT cluster, i, s AS c FROM seed JOIN sc USING (vec_id) WHERE cluster < 10),
+      a1 AS (SELECT sc.vec_id, c0.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS d2
+             FROM sc JOIN c0 USING (i) GROUP BY 1, 2),
+      w1 AS (SELECT vec_id, cluster FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS r FROM a1)
+             WHERE r = 1),
+      c1 AS (SELECT w1.cluster, sc.i,
+             CAST(floor(CAST(CAST(SUM(sc.s) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
+             FROM w1 JOIN sc USING (vec_id) GROUP BY 1, 2),
+      a2 AS (SELECT sc.vec_id, c1.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS dist2
+             FROM sc JOIN c1 USING (i) GROUP BY 1, 2),
+      w2 AS (SELECT vec_id, cluster FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS r FROM a2)
+             WHERE r = 1),
+      pr AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM((sa.s - sb.s) * (sa.s - sb.s)) AS BIGINT) AS dist2
+             FROM w2 a JOIN w2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             JOIN sc sa ON sa.vec_id = a.vec_id
+             JOIN sc sb ON sb.vec_id = b.vec_id AND sa.i = sb.i
+             GROUP BY 1, 2, 3)
+      SELECT cluster, id_a, id_b, dist2 FROM pr WHERE dist2 <= 1200000000000
+      ORDER BY cluster, id_a, id_b"""),
+    (s, dir) => Similarity.kmeansNearDupPairs(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 10, iters = 2, maxDist2 = 1200000000000L)
+      .orderBy("cluster", "id_a", "id_b"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
-    q80, q81, q82, q83, q85, q86, q87, q91, q92, q93)
+    q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100)
 }

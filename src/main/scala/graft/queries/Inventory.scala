@@ -1217,10 +1217,113 @@ object Inventory {
         GROUP BY CAST(c_nationkey % 10 AS BIGINT) ORDER BY cntrycode""")
     })
 
+  // ---------------------------------------------------------------- q97
+  /** q97 keeps the MAX bar in DECIMAL: the revenue CTE feeds both the
+    * join and the scalar-MAX subquery, and the winner test is exact
+    * decimal equality — a double round-trip could drop a tied supplier.
+    */
+  private val q97 = Q("q97_tpch_q15_top_supplier",
+    "TPC-H Q15 shape: top supplier by quarterly revenue — an aggregated " +
+      "CTE consumed twice (join + scalar MAX bar), exact decimal equality " +
+      "picks the winner(s)",
+    Some("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey"""),
+    (s, dir) => {
+      Seq("lineitem", "supplier").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= CAST('1996-01-01 00:00:00' AS TIMESTAMP)
+            AND l_shipdate < CAST('1996-04-01 00:00:00' AS TIMESTAMP)
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    })
+
+  // ---------------------------------------------------------------- q98
+  /** q98's IN-subquery carries its own HAVING aggregate over the SAME
+    * fact table the outer query re-aggregates — Catalyst plans the bar as
+    * one aggregate + left-semi join, so lineitem is scanned twice but
+    * never squared.
+    */
+  private val q98 = Q("q98_tpch_q18_large_orders",
+    "TPC-H Q18 shape: large-volume orders — IN subquery with a HAVING " +
+      "aggregate bar (semi join against an aggregated form of the same " +
+      "fact table), top-100 by price",
+    Some("""
+      SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             CAST(o_totalprice AS DOUBLE) AS total_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY total_price DESC, o_orderkey
+      LIMIT 100"""),
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT c_custkey, o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+               CAST(o_totalprice AS DOUBLE) AS total_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY total_price DESC, o_orderkey
+        LIMIT 100""")
+    })
+
+  // ---------------------------------------------------------------- q99
+  /** q99 adapts Q19's disjunctive join filter to this schema (brand/size/
+    * quantity brackets instead of container/shipmode). The plan point:
+    * Catalyst factors the common `p_partkey = l_partkey` out of the OR so
+    * the join stays an equi hash join, and pushes the per-side residues
+    * (brand/size -> part scan, quantity -> lineitem scan) below it.
+    */
+  private val q99 = Q("q99_tpch_q19_disjunctive_filter",
+    "TPC-H Q19 shape: revenue under a 3-arm OR of brand/size/quantity " +
+      "brackets — the disjunctive-predicate pushdown test: equi join " +
+      "extracted from the OR, per-table residues pushed to both scans",
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""),
+    (s, dir) => {
+      Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45,
     q46, q47, q48, q49, q57, q58, q59, q60, q76, q88, q89, q90, q94, q95,
-    q96)
+    q96, q97, q98, q99)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }

@@ -420,6 +420,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
   }
 
+  test("kmeansNearDupPairs finds only in-threshold pairs, ordered id_a < id_b") {
+    // (1,1) and (1.000001,1) are 1 scaled unit apart; (9,9) is far
+    val embs = Seq((5L, Array(1f, 1f)), (2L, Array(1.000001f, 1f)),
+      (3L, Array(9f, 9f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansNearDupPairs(embs, "vec_id", "embedding",
+      k = 1, iters = 1, maxDist2 = 1000000L)
+      .select("id_a", "id_b", "dist2").as[(Long, Long, Long)].collect().toList
+    assert(got.length == 1 && got.head._1 == 2L && got.head._2 == 5L,
+      s"only the close pair, lower id first: $got")
+    assert(got.head._3 <= 1000000L)
+  }
+
   test("kmeansFit excludes ragged vectors and rejects bad params") {
     val embs = Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f)),
       (3L, Array(9f))).toDF("vec_id", "embedding")

@@ -460,8 +460,10 @@ class TextOpsSpec extends SparkSpec {
     val got = TextAnalysis.sparseCosinePairs(docs)
       .as[(Long, Long, Long, Double)].collect().toList
     // docs 1/2 share both 3-gram terms (tf=1, df=2, wi=(1*3) div 2=1):
-    // dot=2, norms 2 and 2 -> cosine exactly 1.0; doc 3 shares no term
-    assert(got == List((1L, 2L, 2L, 1.0)))
+    // dot=2, norms 2 and 2 -> cosine 2/(sqrt2*sqrt2), the exact IEEE
+    // value (0.999..8, not 1.0); doc 3 shares no term
+    val c = 2.0 / (math.sqrt(2.0) * math.sqrt(2.0))
+    assert(got == List((1L, 2L, 2L, c)))
   }
 
   test("sparseCosinePairs: maxDf prunes posting lists (shared terms vanish)") {
