@@ -371,18 +371,22 @@ object TextAnalysis {
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // norms ride ALONG each posting via a per-doc window, not two extra
+    // joins back to a recomputed posting list — the self-join below is
+    // the only place this branch is evaluated twice (persist the posting
+    // list before calling if the corpus scan dominates)
+    val normW = Window.partitionBy(col(idCol))
     val w = tf.join(dfr, "term").crossJoin(broadcast(n))
       .withColumn("wi", expr("(tf * n_docs) div df"))
-    val norms = w.groupBy(col(idCol)).agg(sum(col("wi") * col("wi")).as("n2"))
-    val a = w.select(col(idCol).as("doc_a"), col("term"), col("wi").as("w_a"))
+      .withColumn("n2", sum(col("wi") * col("wi")).over(normW))
+    val a = w.select(col(idCol).as("doc_a"), col("term"), col("wi").as("w_a"),
+      col("n2").as("n2_a"))
     val b = w.select(col(idCol).as("doc_b"), col("term").as("term_b"),
-      col("wi").as("w_b"))
+      col("wi").as("w_b"), col("n2").as("n2_b"))
     a.join(b, col("term") === col("term_b") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n2_a"), col("n2_b"))
       .agg(sum(col("w_a") * col("w_b")).as("dot"),
         count(lit(1)).as("n_common"))
-      .join(norms.select(col(idCol).as("doc_a"), col("n2").as("n2_a")), "doc_a")
-      .join(norms.select(col(idCol).as("doc_b"), col("n2").as("n2_b")), "doc_b")
       .withColumn("cosine", col("dot").cast("double") /
         (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
       .filter(col("cosine") >= minCosine)

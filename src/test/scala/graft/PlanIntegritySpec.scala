@@ -278,4 +278,34 @@ class PlanIntegritySpec extends SparkSpec {
     assert(!p.contains("Generate explode"),
       "grams must fold row-locally, not explode")
   }
+
+  test("q91: k-means assignment broadcasts the model-sized centroids") {
+    val p = plan("q91_kmeans_fit")
+    // every round's assign stage is corpus x broadcast(k centroids); a
+    // SortMergeJoin here means the CORPUS is being shuffled per round
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must ride a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle into the assignment:\n$p")
+  }
+
+  test("q92: posting-list self-join is an equi join on term, never all-pairs") {
+    val p = plan("q92_sparse_cosine_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"inverted index degraded to all-pairs:\n$p")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    // the only tolerated nested-loops are the 1-row n_docs scalar riding
+    // each side of the posting self-join (2 branches); more means the
+    // norm computation regressed to joins against a recomputed posting list
+    assert(nlj <= 2, s"expected only the n_docs scalar NLJs, got $nlj:\n$p")
+  }
+
+  test("q99: the equi key is factored out of the disjunctive filter") {
+    val p = plan("q99_tpch_q19_disjunctive_filter")
+    // p_partkey = l_partkey must survive as a hash-join key with the
+    // brand/size/quantity residues as post-join (or pushed) filters; a
+    // nested-loop join means the OR swallowed the equi condition
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"OR must not swallow the equi join key:\n$p")
+  }
 }
