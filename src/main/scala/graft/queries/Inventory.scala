@@ -1320,10 +1320,143 @@ object Inventory {
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")
     })
 
+  // --------------------------------------------------------- q101-q105
+  /** The remaining canonical TPC-H shapes, adapted to this schema (no
+    * receipt/commit dates, shipmodes, or partsupp): Q4's lateness test is
+    * shipped >45 days after order; Q16's supplier exclusion bar is
+    * negative account balance. Decimal/date/ORDER BY conventions as q12+.
+    */
+  private val q101 = Q("q101_tpch_q4_priority_census",
+    "TPC-H Q4 shape: order-priority census over a quarter, EXISTS a late " +
+      "lineitem — correlated EXISTS planned as one semi join",
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND datediff('day', o_orderdate, l_shipdate) > 45)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (s, dir) => {
+      Seq("orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= CAST('1996-01-01 00:00:00' AS TIMESTAMP)
+          AND o_orderdate < CAST('1996-04-01 00:00:00' AS TIMESTAMP)
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND datediff(l_shipdate, o_orderdate) > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    })
+
+  private val q102 = Q("q102_tpch_q6_forecast_revenue",
+    "TPC-H Q6 shape: single-table filtered aggregate — every predicate " +
+      "must reach the parquet scan (the pushdown benchmark)",
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= CAST('1996-01-01 00:00:00' AS TIMESTAMP)
+          AND l_shipdate < CAST('1997-01-01 00:00:00' AS TIMESTAMP)
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+    })
+
+  private val q103 = Q("q103_tpch_q10_returned_items",
+    "TPC-H Q10 shape: top-20 customers by returned-item revenue — 4-way " +
+      "join with two broadcast dims, ordered top-k",
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             CAST(c_acctbal AS DOUBLE) AS acctbal
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+                      JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= CAST('1996-01-01 00:00:00' AS TIMESTAMP)
+          AND o_orderdate < CAST('1996-04-01 00:00:00' AS TIMESTAMP)
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")
+    })
+
+  private val q104 = Q("q104_tpch_q14_promo_share",
+    "TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share) — " +
+      "one CASE sum over a month of shipments, exact decimal sums, one " +
+      "final double division",
+    Some("""
+      SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"""),
+    (s, dir) => {
+      Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= CAST('1996-09-01 00:00:00' AS TIMESTAMP)
+          AND l_shipdate < CAST('1996-10-01 00:00:00' AS TIMESTAMP)""")
+    })
+
+  private val q105 = Q("q105_tpch_q16_supplier_census",
+    "TPC-H Q16 shape: distinct-supplier census by part attributes with a " +
+      "NOT IN exclusion subquery — anti join + count(DISTINCT) under a " +
+      "grouped sort",
+    Some("""
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        AND p_size IN (1, 9, 19, 29, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""),
+    (s, dir) => {
+      Seq("part", "lineitem", "supplier")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+          AND p_size IN (1, 9, 19, 29, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45,
     q46, q47, q48, q49, q57, q58, q59, q60, q76, q88, q89, q90, q94, q95,
-    q96, q97, q98, q99)
+    q96, q97, q98, q99, q101, q102, q103, q104, q105)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }

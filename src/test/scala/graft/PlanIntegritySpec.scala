@@ -300,6 +300,16 @@ class PlanIntegritySpec extends SparkSpec {
     assert(nlj <= 2, s"expected only the n_docs scalar NLJs, got $nlj:\n$p")
   }
 
+  test("q102: every Q6 predicate reaches the parquet scan") {
+    val p = plan("q102_tpch_q6_forecast_revenue")
+    assert(p.contains("PushedFilters:"), s"no pushdown at all:\n$p")
+    Seq("l_discount", "l_quantity", "l_shipdate").foreach { c =>
+      val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+        .exists(_.contains(c))
+      assert(pushed, s"$c must be pushed to the scan:\n$p")
+    }
+  }
+
   test("q99: the equi key is factored out of the disjunctive filter") {
     val p = plan("q99_tpch_q19_disjunctive_filter")
     // p_partkey = l_partkey must survive as a hash-join key with the
