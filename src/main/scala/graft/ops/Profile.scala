@@ -55,4 +55,48 @@ object Profile {
         (col("n_rows") - col("n_nonnull")).as("n_null"),
         col("n_distinct"), col("min_v"), col("max_v"))
   }
+
+  /** Heavy-hitter census per key column — the skew diagnostic that tells
+    * you WHEN a join/aggregation on this key needs
+    * [[graft.ops.Skew.saltedJoin]] or AQE skew handling, BEFORE the job
+    * that would discover it by dying. A key holding >~1/shuffle-partitions
+    * of the table is a straggler in any hash-partitioned stage.
+    *
+    * ONE table scan for every column: values explode to (column, value)
+    * pairs and aggregate map-side-combined in a single exchange; the
+    * per-column totals and top-k then run over the (already tiny)
+    * distinct-value relation — never a global sort, never a second scan.
+    *
+    * `share_ppm` is the exact integer `cnt * 1e6 div n_rows` (engine-
+    * portable — no float division). `n_rows` counts ALL rows including
+    * null keys, so shares reflect real partition pressure; null keys
+    * themselves are excluded from the hitter list ([[profile]] already
+    * reports null counts).
+    *
+    * Output: topK rows per column, (col_name, key_value, cnt, share_ppm,
+    * rank), rank by (cnt desc, key_value asc).
+    */
+  def keySkew(df: DataFrame, cols: Seq[String], topK: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "keySkew needs at least one column")
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in keySkew list: ${cols.diff(cols.distinct).mkString(", ")}")
+    val names = array(cols.map(lit): _*)
+    val pairs = df.select(posexplode(
+      array(cols.map(c => col(c).cast("string")): _*)).as(Seq("_ci", "key_value")))
+    val counts = pairs.groupBy(col("_ci"), col("key_value"))
+      .agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val perCol = Window.partitionBy(col("_ci"))
+    val rankW = Window.partitionBy(col("_ci"))
+      .orderBy(col("cnt").desc, col("key_value").asc)
+    counts
+      .withColumn("n_rows", sum(col("cnt")).over(perCol))
+      .filter(col("key_value").isNotNull)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topK)
+      .select(element_at(names, col("_ci") + 1).as("col_name"),
+        col("key_value"), col("cnt"),
+        expr("(cnt * 1000000) div n_rows").as("share_ppm"), col("rank"))
+  }
 }

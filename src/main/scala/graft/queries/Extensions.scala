@@ -1380,11 +1380,18 @@ object Extensions {
       ORDER BY cnt DESC, pair LIMIT 50"""),
     (s, dir) => TextAnalysis.bpePairStats(t(s, dir, "documents"), topK = 50))
 
+  /** q100 scales its cell count with the corpus — k = ceil(sqrt(n)) — so
+    * per-cell pair work stays bounded as data grows (fixed k would grow
+    * cells 10× and pair work 100× at 10× data; measured 20.7× wall before
+    * this). sqrt is correctly-rounded IEEE in both engines, so the k the
+    * oracle derives is bit-identical.
+    */
   private val q100 = Q("q100_kmeans_blocked_neardup",
     "SemDeDup-blocked exact near-dup pairs: k-means cells (q91's learned " +
       "codebook) replace hash blocks — the quadratic scan runs only " +
       "inside each cell, candidates are geometrically targeted; exact " +
-      "BIGINT distances, threshold-filtered",
+      "BIGINT distances, threshold-filtered; k = ceil(sqrt(n)) keeps " +
+      "cell size (and so pair volume per cell) scale-stable",
     Some("""
       WITH el AS (SELECT vec_id, unnest(embedding) AS v,
                   unnest(generate_series(1, len(embedding))) AS i
@@ -1394,7 +1401,9 @@ object Extensions {
       seed AS (SELECT vec_id,
                ROW_NUMBER() OVER (ORDER BY CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS cluster
                FROM (SELECT DISTINCT vec_id FROM sc)),
-      c0 AS (SELECT cluster, i, s AS c FROM seed JOIN sc USING (vec_id) WHERE cluster < 10),
+      kk AS (SELECT CAST(ceil(sqrt(count(DISTINCT vec_id))) AS BIGINT) AS k FROM sc),
+      c0 AS (SELECT cluster, i, s AS c FROM seed JOIN sc USING (vec_id)
+             WHERE cluster < (SELECT k FROM kk)),
       a1 AS (SELECT sc.vec_id, c0.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS d2
              FROM sc JOIN c0 USING (i) GROUP BY 1, 2),
       w1 AS (SELECT vec_id, cluster FROM
@@ -1416,12 +1425,40 @@ object Extensions {
              GROUP BY 1, 2, 3)
       SELECT cluster, id_a, id_b, dist2 FROM pr WHERE dist2 <= 1200000000000
       ORDER BY cluster, id_a, id_b"""),
-    (s, dir) => Similarity.kmeansNearDupPairs(t(s, dir, "embeddings"),
-      "vec_id", "embedding", k = 10, iters = 2, maxDist2 = 1200000000000L)
-      .orderBy("cluster", "id_a", "id_b"))
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val d = e.select(max(size(col("embedding")))).head().getInt(0)
+      val n = e.filter(size(col("embedding")) === d)
+        .select(countDistinct(col("vec_id"))).head().getLong(0)
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      Similarity.kmeansNearDupPairs(e, "vec_id", "embedding",
+        k = k, iters = 2, maxDist2 = 1200000000000L)
+        .orderBy("cluster", "id_a", "id_b")
+    })
+
+  private val q106 = Q("q106_key_skew_census",
+    "heavy-hitter census per key column (the pre-flight skew diagnostic " +
+      "for saltedJoin/AQE decisions): ONE scan explodes (column, value) " +
+      "pairs into one map-side-combined aggregate; exact integer ppm " +
+      "shares; top-5 per column",
+    Some("""
+      WITH pairs AS (
+        SELECT 'source' AS col_name, CAST(source AS VARCHAR) AS key_value FROM documents
+        UNION ALL SELECT 'lang', CAST(lang AS VARCHAR) FROM documents),
+      c AS (SELECT col_name, key_value, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+      tot AS (SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c GROUP BY 1),
+      r AS (SELECT c.col_name, key_value, cnt, (cnt * 1000000) // n_rows AS share_ppm,
+            ROW_NUMBER() OVER (PARTITION BY c.col_name ORDER BY cnt DESC, key_value) AS rk
+            FROM c JOIN tot USING (col_name) WHERE key_value IS NOT NULL)
+      SELECT col_name, key_value, cnt, share_ppm, CAST(rk AS INT) AS rank
+      FROM r WHERE rk <= 5
+      ORDER BY col_name, rank"""),
+    (s, dir) => Profile.keySkew(t(s, dir, "documents"),
+      Seq("source", "lang"), topK = 5)
+      .orderBy("col_name", "rank"))
 
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
-    q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100)
+    q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106)
 }

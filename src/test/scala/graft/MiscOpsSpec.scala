@@ -697,6 +697,22 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.profile(df, Seq("it's")))
     intercept[IllegalArgumentException](Profile.profile(df, Seq("a`b")))
   }
+
+  test("keySkew: exact ppm shares over ALL rows; null keys denominate but never rank") {
+    // k: 3×"hot", 1×"cold", 1×null (5 rows); g: all "x"
+    val df = Seq((Some("hot"), "x"), (Some("hot"), "x"), (Some("hot"), "x"),
+      (Some("cold"), "x"), (None, "x")).toDF("k", "g")
+    val got = Profile.keySkew(df, Seq("k", "g"), topK = 2)
+      .orderBy("col_name", "rank")
+      .as[(String, String, Long, Long, Int)].collect().toList
+    assert(got == List(
+      ("g", "x", 5L, 1000000L, 1),
+      ("k", "hot", 3L, 600000L, 1),   // 3*1e6 div 5 — null row counts in n_rows
+      ("k", "cold", 1L, 200000L, 2)))
+    intercept[IllegalArgumentException](Profile.keySkew(df, Nil))
+    intercept[IllegalArgumentException](Profile.keySkew(df, Seq("k"), topK = 0))
+    intercept[IllegalArgumentException](Profile.keySkew(df, Seq("k", "k")))
+  }
 }
 
 /** Driver-contract smoke: the flagship entry() must return rows. */
