@@ -1453,10 +1453,78 @@ object Inventory {
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
     })
 
+  /** q107's filter lives in the JOIN CONDITION, not WHERE — the Q13
+    * semantic trap: customers whose every order is urgent must still
+    * appear with c_count = 0, which a WHERE filter would silently drop
+    * along with the outer join itself.
+    */
+  private val q107 = Q("q107_tpch_q13_order_distribution",
+    "TPC-H Q13 shape: customer order-count distribution — left outer " +
+      "join with the filter inside the join condition (zero-order " +
+      "customers survive), then a double aggregation",
+    Some("""
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) c_orders
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+    (s, dir) => {
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+    })
+
+  private val q108 = Q("q108_tpch_q8_market_share",
+    "TPC-H Q8 shape: national market share — the widest join tree in the " +
+      "suite (8 relations, nation twice under different roles), a " +
+      "conditional-share aggregate per year",
+    Some("""
+      SELECT o_year,
+        CAST(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+      FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+                   n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+              AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND s_nationkey = n2.n_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND p_type = 'STANDARD') allnations
+      GROUP BY o_year ORDER BY o_year"""),
+    (s, dir) => {
+      Seq("part", "supplier", "lineitem", "orders", "customer", "nation",
+        "region").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT o_year,
+          CAST(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+                     n2.n_name AS nation
+              FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+                AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                AND s_nationkey = n2.n_nationkey
+                AND o_orderdate >= CAST('1996-01-01 00:00:00' AS TIMESTAMP)
+                AND o_orderdate < CAST('1998-01-01 00:00:00' AS TIMESTAMP)
+                AND p_type = 'STANDARD') allnations
+        GROUP BY o_year ORDER BY o_year""")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45,
     q46, q47, q48, q49, q57, q58, q59, q60, q76, q88, q89, q90, q94, q95,
-    q96, q97, q98, q99, q101, q102, q103, q104, q105)
+    q96, q97, q98, q99, q101, q102, q103, q104, q105, q107, q108)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
