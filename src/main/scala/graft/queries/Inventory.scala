@@ -1521,10 +1521,110 @@ object Inventory {
         GROUP BY o_year ORDER BY o_year""")
     })
 
+  /** q109–q111 complete the 22-shape TPC-H census. The schema has no
+    * partsupp or shipmode, so the three remaining shapes are adapted the
+    * same way q94–q108 were: Q9's supply cost becomes a retail-price
+    * proxy, Q11's stock value becomes lineitem revenue per part, Q12's
+    * shipmode becomes the returnflag class — the JOIN TREES and
+    * aggregate shapes (the things the planner sees) are unchanged.
+    */
+  private val q109 = Q("q109_tpch_q9_product_profit",
+    "TPC-H Q9 shape: product-type profit by nation and year — 5-relation " +
+      "join with a LIKE part filter and a two-term profit expression " +
+      "aggregated per (nation, year); cost proxied by p_retailprice " +
+      "(schema has no partsupp)",
+    Some("""
+      SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      FROM (SELECT n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6)) AS amount
+            FROM part, supplier, lineitem, orders, nation
+            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%red%') profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC"""),
+    (s, dir) => {
+      Seq("part", "supplier", "lineitem", "orders", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (SELECT n_name AS nation,
+                     CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                     CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6)) AS amount
+              FROM part, supplier, lineitem, orders, nation
+              WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                AND p_name LIKE '%red%') profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC""")
+    })
+
+  private val q110 = Q("q110_tpch_q11_important_parts",
+    "TPC-H Q11 shape: per-part value census kept only above a fraction " +
+      "of the GLOBAL total — grouped HAVING against an uncorrelated " +
+      "scalar subquery that re-aggregates the same join (value = lineitem " +
+      "revenue; schema has no partsupp)",
+    Some("""
+      SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+      FROM (SELECT l_partkey, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS val
+            FROM lineitem, supplier, nation
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3') v
+      GROUP BY l_partkey
+      HAVING SUM(val) > (
+        SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 0.001
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3')
+      ORDER BY part_value DESC, l_partkey"""),
+    (s, dir) => {
+      Seq("lineitem", "supplier", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+        FROM (SELECT l_partkey, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS val
+              FROM lineitem, supplier, nation
+              WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3') v
+        GROUP BY l_partkey
+        HAVING SUM(val) > (
+          SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 0.001
+          FROM lineitem, supplier, nation
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3')
+        ORDER BY part_value DESC, l_partkey""")
+    })
+
+  private val q111 = Q("q111_tpch_q12_priority_by_class",
+    "TPC-H Q12 shape: two-branch conditional counts per shipping class " +
+      "inside one aggregation, with a ship-after-order date comparison " +
+      "(returnflag stands in for the absent shipmode)",
+    Some("""
+      SELECT l_returnflag AS ship_class,
+             COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+             COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > o_orderdate
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    (s, dir) => {
+      Seq("orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT l_returnflag AS ship_class,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= CAST('1997-01-01 00:00:00' AS TIMESTAMP)
+          AND l_shipdate < CAST('1998-01-01 00:00:00' AS TIMESTAMP)
+          AND l_shipdate > o_orderdate
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    })
+
   def core: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q38, q39, q42, q43, q44, q45,
     q46, q47, q48, q49, q57, q58, q59, q60, q76, q88, q89, q90, q94, q95,
-    q96, q97, q98, q99, q101, q102, q103, q104, q105, q107, q108)
+    q96, q97, q98, q99, q101, q102, q103, q104, q105, q107, q108, q109,
+    q110, q111)
 
   def all: Seq[Q] = core ++ Pipeline.all ++ Extensions.all
 }
