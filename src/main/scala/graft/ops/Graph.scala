@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation on an edge list — the one dataflow shape the
+  * rest of the inventory lacks: a loop whose every round is a join against a
+  * relation produced by the previous round.
+  *
+  * Scale design (the classic Pregel-as-dataflow layout):
+  *  - the edge list is joined with out-degrees ONCE, hash-partitioned by
+  *    `src`, and persisted; the cached InMemoryRelation keeps its
+  *    `HashPartitioning(src)`, so every iteration's ranks join reuses the
+  *    edge-side layout instead of re-shuffling the (dominant) edge relation
+  *    each round — per round, only the rank relation (one row per NODE, not
+  *    per edge) moves.
+  *  - rank mass is scaled-integer (`scale` = 1e9 ppb by default) and every
+  *    division is integral (`div`), so results are bit-identical across
+  *    engines and partitionings — parallel float summation would not be.
+  *  - driver-side state is two scalars (node count, iteration counter);
+  *    ranks/edges never collect. Lineage grows one join+aggregate per
+  *    round — for iteration counts beyond ~10, checkpoint `ranks` every
+  *    few rounds (documented, not needed for the gated 3).
+  */
+object Graph {
+
+  /** PageRank with damping `dampNum/dampDen` over directed `edges`.
+    *
+    * Node set = nodes with at least one OUT-edge (pass a symmetrized edge
+    * list for undirected graphs — the gate does). Nodes with no in-edges
+    * keep the base (teleport) mass each round; mass lost to integral
+    * truncation and to dangling contributions is NOT redistributed, and the
+    * oracle mirrors exactly that.
+    *
+    * Output: (node, rank) with rank in `scale` units, unordered.
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+               iters: Int = 3, scale: Long = 1000000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // node-sized; read three times per iteration (outdeg, node set, init)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    // edge-sized; ONE shuffle + sort lays the edges out by src, and the
+    // cached layout (partitioning AND ordering survive InMemoryRelation)
+    // serves every iteration's ranks join without touching the source scan
+    val ewd = e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions("src").persist()
+    val n = deg.count()
+    val init = scale / n
+    val base = (scale * (dampDen - dampNum) / dampDen) / n
+    val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.select(col("node"), lit(init).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = ewd.join(ranks, ewd("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("mass"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"(${dampNum}L * coalesce(mass, 0L)) div ${dampDen}L"))
+            .as("rank"))
+    }
+    // pin the (node-sized) result, then drop the edge-sized cache — the
+    // caller gets materialized ranks, not a lineage through freed state
+    ranks = ranks.persist()
+    ranks.count()
+    ewd.unpersist()
+    deg.unpersist()
+    ranks
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontamination, Dedup, Multimodal, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Graph, Multimodal, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -1457,8 +1457,49 @@ object Extensions {
       Seq("source", "lang"), topK = 5)
       .orderBy("col_name", "rank"))
 
+  private val q112 = Q("q112_pagerank",
+    "iterative graph compute: 3-round integer-scaled PageRank (d=0.85) " +
+      "over the symmetrized customer-supplier trade graph — each round " +
+      "joins ranks back into the persisted src-partitioned edge list; " +
+      "integral division makes every round bit-portable",
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS a,
+                        'S' || CAST(l_suppkey AS VARCHAR) AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM deg),
+      r0 AS (SELECT src AS node, CAST(1000000000 // n AS BIGINT) AS rank FROM deg, nn),
+      b AS (SELECT CAST(150000000 // n AS BIGINT) AS base FROM nn),
+      r1 AS (SELECT e.dst AS node,
+             CAST((SELECT base FROM b) + 85 * SUM(r0.rank // d.outdeg) // 100 AS BIGINT) AS rank
+             FROM edges e JOIN r0 ON e.src = r0.node JOIN deg d ON d.src = e.src
+             GROUP BY e.dst),
+      r2 AS (SELECT e.dst AS node,
+             CAST((SELECT base FROM b) + 85 * SUM(r1.rank // d.outdeg) // 100 AS BIGINT) AS rank
+             FROM edges e JOIN r1 ON e.src = r1.node JOIN deg d ON d.src = e.src
+             GROUP BY e.dst),
+      r3 AS (SELECT e.dst AS node,
+             CAST((SELECT base FROM b) + 85 * SUM(r2.rank // d.outdeg) // 100 AS BIGINT) AS rank
+             FROM edges e JOIN r2 ON e.src = r2.node JOIN deg d ON d.src = e.src
+             GROUP BY e.dst)
+      SELECT node, rank FROM r3 ORDER BY rank DESC, node"""),
+    (s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey").cast("string")).as("a"),
+          concat(lit("S"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
-    q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106)
+    q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112)
 }

@@ -402,5 +402,48 @@ object Pipeline {
       s.table(name).orderBy("lang")
     })
 
-  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84)
+  private val q113 = Q("q113_streaming_stream_join",
+    "§2.9: watermarked stream-stream inner join (IncrementalIngest." +
+      "attributionJoin) — purchases attributed to same-user clicks within " +
+      "a 1-hour horizon; both sides watermarked so join state expires; " +
+      "AvailableNow drain equals the batch join, which the oracle replays",
+    Some("""
+      WITH a AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+                 FROM events WHERE event_type = 'click'),
+           b AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+                 FROM events WHERE event_type = 'purchase')
+      SELECT click_id, purchase_id, c_user AS user_id,
+             epoch_ms(c_ts) AS click_ms, epoch_ms(p_ts) AS purchase_ms
+      FROM a JOIN b ON c_user = p_user
+        AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id"""),
+    (s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val cp = java.nio.file.Files.createTempDirectory("graft-q113-cp").toString
+      val ev = eventsStream(s, dir, schema)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          timestamp_micros(expr("ts div 1000")).as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          timestamp_micros(expr("ts div 1000")).as("p_ts"))
+      val joined = graft.streaming.IncrementalIngest.attributionJoin(
+        clicks, purchases, "c_user", "p_user", "c_ts", "p_ts", "1 hour")
+        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+          unix_millis(col("c_ts")).as("click_ms"),
+          unix_millis(col("p_ts")).as("purchase_ms"))
+      val name = "q113_out_" + math.abs(cp.hashCode).toString
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("click_id", "purchase_id")
+    })
+
+  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113)
 }

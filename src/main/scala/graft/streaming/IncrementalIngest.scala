@@ -112,6 +112,28 @@ object IncrementalIngest {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_records"))
 
+  /** Watermarked stream-stream attribution join: each left event (e.g. a
+    * click) is paired with every right event (e.g. a purchase) sharing its
+    * key whose event time falls in `[leftTs, leftTs + horizon]`.
+    *
+    * Scale contract: BOTH sides carry watermarks and the join condition
+    * bounds right-time against left-time from both directions, so Spark can
+    * expire join state — left rows leave state `watermark + horizon` after
+    * their event time, right rows after `watermark`. Without the upper
+    * bound the state store grows with the whole stream. Inner join emits in
+    * append mode without waiting for the watermark, so an AvailableNow
+    * drain equals the batch join (the gate pins that). Key columns must be
+    * pre-aliased to distinct names on the two sides.
+    */
+  def attributionJoin(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTs: String, rightTs: String,
+                      horizon: String, watermark: String = "1 day"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs" +
+          s" AND $rightTs <= $leftTs + interval $horizon"))
+
   /** A1 as a *streaming* window: the non-midnight day bucket is a 1-day
     * tumbling event-time window anchored at the cut-off time
     * (operators/ucam.py:115-119 ≡ window(start, 1d, 1d, startTime=cutOff)).

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Iterative PageRank (q112's operator): integer math makes every
+  * expectation EXACT, so these pin values, not tolerances.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("directed 3-cycle is rank-stable at init mass") {
+    // A→B→C→A: every node outdeg 1, so each round moves the full mass one
+    // hop — base + 85% of init = init (for scale/n divisible cases this is
+    // the exact fixed point of the damped update)
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 3)
+      .as[(String, Long)].collect().toMap
+    // init = 1e9/3 = 333333333; update = 5e7 + 85*333333333/100
+    //      = 50000000 + 283333333 = 333333333 (exactly init again)
+    assert(r == Map("A" -> 333333333L, "B" -> 333333333L, "C" -> 333333333L))
+  }
+
+  test("symmetric star concentrates rank in the hub — exact one-round values") {
+    val leaves = Seq("L1", "L2", "L3", "L4")
+    val edges = (leaves.map(l => (l, "H")) ++ leaves.map(l => ("H", l)))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    // n=5, init=2e8, base=3e7; hub gets 85%*(4 leaves * 2e8/1)/100,
+    // each leaf gets 85%*(2e8/4)/100
+    assert(r("H") == 30000000L + 85L * (4L * 200000000L) / 100L)
+    assert(leaves.forall(l => r(l) == 30000000L + 85L * (200000000L / 4L) / 100L))
+    assert(r("H") > r("L1"))
+  }
+
+  test("node with no in-edges keeps exactly the teleport base") {
+    // D→A only: D is a source node; after one round its rank must be the
+    // base term alone (left join + coalesce path), not drop out of the
+    // result
+    val edges = Seq(("A", "B"), ("B", "A"), ("D", "A")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r.keySet == Set("A", "B", "D"))
+    assert(r("D") == (1000000000L * 15L / 100L) / 3L)
+    // A receives from both B and D; B only from A
+    assert(r("A") > r("B"))
+  }
+}

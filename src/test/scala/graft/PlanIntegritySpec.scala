@@ -318,4 +318,22 @@ class PlanIntegritySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"OR must not swallow the equi join key:\n$p")
   }
+
+  test("q112: PageRank hands back materialized ranks, not a 3-round lineage") {
+    val p = plan("q112_pagerank")
+    // the operator materializes ranks internally (then frees the edge-sized
+    // cache), so the caller's plan is a sort over the node-sized cache — if
+    // the full iteration tree (source scans, per-round joins) shows up
+    // here, every downstream action would re-run all rounds
+    assert(p.contains("InMemoryTableScan"),
+      s"returned ranks must come from the materialized cache:\n$p")
+    // the text below the first InMemoryRelation is the cache's DEFINITION
+    // (it legitimately shows the source scans); everything above it is what
+    // actually executes downstream — no file scan may appear there
+    val executedAboveCache = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(!executedAboveCache.contains("FileScan"),
+      s"downstream actions must not re-run the iteration lineage:\n$p")
+    assert(!executedAboveCache.contains("CartesianProduct"),
+      s"rank joins must stay keyed:\n$p")
+  }
 }

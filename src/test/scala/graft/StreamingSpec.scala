@@ -265,4 +265,36 @@ class StreamingSpec extends SparkSpec {
       "2021-11-28 12:00:00" -> 1L,
       "2021-11-29 12:00:00" -> 2L))
   }
+
+  test("attributionJoin pairs within horizon only, inclusive at both ends") {
+    val base = Files.createTempDirectory("graft-stream-attr").toString
+    val clickSrc = s"$base/clicks"; val purchSrc = s"$base/purchases"
+    Seq((10L, 1L, "2024-01-01 10:00:00"), (11L, 2L, "2024-01-01 10:00:00"))
+      .toDF("click_id", "c_user", "s")
+      .withColumn("c_ts", $"s".cast("timestamp")).drop("s")
+      .coalesce(1).write.parquet(clickSrc)
+    Seq(
+      (20L, 1L, "2024-01-01 10:30:00"),  // inside  → pairs with 10
+      (21L, 1L, "2024-01-01 11:00:00"),  // boundary (= +1h) → inclusive
+      (22L, 1L, "2024-01-01 11:00:01"),  // past horizon → dropped
+      (23L, 1L, "2024-01-01 09:59:59"),  // before the click → dropped
+      (24L, 3L, "2024-01-01 10:30:00"))  // other user → dropped
+      .toDF("purchase_id", "p_user", "s")
+      .withColumn("p_ts", $"s".cast("timestamp")).drop("s")
+      .coalesce(1).write.parquet(purchSrc)
+    def rs(path: String, id: String, user: String, ts: String) =
+      spark.readStream.schema(StructType(Seq(
+        StructField(id, LongType), StructField(user, LongType),
+        StructField(ts, TimestampType)))).parquet(path)
+    val joined = IncrementalIngest.attributionJoin(
+      rs(clickSrc, "click_id", "c_user", "c_ts"),
+      rs(purchSrc, "purchase_id", "p_user", "p_ts"),
+      "c_user", "p_user", "c_ts", "p_ts", horizon = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attr").select($"click_id", $"purchase_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L), (10L, 21L)))
+  }
 }
