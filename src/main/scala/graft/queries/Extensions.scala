@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontamination, Dedup, Graph, Multimodal, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Diff, Graph, Multimodal, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -1498,8 +1498,58 @@ object Extensions {
         .orderBy(col("rank").desc, col("node"))
     })
 
+  private val q114 = Q("q114_snapshot_diff",
+    "keyed snapshot diff (published-state audit): ONE full-outer join " +
+      "classifies every key added/removed/changed/unchanged and names " +
+      "the changed columns row-locally — null-safe, no per-column rescan",
+    Some("""
+      WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 <> 0),
+      v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 11 <> 0),
+      j AS (
+        SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+               v1.o_orderkey IS NOT NULL AS in_v1, v2.o_orderkey IS NOT NULL AS in_v2,
+               v1.o_orderstatus AS s1, v2.o_orderstatus AS s2,
+               v1.o_totalprice AS t1, v2.o_totalprice AS t2,
+               v1.o_orderpriority AS p1, v2.o_orderpriority AS p2
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+      SELECT o_orderkey,
+        CASE WHEN NOT in_v1 THEN 'added' WHEN NOT in_v2 THEN 'removed'
+             WHEN s1 IS NOT DISTINCT FROM s2 AND t1 IS NOT DISTINCT FROM t2
+                  AND p1 IS NOT DISTINCT FROM p2 THEN 'unchanged'
+             ELSE 'changed' END AS status,
+        CASE WHEN in_v1 AND in_v2 THEN concat_ws(',',
+          CASE WHEN s1 IS DISTINCT FROM s2 THEN 'o_orderstatus' END,
+          CASE WHEN t1 IS DISTINCT FROM t2 THEN 'o_totalprice' END,
+          CASE WHEN p1 IS DISTINCT FROM p2 THEN 'o_orderpriority' END)
+        ELSE '' END AS changed_cols
+      FROM j ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val v1 = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderpriority"))
+      Diff.snapshotDiff(v1, v2, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy("o_orderkey")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
-    q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112)
+    q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
+    q114)
 }
