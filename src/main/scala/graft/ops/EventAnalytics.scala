@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics over an event stream table — ordered funnels
+  * and cohort retention, the two canonical "sequence over user timelines"
+  * aggregations.
+  *
+  * Scale shape: everything is keyed by user. The funnel is a chain of
+  * per-user min-aggregates joined user-to-user (each step's state is one
+  * row per surviving user, persisted so step k+1 and step k's count share
+  * one computation — never a re-walk of the event scan chain); retention
+  * is two aggregates and one keyed join. No windows over the full event
+  * set, no collects.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel with a per-step deadline: a user reaches step k+1 when
+    * an event of that type occurs STRICTLY after their step-k time and
+    * within `deadline` of it (classic conversion semantics — the same
+    * event can't satisfy two steps). Step times are the earliest
+    * qualifying occurrence.
+    *
+    * Output: (step 1-based INT, step_type, users_reached), one row per
+    * step, unordered. Event-time column must already be a timestamp.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             deadline: String): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val horizon = expr(s"interval $deadline")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+      .persist()
+    val stages = scala.collection.mutable.ListBuffer(reached)
+    var out = reached.agg(count(lit(1)).as("users_reached"))
+      .select(lit(1).as("step"), lit(steps.head).as("step_type"),
+        col("users_reached"))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      reached = events.filter(col(typeCol) === st)
+        .join(reached, col(userCol) === col("u"))
+        .filter(col(tsCol) > col("t") && col(tsCol) <= col("t") + horizon)
+        .groupBy(col("u")).agg(min(col(tsCol)).as("t"))
+        .persist()
+      stages += reached
+      out = out.unionAll(reached.agg(count(lit(1)).as("users_reached"))
+        .select(lit(i + 2).as("step"), lit(st).as("step_type"),
+          col("users_reached")))
+    }
+    // materialize the (|steps|-row) result, then free the per-user stages
+    val result = out.persist()
+    result.count()
+    stages.foreach(_.unpersist())
+    result
+  }
+
+  /** Cohort retention: users grouped by the day of their FIRST event; for
+    * each requested day offset, how many of the cohort were active (any
+    * event) exactly that many days later. Offset 0 is the cohort size
+    * (every user is active on their first day by construction).
+    *
+    * Output: (cohort_day 'yyyy-MM-dd', offset_days BIGINT, active_users),
+    * unordered. Event-time column must already be a timestamp.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty, "offsets must be non-empty")
+    val cohort = events.groupBy(col(userCol).as("u"))
+      .agg(date_trunc("day", min(col(tsCol))).as("c_day"))
+    events.join(cohort, col(userCol) === col("u"))
+      .select(col("u"),
+        date_format(col("c_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(date_trunc("day", col(tsCol)), col("c_day"))
+          .cast("long").as("offset_days"))
+      .filter(col("offset_days").isin(offsets.map(_.toLong): _*))
+      .distinct()
+      .groupBy("cohort_day", "offset_days")
+      .agg(count(lit(1)).as("active_users"))
+  }
+}

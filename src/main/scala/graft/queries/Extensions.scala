@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontamination, Dedup, Diff, Graph, Multimodal, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Diff, EventAnalytics, Graph, Multimodal, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -1547,9 +1547,56 @@ object Extensions {
         .orderBy("o_orderkey")
     })
 
+  private val q115 = Q("q115_funnel",
+    "ordered conversion funnel with a 24h per-step deadline: each step is " +
+      "a per-user min-aggregate joined user-keyed to the previous step's " +
+      "survivors (strictly-after semantics — one event can't satisfy two " +
+      "steps); per-user state persists so counting a step never re-walks " +
+      "the chain",
+    Some("""
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'click' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'view' AND e.ts > s1.t1
+               AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+             GROUP BY e.user_id)
+      SELECT 1 AS step, 'click' AS step_type, count(*) AS users_reached FROM s1
+      UNION ALL SELECT 2, 'view', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+      ORDER BY step"""),
+    (s, dir) => EventAnalytics.funnel(t(s, dir, "events"),
+      "user_id", "ts", "event_type",
+      Seq("click", "view", "purchase"), "24 hours")
+      .orderBy("step"))
+
+  private val q116 = Q("q116_cohort_retention",
+    "cohort retention: users bucketed by first-event day; active-user " +
+      "counts at day offsets 0/1/7 — two aggregates and ONE user-keyed " +
+      "join, offsets filtered before the distinct",
+    Some("""
+      WITH cohort AS (SELECT user_id, date_trunc('day', min(ts)) AS c_day
+                      FROM events GROUP BY user_id),
+      act AS (SELECT DISTINCT c.user_id,
+                     strftime(c.c_day, '%Y-%m-%d') AS cohort_day,
+                     date_diff('day', c.c_day, date_trunc('day', e.ts)) AS offset_days
+              FROM events e JOIN cohort c ON e.user_id = c.user_id)
+      SELECT cohort_day, CAST(offset_days AS BIGINT) AS offset_days,
+             count(*) AS active_users
+      FROM act WHERE offset_days IN (0, 1, 7)
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => EventAnalytics.retention(t(s, dir, "events"),
+      "user_id", "ts", Seq(0, 1, 7))
+      .orderBy("cohort_day", "offset_days"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
-    q114)
+    q114, q115, q116)
 }

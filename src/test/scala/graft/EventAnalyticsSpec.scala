@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.EventAnalytics
+
+/** Funnel/retention (q115/q116 operators): the sequence edge cases the
+  * synthetic events fixture can't pin exactly.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "s", "event_type")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+
+  test("funnel: same-instant event can't satisfy the next step (strictly after)") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "click"),
+      (1L, "2024-01-01 10:00:00", "view"),   // same instant → NOT after
+      (2L, "2024-01-01 10:00:00", "click"),
+      (2L, "2024-01-01 10:00:01", "view"))
+    val got = EventAnalytics.funnel(e, "user_id", "ts", "event_type",
+      Seq("click", "view"), "24 hours")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "click", 2L), (2, "view", 1L)))
+  }
+
+  test("funnel: deadline is inclusive; step time is the EARLIEST qualifier") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "click"),
+      (1L, "2024-01-02 10:00:00", "view"),       // exactly +24h → counts
+      (1L, "2024-01-02 10:00:01", "purchase"),   // 1s after the view → counts
+      (2L, "2024-01-01 10:00:00", "click"),
+      (2L, "2024-01-02 10:00:01", "view"))       // past the deadline → out
+    val got = EventAnalytics.funnel(e, "user_id", "ts", "event_type",
+      Seq("click", "view", "purchase"), "24 hours")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "click", 2L), (2, "view", 1L), (3, "purchase", 1L)))
+  }
+
+  test("retention: offset counts are distinct users, cohort at offset 0") {
+    val e = ev(
+      (1L, "2024-01-01 09:00:00", "view"),
+      (1L, "2024-01-02 01:00:00", "view"),
+      (1L, "2024-01-02 23:00:00", "view"),   // same user+day → one active row
+      (2L, "2024-01-01 23:59:59", "view"),
+      (3L, "2024-01-02 00:00:00", "view"))
+    val got = EventAnalytics.retention(e, "user_id", "ts", Seq(0, 1))
+      .as[(String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L),   // users 1 and 2
+      ("2024-01-01", 1L, 1L),   // only user 1 came back next day
+      ("2024-01-02", 0L, 1L)))  // user 3's cohort
+  }
+}
