@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -418,5 +418,90 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(topK)
+  }
+
+  /** Greedy left-to-right merge of one (a,b) symbol pair inside a symbol
+    * array — a row-local fold (no shuffle, no UDF): state = (emitted
+    * symbols, one pending symbol). A merged symbol can't re-merge in the
+    * same pass, so 'aaa' under (a,a) becomes ['aa','a'] — the standard
+    * BPE pass semantics.
+    */
+  private def mergePair(syms: Column, a: Column, b: Column): Column = {
+    val zero = struct(lit(Array.empty[String]).as("out"),
+      lit(null).cast("string").as("pending"))
+    aggregate(syms, zero,
+      (acc, x) => {
+        val out = acc.getField("out"); val p = acc.getField("pending")
+        val isMerge = p === a && x === b
+        struct(
+          when(p.isNull, out)
+            .when(isMerge, array_append(out, concat(a, b)))
+            .otherwise(array_append(out, p)).as("out"),
+          when(p.isNull, x)
+            .when(isMerge, lit(null).cast("string"))
+            .otherwise(x).as("pending"))
+      },
+      acc => when(acc.getField("pending").isNull, acc.getField("out"))
+        .otherwise(array_append(acc.getField("out"),
+          acc.getField("pending"))))
+  }
+
+  /** The actual BPE TRAINING LOOP, `rounds` merges deep: each round scores
+    * adjacent symbol pairs over the collapsed vocabulary (q93's ordering —
+    * corpus volume becomes vocabulary before any symbol work), picks the
+    * argmax pair (cnt desc, left asc, right asc — a model-sized driver
+    * scalar, like the k-means seeds), and rewrites every word's symbol
+    * array with [[mergePair]]'s row-local fold.
+    *
+    * Per round: ONE vocabulary-sized aggregate + a shuffle-free rewrite.
+    * The corpus is scanned exactly once total (vocab collapse, persisted);
+    * rounds never touch it again. Driver state is the merge table —
+    * model-parameter sized, never data.
+    *
+    * Returns (vocab segmentation, learned merges): segmentation =
+    * (word, wc, seg) with `seg` the space-joined symbols after all
+    * rounds; merges = (round, left, right, cnt).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String = "text",
+               rounds: Int = 3): (DataFrame, DataFrame) = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = docs.sparkSession
+    var vocab = docs.select(explode(TextFns.words(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms", transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+      .persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      // a fully-merged word can reach one symbol: guard the 1..size-1
+      // sequence (Spark's sequence(1, 0) counts DOWN, not empty)
+      val win = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"), col("wc"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (win.nonEmpty) {
+        val (l, r, cnt) =
+          (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        merges += ((round, l, r, cnt))
+        val next = vocab.withColumn("syms",
+          mergePair(col("syms"), lit(l), lit(r))).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    import spark.implicits._
+    val seg = vocab.select(col("word"), col("wc"),
+      concat_ws(" ", col("syms")).as("seg"))
+    (seg, merges.toSeq.toDF("round", "left", "right", "cnt"))
   }
 }

@@ -1594,9 +1594,97 @@ object Extensions {
       "user_id", "ts", Seq(0, 1, 7))
       .orderBy("cohort_day", "offset_days"))
 
+  /** q117's oracle mirrors the greedy merge pass set-orientedly: matching
+    * positions group into runs (overlaps only happen inside equal-symbol
+    * runs), odd ranks within a run merge, the position after each merge
+    * start drops — provably the same result as the Spark side's
+    * left-to-right fold.
+    */
+  private val q117 = Q("q117_bpe_train",
+    "the real BPE TRAINING LOOP, 3 merge rounds: per round ONE " +
+      "vocabulary-sized pair aggregate picks the argmax merge (driver " +
+      "holds only the model-sized merge table), then a row-local fold " +
+      "rewrites every word's symbol array — the corpus is scanned once " +
+      "total; output is the final vocabulary segmentation",
+    Some("""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      wc AS (SELECT word, count(*) AS wc FROM w WHERE length(word) >= 2 GROUP BY 1),
+      v0 AS (SELECT word, wc, list_transform(generate_series(1, length(word)),
+                    i -> substr(word, CAST(i AS INT), 1)) AS syms FROM wc),
+      p1 AS (SELECT list_extract(syms, CAST(i AS INT)) AS l,
+                    list_extract(syms, CAST(i AS INT) + 1) AS r, wc
+             FROM (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i FROM v0)),
+      c1 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS cnt FROM p1 GROUP BY 1, 2),
+      w1 AS (SELECT l, r FROM c1 ORDER BY cnt DESC, l, r LIMIT 1),
+      e1 AS (SELECT word, wc, unnest(syms) AS sym,
+                    unnest(generate_series(1, len(syms))) AS pos FROM v0),
+      m1 AS (SELECT a.word, a.pos FROM e1 a JOIN e1 b
+             ON a.word = b.word AND b.pos = a.pos + 1, w1
+             WHERE a.sym = w1.l AND b.sym = w1.r),
+      s1 AS (SELECT word, pos, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+             FROM (SELECT word, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp FROM m1)),
+      t1 AS (SELECT word, pos FROM s1 WHERE rn % 2 = 1),
+      v1 AS (SELECT e.word, e.wc,
+             list(CASE WHEN st.pos IS NOT NULL THEN (SELECT l || r FROM w1)
+                       ELSE e.sym END ORDER BY e.pos) AS syms
+             FROM e1 e
+             LEFT JOIN t1 st ON e.word = st.word AND e.pos = st.pos
+             LEFT JOIN t1 dr ON e.word = dr.word AND e.pos = dr.pos + 1
+             WHERE dr.pos IS NULL
+             GROUP BY e.word, e.wc),
+      p2 AS (SELECT list_extract(syms, CAST(i AS INT)) AS l,
+                    list_extract(syms, CAST(i AS INT) + 1) AS r, wc
+             FROM (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i FROM v1)),
+      c2 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS cnt FROM p2 GROUP BY 1, 2),
+      w2 AS (SELECT l, r FROM c2 ORDER BY cnt DESC, l, r LIMIT 1),
+      e2 AS (SELECT word, wc, unnest(syms) AS sym,
+                    unnest(generate_series(1, len(syms))) AS pos FROM v1),
+      m2 AS (SELECT a.word, a.pos FROM e2 a JOIN e2 b
+             ON a.word = b.word AND b.pos = a.pos + 1, w2
+             WHERE a.sym = w2.l AND b.sym = w2.r),
+      s2 AS (SELECT word, pos, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+             FROM (SELECT word, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp FROM m2)),
+      t2 AS (SELECT word, pos FROM s2 WHERE rn % 2 = 1),
+      v2 AS (SELECT e.word, e.wc,
+             list(CASE WHEN st.pos IS NOT NULL THEN (SELECT l || r FROM w2)
+                       ELSE e.sym END ORDER BY e.pos) AS syms
+             FROM e2 e
+             LEFT JOIN t2 st ON e.word = st.word AND e.pos = st.pos
+             LEFT JOIN t2 dr ON e.word = dr.word AND e.pos = dr.pos + 1
+             WHERE dr.pos IS NULL
+             GROUP BY e.word, e.wc),
+      p3 AS (SELECT list_extract(syms, CAST(i AS INT)) AS l,
+                    list_extract(syms, CAST(i AS INT) + 1) AS r, wc
+             FROM (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i FROM v2)),
+      c3 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS cnt FROM p3 GROUP BY 1, 2),
+      w3 AS (SELECT l, r FROM c3 ORDER BY cnt DESC, l, r LIMIT 1),
+      e3 AS (SELECT word, wc, unnest(syms) AS sym,
+                    unnest(generate_series(1, len(syms))) AS pos FROM v2),
+      m3 AS (SELECT a.word, a.pos FROM e3 a JOIN e3 b
+             ON a.word = b.word AND b.pos = a.pos + 1, w3
+             WHERE a.sym = w3.l AND b.sym = w3.r),
+      s3 AS (SELECT word, pos, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+             FROM (SELECT word, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp FROM m3)),
+      t3 AS (SELECT word, pos FROM s3 WHERE rn % 2 = 1),
+      v3 AS (SELECT e.word, e.wc,
+             list(CASE WHEN st.pos IS NOT NULL THEN (SELECT l || r FROM w3)
+                       ELSE e.sym END ORDER BY e.pos) AS syms
+             FROM e3 e
+             LEFT JOIN t3 st ON e.word = st.word AND e.pos = st.pos
+             LEFT JOIN t3 dr ON e.word = dr.word AND e.pos = dr.pos + 1
+             WHERE dr.pos IS NULL
+             GROUP BY e.word, e.wc)
+      SELECT word, CAST(wc AS BIGINT) AS wc, array_to_string(syms, ' ') AS seg
+      FROM v3 ORDER BY word"""),
+    (s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"), rounds = 3)
+      ._1.orderBy("word"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
-    q114, q115, q116)
+    q114, q115, q116, q117)
 }

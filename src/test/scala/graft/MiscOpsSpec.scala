@@ -481,6 +481,29 @@ class TextOpsSpec extends SparkSpec {
     // wc: low=3, lower=2 -> lo=5, ow=5, er=2, we=2; top3 cuts at 'er'<'we'
     assert(got == List(("lo", 5L), ("ow", 5L), ("er", 2L)))
   }
+
+  test("bpeTrain: greedy pass can't re-merge a merged symbol ('aaaa' case)") {
+    val docs = Seq((1L, "aaaa aaaa aaa")).toDF("doc_id", "text")
+    val (seg, merges) = TextAnalysis.bpeTrain(docs, rounds = 1)
+    // round 1: pair (a,a) cnt = 3 per 'aaaa' x2 + 2 per 'aaa' = 8;
+    // greedy pass: 'aaaa' -> [aa, aa], 'aaa' -> [aa, a]
+    assert(merges.as[(Int, String, String, Long)].collect().toSeq ==
+      Seq((1, "a", "a", 8L)))
+    assert(seg.as[(String, Long, String)].collect().toSet ==
+      Set(("aaaa", 2L, "aa aa"), ("aaa", 1L, "aa a")))
+  }
+
+  test("bpeTrain: later rounds merge previously-merged symbols") {
+    // 'abab': round 1 merges (a,b) twice -> [ab, ab]; round 2's best pair
+    // is then (ab, ab) -> [abab] — the loop must operate on SYMBOLS, not
+    // characters
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val (seg, merges) = TextAnalysis.bpeTrain(docs, rounds = 2)
+    assert(merges.as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      == Seq((1, "a", "b", 5L), (2, "ab", "ab", 2L)))
+    assert(seg.as[(String, Long, String)].collect().toSet
+      == Set(("abab", 2L, "abab"), ("ab", 1L, "ab")))
+  }
 }
 
 /** Batch sessionization: hand-computed gap splits, tie determinism, and
