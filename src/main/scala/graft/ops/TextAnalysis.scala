@@ -393,6 +393,52 @@ object TextAnalysis {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("cosine"))
   }
 
+  /** Token co-occurrence with exact integer PMI over a bounded vocabulary
+    * — the collocation-mining step of corpus analysis (phrase detection,
+    * topic seeds, embedding evaluation).
+    *
+    * Scale design: the quadratic step is bounded by CONSTRUCTION, not by
+    * data size. Only the top-`vocabSize` tokens by document frequency
+    * (model-sized, TakeOrdered + broadcast) enter the per-document pair
+    * join, so a document contributes at most C(vocabSize, 2) pairs
+    * regardless of its length, and the doc_id equi-join never degenerates
+    * into corpus-wide all-pairs. The corpus is scanned twice (once for df,
+    * once for pairs) — cheaper at scale than persisting the exploded
+    * token relation, which is larger than the corpus itself. PMI is exact
+    * integer ppm (c_ab·N·1e6 div (df_a·df_b)) — bit-portable, no floats.
+    *
+    * Output: top-`topK` (wa, wb, c_ab, pmi_ppm) by pmi desc, pair asc.
+    */
+  def cooccurrencePmi(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", vocabSize: Int = 100,
+                      topK: Int = 50): DataFrame = {
+    require(vocabSize >= 2 && topK >= 1, "vocabSize >= 2, topK >= 1")
+    val nonEmpty = docs.filter(length(col(textCol)) > 0)
+    val tok = nonEmpty
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
+      .filter(length(col("w")) >= 2)
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(vocabSize)
+    val nd = nonEmpty.agg(countDistinct(col(idCol)).as("n"))
+    val vt = tok.join(broadcast(vocab.select("w")), "w")
+    val pairs = vt.as("a")
+      .join(vt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(vocab.select(col("w").as("wa"), col("df").as("dfa"))),
+        "wa")
+      .join(broadcast(vocab.select(col("w").as("wb"), col("df").as("dfb"))),
+        "wb")
+      .crossJoin(broadcast(nd))
+      .select(col("wa"), col("wb"), col("c_ab"),
+        expr("c_ab * n * 1000000L div (dfa * dfb)").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("wa"), col("wb"))
+      .limit(topK)
+  }
+
   /** Byte-pair statistics — the scoring step of BPE tokenizer training:
     * corpus-wide frequency of every adjacent character pair, weighted by
     * word frequency. The scale trick is aggregation order: identical

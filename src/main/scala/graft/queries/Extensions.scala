@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontamination, Dedup, Diff, EventAnalytics, Graph, Multimodal, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Diff, EventAnalytics, Graph, Intervals, Multimodal, Profile, Regression, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -1682,9 +1682,137 @@ object Extensions {
     (s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"), rounds = 3)
       ._1.orderBy("word"))
 
+  private val q118 = Q("q118_triangle_census",
+    "global triangle census (nodes/edges/wedges/triangles/clustering " +
+      "coefficient) over the part co-purchase graph via degree-ordered " +
+      "orientation: every edge points from its lower (deg,node) endpoint, " +
+      "so wedge enumeration is O(sqrt(m)) per node regardless of hub skew " +
+      "and each triangle is counted exactly once, at its minimum corner",
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity >= 30 AND b.l_quantity >= 30),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+              (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+              GROUP BY 1),
+      wedges AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS w FROM deg),
+      tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+              FROM pairs e1 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS edges,
+             (SELECT w FROM wedges) AS wedges,
+             (SELECT t FROM tri) AS triangles,
+             CAST(3 * (SELECT t FROM tri) * 1000000 // (SELECT w FROM wedges)
+                  AS BIGINT) AS global_cc_ppm"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val pairs = li.as("x")
+        .join(li.as("y"),
+          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      Graph.triangleStats(pairs)
+    })
+
+  private val q119 = Q("q119_interval_coalesce",
+    "gaps-and-islands interval coalescing: per-customer 30-day order " +
+      "windows merge into maximal covered islands in ONE exchange — " +
+      "running-max window flags island starts, a running sum numbers " +
+      "them, and the per-island aggregate reuses the same partitioning",
+    Some("""
+      WITH iv AS (SELECT o_custkey, o_orderdate AS s,
+                         o_orderdate + INTERVAL 30 DAY AS e FROM orders),
+      flg AS (SELECT o_custkey, s, e,
+              CASE WHEN s <= MAX(e) OVER (PARTITION BY o_custkey
+                   ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 0 ELSE 1 END AS new_island
+              FROM iv),
+      isl AS (SELECT o_custkey, s, e,
+              SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island_id
+              FROM flg)
+      SELECT o_custkey, CAST(island_id AS BIGINT) AS island_id,
+             strftime(MIN(s), '%Y-%m-%d') AS island_start,
+             strftime(MAX(e), '%Y-%m-%d') AS island_end,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(date_diff('day', MIN(s), MAX(e)) AS BIGINT) AS covered_days
+      FROM isl GROUP BY 1, 2 ORDER BY o_custkey, island_id"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      Intervals.coalesce(o, col("o_custkey"), col("o_orderdate"),
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(col("key").as("o_custkey"), col("island_id"),
+          date_format(col("island_start"), "yyyy-MM-dd").as("island_start"),
+          date_format(col("island_end"), "yyyy-MM-dd").as("island_end"),
+          col("n_intervals"),
+          datediff(col("island_end").cast("date"),
+            col("island_start").cast("date")).cast("long").as("covered_days"))
+        .orderBy("o_custkey", "island_id")
+    })
+
+  private val q120 = Q("q120_cooccurrence_pmi",
+    "token collocations: exact integer PMI over a bounded top-100-df " +
+      "vocabulary — the quadratic pair step is capped by construction " +
+      "(broadcast vocab filter before the per-doc self-join), never " +
+      "corpus-wide all-pairs; top-50 by pmi desc",
+    Some("""
+      WITH tok AS (SELECT DISTINCT doc_id,
+                          unnest(string_split(text, ' ')) AS w
+                   FROM documents WHERE length(text) > 0),
+      tok2 AS (SELECT doc_id, w FROM tok WHERE length(w) >= 2),
+      df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok2 GROUP BY 1),
+      vocab AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 100),
+      vt AS (SELECT t.doc_id, t.w FROM tok2 t JOIN vocab v ON t.w = v.w),
+      nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+             FROM documents WHERE length(text) > 0),
+      pairs AS (SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS c_ab
+                FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.w < b.w
+                GROUP BY 1, 2)
+      SELECT wa, wb, c_ab,
+             CAST(c_ab * (SELECT n FROM nd) * 1000000 // (va.df * vb.df)
+                  AS BIGINT) AS pmi_ppm
+      FROM pairs JOIN vocab va ON wa = va.w JOIN vocab vb ON wb = vb.w
+      ORDER BY pmi_ppm DESC, wa, wb LIMIT 50"""),
+    (s, dir) => TextAnalysis.cooccurrencePmi(t(s, dir, "documents")))
+
+  private val q121 = Q("q121_trend_per_key",
+    "per-supplier OLS shipment trend: ONE map-side-combined aggregate " +
+      "carries the five sufficient statistics, the closed-form solve is " +
+      "row-local, and every coefficient is exact integer ppm — " +
+      "bit-portable where parallel float summation would not be",
+    Some("""
+      WITH pts AS (SELECT l_suppkey,
+             CAST(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate)
+                  AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+      agg AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x*y) AS BIGINT) AS sxy,
+              CAST(SUM(x*x) AS BIGINT) AS sxx
+              FROM pts GROUP BY 1)
+      SELECT l_suppkey, n,
+             CAST(1000000 * (n*sxy - sx*sy) // (n*sxx - sx*sx) AS BIGINT)
+               AS slope_ppm,
+             CAST((1000000 * sy - (1000000 * (n*sxy - sx*sy)
+                   // (n*sxx - sx*sx)) * sx) // n AS BIGINT) AS intercept_ppm
+      FROM agg WHERE n >= 2 AND n*sxx - sx*sx > 0
+      ORDER BY l_suppkey"""),
+    (s, dir) => Regression.fitLinePerKey(t(s, dir, "lineitem"),
+        col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"), lit("1995-01-01")),
+        col("l_quantity"))
+      .select(col("key").as("l_suppkey"), col("n"), col("slope_ppm"),
+        col("intercept_ppm"))
+      .orderBy("l_suppkey"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
-    q114, q115, q116, q117)
+    q114, q115, q116, q117, q118, q119, q120, q121)
 }

@@ -47,4 +47,26 @@ class GraphSpec extends SparkSpec {
     // A receives from both B and D; B only from A
     assert(r("A") > r("B"))
   }
+
+  test("triangleStats: K4 minus one edge, hand-counted") {
+    // nodes {1,2,3,4}, all edges except (3,4): 5 edges, triangles
+    // {1,2,3} and {1,2,4}; degrees 3,3,2,2 -> wedges 3+3+1+1 = 8;
+    // cc = 3*2*1e6 div 8 = 750000
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L))
+      .toDF("a", "b")
+    val r = Graph.triangleStats(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((4L, 5L, 8L, 2L, 750000L)))
+  }
+
+  test("triangleStats: dedups multi-edges, drops self-loops, " +
+    "normalizes direction") {
+    // (1,2) appears 3 times in mixed order + a self-loop; plus chain 2-3:
+    // 2 edges, 1 wedge at node 2, 0 triangles
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L))
+      .toDF("a", "b")
+    val r = Graph.triangleStats(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((3L, 2L, 1L, 0L, 0L)))
+  }
 }

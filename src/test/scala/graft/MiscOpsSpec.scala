@@ -738,6 +738,37 @@ class ProfileSpec extends SparkSpec {
   }
 }
 
+/** Gaps-and-islands interval coalescing: overlap/touch/gap semantics and
+  * island numbering, hand-computed.
+  */
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coalesce merges overlapping and touching, splits on gaps, per key") {
+    val df = Seq(
+      // key A: [1,5] overlaps [3,8]; [8,10] touches; gap; [20,21]
+      ("A", 1L, 5L), ("A", 3L, 8L), ("A", 8L, 10L), ("A", 20L, 21L),
+      // key B: containment — [2,9] swallows [4,5]; [6,7] also inside
+      ("B", 2L, 9L), ("B", 4L, 5L), ("B", 6L, 7L)).toDF("k", "s", "e")
+    val got = graft.ops.Intervals.coalesce(df, col("k"), col("s"), col("e"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", 1L, 1L, 10L, 3L), ("A", 2L, 20L, 21L, 1L),
+      ("B", 1L, 2L, 9L, 3L)))
+  }
+
+  test("coalesce: earlier long interval still blocks a later short one " +
+    "(running max, not lag)") {
+    // [1,100] then [2,3] then [4,99]: lag(e) would see 3 < 4 and split;
+    // the running MAX must keep one island
+    val df = Seq(("K", 1L, 100L), ("K", 2L, 3L), ("K", 4L, 99L))
+      .toDF("k", "s", "e")
+    val got = graft.ops.Intervals.coalesce(df, col("k"), col("s"), col("e"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("K", 1L, 1L, 100L, 3L)))
+  }
+}
+
 /** Driver-contract smoke: the flagship entry() must return rows. */
 class EntrySmokeSpec extends SparkSpec {
   test("SparkEntry.entry returns a non-empty flagship result at sf0.001") {

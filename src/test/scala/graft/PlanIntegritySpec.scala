@@ -336,4 +336,16 @@ class PlanIntegritySpec extends SparkSpec {
     assert(!executedAboveCache.contains("CartesianProduct"),
       s"rank joins must stay keyed:\n$p")
   }
+
+  test("q119: interval coalescing is ONE exchange — the island aggregate " +
+    "reuses the window partitioning") {
+    val p = plan("q119_interval_coalesce")
+    // the window hash-partitions on the key; groupBy(key, island_id) must
+    // not add a second exchange (key is a prefix of the grouping), and the
+    // final orderBy adds exactly one range exchange
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (key), got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"gaps-and-islands must not plan a join:\n$p")
+  }
 }
