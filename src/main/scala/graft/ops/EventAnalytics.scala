@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   * one computation — never a re-walk of the event scan chain); retention
   * is two aggregates and one keyed join. No windows over the full event
   * set, no collects.
+  *
+  * Internal working columns use a `_g_` prefix so an input table that
+  * happens to carry a column named `u`/`t`/`c_day` can't make the
+  * join/filter references ambiguous.
   */
 object EventAnalytics {
 
@@ -31,7 +35,7 @@ object EventAnalytics {
     require(steps.nonEmpty, "steps must be non-empty")
     val horizon = expr(s"interval $deadline")
     var reached = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+      .groupBy(col(userCol).as("_g_u")).agg(min(col(tsCol)).as("_g_t"))
       .persist()
     val stages = scala.collection.mutable.ListBuffer(reached)
     var out = reached.agg(count(lit(1)).as("users_reached"))
@@ -39,9 +43,9 @@ object EventAnalytics {
         col("users_reached"))
     steps.tail.zipWithIndex.foreach { case (st, i) =>
       reached = events.filter(col(typeCol) === st)
-        .join(reached, col(userCol) === col("u"))
-        .filter(col(tsCol) > col("t") && col(tsCol) <= col("t") + horizon)
-        .groupBy(col("u")).agg(min(col(tsCol)).as("t"))
+        .join(reached, col(userCol) === col("_g_u"))
+        .filter(col(tsCol) > col("_g_t") && col(tsCol) <= col("_g_t") + horizon)
+        .groupBy(col("_g_u")).agg(min(col(tsCol)).as("_g_t"))
         .persist()
       stages += reached
       out = out.unionAll(reached.agg(count(lit(1)).as("users_reached"))
@@ -66,12 +70,12 @@ object EventAnalytics {
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 offsets: Seq[Int]): DataFrame = {
     require(offsets.nonEmpty, "offsets must be non-empty")
-    val cohort = events.groupBy(col(userCol).as("u"))
-      .agg(date_trunc("day", min(col(tsCol))).as("c_day"))
-    events.join(cohort, col(userCol) === col("u"))
-      .select(col("u"),
-        date_format(col("c_day"), "yyyy-MM-dd").as("cohort_day"),
-        datediff(date_trunc("day", col(tsCol)), col("c_day"))
+    val cohort = events.groupBy(col(userCol).as("_g_u"))
+      .agg(date_trunc("day", min(col(tsCol))).as("_g_c_day"))
+    events.join(cohort, col(userCol) === col("_g_u"))
+      .select(col("_g_u"),
+        date_format(col("_g_c_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(date_trunc("day", col(tsCol)), col("_g_c_day"))
           .cast("long").as("offset_days"))
       .filter(col("offset_days").isin(offsets.map(_.toLong): _*))
       .distinct()

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *    engines and partitionings — parallel float summation would not be.
   *  - driver-side state is two scalars (node count, iteration counter);
   *    ranks/edges never collect. Lineage grows one join+aggregate per
-  *    round — for iteration counts beyond ~10, checkpoint `ranks` every
-  *    few rounds (documented, not needed for the gated 3).
+  *    round — `checkpointEvery` truncates it with an eager localCheckpoint
+  *    so deep iteration counts keep a bounded plan (the gated 3 rounds
+  *    never reach the default threshold and plan identically to r5).
   */
 object Graph {
 
@@ -33,11 +34,22 @@ object Graph {
     * oracle mirrors exactly that.
     *
     * Output: (node, rank) with rank in `scale` units, unordered.
+    *
+    * `checkpointEvery`: eagerly localCheckpoint the rank relation every k
+    * rounds, truncating lineage so plan depth stays bounded at any
+    * iteration count (values are unchanged — checkpointing only cuts the
+    * recursive plan). `tolAbs >= 0` adds a convergence stop: after each
+    * round the total absolute rank change (in `scale` units, an exact
+    * integer) is measured, and iteration ends early once it is <= tolAbs;
+    * the per-round cost is one node-sized aggregate to a single driver
+    * scalar. Defaults leave both behaviors off for the gated 3-round plan.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                iters: Int = 3, scale: Long = 1000000000L,
-               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               checkpointEvery: Int = 8, tolAbs: Long = -1L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // node-sized; read three times per iteration (outdeg, node set, init)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
@@ -47,19 +59,33 @@ object Graph {
     val ewd = e.join(deg, "src")
       .repartition(col("src")).sortWithinPartitions("src").persist()
     val n = deg.count()
+    require(n > 0, "pageRank needs a non-empty edge list (no out-degree nodes)")
     val init = scale / n
     val base = (scale * (dampDen - dampNum) / dampDen) / n
     val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.select(col("node"), lit(init).as("rank"))
-    for (_ <- 1 to iters) {
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      round += 1
       val contribs = ewd.join(ranks, ewd("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("mass"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + expr(s"(${dampNum}L * coalesce(mass, 0L)) div ${dampDen}L"))
             .as("rank"))
+      val cut = round % checkpointEvery == 0 && round < iters
+      val nextMat = if (cut || tolAbs >= 0L) next.localCheckpoint(true) else next
+      if (tolAbs >= 0L) {
+        val delta = nextMat
+          .join(ranks.select(col("node"), col("rank").as("_g_prev")), "node")
+          .agg(sum(abs(col("rank") - col("_g_prev"))).as("d"))
+          .head().getLong(0)
+        converged = delta <= tolAbs
+      }
+      ranks = nextMat
     }
     // pin the (node-sized) result, then drop the edge-sized cache — the
     // caller gets materialized ranks, not a lineage through freed state
@@ -123,8 +149,12 @@ object Graph {
     val edgesDf = ort.agg(count(lit(1)).as("edges"))
     val wedgesDf = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("wedges"))
     val triDf = closed.agg(count(lit(1)).as("triangles"))
+    // wedge-free graphs (every component a single edge) get an explicit NULL
+    // coefficient: `div 0` is NULL in Spark but an error in ANSI engines, so
+    // the guard makes the degenerate case portable instead of engine-luck
     nodesDf.crossJoin(edgesDf).crossJoin(wedgesDf).crossJoin(triDf)
       .select(col("nodes"), col("edges"), col("wedges"), col("triangles"),
-        expr("3L * triangles * 1000000L div wedges").as("global_cc_ppm"))
+        when(col("wedges") > 0,
+          expr("3L * triangles * 1000000L div wedges")).as("global_cc_ppm"))
   }
 }

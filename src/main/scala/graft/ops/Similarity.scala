@@ -177,16 +177,20 @@ object Similarity {
   /** Deterministic Lloyd k-means over an embedding column — the codebook
     * trainer for [[ivfTopK]] and the clustering step of SemDeDup-style
     * curation ([[centroidOutliers]] screens within the clusters this
-    * produces). Fixed `iters` assignment/update rounds; every number is
-    * exact integer math, so the final assignment hash-matches an oracle
-    * in any engine:
+    * produces). Fixed `iters` assignment/update rounds; every step is
+    * integer-valued and deterministic, so the final assignment
+    * hash-matches an oracle in any engine:
     *  - components scale to BIGINT (floor(v·scale), as [[centroidOutliers]]);
     *  - seeds are the `k` vectors with the smallest shared hash64(id)
     *    (deterministic pseudo-random init, no RNG), cluster ids 0..k-1
     *    assigned in (hash, id) order;
     *  - squared distances accumulate (s-c)² in BIGINT; argmin ties break
     *    on the lower cluster id;
-    *  - the centroid update floors the exact integer per-dimension mean.
+    *  - the centroid update is floor(sum.cast(double)/count) — exact
+    *    integer semantics while |per-dim sum| < 2^53, i.e. ~9e8 members
+    *    per cluster at scale=1e7 (the same double-division headroom bound
+    *    Regression.scala documents); the oracle divides identically, so
+    *    engines agree even at the bound.
     * A cluster that loses all members drops out of later rounds (standard
     * Lloyd dropout — deterministic, mirrored by the oracle).
     *

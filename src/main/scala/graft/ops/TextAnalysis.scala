@@ -323,12 +323,28 @@ object TextAnalysis {
     *
     * `keepAtOrAbove = false` flips the cut for "drop the top p" uses
     * (e.g. truncating pathological outliers by length).
+    *
+    * SCALE PATH: the exact `percentile` aggregate buffers the full value
+    * multiset per partition before merging — fine at test scale, not at
+    * 100 TB. `approxAccuracy > 0` switches the threshold to Spark's
+    * `approx_percentile` t-digest-style sketch (bounded memory:
+    * O(accuracy) per partition, mergeable), whose rank error is at most
+    * 1/accuracy — at the 10000 default that is ±0.01% of corpus rank,
+    * far inside the noise of any quality-percentile cut. The sketch
+    * threshold is an actual corpus value (no interpolation), so the
+    * filter semantics are unchanged; only the cut point can differ by
+    * the rank tolerance. Exact stays the default because the oracle gate
+    * (q74) pins interpolated-percentile semantics cross-engine.
     */
   def filterByPercentile(docs: DataFrame, valueCol: String, p: Double,
-                         keepAtOrAbove: Boolean = true): DataFrame = {
+                         keepAtOrAbove: Boolean = true,
+                         approxAccuracy: Int = 0): DataFrame = {
     require(p > 0 && p < 1, s"percentile must be in (0,1), got $p")
-    val thr = broadcast(
-      docs.agg(expr(s"percentile($valueCol, ${p}d)").as("__thr")))
+    val thrExpr =
+      if (approxAccuracy > 0)
+        expr(s"approx_percentile($valueCol, ${p}d, $approxAccuracy)")
+      else expr(s"percentile($valueCol, ${p}d)")
+    val thr = broadcast(docs.agg(thrExpr.cast("double").as("__thr")))
     val kept = docs.crossJoin(thr)
     (if (keepAtOrAbove) kept.filter(col(valueCol) >= col("__thr"))
      else kept.filter(col(valueCol) <= col("__thr"))).drop("__thr")

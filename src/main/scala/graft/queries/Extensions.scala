@@ -1427,13 +1427,23 @@ object Extensions {
       ORDER BY cluster, id_a, id_b"""),
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val d = e.select(max(size(col("embedding")))).head().getInt(0)
-      val n = e.filter(size(col("embedding")) === d)
-        .select(countDistinct(col("vec_id"))).head().getLong(0)
-      val k = math.ceil(math.sqrt(n.toDouble)).toInt
-      Similarity.kmeansNearDupPairs(e, "vec_id", "embedding",
-        k = k, iters = 2, maxDist2 = 1200000000000L)
-        .orderBy("cluster", "id_a", "id_b")
+      // an empty / all-null embeddings table gives a null max — degrade to
+      // the operator's own empty result instead of an NPE in the prelude
+      // (same isNullAt guard kmeansFit uses internally)
+      val probe = e.select(max(size(col("embedding")))).head()
+      if (probe.isNullAt(0))
+        e.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
+          lit(0L).as("cluster"), lit(0L).as("dist2")).limit(0)
+          .select(col("cluster"), col("id_a"), col("id_b"), col("dist2"))
+      else {
+        val d = probe.getInt(0)
+        val n = e.filter(size(col("embedding")) === d)
+          .select(countDistinct(col("vec_id"))).head().getLong(0)
+        val k = math.ceil(math.sqrt(n.toDouble)).toInt
+        Similarity.kmeansNearDupPairs(e, "vec_id", "embedding",
+          k = k, iters = 2, maxDist2 = 1200000000000L)
+          .orderBy("cluster", "id_a", "id_b")
+      }
     })
 
   private val q106 = Q("q106_key_skew_census",
@@ -1457,6 +1467,15 @@ object Extensions {
       Seq("source", "lang"), topK = 5)
       .orderBy("col_name", "rank"))
 
+  /** ORACLE CAVEAT: the SQL form's per-round `GROUP BY e.dst` drops nodes
+    * that receive no contributions that round, so a node with no IN-edge
+    * would lose its teleport (base) mass, while Graph.pageRank keeps every
+    * out-degree node at base mass (pinned by GraphSpec). The two agree only
+    * because the gate's edge list is SYMMETRIZED (every node has an
+    * in-edge). Reusing this oracle for a directed graph requires a left
+    * join against `deg` in each round (r1/r2/r3) to re-admit no-in-edge
+    * nodes at base mass.
+    */
   private val q112 = Q("q112_pagerank",
     "iterative graph compute: 3-round integer-scaled PageRank (d=0.85) " +
       "over the symmetrized customer-supplier trade graph — each round " +

@@ -784,10 +784,20 @@ object Inventory {
             .otherwise(col("o_orderstatus")).as("st"))
       val a = v.select(col("o_orderkey").as("key_a"), col("st"))
       val b = v.select(col("o_orderkey").as("key_b"), col("st").as("st_b"))
-      // band condition bounds the per-row pairing window: a self-join on a
-      // low-cardinality key is otherwise quadratic in the data size
-      a.join(b, col("st") <=> col("st_b") && col("key_a") < col("key_b") &&
-          col("key_b") - col("key_a") <= 2000)
+      // `st` alone is a ~4-distinct-value join key, so candidate pairs per
+      // hash group grow quadratically with data. The band predicate
+      // (key_b - key_a <= 2000) admits a range-bucket equi key: a qualifying
+      // key_b lands in bucket(key_a) or bucket(key_a)+1, so probe exactly
+      // those two buckets. Join key becomes (st, bucket) — group sizes are
+      // band-bounded regardless of scale. Each pair matches exactly one of
+      // the two probe buckets, so no dedup step is needed.
+      val aBkt = a.withColumn("bkt_probe",
+        explode(array(floor(col("key_a") / 2000),
+                      floor(col("key_a") / 2000) + 1)))
+      val bBkt = b.withColumn("bkt", floor(col("key_b") / 2000))
+      aBkt.join(bBkt,
+          col("st") <=> col("st_b") && col("bkt_probe") === col("bkt") &&
+          col("key_a") < col("key_b") && col("key_b") - col("key_a") <= 2000)
         .select(col("key_a"), col("key_b"), col("st"))
         .orderBy(col("st").asc_nulls_first, col("key_a"), col("key_b"))
     })
@@ -1049,25 +1059,32 @@ object Inventory {
         AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
       ORDER BY s_name"""),
     (s, dir) => {
-      Seq("lineitem", "part", "supplier", "nation")
-        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-      s.sql("""
-        WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                           CAST(count(*) * 17 % 95 + 5 AS BIGINT) AS ps_availqty
-                    FROM lineitem GROUP BY 1, 2)
-        SELECT s_name, s_acctbal
-        FROM supplier, nation
-        WHERE s_suppkey IN (
-            SELECT ps_suppkey FROM ps
-            WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_size < 15)
-              AND ps_availqty > (
-                SELECT 0.5 * CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                FROM lineitem l
-                WHERE l.l_partkey = ps_partkey AND l.l_suppkey = ps_suppkey
-                  AND l.l_shipdate >= CAST('1995-01-01' AS TIMESTAMP)
-                  AND l.l_shipdate < CAST('1996-01-01' AS TIMESTAMP)))
-          AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
-        ORDER BY s_name""")
+      // Spark plan: the SQL form's correlated scalar SUM decorrelates into a
+      // SECOND per-(partkey,suppkey) aggregate over lineitem joined back to
+      // the ps CTE's first one. Both aggregates share the same grouping key,
+      // so compute them in ONE pass: the 1995-window quantity rides along as
+      // a conditional sum (NULL when no row falls in the window, preserving
+      // the empty-scalar-subquery NULL semantics -> row excluded).
+      val inWindow = col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"),
+                 col("l_suppkey").as("ps_suppkey"))
+        .agg((count(lit(1)) * 17 % 95 + 5).cast("bigint").as("ps_availqty"),
+             sum(when(inWindow, col("l_quantity").cast(DecimalType(18, 2))))
+               .as("year_qty"))
+      val smallParts = broadcast(
+        t(s, dir, "part").filter(col("p_size") < 15).select(col("p_partkey")))
+      val okSupp = ps
+        .join(smallParts, col("p_partkey") === col("ps_partkey"), "left_semi")
+        .filter(col("ps_availqty") > lit(0.5) * col("year_qty").cast("double"))
+        .select(col("ps_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name").like("NATION_1%"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(okSupp, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy("s_name")
     })
 
   // ---------------------------------------------------------------- q90
@@ -1122,15 +1139,25 @@ object Inventory {
             < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
                FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)"""),
     (s, dir) => {
-      Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-      s.sql("""
-        SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
-        FROM lineitem l, part
-        WHERE p_partkey = l.l_partkey AND p_brand = 'Brand#4'
-          AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
-              (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
-              < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
-                 FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)""")
+      // Spark plan: Catalyst decorrelates the two scalar subqueries into TWO
+      // separate per-partkey aggregates over lineitem (one count, one sum) and
+      // joins each back — three lineitem passes. Instead: restrict to the
+      // brand's partkeys first (broadcast the filtered part keys), compute
+      // count+sum in ONE per-partkey pass over that slice, and join once.
+      // Same exact cross-multiplied decimal compare, one third the scan work.
+      val brand = broadcast(
+        t(s, dir, "part").filter(col("p_brand") === "Brand#4")
+          .select(col("p_partkey")))
+      val li = t(s, dir, "lineitem")
+        .join(brand, col("p_partkey") === col("l_partkey"))
+      val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("l_quantity").cast(DecimalType(18, 2))).as("sumq"))
+      li.join(perPart, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 * col("cnt")
+                  < col("sumq"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+                .cast("double") / 7.0).cast("double").as("avg_yearly"))
     })
 
   // ---------------------------------------------------------------- q95
@@ -1161,23 +1188,31 @@ object Inventory {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name"""),
     (s, dir) => {
-      Seq("lineitem", "orders", "supplier")
-        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-      s.sql("""
-        WITH lo AS (SELECT l_orderkey, l_suppkey,
-                    CASE WHEN datediff(l_shipdate, o_orderdate) > 60 THEN 1 ELSE 0 END AS late,
-                    o_orderstatus
-                    FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
-        SELECT s_name, count(*) AS numwait
-        FROM supplier, lo l1
-        WHERE s_suppkey = l1.l_suppkey AND l1.o_orderstatus = 'F' AND l1.late = 1
-          AND EXISTS (SELECT 1 FROM lo l2
-                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lo l3
-                          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.late = 1)
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name""")
+      // Spark plan: the SQL form inlines the lo CTE three times (base + semi
+      // + anti), re-running the lineitem⋈orders join for each. The two
+      // correlated quantifiers only ask per-order supplier counts:
+      //   EXISTS another supplier      <=> #distinct suppliers on order >= 2
+      //   NOT EXISTS another LATE one  <=> late-supplier set == {l1's} (size 1,
+      //                                    l1 itself is late)
+      // so ONE window pass over lo (partitioned by orderkey) answers both —
+      // lineitem is scanned once and shuffled once.
+      val lo = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, 1)
+            .otherwise(0).as("late"),
+          col("o_orderstatus"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      lo.withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late_supp",
+          size(collect_set(when(col("late") === 1, col("l_suppkey"))).over(w)))
+        .filter(col("o_orderstatus") === "F" && col("late") === 1 &&
+                col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(broadcast(t(s, dir, "supplier")),
+              col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     })
 
   // ---------------------------------------------------------------- q96
@@ -1276,19 +1311,25 @@ object Inventory {
       ORDER BY total_price DESC, o_orderkey
       LIMIT 100"""),
     (s, dir) => {
-      Seq("customer", "orders", "lineitem")
-        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-      s.sql("""
-        SELECT c_custkey, o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
-               CAST(o_totalprice AS DOUBLE) AS total_price,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        FROM customer JOIN orders ON c_custkey = o_custkey
-                      JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-                             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
-        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
-        ORDER BY total_price DESC, o_orderkey
-        LIMIT 100""")
+      // Spark plan: the SQL form scans lineitem twice (the HAVING-IN bar as a
+      // semi join + the outer re-aggregation). Each order belongs to exactly
+      // one customer, so the outer GROUP BY is per-order: compute the
+      // per-orderkey quantity sum ONCE, keep the >150 survivors (few), and
+      // join orders + customer onto that tiny set. One lineitem pass, and the
+      // survivors side of both joins is small enough to broadcast.
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sumq"))
+        .filter(col("sumq") > 150)
+      bigOrders
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+                col("o_totalprice").cast("double").as("total_price"),
+                col("sumq").cast("double").as("sum_qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(100)
     })
 
   // ---------------------------------------------------------------- q99
