@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.connect.{BasicAuthTokenProvider, ConnectionConfig, Dmp,
   FileTransfer, JavaNetTransport, SignatureAuthTokenProvider, Transport}
 import graft.etl.Stages
-import graft.ledger.Ledger
+import graft.ledger.{BucketedLedger, Ledger, LedgerStore, MongoLedger}
 import graft.sources.LookupCsv
 
 /** The runnable pipeline — what an Airflow `SparkSubmitOperator` schedules
@@ -216,13 +216,33 @@ object EtlJob {
           s"unknown stage '$other' — expected one of: ${stageNames.mkString(", ")}")
     }
 
-  // --ledger-bucket-width: 16^k hash-prefix buckets; pick k so a bucket
-  // stays rewrite-sized at the deployment's scale (k=3 → 4096 buckets at
-  // 100 TB). Fixed per table — Ledger fail-fasts on a mismatch.
+  // --ledger-format selects the storage strategy:
+  //  - "parquet" (default): hash-prefix-partitioned Parquet — the offline
+  //    default; --ledger-bucket-width picks 16^k buckets (k=3 → 4096 at
+  //    100 TB). Fixed per table — Ledger fail-fasts on a mismatch.
+  //  - "bucketed": catalog-bucketed table (--ledger names the table,
+  //    --ledger-buckets the bucket count) — merge joins run exchange-free
+  //    on the ledger side (BucketedLedger).
+  //  - "mongodb": the reference's actual store (--ledger is the
+  //    collection; --mongo-uri/--mongo-db configure the connection; needs
+  //    the Mongo Spark connector jar on the classpath).
   private def openLedger(spark: org.apache.spark.sql.SparkSession,
-                         opts: Map[String, String]): Ledger =
-    new Ledger(spark, opts("ledger"),
-      opts.getOrElse("ledger-bucket-width", "1").toInt)
+                         opts: Map[String, String]): LedgerStore =
+    opts.getOrElse("ledger-format", "parquet") match {
+      case "parquet" =>
+        new Ledger(spark, opts("ledger"),
+          opts.getOrElse("ledger-bucket-width", "1").toInt)
+      case "bucketed" =>
+        new BucketedLedger(spark, opts("ledger"),
+          opts.getOrElse("ledger-buckets", "32").toInt)
+      case "mongodb" =>
+        new MongoLedger(spark,
+          opts.getOrElse("mongo-uri", "mongodb://localhost:27017"),
+          opts.getOrElse("mongo-db", "ideafast_etl"), opts("ledger"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown --ledger-format '$other' (parquet | bucketed | mongodb)")
+    }
 
   /** Task 1 — download_metadata: ingest-dedup + append (J1+L1+S7).
     * Multi-site fan-in: one frame per --incoming source, unioned by name
@@ -231,7 +251,7 @@ object EtlJob {
     * WITHIN one run's batch are collapsed by dedupBatch (above).
     */
   private def stageDownloadMetadata(spark: org.apache.spark.sql.SparkSession,
-                                    ledger: Ledger,
+                                    ledger: LedgerStore,
                                     opts: Map[String, String]): Seq[(String, Long)] = {
     val limit = opts.get("limit").map(_.toInt)
     val sites = opts("incoming").split('\u0000').toSeq
@@ -257,7 +277,7 @@ object EtlJob {
     * uploaded-ids collect can never exceed uploadLimit rows.
     */
   private def stageExtractPrepLoad(spark: org.apache.spark.sql.SparkSession,
-                                   ledger: Ledger, opts: Map[String, String],
+                                   ledger: LedgerStore, opts: Map[String, String],
                                    transport: Transport): Seq[(String, Long)] = {
     // --upload-limit: per-run cap on transferred groups (the reference
     // slices its group list to 1 per run, dags/dreem.py:283-287). Defaulted

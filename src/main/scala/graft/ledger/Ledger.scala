@@ -26,15 +26,15 @@ import org.apache.spark.sql.functions._
   * filter. Deletes stay quarantined, as in the reference (db.py:127-133):
   * append + update only.
   */
-final class Ledger(spark: SparkSession, path: String, bucketWidth: Int = 1) {
+final class Ledger(spark: SparkSession, path: String, bucketWidth: Int = 1)
+    extends LedgerStore {
   require(bucketWidth >= 1 && bucketWidth <= 4,
     s"bucketWidth must be 1..4 (16..65536 buckets), got $bucketWidth")
 
   /** 16^bucketWidth. */
   val numBuckets: Int = 1 << (4 * bucketWidth)
 
-  private val enrichable =
-    Seq("device_serial", "device_id", "patient_id", "dmp_dataset", "dmp_id")
+  private val enrichable = LedgerStore.enrichable
 
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket", substring(col("hash"), 1, bucketWidth))

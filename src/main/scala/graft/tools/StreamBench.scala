@@ -34,10 +34,11 @@ object StreamBench {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private def drain(df: DataFrame, name: String, cp: String): Double = {
+  private def drain(df: DataFrame, name: String, cp: String,
+                    mode: String = "complete"): Double = {
     val t0 = System.nanoTime()
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .option("checkpointLocation", cp)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -136,6 +137,32 @@ object StreamBench {
         redeliver("curate", "documents", "batch_001.parquet")
         results(s"curation/$provider/warm") =
           drain(q, s"sb_c2_$provider", cp)
+      }
+
+      // q113 shape: watermarked stream-stream attribution join (append
+      // mode — join state expires at the watermark, so the warm drain
+      // measures probe-against-live-state, not an ever-growing buffer)
+      locally {
+        val dir = stage("join", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_join").toString
+        def ev = spark.readStream.schema(eventsSchema).parquet(dir)
+        def q = {
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"),
+              col("user_id").as("c_user"),
+              timestamp_micros(expr("ts div 1000")).as("c_ts"))
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"),
+              timestamp_micros(expr("ts div 1000")).as("p_ts"))
+          graft.streaming.IncrementalIngest.attributionJoin(
+            clicks, purchases, "c_user", "p_user", "c_ts", "p_ts", "1 hour")
+        }
+        results(s"stream_join/$provider/cold") =
+          drain(q, s"sb_j_$provider", cp, mode = "append")
+        redeliver("join", "events", "batch_001.parquet")
+        results(s"stream_join/$provider/warm") =
+          drain(q, s"sb_j2_$provider", cp, mode = "append")
       }
     }
     val qs = results.map { case (k, v) =>

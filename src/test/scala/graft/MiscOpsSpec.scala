@@ -689,6 +689,22 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("filterByPercentile approx path matches exact on the fixture") {
+    // the scale path (bounded-memory approx_percentile sketch): at
+    // accuracy 10000 on a 100-value fixture the rank error bound (1/acc)
+    // is far below one rank, so approx and exact keep identical row sets
+    // except at the interpolation point — p50 of 1..100 is 50.5 exact
+    // (between values) vs 50 approx (an actual corpus value), so compare
+    // at a percentile that lands ON a value
+    val df = (1L to 101L).toDF("v") // p50 of 1..101 = 51 exactly
+    val exact = graft.ops.TextAnalysis.filterByPercentile(df, "v", 0.5)
+      .as[Long].collect().sorted.toSeq
+    val approx = graft.ops.TextAnalysis.filterByPercentile(df, "v", 0.5,
+      approxAccuracy = 10000).as[Long].collect().sorted.toSeq
+    assert(approx == exact)
+    assert(exact.head == 51L && exact.length == 51)
+  }
+
   test("profile counts rows, nulls, distincts, min/max per column") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None),

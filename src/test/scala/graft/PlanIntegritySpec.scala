@@ -337,6 +337,38 @@ class PlanIntegritySpec extends SparkSpec {
       s"rank joins must stay keyed:\n$p")
   }
 
+  test("q49: the band self-join keys on (st, range bucket), never st alone") {
+    val p = plan("q49_null_semantics")
+    // the low-cardinality null-safe key must be accompanied by the
+    // floor(key/2000) bucket in the join's EQUI keys — with only `st`,
+    // candidate pairs per hash group grow quadratically with data; the
+    // band predicate alone (a post-join filter) does not bound the join
+    val joinLines = p.linesIterator
+      .filter(l => l.contains("Join") && !l.contains("Generate")).toSeq
+    assert(joinLines.exists(_.contains("bkt")),
+      s"join keys must include the range bucket:\n$p")
+    // and the bucket probe must be an equi key, not a residual condition:
+    // SortMergeJoin/ShuffledHashJoin prints equi keys as [keys1], [keys2]
+    assert(joinLines.exists(l =>
+      l.contains("bkt_probe") && l.contains("bkt")),
+      s"bkt_probe === bkt must be part of the equi join keys:\n$p")
+  }
+
+  test("q94/q98: the rewritten TPC-H shapes aggregate lineitem ONCE per key") {
+    // q94: one per-partkey aggregate (count+sum in the same HashAggregate),
+    // joined back — not two decorrelated aggregate+join branches
+    val p94 = plan("q94_tpch_q17_small_qty_revenue")
+    val aggsOnLineitem = p94.linesIterator
+      .count(l => l.contains("HashAggregate") && l.contains("l_partkey"))
+    assert(aggsOnLineitem <= 4, // one partial+final pair per exchange side
+      s"q94 must compute count+sum in ONE per-partkey pass:\n$p94")
+    // q98: the >150 bar and the output sum share one per-orderkey aggregate
+    val p98 = plan("q98_tpch_q18_large_orders")
+    val liScans = p98.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(liScans == 1, s"q98 must scan lineitem exactly once:\n$p98")
+  }
+
   test("q119: interval coalescing is ONE exchange — the island aggregate " +
     "reuses the window partitioning") {
     val p = plan("q119_interval_coalesce")

@@ -4,12 +4,21 @@ ratio — the automated form of the round-4 judge's hand measurement.
 
 Usage:
     python3 tools/bench_oracle.py <sfDir> <verifyOutDir> <benchJson> [out]
+        [streamBenchJson]
 
 - <sfDir>:        parquet tables dir (e.g. /root/testdata/sf0.1)
 - <verifyOutDir>: a graft.Verify dump — only oracle_sql.json is read
 - <benchJson>:    file containing the graft.Bench JSON line (or a driver
                   BENCH_r*.json whose "tail" embeds it); spark_s per query
 - [out]:          output path (default ORACLE_BENCH.json)
+- [streamBenchJson]: a graft.tools.StreamBench JSON line; when given, the
+                  four streaming gates gain `spark_steady_s` (the warm
+                  second-AvailableNow-trigger drain against an existing
+                  checkpoint) and `ratio_steady`. The raw `ratio` for
+                  those gates compares a COLD checkpointed-stream start
+                  against a batch DuckDB replay — a measurement artifact
+                  (engine startup, not per-row cost) that the steady
+                  number corrects.
 
 Each oracle query runs once after a warmup query (DuckDB keeps no
 cross-query JIT state worth damping; the expensive queries dominate by
@@ -25,6 +34,22 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# gate -> StreamBench shape key (timings are per provider: hdfs/rocksdb;
+# steady-state = the default hdfs provider's warm drain)
+STREAMING_GATES = {
+    "q33_streaming_ingest": "ingest_dedup",
+    "q56_streaming_day_window": "day_window",
+    "q75_streaming_curation": "curation",
+    "q113_streaming_stream_join": "stream_join",
+}
+
+
+def stream_steady(path: str) -> dict:
+    """shape -> warm seconds (hdfs provider) from a StreamBench line."""
+    raw = open(path).read()
+    pairs = re.findall(r'"([a-z_]+)/hdfs/warm"\s*:\s*(-?[0-9.]+)', raw)
+    return {k: float(v) for k, v in pairs}
 
 
 def spark_times(path: str) -> dict:
@@ -42,6 +67,7 @@ def main() -> None:
         raise SystemExit(__doc__)
     sf_dir, verify_dir, bench_json = sys.argv[1:4]
     out_path = sys.argv[4] if len(sys.argv) > 4 else "ORACLE_BENCH.json"
+    steady = stream_steady(sys.argv[5]) if len(sys.argv) > 5 else {}
 
     oracle = json.load(open(f"{verify_dir}/oracle_sql.json"))
     spark = spark_times(bench_json)
@@ -69,6 +95,14 @@ def main() -> None:
                  if spark_s is not None and spark_s >= 0 and duck_s
                  else None)
         entry = {"spark_s": spark_s, "duckdb_s": duck_s, "ratio": ratio}
+        if name in STREAMING_GATES:
+            entry["note"] = ("cold checkpointed-stream start vs batch "
+                            "DuckDB replay; see spark_steady_s")
+            warm = steady.get(STREAMING_GATES[name])
+            if warm is not None:
+                entry["spark_steady_s"] = warm
+                entry["ratio_steady"] = (round(warm / duck_s, 3)
+                                         if duck_s else None)
         if err:
             entry["err"] = err
         result[name] = entry
@@ -84,6 +118,18 @@ def main() -> None:
     summary["ratio_total"] = (round(summary["spark_total_s"]
                                     / summary["duckdb_total_s"], 3)
                               if summary["duckdb_total_s"] else None)
+    # batch-only ratio: streaming gates compare a cold stream start to a
+    # batch replay (apples-to-oranges); their steady-state cost is the
+    # per-gate spark_steady_s field instead
+    batch = [(k, v) for k, v in result.items()
+             if k not in STREAMING_GATES and v["duckdb_s"]
+             and v["spark_s"] is not None and v["spark_s"] >= 0]
+    if batch:
+        bs = round(sum(v["spark_s"] for _, v in batch), 3)
+        bd = round(sum(v["duckdb_s"] for _, v in batch), 3)
+        summary["batch_spark_total_s"] = bs
+        summary["batch_duckdb_total_s"] = bd
+        summary["ratio_total_batch"] = round(bs / bd, 3) if bd else None
     payload = {"summary": summary, "queries": result}
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
