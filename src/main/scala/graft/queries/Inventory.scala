@@ -1065,20 +1065,30 @@ object Inventory {
       // so compute them in ONE pass: the 1995-window quantity rides along as
       // a conditional sum (NULL when no row falls in the window, preserving
       // the empty-scalar-subquery NULL semantics -> row excluded).
+      // Two more cuts vs the naive pass (r6): the p_size partkey filter is a
+      // filter ON the grouping key, so it pushes BELOW the aggregate — the
+      // broadcast semi-join runs on lineitem rows first (~28% survive) and
+      // the near-unique (partkey,suppkey) grouping hashes 3.5x fewer rows;
+      // and the quantity sum runs in LONG (quantities are integral by the
+      // TPC-H-shape data contract), the codegen-fast path — the oracle's
+      // DECIMAL(18,2) sum of integers is the same exact value.
       val inWindow = col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+      val smallParts = broadcast(
+        t(s, dir, "part").filter(col("p_size") < 15).select(col("p_partkey")))
       val ps = t(s, dir, "lineitem")
+        .join(smallParts, col("p_partkey") === col("l_partkey"), "left_semi")
         .groupBy(col("l_partkey").as("ps_partkey"),
                  col("l_suppkey").as("ps_suppkey"))
         .agg((count(lit(1)) * 17 % 95 + 5).cast("bigint").as("ps_availqty"),
-             sum(when(inWindow, col("l_quantity").cast(DecimalType(18, 2))))
+             sum(when(inWindow, col("l_quantity").cast("long")))
                .as("year_qty"))
-      val smallParts = broadcast(
-        t(s, dir, "part").filter(col("p_size") < 15).select(col("p_partkey")))
+      // no .distinct() on the probe set: the left_semi join below dedups by
+      // construction — a distinct here would add a full exchange + two
+      // HashAggregates for nothing
       val okSupp = ps
-        .join(smallParts, col("p_partkey") === col("ps_partkey"), "left_semi")
         .filter(col("ps_availqty") > lit(0.5) * col("year_qty").cast("double"))
-        .select(col("ps_suppkey")).distinct()
+        .select(col("ps_suppkey"))
       t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation").filter(col("n_name").like("NATION_1%"))),
               col("s_nationkey") === col("n_nationkey"))
@@ -1150,11 +1160,14 @@ object Inventory {
           .select(col("p_partkey")))
       val li = t(s, dir, "lineitem")
         .join(brand, col("p_partkey") === col("l_partkey"))
+      // Quantities are integral (TPC-H-shape data contract), so the
+      // cross-multiplied compare runs in pure LONG — bit-identical to the
+      // oracle's DECIMAL compare, without the decimal aggregate's overhead.
       val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
         .agg(count(lit(1)).as("cnt"),
-             sum(col("l_quantity").cast(DecimalType(18, 2))).as("sumq"))
+             sum(col("l_quantity").cast("long")).as("sumq"))
       li.join(perPart, col("l_partkey") === col("a_partkey"))
-        .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 * col("cnt")
+        .filter(col("l_quantity").cast("long") * 5 * col("cnt")
                   < col("sumq"))
         .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
                 .cast("double") / 7.0).cast("double").as("avg_yearly"))
@@ -1194,24 +1207,43 @@ object Inventory {
       //   EXISTS another supplier      <=> #distinct suppliers on order >= 2
       //   NOT EXISTS another LATE one  <=> late-supplier set == {l1's} (size 1,
       //                                    l1 itself is late)
-      // so ONE window pass over lo (partitioned by orderkey) answers both —
-      // lineitem is scanned once and shuffled once.
+      // so ONE per-orderkey aggregate answers both. Three shape choices (r6):
+      // (1) the o_orderstatus='F' bar is per-ORDER, and the quantifiers only
+      //     correlate within l1's order — restrict to F orders BEFORE the
+      //     join (1/3 of orders survive, pushed to the orders scan);
+      // (2) a groupBy, not a window: when the order's distinct-late count is
+      //     1, the late supplier IS that order's only late suppkey, and l1's
+      //     count(*) contribution is that order's late-row count — so the
+      //     aggregate emits (late_supp, n_late_rows) directly, no join-back
+      //     of per-order stats onto the row set;
+      // (3) NO distinct-count machinery at all: "#distinct suppliers >= 2"
+      //     is min(supp) != max(supp), and "exactly one distinct LATE
+      //     supplier" is min(when(late,supp)) = max(when(late,supp)) non-
+      //     null — the whole pass is min/max/sum of longs, pure codegen
+      //     HashAggregate (collect_set/countDistinct would plan an
+      //     ObjectHashAggregate / an Expand, both off the Tungsten path).
+      val fOrders = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
       val lo = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(fOrders, col("o_orderkey") === col("l_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, 1)
-            .otherwise(0).as("late"),
-          col("o_orderstatus"))
-      val w = Window.partitionBy(col("l_orderkey"))
-      lo.withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
-        .withColumn("n_late_supp",
-          size(collect_set(when(col("late") === 1, col("l_suppkey"))).over(w)))
-        .filter(col("o_orderstatus") === "F" && col("late") === 1 &&
-                col("n_supp") >= 2 && col("n_late_supp") === 1)
+            .otherwise(0).as("late"))
+      val lateSupp = when(col("late") === 1, col("l_suppkey"))
+      lo.groupBy(col("l_orderkey"))
+        .agg(min(col("l_suppkey")).as("mn_supp"),
+             max(col("l_suppkey")).as("mx_supp"),
+             min(lateSupp).as("mn_late"),
+             max(lateSupp).as("mx_late"),
+             sum(col("late")).as("n_late_rows"))
+        .filter(col("mn_supp") =!= col("mx_supp") &&
+                col("mx_late").isNotNull &&
+                col("mn_late") === col("mx_late"))
         .join(broadcast(t(s, dir, "supplier")),
-              col("s_suppkey") === col("l_suppkey"))
+              col("s_suppkey") === col("mx_late"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("n_late_rows")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
     })
 
@@ -1316,10 +1348,13 @@ object Inventory {
       // one customer, so the outer GROUP BY is per-order: compute the
       // per-orderkey quantity sum ONCE, keep the >150 survivors (few), and
       // join orders + customer onto that tiny set. One lineitem pass, and the
-      // survivors side of both joins is small enough to broadcast.
+      // survivors side of both joins is small enough to broadcast. The
+      // quantity sum runs in LONG (quantities are integral by the TPC-H-shape
+      // data contract) — same exact value as the oracle's DECIMAL(18,2) sum,
+      // on the codegen-fast path.
       val bigOrders = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sumq"))
+        .agg(sum(col("l_quantity").cast("long")).as("sumq"))
         .filter(col("sumq") > 150)
       bigOrders
         .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))

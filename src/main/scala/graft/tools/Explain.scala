@@ -16,9 +16,29 @@ object Explain {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(f"[explain] $name forced in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // per-stage wall breakdown: where a multi-exchange query's time goes
+    val stages = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Int, String)]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          stages += ((si.stageId,
+            si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
+            si.numTasks, si.name.takeWhile(_ != '\n')))
+        }
+      })
+    for (round <- 1 to 2) { // round 1 absorbs JIT/codegen; round 2 is steady
+      stages.clear()
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[explain] $name round $round forced in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    Thread.sleep(500) // let the listener bus drain
+    stages.sortBy(_._2).foreach { case (id, sub, done, n, nm) =>
+      println(f"[stage] id=$id%-4d wall=${(done - sub) / 1000.0}%6.3fs tasks=$n%-3d $nm")
+    }
     spark.stop()
   }
 }

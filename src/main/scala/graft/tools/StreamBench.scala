@@ -45,6 +45,21 @@ object StreamBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Append-mode drains (the stream-stream join) need a fault-tolerant sink:
+    * the memory sink only supports checkpoint recovery in complete mode, so
+    * the warm drain would be rejected. A parquet file sink recovers cleanly;
+    * both drains use it so cold and warm stay comparable.
+    */
+  private def drainToFiles(df: DataFrame, out: String, cp: String): Double = {
+    val t0 = System.nanoTime()
+    val q = df.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -158,11 +173,10 @@ object StreamBench {
           graft.streaming.IncrementalIngest.attributionJoin(
             clicks, purchases, "c_user", "p_user", "c_ts", "p_ts", "1 hour")
         }
-        results(s"stream_join/$provider/cold") =
-          drain(q, s"sb_j_$provider", cp, mode = "append")
+        val out = work.resolve("join-out").toString
+        results(s"stream_join/$provider/cold") = drainToFiles(q, out, cp)
         redeliver("join", "events", "batch_001.parquet")
-        results(s"stream_join/$provider/warm") =
-          drain(q, s"sb_j2_$provider", cp, mode = "append")
+        results(s"stream_join/$provider/warm") = drainToFiles(q, out, cp)
       }
     }
     val qs = results.map { case (k, v) =>

@@ -369,6 +369,36 @@ class PlanIntegritySpec extends SparkSpec {
     assert(liScans == 1, s"q98 must scan lineitem exactly once:\n$p98")
   }
 
+  test("q95/q89: one lineitem scan, all-codegen aggregates") {
+    // q95: the EXISTS/NOT-EXISTS pair is ONE per-orderkey min/max/sum
+    // aggregate — no Window sort, no collect_set ObjectHashAggregate, no
+    // countDistinct Expand, and lineitem is scanned once
+    val p95 = plan("q95_tpch_q21_waiting_supplier")
+    assert(p95.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) == 1,
+      s"q95 must scan lineitem exactly once:\n$p95")
+    for (bad <- Seq("Window", "ObjectHashAggregate", "Expand"))
+      assert(!p95.contains(bad), s"q95 must not plan a $bad:\n$p95")
+    // q89: the p_size partkey filter lands BELOW the (partkey,suppkey)
+    // aggregate — the broadcast semi join must consume the lineitem scan
+    // directly (near-unique group keys make post-agg filtering ~3.5x the
+    // aggregation work), and no distinct exchange feeds the supplier semi
+    // join's probe set
+    val p89 = plan("q89_tpch_q20_nested_in")
+    assert(p89.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) == 1,
+      s"q89 must scan lineitem exactly once:\n$p89")
+    // tree prints parents first: the DEEPEST semi join (the part-size
+    // probe, last in the text) must sit below the first HashAggregate
+    val semiIdx = p89.lastIndexOf("LeftSemi")
+    val aggIdx = p89.indexOf("HashAggregate")
+    assert(semiIdx >= 0 && aggIdx >= 0 && semiIdx > aggIdx,
+      s"q89's part-size semi join must sit below (deeper than) the " +
+        s"per-(partkey,suppkey) aggregate:\n$p89")
+    assert(!p89.contains("HashAggregate(keys=[ps_suppkey"),
+      s"q89 must not plan a distinct on the semi-join probe set:\n$p89")
+  }
+
   test("q119: interval coalescing is ONE exchange — the island aggregate " +
     "reuses the window partitioning") {
     val p = plan("q119_interval_coalesce")
