@@ -1179,6 +1179,36 @@ object Extensions {
       Multimodal.videoMetadata(s, payloads).toDF().orderBy("doc_id")
     })
 
+  private val q122 = Q("q122_video_frame_decode",
+    "REAL MJPEG video-frame decode: payloads are AVIs whose movi chunks " +
+      "are genuine JDK-encoded JPEGs (the one video codec family a stock " +
+      "JVM decodes); decodeMjpegFrames walks the RIFF container and " +
+      "ImageIO-decodes EVERY frame, and the gate checks per-doc frame " +
+      "count and decoded-raster geometry (not the container's claim) " +
+      "against the builder's arithmetic — a skipped chunk, failed decode, " +
+      "or wrong raster breaks the round-trip",
+    Some("""
+      SELECT doc_id, doc_id % 5 + 1 AS n_frames,
+             CAST(doc_id % 64 + 16 AS INT) AS width,
+             CAST(doc_id % 48 + 16 AS INT) AS height
+      FROM documents ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 64 + 16).toInt
+          val h = (id % 48 + 16).toInt
+          val grays = (0 until (id % 5 + 1).toInt)
+            .map(k => ((id * 37 + k * 11) % 256).toInt)
+          (id, Multimodal.buildMjpegAvi(usPerFrame = 33333, w, h, grays))
+        }).toDF("doc_id", "payload")
+      Multimodal.decodeMjpegFrames(s, payloads)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+             max("width").as("width"), max("height").as("height"))
+        .orderBy("doc_id")
+    })
+
   private val q85 = Q("q85_audio_container_metadata",
     "MP3/FLAC header metadata without decoding: CBR frame-header duration " +
       "estimate for MP3, exact STREAMINFO duration for FLAC — synthesized " +
@@ -1833,5 +1863,5 @@ object Extensions {
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
-    q114, q115, q116, q117, q118, q119, q120, q121)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122)
 }

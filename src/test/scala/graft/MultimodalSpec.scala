@@ -176,6 +176,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp3(1L, badRate).isEmpty)
   }
 
+  test("decodeMjpegFrames REALLY decodes every movi JPEG: order, geometry, luma") {
+    // three solid-gray frames; JPEG of a uniform image quantizes only the
+    // DC coefficient, so decoded luma lands within ±2 of the source gray
+    val grays = Seq(0, 128, 255)
+    val avi = Multimodal.buildMjpegAvi(33333, width = 20, height = 10, grays)
+    val rows = Seq((7L, avi)).toDF("doc_id", "payload")
+    val got = Multimodal.decodeMjpegFrames(spark, rows)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 3)
+    assert(got.forall(f => f.width == 20 && f.height == 10))
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 1, 2), "stream order kept")
+    for ((f, g) <- got.zip(grays))
+      assert(math.abs(f.mean_luma - g) <= 2.0,
+        s"frame ${f.frame_idx}: mean_luma ${f.mean_luma} vs source gray $g")
+    // headerless garbage and a frameless (header-only) AVI yield no rows
+    val headerOnly = Multimodal.buildAvi(33333, 3, 20, 10, "MJPG")
+    val empty = Seq((8L, Array[Byte](1, 2, 3)), (9L, headerOnly))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.decodeMjpegFrames(spark, empty).count() == 0)
+  }
+
+  test("extractFeatures decodes an MJPEG AVI's FIRST frame for video/*; " +
+    "other video payloads still land on the stub seam") {
+    val avi = Multimodal.buildMjpegAvi(33333, width = 8, height = 6, Seq(255))
+    val rows = Seq(
+      (1L, avi, "video/avi"),
+      (2L, Multimodal.buildAvi(33333, 5, 8, 6, "H264"), "video/avi"))
+      .toDF("doc_id", "payload", "format")
+    val got = Multimodal.extractFeatures(spark, rows, dim = 4)
+      .collect().sortBy(_.doc_id)
+    assert(got(0).decoded && got(0).width == 8 && got(0).height == 6)
+    assert(got(0).feature(0) > 0.97f, "white frame: red mean ~1.0")
+    assert(!got(1).decoded, "no-frame non-MJPEG payload stays a stub")
+  }
+
   test("extractFeatures is deterministic, dimension-correct, partition-independent") {
     val p = Multimodal.withPayload(docs)
     def run(parts: Int) =
