@@ -1209,6 +1209,41 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q123 = Q("q123_image_resize",
+    "REAL image resize round-trip: per-doc solid-color PNGs decode " +
+      "(ImageIO), bilinear-resample (Graphics2D) to per-row half targets, " +
+      "re-encode as PNG, and the gate DECODES THE OUTPUT — geometry from " +
+      "the resampled raster and the probe pixel's exact packed RGB " +
+      "(lossless PNG + solid color ⇒ bit-exact round trip the oracle " +
+      "predicts arithmetically)",
+    Some("""
+      SELECT doc_id,
+             CAST(doc_id % 40 + 8 AS INT) AS width_in,
+             CAST(doc_id % 30 + 8 AS INT) AS height_in,
+             CAST((doc_id % 40 + 8) // 2 AS INT) AS width_out,
+             CAST((doc_id % 30 + 8) // 2 AS INT) AS height_out,
+             (doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256
+               + (doc_id * 13) % 256 AS rgb_out
+      FROM documents ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 40 + 8).toInt
+          val h = (id % 30 + 8).toInt
+          val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) |
+            ((id * 13) % 256)).toInt
+          (id, Multimodal.pngBytes(w, h, rgb), w / 2, h / 2)
+        }).toDF("doc_id", "payload", "target_w", "target_h")
+      Multimodal.resizeImages(s, payloads)
+        .flatMap(r => Multimodal.pixel0(r.payload).map(px =>
+          (r.doc_id, r.width_in, r.height_in, r.width_out, r.height_out,
+            px.toLong)))
+        .toDF("doc_id", "width_in", "height_in", "width_out", "height_out",
+          "rgb_out")
+        .orderBy("doc_id")
+    })
+
   private val q85 = Q("q85_audio_container_metadata",
     "MP3/FLAC header metadata without decoding: CBR frame-header duration " +
       "estimate for MP3, exact STREAMINFO duration for FLAC — synthesized " +
@@ -1863,5 +1898,5 @@ object Extensions {
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }

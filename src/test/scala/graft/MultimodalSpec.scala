@@ -211,6 +211,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(1).decoded, "no-frame non-MJPEG payload stays a stub")
   }
 
+  test("resizeImages REALLY resamples: geometry, lossless solid-color " +
+    "round-trip, garbage dropped") {
+    val rows = Seq(
+      (1L, Multimodal.pngBytes(16, 8, 0x336699), 4, 2),
+      (2L, Multimodal.pngBytes(5, 5, 0xff0000), 10, 10), // upscale too
+      (3L, Array[Byte](9, 9, 9), 4, 4))                  // undecodable
+      .toDF("doc_id", "payload", "target_w", "target_h")
+    val got = Multimodal.resizeImages(spark, rows).collect().sortBy(_.doc_id)
+    assert(got.length == 2, "undecodable payload must be dropped")
+    val a = got(0)
+    assert(a.width_in == 16 && a.height_in == 8 &&
+      a.width_out == 4 && a.height_out == 2)
+    // output is a real PNG of the target geometry with the EXACT color
+    // (bilinear over a constant field is constant; PNG is lossless)
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(a.payload))
+    assert(im.getWidth == 4 && im.getHeight == 2)
+    for (x <- 0 until 4; y <- 0 until 2)
+      assert((im.getRGB(x, y) & 0xffffff) == 0x336699)
+    assert(Multimodal.pixel0(got(1).payload).contains(0xff0000))
+  }
+
   test("extractFeatures is deterministic, dimension-correct, partition-independent") {
     val p = Multimodal.withPayload(docs)
     def run(parts: Int) =

@@ -53,6 +53,9 @@ ROUNDTRIP_GATES = {
     "q122_video_frame_decode": "builds AVIs of real JPEG frames and "
         "ImageIO-decodes every frame; the oracle only predicts the "
         "expected geometry arithmetically",
+    "q123_image_resize": "encodes, bilinear-resamples, re-encodes and "
+        "re-decodes real PNGs; the oracle only predicts geometry and the "
+        "round-tripped color arithmetically",
 }
 
 

@@ -46,8 +46,14 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
+    import os
     for name, sql in sorted(oracle.items()):
+        # a filtered dev dump (Verify's prefix arg) writes only some dirs;
+        # absent names were not run, not failed
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             got = ds.dataset(f"{out_dir}/{name}").to_table().to_pandas()
         except Exception as ex:
@@ -81,7 +87,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail")
+    skip = f" / {n_skip} not dumped" if n_skip else ""
+    print(f"== {n_pass} pass / {n_fail} fail{skip}")
     return 1 if n_fail else 0
 
 
