@@ -566,4 +566,42 @@ object TextAnalysis {
       concat_ws(" ", col("syms")).as("seg"))
     (seg, merges.toSeq.toDF("round", "left", "right", "cnt"))
   }
+
+  /** ENCODING with a trained tokenizer — the pair to [[bpeTrain]] and the
+    * step a pretraining pipeline actually runs over 100 TB: apply the
+    * learned merge list to every document and emit its token stream.
+    *
+    * Scale order mirrors training: DISTINCT words fold through the merge
+    * list ONCE (vocabulary-sized work — [[mergePair]]'s row-local fold per
+    * merge, no shuffle), then the doc→word relation joins the segmentation
+    * back and explodes to one row per token. With `broadcastVocab` (the
+    * default) the corpus never shuffles — the encoded vocabulary ships to
+    * the scan; flip it off when the vocabulary outgrows the broadcast
+    * budget (Heaps'-law corpora with huge alphabets) and the join keys on
+    * `word` as a shuffle join instead.
+    *
+    * Single-char words are their own token (the training vocabulary only
+    * holds length ≥ 2 words; a 1-symbol array can't merge, so folding it
+    * is the identity and needs no special case).
+    *
+    * Output: (idCol, token) in document order per doc — aggregate
+    * downstream (token counts, packing, id assignment).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                textCol: String = "text", idCol: String = "doc_id",
+                broadcastVocab: Boolean = true): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(TextFns.words(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 1)
+    val vocab0 = words.select(col("word")).distinct()
+      .withColumn("syms", transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+    val encoded = merges.foldLeft(vocab0) { case (v, (l, r)) =>
+      v.withColumn("syms", mergePair(col("syms"), lit(l), lit(r)))
+    }
+    val seg = if (broadcastVocab) broadcast(encoded) else encoded
+    words.join(seg, "word")
+      .select(col(idCol), explode(col("syms")).as("token"))
+  }
 }

@@ -1682,16 +1682,11 @@ object Extensions {
     * positions group into runs (overlaps only happen inside equal-symbol
     * runs), odd ranks within a run merge, the position after each merge
     * start drops — provably the same result as the Spark side's
-    * left-to-right fold.
+    * left-to-right fold. The w..v3 CTE chain (3 training rounds) is shared
+    * with q124's encode oracle via [[bpeTrainCtes]].
     */
-  private val q117 = Q("q117_bpe_train",
-    "the real BPE TRAINING LOOP, 3 merge rounds: per round ONE " +
-      "vocabulary-sized pair aggregate picks the argmax merge (driver " +
-      "holds only the model-sized merge table), then a row-local fold " +
-      "rewrites every word's symbol array — the corpus is scanned once " +
-      "total; output is the final vocabulary segmentation",
-    Some("""
-      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+  private val bpeTrainCtes = """
+      w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
       wc AS (SELECT word, count(*) AS wc FROM w WHERE length(word) >= 2 GROUP BY 1),
       v0 AS (SELECT word, wc, list_transform(generate_series(1, length(word)),
                     i -> substr(word, CAST(i AS INT), 1)) AS syms FROM wc),
@@ -1760,11 +1755,53 @@ object Extensions {
              LEFT JOIN t3 st ON e.word = st.word AND e.pos = st.pos
              LEFT JOIN t3 dr ON e.word = dr.word AND e.pos = dr.pos + 1
              WHERE dr.pos IS NULL
-             GROUP BY e.word, e.wc)
+             GROUP BY e.word, e.wc)"""
+
+  private val q117 = Q("q117_bpe_train",
+    "the real BPE TRAINING LOOP, 3 merge rounds: per round ONE " +
+      "vocabulary-sized pair aggregate picks the argmax merge (driver " +
+      "holds only the model-sized merge table), then a row-local fold " +
+      "rewrites every word's symbol array — the corpus is scanned once " +
+      "total; output is the final vocabulary segmentation",
+    Some(s"""
+      WITH $bpeTrainCtes
       SELECT word, CAST(wc AS BIGINT) AS wc, array_to_string(syms, ' ') AS seg
       FROM v3 ORDER BY word"""),
     (s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"), rounds = 3)
       ._1.orderBy("word"))
+
+  private val q124 = Q("q124_bpe_encode",
+    "ENCODE the corpus with the trained tokenizer — the q117 pair and the " +
+      "step a pretraining pipeline actually runs at scale: train 3 merges, " +
+      "fold every DISTINCT word through them once (vocabulary-sized work), " +
+      "broadcast the segmentation back onto the doc→word relation, explode " +
+      "to tokens; the gate checks per-doc token count and distinct-token " +
+      "count against the oracle re-deriving the same merges in SQL",
+    Some(s"""
+      WITH $bpeTrainCtes,
+      dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+      dw1 AS (SELECT doc_id, word FROM dw WHERE length(word) >= 1),
+      dtok AS (
+        SELECT d.doc_id, t.sym
+        FROM dw1 d JOIN (SELECT word, unnest(syms) AS sym FROM v3) t
+          ON d.word = t.word
+        UNION ALL
+        SELECT doc_id, word AS sym FROM dw1 WHERE length(word) = 1)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(count(DISTINCT sym) AS BIGINT) AS n_distinct_tokens
+      FROM dtok GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, rounds = 3)._2
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq // model-sized
+      TextAnalysis.bpeEncode(docs, merges)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             countDistinct(col("token")).as("n_distinct_tokens"))
+        .orderBy("doc_id")
+    })
 
   private val q118 = Q("q118_triangle_census",
     "global triangle census (nodes/edges/wedges/triangles/clustering " +
@@ -1898,5 +1935,5 @@ object Extensions {
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }

@@ -504,6 +504,24 @@ class TextOpsSpec extends SparkSpec {
     assert(seg.as[(String, Long, String)].collect().toSet
       == Set(("abab", 2L, "abab"), ("ab", 1L, "ab")))
   }
+
+  test("bpeEncode applies trained merges in order; single chars are their " +
+    "own token; broadcast and shuffle paths agree") {
+    val docs = Seq((1L, "abab abab ab"), (2L, "ab c abab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, rounds = 2)._2
+      .orderBy("round").as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    assert(merges == Seq(("a", "b"), ("ab", "ab")))
+    def run(bcast: Boolean) =
+      TextAnalysis.bpeEncode(docs, merges, broadcastVocab = bcast)
+        .as[(Long, String)].collect().toSeq.sorted
+    val got = run(bcast = true)
+    // doc 1: abab->[abab] x2, ab->[ab]; doc 2: ab->[ab], c->[c] (1-char
+    // identity, never trained), abab->[abab]
+    assert(got == Seq((1L, "ab"), (1L, "abab"), (1L, "abab"),
+      (2L, "ab"), (2L, "abab"), (2L, "c")))
+    assert(run(bcast = false) == got, "shuffle-join path must agree")
+  }
 }
 
 /** Batch sessionization: hand-computed gap splits, tie determinism, and
