@@ -211,6 +211,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE law: encode preserves content — concatenated tokens rebuild " +
+    "every word, for any trained merge count") {
+    import graft.ops.TextAnalysis
+    // random lowercase words over a 3-letter alphabet: high pair density
+    // so merges actually fire at every round count
+    val wordGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val docs = (0 until 30).map { i =>
+      (i.toLong, gen(Gen.listOfN(12, wordGen), 100L + i).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (rounds <- Seq(1, 4)) {
+      val merges = TextAnalysis.bpeTrain(docs, rounds = rounds)._2
+        .orderBy("round").as[(Int, String, String, Long)].collect()
+        .map(m => (m._2, m._3)).toSeq
+      val rebuilt = TextAnalysis.bpeEncode(docs, merges)
+        .groupBy("doc_id")
+        .agg(concat_ws("", collect_list(col("token"))).as("glued"))
+        .as[(Long, String)].collect().toMap
+      val expected = docs.as[(Long, String)].collect().toMap
+        .map { case (k, v) => k -> v.replace(" ", "") }
+      assert(rebuilt == expected,
+        s"token concatenation must reproduce the text (rounds=$rounds)")
+    }
+  }
+
+  test("MJPEG round-trip law: any frame count/geometry/gray survives " +
+    "build → walk → decode; arbitrary bytes never crash the walker") {
+    import graft.ops.Multimodal
+    val cases = for (i <- 0 until 12) yield {
+      val w = gen(Gen.choose(1, 40), 200L + i)
+      val h = gen(Gen.choose(1, 40), 300L + i)
+      val grays = gen(Gen.listOfN(gen(Gen.choose(0, 4), 400L + i),
+        Gen.choose(0, 255)), 500L + i)
+      (i.toLong, w, h, grays)
+    }
+    val rows = cases.map { case (id, w, h, gs) =>
+      (id, Multimodal.buildMjpegAvi(33333, w, h, gs))
+    }.toDF("doc_id", "payload")
+    val got = Multimodal.decodeMjpegFrames(spark, rows)
+      .collect().groupBy(_.doc_id)
+    for ((id, w, h, gs) <- cases) {
+      val fs = got.getOrElse(id, Array.empty)
+      assert(fs.length == gs.length, s"doc $id: all frames decode")
+      assert(fs.forall(f => f.width == w && f.height == h))
+    }
+    // fuzz: random byte blobs (including RIFF-prefixed garbage) yield
+    // zero rows, never an exception
+    val junk = (0 until 20).map { i =>
+      val bytes = gen(Gen.listOfN(gen(Gen.choose(0, 64), 600L + i),
+        Gen.choose(-128, 127).map(_.toByte)), 700L + i).toArray
+      val prefixed =
+        if (i % 2 == 0) "RIFF".getBytes("ISO-8859-1") ++ bytes else bytes
+      (i.toLong, prefixed)
+    }.toDF("doc_id", "payload")
+    assert(Multimodal.decodeMjpegFrames(spark, junk).count() == 0)
+  }
+
   test("no-override merge is idempotent: merge(merge(s,u),u) == merge(s,u)") {
     val base = gen(Gen.listOfN(100, Gen.option(Gen.identifier)), 5L).zipWithIndex
       .map { case (v, i) => (s"k$i", v) }
