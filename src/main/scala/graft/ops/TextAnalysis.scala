@@ -604,4 +604,39 @@ object TextAnalysis {
     words.join(seg, "word")
       .select(col(idCol), explode(col("syms")).as("token"))
   }
+
+  /** Overlapping fixed-window document chunking — the retrieval/RAG prep
+    * step: each document's word stream splits into windows of
+    * `windowTokens` words starting every `strideTokens` words (stride <
+    * window ⇒ overlap), the last window running short. Entirely row-local
+    * codegen (split + explode over a sequence of window starts + slice) —
+    * no shuffle, no UDF; 100 TB chunks exactly as fast as it scans.
+    *
+    * Empty words (consecutive separators) are dropped before windowing;
+    * a document with no words yields no chunks.
+    *
+    * Output: (idCol, chunk_idx 0-based, n_tokens, chunk) one row per
+    * window, chunk = space-rejoined words.
+    */
+  def chunkDocuments(docs: DataFrame, windowTokens: Int, strideTokens: Int,
+                     textCol: String = "text", idCol: String = "doc_id"):
+      DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(strideTokens >= 1, "strideTokens must be >= 1")
+    val w = filter(TextFns.words(col(textCol)), x => length(x) >= 1)
+    val n = size(col("w"))
+    // sequence(1, 0) counts DOWN — guard the empty-document case
+    val starts = when(n >= 1,
+      sequence(lit(1), n, lit(strideTokens)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col(idCol), w.as("w"))
+      .select(col(idCol), col("w"), explode(starts).as("start"))
+      .select(
+        col(idCol),
+        ((col("start") - 1) / strideTokens).cast("long").as("chunk_idx"),
+        least(col("start") + windowTokens - 1, size(col("w")))
+          .minus(col("start")).plus(1).cast("long").as("n_tokens"),
+        array_join(slice(col("w"), col("start"), least(lit(windowTokens),
+          size(col("w")) - col("start") + 1)), " ").as("chunk"))
+  }
 }

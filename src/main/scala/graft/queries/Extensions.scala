@@ -1803,6 +1803,27 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q125 = Q("q125_doc_chunking",
+    "overlapping fixed-window chunking (RAG/retrieval prep): windows of " +
+      "32 words starting every 24 (8-word overlap), last window short, " +
+      "empty-word-free — row-local codegen explode, no shuffle; gate " +
+      "checks every chunk's index, token count, and exact rejoined text",
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               x -> length(x) >= 1) AS w
+                 FROM documents),
+      c AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS s
+            FROM t WHERE len(w) >= 1)
+      SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+             CAST(LEAST(s + 31, len(w)) - s + 1 AS BIGINT) AS n_tokens,
+             array_to_string(list_slice(w, s, LEAST(s + 31, len(w))), ' ')
+               AS chunk
+      FROM c ORDER BY doc_id, chunk_idx"""),
+    (s, dir) => TextAnalysis.chunkDocuments(t(s, dir, "documents"),
+        windowTokens = 32, strideTokens = 24)
+      .orderBy("doc_id", "chunk_idx"))
+
   private val q118 = Q("q118_triangle_census",
     "global triangle census (nodes/edges/wedges/triangles/clustering " +
       "coefficient) over the part co-purchase graph via degree-ordered " +
@@ -1935,5 +1956,5 @@ object Extensions {
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
 }

@@ -505,6 +505,25 @@ class TextOpsSpec extends SparkSpec {
       == Set(("abab", 2L, "abab"), ("ab", 1L, "ab")))
   }
 
+  test("chunkDocuments: hand-computed overlapping windows, short tail, " +
+    "empty-word and empty-doc laws") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // 7 words, window 3 stride 2
+      (2L, "  x   y "),        // empty words dropped -> [x, y]
+      (3L, "")                 // no words -> no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, windowTokens = 3,
+        strideTokens = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"), (1L, 2L, 3L, "e f g"),
+      (1L, 3L, 1L, "g"),
+      (2L, 0L, 2L, "x y")))
+    // every word is covered by at least one chunk (stride <= window)
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == Set("a", "b", "c", "d", "e", "f", "g"))
+  }
+
   test("bpeEncode applies trained merges in order; single chars are their " +
     "own token; broadcast and shuffle paths agree") {
     val docs = Seq((1L, "abab abab ab"), (2L, "ab c abab")).toDF("doc_id", "text")
