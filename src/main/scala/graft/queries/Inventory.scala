@@ -31,6 +31,22 @@ object Inventory {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Exact decimal sum on the LONG fast path: each row casts to
+    * DECIMAL(18,scale) (the oracle's per-row rounding, unchanged), shifts
+    * the scale out (exact — the product is integral), and SUMS AS LONG —
+    * the codegen-friendly aggregation buffer, no per-row decimal
+    * bookkeeping. The group-count-sized finisher converts back through
+    * DECIMAL division, so the double is the nearest-double of the exact
+    * rational — bit-identical to `CAST(SUM(decimal) AS DOUBLE)` — even
+    * where the scaled sum exceeds 2^53 (a double division would round
+    * twice there). Headroom: |scaled sum| < 2^63.
+    */
+  private def lsum(c: Column, scale: Int = 2): Column = {
+    val shift = math.pow(10, scale).toLong
+    (sum((c.cast(DecimalType(18, scale)) * shift).cast("long"))
+      .cast(DecimalType(38, 0)) / shift).cast("double")
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -357,20 +373,22 @@ object Inventory {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""),
     (s, dir) => {
+      // all eight aggregates ride LONG buffers (lsum): the per-row decimal
+      // cast keeps the oracle's rounding, but no decimal state survives
+      // into the (hot) aggregation loop — Q1 is THE scan-agg benchmark and
+      // decimal sum buffers were most of its runtime
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
-      val discPrice = (col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast(DecimalType(18, 6))
-      val charge = (col("l_extendedprice") * (lit(1) - col("l_discount")) *
-        (lit(1) + col("l_tax"))).cast(DecimalType(18, 6))
+      val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val charge = discPrice * (lit(1) + col("l_tax"))
       li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
-        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
-        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        lsum(col("l_quantity")).as("sum_qty"),
+        lsum(col("l_extendedprice")).as("sum_base_price"),
+        lsum(discPrice, 6).as("sum_disc_price"),
+        lsum(charge, 6).as("sum_charge"),
+        (lsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (lsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (lsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     })
