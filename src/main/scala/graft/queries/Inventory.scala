@@ -1032,25 +1032,48 @@ object Inventory {
             AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""),
     (s, dir) => {
-      Seq("lineitem", "part", "supplier", "nation", "region")
-        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-      s.sql("""
-        WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ps_supplycost
-                    FROM lineitem GROUP BY 1, 2)
-        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
-        FROM part, ps, supplier, nation, region
-        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-          AND p_size % 10 = 3
-          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-          AND r_name = 'EUROPE'
-          AND ps_supplycost = (
-            SELECT MIN(ps2.ps_supplycost)
-            FROM ps ps2, supplier s2, nation n2, region r2
-            WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
-              AND s2.s_nationkey = n2.n_nationkey
-              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
-        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")
+      // DataFrame-first shape (r6; q57 keeps the raw-SQL Catalyst-
+      // decorrelation exercise): both the outer block and the correlated
+      // MIN restrict ps to size-matched parts × EUROPE suppliers, and both
+      // restrictions are filters ON the aggregate's group keys — so they
+      // push BELOW the (partkey,suppkey) aggregate as broadcast semi joins
+      // (~10% of parts x ~1/5 of suppliers survive, two orders less
+      // near-unique-key hashing). The min rides a CENTS long (lsum's
+      // argument: per-row decimal cast keeps oracle rounding, long min
+      // buffers), and the correlated MIN becomes an explicit per-partkey
+      // argmin joined back on EXACT integer cents — no double equality.
+      val smallParts = broadcast(t(s, dir, "part")
+        .filter(pmod(col("p_size"), lit(10)) === 3)
+        .select(col("p_partkey"), col("p_brand")))
+      val eurNations = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val eurSupp = t(s, dir, "supplier")
+        .join(eurNations, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val ps = t(s, dir, "lineitem")
+        .join(smallParts.select("p_partkey"),
+              col("p_partkey") === col("l_partkey"), "left_semi")
+        .join(broadcast(eurSupp.select("s_suppkey")),
+              col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("ps_partkey"),
+                 col("l_suppkey").as("ps_suppkey"))
+        .agg(min((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("cost_c"))
+      val minPer = ps.groupBy(col("ps_partkey").as("m_partkey"))
+        .agg(min(col("cost_c")).as("min_c"))
+      ps.join(minPer, col("ps_partkey") === col("m_partkey") &&
+                col("cost_c") === col("min_c"))
+        .join(smallParts, col("p_partkey") === col("ps_partkey"))
+        .join(broadcast(eurSupp), col("s_suppkey") === col("ps_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          (col("cost_c").cast(DecimalType(38, 0)) / 100).cast("double")
+            .as("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
     })
 
   // ---------------------------------------------------------------- q89
