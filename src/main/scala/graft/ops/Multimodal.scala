@@ -572,7 +572,10 @@ object Multimodal {
     * inside an AVI's `movi` list, in stream order.
     */
   private[graft] def moviFrameChunks(b: Array[Byte]): Seq[(Int, Int)] = {
-    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+    // null guard first: a NULL payload cell decodes to a null array, and
+    // a task-killing NPE is the wrong failure mode for one bad row
+    if (b == null || b.length < 12 ||
+        fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
       return Nil
     val out = Seq.newBuilder[(Int, Int)]
     for ((s, e) <- findRiff(b, 12, b.length, "movi")) {

@@ -190,9 +190,11 @@ class MultimodalSpec extends SparkSpec {
     for ((f, g) <- got.zip(grays))
       assert(math.abs(f.mean_luma - g) <= 2.0,
         s"frame ${f.frame_idx}: mean_luma ${f.mean_luma} vs source gray $g")
-    // headerless garbage and a frameless (header-only) AVI yield no rows
+    // headerless garbage, a frameless (header-only) AVI, and a NULL
+    // payload cell all yield no rows (never a task-killing NPE)
     val headerOnly = Multimodal.buildAvi(33333, 3, 20, 10, "MJPG")
-    val empty = Seq((8L, Array[Byte](1, 2, 3)), (9L, headerOnly))
+    val empty = Seq((8L, Array[Byte](1, 2, 3)), (9L, headerOnly),
+      (10L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "payload")
     assert(Multimodal.decodeMjpegFrames(spark, empty).count() == 0)
   }
