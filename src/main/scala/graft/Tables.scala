@@ -16,21 +16,66 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects ([PARQUET_TYPE_ILLEGAL]) unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` maps it to LongType.
-    * We set that (runtime-settable SQLConf) and convert to a micros-precision
+  /** The driver has shipped `events.parquet` with `ts` as parquet
+    * TIMESTAMP(NANOS) in some rounds and native TIMESTAMP(MICROS) in others,
+    * so every reader must adapt to the footer it actually finds. NANOS is
+    * rejected by Spark 4 ([PARQUET_TYPE_ILLEGAL]) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` maps it to LongType; we set
+    * that (runtime-settable SQLConf) and convert to a micros-precision
     * TimestampType with exact integer division (`div`, not `/`, because nanos
     * since epoch exceed 2^53 and double division would lose precision).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
+    normalizeTs(raw, raw.schema)
+  }
+
+  private def normalizeTs(df: DataFrame,
+                          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (!schema.fieldNames.contains("ts")) df
+    else schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long source
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // already a timestamp (e.g. a ScaleUp replica)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df // already a timestamp (native micros, or a ScaleUp replica)
     }
+
+  /** Streaming twin of [[table]]: file streams need an explicit schema, and
+    * hard-coding one breaks silently when the driver regenerates testdata
+    * with a different `ts` physical type (an r6 lesson: LongType over a
+    * TIMESTAMP(MICROS) file reads raw micros, `div 1000` then lands every
+    * event in January 1970 — one giant window, exploded interval joins).
+    * Probe the real footer schema with a metadata-only batch read, stream
+    * with THAT, and normalize `ts` after load exactly like the batch path.
+    *
+    * The file source needs a directory: the driver's testdata keeps each
+    * table as a single FILE in `dir` (glob-filter it), while ScaleUp
+    * replicas write a DIRECTORY of part files (point at it directly — a
+    * leaf-name glob would match nothing inside and silently stream zero
+    * rows). Hadoop FS, not java.io.File, so hdfs:// and s3a:// layouts
+    * resolve the same way.
+    */
+  def tableStream(spark: SparkSession, dir: String, leaf: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = new org.apache.hadoop.fs.Path(dir, leaf)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
+    val rawSchema = spark.read.parquet(p.toString).schema
+    val stream =
+      if (isDir) spark.readStream.schema(rawSchema).parquet(p.toString)
+      else spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", leaf).parquet(dir)
+    normalizeTs(stream, rawSchema)
+  }
+
+  /** Stream every parquet file under `dir` (no leaf glob — new files landing
+    * later are picked up by subsequent triggers), schema probed from the
+    * files already present. Used by StreamBench's stage-then-redeliver dirs.
+    */
+  def dirStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(dir).schema
+    normalizeTs(spark.readStream.schema(rawSchema).parquet(dir), rawSchema)
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -162,30 +162,12 @@ object Pipeline {
         .orderBy("key")
     })
 
-  /** Stream source for the events table. The file source needs a
-    * directory: the driver's testdata keeps `events.parquet` as a single
-    * FILE in `dir` (glob-filter it), while ScaleUp replicas write it as a
-    * DIRECTORY of part files (point at it directly — a leaf-name glob of
-    * "events.parquet" would match nothing inside and silently stream zero
-    * rows, which is how the round-2 10× streaming numbers went vacuous).
+  /** Stream source for the events table: schema-adaptive (footer-probed),
+    * `ts` normalized to TimestampType — see [[graft.Tables.tableStream]]
+    * for the file-vs-directory and dtype-drift hazards it absorbs.
     */
-  private def eventsStream(s: SparkSession, dir: String,
-                           schema: StructType): DataFrame =
-    tableStream(s, dir, "events.parquet", schema)
-
-  private def tableStream(s: SparkSession, dir: String, leaf: String,
-                          schema: StructType): DataFrame = {
-    // Hadoop FS, not java.io.File: the data dir can be hdfs://, s3a://, …
-    // where a local-FS probe would always say "not a directory" and
-    // silently re-open the zero-rows hole on exactly the layouts it exists
-    // to handle.
-    val p = new org.apache.hadoop.fs.Path(dir, leaf)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
-    if (isDir) s.readStream.schema(schema).parquet(p.toString)
-    else s.readStream.schema(schema)
-      .option("pathGlobFilter", leaf).parquet(dir)
-  }
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    Tables.tableStream(s, dir, "events.parquet")
 
   private val q33 = Q("q33_streaming_ingest",
     "§2.9: Structured Streaming AvailableNow drain — sha256 dedup state + " +
