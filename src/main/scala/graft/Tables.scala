@@ -31,13 +31,24 @@ object Tables {
     normalizeTs(raw, raw.schema)
   }
 
+  /** Three `ts` physical types have shipped across testdata regenerations:
+    * TIMESTAMP(NANOS) (→ LongType under nanosAsLong), TIMESTAMP(MICROS,
+    * adjustedToUTC=true) (→ TimestampType), and TIMESTAMP(MICROS,
+    * adjustedToUTC=false) (→ TimestampNTZType). All three normalize to
+    * TimestampType; the NTZ cast reinterprets in the session timezone, which
+    * [[session]] pins to UTC — the same naive-as-UTC reading the DuckDB
+    * oracle applies to the identical file.
+    */
   private def normalizeTs(df: DataFrame,
                           schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (!schema.fieldNames.contains("ts")) df
     else schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long source
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df // already a timestamp (native micros, or a ScaleUp replica)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TimestampType (native micros, or a ScaleUp replica)
     }
 
   /** Streaming twin of [[table]]: file streams need an explicit schema, and

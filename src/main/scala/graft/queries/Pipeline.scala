@@ -176,13 +176,8 @@ object Pipeline {
       SELECT event_type, count(*) AS n_records
       FROM events GROUP BY event_type ORDER BY event_type"""),
     (s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val cp = java.nio.file.Files.createTempDirectory("graft-q33-cp").toString
-      val stream = eventsStream(s, dir, schema)
+      val stream = eventsStream(s, dir)
         .withColumn("hash",
           Etl.recordHash(lit("DRM"), col("event_id").cast("string")))
         .dropDuplicates("hash")
@@ -210,15 +205,9 @@ object Pipeline {
              count(*) AS n_records
       FROM events GROUP BY 1, 2, 3 ORDER BY device_id, bucket_start"""),
     (s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val cp = java.nio.file.Files.createTempDirectory("graft-q56-cp").toString
-      val stream = eventsStream(s, dir, schema)
-        .select(col("event_type").as("device_id"),
-          timestamp_micros(expr("ts div 1000")).as("start"))
+      val stream = eventsStream(s, dir)
+        .select(col("event_type").as("device_id"), col("ts").as("start"))
       val agg = graft.streaming.IncrementalIngest.dayBucketCounts(stream, "12:00:00")
       val name = "q56_out_" + math.abs(cp.hashCode).toString
       val q = agg.writeStream.format("memory").queryName(name)
@@ -366,13 +355,9 @@ object Pipeline {
       WHERE n_chars >= 150 AND lang IN ('de', 'en', 'fr')
       GROUP BY lang ORDER BY lang"""),
     (s, dir) => {
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
       val cp = java.nio.file.Files.createTempDirectory("graft-q75-cp").toString
       val curated = graft.streaming.IncrementalIngest.curateDocuments(
-        tableStream(s, dir, "documents.parquet", schema),
+        Tables.tableStream(s, dir, "documents.parquet"),
         minChars = 150, langs = Seq("de", "en", "fr"))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       val name = "q75_out_" + math.abs(cp.hashCode).toString
@@ -400,19 +385,14 @@ object Pipeline {
         AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id"""),
     (s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val cp = java.nio.file.Files.createTempDirectory("graft-q113-cp").toString
-      val ev = eventsStream(s, dir, schema)
+      val ev = eventsStream(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-          timestamp_micros(expr("ts div 1000")).as("c_ts"))
+          col("ts").as("c_ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          timestamp_micros(expr("ts div 1000")).as("p_ts"))
+          col("ts").as("p_ts"))
       val joined = graft.streaming.IncrementalIngest.attributionJoin(
         clicks, purchases, "c_user", "p_user", "c_ts", "p_ts", "1 hour")
         .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),

@@ -24,16 +24,6 @@ import org.apache.spark.sql.types._
   */
 object StreamBench {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  private val docsSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
   private def drain(df: DataFrame, name: String, cp: String,
                     mode: String = "complete"): Double = {
     val t0 = System.nanoTime()
@@ -102,7 +92,7 @@ object StreamBench {
       locally {
         val dir = stage("warmup", "events", "batch_000.parquet")
         val cp = work.resolve("cp_warmup").toString
-        drain(spark.readStream.schema(eventsSchema).parquet(dir)
+        drain(graft.Tables.dirStream(spark, dir)
           .groupBy("event_type").agg(count(lit(1)).as("n")),
           s"sb_warm_$provider", cp)
       }
@@ -111,7 +101,7 @@ object StreamBench {
       locally {
         val dir = stage("ingest", "events", "batch_000.parquet")
         val cp = work.resolve("cp_ingest").toString
-        def q = spark.readStream.schema(eventsSchema).parquet(dir)
+        def q = graft.Tables.dirStream(spark, dir)
           .withColumn("hash", graft.functions.Etl.recordHash(
             lit("DRM"), col("event_id").cast("string")))
           .dropDuplicates("hash")
@@ -128,9 +118,9 @@ object StreamBench {
         val dir = stage("window", "events", "batch_000.parquet")
         val cp = work.resolve("cp_window").toString
         def q = graft.streaming.IncrementalIngest.dayBucketCounts(
-          spark.readStream.schema(eventsSchema).parquet(dir)
+          graft.Tables.dirStream(spark, dir)
             .select(col("event_type").as("device_id"),
-              timestamp_micros(expr("ts div 1000")).as("start")),
+              col("ts").as("start")),
           "12:00:00")
         results(s"day_window/$provider/cold") =
           drain(q, s"sb_w_$provider", cp)
@@ -144,7 +134,7 @@ object StreamBench {
         val dir = stage("curate", "documents", "batch_000.parquet")
         val cp = work.resolve("cp_curate").toString
         def q = graft.streaming.IncrementalIngest.curateDocuments(
-          spark.readStream.schema(docsSchema).parquet(dir),
+          graft.Tables.dirStream(spark, dir),
           minChars = 150, langs = Seq("de", "en", "fr"))
           .groupBy("lang").agg(count(lit(1)).as("n"))
         results(s"curation/$provider/cold") =
@@ -160,16 +150,16 @@ object StreamBench {
       locally {
         val dir = stage("join", "events", "batch_000.parquet")
         val cp = work.resolve("cp_join").toString
-        def ev = spark.readStream.schema(eventsSchema).parquet(dir)
+        def ev = graft.Tables.dirStream(spark, dir)
         def q = {
           val clicks = ev.filter(col("event_type") === "click")
             .select(col("event_id").as("click_id"),
               col("user_id").as("c_user"),
-              timestamp_micros(expr("ts div 1000")).as("c_ts"))
+              col("ts").as("c_ts"))
           val purchases = ev.filter(col("event_type") === "purchase")
             .select(col("event_id").as("purchase_id"),
               col("user_id").as("p_user"),
-              timestamp_micros(expr("ts div 1000")).as("p_ts"))
+              col("ts").as("p_ts"))
           graft.streaming.IncrementalIngest.attributionJoin(
             clicks, purchases, "c_user", "p_user", "c_ts", "p_ts", "1 hour")
         }
