@@ -85,7 +85,16 @@ object Tables {
     */
   def dirStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(dir).schema
+    val rawSchema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          // an empty stage-then-redeliver dir can't be probed — surface the
+          // fix (stage one file first) instead of UNABLE_TO_INFER_SCHEMA
+          throw new IllegalArgumentException(
+            s"dirStream($dir): no parquet file present to probe the schema " +
+              "from; stage at least one file before building the stream", e)
+      }
     normalizeTs(spark.readStream.schema(rawSchema).parquet(dir), rawSchema)
   }
 
