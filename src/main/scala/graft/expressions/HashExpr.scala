@@ -365,5 +365,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       DotScaled(c(0), c(1), graft.functions.VectorFns.Scale))
     inject("graft_norm2_scaled", c =>
       Norm2Scaled(c.head, graft.functions.VectorFns.Scale))
+    inject("graft_unicode_norm", c =>
+      UnicodeNorm(c.head, UnicodeNorm.mode(
+        if (c.length > 1) litString(c(1), "graft_unicode_norm") else "nfc")))
   }
+
+  private def litString(e: Expression, fn: String): String =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal string parameter, got $other")
+    }
 }

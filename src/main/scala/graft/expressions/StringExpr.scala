@@ -74,3 +74,69 @@ object DeletionNeighborhood {
   def apply(c: Column, k: Int): Column =
     Bridge.column(DeletionNeighborhood(Bridge.expression(c.cast("string")), k))
 }
+
+/** Codegen helper for [[UnicodeNorm]] — static forwarder callable from
+  * generated Java.
+  */
+object UnicodeNormUtil {
+  import java.text.Normalizer
+
+  private val Marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  /** mode: 0=NFC 1=NFKC 2=NFD 3=NFKD 4=strip_accents (NFD, drop combining
+    * marks, recompose). ASCII input short-circuits to identity — every form
+    * is a no-op on ASCII, and a mostly-ASCII corpus (the 100 TB common case)
+    * pays one byte-length check per row instead of a Normalizer pass.
+    */
+  def norm(s: UTF8String, mode: Int): UTF8String = {
+    if (s.numBytes == s.numChars) return s // 1 byte per char == pure ASCII
+    val str = s.toString
+    val out = mode match {
+      case 0 => Normalizer.normalize(str, Normalizer.Form.NFC)
+      case 1 => Normalizer.normalize(str, Normalizer.Form.NFKC)
+      case 2 => Normalizer.normalize(str, Normalizer.Form.NFD)
+      case 3 => Normalizer.normalize(str, Normalizer.Form.NFKD)
+      case 4 =>
+        val d = Normalizer.normalize(str, Normalizer.Form.NFD)
+        Normalizer.normalize(Marks.matcher(d).replaceAll(""), Normalizer.Form.NFC)
+      case other => throw new IllegalArgumentException(s"unknown mode $other")
+    }
+    if (out == str) s else UTF8String.fromString(out)
+  }
+}
+
+/** Unicode normalization as a native codegen expression — the
+  * canonicalization step an exact-dedup pass needs before hashing (composed
+  * 'é' and decomposed 'e'+U+0301 are different bytes but the same text), and
+  * a primitive Spark lacks as a built-in. `strip_accents` matches DuckDB's
+  * utf8proc semantics on decomposable characters, which the oracle gate
+  * (q126) verifies against DuckDB's independent implementation.
+  */
+case class UnicodeNorm(child: Expression, mode: Int) extends UnaryExpression {
+  require(mode >= 0 && mode <= 4, s"mode must be 0..4, got $mode")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unicode_norm"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnicodeNormUtil.norm(input.asInstanceOf[UTF8String], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.UnicodeNormUtil.norm($c, $mode)")
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNorm =
+    copy(child = newChild)
+}
+
+object UnicodeNorm {
+  val modes: Map[String, Int] = Map(
+    "nfc" -> 0, "nfkc" -> 1, "nfd" -> 2, "nfkd" -> 3, "strip_accents" -> 4)
+
+  def mode(form: String): Int = modes.getOrElse(form.toLowerCase,
+    throw new IllegalArgumentException(
+      s"unknown normalization form '$form' (expected ${modes.keys.mkString("/")})"))
+
+  def apply(c: Column, form: String): Column =
+    Bridge.column(UnicodeNorm(Bridge.expression(c.cast("string")), mode(form)))
+}

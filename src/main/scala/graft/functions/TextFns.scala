@@ -28,6 +28,27 @@ object TextFns {
   def seededHash64(seed: Column, c: Column): Column =
     hash64(concat(seed.cast("string"), lit(":"), c))
 
+  /** Unicode normalization (native expression [[graft.expressions.UnicodeNorm]];
+    * form: nfc / nfkc / nfd / nfkd / strip_accents). Spark has no built-in —
+    * composed 'é' and decomposed 'e'+U+0301 hash differently without it, so
+    * exact dedup over real-web text MUST canonicalize first.
+    */
+  def unicodeNorm(c: Column, form: String = "nfc"): Column =
+    graft.expressions.UnicodeNorm(c, form)
+
+  /** NFD → drop combining marks → NFC: 'café' → 'cafe'. Parity with DuckDB's
+    * strip_accents on decomposable characters is oracle-gated (q126).
+    */
+  def stripAccents(c: Column): Column =
+    graft.expressions.UnicodeNorm(c, "strip_accents")
+
+  /** The dedup canonical form: NFC, accents stripped, lowercased, runs of
+    * whitespace collapsed, trimmed. Row-local and codegen-resident — safe to
+    * apply before hashing at any scale.
+    */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(lower(stripAccents(unicodeNorm(c, "nfc"))), "\\s+", " "))
+
   def words(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles, 1-based indexing (mirrors DuckDB list[i]).

@@ -47,6 +47,30 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, percent: Int): DataFrame =
     df.filter(hashBucket(key, 100) < percent)
 
+  /** Weighted sampling WITHOUT replacement, k rows, inclusion probability
+    * proportional to `weight` — Efraimidis–Spirakis A-ES: each row draws
+    * u in (0,1) and the k largest u^(1/w) win. The draw is the shared
+    * deterministic hash (not RNG), so the sample is reproducible across
+    * runs AND engines — the corpus-subsetting law a token-budget-
+    * proportional training draw needs (weight = token count → each
+    * document's chance matches its share of the token budget).
+    *
+    * Scale: the key is computed row-locally; the only coordination is a
+    * distributed top-k (TakeOrderedAndProject — per-partition heaps of k,
+    * never a global sort), so the pattern holds at any corpus size where
+    * k fits on the driver. Ties broken by `key` for determinism; weights
+    * must be strictly positive.
+    */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column,
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (hashBucket(key, 1000000).cast("double") + lit(0.5)) / lit(1e6)
+    df.withColumn("__es_key", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("__es_key").desc, key)
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Deterministic negative sampling — the contrastive-pair generator an
     * embedding-training pipeline needs: k partners per row chosen by the
     * shared hash over a DENSE id space [0, n), so the samples are

@@ -1824,6 +1824,65 @@ object Extensions {
         windowTokens = 32, strideTokens = 24)
       .orderBy("doc_id", "chunk_idx"))
 
+  /** The testdata text is pure ASCII, so the accented surface is injected
+    * IN THE QUERY, identically on both engines (regexp/replace chains with
+    * the same literals): 'a' → decomposed a+U+0301, 'e' → composed 'é',
+    * 'o' → composed 'ö'. The gate then proves graft_unicode_norm (NFC +
+    * strip_accents, java.text.Normalizer) byte-equal to DuckDB's
+    * independent utf8proc nfc_normalize/strip_accents, and that the
+    * canonical form round-trips to the plain-ASCII canonicalization of the
+    * original text — the invariant that makes canonicalize() safe to hash
+    * for dedup.
+    */
+  private val q126 = Q("q126_unicode_canonical",
+    "Unicode canonicalization for dedup (native graft_unicode_norm: NFC + " +
+      "accent-strip + casefold + whitespace-collapse) — composed AND " +
+      "decomposed accents collapse to one canonical form; oracle is " +
+      "DuckDB's independent utf8proc implementation",
+    Some("""
+      WITH v AS (SELECT doc_id,
+             replace(replace(replace(text, 'a', 'a""" + "́" + """'),
+                     'e', '""" + "é" + """'), 'o', '""" + "ö" + """') AS noisy
+             FROM documents),
+      c AS (SELECT doc_id,
+            trim(regexp_replace(lower(strip_accents(nfc_normalize(noisy))),
+                 '\s+', ' ', 'g')) AS canonical FROM v)
+      SELECT c.doc_id, c.canonical,
+             c.canonical = trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))
+               AS roundtrip
+      FROM c JOIN documents d USING (doc_id) ORDER BY doc_id"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val noisy = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "a", "á"), "e", "é"), "o", "ö")
+      val plain = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      d.select(col("doc_id"),
+          graft.functions.TextFns.canonicalize(noisy).as("canonical"),
+          plain.as("plain"))
+        .withColumn("roundtrip", col("canonical") === col("plain"))
+        .drop("plain")
+        .orderBy("doc_id")
+    })
+
+  private val q127 = Q("q127_weighted_sample",
+    "Efraimidis–Spirakis weighted sampling without replacement: 50 docs " +
+      "with inclusion odds proportional to n_chars (token-budget-" +
+      "proportional corpus draw), u from the shared deterministic hash — " +
+      "distributed top-k, reproducible across engines",
+    Some("""
+      WITH w AS (SELECT doc_id, lang, n_chars,
+             (CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+             FROM documents)
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars FROM w
+        ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 50)
+      ORDER BY doc_id"""),
+    (s, dir) => Sampling.weightedTopK(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        col("doc_id"), col("n_chars"), k = 50)
+      .orderBy("doc_id"))
+
   private val q118 = Q("q118_triangle_census",
     "global triangle census (nodes/edges/wedges/triangles/clustering " +
       "coefficient) over the part co-purchase graph via degree-ordered " +
@@ -1956,5 +2015,6 @@ object Extensions {
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
+    q126, q127)
 }

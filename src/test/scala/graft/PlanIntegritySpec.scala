@@ -252,6 +252,24 @@ class PlanIntegritySpec extends SparkSpec {
       "regex scrub must stay codegen, not a scalar UDF")
   }
 
+  test("q126: canonicalization is row-local codegen — no shuffle, no join, no UDF") {
+    val p = plan("q126_unicode_canonical")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"canonicalize must not shuffle:\n$p")
+    assert(!p.contains("Join"), "Spark side computes both forms from one scan")
+    assert(p.contains("graft_unicode_norm"),
+      s"native normalization expression must be in the plan:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      "normalization must stay codegen, not a scalar UDF")
+  }
+
+  test("q127: weighted sample is a distributed top-k, never a global sort") {
+    val p = plan("q127_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES selection must plan as per-partition heaps + driver merge:\n$p")
+    assert(!p.contains("Join"), "selection is row-local + top-k only")
+  }
+
   test("q87: span dedup is TWO hash exchanges and ONE corpus scan — no join") {
     val p = plan("q87_span_dedup")
     // first-occurrence window keys on the 60-bit span hash; reassembly on
