@@ -242,6 +242,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
+  /** Asymmetric twin of [[ngramJaccard]]: containment(A→B) =
+    * |sh(A) ∩ sh(B)| / |sh(A)| — the quote/subset-duplicate detector.
+    * A short document pasted inside a long one scores near 1.0 here while
+    * its Jaccard stays low (the union is dominated by the long side), so a
+    * Jaccard-only near-dup pass systematically misses boilerplate
+    * inclusions and quoted reposts. Same blocked shingle-intersection core
+    * (never all-pairs); emits both directions for each unordered pair and
+    * keeps those where EITHER side is mostly contained.
+    */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[String], shingleSize: Int = 3,
+                       minContainment: Double = 0.0): DataFrame = {
+    val sh = docs.select(
+      col(idCol) +: blockCols.map(col) :+
+        explode(TextFns.shingleHashes(col(textCol), shingleSize)).as("sh"): _*)
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("doc_a") +: blockCols.map(col) :+ col("sh"): _*)
+    val b = sh.select(col(idCol).as("doc_b") +: blockCols.map(c => col(c).as(s"b_$c")) :+ col("sh").as("b_sh"): _*)
+    val joinCond = blockCols.map(c => col(c) === col(s"b_$c"))
+      .reduce(_ && _) && col("sh") === col("b_sh") && col("doc_a") < col("doc_b")
+    val inter = a.join(b, joinCond)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("cont_a", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_inter").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("cont_a"), col("cont_b"))
+  }
+
   /** Scale path for [[embeddingNearDup]] (and its DEFAULT): candidates must
     * ALSO collide in a `numPlanes`-bit random-hyperplane bucket, so block
     * size (and the quadratic pair count) shrinks ~2^numPlanes-fold at a

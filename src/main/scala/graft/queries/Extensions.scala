@@ -1864,6 +1864,34 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q128 = Q("q128_ngram_containment",
+    "asymmetric n-gram containment |A∩B|/|A| (quote/subset-duplicate " +
+      "detector — high when a short doc is pasted inside a long one even " +
+      "though Jaccard stays low), blocked by (lang, source)",
+    Some("""
+      WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, lang, source, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      sh AS (SELECT DISTINCT doc_id, lang, source,
+             CAST('0x' || substr(sha256(w[j] || ' ' || w[j+1] || ' ' || w[j+2]), 1, 15) AS BIGINT) AS sh
+             FROM jx),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter,
+             CAST(n_inter AS DOUBLE) / sa.n_sh AS cont_a,
+             CAST(n_inter AS DOUBLE) / sb.n_sh AS cont_b
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE GREATEST(CAST(n_inter AS DOUBLE) / sa.n_sh,
+                     CAST(n_inter AS DOUBLE) / sb.n_sh) >= 0.05
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => Dedup.ngramContainment(t(s, dir, "documents"), "doc_id", "text",
+      blockCols = Seq("lang", "source"), minContainment = 0.05)
+      .orderBy("doc_a", "doc_b"))
+
   private val q127 = Q("q127_weighted_sample",
     "Efraimidis–Spirakis weighted sampling without replacement: 50 docs " +
       "with inclusion odds proportional to n_chars (token-budget-" +
@@ -2016,5 +2044,5 @@ object Extensions {
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127)
+    q126, q127, q128)
 }

@@ -59,6 +59,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L)) // other block
   }
 
+  test("ngram containment: subset doc scores ~1.0 one-way while jaccard stays low") {
+    // doc 11 is a verbatim slice of doc 10's much longer text: the
+    // quote/boilerplate-inclusion shape a symmetric Jaccard pass misses
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (21 to 30).map(i => s"w$i").mkString(" ")
+    val d = Seq((10L, long), (11L, short)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("main"))
+    val cont = Dedup.ngramContainment(d, "doc_id", "text",
+      blockCols = Seq("lang", "source"))
+      .select($"doc_a", $"doc_b", $"cont_a", $"cont_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.length == 1)
+    val (_, _, contLong, contShort) = cont.head  // a=10 (long), b=11 (short)
+    assert(contShort == 1.0, "every shingle of the short doc is in the long one")
+    assert(contLong < 0.2, "the long doc is mostly NOT the short one")
+    val jac = Dedup.ngramJaccard(d, "doc_id", "text",
+      blockCols = Seq("lang", "source"))
+      .select($"jaccard").as[Double].collect().head
+    assert(jac < 0.2, "jaccard must miss what containment catches")
+  }
+
   private val vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
