@@ -431,5 +431,102 @@ object Pipeline {
       s.table(name).orderBy("click_id", "purchase_id")
     })
 
-  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113)
+  /** Append-mode emission law, pinned empirically: the AvailableNow drain's
+    * final no-data batch advances the watermark to max(ts) - delay, and a
+    * watermarked window aggregate then emits exactly the windows whose END
+    * the watermark has passed — open windows stay in state for the next
+    * run. That incremental contract (emit-once, only-closed) is what a
+    * production pipeline sinks downstream; q56's complete-mode twin instead
+    * re-emits the whole result every drain. The oracle applies the same
+    * closure predicate in SQL: bucket_end <= max(ts) - 1 hour.
+    */
+  private val q129 = Q("q129_streaming_append_window",
+    "§2.9: append-mode day-bucket window + 1-hour watermark — only " +
+      "watermark-closed buckets are emitted (the incremental production " +
+      "posture vs q56's complete-mode re-emit); oracle filters the same " +
+      "closed windows in SQL",
+    Some("""
+      WITH b AS (SELECT event_type AS device_id,
+                   date_trunc('day', ts - INTERVAL 12 HOUR) + INTERVAL 12 HOUR AS bs,
+                   count(*) AS n_records
+                 FROM events GROUP BY 1, 2),
+      wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+      SELECT device_id,
+             strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+             strftime(bs + INTERVAL 24 HOUR, '%Y-%m-%d %H:%M:%S') AS bucket_end,
+             n_records
+      FROM b, wm WHERE bs + INTERVAL 24 HOUR <= w
+      ORDER BY device_id, bucket_start"""),
+    (s, dir) => {
+      val cp = java.nio.file.Files.createTempDirectory("graft-q129-cp").toString
+      val stream = eventsStream(s, dir)
+        .select(col("event_type").as("device_id"), col("ts").as("start"))
+      val agg = graft.streaming.IncrementalIngest.dayBucketCounts(
+        stream, "12:00:00", watermark = "1 hour")
+      val name = "q129_out_" + math.abs(cp.hashCode).toString
+      withStreamStatePartitions(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).orderBy("device_id", "bucket_start")
+    })
+
+  /** Session windows share the law: a session closes when the watermark
+    * passes its end (last event + gap), so the emitted set is exactly the
+    * sessions a later event can no longer extend. The SQL oracle rebuilds
+    * the identical sessions with the lag-gap chain (q65's formulation —
+    * session_window's merge semantics equal chained <=gap steps) and applies
+    * the closure predicate max(ts_in_session) + gap <= max(ts) - delay.
+    */
+  private val q130 = Q("q130_streaming_closed_sessions",
+    "§2.9: streaming session windows (30-min gap, 1-hour watermark) in " +
+      "append mode — only sessions no future event can extend are emitted; " +
+      "oracle rebuilds the sessions via the q65 lag-gap chain and filters " +
+      "to the closed ones",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, ts FROM events),
+      l AS (SELECT user_id, event_id, ts,
+            CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER
+                   (PARTITION BY user_id
+                    ORDER BY ts NULLS LAST, event_id NULLS LAST) <= 1800000000000
+                 THEN 0 ELSE 1 END AS new_s
+            FROM e),
+      s AS (SELECT user_id, ts,
+            CAST(SUM(new_s) OVER (PARTITION BY user_id
+                 ORDER BY ts NULLS LAST, event_id NULLS LAST
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM l),
+      g AS (SELECT user_id, min(ts) AS s_start,
+                   max(ts) + INTERVAL 30 MINUTE AS s_end,
+                   count(*) AS n_records
+            FROM s GROUP BY user_id, session_idx),
+      wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+      SELECT user_id AS device_id,
+             strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+             n_records
+      FROM g, wm WHERE s_end <= w
+      ORDER BY device_id, session_start"""),
+    (s, dir) => {
+      val cp = java.nio.file.Files.createTempDirectory("graft-q130-cp").toString
+      val stream = eventsStream(s, dir)
+        .select(col("user_id").as("device_id"), col("ts").as("start"))
+      val agg = graft.streaming.IncrementalIngest.sessionCounts(
+        stream, gap = "30 minutes", watermark = "1 hour")
+      val name = "q130_out_" + math.abs(cp.hashCode).toString
+      withStreamStatePartitions(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).orderBy("device_id", "session_start")
+    })
+
+  def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
+    q129, q130)
 }
