@@ -368,6 +368,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_unicode_norm", c =>
       UnicodeNorm(c.head, UnicodeNorm.mode(
         if (c.length > 1) litString(c(1), "graft_unicode_norm") else "nfc")))
+    inject("graft_interleave_bits", c =>
+      InterleaveBits(
+        org.apache.spark.sql.catalyst.expressions.Cast(c(0),
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(c(1),
+          org.apache.spark.sql.types.LongType),
+        if (c.length > 2) litInt(c(2), "graft_interleave_bits") else 16))
   }
 
   private def litString(e: Expression, fn: String): String =

@@ -94,4 +94,41 @@ object Output {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Z-order (Morton-curve) bucket assignment over two dimensions — the
+    * multi-dimensional clustering a 100 TB table needs for file skipping on
+    * MORE THAN ONE filter column: sorting by x alone leaves y's min/max
+    * footer spanning the whole domain in every file, while the interleaved
+    * curve tightens BOTH (each of 2^b buckets covers ~2^-⌈b/2⌉ of each
+    * dimension's range — the q131 gate measures exactly that). Delta and
+    * Iceberg ship this as a table service; here it is plain Spark:
+    * quantize each dim to a `bits`-bit grid (min/max ride a broadcast
+    * one-row relation — no driver collect), interleave with the native
+    * [[graft.expressions.InterleaveBits]] codegen kernel, and take the top
+    * log2(nBuckets) curve bits as the bucket. Compose with
+    * [[writeShardedBy]](shardCol = "zbucket") to materialize the layout;
+    * everything is deterministic integer/IEEE-double math, so the
+    * assignment is reproducible across runs AND engines.
+    */
+  def zorderBuckets(df: DataFrame, xCol: String, yCol: String,
+                    bits: Int = 16, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    val log2n = java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    require(log2n <= 2 * bits, s"nBuckets=$nBuckets exceeds 2^(2*$bits) cells")
+    val scale = (1L << bits) - 1
+    val mm = broadcast(df.agg(
+      min(col(xCol)).as("__xmin"), max(col(xCol)).as("__xmax"),
+      min(col(yCol)).as("__ymin"), max(col(yCol)).as("__ymax")))
+    def quant(c: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(
+        floor((c.cast("double") - lo) / (hi - lo) * scale).cast("long"))
+    df.crossJoin(mm)
+      .withColumn("__qx", quant(col(xCol), col("__xmin"), col("__xmax")))
+      .withColumn("__qy", quant(col(yCol), col("__ymin"), col("__ymax")))
+      .withColumn("zval", graft.expressions.InterleaveBits(
+        col("__qx"), col("__qy"), bits))
+      .withColumn("zbucket", shiftright(col("zval"), 2 * bits - log2n))
+      .drop("__xmin", "__xmax", "__ymin", "__ymax", "__qx", "__qy")
+  }
 }

@@ -1892,6 +1892,49 @@ object Extensions {
       blockCols = Seq("lang", "source"), minContainment = 0.05)
       .orderBy("doc_a", "doc_b"))
 
+  /** The locality law the gate's min/max columns exhibit: with 64 buckets
+    * over a 16-bit×16-bit Morton grid, each bucket spans ~1/8 of EACH
+    * dimension's range (measured ~12% both dims on lineitem), where a
+    * single-column sort leaves the second dimension's span at 100% per
+    * bucket — that footer tightening is what lets a two-dim filter skip
+    * ~7/8 of the files at 100 TB.
+    */
+  private val q131 = Q("q131_zorder_layout",
+    "Z-order (Morton) two-dimensional clustering: quantize (l_partkey, " +
+      "l_suppkey) to 16-bit grids, interleave with the native " +
+      "graft_interleave_bits kernel, bucket by the top 6 curve bits; the " +
+      "gate audits per-bucket counts and both dims' min/max (the file-" +
+      "skipping footprint), bit-for-bit against the same curve in SQL",
+    Some("""
+      WITH src AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+      mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                    min(y) AS ymin, max(y) AS ymax FROM src),
+      q AS (SELECT x, y,
+            CASE WHEN xmax = xmin THEN 0 ELSE
+              CAST(floor((CAST(x AS DOUBLE) - xmin) / (xmax - xmin) * 65535)
+                   AS BIGINT) END AS qx,
+            CASE WHEN ymax = ymin THEN 0 ELSE
+              CAST(floor((CAST(y AS DOUBLE) - ymin) / (ymax - ymin) * 65535)
+                   AS BIGINT) END AS qy
+            FROM src, mm),
+      z AS (SELECT x, y,
+            (SELECT SUM((((qx >> i) & 1) << (2*i)) + (((qy >> i) & 1) << (2*i+1)))
+             FROM generate_series(0, 15) AS t(i)) AS zval
+            FROM q)
+      SELECT zval >> 26 AS zbucket, count(*) AS n_rows,
+             min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max
+      FROM z GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => graft.ops.Output.zorderBuckets(
+        t(s, dir, "lineitem").select(
+          col("l_partkey").as("x"), col("l_suppkey").as("y")),
+        "x", "y", bits = 16, nBuckets = 64)
+      .groupBy("zbucket").agg(
+        count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("zbucket"))
+
   private val q127 = Q("q127_weighted_sample",
     "Efraimidis–Spirakis weighted sampling without replacement: 50 docs " +
       "with inclusion odds proportional to n_chars (token-budget-" +
@@ -2044,5 +2087,5 @@ object Extensions {
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128)
+    q126, q127, q128, q131)
 }

@@ -149,6 +149,38 @@ object StreamBench {
           drain(q, s"sb_c2_$provider", cp)
       }
 
+      // q129 shape: append-mode day window + watermark — the warm drain
+      // measures eviction/emission against state restored from checkpoint
+      locally {
+        val dir = stage("appendwin", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_appendwin").toString
+        def q = graft.streaming.IncrementalIngest.dayBucketCounts(
+          graft.Tables.dirStream(spark, dir)
+            .select(col("event_type").as("device_id"),
+              col("ts").as("start")),
+          "12:00:00", watermark = "1 hour")
+        val out = work.resolve("appendwin-out").toString
+        results(s"append_window/$provider/cold") = drainToFiles(q, out, cp)
+        redeliver("appendwin", "events", "batch_001.parquet")
+        results(s"append_window/$provider/warm") = drainToFiles(q, out, cp)
+      }
+
+      // q130 shape: watermarked session windows in append mode (the state
+      // store holds open sessions; the warm drain merges redelivered
+      // events into them)
+      locally {
+        val dir = stage("sessions", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_sessions").toString
+        def q = graft.streaming.IncrementalIngest.sessionCounts(
+          graft.Tables.dirStream(spark, dir)
+            .select(col("user_id").as("device_id"), col("ts").as("start")),
+          gap = "30 minutes", watermark = "1 hour")
+        val out = work.resolve("sessions-out").toString
+        results(s"closed_sessions/$provider/cold") = drainToFiles(q, out, cp)
+        redeliver("sessions", "events", "batch_001.parquet")
+        results(s"closed_sessions/$provider/warm") = drainToFiles(q, out, cp)
+      }
+
       // q113 shape: watermarked stream-stream attribution join (append
       // mode — join state expires at the watermark, so the warm drain
       // measures probe-against-live-state, not an ever-growing buffer)

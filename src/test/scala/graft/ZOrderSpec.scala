@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{InterleaveBits, ZOrderUtil}
+import graft.ops.Output
+
+/** Morton-curve kernel + Z-order bucket layout — engine-local properties;
+  * cross-engine bit parity is oracle-gated (q131).
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave: known bit patterns") {
+    // x=0b11 at even positions (1|4), y=0b01 at odd (2) -> 0b0111
+    assert(ZOrderUtil.interleave(3L, 1L, 2) == 7L)
+    // x=0b10 -> 4, y=0b11 -> 2|8 -> 14
+    assert(ZOrderUtil.interleave(2L, 3L, 2) == 14L)
+    assert(ZOrderUtil.interleave(0L, 0L, 16) == 0L)
+    // full 16-bit corners: (65535, 65535) -> all 32 low bits set
+    assert(ZOrderUtil.interleave(65535L, 65535L, 16) == 0xFFFFFFFFL)
+  }
+
+  test("column expression and SQL registration agree with the static kernel") {
+    val viaCol = Seq((3L, 1L)).toDF("x", "y")
+      .select(InterleaveBits(col("x"), col("y"), 2)).head().getLong(0)
+    assert(viaCol == 7L)
+    assert(spark.sql("SELECT graft_interleave_bits(3, 1, 2)").head().getLong(0) == 7L)
+    assert(spark.sql("SELECT graft_interleave_bits(65535, 65535)").head()
+      .getLong(0) == 0xFFFFFFFFL)
+  }
+
+  test("zorderBuckets: every bucket footprint is tight in BOTH dimensions") {
+    // a full 64x64 grid: with 16 buckets each must cover exactly 1/4 of
+    // each dimension's range (the property single-column sorting cannot
+    // give — its second dimension spans the whole domain in every bucket)
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+    val stats = Output.zorderBuckets(grid, "x", "y", bits = 16, nBuckets = 16)
+      .groupBy("zbucket").agg(
+        count(lit(1)).as("n"),
+        (max($"x") - min($"x")).as("xspan"),
+        (max($"y") - min($"y")).as("yspan"))
+      .collect()
+    assert(stats.length == 16)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n") == 256, s"even cell load: $r")
+      assert(r.getAs[Int]("xspan") == 15, s"x footprint must be 1/4: $r")
+      assert(r.getAs[Int]("yspan") == 15, s"y footprint must be 1/4: $r")
+    }
+  }
+
+  test("degenerate dimension (min == max) quantizes to 0, not NaN") {
+    val df = Seq((1, 7), (2, 7), (3, 7)).toDF("x", "y")
+    val out = Output.zorderBuckets(df, "x", "y", bits = 16, nBuckets = 4)
+      .select("zbucket").as[Long].collect().toSet
+    assert(out.nonEmpty && out.forall(b => b >= 0 && b < 4))
+  }
+}

@@ -42,6 +42,8 @@ STREAMING_GATES = {
     "q56_streaming_day_window": "day_window",
     "q75_streaming_curation": "curation",
     "q113_streaming_stream_join": "stream_join",
+    "q129_streaming_append_window": "append_window",
+    "q130_streaming_closed_sessions": "closed_sessions",
 }
 
 # Gates whose oracle PREDICTS the synthesized round-trip arithmetically
