@@ -270,6 +270,28 @@ class PlanIntegritySpec extends SparkSpec {
     assert(!p.contains("Join"), "selection is row-local + top-k only")
   }
 
+  test("q128: containment candidates come from the shingle equi-join, never all-pairs") {
+    val p = plan("q128_ngram_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must block on shingle hash, not cross-join docs:\n$p")
+    assert(p.contains("graft_shingle_hashes") || p.contains("graft_shingle_parts"),
+      s"native fused shingle hashing must be in the plan:\n$p")
+  }
+
+  test("q131: z-order is one broadcast min/max + the native Morton kernel + one groupBy exchange") {
+    val p = plan("q131_zorder_layout")
+    assert(p.contains("graft_interleave_bits"),
+      s"native Morton kernel must be in the plan:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), "curve must stay codegen")
+    // the min/max relation is one row: its join must be a broadcast, and
+    // the only hash exchange is the zbucket aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"min/max bounds must ride a broadcast, not a shuffle:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1,
+      s"expected at most the zbucket groupBy exchange, got $hashExchanges:\n$p")
+  }
+
   test("q87: span dedup is TWO hash exchanges and ONE corpus scan — no join") {
     val p = plan("q87_span_dedup")
     // first-occurrence window keys on the 60-bit span hash; reassembly on
