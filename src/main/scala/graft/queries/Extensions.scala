@@ -1935,6 +1935,31 @@ object Extensions {
         min("y").as("y_min"), max("y").as("y_max"))
       .orderBy("zbucket"))
 
+  /** The output is EXACT despite the sketch in the middle: Misra–Gries
+    * guarantees every value with frequency > n/(k+1) survives its k
+    * counters (no false negatives at the gate's > n/k bar), and the second
+    * pass exact-counts the ≤k candidates (no false positives) — so the
+    * oracle is a plain HAVING over true counts. What the sketch buys at
+    * 100 TB is the PLAN: the naive form shuffles every row of a
+    * high-cardinality column; this moves k counters per partition plus the
+    * candidate rows only.
+    */
+  private val q132 = Q("q132_heavy_hitters",
+    "exact frequent words (freq > n/200) via a Misra-Gries candidate pass " +
+      "+ exact verification — the two-pass mergeable-summary pattern; " +
+      "oracle recomputes the same set from true counts",
+    Some("""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS v FROM documents),
+      n AS (SELECT count(*) AS total FROM w)
+      SELECT v AS value, count(*) AS n_occurrences
+      FROM w, n GROUP BY v, total HAVING count(*) * 200 > total
+      ORDER BY value"""),
+    (s, dir) => graft.ops.HeavyHitters.heavyHitters(
+        t(s, dir, "documents").select(
+          explode(graft.functions.TextFns.words(col("text"))).as("w")),
+        col("w"), k = 200)
+      .orderBy("value"))
+
   private val q127 = Q("q127_weighted_sample",
     "Efraimidis–Spirakis weighted sampling without replacement: 50 docs " +
       "with inclusion odds proportional to n_chars (token-budget-" +
@@ -2087,5 +2112,5 @@ object Extensions {
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q131)
+    q126, q127, q128, q131, q132)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.HeavyHitters
+import graft.ops.HeavyHitters.MisraGriesAgg
+
+/** Misra–Gries summary + the exact two-pass heavy-hitter op. The MG
+  * guarantee under test: any value with frequency > n/(k+1) survives the
+  * k-counter summary, through both the streaming reduce and the mergeable
+  * merge path — so the verified output of heavyHitters is EXACT.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // zipf-ish fixture: value i repeated (50 - i) times, i = 0..49
+  private val rows: Seq[String] =
+    (0 until 50).flatMap(i => Seq.fill(50 - i)(s"v$i"))
+
+  test("MG reduce path: no false negatives above n/(k+1)") {
+    val agg = MisraGriesAgg(10)
+    val buf = rows.foldLeft(agg.zero)(agg.reduce)
+    val n = rows.size
+    val mustKeep = rows.groupBy(identity).collect {
+      case (v, occ) if occ.size * 11 > n => v
+    }
+    assert(buf.size <= 10)
+    mustKeep.foreach(v => assert(buf.contains(v), s"$v must survive: $buf"))
+  }
+
+  test("MG merge path: same guarantee when the stream is split and merged") {
+    val agg = MisraGriesAgg(10)
+    val parts = rows.grouped(97).toSeq // uneven partitions
+    val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+    val merged = bufs.reduce(agg.merge)
+    val n = rows.size
+    val mustKeep = rows.groupBy(identity).collect {
+      case (v, occ) if occ.size * 11 > n => v
+    }
+    assert(merged.size <= 10)
+    mustKeep.foreach(v => assert(merged.contains(v), s"$v must survive merge"))
+  }
+
+  test("decrement-all keeps the size bound and drops exhausted counters") {
+    val agg = MisraGriesAgg(2)
+    // a b c a b c ... : k=2 counters churn constantly, size stays <= 2
+    val buf = Seq.fill(20)(Seq("a", "b", "c")).flatten
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf.size <= 2)
+  }
+
+  test("heavyHitters output is exactly the > n/k set, with exact counts") {
+    val df = scala.util.Random.shuffle(rows).toDF("w")
+    val got = HeavyHitters.heavyHitters(df, col("w"), k = 20)
+      .as[(String, Long)].collect().toMap
+    val n = rows.size
+    val expected = rows.groupBy(identity).collect {
+      case (v, occ) if occ.size * 20 > n => v -> occ.size.toLong
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("no hitters above the bar yields an empty frame with the right schema") {
+    val df = (0 until 100).map(i => s"u$i").toDF("w") // all unique
+    val got = HeavyHitters.heavyHitters(df, col("w"), k = 5)
+    assert(got.columns.toSeq == Seq("value", "n_occurrences"))
+    assert(got.count() == 0)
+  }
+}
