@@ -88,9 +88,11 @@ object Tables {
     val rawSchema =
       try spark.read.parquet(dir).schema
       catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          // an empty stage-then-redeliver dir can't be probed — surface the
-          // fix (stage one file first) instead of UNABLE_TO_INFER_SCHEMA
+        // ONLY the empty-staging-dir case gets the staging hint; any other
+        // AnalysisException (missing path, corrupt footer, permissions)
+        // keeps its real error
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
           throw new IllegalArgumentException(
             s"dirStream($dir): no parquet file present to probe the schema " +
               "from; stage at least one file before building the stream", e)

@@ -42,12 +42,14 @@ object TextFns {
   def stripAccents(c: Column): Column =
     graft.expressions.UnicodeNorm(c, "strip_accents")
 
-  /** The dedup canonical form: NFC, accents stripped, lowercased, runs of
-    * whitespace collapsed, trimmed. Row-local and codegen-resident — safe to
-    * apply before hashing at any scale.
+  /** The dedup canonical form: accents stripped (the strip pass already
+    * normalizes — NFD, drop marks, NFC — so a separate NFC pre-pass would
+    * be a wasted Normalizer traversal per row), lowercased, runs of
+    * whitespace collapsed, trimmed. Row-local and codegen-resident — safe
+    * to apply before hashing at any scale.
     */
   def canonicalize(c: Column): Column =
-    trim(regexp_replace(lower(stripAccents(unicodeNorm(c, "nfc"))), "\\s+", " "))
+    trim(regexp_replace(lower(stripAccents(c)), "\\s+", " "))
 
   def words(text: Column): Column = split(text, " ")
 

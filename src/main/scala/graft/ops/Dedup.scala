@@ -221,7 +221,22 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], shingleSize: Int = 3,
-                   minJaccard: Double = 0.0): DataFrame = {
+                   minJaccard: Double = 0.0): DataFrame =
+    shingleIntersection(docs, idCol, textCol, blockCols, shingleSize)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+
+  /** Shared candidate core of [[ngramJaccard]] and [[ngramContainment]]:
+    * per-doc DISTINCT shingle-hash sets, the blocked equi-join pairs
+    * (doc_a < doc_b, same block) with intersection sizes, and both docs'
+    * set sizes — (doc_a, doc_b, n_inter, n_a, n_b). One definition so a
+    * change to the blocking or hashing cannot drift between the twins.
+    */
+  private def shingleIntersection(docs: DataFrame, idCol: String,
+                                  textCol: String, blockCols: Seq[String],
+                                  shingleSize: Int): DataFrame = {
     val sh = docs.select(
       col(idCol) +: blockCols.map(col) :+
         explode(TextFns.shingleHashes(col(textCol), shingleSize)).as("sh"): _*)
@@ -231,15 +246,10 @@ object Dedup {
     val b = sh.select(col(idCol).as("doc_b") +: blockCols.map(c => col(c).as(s"b_$c")) :+ col("sh").as("b_sh"): _*)
     val joinCond = blockCols.map(c => col(c) === col(s"b_$c"))
       .reduce(_ && _) && col("sh") === col("b_sh") && col("doc_a") < col("doc_b")
-    val inter = a.join(b, joinCond)
+    a.join(b, joinCond)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
       .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
   /** Asymmetric twin of [[ngramJaccard]]: containment(A→B) =
@@ -253,27 +263,13 @@ object Dedup {
     */
   def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
                        blockCols: Seq[String], shingleSize: Int = 3,
-                       minContainment: Double = 0.0): DataFrame = {
-    val sh = docs.select(
-      col(idCol) +: blockCols.map(col) :+
-        explode(TextFns.shingleHashes(col(textCol), shingleSize)).as("sh"): _*)
-      .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("doc_a") +: blockCols.map(col) :+ col("sh"): _*)
-    val b = sh.select(col(idCol).as("doc_b") +: blockCols.map(c => col(c).as(s"b_$c")) :+ col("sh").as("b_sh"): _*)
-    val joinCond = blockCols.map(c => col(c) === col(s"b_$c"))
-      .reduce(_ && _) && col("sh") === col("b_sh") && col("doc_a") < col("doc_b")
-    val inter = a.join(b, joinCond)
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+                       minContainment: Double = 0.0): DataFrame =
+    shingleIntersection(docs, idCol, textCol, blockCols, shingleSize)
       .withColumn("cont_a", col("n_inter").cast("double") / col("n_a"))
       .withColumn("cont_b", col("n_inter").cast("double") / col("n_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         col("cont_a"), col("cont_b"))
-  }
 
   /** Scale path for [[embeddingNearDup]] (and its DEFAULT): candidates must
     * ALSO collide in a `numPlanes`-bit random-hyperplane bucket, so block

@@ -60,6 +60,13 @@ object Sampling {
     * never a global sort), so the pattern holds at any corpus size where
     * k fits on the driver. Ties broken by `key` for determinism; weights
     * must be strictly positive.
+    *
+    * Portability caveat (unlike the integer-exact hash ops in this file):
+    * u^(1/w) goes through `pow`, which is not correctly rounded — two
+    * engines' libm may differ in the last ulp. Selection only diverges if
+    * the k-th and (k+1)-th keys are within that ulp (u values are spread
+    * over [0,1] at 1e-6 granularity, so the practical probability is nil,
+    * and the q127 gate would catch a platform where it isn't).
     */
   def weightedTopK(df: DataFrame, key: Column, weight: Column,
                    k: Int): DataFrame = {

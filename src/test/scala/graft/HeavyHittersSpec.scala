@@ -1,7 +1,5 @@
 package graft
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.functions._
 
 import graft.ops.HeavyHitters
@@ -19,15 +17,17 @@ class HeavyHittersSpec extends SparkSpec {
   private val rows: Seq[String] =
     (0 until 50).flatMap(i => Seq.fill(50 - i)(s"v$i"))
 
-  test("MG reduce path: no false negatives above n/(k+1)") {
+  test("MG reduce path: no false negatives above n/(k+1), n tracked exactly") {
     val agg = MisraGriesAgg(10)
     val buf = rows.foldLeft(agg.zero)(agg.reduce)
     val n = rows.size
+    assert(buf.n == n)
     val mustKeep = rows.groupBy(identity).collect {
       case (v, occ) if occ.size * 11 > n => v
     }
-    assert(buf.size <= 10)
-    mustKeep.foreach(v => assert(buf.contains(v), s"$v must survive: $buf"))
+    assert(buf.counters.size <= 10)
+    mustKeep.foreach(v =>
+      assert(buf.counters.contains(v), s"$v must survive: ${buf.counters}"))
   }
 
   test("MG merge path: same guarantee when the stream is split and merged") {
@@ -36,11 +36,13 @@ class HeavyHittersSpec extends SparkSpec {
     val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
     val merged = bufs.reduce(agg.merge)
     val n = rows.size
+    assert(merged.n == n)
     val mustKeep = rows.groupBy(identity).collect {
       case (v, occ) if occ.size * 11 > n => v
     }
-    assert(merged.size <= 10)
-    mustKeep.foreach(v => assert(merged.contains(v), s"$v must survive merge"))
+    assert(merged.counters.size <= 10)
+    mustKeep.foreach(v =>
+      assert(merged.counters.contains(v), s"$v must survive merge"))
   }
 
   test("decrement-all keeps the size bound and drops exhausted counters") {
@@ -48,7 +50,7 @@ class HeavyHittersSpec extends SparkSpec {
     // a b c a b c ... : k=2 counters churn constantly, size stays <= 2
     val buf = Seq.fill(20)(Seq("a", "b", "c")).flatten
       .foldLeft(agg.zero)(agg.reduce)
-    assert(buf.size <= 2)
+    assert(buf.counters.size <= 2)
   }
 
   test("heavyHitters output is exactly the > n/k set, with exact counts") {
@@ -60,6 +62,17 @@ class HeavyHittersSpec extends SparkSpec {
       case (v, occ) if occ.size * 20 > n => v -> occ.size.toLong
     }.toMap
     assert(got == expected)
+  }
+
+  test("null values are excluded from candidates AND from n") {
+    // 10 nulls + {a x6, b x2}: with nulls excluded n=8, bar at n/k=4 —
+    // only 'a' qualifies; if nulls leaked into n (18), the bar would be 9
+    // and the result empty
+    val df = (Seq.fill(10)(null: String) ++ Seq.fill(6)("a") ++
+      Seq.fill(2)("b")).toDF("w")
+    val got = HeavyHitters.heavyHitters(df, col("w"), k = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 6L))
   }
 
   test("no hitters above the bar yields an empty frame with the right schema") {
