@@ -99,4 +99,34 @@ object Profile {
         col("key_value"), col("cnt"),
         expr("(cnt * 1000000) div n_rows").as("share_ppm"), col("rank"))
   }
+
+  /** Robust per-group outlier statistics — median/MAD, the quality filter
+    * that survives what mean/stddev cannot: a corpus whose length column
+    * has heavy tails (the normal case) yields a stddev so inflated that
+    * z-score cuts keep the junk; the median absolute deviation is immune
+    * to the tail it is trying to catch (50% breakdown point).
+    *
+    * Per group: exact interpolated median of `valueCol`, MAD, and the
+    * count of rows with |x - median| > cutoff·MAD. Exact order statistics
+    * (the q43 engine-parity convention), two grouped aggregates with the
+    * group stats broadcast back — no window over the full data, no
+    * driver-side state. A group with MAD = 0 (over half its rows at the
+    * median) reports zero outliers rather than dividing by zero — callers
+    * wanting a fallback scale can filter on the returned mad column.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  cutoff: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5d)").as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(groupCol), col("med"))
+      .agg(expr("percentile(__dev, 0.5d)").as("mad"))
+    dev.drop("med")
+      .join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("mad") > 0 && col("__dev") > lit(cutoff) * col("mad"),
+          1)).as("n_outliers"))
+  }
 }

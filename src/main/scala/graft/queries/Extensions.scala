@@ -1960,6 +1960,28 @@ object Extensions {
         col("w"), k = 200)
       .orderBy("value"))
 
+  private val q133 = Q("q133_mad_outliers",
+    "robust per-language length outliers: exact median + MAD (50% " +
+      "breakdown — immune to the heavy tail a stddev cut is inflated by), " +
+      "rows beyond 3 MADs counted; the corpus length-quality filter in " +
+      "robust-statistics form",
+    Some("""
+      WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+                 FROM documents GROUP BY lang),
+      d AS (SELECT doc.lang, doc.n_chars, m.med,
+                   abs(doc.n_chars - m.med) AS dev
+            FROM documents doc JOIN m USING (lang)),
+      md AS (SELECT lang, med, quantile_cont(dev, 0.5) AS mad
+             FROM d GROUP BY lang, med)
+      SELECT d.lang, d.med, md.mad,
+             count(*) AS n_rows,
+             count(*) FILTER (md.mad > 0 AND d.dev > 3 * md.mad) AS n_outliers
+      FROM d JOIN md ON d.lang = md.lang
+      GROUP BY d.lang, d.med, md.mad ORDER BY d.lang"""),
+    (s, dir) => graft.ops.Profile.madOutliers(
+        t(s, dir, "documents"), "lang", "n_chars", cutoff = 3.0)
+      .orderBy("lang"))
+
   private val q127 = Q("q127_weighted_sample",
     "Efraimidis–Spirakis weighted sampling without replacement: 50 docs " +
       "with inclusion odds proportional to n_chars (token-budget-" +
@@ -2112,5 +2134,5 @@ object Extensions {
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q131, q132)
+    q126, q127, q128, q131, q132, q133)
 }

@@ -828,3 +828,32 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 }
+
+class MadOutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("madOutliers: robust stats catch the tail a mean-based cut would not") {
+    // group a: {10,10,10,12,1000} — med 10, devs {0,0,0,2,990}, MAD 0...
+    // careful: 3 of 5 devs are 0 -> MAD 0 -> zero outliers by contract.
+    // group b: {10,12,14,16,100} — med 14, devs {4,2,0,2,86}, MAD 2:
+    // only 100 exceeds 3*MAD=6... dev(10)=4 <= 6, dev(100)=86 > 6.
+    val df = Seq(
+      ("a", 10), ("a", 10), ("a", 10), ("a", 12), ("a", 1000),
+      ("b", 10), ("b", 12), ("b", 14), ("b", 16), ("b", 100))
+      .toDF("g", "v")
+    val got = graft.ops.Profile.madOutliers(df, "g", "v")
+      .orderBy("g")
+      .as[(String, Double, Double, Long, Long)].collect().toList
+    assert(got == List(
+      ("a", 10.0, 0.0, 5L, 0L),   // MAD 0 -> no outliers, surfaced as mad=0
+      ("b", 14.0, 2.0, 5L, 1L)))  // the 100 is the only point beyond 3 MADs
+  }
+
+  test("madOutliers: even-count group uses interpolated median (q43 parity law)") {
+    val df = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 100)).toDF("g", "v")
+    val (med, mad) = graft.ops.Profile.madOutliers(df, "g", "v")
+      .select("med", "mad").as[(Double, Double)].head()
+    assert(med == 2.5)            // (2+3)/2
+    assert(mad == 1.0)            // sorted devs {0.5, 0.5, 1.5, 97.5} -> (0.5+1.5)/2
+  }
+}
