@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -527,6 +529,54 @@ object Pipeline {
       s.table(name).orderBy("device_id", "session_start")
     })
 
+  /** The reference's whole incremental contract in one gate: at-least-once
+    * delivery (the SAME file arrives twice, under two names, across two
+    * AvailableNow drains sharing a checkpoint) composing to exactly-once
+    * ledger state through the foreachBatch sink's anti-join + intra-batch
+    * dedup. The oracle sees none of the redelivery machinery — just the
+    * per-type counts the ledger must equal if and only if every record
+    * landed exactly once. StreamingSpec covers the same sink against
+    * synthetic data; this gate proves it end-to-end on the driver's events
+    * table with a DuckDB oracle.
+    */
+  private val q134 = Q("q134_streaming_ledger_sink",
+    "§2.9: foreachBatch → Ledger exactly-once sink, end-to-end — same file " +
+      "delivered twice across two checkpointed drains; ledger contents " +
+      "equal the batch counts (redelivery invisible)",
+    Some("""
+      SELECT event_type AS device_type, count(*) AS n_records
+      FROM events GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-q134")
+      val src = work.resolve("src")
+      java.nio.file.Files.createDirectories(src)
+      // stage the events table (projected to the ledger-record shape the
+      // sink hashes) as a bare parquet FILE the file source can redeliver
+      val staged = work.resolve("staged").toString
+      Tables.table(s, dir, "events")
+        .select(col("event_type").as("device_type"),
+          col("event_id").cast("string").as("manufacturer_ref"))
+        .coalesce(1).write.parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, src.resolve("batch_000.parquet"))
+      val schema = s.read.parquet(part.toString).schema
+      val ledger = new graft.ledger.Ledger(s, work.resolve("ledger").toString)
+      val cp = work.resolve("cp").toString
+      withStreamStatePartitions(s, 8) {
+        graft.streaming.IncrementalIngest.runIntoLedger(
+          s, src.toString, schema, cp, ledger)
+        // at-least-once: the identical payload lands again under a new name
+        java.nio.file.Files.copy(part, src.resolve("batch_001.parquet"))
+        graft.streaming.IncrementalIngest.runIntoLedger(
+          s, src.toString, schema, cp, ledger)
+      }
+      ledger.read()
+        .groupBy("device_type").agg(count(lit(1)).as("n_records"))
+        .orderBy("device_type")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130)
+    q129, q130, q134)
 }

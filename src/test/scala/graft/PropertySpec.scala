@@ -268,6 +268,48 @@ class PropertySpec extends SparkSpec {
     assert(Multimodal.decodeMjpegFrames(spark, junk).count() == 0)
   }
 
+  test("ngramContainment matches brute-force shingle-set math on random docs") {
+    val word = Gen.oneOf((1 to 12).map(i => s"w$i"))
+    val doc = Gen.choose(3, 25).flatMap(n => Gen.listOfN(n, word))
+    val docs = gen(Gen.listOfN(30, doc), 7L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("m"))
+    val got = graft.ops.Dedup.ngramContainment(df, "doc_id", "text",
+      blockCols = Seq("lang", "source"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    def shingles(ws: Seq[String]): Set[String] =
+      if (ws.size < 3) Set.empty
+      else (0 to ws.size - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    val sets = docs.map { case (id, text) => id -> shingles(text.split(" ")) }.toMap
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      inter = (sets(a) intersect sets(b)).size
+      if inter > 0 && sets(a).nonEmpty && sets(b).nonEmpty
+    } yield (a, b) -> ((inter.toLong,
+      inter.toDouble / sets(a).size, inter.toDouble / sets(b).size))).toMap
+    assert(got == expected,
+      s"containment diverged from brute force: got ${got.size}, expected ${expected.size}")
+  }
+
+  test("heavyHitters equals the exact > n/k filter on random zipf-ish draws") {
+    val value = Gen.frequency(
+      (50, Gen.const("alpha")), (25, Gen.const("beta")),
+      (10, Gen.const("gamma")), (15, Gen.choose(0, 500).map(i => s"tail$i")))
+    for (seed <- 1L to 3L) {
+      val data = gen(Gen.listOfN(2000, value), seed)
+      val df = data.toDF("v")
+      val got = graft.ops.HeavyHitters.heavyHitters(df, col("v"), k = 15)
+        .as[(String, Long)].collect().toMap
+      val n = data.size
+      val expected = data.groupBy(identity).collect {
+        case (v, occ) if occ.size * 15 > n => v -> occ.size.toLong
+      }.toMap
+      assert(got == expected, s"seed $seed: $got != $expected")
+    }
+  }
+
   test("no-override merge is idempotent: merge(merge(s,u),u) == merge(s,u)") {
     val base = gen(Gen.listOfN(100, Gen.option(Gen.identifier)), 5L).zipWithIndex
       .map { case (v, i) => (s"k$i", v) }
