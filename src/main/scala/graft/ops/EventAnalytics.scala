@@ -67,6 +67,35 @@ object EventAnalytics {
     * Output: (cohort_day 'yyyy-MM-dd', offset_days BIGINT, active_users),
     * unordered. Event-time column must already be a timestamp.
     */
+  /** First-order Markov transition matrix over per-user event sequences:
+    * each user's timeline (ordered by event time, id-tiebroken) yields
+    * consecutive (src → dst) type pairs; output is the global transition
+    * count plus an exact integer transition probability in parts-per-
+    * million (floor division — engine-portable, no float summation).
+    *
+    * Scale shape: ONE shuffle partitions timelines by user for the lead
+    * window (each user's sequence is walked locally), then the pair
+    * aggregate map-side combines to at most |types|² rows; the per-src
+    * normalizing total is a window over THAT tiny relation, never over
+    * the event set. No self-join of events to events.
+    *
+    * Output: (src, dst, n, p_ppm), unordered.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("src"),
+        lead(col(typeCol), 1).over(seq).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    pairs.withColumn("p_ppm",
+      expr("1000000L * n div sum(n) over (partition by src)"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 offsets: Seq[Int]): DataFrame = {
     require(offsets.nonEmpty, "offsets must be non-empty")

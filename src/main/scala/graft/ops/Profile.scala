@@ -129,4 +129,38 @@ object Profile {
         count(when(col("mad") > 0 && col("__dev") > lit(cutoff) * col("mad"),
           1)).as("n_outliers"))
   }
+
+  /** Per-group winsorized statistics: values below the group's `lo`
+    * quantile clip up to it, values above the `hi` quantile clip down —
+    * the heavy-tail-taming normalization applied to document lengths /
+    * quality scores before they feed a training mix. Same two-pass shape
+    * as [[madOutliers]]: exact interpolated quantiles per group (sort-
+    * based order statistic, engine-portable), broadcast back, then ONE
+    * aggregate. The winsorized mean is assembled from exact parts —
+    * inlier sum as BIGINT, clip counts, the two thresholds — in a single
+    * fixed-shape double expression, so no float accumulates across rows
+    * in a partition-order-dependent way.
+    *
+    * Output: (group, n, p_lo, p_hi, n_lo, n_hi, wins_mean), unordered.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"bad quantiles [$lo,$hi]")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, ${lo}d)").as("p_lo"),
+        expr(s"percentile($valueCol, ${hi}d)").as("p_hi"))
+    df.join(broadcast(cuts), groupCol)
+      .groupBy(col(groupCol), col("p_lo"), col("p_hi"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(valueCol) < col("p_lo"), 1)).as("n_lo"),
+        count(when(col(valueCol) > col("p_hi"), 1)).as("n_hi"),
+        sum(when(col(valueCol) >= col("p_lo") && col(valueCol) <= col("p_hi"),
+          col(valueCol).cast("long")).otherwise(lit(0L))).as("__s_in"))
+      .select(col(groupCol), col("n"), col("p_lo"), col("p_hi"),
+        col("n_lo"), col("n_hi"),
+        ((col("__s_in").cast("double")
+          + col("n_lo").cast("double") * col("p_lo")
+          + col("n_hi").cast("double") * col("p_hi")) / col("n").cast("double"))
+          .as("wins_mean"))
+  }
 }

@@ -639,4 +639,55 @@ object TextAnalysis {
         array_join(slice(col("w"), col("start"), least(lit(windowTokens),
           size(col("w")) - col("start") + 1)), " ").as("chunk"))
   }
+
+  /** Per-source corpus drift: exact total-variation distance between each
+    * source's token distribution and the whole-corpus token distribution —
+    * the mixture-monitoring primitive behind "did this crawl slice shift
+    * vocabulary?" TVD (= ½·Σ|p−q|) is preferred to KL/JS here because it
+    * needs NO logarithms: with integer token counts it is a rational
+    * number, computed exactly and reduced to one IEEE division at the end
+    * — bit-portable across engines, unlike transcendental-based scores.
+    *
+    * For source s with token counts c_st (total N_s) against corpus counts
+    * c_t (total N):  TVD_s = (A_s + B_s) / (2·N_s·N)  where
+    * A_s = Σ_{t∈s} |c_st·N − c_t·N_s| covers tokens the source has and
+    * B_s = (N − Σ_{t∈s} c_t)·N_s covers corpus tokens it lacks (|0 − q|
+    * mass) — so the absent-token tail costs one subtraction, not a join
+    * against the full vocabulary per source.
+    *
+    * Scale shape: ONE explode → (source, token) hash aggregate; corpus
+    * counts RE-AGGREGATE that result (no second scan); the join back is
+    * keyed by token (shuffle-bounded by vocabulary, not corpus); source
+    * totals and N are group-cardinality relations, broadcast. All
+    * bookkeeping is exact BIGINT; headroom: A_s ≤ 2·N_s·N must stay under
+    * 2⁶³ and the final doubles are exact while 2·N_s·N < 2⁵³ — beyond
+    * that (≈10⁸-token sources over a 10⁹-token corpus), swap the last
+    * step to DECIMAL(38,0); the counts themselves never overflow.
+    *
+    * Output: (source, n_tokens, n_distinct, tvd DOUBLE), unordered.
+    */
+  def sourceDriftTvd(docs: DataFrame, sourceCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFns.words(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+    val corpus = st.groupBy("tok").agg(sum("c_st").as("c_t"))
+    val totals = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val n = st.agg(sum("c_st").as("n_corpus"))
+    st.join(corpus, "tok")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"), col("n_s"), col("n_corpus"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(abs(col("c_st") * col("n_corpus") - col("c_t") * col("n_s")))
+          .as("a_s"),
+        sum(col("c_t")).as("cov_s"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_distinct"),
+        ((col("a_s") + (col("n_corpus") - col("cov_s")) * col("n_s"))
+          .cast("double") /
+          (lit(2L) * col("n_s") * col("n_corpus")).cast("double"))
+          .as("tvd"))
+  }
 }

@@ -2129,10 +2129,86 @@ object Extensions {
         col("intercept_ppm"))
       .orderBy("l_suppkey"))
 
+  private val q135 = Q("q135_markov_transitions",
+    "first-order Markov transition matrix over per-user event timelines: " +
+      "lead() pairs each event with its successor (ts then event_id " +
+      "tiebreak), pairs aggregate to the |types|^2 matrix, probability as " +
+      "exact integer ppm via floor division — one user-partitioned window " +
+      "shuffle, the normalizing total windows over the TINY matrix " +
+      "relation, never the event set",
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events),
+      c AS (SELECT src, dst, count(*) AS n FROM seq
+            WHERE dst IS NOT NULL GROUP BY 1, 2)
+      SELECT src, dst, n,
+             CAST(1000000 * n // SUM(n) OVER (PARTITION BY src) AS BIGINT)
+               AS p_ppm
+      FROM c ORDER BY src, dst"""),
+    (s, dir) => EventAnalytics.transitionMatrix(
+        Tables.events(s, dir), "user_id", "ts", "event_type", "event_id")
+      .orderBy("src", "dst"))
+
+  private val q136 = Q("q136_source_drift_tvd",
+    "per-source corpus drift: exact total-variation distance between each " +
+      "source's token distribution and the corpus distribution — rational " +
+      "BIGINT arithmetic (no logs), absent-token mass folded in by one " +
+      "subtraction, corpus counts re-aggregated from the per-source " +
+      "aggregate (one scan), final ratio one IEEE division",
+    Some("""
+      WITH st AS (
+        SELECT source, tok, count(*) AS c_st FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents) GROUP BY 1, 2),
+      corpus AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY 1),
+      totals AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+      n AS (SELECT sum(c_st) AS n_corpus FROM st),
+      j AS (SELECT st.source, totals.n_s, n.n_corpus,
+                   count(*) AS n_distinct,
+                   sum(abs(st.c_st * n.n_corpus - corpus.c_t * totals.n_s))
+                     AS a_s,
+                   sum(corpus.c_t) AS cov_s
+            FROM st JOIN corpus USING (tok) JOIN totals USING (source)
+                 CROSS JOIN n
+            GROUP BY 1, 2, 3)
+      SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             CAST(a_s + (n_corpus - cov_s) * n_s AS DOUBLE)
+               / CAST(2 * n_s * n_corpus AS DOUBLE) AS tvd
+      FROM j ORDER BY source"""),
+    (s, dir) => TextAnalysis.sourceDriftTvd(t(s, dir, "documents"))
+      .orderBy("source"))
+
+  private val q137 = Q("q137_winsorized_stats",
+    "per-language winsorized length statistics: exact p05/p95 quantiles " +
+      "(interpolated order statistic), clip counts, winsorized mean " +
+      "assembled from exact parts (BIGINT inlier sum + count x threshold) " +
+      "in one fixed-shape double expression — the heavy-tail-taming " +
+      "normalization before lengths feed a training mix",
+    Some("""
+      WITH cuts AS (SELECT lang, quantile_cont(n_chars, 0.05) AS p_lo,
+                           quantile_cont(n_chars, 0.95) AS p_hi
+                    FROM documents GROUP BY 1)
+      SELECT d.lang, count(*) AS n, c.p_lo, c.p_hi,
+             count(*) FILTER (d.n_chars < c.p_lo) AS n_lo,
+             count(*) FILTER (d.n_chars > c.p_hi) AS n_hi,
+             (CAST(sum(CASE WHEN d.n_chars >= c.p_lo AND d.n_chars <= c.p_hi
+                            THEN d.n_chars ELSE 0 END) AS DOUBLE)
+              + count(*) FILTER (d.n_chars < c.p_lo) * c.p_lo
+              + count(*) FILTER (d.n_chars > c.p_hi) * c.p_hi)
+             / CAST(count(*) AS DOUBLE) AS wins_mean
+      FROM documents d JOIN cuts c USING (lang)
+      GROUP BY d.lang, c.p_lo, c.p_hi ORDER BY d.lang"""),
+    (s, dir) => Profile.winsorize(t(s, dir, "documents"), "lang", "n_chars")
+      .orderBy("lang"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q131, q132, q133)
+    q126, q127, q128, q131, q132, q133, q135, q136, q137)
 }

@@ -37,6 +37,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq((1, "click", 2L), (2, "view", 1L), (3, "purchase", 1L)))
   }
 
+  test("transitionMatrix: per-user successor pairs, ppm floor division") {
+    // user 1: a→b→a ; user 2: a→b — timelines never cross users
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", "a", 1L),
+      (1L, "2024-01-01 10:00:01", "b", 2L),
+      (1L, "2024-01-01 10:00:02", "a", 3L),
+      (2L, "2024-01-01 10:00:00", "a", 4L),
+      (2L, "2024-01-01 10:00:05", "b", 5L))
+      .toDF("user_id", "s", "event_type", "event_id")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val got = EventAnalytics.transitionMatrix(e, "user_id", "ts",
+      "event_type", "event_id")
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    // a→b twice (both users), b→a once; src=a total 2, src=b total 1
+    assert(got == Seq(("a", "b", 2L, 1000000L), ("b", "a", 1L, 1000000L)))
+  }
+
+  test("transitionMatrix: tie on ts breaks by the id column; probs split") {
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", "x", 2L),  // same instant — id orders x→y
+      (1L, "2024-01-01 10:00:00", "y", 5L),
+      (1L, "2024-01-01 10:00:01", "x", 7L),
+      (1L, "2024-01-01 10:00:02", "z", 8L))
+      .toDF("user_id", "s", "event_type", "event_id")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val got = EventAnalytics.transitionMatrix(e, "user_id", "ts",
+      "event_type", "event_id")
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    // sequence x→y→x→z: x→y 1, y→x 1, x→z 1; src=x has 2 → 500000 each
+    assert(got == Seq(("x", "y", 1L, 500000L), ("x", "z", 1L, 500000L),
+      ("y", "x", 1L, 1000000L)))
+  }
+
   test("retention: offset counts are distinct users, cohort at offset 0") {
     val e = ev(
       (1L, "2024-01-01 09:00:00", "view"),

@@ -857,3 +857,63 @@ class MadOutliersSpec extends SparkSpec {
     assert(mad == 1.0)            // sorted devs {0.5, 0.5, 1.5, 97.5} -> (0.5+1.5)/2
   }
 }
+
+class WinsorizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winsorize: hand-computed quartile clip on 5 points") {
+    // v = {0, 10, 20, 30, 1000}; p25 = 10, p75 = 30 (exact order stats at
+    // n=5: rank = 1 + q*(n-1) lands on integers). Clips: 0→10 (low),
+    // 1000→30 (high); inliers {10,20,30} sum 60.
+    // wins_mean = (60 + 1*10 + 1*30)/5 = 20.
+    val df = Seq(("g", 0L), ("g", 10L), ("g", 20L), ("g", 30L), ("g", 1000L))
+      .toDF("g", "v")
+    val got = graft.ops.Profile.winsorize(df, "g", "v", lo = 0.25, hi = 0.75)
+      .as[(String, Long, Double, Double, Long, Long, Double)].head()
+    assert(got == (("g", 5L, 10.0, 30.0, 1L, 1L, 20.0)))
+  }
+
+  test("winsorize: interpolated cut, boundary values are inliers") {
+    // v = {1, 2, 3, 4}; p05 = 1 + 0.05*3 = 1.15, p95 = 3.85.
+    // 1 < 1.15 clips low; 4 > 3.85 clips high; {2,3} stay.
+    // wins_mean = (5 + 1.15 + 3.85)/4 = 2.5.
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L)).toDF("g", "v")
+    val r = graft.ops.Profile.winsorize(df, "g", "v")
+      .as[(String, Long, Double, Double, Long, Long, Double)].head()
+    assert(math.abs(r._3 - 1.15) < 1e-12 && math.abs(r._4 - 3.85) < 1e-12)
+    assert(r._5 == 1L && r._6 == 1L)
+    assert(r._7 == (5.0 + r._3 + r._4) / 4)
+  }
+
+  test("winsorize: degenerate group (all equal) clips nothing") {
+    val df = Seq(("g", 7L), ("g", 7L), ("g", 7L)).toDF("g", "v")
+    val r = graft.ops.Profile.winsorize(df, "g", "v")
+      .as[(String, Long, Double, Double, Long, Long, Double)].head()
+    assert(r == (("g", 3L, 7.0, 7.0, 0L, 0L, 7.0)))
+  }
+}
+
+class SourceDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sourceDriftTvd: two-source hand computation, absent-token mass") {
+    // source A: "x x y" (x:2, y:1, N_A=3); source B: "x z" (x:1, z:1, N_B=2)
+    // corpus: x:3, y:1, z:1, N=5.
+    // TVD(A) = ½(|2/3−3/5| + |1/3−1/5| + |0−1/5|) = ½(1/15+2/15+3/15) = 0.2
+    // TVD(B) = ½(|1/2−3/5| + |1/2−1/5| + |0−1/5|) = ½(0.1+0.3+0.2) = 0.3
+    val docs = Seq(("A", "x x y"), ("B", "x z")).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.sourceDriftTvd(docs)
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got.map(r => (r._1, r._2, r._3)) == List(("A", 3L, 2L), ("B", 2L, 2L)))
+    assert(math.abs(got(0)._4 - 0.2) < 1e-15)
+    assert(math.abs(got(1)._4 - 0.3) < 1e-15)
+  }
+
+  test("sourceDriftTvd: a single source has zero drift by definition") {
+    val docs = Seq(("only", "a b c a")).toDF("source", "text")
+    val r = graft.ops.TextAnalysis.sourceDriftTvd(docs)
+      .as[(String, Long, Long, Double)].head()
+    assert(r == (("only", 4L, 3L, 0.0)))
+  }
+}
