@@ -100,6 +100,53 @@ object Dedup {
     wide.selectExpr(idCol, s"stack($numHashes, $stackArgs) as (h, minh)")
   }
 
+  /** (id, band, band_sig) band relation for a stacked (id, h, minh)
+    * signature set — the joinable LSH index form. Persist THIS relation for
+    * a standing corpus index: incremental dedup then touches only the new
+    * batch's signatures plus one keyed join (see [[dedupAgainstIndex]]).
+    */
+  def lshBands(signatures: DataFrame, idCol: String,
+               rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", floor(col("h") / rowsPerBand))
+      .groupBy(col(idCol), col("band"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("h"), col("minh")))),
+          s => s.getField("minh").cast("string")), ",").as("band_sig"))
+
+  /** Incremental near-dup admission: annotate each `incoming` document with
+    * its MinHash-LSH match against the standing `index` corpus — `dup_of`
+    * (smallest colliding index id, NULL for novel docs) and `n_matches`
+    * (distinct index docs sharing ≥1 band). The admission filter is then
+    * `n_matches = 0`; returning the annotation instead of pre-filtering
+    * keeps the audit trail (what was rejected, and against what).
+    *
+    * Scale shape: the index side arrives as documents here, but the band
+    * relation is what a production pipeline PERSISTS ([[lshBands]]) — then
+    * each new batch costs only its own signature pass plus one join keyed
+    * by (band, band_sig) whose buckets are near-dup-cluster-sized, never a
+    * batch×corpus comparison. The final annotation join is keyed by the
+    * incoming id. No driver state; both match aggregates map-side combine.
+    */
+  def dedupAgainstIndex(incoming: DataFrame, index: DataFrame,
+                        idCol: String, textCol: String, numHashes: Int,
+                        rowsPerBand: Int, shingleSize: Int = 3): DataFrame = {
+    val inc = lshBands(
+      minHashSignatures(incoming, idCol, textCol, numHashes, shingleSize),
+      idCol, rowsPerBand)
+    val idx = lshBands(
+      minHashSignatures(index, idCol, textCol, numHashes, shingleSize),
+      idCol, rowsPerBand)
+      .select(col(idCol).as("_idx_id"), col("band"), col("band_sig"))
+    val matches = inc.join(idx, Seq("band", "band_sig"))
+      .groupBy(col(idCol))
+      .agg(min(col("_idx_id")).as("dup_of"),
+        countDistinct(col("_idx_id")).as("n_matches"))
+    incoming.select(col(idCol))
+      .join(matches, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_matches"))
+  }
+
   /** LSH banding: group each signature into bands of `rowsPerBand` hashes,
     * serialize the band signature, and emit candidate pairs that collide in
     * at least one band. The self-join key is (band, band_sig) — tiny buckets,
@@ -107,12 +154,7 @@ object Dedup {
     */
   def minHashLshCandidates(signatures: DataFrame, idCol: String,
                            rowsPerBand: Int): DataFrame = {
-    val bands = signatures
-      .withColumn("band", floor(col("h") / rowsPerBand))
-      .groupBy(col(idCol), col("band"))
-      .agg(array_join(
-        transform(sort_array(collect_list(struct(col("h"), col("minh")))),
-          s => s.getField("minh").cast("string")), ",").as("band_sig"))
+    val bands = lshBands(signatures, idCol, rowsPerBand)
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))

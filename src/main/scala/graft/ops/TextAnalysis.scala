@@ -666,6 +666,41 @@ object TextAnalysis {
     *
     * Output: (source, n_tokens, n_distinct, tvd DOUBLE), unordered.
     */
+  /** Pairwise source similarity by vocabulary: for every source pair
+    * (a < b), the distinct-token intersection size and exact integer
+    * Jaccard in ppm — "which slices of the corpus resemble each other",
+    * the companion matrix to [[sourceDriftTvd]]'s per-source drift scalar.
+    *
+    * Scale shape: ONE explode → distinct (source, token) relation (hash
+    * aggregate, map-side combined); the pair enumeration joins that
+    * relation to itself ON TOKEN, so each token contributes only its own
+    * source-set cross (≤ |sources|² rows per token, corpus-size-
+    * independent); vocabulary sizes are a group-cardinality relation,
+    * broadcast twice. Zero-overlap pairs are absent by construction.
+    *
+    * Output: (src_a, src_b, n_shared, jaccard_ppm), unordered.
+    */
+  def vocabOverlap(docs: DataFrame, sourceCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFns.words(col(textCol))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+    val inter = st.select(col("source").as("src_a"), col("tok"))
+      .join(st.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n_vocab").as("_na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_vocab").as("_nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        expr("1000000L * n_shared div (_na + _nb - n_shared)")
+          .as("jaccard_ppm"))
+  }
+
   def sourceDriftTvd(docs: DataFrame, sourceCol: String = "source",
                      textCol: String = "text"): DataFrame = {
     val st = docs

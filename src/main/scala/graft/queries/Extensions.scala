@@ -2205,10 +2205,81 @@ object Extensions {
     (s, dir) => Profile.winsorize(t(s, dir, "documents"), "lang", "n_chars")
       .orderBy("lang"))
 
+  private val q138 = Q("q138_dedup_against_index",
+    "incremental near-dup admission: odd-id docs (the incoming batch) " +
+      "annotated with their MinHash(16)/LSH(8x2) match against even-id " +
+      "docs (the standing corpus index) — dup_of = smallest colliding " +
+      "index id (NULL = novel), n_matches = distinct colliding index " +
+      "docs; production persists the index band relation, so each batch " +
+      "costs one signature pass + one bucket-sized keyed join, never " +
+      "batch x corpus",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      shs AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
+      sh AS (SELECT doc_id,
+             CAST('0x' || substr(sha256(sh), 1, 15) AS BIGINT) AS p0,
+             CAST('0x' || substr(sha256(sh), 16, 15) AS BIGINT) AS p1,
+             CAST('0x' || substr(sha256(sh), 31, 15) AS BIGINT) AS p2,
+             CAST('0x' || substr(sha256(sh), 46, 15) AS BIGINT) AS p3
+             FROM shs),
+      mh AS (SELECT doc_id, h,
+             min(xor(
+               CASE WHEN h % 4 = 0 THEN p0 WHEN h % 4 = 1 THEN p1
+                    WHEN h % 4 = 2 THEN p2 ELSE p3 END,
+               (CASE WHEN (h + 1) % 4 = 0 THEN p0 WHEN (h + 1) % 4 = 1 THEN p1
+                     WHEN (h + 1) % 4 = 2 THEN p2 ELSE p3 END)
+                 >> ((h * 7) % 29))) AS minh
+             FROM sh CROSS JOIN generate_series(0, 15) t(h) GROUP BY doc_id, h),
+      bands AS (SELECT doc_id, h // 2 AS band,
+                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS band_sig
+                FROM mh GROUP BY doc_id, h // 2),
+      m AS (SELECT inc.doc_id, min(idx.doc_id) AS dup_of,
+                   count(DISTINCT idx.doc_id) AS n_matches
+            FROM bands inc JOIN bands idx
+              ON inc.band = idx.band AND inc.band_sig = idx.band_sig
+            WHERE inc.doc_id % 2 = 1 AND idx.doc_id % 2 = 0
+            GROUP BY 1)
+      SELECT d.doc_id, m.dup_of, coalesce(m.n_matches, 0) AS n_matches
+      FROM documents d LEFT JOIN m USING (doc_id)
+      WHERE d.doc_id % 2 = 1
+      ORDER BY d.doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainstIndex(
+        incoming = docs.filter(col("doc_id") % 2 === 1),
+        index = docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", numHashes = 16, rowsPerBand = 2)
+        .orderBy("doc_id")
+    })
+
+  private val q139 = Q("q139_source_vocab_overlap",
+    "pairwise source resemblance: distinct-vocabulary intersection and " +
+      "exact integer Jaccard (ppm) for every source pair — the token self-" +
+      "join is keyed by token so each token costs only its own source-set " +
+      "cross, corpus-size-independent; vocabulary sizes broadcast",
+    Some("""
+      WITH st AS (SELECT DISTINCT source, tok FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+      sizes AS (SELECT source, count(*) AS n_vocab FROM st GROUP BY 1),
+      ix AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+             FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT src_a, src_b, n_shared,
+             CAST(1000000 * n_shared //
+                  (na.n_vocab + nb.n_vocab - n_shared) AS BIGINT)
+               AS jaccard_ppm
+      FROM ix JOIN sizes na ON na.source = src_a
+              JOIN sizes nb ON nb.source = src_b
+      ORDER BY src_a, src_b"""),
+    (s, dir) => TextAnalysis.vocabOverlap(t(s, dir, "documents"))
+      .orderBy("src_a", "src_b"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q131, q132, q133, q135, q136, q137)
+    q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139)
 }

@@ -38,6 +38,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!cand.contains((1L, 4L)))   // unrelated doc does not
   }
 
+  test("dedupAgainstIndex: exact/near dups match the index, novel docs survive") {
+    // index: docs 1 (base) and 4 (unrelated); incoming: 2 (= base),
+    // 3 (near dup of base), 5 (novel), 6 (too short to shingle -> novel)
+    val index = docs.filter($"doc_id".isin(1L, 4L))
+    val incoming = Seq(
+      (2L, base),
+      (3L, base.replace("stone", "brick")),
+      (5L, "entirely novel content that resembles nothing in the index at all today"),
+      (6L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstIndex(incoming, index, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2)
+      .as[(Long, Option[Long], Long)].collect().map(t => t._1 -> t).toMap
+    assert(got(2L) == ((2L, Some(1L), 1L)))   // exact dup -> matched to 1
+    assert(got(3L)._2 == Some(1L))            // near dup shares >=1 band
+    assert(got(5L) == ((5L, None, 0L)))       // novel
+    assert(got(6L) == ((6L, None, 0L)))       // shingle-less doc is novel
+    assert(got.size == 4)                     // annotation is total over incoming
+  }
+
   test("simhash: identical docs at hamming 0, near dups close, others far") {
     val sigs = Dedup.simHash(docs, "doc_id", "text", bits = 32)
     val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 32, blockBits = 0)

@@ -910,6 +910,16 @@ class SourceDriftSpec extends SparkSpec {
     assert(math.abs(got(1)._4 - 0.3) < 1e-15)
   }
 
+  test("vocabOverlap: hand-computed pairwise vocabulary Jaccard") {
+    // A: {x,y,z}  B: {x,y,w}  C: {q}
+    // A-B: shared 2, union 4 -> 500000 ppm; A-C and B-C: no overlap -> absent
+    val docs = Seq(("A", "x y z x"), ("B", "x y w"), ("C", "q"))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.vocabOverlap(docs)
+      .as[(String, String, Long, Long)].collect().toList
+    assert(got == List(("A", "B", 2L, 500000L)))
+  }
+
   test("sourceDriftTvd: a single source has zero drift by definition") {
     val docs = Seq(("only", "a b c a")).toDF("source", "text")
     val r = graft.ops.TextAnalysis.sourceDriftTvd(docs)
