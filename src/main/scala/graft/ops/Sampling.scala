@@ -204,4 +204,29 @@ object Sampling {
     }
     df.filter(hashBucket(key, 100) < pct)
   }
+
+  /** Leakage-safe train/val/test split: the split key is the document's
+    * near-dup CLUSTER representative, not the document — so a family of
+    * near-duplicates can never straddle train and test (the eval-
+    * contamination hole a per-doc hash split leaves open; singletons
+    * represent themselves). `clusters` is a (idCol, canonical_id) labeling
+    * — [[graft.ops.Dedup.connectedComponents]] output over any near-dup
+    * pair graph.
+    *
+    * Scale shape: one left join keyed by id (the cluster labeling only
+    * covers CLUSTERED docs, usually a small fraction, so the planner may
+    * broadcast it) and the row-local hash-split projection. The leakage
+    * invariant needs no enforcement pass — equal rep ⇒ equal bucket by
+    * construction.
+    *
+    * Output: input columns + (rep, split).
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       splits: Seq[(String, Int)]): DataFrame = {
+    val lab = clusters.select(col(idCol), col("canonical_id"))
+    val withRep = df.join(lab, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("canonical_id"), col(idCol)))
+      .drop("canonical_id")
+    hashSplit(withRep, col("rep"), splits)
+  }
 }

@@ -2276,10 +2276,64 @@ object Extensions {
     (s, dir) => TextAnalysis.vocabOverlap(t(s, dir, "documents"))
       .orderBy("src_a", "src_b"))
 
+  private val q140 = Q("q140_cluster_safe_split",
+    "leakage-safe train/val/test split: the 90/5/5 hash split keys on the " +
+      "near-dup CLUSTER representative (blocked SimHash pair graph -> " +
+      "connected components, q69's scale path), so no near-duplicate " +
+      "family straddles train and eval — the contamination hole a per-doc " +
+      "split leaves open; singletons represent themselves",
+    Some("""
+      WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wh AS (SELECT doc_id, CAST('0x' || substr(sha256(w), 1, 15) AS BIGINT) AS wh FROM wds),
+      votes AS (SELECT doc_id, b,
+                SUM(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM wh CROSS JOIN generate_series(0, 31) t(b) GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b
+                  ON (a.simhash >> 28) = (b.simhash >> 28) AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        WITH RECURSIVE r(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN r ON e.dst = r.node)
+        SELECT node, min(lab) AS canonical_id FROM r GROUP BY node),
+      rep AS (SELECT d.doc_id,
+              coalesce(reach.canonical_id, d.doc_id) AS rep
+              FROM documents d LEFT JOIN reach ON reach.node = d.doc_id),
+      s AS (SELECT doc_id, rep,
+            CASE WHEN CAST('0x' || substr(sha256(CAST(rep AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 100 < 90 THEN 'train'
+                 WHEN CAST('0x' || substr(sha256(CAST(rep AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 100 < 95 THEN 'val'
+                 ELSE 'test' END AS split
+            FROM rep)
+      SELECT split, count(DISTINCT rep) AS n_clusters, count(*) AS n_docs
+      FROM s GROUP BY 1 ORDER BY split"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.simHash(docs, "doc_id", "text", bits = 32)
+      val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2,
+        blockBits = 4)
+      val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        outIdCol = "doc_id")
+      Sampling.clusterSafeSplit(docs.select("doc_id"), "doc_id", cc,
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .groupBy("split")
+        .agg(countDistinct("rep").as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139)
+    q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140)
 }

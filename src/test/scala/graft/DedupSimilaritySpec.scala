@@ -58,6 +58,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.size == 4)                     // annotation is total over incoming
   }
 
+  test("clusterSafeSplit: a near-dup family never straddles splits") {
+    import graft.ops.Sampling
+    // clusters: {1,2,7} (chain 1-2, 2-7) and {3,4}; 5, 6 singletons
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 7L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+      outIdCol = "doc_id")
+    val got = Sampling.clusterSafeSplit(ids, "doc_id", cc,
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select($"doc_id", $"rep", $"split")
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    // rep is the min reachable id; split identical across each family
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L && got(7L)._2 == 1L)
+    assert(Set(got(1L)._3, got(2L)._3, got(7L)._3).size == 1)
+    assert(got(3L)._2 == 3L && got(4L)._2 == 3L && got(3L)._3 == got(4L)._3)
+    assert(got(5L)._2 == 5L && got(6L)._2 == 6L) // singletons self-represent
+    assert(got.size == 7)                        // the split is total
+  }
+
   test("simhash: identical docs at hamming 0, near dups close, others far") {
     val sigs = Dedup.simHash(docs, "doc_id", "text", bits = 32)
     val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 32, blockBits = 0)
