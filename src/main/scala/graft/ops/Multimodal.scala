@@ -179,6 +179,62 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** A real PNG with per-pixel gray levels from `gray(x, y)` (0..255;
+    * stored as r=g=b) — the patterned sibling of [[pngBytes]] for
+    * perceptual-hash tests where a solid color would be degenerate.
+    */
+  def pngBytesGrid(width: Int, height: Int,
+                   gray: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = gray(x, y) & 0xff
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 63-bit difference hash (dHash) of a decodable image: bit y*8+x is 1
+    * when pixel (x+1, y) is brighter (red channel) than (x, y), over the
+    * top-left 9x8 region; the final (7,7) comparison is dropped to keep
+    * the signature strictly positive in a signed 64-bit word (engines
+    * disagree on 1<<63 overflow — DuckDB raises, Java wraps). Brightness
+    * GRADIENTS survive uniform lighting shifts and mild re-encodes, which
+    * is why dHash near-dups where an exact byte hash cannot. None for
+    * undecodable payloads or images smaller than 9x8.
+    *
+    * Row-local (the modality analog of SimHash's text signature); pair
+    * mining reuses [[graft.ops.Dedup.simHashPairs]] with bits=63.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    Option(try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null })
+      .filter(im => im.getWidth >= 9 && im.getHeight >= 8)
+      .map { im =>
+        var sig = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8 && !(x == 7 && y == 7)) {
+            val l = (im.getRGB(x, y) >> 16) & 0xff
+            val r = (im.getRGB(x + 1, y) >> 16) & 0xff
+            if (r > l) sig |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        sig
+      }
+
   /** Packed 0xRRGGBB of pixel (0,0) of a decodable image payload — the
     * round-trip probe the resize gate reads back.
     */

@@ -2330,10 +2330,59 @@ object Extensions {
         .orderBy("split")
     })
 
+  private val q141 = Q("q141_image_dhash_neardup",
+    "image-modality near-dup: REAL 9x8 patterned PNGs (synthesized per " +
+      "doc_id, encoded+decoded through ImageIO) hash to a 63-bit dHash " +
+      "(brightness-gradient signature) and pair via the same blocked " +
+      "signature join as SimHash text dedup (top-4-bit block, hamming<=4) " +
+      "— the oracle predicts the decoded pixels arithmetically (lossless " +
+      "PNG round trip, q123's discipline)",
+    Some("""
+      WITH px AS (
+        SELECT doc_id, x, y,
+          ((doc_id % 499 + 1) * (x + 3) * (y + 5) +
+           CASE WHEN x = doc_id * 7 % 9 AND y = doc_id * 11 % 8
+                THEN 128 ELSE 0 END) % 251 AS g
+        FROM documents
+        CROSS JOIN generate_series(0, 8) tx(x)
+        CROSS JOIN generate_series(0, 7) ty(y)),
+      bits AS (
+        SELECT a.doc_id, a.y * 8 + a.x AS bit,
+               CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS v
+        FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+                           AND b.x = a.x + 1
+        WHERE a.x < 8 AND NOT (a.x = 7 AND a.y = 7)),
+      h AS (SELECT doc_id,
+            CAST(SUM(CAST(v AS BIGINT) << bit) AS BIGINT) AS sig
+            FROM bits GROUP BY 1)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.sig, b.sig)) AS hamming
+      FROM h a JOIN h b ON (a.sig >> 59) = (b.sig >> 59)
+                       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 4
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      import s.implicits._
+      val sigs = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val bx = (id * 7 % 9).toInt
+          val by = (id * 11 % 8).toInt
+          val cls = id % 499 + 1
+          val png = Multimodal.pngBytesGrid(9, 8, (x, y) =>
+            ((cls * (x + 3) * (y + 5) +
+              (if (x == bx && y == by) 128 else 0)) % 251).toInt)
+          Multimodal.dHash(png).map(sig => (id, sig))
+        }).toDF("doc_id", "simhash")
+      Dedup.simHashPairs(sigs, "doc_id", maxHamming = 4, blockBits = 4,
+        bits = 63)
+        .orderBy("doc_a", "doc_b")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140)
+    q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
+    q141)
 }

@@ -248,4 +248,37 @@ class MultimodalSpec extends SparkSpec {
     assert(a(0).feature.toSeq == a(2).feature.toSeq)
     assert(a(0).checksum != a(1).checksum)
   }
+
+  test("dHash: real PNG round trip matches the arithmetic definition") {
+    import graft.ops.Multimodal
+    val gray = (x: Int, y: Int) => (x * 37 + y * 91) % 251
+    val sig = Multimodal.dHash(Multimodal.pngBytesGrid(9, 8, gray)).get
+    var want = 0L
+    for (y <- 0 until 8; x <- 0 until 8 if !(x == 7 && y == 7))
+      if (gray(x + 1, y) > gray(x, y)) want |= 1L << (y * 8 + x)
+    assert(sig == want)
+    assert(sig >= 0L)                    // 63-bit contract: never negative
+  }
+
+  test("dHash: brightness-shift invariance and single-pixel locality") {
+    import graft.ops.Multimodal
+    val base = (x: Int, y: Int) => (x * 37 + y * 91) % 200
+    val sig = Multimodal.dHash(Multimodal.pngBytesGrid(9, 8, base)).get
+    // +40 uniform lighting shift (no clip): gradients unchanged -> same hash
+    val brighter = Multimodal.dHash(
+      Multimodal.pngBytesGrid(9, 8, (x, y) => base(x, y) + 40)).get
+    assert(brighter == sig)
+    // one edited pixel flips at most its two adjacent comparisons
+    val edited = Multimodal.dHash(Multimodal.pngBytesGrid(9, 8,
+      (x, y) => if (x == 4 && y == 3) 255 else base(x, y))).get
+    assert(java.lang.Long.bitCount(sig ^ edited) <= 2)
+    assert(edited != sig)
+  }
+
+  test("dHash: undecodable and too-small payloads yield None") {
+    import graft.ops.Multimodal
+    assert(Multimodal.dHash(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.dHash(Multimodal.pngBytes(8, 8, 0x336699)).isEmpty)
+    assert(Multimodal.dHash(Multimodal.pngBytes(9, 8, 0x336699)).contains(0L))
+  }
 }
