@@ -143,6 +143,33 @@ object Profile {
     *
     * Output: (group, n, p_lo, p_hi, n_lo, n_hi, wins_mean), unordered.
     */
+  /** Per-group equal-frequency binning: rank rows within each group by
+    * (value, tiebreak id) and deal them into `nBins` ntile buckets, then
+    * report each bucket's population and value range — the feature-
+    * bucketization primitive (quantile features, calibration bins,
+    * difficulty tiers for curriculum mixes). The id tiebreak makes the
+    * deal deterministic across engines and partitionings; ntile's
+    * larger-buckets-first remainder rule is shared SQL semantics.
+    *
+    * Scale shape: ONE shuffle (window partitioned by group — the in-group
+    * sort is the honest cost of exact quantile ranks); the per-bin
+    * aggregate reuses the same key. For groups too large to sort, the
+    * approximate sibling is percentile-threshold bucketing via [[profile]]
+    * sketches — this operator is the exact contrast.
+    *
+    * Output: (group, bin 1-based INT, n, lo, hi), unordered.
+    */
+  def quantileBins(df: DataFrame, groupCol: String, valueCol: String,
+                   idCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    df.withColumn("bin", ntile(nBins).over(w))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(0 <= lo && lo < hi && hi <= 1, s"bad quantiles [$lo,$hi]")

@@ -2378,11 +2378,29 @@ object Extensions {
         .orderBy("doc_a", "doc_b")
     })
 
+  private val q142 = Q("q142_quantile_bins",
+    "per-language equal-frequency decile binning of document lengths " +
+      "(ntile over a deterministic (value, id) order): bucket population " +
+      "and value range per bin — the feature-bucketization / difficulty-" +
+      "tier primitive; one group-partitioned window shuffle, the per-bin " +
+      "aggregate reuses the key",
+    Some("""
+      WITH b AS (SELECT lang, n_chars,
+                 ntile(10) OVER (PARTITION BY lang
+                                 ORDER BY n_chars, doc_id) AS bin
+                 FROM documents)
+      SELECT lang, bin, count(*) AS n,
+             min(n_chars) AS lo, max(n_chars) AS hi
+      FROM b GROUP BY 1, 2 ORDER BY lang, bin"""),
+    (s, dir) => Profile.quantileBins(
+        t(s, dir, "documents"), "lang", "n_chars", "doc_id", nBins = 10)
+      .orderBy("lang", "bin"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
-    q141)
+    q141, q142)
 }

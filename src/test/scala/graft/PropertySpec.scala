@@ -293,6 +293,123 @@ class PropertySpec extends SparkSpec {
       s"containment diverged from brute force: got ${got.size}, expected ${expected.size}")
   }
 
+  test("quantileBins matches a brute-force ntile deal on random groups") {
+    val row = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0L, 40L)          // dense -> plenty of ties
+    } yield (g, v)
+    for (seed <- 1L to 3L) {
+      val rows = gen(Gen.listOfN(120, row), seed).zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+      val got = graft.ops.Profile.quantileBins(
+        rows.toDF("g", "v", "id").repartition(7), "g", "v", "id", nBins = 7)
+        .as[(String, Int, Long, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        val n = sorted.size
+        val (base, rem) = (n / 7, n % 7)
+        val sizes = (0 until 7).map(j => base + (if (j < rem) 1 else 0))
+        val offs = sizes.scanLeft(0)(_ + _)
+        (0 until 7).filter(sizes(_) > 0).map { j =>
+          val bucket = sorted.slice(offs(j), offs(j + 1))
+          (g, j + 1, bucket.size.toLong,
+            bucket.map(_._2).min, bucket.map(_._2).max)
+        }
+      }.toSet
+      assert(got == want, s"seed $seed: ntile deal diverged")
+    }
+  }
+
+  test("sourceDriftTvd matches brute-force rational TVD; bounded in [0,1)") {
+    val word = Gen.oneOf((1 to 9).map(i => s"t$i"))
+    val doc = for {
+      s <- Gen.oneOf("s1", "s2", "s3")
+      n <- Gen.choose(1, 15)
+      ws <- Gen.listOfN(n, word)
+    } yield (s, ws.mkString(" "))
+    for (seed <- 1L to 3L) {
+      val docs = gen(Gen.listOfN(40, doc), seed)
+      val got = graft.ops.TextAnalysis.sourceDriftTvd(
+        docs.toDF("source", "text").repartition(5))
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      val toks = docs.flatMap { case (s, t) => t.split(" ").map(s -> _) }
+      val corpus = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      for ((src, st) <- toks.groupBy(_._1)) {
+        val cs = st.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val ns = st.size.toLong
+        // keysIterator, not keys: mapping over the key SET would dedup
+        // equal |…| terms and silently undercount the sum
+        val tvd = corpus.keysIterator.map { t =>
+          math.abs(cs.getOrElse(t, 0L) * n - corpus(t) * ns).toDouble
+        }.sum / (2.0 * ns * n)
+        val r = got(src)
+        assert(r._2 == ns && r._3 == cs.size)
+        assert(math.abs(r._4 - tvd) < 1e-12, s"seed $seed src $src")
+        assert(r._4 >= 0.0 && r._4 < 1.0)
+      }
+    }
+  }
+
+  test("winsorize mean sits inside [p_lo, p_hi] and matches brute force") {
+    val row = for {
+      g <- Gen.oneOf("x", "y")
+      v <- Gen.choose(0L, 1000L)
+    } yield (g, v)
+    for (seed <- 1L to 3L) {
+      val rows = gen(Gen.listOfN(80, row), seed)
+      val got = graft.ops.Profile.winsorize(
+        rows.toDF("g", "v").repartition(6), "g", "v")
+        .as[(String, Long, Double, Double, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      for ((g, rs) <- rows.groupBy(_._1)) {
+        val vs = rs.map(_._2.toDouble).sorted
+        def q(p: Double): Double = {       // Spark/DuckDB linear interpolation
+          val rank = p * (vs.size - 1)
+          val lo = rank.toInt
+          if (lo == vs.size - 1) vs(lo)
+          else vs(lo) + (rank - lo) * (vs(lo + 1) - vs(lo))
+        }
+        val (pLo, pHi) = (q(0.05), q(0.95))
+        val clipped = vs.map(v => math.min(math.max(v, pLo), pHi))
+        val r = got(g)
+        assert(math.abs(r._3 - pLo) < 1e-9 && math.abs(r._4 - pHi) < 1e-9)
+        assert(math.abs(r._7 - clipped.sum / clipped.size) < 1e-9,
+          s"seed $seed group $g")
+        assert(r._7 >= r._3 - 1e-9 && r._7 <= r._4 + 1e-9)
+      }
+    }
+  }
+
+  test("transitionMatrix: per-src counts total the transitions; ppm sums to ~1e6") {
+    val row = for {
+      u <- Gen.choose(1L, 8L)
+      t <- Gen.oneOf("a", "b", "c", "d")
+    } yield (u, t)
+    for (seed <- 1L to 3L) {
+      val rows = gen(Gen.listOfN(100, row), seed).zipWithIndex
+        .map { case ((u, t), i) =>
+          (u, new Timestamp(1700000000000L + i * 1000L), t, i.toLong)
+        }
+      val got = graft.ops.EventAnalytics.transitionMatrix(
+        rows.toDF("user_id", "ts", "event_type", "event_id").repartition(5),
+        "user_id", "ts", "event_type", "event_id")
+        .as[(String, String, Long, Long)].collect()
+      val wantPairs = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._2.getTime, e._4)).map(_._3).sliding(2)
+          .collect { case Seq(a, b) => (a, b) }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got.map(r => (r._1, r._2) -> r._3).toMap == wantPairs,
+        s"seed $seed")
+      for ((src, g) <- got.groupBy(_._1)) {
+        val ppm = g.map(_._4).sum
+        assert(ppm <= 1000000L && 1000000L - ppm < g.size,
+          s"seed $seed src $src: floor-div ppm sum $ppm")
+      }
+    }
+  }
+
   test("heavyHitters equals the exact > n/k filter on random zipf-ish draws") {
     val value = Gen.frequency(
       (50, Gen.const("alpha")), (25, Gen.const("beta")),
