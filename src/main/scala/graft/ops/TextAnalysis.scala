@@ -655,17 +655,47 @@ object TextAnalysis {
     * mass) — so the absent-token tail costs one subtraction, not a join
     * against the full vocabulary per source.
     *
-    * Scale shape: ONE explode → (source, token) hash aggregate; corpus
-    * counts RE-AGGREGATE that result (no second scan); the join back is
-    * keyed by token (shuffle-bounded by vocabulary, not corpus); source
-    * totals and N are group-cardinality relations, broadcast. All
-    * bookkeeping is exact BIGINT; headroom: A_s ≤ 2·N_s·N must stay under
-    * 2⁶³ and the final doubles are exact while 2·N_s·N < 2⁵³ — beyond
-    * that (≈10⁸-token sources over a 10⁹-token corpus), swap the last
-    * step to DECIMAL(38,0); the counts themselves never overflow.
+    * Scale shape: TWO scans total — a cheap text-column pass for the
+    * corpus token total N (sum of per-row word counts, no explode) and
+    * ONE explode → (source, token) hash aggregate whose result carries
+    * everything else via two unordered windows (corpus count per token,
+    * source total per source) — a join-based formulation would re-derive
+    * the explode+aggregate subtree once per consumer (measured: 8 parquet
+    * scans in the plan). The final per-source aggregate runs on the
+    * window's source partitioning (no extra exchange); N broadcasts as
+    * one row. All bookkeeping is exact BIGINT; headroom: A_s ≤ 2·N_s·N
+    * must stay under 2⁶³ and the final doubles are exact while
+    * 2·N_s·N < 2⁵³ — beyond that (≈10⁸-token sources over a 10⁹-token
+    * corpus), swap the last step to DECIMAL(38,0); the counts themselves
+    * never overflow.
     *
     * Output: (source, n_tokens, n_distinct, tvd DOUBLE), unordered.
     */
+  def sourceDriftTvd(docs: DataFrame, sourceCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg(
+      sum(size(TextFns.words(col(textCol))).cast("long")).as("n_corpus"))
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFns.words(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+      .withColumn("c_t", sum("c_st").over(Window.partitionBy("tok")))
+      .withColumn("n_s", sum("c_st").over(Window.partitionBy("source")))
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"), col("n_s"), col("n_corpus"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(abs(col("c_st") * col("n_corpus") - col("c_t") * col("n_s")))
+          .as("a_s"),
+        sum(col("c_t")).as("cov_s"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_distinct"),
+        ((col("a_s") + (col("n_corpus") - col("cov_s")) * col("n_s"))
+          .cast("double") /
+          (lit(2L) * col("n_s") * col("n_corpus")).cast("double"))
+          .as("tvd"))
+  }
+
   /** Pairwise source similarity by vocabulary: for every source pair
     * (a < b), the distinct-token intersection size and exact integer
     * Jaccard in ppm — "which slices of the corpus resemble each other",
@@ -701,28 +731,4 @@ object TextAnalysis {
           .as("jaccard_ppm"))
   }
 
-  def sourceDriftTvd(docs: DataFrame, sourceCol: String = "source",
-                     textCol: String = "text"): DataFrame = {
-    val st = docs
-      .select(col(sourceCol).as("source"),
-        explode(TextFns.words(col(textCol))).as("tok"))
-      .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
-    val corpus = st.groupBy("tok").agg(sum("c_st").as("c_t"))
-    val totals = st.groupBy("source").agg(sum("c_st").as("n_s"))
-    val n = st.agg(sum("c_st").as("n_corpus"))
-    st.join(corpus, "tok")
-      .join(broadcast(totals), "source")
-      .crossJoin(broadcast(n))
-      .groupBy(col("source"), col("n_s"), col("n_corpus"))
-      .agg(
-        count(lit(1)).as("n_distinct"),
-        sum(abs(col("c_st") * col("n_corpus") - col("c_t") * col("n_s")))
-          .as("a_s"),
-        sum(col("c_t")).as("cov_s"))
-      .select(col("source"), col("n_s").as("n_tokens"), col("n_distinct"),
-        ((col("a_s") + (col("n_corpus") - col("cov_s")) * col("n_s"))
-          .cast("double") /
-          (lit(2L) * col("n_s") * col("n_corpus")).cast("double"))
-          .as("tvd"))
-  }
 }
