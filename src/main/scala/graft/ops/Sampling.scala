@@ -205,6 +205,30 @@ object Sampling {
     df.filter(hashBucket(key, 100) < pct)
   }
 
+  /** Greedy selection under a per-group budget: rank rows within each
+    * group by (score desc, id asc — deterministic) and keep the prefix
+    * whose cumulative `weight` stays within `budget` (inclusive) — "the
+    * best docs from each source until its token budget is spent", the
+    * data-selection step of training-mix construction (greedy
+    * quality-per-token knapsack).
+    *
+    * Scale shape: ONE group-partitioned window (running sum); the filter
+    * is row-local. Groups sort in parallel; nothing global.
+    *
+    * Output: input columns + `cum_weight` (running total including the
+    * row itself), only the selected rows.
+    */
+  def budgetSelect(df: DataFrame, groupCol: String, scoreCol: String,
+                   weightCol: String, idCol: String,
+                   budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_weight", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("cum_weight") <= budget)
+  }
+
   /** Leakage-safe train/val/test split: the split key is the document's
     * near-dup CLUSTER representative, not the document — so a family of
     * near-duplicates can never straddle train and test (the eval-

@@ -355,4 +355,45 @@ object Similarity {
       .filter(col("rank") <= k)
       .drop("__wide", "__short")
   }
+
+  /** Scalar int8 quantization audit: per-dimension corpus min/max bounds,
+    * 256-level mid-rise quantization of every component, and each
+    * vector's maximum absolute reconstruction error — the "can we ship
+    * the ANN index at 4× less memory" check run BEFORE swapping float32
+    * embeddings for int8 codes. All arithmetic is fixed-shape IEEE
+    * doubles over exact float inputs (floor/least/abs only — no
+    * accumulation across rows), so the audit is engine-portable.
+    *
+    * Scale shape: one posexplode → (dim) aggregate for the bounds (64
+    * rows), reassembled into min/max ARRAYS on a one-row relation and
+    * broadcast; the per-vector error is a row-local HOF fold. The corpus
+    * never shuffles. Degenerate dimensions (max = min) quantize to code 0
+    * with zero error.
+    *
+    * Output: (idCol, max_err DOUBLE), one row per vector, unordered.
+    */
+  def quantizeInt8Audit(emb: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val bounds = emb
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("bs"))
+      .select(transform(col("bs"), b => b.getField("mn")).as("mns"),
+        transform(col("bs"), b => b.getField("mx")).as("mxs"))
+    emb.crossJoin(broadcast(bounds))
+      .select(col(idCol),
+        array_max(zip_with(col(vecCol),
+          sequence(lit(0), size(col(vecCol)) - 1), (v, i) => {
+            val mn = element_at(col("mns"), i + 1)
+            val mx = element_at(col("mxs"), i + 1)
+            val vd = v.cast("double")
+            val q = least(lit(255.0),
+              floor((vd - mn) * lit(256.0) / (mx - mn)))
+            val recon = mn + (q + lit(0.5)) * (mx - mn) / lit(256.0)
+            when(mx === mn, lit(0.0)).otherwise(abs(vd - recon))
+          })).as("max_err"))
+  }
 }

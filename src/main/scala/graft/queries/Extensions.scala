@@ -2396,11 +2396,55 @@ object Extensions {
         t(s, dir, "documents"), "lang", "n_chars", "doc_id", nBins = 10)
       .orderBy("lang", "bin"))
 
+  private val q143 = Q("q143_token_budget_select",
+    "greedy per-source data selection under a token budget: docs rank by " +
+      "(length desc, id) within source and the running-total prefix <= " +
+      "4000 chars survives — the quality-per-token knapsack step of " +
+      "training-mix construction; one group-partitioned window, row-" +
+      "local filter",
+    Some("""
+      WITH c AS (SELECT source, doc_id, n_chars,
+                 SUM(n_chars) OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_weight
+                 FROM documents)
+      SELECT source, doc_id, n_chars, cum_weight FROM c
+      WHERE cum_weight <= 4000 ORDER BY source, doc_id"""),
+    (s, dir) => Sampling.budgetSelect(
+        t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+        "source", "n_chars", "n_chars", "doc_id", budget = 4000L)
+      .orderBy("source", "doc_id"))
+
+  private val q144 = Q("q144_embedding_quantize",
+    "int8 scalar-quantization audit: per-dimension corpus min/max bounds " +
+      "(broadcast as two arrays on a one-row relation), 256-level mid-" +
+      "rise quantization, per-vector max reconstruction error via a row-" +
+      "local HOF fold — the memory-vs-recall check before shipping the " +
+      "ANN index at 4x less memory; fixed-shape IEEE arithmetic, no " +
+      "cross-row float accumulation, corpus never shuffles",
+    Some("""
+      WITH d AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS dim
+                 FROM embeddings),
+      b AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM d GROUP BY 1),
+      e AS (SELECT d.vec_id,
+                   CASE WHEN b.mx = b.mn THEN 0.0
+                        ELSE abs(d.v - (b.mn +
+                          (least(255.0, floor((d.v - b.mn) * 256.0
+                                              / (b.mx - b.mn))) + 0.5)
+                          * (b.mx - b.mn) / 256.0))
+                   END AS err
+            FROM d JOIN b USING (dim))
+      SELECT vec_id, max(err) AS max_err FROM e
+      GROUP BY 1 ORDER BY vec_id"""),
+    (s, dir) => Similarity.quantizeInt8Audit(t(s, dir, "embeddings"))
+      .orderBy("vec_id"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
-    q141, q142)
+    q141, q142, q143, q144)
 }

@@ -58,6 +58,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.size == 4)                     // annotation is total over incoming
   }
 
+  test("budgetSelect: greedy prefix under the budget, deterministic tiebreak") {
+    import graft.ops.Sampling
+    // source A scores/weights: (id1,w5)(id2,w5)(id3,w4)(id4,w9)
+    // order by weight desc, id: 4(9) cum9, 1(5) cum14 > 10 -> stop there?
+    // inclusive rule: keep rows while cum <= 10 -> only id4 (cum 9);
+    // id1 would push cum to 14. B: two w3 docs both fit (cum 3, 6).
+    val df = Seq(("A", 1L, 5L), ("A", 2L, 5L), ("A", 3L, 4L), ("A", 4L, 9L),
+      ("B", 5L, 3L), ("B", 6L, 3L))
+      .toDF("source", "doc_id", "w")
+    val got = Sampling.budgetSelect(df, "source", "w", "w", "doc_id", 10L)
+      .select($"source", $"doc_id", $"cum_weight")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(("A", 4L, 9L), ("B", 5L, 3L), ("B", 6L, 6L)))
+  }
+
+  test("budgetSelect ties on score resolve by id: lower id wins the budget") {
+    import graft.ops.Sampling
+    val df = Seq(("A", 2L, 6L), ("A", 1L, 6L)).toDF("source", "doc_id", "w")
+    val got = Sampling.budgetSelect(df, "source", "w", "w", "doc_id", 6L)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("quantizeInt8Audit: error bounded by half a quantization step; " +
+    "boundary values clamp; degenerate dims are exact") {
+    import graft.ops.Similarity
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, 7.0f)),    // min/max endpoints + constant dim
+      (2L, Array(10.0f, 0.3f, 7.0f)),
+      (3L, Array(5.0f, 0.77f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8Audit(vecs)
+      .as[(Long, Double)].collect().toMap
+    // dim0 range [0,10] step 10/256; dim1 range [0,1]; dim2 constant -> 0
+    val step0 = 10.0 / 256
+    assert(got.size == 3)
+    got.values.foreach(e => assert(e <= step0 / 2 + 1e-12))
+    // vec1: dim0 v=0 -> q0 -> recon step0/2 -> err exactly step0/2
+    assert(math.abs(got(1L) - step0 / 2) < 1e-12)
+  }
+
   test("clusterSafeSplit: a near-dup family never straddles splits") {
     import graft.ops.Sampling
     // clusters: {1,2,7} (chain 1-2, 2-7) and {3,4}; 5, 6 singletons
