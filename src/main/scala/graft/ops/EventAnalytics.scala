@@ -96,6 +96,50 @@ object EventAnalytics {
       expr("1000000L * n div sum(n) over (partition by src)"))
   }
 
+  /** Per-key exponentially-weighted moving average in EXACT scaled-integer
+    * arithmetic — the smoothed-baseline primitive (per-user spend level,
+    * per-device rate) that pairs with `Anomaly`'s z-scores. The float
+    * recurrence e' = (1−α)e + αx accumulates in timeline order, so naive
+    * doubles are partition-order-dependent and never oracle-matchable;
+    * here α = mix/den is rational, values are exact cents
+    * (DECIMAL(18,2)·100), and the fold is
+    * e' = ((den−mix)·e + mix·x) div den on BIGINTs — bit-identical in any
+    * engine (values must be non-negative so trunc = floor agrees).
+    *
+    * Shape at 100 TB: ONE key-partitioned aggregate collects each key's
+    * (ts, tie, cents) timeline; the sort + fold are row-local
+    * (`array_sort` + `aggregate` HOF, codegen, no UDF). Per-key state is
+    * the key's full timeline — the same bound as sessionization or any
+    * ordered per-entity walk; for keys whose history exceeds executor
+    * memory, the streaming stateful path (`StatefulTracking`) carries the
+    * single running value instead.
+    *
+    * Output: (keyCol, n_events, last_cents, ewma_cents), unordered.
+    */
+  def ewmaCents(events: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, valueCol: String,
+                mix: Int = 1, den: Int = 4): DataFrame = {
+    require(den >= 2 && mix >= 1 && mix < den,
+      s"need 0 < mix/den < 1, got $mix/$den")
+    val keep = den - mix
+    val cents = (col(valueCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long")
+    events
+      .select(col(keyCol), col(tsCol).as("_t"), col(tieCol).as("_tb"),
+        cents.as("_x"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("_t"), col("_tb"), col("_x"))))
+          .as("_s"))
+      .select(col(keyCol), col("n_events"),
+        expr("element_at(_s, size(_s))._x").as("last_cents"),
+        expr("aggregate(slice(_s, 2, greatest(size(_s) - 1, 0))," +
+          s" element_at(_s, 1)._x," +
+          s" (acc, p) -> (${keep}L * acc + ${mix}L * p._x) div ${den}L)")
+          .as("ewma_cents"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 offsets: Seq[Int]): DataFrame = {
     require(offsets.nonEmpty, "offsets must be non-empty")

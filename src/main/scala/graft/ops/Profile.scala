@@ -170,6 +170,76 @@ object Profile {
         max(col(valueCol)).as("hi"))
   }
 
+  /** Per-group Gini inequality coefficient in exact parts-per-million —
+    * the data-balance diagnostic for corpus construction ("is 90% of this
+    * source's volume in 1% of its documents?"). High Gini on document
+    * length or per-domain volume flags sources whose token mass a naive
+    * uniform doc sample would misrepresent.
+    *
+    * Exact integer form of the sorted-prefix identity: with x sorted
+    * ascending and i the 1-based rank,
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) — all BIGINT until one
+    * floor division to ppm (Chebyshev's sum inequality keeps the
+    * numerator non-negative for the sorted order, so trunc = floor).
+    * No float accumulation, bit-identical in any engine.
+    *
+    * Values must be non-negative with a positive group sum (lengths,
+    * counts, bytes — the inequality use case); the id column makes the
+    * rank deterministic under value ties.
+    *
+    * Scale shape: ONE shuffle (window partitioned by group; the in-group
+    * sort is the honest cost of exact ranks — same bound as
+    * [[quantileBins]]); the per-group aggregate reuses the key.
+    *
+    * Output: (group, n, total, gini_ppm), unordered.
+    */
+  def giniPpm(df: DataFrame, groupCol: String, valueCol: String,
+              idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_x"), col(idCol))
+    df.select(col(groupCol), col(valueCol).cast("long").as("_x"), col(idCol))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_x")).as("total"),
+        expr("1000000L * (2L * sum(_i * _x) - (count(1) + 1L) * sum(_x))" +
+          " div (count(1) * sum(_x))").as("gini_ppm"))
+  }
+
+  /** Referential-integrity audit over declared foreign-key edges — the
+    * pre-flight joinability check a pipeline runs before trusting an
+    * equi-join (orphan children silently vanish from inner joins and
+    * inflate outer-join null groups). Each edge is
+    * (label, child, fkCol, parent, pkCol).
+    *
+    * Output: (edge, n_child, n_fk_nonnull, n_orphans) — one row per edge,
+    * where n_orphans counts non-null child keys with no parent match.
+    *
+    * Shape at 100 TB: per edge, ONE left join of the child's key column
+    * against the parent's DISTINCT key relation (dimension-sized sides
+    * broadcast under the planner's threshold; fact-to-fact edges shuffle
+    * on the key) feeding a single aggregate — the child is scanned once
+    * per edge with only the key column read (pruned ReadSchema). Edges
+    * evaluate independently; the result union is |edges| one-row frames.
+    */
+  def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "fkAudit needs at least one edge")
+    edges.map { case (label, child, fkCol, parent, pkCol) =>
+      child.select(col(fkCol).as("_fk"))
+        .join(parent.select(col(pkCol).as("_pk")).distinct(),
+          col("_fk") === col("_pk"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          count(col("_fk")).as("n_fk_nonnull"),
+          sum(when(col("_fk").isNotNull && col("_pk").isNull, 1L)
+            .otherwise(0L)).as("n_orphans"))
+        .select(lit(label).as("edge"), col("n_child"),
+          col("n_fk_nonnull"), col("n_orphans"))
+    }.reduce(_ unionAll _)
+  }
+
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(0 <= lo && lo < hi && hi <= 1, s"bad quantiles [$lo,$hi]")

@@ -313,6 +313,51 @@ object TextAnalysis {
           .as("mean_tok_freq"))
   }
 
+  /** Bigram conditional-probability scoring — the second-order upgrade of
+    * [[tokenFrequencyScore]]'s unigram LM: how predictable is each
+    * document's word-to-word structure under the corpus's own bigram
+    * statistics? Word-salad/gibberish documents score low even when every
+    * individual token is common (the failure mode a unigram filter can't
+    * see); boilerplate scores near 10^6.
+    *
+    * Exact integer arithmetic: per bigram,
+    * p_ppm = 10^6 · c(w1,w2) div c(w1·) where c(w1·) is w1's count as a
+    * bigram LEFT element (so the conditional sums to ~1 over observed
+    * successors); per document the mean/min of those ppm values, again by
+    * floor division — no logs, no float accumulation, engine-portable.
+    *
+    * Shape at 100 TB: the corpus tokenizes once into the bigram relation
+    * (row-local transform over the split array — no self-join of token
+    * positions); the pair-count aggregate map-side combines to a
+    * vocabulary²-bounded relation whose left-marginal re-aggregates THAT
+    * (never a second corpus scan); both count relations broadcast into
+    * the per-doc join under the planner's threshold (pass them through a
+    * shuffle join only for open-vocabulary corpora). Documents with fewer
+    * than two tokens have no bigrams and drop out.
+    *
+    * Output: (idCol, n_bigrams, mean_cond_ppm, min_cond_ppm), unordered.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val bigrams = docs
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), explode(expr(
+        "transform(slice(_w, 1, greatest(size(_w) - 1, 0))," +
+          " (x, i) -> struct(x AS w1, _w[i + 1] AS w2))")).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val pairCounts = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    val leftCounts = pairCounts.groupBy("w1").agg(sum("c12").as("c1"))
+    bigrams
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(leftCounts, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(1000000L * c12 div c1) div count(1)").as("mean_cond_ppm"),
+        expr("min(1000000L * c12 div c1)").as("min_cond_ppm"))
+  }
+
   /** Percentile-threshold filter — the corpus-relative form of a quality
     * cut (drop the shortest/lowest-scoring p% of the corpus, rather than
     * guessing a fixed constant that goes stale as the corpus drifts).

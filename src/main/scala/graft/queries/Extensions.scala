@@ -2440,11 +2440,215 @@ object Extensions {
     (s, dir) => Similarity.quantizeInt8Audit(t(s, dir, "embeddings"))
       .orderBy("vec_id"))
 
+  private val q145 = Q("q145_boilerplate_spans",
+    "cross-document boilerplate detection (the C4 repeated-line rule): " +
+      "5-word spans (synthesized line structure, q87's discipline) " +
+      "occurring in >= 3 DISTINCT documents — headers/footers/license " +
+      "chrome surfaced as a removal list; explode -> ONE uniform-hash " +
+      "aggregate, output bounded by the repeated-span count, no self-join",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      ln AS (SELECT doc_id,
+               list_transform(generate_series(0, CAST(ceil(len(ws) / 5.0) AS INT) - 1),
+                 i -> array_to_string(ws[(i*5+1):(i*5+5)], ' ')) AS lines
+             FROM w),
+      sp AS (SELECT doc_id, unnest(lines) AS span FROM ln),
+      h AS (SELECT doc_id, span,
+              CAST('0x' || substr(sha256(span), 1, 15) AS BIGINT) AS sh
+            FROM sp)
+      SELECT sh, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+             min(doc_id) AS first_doc, min(span) AS span
+      FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3 ORDER BY sh"""),
+    (s, dir) => {
+      val ws = split(col("text"), " ")
+      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), k - 1),
+            i => array_join(slice(ws, i * 5 + 1, lit(5)), " ")),
+          "\n").as("text"))
+      Dedup.boilerplateSpans(lined, "doc_id", "text", minDocs = 3)
+        .orderBy("sh")
+    })
+
+  private val q146 = Q("q146_gini_inequality",
+    "per-source Gini coefficient of document lengths in exact ppm " +
+      "(sorted-prefix identity, all-BIGINT, one floor division) — the " +
+      "data-balance diagnostic: high Gini means token mass concentrates " +
+      "in few documents and a uniform doc sample misrepresents the " +
+      "source; ONE group window + aggregate on the same key",
+    Some("""
+      WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+                 CAST(row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) AS BIGINT) AS i
+                 FROM documents)
+      SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS total,
+             CAST(1000000 * (2 * sum(i * x) - (count(*) + 1) * sum(x))
+                  // (count(*) * sum(x)) AS BIGINT) AS gini_ppm
+      FROM r GROUP BY 1 ORDER BY source"""),
+    (s, dir) => Profile.giniPpm(
+        t(s, dir, "documents"), "source", "n_chars", "doc_id")
+      .orderBy("source"))
+
+  private val q147 = Q("q147_fk_integrity",
+    "referential-integrity audit over six declared FK edges (child key " +
+      "-> parent DISTINCT key, LEFT join + one aggregate per edge; " +
+      "dimension sides broadcast) — the pre-flight joinability check: " +
+      "orphans vanish from inner joins silently; includes the " +
+      "events.user_id->customer edge where orphans are expected",
+    Some("""
+      SELECT * FROM (
+        SELECT 'customer.c_nationkey->nation' AS edge, count(*) AS n_child,
+               count(c.c_nationkey) AS n_fk_nonnull,
+               CAST(sum(CASE WHEN c.c_nationkey IS NOT NULL AND p._pk IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM customer c LEFT JOIN
+          (SELECT DISTINCT n_nationkey AS _pk FROM nation) p
+          ON c.c_nationkey = p._pk
+        UNION ALL
+        SELECT 'events.user_id->customer', count(*), count(c.user_id),
+               CAST(sum(CASE WHEN c.user_id IS NOT NULL AND p._pk IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events c LEFT JOIN
+          (SELECT DISTINCT c_custkey AS _pk FROM customer) p
+          ON c.user_id = p._pk
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders', count(*), count(c.l_orderkey),
+               CAST(sum(CASE WHEN c.l_orderkey IS NOT NULL AND p._pk IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem c LEFT JOIN
+          (SELECT DISTINCT o_orderkey AS _pk FROM orders) p
+          ON c.l_orderkey = p._pk
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', count(*), count(c.l_partkey),
+               CAST(sum(CASE WHEN c.l_partkey IS NOT NULL AND p._pk IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem c LEFT JOIN
+          (SELECT DISTINCT p_partkey AS _pk FROM part) p
+          ON c.l_partkey = p._pk
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', count(*), count(c.o_custkey),
+               CAST(sum(CASE WHEN c.o_custkey IS NOT NULL AND p._pk IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders c LEFT JOIN
+          (SELECT DISTINCT c_custkey AS _pk FROM customer) p
+          ON c.o_custkey = p._pk
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation', count(*), count(c.s_nationkey),
+               CAST(sum(CASE WHEN c.s_nationkey IS NOT NULL AND p._pk IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM supplier c LEFT JOIN
+          (SELECT DISTINCT n_nationkey AS _pk FROM nation) p
+          ON c.s_nationkey = p._pk
+      ) ORDER BY edge"""),
+    (s, dir) => Profile.fkAudit(Seq(
+        ("customer.c_nationkey->nation",
+          t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        ("events.user_id->customer",
+          t(s, dir, "events"), "user_id", t(s, dir, "customer"), "c_custkey"),
+        ("lineitem.l_orderkey->orders",
+          t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.l_partkey->part",
+          t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey"),
+        ("orders.o_custkey->customer",
+          t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey"),
+        ("supplier.s_nationkey->nation",
+          t(s, dir, "supplier"), "s_nationkey", t(s, dir, "nation"), "n_nationkey")))
+      .orderBy("edge"))
+
+  private val q148 = Q("q148_bigram_lm_score",
+    "bigram conditional-probability scoring (second-order LM filter): " +
+      "per doc the mean/min of 10^6*c(w1,w2) div c(w1.) over its " +
+      "bigrams — catches word-salad built from common tokens that the " +
+      "unigram q71 filter scores as normal; exact floor-division ppm, " +
+      "one corpus tokenize, vocab^2-bounded count relations broadcast",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+             FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)),
+      pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pc GROUP BY 1)
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             CAST(sum(1000000 * c12 // c1) // count(*) AS BIGINT) AS mean_cond_ppm,
+             CAST(min(1000000 * c12 // c1) AS BIGINT) AS min_cond_ppm
+      FROM bg JOIN pc USING (w1, w2) JOIN lc USING (w1)
+      GROUP BY 1 ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.bigramLmScore(t(s, dir, "documents"))
+      .orderBy("doc_id"))
+
+  private val q149 = Q("q149_cdc_apply",
+    "CDC merge (the lakehouse MERGE INTO): a change feed derived from " +
+      "customer (seq-1 updates on key%5=0, seq-2 deletes on key%10=0, " +
+      "inserts where the key is absent from the key%3<>0 base) folds " +
+      "into the base snapshot — highest seq wins per key, D removes, " +
+      "I/U upserts, untouched keys pass through; ONE delta-sized window " +
+      "+ ONE full-outer key join",
+    Some("""
+      WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                    WHERE c_custkey % 3 <> 0),
+      changes AS (
+        SELECT c_custkey, 1 AS seq, 'U' AS op, upper(c_name) AS c_name,
+               c_acctbal + 10.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, 2, 'D', NULL, NULL
+        FROM customer WHERE c_custkey % 10 = 0),
+      w AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                         ORDER BY seq DESC) AS rn
+            FROM changes),
+      win AS (SELECT * FROM w WHERE rn = 1)
+      SELECT coalesce(win.c_custkey, base.c_custkey) AS c_custkey,
+             CASE WHEN win.c_custkey IS NOT NULL THEN win.c_name
+                  ELSE base.c_name END AS c_name,
+             CASE WHEN win.c_custkey IS NOT NULL THEN win.c_acctbal
+                  ELSE base.c_acctbal END AS c_acctbal
+      FROM base FULL OUTER JOIN win ON base.c_custkey = win.c_custkey
+      WHERE win.c_custkey IS NULL OR win.op <> 'D'
+      ORDER BY c_custkey"""),
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val base = cust.filter(expr("c_custkey % 3 <> 0"))
+        .select("c_custkey", "c_name", "c_acctbal")
+      val upd = cust.filter(expr("c_custkey % 5 = 0"))
+        .select(col("c_custkey"), lit(1L).as("seq"), lit("U").as("op"),
+          upper(col("c_name")).as("c_name"),
+          (col("c_acctbal") + 10.0).as("c_acctbal"))
+      val del = cust.filter(expr("c_custkey % 10 = 0"))
+        .select(col("c_custkey"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("c_name"),
+          lit(null).cast("double").as("c_acctbal"))
+      Diff.applyChanges(base, upd.unionByName(del), Seq("c_custkey"),
+          Seq("c_name", "c_acctbal"))
+        .orderBy("c_custkey")
+    })
+
+  private val q150 = Q("q150_ewma",
+    "per-user EWMA of event values in EXACT scaled-integer arithmetic " +
+      "(alpha=1/4: e' = (3e + x) div 4 over cents; timeline order " +
+      "(ts, event_id)) — the smoothed-baseline primitive; ONE keyed " +
+      "aggregate, sort + fold row-local (array_sort + aggregate HOF, " +
+      "codegen, no UDF); per-key state = the timeline, the " +
+      "sessionization bound",
+    Some("""
+      WITH x AS (SELECT user_id, ts, event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+                 FROM events),
+      l AS (SELECT user_id, count(*) AS n_events,
+                   list(x ORDER BY ts, event_id) AS xs
+            FROM x GROUP BY 1)
+      SELECT user_id, n_events, xs[len(xs)] AS last_cents,
+             CAST(list_reduce(xs, (acc, v) -> (3 * acc + v) // 4) AS BIGINT)
+               AS ewma_cents
+      FROM l ORDER BY user_id"""),
+    (s, dir) => EventAnalytics.ewmaCents(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value")
+      .orderBy("user_id"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
-    q141, q142, q143, q144)
+    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }

@@ -547,4 +547,21 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.kmeansFit(embs, "vec_id", "embedding", k = 1, iters = 1,
         scale = 1e9))
   }
+
+  test("boilerplateSpans: distinct-doc threshold, within-doc repeats count occurrences only") {
+    // "foo" is in docs 1,2,3 (doc 3 twice → 4 occurrences, 3 docs);
+    // "X"/"Y"/"Z" are singletons and must not surface
+    val docs = Seq((1L, "foo\nX"), (2L, "foo\nY"), (3L, "foo\nfoo"),
+      (4L, "Z")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateSpans(docs, "doc_id", "text", minDocs = 3)
+      .select("n_docs", "n_occurrences", "first_doc", "span")
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got == List((3L, 4L, 1L, "foo")))
+    // a doc repeating a span alone never clears the distinct-doc bar
+    val solo = Seq((1L, "a\na\na"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.boilerplateSpans(solo, "doc_id", "text", minDocs = 2)
+      .count() == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.boilerplateSpans(docs, "doc_id", "text", minDocs = 1))
+  }
 }

@@ -34,4 +34,29 @@ class DiffSpec extends SparkSpec {
       ("s1", 2L, "removed", ""),
       ("s2", 2L, "added", "")))
   }
+
+  test("applyChanges: highest seq wins, D removes, I inserts, rest pass through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"))
+      .toDF("id", "v")
+    val changes = Seq(
+      (2L, 1L, "U", "b2"), (2L, 2L, "D", null),      // update superseded by delete
+      (3L, 1L, "U", "c2"),                           // plain update
+      (4L, 1L, "I", "d"),                            // insert of a new key
+      (5L, 1L, "D", null), (5L, 2L, "U", "e2"))      // delete superseded by update
+      .toDF("id", "seq", "op", "v")
+    val got = Diff.applyChanges(base, changes, Seq("id"), Seq("v"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (3L, "c2"), (4L, "d"), (5L, "e2")))
+  }
+
+  test("applyChanges: D on an absent key is a no-op, composite payload upserts whole row") {
+    val base = Seq((1L, "a", 10.0)).toDF("id", "v", "w")
+    val changes = Seq(
+      (9L, 1L, "D", Option.empty[String], Option.empty[Double]),
+      (1L, 1L, "U", Option("a2"), Option(11.0)))
+      .toDF("id", "seq", "op", "v", "w")
+    val got = Diff.applyChanges(base, changes, Seq("id"), Seq("v", "w"))
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a2", 11.0)))
+  }
 }

@@ -85,4 +85,30 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01", 1L, 1L),   // only user 1 came back next day
       ("2024-01-02", 0L, 1L)))  // user 3's cohort
   }
+
+  private def evv(rows: (Long, Long, String, Double)*) =
+    rows.toDF("user_id", "event_id", "s", "value")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+
+  test("ewmaCents: hand-folded (3e+x) div 4 over the timeline, in cents") {
+    // user 1: 1.00, 2.00, 3.00 -> e=100, (300+200)/4=125, (375+300)/4=168
+    val e = evv(
+      (1L, 3L, "2024-01-01 12:00:00", 3.00),   // out of input order on purpose
+      (1L, 1L, "2024-01-01 10:00:00", 1.00),
+      (1L, 2L, "2024-01-01 11:00:00", 2.00))
+    val got = EventAnalytics.ewmaCents(e, "user_id", "ts", "event_id", "value")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 300L, 168L)))
+  }
+
+  test("ewmaCents: same-instant ties break on the id column") {
+    // both at 10:00 -> id 1 (4.00) folds first, then id 2 (8.00):
+    // e = 400, (1200+800)/4 = 500
+    val e = evv(
+      (7L, 2L, "2024-01-01 10:00:00", 8.00),
+      (7L, 1L, "2024-01-01 10:00:00", 4.00))
+    val got = EventAnalytics.ewmaCents(e, "user_id", "ts", "event_id", "value")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 2L, 800L, 500L)))
+  }
 }

@@ -541,6 +541,33 @@ class TextOpsSpec extends SparkSpec {
       (2L, "ab"), (2L, "abab"), (2L, "c")))
     assert(run(bcast = false) == got, "shuffle-join path must agree")
   }
+
+  test("bigramLmScore: exact ppm conditionals, sub-2-token docs drop out") {
+    // bigrams: (a,b)×2, (b,c), (b,d) → c(a·)=2, c(b·)=2
+    // ppm: (a,b)=1000000, (b,c)=(b,d)=500000; both docs mean 750000
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bigramLmScore(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 2L, 750000L, 500000L),
+      (2L, 2L, 750000L, 500000L)))   // doc 3 has no bigrams → absent
+  }
+
+  test("bigramLmScore separates word salad from structured text") {
+    // structured docs repeat the same transitions; salad doc uses the same
+    // VOCABULARY but each of its transitions is corpus-unique
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bigramLmScore(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "mean_cond_ppm")
+      .as[(Long, Long)].collect().toList
+    assert(got(0)._2 == got(1)._2)
+    assert(got(2)._2 < got(0)._2, s"salad must score lower: $got")
+  }
 }
 
 /** Batch sessionization: hand-computed gap splits, tie determinism, and
@@ -788,6 +815,24 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.keySkew(df, Nil))
     intercept[IllegalArgumentException](Profile.keySkew(df, Seq("k"), topK = 0))
     intercept[IllegalArgumentException](Profile.keySkew(df, Seq("k", "k")))
+  }
+
+  test("giniPpm: uniform values give 0, hand case [1,9] gives 400000") {
+    // [1,9] sorted: Σx=10, Σi·x=1+18=19 → 1e6·(38−30)/20 = 400000
+    val df = Seq(("u", 5L, 1L), ("u", 5L, 2L), ("u", 5L, 3L),
+      ("h", 1L, 1L), ("h", 9L, 2L)).toDF("g", "x", "id")
+    val got = Profile.giniPpm(df, "g", "x", "id")
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("h", 2L, 10L, 400000L), ("u", 3L, 15L, 0L)))
+  }
+
+  test("fkAudit: null fks are not orphans, duplicate parent keys don't multiply") {
+    val child = Seq(Some(1L), Some(2L), None, Some(3L)).toDF("fk")
+    val parent = Seq(1L, 1L, 2L).toDF("pk")   // dup pk must not double-count
+    val got = Profile.fkAudit(Seq(("e1", child, "fk", parent, "pk")))
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("e1", 4L, 3L, 1L)))   // only fk=3 is an orphan
+    intercept[IllegalArgumentException](Profile.fkAudit(Nil))
   }
 }
 
