@@ -101,6 +101,35 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Quality-aware near-dup removal: given a candidate-pair graph (from
+    * [[simHashPairs]], [[minHashLshCandidates]], or any blocked pair
+    * source), cluster it with [[connectedComponents]] and keep the
+    * HIGHEST-scoring member of each duplicate family (score desc,
+    * id-tiebroken) — the curation policy "dedup by quality", versus the
+    * min-id canonical the plain CC output implies. Documents in no pair
+    * are their own singleton cluster and always survive.
+    *
+    * Output: idCol, cluster (the family's min id), scoreCol, keep
+    * (BOOLEAN — exactly one true per cluster).
+    *
+    * Shape at 100 TB: CC over the BLOCKED pair graph (sub-quadratic by
+    * construction — pass blocked pairs, not exact all-pairs), one LEFT
+    * join to attach cluster ids (the CC relation covers only paired
+    * docs, ≪ corpus), one cluster-partitioned window for the argmax.
+    */
+  def keepBestInCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                        scoreCol: String, aCol: String = "doc_a",
+                        bCol: String = "doc_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, outIdCol = idCol)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.select(col(idCol), col(scoreCol))
+      .join(cc, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("canonical_id"), col(idCol)))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster"), col(scoreCol), col("keep"))
+  }
+
   /** MinHash signatures: one row per (id, hashIndex) with the min seeded
     * hash over the doc's distinct word-`shingleSize`-gram shingles.
     *

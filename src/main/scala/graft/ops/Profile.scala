@@ -240,6 +240,118 @@ object Profile {
     }.reduce(_ unionAll _)
   }
 
+  /** Pairwise Pearson correlation over 2-decimal money/measure columns,
+    * assembled from EXACT integer parts — the feature-redundancy screen
+    * (drop one of two near-collinear quality signals before mixing
+    * scores). Spark's `corr` aggregates doubles in partition order and
+    * can never hash-match an oracle; here every sum (Σx, Σx², Σxy) is
+    * exact (cents via DECIMAL(18,2)·100, sums in DECIMAL(38,0) — immune
+    * to int64 overflow at 100 TB row counts), and the final
+    * corr = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    * is a fixed-shape IEEE expression over those exact parts —
+    * deterministic in any engine, any partitioning.
+    *
+    * Shape at 100 TB: ONE scan, ONE global aggregate computing all
+    * |cols| sums + squares and |cols|·(|cols|−1)/2 cross-products
+    * map-side combined into a single row; `stack` unpivots that row into
+    * the pair relation. Adding a column adds expressions, not passes.
+    *
+    * Output: (col_a, col_b, n, corr DOUBLE), one row per unordered pair
+    * in the caller's column order. Zero-variance columns yield null corr
+    * (0/0) rather than failing.
+    */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrPairs needs >= 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val unsafe = cols.filterNot(SafeName.matches)
+    require(unsafe.isEmpty, s"column names must be simple identifiers: $unsafe")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = cols.map(c =>
+      (col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").cast(dec).as("_c_" + c))
+    val base = df.select(cents: _*)
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs =
+      cols.flatMap(c => Seq(
+        sum(col("_c_" + c)).as("_s_" + c),
+        sum(col("_c_" + c) * col("_c_" + c)).as("_q_" + c))) ++
+      pairs.map { case (a, b) =>
+        sum(col("_c_" + a) * col("_c_" + b)).as(s"_p_${a}_$b") }
+    val wide = base.agg(count(lit(1)).cast(dec).as("_n"), aggs: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', `_s_$a`, `_s_$b`, `_q_$a`, `_q_$b`, `_p_${a}_$b`"
+    }.mkString(", ")
+    wide.select(col("_n"),
+      expr(s"stack(${pairs.size}, $stackArgs) AS " +
+        "(col_a, col_b, sa, sb, qa, qb, sab)"))
+      .select(col("col_a"), col("col_b"), col("_n").cast("long").as("n"), {
+        val num = (col("_n") * col("sab") - col("sa") * col("sb"))
+          .cast("double")
+        val denom =
+          sqrt((col("_n") * col("qa") - col("sa") * col("sa"))
+            .cast("double")) *
+          sqrt((col("_n") * col("qb") - col("sb") * col("sb"))
+            .cast("double"))
+        // zero-variance column → undefined correlation → null (ANSI-safe)
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(num / denom).as("corr")
+      })
+  }
+
+  /** Cross-source quantile normalization — map each group's score
+    * distribution onto the GLOBAL distribution so thresholds compare
+    * across sources (a length-900 doc can be p90 for web text but p10
+    * for books; one fixed cut over raw scores misrepresents both).
+    * Each row gets its within-group rank in exact ppm
+    * (r = 10⁶·(rank−1) div (n−1); singleton groups pin to the median),
+    * then the global value at that same rank fraction by exact
+    * interpolated order statistic: position 1 + (n_g−1)·r/10⁶ held as
+    * an integer (floorPos, frac-ppm) pair, one final fixed-shape IEEE
+    * interpolation between the two neighboring global order statistics.
+    *
+    * Shape at 100 TB: one window per side — group-partitioned ranks
+    * (parallel) and the global rank+lead window (single total sort: the
+    * EXACT contrast form, same posture as q55/q05's exact twins; the
+    * scale path replaces the global side with a broadcast
+    * `approx_percentile` grid, same join shape, sketch-bounded rank
+    * error) — then ONE equi-join on the integer floor position. No
+    * correlated subqueries, no collect.
+    *
+    * Output: (idCol, groupCol, value, rank_ppm, norm DOUBLE), one row
+    * per input row.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_v"), col(idCol))
+    val wSn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val src = df
+      .select(col(groupCol), col(idCol), col(valueCol).cast("long").as("_v"))
+      .withColumn("_rn", row_number().over(wS).cast("long"))
+      .withColumn("_ns", count(lit(1)).over(wSn).cast("long"))
+      .withColumn("rank_ppm", when(col("_ns") === 1, lit(500000L))
+        .otherwise(expr("1000000L * (_rn - 1) div (_ns - 1)")))
+    val wG = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_gv"), col("_gid"))
+    val glob = df
+      .select(col(valueCol).cast("long").as("_gv"), col(idCol).as("_gid"))
+      .withColumn("_grn", row_number().over(wG).cast("long"))
+      .withColumn("_gnext", lead(col("_gv"), 1).over(wG))
+    val ng = df.agg(count(lit(1)).cast("long").as("_ng"))
+    src.crossJoin(broadcast(ng))
+      .withColumn("_posNum", expr("1000000L + (_ng - 1) * rank_ppm"))
+      .withColumn("_fpos", expr("_posNum div 1000000L"))
+      .withColumn("_frac", expr("_posNum % 1000000L"))
+      .join(glob, col("_fpos") === col("_grn"))
+      .select(col(idCol), col(groupCol), col("_v").as(valueCol),
+        col("rank_ppm"),
+        (col("_gv").cast("double") +
+          (col("_frac").cast("double") / 1000000.0) *
+          (coalesce(col("_gnext"), col("_gv")).cast("double") -
+            col("_gv").cast("double"))).as("norm"))
+  }
+
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(0 <= lo && lo < hi && hi <= 1, s"bad quantiles [$lo,$hi]")

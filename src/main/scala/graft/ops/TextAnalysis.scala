@@ -235,6 +235,49 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Vocabulary coverage curve — what fraction of corpus token
+    * OCCURRENCES the top-k most frequent words cover, for each requested
+    * k: the vocabulary-size selection diagnostic for tokenizer training
+    * ("32k types cover 99.3% of running text; 100k buys 0.4% more").
+    * Exact ppm by floor division.
+    *
+    * Shape at 100 TB: one corpus tokenize → the token-count aggregate
+    * (map-side combined) collapses the corpus to a VOCAB-sized relation;
+    * the global rank/running-sum window then runs over that relation —
+    * a single-partition sort of the vocabulary, not the corpus (Heaps'
+    * law: ~millions of types for terabytes of text, well inside one
+    * executor). The ks and the one-row total broadcast.
+    *
+    * Output: (k, vocab_n, total, covered_ppm, kth_count) — one row per
+    * requested k, where kth_count is the count of the least-frequent
+    * word inside the top-k (ties broken lexicographically, pinned).
+    * k beyond the vocabulary clamps to full coverage.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int],
+                    textCol: String = "text"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    require(ks.distinct.size == ks.size, s"duplicate ks: $ks")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+    val ranked = counts.select(col("c"),
+      row_number().over(ord).cast("long").as("rank"),
+      sum(col("c")).over(ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .as("cum"))
+    val tot = counts.agg(sum("c").as("total"),
+      count(lit(1)).as("vocab_n"))
+    val ksDf = ks.map(_.toLong).toDF("k")
+    ranked.crossJoin(broadcast(tot))
+      .join(broadcast(ksDf), col("rank") === least(col("k"), col("vocab_n")))
+      .select(col("k"), col("vocab_n"), col("total"),
+        expr("1000000L * cum div total").as("covered_ppm"),
+        col("c").as("kth_count"))
+  }
+
   /** Per-document top-`k` terms by a TF-IDF-style score. The idf factor is
     * the RATIONAL `n_docs / df` (score = tf * n_docs / df) rather than the
     * textbook `ln(n/df)` — ln is order-preserving, so the per-doc ranking

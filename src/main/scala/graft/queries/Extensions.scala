@@ -2644,11 +2644,174 @@ object Extensions {
         t(s, dir, "events"), "user_id", "ts", "event_id", "value")
       .orderBy("user_id"))
 
+  private val q151 = Q("q151_vocab_coverage",
+    "vocabulary coverage curve (tokenizer vocab-size selection): exact " +
+      "ppm of corpus token occurrences covered by the top-k frequent " +
+      "words for k in {10,100,1000}; the rank/running-sum window runs " +
+      "over the VOCAB-sized count relation (never the corpus), totals " +
+      "and ks broadcast",
+    Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      c AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+      r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank,
+                   sum(c) OVER (ORDER BY c DESC, w
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM c),
+      t AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS vocab_n
+            FROM c)
+      SELECT CAST(k AS BIGINT) AS k, vocab_n, total,
+             CAST(1000000 * cum // total AS BIGINT) AS covered_ppm,
+             CAST(c AS BIGINT) AS kth_count
+      FROM (VALUES (10), (100), (1000)) ks(k), r, t
+      WHERE r.rank = least(ks.k, t.vocab_n)
+      ORDER BY k"""),
+    (s, dir) => TextAnalysis.vocabCoverage(
+        t(s, dir, "documents"), Seq(10, 100, 1000))
+      .orderBy("k"))
+
+  private val q152 = Q("q152_corr_pairs",
+    "pairwise Pearson correlation over the four lineitem measures from " +
+      "EXACT integer parts (cents, DECIMAL(38,0) sums — no float " +
+      "accumulation, no int64 overflow at scale) with ONE fixed-shape " +
+      "IEEE expression per pair; ONE scan, ONE aggregate for all sums + " +
+      "cross products, stack-unpivoted — the feature-redundancy screen",
+    Some("""
+      WITH c AS (SELECT
+        CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS cq,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ce,
+        CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS cd,
+        CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS ct
+        FROM lineitem),
+      s AS (SELECT count(*) AS n,
+        sum(cq) sq, sum(ce) se, sum(cd) sd, sum(ct) st,
+        sum(cq*cq) qq, sum(ce*ce) ee, sum(cd*cd) dd, sum(ct*ct) tt,
+        sum(cq*ce) pqe, sum(cq*cd) pqd, sum(cq*ct) pqt,
+        sum(ce*cd) ped, sum(ce*ct) pet, sum(cd*ct) pdt
+        FROM c)
+      SELECT * FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               CAST(n AS BIGINT) AS n,
+               CAST(n*pqe - sq*se AS DOUBLE)
+                 / (sqrt(CAST(n*qq - sq*sq AS DOUBLE))
+                    * sqrt(CAST(n*ee - se*se AS DOUBLE))) AS corr FROM s
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+               CAST(n*pqd - sq*sd AS DOUBLE)
+                 / (sqrt(CAST(n*qq - sq*sq AS DOUBLE))
+                    * sqrt(CAST(n*dd - sd*sd AS DOUBLE))) FROM s
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax', CAST(n AS BIGINT),
+               CAST(n*pqt - sq*st AS DOUBLE)
+                 / (sqrt(CAST(n*qq - sq*sq AS DOUBLE))
+                    * sqrt(CAST(n*tt - st*st AS DOUBLE))) FROM s
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+               CAST(n*ped - se*sd AS DOUBLE)
+                 / (sqrt(CAST(n*ee - se*se AS DOUBLE))
+                    * sqrt(CAST(n*dd - sd*sd AS DOUBLE))) FROM s
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax', CAST(n AS BIGINT),
+               CAST(n*pet - se*st AS DOUBLE)
+                 / (sqrt(CAST(n*ee - se*se AS DOUBLE))
+                    * sqrt(CAST(n*tt - st*st AS DOUBLE))) FROM s
+        UNION ALL
+        SELECT 'l_discount', 'l_tax', CAST(n AS BIGINT),
+               CAST(n*pdt - sd*st AS DOUBLE)
+                 / (sqrt(CAST(n*dd - sd*sd AS DOUBLE))
+                    * sqrt(CAST(n*tt - st*st AS DOUBLE))) FROM s
+      ) ORDER BY col_a, col_b"""),
+    (s, dir) => Profile.corrPairs(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_a", "col_b"))
+
+  private val q153 = Q("q153_quantile_normalize",
+    "cross-source quantile normalization: each doc's length maps to its " +
+      "within-source rank (exact ppm) and then to the GLOBAL length at " +
+      "that rank fraction (exact interpolated order statistic held as " +
+      "integer floor-position + frac-ppm; one final fixed-shape IEEE " +
+      "interpolation) — score calibration so one threshold compares " +
+      "across sources; group window + global window + ONE equi-join",
+    Some("""
+      WITH s AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS ns
+                 FROM documents),
+      r AS (SELECT source, doc_id, v,
+              CASE WHEN ns = 1 THEN 500000
+                   ELSE 1000000 * (rn - 1) // (ns - 1) END AS rank_ppm
+            FROM s),
+      g AS (SELECT CAST(n_chars AS BIGINT) AS gv,
+              row_number() OVER (ORDER BY n_chars, doc_id) AS grn,
+              lead(CAST(n_chars AS BIGINT))
+                OVER (ORDER BY n_chars, doc_id) AS gnext
+            FROM documents),
+      t AS (SELECT count(*) AS ng FROM documents),
+      j AS (SELECT r.*,
+              (1000000 + (t.ng - 1) * r.rank_ppm) // 1000000 AS fpos,
+              (1000000 + (t.ng - 1) * r.rank_ppm) % 1000000 AS frac
+            FROM r, t)
+      SELECT j.doc_id, j.source, j.v AS n_chars,
+             CAST(j.rank_ppm AS BIGINT) AS rank_ppm,
+             CAST(g.gv AS DOUBLE) + (CAST(j.frac AS DOUBLE) / 1000000.0)
+               * (CAST(coalesce(g.gnext, g.gv) AS DOUBLE)
+                  - CAST(g.gv AS DOUBLE)) AS norm
+      FROM j JOIN g ON j.fpos = g.grn
+      ORDER BY doc_id"""),
+    (s, dir) => Profile.quantileNormalize(
+        t(s, dir, "documents"), "source", "n_chars", "doc_id")
+      .orderBy("doc_id"))
+
+  private val q154 = Q("q154_keep_best_in_cluster",
+    "quality-aware near-dup removal: connected components over the " +
+      "BLOCKED SimHash pair graph (q69's sub-quadratic candidates), " +
+      "then keep the LONGEST member of each duplicate family " +
+      "(n_chars desc, id-tiebroken) — dedup-by-quality, the curation " +
+      "policy min-id canonicalization can't express; singletons always " +
+      "survive; one LEFT join + one cluster-partitioned window",
+    Some("""
+      WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wh AS (SELECT doc_id, CAST('0x' || substr(sha256(w), 1, 15) AS BIGINT) AS wh FROM wds),
+      votes AS (SELECT doc_id, b,
+                SUM(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM wh CROSS JOIN generate_series(0, 31) t(b) GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b
+                  ON (a.simhash >> 28) = (b.simhash >> 28) AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        WITH RECURSIVE r(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN r ON e.dst = r.node)
+        SELECT node, min(lab) AS canonical_id FROM r GROUP BY node),
+      base AS (SELECT d.doc_id, d.n_chars,
+                      coalesce(r.canonical_id, d.doc_id) AS cluster
+               FROM documents d LEFT JOIN reach r ON d.doc_id = r.node)
+      SELECT doc_id, cluster, n_chars,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, doc_id) = 1 AS keep
+      FROM base ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.simHash(docs, "doc_id", "text", bits = 32)
+      val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2,
+        blockBits = 4)
+      Dedup.keepBestInCluster(docs, pairs, "doc_id", "n_chars")
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
     q80, q81, q82, q83, q85, q86, q87, q91, q92, q93, q100, q106, q112,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
-    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
+    q151, q152, q153, q154)
 }

@@ -548,6 +548,23 @@ class DedupSimilaritySpec extends SparkSpec {
         scale = 1e9))
   }
 
+  test("keepBestInCluster: score argmax with id tiebreak; singletons survive") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.keepBestInCluster(docs, pairs, "doc_id", "score")
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toList
+    assert(got == List(
+      (1L, 1L, 5L, false),
+      (2L, 1L, 9L, true),    // ties on score=9 break to the lower id
+      (3L, 1L, 9L, false),
+      (4L, 4L, 7L, true)))   // unpaired doc is its own cluster
+    // exactly one keeper per cluster
+    val keepers = got.filter(_._4).map(_._2)
+    assert(keepers == keepers.distinct)
+  }
+
   test("boilerplateSpans: distinct-doc threshold, within-doc repeats count occurrences only") {
     // "foo" is in docs 1,2,3 (doc 3 twice → 4 occurrences, 3 docs);
     // "X"/"Y"/"Z" are singletons and must not surface

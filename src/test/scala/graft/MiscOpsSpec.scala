@@ -554,6 +554,21 @@ class TextOpsSpec extends SparkSpec {
       (2L, 2L, 750000L, 500000L)))   // doc 3 has no bigrams → absent
   }
 
+  test("vocabCoverage: hand curve, lexicographic ties, k clamps to vocab") {
+    // counts: a=3, b=2, c=1 (total 6, vocab 3)
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.vocabCoverage(docs, Seq(1, 2, 10))
+      .orderBy("k").as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 3L, 6L, 500000L, 3L),     // top-1 = a → 3/6
+      (2L, 3L, 6L, 833333L, 2L),     // +b → 5/6
+      (10L, 3L, 6L, 1000000L, 1L)))  // clamps to full vocab
+    intercept[IllegalArgumentException](
+      graft.ops.TextAnalysis.vocabCoverage(docs, Nil))
+    intercept[IllegalArgumentException](
+      graft.ops.TextAnalysis.vocabCoverage(docs, Seq(1, 1)))
+  }
+
   test("bigramLmScore separates word salad from structured text") {
     // structured docs repeat the same transitions; salad doc uses the same
     // VOCABULARY but each of its transitions is corpus-unique
@@ -824,6 +839,48 @@ class ProfileSpec extends SparkSpec {
     val got = Profile.giniPpm(df, "g", "x", "id")
       .orderBy("g").as[(String, Long, Long, Long)].collect().toList
     assert(got == List(("h", 2L, 10L, 400000L), ("u", 3L, 15L, 0L)))
+  }
+
+  test("corrPairs: exact ±1 on linear columns, null on zero variance") {
+    val df = Seq((1.0, 2.0, 6.0, 7.0), (2.0, 4.0, 4.0, 7.0),
+      (3.0, 6.0, 2.0, 7.0)).toDF("a", "b", "c", "k")
+    val got = Profile.corrPairs(df, Seq("a", "b", "c", "k"))
+      .orderBy("col_a", "col_b")
+      .as[(String, String, Long, Option[Double])].collect().toList
+    val m = got.map(r => (r._1, r._2) -> r._4).toMap
+    // the sqrt pair is irrational → 1.0 only to rounding (still
+    // bit-deterministic — the oracle gate q152 pins the exact bits)
+    assert(math.abs(m(("a", "b")).get - 1.0) < 1e-12)    // b = 2a
+    assert(math.abs(m(("a", "c")).get + 1.0) < 1e-12)    // c = 8 - 2a
+    assert(m(("a", "k")).isEmpty, "constant column must yield null corr")
+    assert(got.forall(_._3 == 3L))
+    intercept[IllegalArgumentException](Profile.corrPairs(df, Seq("a")))
+    intercept[IllegalArgumentException](Profile.corrPairs(df, Seq("a", "a")))
+  }
+
+  test("quantileNormalize: single group is the identity map") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L))
+      .toDF("src", "id", "v")
+    val got = Profile.quantileNormalize(df, "src", "v", "id")
+      .orderBy("id").as[(Long, String, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, "g", 10L, 0L, 10.0),
+      (2L, "g", 20L, 500000L, 20.0),
+      (3L, "g", 30L, 1000000L, 30.0)))
+  }
+
+  test("quantileNormalize: hand interpolation + singleton group pins to median") {
+    // global sorted: 10,20,30,40; g1 ranks 0/500000/1000000 → 10/25/40;
+    // singleton g2 pins to rank 500000 → 25
+    val df = Seq(("g1", 1L, 10L), ("g1", 2L, 20L), ("g1", 3L, 40L),
+      ("g2", 4L, 30L)).toDF("src", "id", "v")
+    val got = Profile.quantileNormalize(df, "src", "v", "id")
+      .orderBy("id").as[(Long, String, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, "g1", 10L, 0L, 10.0),
+      (2L, "g1", 20L, 500000L, 25.0),
+      (3L, "g1", 40L, 1000000L, 40.0),
+      (4L, "g2", 30L, 500000L, 25.0)))
   }
 
   test("fkAudit: null fks are not orphans, duplicate parent keys don't multiply") {
