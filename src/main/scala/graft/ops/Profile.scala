@@ -298,6 +298,51 @@ object Profile {
       })
   }
 
+  /** Per-group Spearman rank correlation — [[corrPairs]]'s robust sibling:
+    * invariant under any monotone transform of either column, so it
+    * detects "longer docs score higher" relationships a Pearson on raw
+    * values understates under heavy tails. Ranks are `row_number` over
+    * (value, tieCols) — deterministic dense total order, NOT average
+    * ranks (tie policy pinned by the tie columns; with real-valued
+    * measures ties are rare and the id tiebreak makes the result
+    * engine-portable). ρ = 1 − 6Σd²/(n(n²−1)) with Σd² an exact
+    * DECIMAL(38,0) sum and ONE trailing IEEE division; groups of size 1
+    * yield null.
+    *
+    * Shape at 100 TB: both rank windows share the group hash partitioning
+    * (one exchange, two in-partition sorts), then one aggregate on the
+    * same key. No global sort — the grouped form scales where a
+    * whole-table Spearman would not.
+    *
+    * Output: (group, n, rho DOUBLE), unordered.
+    */
+  def spearmanByGroup(df: DataFrame, groupCol: String, aCol: String,
+                      bCol: String, tieCols: Seq[String]): DataFrame = {
+    require(tieCols.nonEmpty, "tieCols must pin a deterministic order")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy((col(aCol) +: tieCols.map(col)): _*)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy((col(bCol) +: tieCols.map(col)): _*)
+    df.select((Seq(groupCol, aCol, bCol) ++ tieCols).distinct.map(col): _*)
+      .withColumn("_rx", row_number().over(wA).cast("long"))
+      .withColumn("_ry", row_number().over(wB).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(((col("_rx") - col("_ry")) * (col("_rx") - col("_ry")))
+          .cast(dec)).as("_sd2"))
+      .select(col(groupCol), col("n"), {
+        val nd = col("n").cast(dec)
+        val denom = (nd * (nd * nd - 1)).cast("double")
+        when(col("n") <= 1, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            (lit(6).cast(dec) * col("_sd2")).cast("double") / denom)
+          .as("rho")
+      })
+  }
+
   /** Cross-source quantile normalization — map each group's score
     * distribution onto the GLOBAL distribution so thresholds compare
     * across sources (a length-900 doc can be p90 for web text but p10

@@ -278,6 +278,53 @@ object TextAnalysis {
         col("c").as("kth_count"))
   }
 
+  /** Distinctive terms per source — the "what does this source talk about
+    * that the corpus doesn't" diagnostic (log-odds-style lift, kept
+    * rational): for each (source, word) with at least `minCount`
+    * in-source occurrences, lift_ppm = 10⁶ · tf_s·total div (tf·total_s)
+    * — the in-source rate over the corpus rate as ONE exact
+    * cross-multiplied floor division (no per-side rounding, no logs);
+    * top-k per source by (lift desc, word).
+    *
+    * Overflow bound: tf_s·total and tf·total_s must fit int64 — holds
+    * through ~3·10⁹-token corpora at 10⁶-scale ppm; beyond that switch
+    * the two products to DECIMAL(38,0) (the q152 discipline).
+    *
+    * Shape at 100 TB: one corpus tokenize → the (source, word) aggregate;
+    * word totals and source totals RE-aggregate that relation (no second
+    * scan); the word-total join is planner-chosen (vocabulary-sized), the
+    * source totals and corpus total broadcast; top-k is one
+    * source-partitioned window over the lift relation.
+    *
+    * Output: (source, w, tf_s, tf, lift_ppm, rank 1..k), unordered.
+    */
+  def distinctiveTerms(docs: DataFrame, sourceCol: String = "source",
+                       textCol: String = "text", k: Int = 5,
+                       minCount: Long = 3L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = docs.select(col(sourceCol),
+      explode(split(col(textCol), " ")).as("w"))
+    val perSW = toks.groupBy(col(sourceCol), col("w"))
+      .agg(count(lit(1)).as("tf_s"))
+    val perW = perSW.groupBy("w").agg(sum("tf_s").as("tf"))
+    val perS = perSW.groupBy(sourceCol).agg(sum("tf_s").as("total_s"))
+    val tot = perW.agg(sum("tf").as("total"))
+    val lifted = perSW
+      .filter(col("tf_s") >= minCount)
+      .join(perW, "w")
+      .join(broadcast(perS), sourceCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_ppm",
+        expr("1000000L * tf_s * total div (tf * total_s)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("lift_ppm").desc, col("w"))
+    lifted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(sourceCol), col("w"), col("tf_s"), col("tf"),
+        col("lift_ppm"), col("rank"))
+  }
+
   /** Per-document top-`k` terms by a TF-IDF-style score. The idf factor is
     * the RATIONAL `n_docs / df` (score = tf * n_docs / df) rather than the
     * textbook `ln(n/df)` — ln is order-preserving, so the per-doc ranking

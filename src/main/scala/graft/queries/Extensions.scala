@@ -2806,6 +2806,64 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q155 = Q("q155_distinctive_terms",
+    "distinctive terms per source (rational log-odds lift): for words " +
+      "with >= 3 in-source occurrences, lift_ppm = 10^6*tf_s*total div " +
+      "(tf*total_s) as ONE exact cross-multiplied floor division; top-5 " +
+      "per source by (lift desc, word) — the 'what does this source talk " +
+      "about' diagnostic; word/source totals re-aggregate the (source, " +
+      "word) relation, no second corpus scan",
+    Some("""
+      WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+      sw AS (SELECT source, w, count(*) AS tf_s FROM toks GROUP BY 1, 2),
+      wt AS (SELECT w, CAST(sum(tf_s) AS BIGINT) AS tf FROM sw GROUP BY 1),
+      st AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS total_s
+             FROM sw GROUP BY 1),
+      t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM wt),
+      j AS (SELECT sw.source, sw.w, sw.tf_s, wt.tf,
+              CAST(1000000 * sw.tf_s * t.total
+                   // (wt.tf * st.total_s) AS BIGINT) AS lift_ppm
+            FROM sw
+            JOIN wt ON sw.w = wt.w
+            JOIN st ON sw.source = st.source
+            CROSS JOIN t
+            WHERE sw.tf_s >= 3),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY lift_ppm DESC, w) AS rank FROM j)
+      SELECT source, w, tf_s, tf, lift_ppm, rank
+      FROM r WHERE rank <= 5 ORDER BY source, rank"""),
+    (s, dir) => TextAnalysis.distinctiveTerms(
+        t(s, dir, "documents"), k = 5, minCount = 3L)
+      .orderBy("source", "rank"))
+
+  private val q156 = Q("q156_spearman_by_group",
+    "per-event-type Spearman rank correlation of value vs event time " +
+      "(does the metric trend over time?) — corrPairs' monotone-" +
+      "invariant sibling: row_number ranks tiebroken by the UNIQUE " +
+      "event_id (the total-order contract; lineitem's (orderkey, " +
+      "linenumber) is NOT unique in this testdata, so identical rows " +
+      "would swap ranks between engines), exact DECIMAL(38,0) sum of " +
+      "squared rank differences, ONE trailing IEEE division; both rank " +
+      "windows share one group exchange",
+    Some("""
+      WITH r AS (SELECT event_type AS g,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS rx,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY ts, event_id) AS ry
+        FROM events)
+      SELECT g, count(*) AS n,
+             1.0 - CAST(6 * sum((rx - ry) * (rx - ry)) AS DOUBLE)
+               / CAST(CAST(count(*) AS HUGEINT)
+                      * (CAST(count(*) AS HUGEINT) * count(*) - 1)
+                      AS DOUBLE) AS rho
+      FROM r GROUP BY g ORDER BY g"""),
+    (s, dir) => Profile.spearmanByGroup(
+        t(s, dir, "events").withColumn("g", col("event_type")),
+        "g", "value", "ts", Seq("event_id"))
+      .orderBy("g"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -2813,5 +2871,5 @@ object Extensions {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154)
+    q151, q152, q153, q154, q155, q156)
 }

@@ -577,6 +577,40 @@ object Pipeline {
         .orderBy("device_type")
     })
 
+  private val q157 = Q("q157_streaming_enrich",
+    "§2.9 stream-static enrichment: the event stream joins the STATIC " +
+      "customer dimension (re-read and broadcast per micro-batch — the " +
+      "slowly-changing-lookup posture; no state store involved for the " +
+      "join side) and aggregates exact cents per market segment; " +
+      "AvailableNow drain ≡ the batch join the oracle runs",
+    Some("""
+      SELECT c.c_mktsegment, count(*) AS n_events,
+             CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS sum_cents
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1 ORDER BY c_mktsegment"""),
+    (s, dir) => {
+      val cp = java.nio.file.Files.createTempDirectory("graft-q157-cp").toString
+      val dim = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventsStream(s, dir)
+        .select(col("user_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      val name = "q157_out_" + math.abs(cp.hashCode).toString
+      withStreamStatePartitions(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).orderBy("c_mktsegment")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130, q134)
+    q129, q130, q134, q157)
 }

@@ -569,6 +569,19 @@ class TextOpsSpec extends SparkSpec {
       graft.ops.TextAnalysis.vocabCoverage(docs, Seq(1, 1)))
   }
 
+  test("distinctiveTerms: exact cross-multiplied lift, minCount filter, per-source rank") {
+    // totals: s1=4, s2=5, corpus=9; tf: apple=3, banana=3, cherry=3
+    val docs = Seq(
+      ("s1", "apple apple apple banana"),
+      ("s2", "cherry cherry cherry banana banana")).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.distinctiveTerms(docs, k = 5, minCount = 3L)
+      .orderBy("source", "rank")
+      .as[(String, String, Long, Long, Long, Int)].collect().toList
+    assert(got == List(
+      ("s1", "apple", 3L, 3L, 2250000L, 1),    // 1e6·3·9 div (3·4)
+      ("s2", "cherry", 3L, 3L, 1800000L, 1)))  // 1e6·3·9 div (3·5)
+  }
+
   test("bigramLmScore separates word salad from structured text") {
     // structured docs repeat the same transitions; salad doc uses the same
     // VOCABULARY but each of its transitions is corpus-unique
@@ -856,6 +869,22 @@ class ProfileSpec extends SparkSpec {
     assert(got.forall(_._3 == 3L))
     intercept[IllegalArgumentException](Profile.corrPairs(df, Seq("a")))
     intercept[IllegalArgumentException](Profile.corrPairs(df, Seq("a", "a")))
+  }
+
+  test("spearmanByGroup: hand rho, monotone = 1, singleton = null") {
+    // g: ranks rx=(1,2,3), ry=(1,3,2) → Σd²=2 → ρ = 1 − 12/24 = 0.5
+    val df = Seq(("g", 1.0, 10.0, 1L), ("g", 2.0, 30.0, 2L),
+      ("g", 3.0, 20.0, 3L),
+      ("m", 1.0, 5.0, 1L), ("m", 2.0, 6.0, 2L),   // monotone → 1.0
+      ("x", 9.0, 9.0, 1L)).toDF("g", "a", "b", "id")
+    val got = Profile.spearmanByGroup(df, "g", "a", "b", Seq("id"))
+      .orderBy("g").as[(String, Long, Option[Double])].collect().toList
+    assert(got == List(
+      ("g", 3L, Some(0.5)),
+      ("m", 2L, Some(1.0)),
+      ("x", 1L, None)))
+    intercept[IllegalArgumentException](
+      Profile.spearmanByGroup(df, "g", "a", "b", Nil))
   }
 
   test("quantileNormalize: single group is the identity map") {

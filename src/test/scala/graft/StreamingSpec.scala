@@ -192,6 +192,55 @@ class StreamingSpec extends SparkSpec {
     assert(r2("D1") == ((3L, "2024-01-01 12:00:00")))
   }
 
+  test("trackEwma folds across runs and agrees with the batch operator") {
+    val base = Files.createTempDirectory("graft-ewma").toString
+    def writeBatch(rows: Seq[(String, String, Long, Long)]): Unit =
+      rows.toDF("k", "s", "tie", "cents")
+        .withColumn("ts", $"s".cast("timestamp")).drop("s")
+        .select("k", "ts", "tie", "cents")
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+    def runOnce(): Map[String, (Long, Long)] = {
+      val stream = spark.readStream.schema(
+        StructType(Seq(StructField("k", StringType),
+          StructField("ts", TimestampType), StructField("tie", LongType),
+          StructField("cents", LongType)))).parquet(s"$base/src")
+        .as[(String, java.sql.Timestamp, Long, Long)]
+      val tracked = graft.streaming.StatefulTracking.trackEwma(spark, stream)
+      val emitted = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val q = tracked.toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.collect().foreach(r => emitted.synchronized {
+            emitted(r.getString(0)) = (r.getLong(1), r.getLong(2))
+          })
+          ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      emitted.toMap
+    }
+    // 100 → (300+200)/4=125 → (375+300)/4=168
+    writeBatch(Seq(("U1", "2024-01-01 10:00:00", 1L, 100L),
+      ("U1", "2024-01-01 10:01:00", 2L, 200L),
+      ("U1", "2024-01-01 10:02:00", 3L, 300L)))
+    assert(runOnce()("U1") == ((3L, 168L)))
+    // second run resumes from checkpoint state: (3*168+400)/4 = 226
+    writeBatch(Seq(("U1", "2024-01-01 10:03:00", 4L, 400L)))
+    assert(runOnce()("U1") == ((4L, 226L)))
+    // the batch operator over the SAME four events lands on the same value
+    val all = Seq(("U1", "2024-01-01 10:00:00", 1L, 1.00),
+      ("U1", "2024-01-01 10:01:00", 2L, 2.00),
+      ("U1", "2024-01-01 10:02:00", 3L, 3.00),
+      ("U1", "2024-01-01 10:03:00", 4L, 4.00))
+      .toDF("k", "s", "tie", "value")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val batch = graft.ops.EventAnalytics
+      .ewmaCents(all, "k", "ts", "tie", "value")
+      .select("ewma_cents").as[Long].collect().toSeq
+    assert(batch == Seq(226L))
+  }
+
   test("session windows group activity by gap per device") {
     val base = Files.createTempDirectory("graft-sess").toString
     Seq(("DEV-1", "2021-11-29 08:00:00"), ("DEV-1", "2021-11-29 08:20:00"),
