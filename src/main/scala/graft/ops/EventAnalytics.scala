@@ -140,6 +140,40 @@ object EventAnalytics {
           .as("ewma_cents"))
   }
 
+  /** Run-length collapse of per-key event streams: consecutive events with
+    * the same `valCol` (in (ts, tie) timeline order) fold into one row —
+    * the event-compression / CDC-style "only keep changes" primitive
+    * (sensor streams and heartbeats shrink by orders of magnitude; the
+    * reconstruction is lossless given run lengths and first ids).
+    *
+    * Shape at 100 TB: ONE key shuffle — the lag compare, the running-sum
+    * run numbering, and the per-run aggregate all ride the same
+    * key-partitioned window/groupBy.
+    *
+    * Output: (keyCol, valCol, run_seq 1-based per key, first_tie,
+    * n_in_run), unordered.
+    */
+  def runLength(events: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val run = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(valCol))
+      .withColumn("_chg",
+        when(lag(col(valCol), 1).over(seq) <=> col(valCol), 0L).otherwise(1L))
+      .withColumn("run_seq", sum(col("_chg")).over(run))
+      .groupBy(col(keyCol), col("run_seq"))
+      // every run has exactly one run-opening row (_chg = 1); its tie id
+      // is the run's temporal start even when tie ids aren't time-ordered
+      .agg(first(col(valCol)).as(valCol),
+        max(when(col("_chg") === 1L, col(tieCol))).as("first_tie"),
+        count(lit(1)).as("n_in_run"))
+      .select(col(keyCol), col(valCol), col("run_seq"), col("first_tie"),
+        col("n_in_run"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 offsets: Seq[Int]): DataFrame = {
     require(offsets.nonEmpty, "offsets must be non-empty")

@@ -298,6 +298,34 @@ object Profile {
       })
   }
 
+  /** Per-group exact weighted median (lower weighted median: the smallest
+    * value whose cumulative weight reaches half the total, 2·cum ≥ total
+    * in pure integers) — "the doc length below which half the corpus
+    * TOKEN MASS sits", vs the row-median that treats a 10-token and a
+    * 10k-token doc equally. All-integer rule: engine-portable, no
+    * interpolation.
+    *
+    * Shape at 100 TB: ONE group window (running weight over the
+    * deterministic (value, id) order) + the per-group aggregate on the
+    * same key.
+    *
+    * Output: (group, n, total_w, w_median), unordered.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_v"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(groupCol), col(valueCol).cast("long").as("_v"),
+        col(weightCol).cast("long").as("_w"), col(idCol))
+      .withColumn("_cum", sum(col("_w")).over(w))
+      .withColumn("_tot", sum(col("_w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("_tot")).as("total_w"),
+        min(when(col("_cum") * 2 >= col("_tot"), col("_v"))).as("w_median"))
+  }
+
   /** Per-group Spearman rank correlation — [[corrPairs]]'s robust sibling:
     * invariant under any monotone transform of either column, so it
     * detects "longer docs score higher" relationships a Pearson on raw

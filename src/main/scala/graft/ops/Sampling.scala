@@ -47,6 +47,37 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, percent: Int): DataFrame =
     df.filter(hashBucket(key, 100) < percent)
 
+  /** EXACT-count stratified holdout: per group, EXACTLY
+    * floor(n·num/den) rows go to the holdout, chosen by the shared
+    * deterministic hash order (salted, id-tiebroken) — where
+    * [[hashSplit]] gives each row an independent p% chance (so a small
+    * stratum's realized fraction wanders), this pins the per-stratum
+    * COUNT, which eval-set construction usually requires ("exactly 10%
+    * of every language"). Same rows every run and every engine.
+    *
+    * Shape at 100 TB: ONE group-partitioned window (rank by hash) with
+    * the group-count window sharing the key; row-local threshold filter.
+    *
+    * Output: input keyCols + (groupCol, split 'holdout'|'train').
+    */
+  def exactStratifiedSplit(df: DataFrame, groupCol: String, idCol: String,
+                           num: Int, den: Int,
+                           salt: String = "strat"): DataFrame = {
+    require(num >= 1 && num < den, s"need 0 < num/den < 1, got $num/$den")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_h"), col(idCol))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    df.withColumn("_h",
+        TextFns.hash64(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wN).cast("long"))
+      .withColumn("split",
+        when(col("_rn") <= expr(s"_n * ${num}L div ${den}L"), lit("holdout"))
+          .otherwise(lit("train")))
+      .drop("_h", "_rn", "_n")
+  }
+
   /** Weighted sampling WITHOUT replacement, k rows, inclusion probability
     * proportional to `weight` — Efraimidis–Spirakis A-ES: each row draws
     * u in (0,1) and the k largest u^(1/w) win. The draw is the shared

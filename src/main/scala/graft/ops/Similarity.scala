@@ -55,6 +55,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Mutual-kNN pair mining: pairs where EACH vector is in the other's
+    * cosine top-k (self excluded) — the reciprocity filter that turns a
+    * directed kNN list into the high-precision edge set semantic-dedup
+    * and clustering pipelines build on (a one-way neighbor is often just
+    * a hub; a mutual pair is evidence of a genuine local neighborhood).
+    *
+    * Querying top-(k+1) then dropping self and re-ranking guarantees the
+    * true non-self top-k even when duplicate embeddings tie at cosine
+    * 1.0 ahead of the self match.
+    *
+    * Output: (a, b, cosine) with a < b, one row per mutual pair.
+    *
+    * Shape at 100 TB: inherits [[bruteForceTopK]]'s posture (exact
+    * contrast; the LSH/IVF variants are the scale path for the kNN
+    * lists); the mutual join itself is cheap — two copies of the
+    * (n·k)-sized list equi-joined on the swapped id pair.
+    */
+  def mutualTopK(embs: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank"))
+    val tk = bruteForceTopK(embs, embs, idCol, vecCol, k + 1)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("_rk2", row_number().over(wq))
+      .filter(col("_rk2") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    tk.as("x").join(tk.as("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+        col("x.neighbor_id") === col("y.query_id"))
+      .filter(col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("a"), col("x.neighbor_id").as("b"),
+        col("x.cosine").as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane b, dim i,
     * 1-based): integer in [-1000, 1000], derived from the shared
     * sha256-based hash so the DuckDB oracle reproduces it exactly.

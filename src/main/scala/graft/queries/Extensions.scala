@@ -2864,6 +2864,107 @@ object Extensions {
         "g", "value", "ts", Seq("event_id"))
       .orderBy("g"))
 
+  private val q158 = Q("q158_exact_stratified_split",
+    "EXACT-count stratified holdout: per source, exactly floor(n/10) " +
+      "docs (hash-ordered, salted, id-tiebroken) — where the per-row " +
+      "hash split's realized fraction wanders on small strata, this " +
+      "pins the per-stratum COUNT; one group window, row-local filter",
+    Some("""
+      WITH h AS (SELECT source, doc_id,
+              CAST('0x' || substr(sha256('strat:' || CAST(doc_id AS VARCHAR)),
+                   1, 15) AS BIGINT) AS hh
+              FROM documents),
+      r AS (SELECT source, doc_id,
+              row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn,
+              count(*) OVER (PARTITION BY source) AS n
+            FROM h)
+      SELECT source, doc_id,
+             CASE WHEN rn <= n * 1 // 10 THEN 'holdout' ELSE 'train' END AS split
+      FROM r ORDER BY doc_id"""),
+    (s, dir) => Sampling.exactStratifiedSplit(
+        t(s, dir, "documents").select("source", "doc_id"),
+        "source", "doc_id", num = 1, den = 10)
+      .orderBy("doc_id"))
+
+  private val q159 = Q("q159_mutual_knn",
+    "mutual-kNN pair mining (vec_id < 100, k=5): pairs where EACH vector " +
+      "is in the other's cosine top-5 (self excluded via top-6 + " +
+      "re-rank) — the reciprocity filter that turns directed kNN lists " +
+      "into the high-precision edge set semantic clustering builds on; " +
+      "exact scaled-integer dots, mutual join over the (n*k)-sized lists",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings WHERE vec_id < 100),
+      dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(floor(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+               FROM el q JOIN el c ON q.i = c.i AND q.vec_id <> c.vec_id
+               GROUP BY 1, 2),
+      nrm AS (SELECT vec_id,
+              CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS n2s
+              FROM el GROUP BY 1),
+      cosv AS (SELECT query_id, neighbor_id,
+               CAST(d.dot_s AS DOUBLE) / (sqrt(CAST(nq.n2s AS DOUBLE)) * sqrt(CAST(nc.n2s AS DOUBLE))) AS cosine
+               FROM dots d JOIN nrm nq ON d.query_id = nq.vec_id
+                           JOIN nrm nc ON d.neighbor_id = nc.vec_id),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank FROM cosv),
+      tk AS (SELECT * FROM rk WHERE rank <= 5)
+      SELECT x.query_id AS a, x.neighbor_id AS b, x.cosine
+      FROM tk x JOIN tk y ON x.query_id = y.neighbor_id
+                         AND x.neighbor_id = y.query_id
+      WHERE x.query_id < x.neighbor_id
+      ORDER BY a, b"""),
+    (s, dir) => Similarity.mutualTopK(
+        t(s, dir, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding", k = 5)
+      .orderBy("a", "b"))
+
+  private val q160 = Q("q160_runlength_collapse",
+    "run-length collapse of per-user event streams: consecutive " +
+      "same-type events fold to one row (type, run_seq, opening " +
+      "event_id, length) — the event-compression / only-keep-changes " +
+      "primitive; lag compare + running-sum numbering + per-run " +
+      "aggregate all on ONE user-keyed shuffle",
+    Some("""
+      WITH s AS (SELECT user_id, ts, event_id, event_type,
+              CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id)
+                        IS NOT DISTINCT FROM event_type
+                   THEN 0 ELSE 1 END AS chg
+              FROM events),
+      r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_seq FROM s)
+      SELECT user_id, event_type, CAST(run_seq AS BIGINT) AS run_seq,
+             max(CASE WHEN chg = 1 THEN event_id END) AS first_tie,
+             count(*) AS n_in_run
+      FROM r GROUP BY user_id, event_type, run_seq
+      ORDER BY user_id, run_seq"""),
+    (s, dir) => EventAnalytics.runLength(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "run_seq"))
+
+  private val q161 = Q("q161_weighted_median",
+    "per-language exact weighted median doc length, weight = n_chars " +
+      "(the length below which half the corpus CHARACTER MASS sits — " +
+      "the row median treats a 10-char and 10k-char doc equally); " +
+      "all-integer lower-median rule 2*cum >= total, one group window",
+    Some("""
+      WITH s AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                        CAST(n_chars AS BIGINT) AS w, doc_id
+                 FROM documents),
+      c AS (SELECT *, sum(w) OVER (PARTITION BY lang ORDER BY v, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(w) OVER (PARTITION BY lang) AS tot FROM s)
+      SELECT lang, count(*) AS n, CAST(max(tot) AS BIGINT) AS total_w,
+             CAST(min(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT)
+               AS w_median
+      FROM c GROUP BY lang ORDER BY lang"""),
+    (s, dir) => Profile.weightedMedian(
+        t(s, dir, "documents"), "lang", "n_chars", "n_chars", "doc_id")
+      .orderBy("lang"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -2871,5 +2972,5 @@ object Extensions {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156)
+    q151, q152, q153, q154, q155, q156, q158, q159, q160, q161)
 }

@@ -548,6 +548,41 @@ class DedupSimilaritySpec extends SparkSpec {
         scale = 1e9))
   }
 
+  test("mutualTopK: reciprocity filter, self excluded, duplicate-tie robust") {
+    // v1≈v2 (mutual), v3 far from both but its top-k contains them while
+    // they prefer each other — with k=1, (1,2) is the only mutual pair.
+    // v4 duplicates v1: cosine-1.0 ties must not leak self pairs.
+    val embs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualTopK(embs, "vec_id", "embedding", k = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.forall(p => p._1 < p._2))
+    assert(got.forall(p => p._1 != p._2), "self pairs must never appear")
+    // v1 and v4 are identical → each other's top-1 → mutual
+    assert(got.contains((1L, 4L)))
+  }
+
+  test("exactStratifiedSplit pins the per-stratum holdout count exactly") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 37L).map(i => (if (i <= 30) "big" else "small", i))
+      .toDF("g", "id")
+    val got = graft.ops.Sampling.exactStratifiedSplit(df, "g", "id", 1, 10)
+    val counts = got.filter(col("split") === "holdout")
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("big", 0L) == 3L)     // floor(30/10)
+    assert(counts.getOrElse("small", 0L) == 0L)   // floor(7/10)
+    // deterministic: same rows every run
+    val again = graft.ops.Sampling.exactStratifiedSplit(df, "g", "id", 1, 10)
+      .filter(col("split") === "holdout").select("id").as[Long].collect().toSet
+    val first = got.filter(col("split") === "holdout")
+      .select("id").as[Long].collect().toSet
+    assert(again == first)
+    intercept[IllegalArgumentException](
+      graft.ops.Sampling.exactStratifiedSplit(df, "g", "id", 10, 10))
+  }
+
   test("keepBestInCluster: score argmax with id tiebreak; singletons survive") {
     import org.apache.spark.sql.functions.col
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L))

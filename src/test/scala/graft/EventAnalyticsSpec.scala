@@ -86,6 +86,26 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L)))  // user 3's cohort
   }
 
+  test("runLength: splits on change, survives unordered tie ids, null-safe values") {
+    // user 1 timeline: A A B A → runs (A,2) (B,1) (A,1); the second A-run's
+    // opening row has the LARGER event_id arriving earlier in time
+    val e = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "A"),
+      (1L, 2L, "2024-01-01 10:01:00", "A"),
+      (1L, 3L, "2024-01-01 10:02:00", "B"),
+      (1L, 9L, "2024-01-01 10:03:00", "A"),
+      (1L, 4L, "2024-01-01 10:04:00", "A"))   // id 4 AFTER id 9 in time
+      .toDF("user_id", "event_id", "s", "event_type")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val got = EventAnalytics.runLength(e, "user_id", "ts", "event_id", "event_type")
+      .orderBy("run_seq")
+      .as[(Long, String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, "A", 1L, 1L, 2L),
+      (1L, "B", 2L, 3L, 1L),
+      (1L, "A", 3L, 9L, 2L)))  // first_tie = 9, the temporal opener
+  }
+
   private def evv(rows: (Long, Long, String, Double)*) =
     rows.toDF("user_id", "event_id", "s", "value")
       .withColumn("ts", $"s".cast("timestamp")).drop("s")

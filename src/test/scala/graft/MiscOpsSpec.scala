@@ -871,6 +871,16 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.corrPairs(df, Seq("a", "a")))
   }
 
+  test("weightedMedian: lower-median rule, degenerate and uniform weights") {
+    // g: values 1,2,3 weights 1,1,4 → total 6, cum 1,2,6 → first 2cum>=6 is v=3
+    // u: uniform weights → plain lower median of (10,20) = 10 (2*10>=20... cum 10*2=20>=20 → v=10)
+    val df = Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 3L, 4L, 3L),
+      ("u", 10L, 1L, 1L), ("u", 20L, 1L, 2L)).toDF("grp", "v", "w", "id")
+    val got = Profile.weightedMedian(df, "grp", "v", "w", "id")
+      .orderBy("grp").as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("g", 3L, 6L, 3L), ("u", 2L, 2L, 10L)))
+  }
+
   test("spearmanByGroup: hand rho, monotone = 1, singleton = null") {
     // g: ranks rx=(1,2,3), ry=(1,3,2) → Σd²=2 → ρ = 1 − 12/24 = 0.5
     val df = Seq(("g", 1.0, 10.0, 1L), ("g", 2.0, 30.0, 2L),
