@@ -226,6 +226,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** The canonical two-stage near-dup pipeline: MinHash+LSH CANDIDATES →
+    * exact edit-distance VERIFY. LSH banding alone over-triggers on
+    * shared shingle runs; the Levenshtein pass (O(len²) per pair — far
+    * too expensive for all pairs, affordable on the bucket-bounded
+    * candidate set) keeps only pairs whose full texts actually sit
+    * within `maxDistance` edits.
+    *
+    * Output: (doc_a, doc_b, n_shared_bands, edit_dist), only verified
+    * pairs.
+    *
+    * Shape at 100 TB: candidates come from [[minHashLshCandidates]]
+    * (band-bucketed, never all-pairs); texts join back onto the
+    * candidate relation (two id-keyed joins, candidate-sized); the
+    * verify is row-local codegen `levenshtein`. The expensive kernel
+    * runs on exactly the pairs the sketch proposes — the standard
+    * sketch-then-verify cost model.
+    */
+  def minHashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           maxDistance: Int, numHashes: Int = 16,
+                           rowsPerBand: Int = 2): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0: $maxDistance")
+    val sigs = minHashSignatures(docs, idCol, textCol, numHashes)
+    val cands = minHashLshCandidates(sigs, idCol, rowsPerBand)
+    val ta = docs.select(col(idCol).as("doc_a"), col(textCol).as("_ta"))
+    val tb = docs.select(col(idCol).as("doc_b"), col(textCol).as("_tb"))
+    cands.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")))
+      .filter(col("edit_dist") <= maxDistance)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        col("edit_dist"))
+  }
+
   /** SimHash: `bits`-bit signature; bit b is the sign of the sum of ±1 votes
     * from every word token's hash bit b (term frequency = vote weight).
     *

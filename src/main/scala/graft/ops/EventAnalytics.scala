@@ -174,6 +174,34 @@ object EventAnalytics {
         col("n_in_run"))
   }
 
+  /** Session-level co-occurrence: of all gap-defined sessions, how many
+    * contain an event of type A, of type B, and of BOTH — the
+    * within-session association metric behind "do users who browse also
+    * buy in the same sitting?" (the funnel asks ordered-within-deadline;
+    * this asks unordered-within-session).
+    *
+    * Shape at 100 TB: [[Sessionize.assignSessions]]' ONE key shuffle
+    * (lag + running sum), a per-session flag aggregate on the same key,
+    * then a one-row global roll-up.
+    *
+    * Output: one row (n_sessions, n_with_a, n_with_b, n_with_both).
+    */
+  def sessionCooccurrence(events: DataFrame, keyCol: String, tsCol: String,
+                          tieCol: String, typeCol: String, typeA: String,
+                          typeB: String, gapMs: Long): DataFrame = {
+    val sess = Sessionize.assignSessions(
+      events.select(col(keyCol), col(tsCol), col(tieCol), col(typeCol)),
+      keyCol, tsCol, tieCol, gapMs)
+    sess.groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        max(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("_ha"),
+        max(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("_hb"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("_ha")).as("n_with_a"),
+        sum(col("_hb")).as("n_with_b"),
+        sum(col("_ha") * col("_hb")).as("n_with_both"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 offsets: Seq[Int]): DataFrame = {
     require(offsets.nonEmpty, "offsets must be non-empty")

@@ -2965,6 +2965,77 @@ object Extensions {
         t(s, dir, "documents"), "lang", "n_chars", "n_chars", "doc_id")
       .orderBy("lang"))
 
+  private val q162 = Q("q162_minhash_verified_pairs",
+    "the canonical two-stage near-dup pipeline: MinHash+LSH candidates " +
+      "(q21's banding) -> exact Levenshtein VERIFY (<= 50 edits) — the " +
+      "O(len^2) kernel runs ONLY on the bucket-bounded candidate set, " +
+      "never all pairs; 25 of 31 sf0.01 candidates survive, pinning " +
+      "that banding over-triggers and verification is load-bearing",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      shs AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
+      sh AS (SELECT doc_id,
+             CAST('0x' || substr(sha256(sh), 1, 15) AS BIGINT) AS p0,
+             CAST('0x' || substr(sha256(sh), 16, 15) AS BIGINT) AS p1,
+             CAST('0x' || substr(sha256(sh), 31, 15) AS BIGINT) AS p2,
+             CAST('0x' || substr(sha256(sh), 46, 15) AS BIGINT) AS p3
+             FROM shs),
+      mh AS (SELECT doc_id, h,
+             min(xor(
+               CASE WHEN h % 4 = 0 THEN p0 WHEN h % 4 = 1 THEN p1
+                    WHEN h % 4 = 2 THEN p2 ELSE p3 END,
+               (CASE WHEN (h + 1) % 4 = 0 THEN p0 WHEN (h + 1) % 4 = 1 THEN p1
+                     WHEN (h + 1) % 4 = 2 THEN p2 ELSE p3 END)
+                 >> ((h * 7) % 29))) AS minh
+             FROM sh CROSS JOIN generate_series(0, 15) t(h) GROUP BY doc_id, h),
+      bands AS (SELECT doc_id, h // 2 AS band,
+                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS band_sig
+                FROM mh GROUP BY doc_id, h // 2),
+      cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS n_shared_bands
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_shared_bands,
+             levenshtein(ta.text, tb.text) AS edit_dist
+      FROM cand JOIN documents ta ON cand.doc_a = ta.doc_id
+                JOIN documents tb ON cand.doc_b = tb.doc_id
+      WHERE levenshtein(ta.text, tb.text) <= 50
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => Dedup.minHashVerifiedPairs(
+        t(s, dir, "documents"), "doc_id", "text", maxDistance = 50)
+      .orderBy("doc_a", "doc_b"))
+
+  private val q163 = Q("q163_session_cooccurrence",
+    "within-session co-occurrence: of all 30-min-gap sessions, how many " +
+      "contain a click, a purchase, and BOTH (the unordered sibling of " +
+      "the q115 funnel's ordered-within-deadline question); sessionize's " +
+      "one key shuffle + per-session flags + one-row roll-up",
+    Some("""
+      WITH s AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+                 FROM events),
+      l AS (SELECT *, CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id
+                                ORDER BY tms, event_id) <= 1800000
+                           THEN 0 ELSE 1 END AS ns FROM s),
+      r AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                        ORDER BY tms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid FROM l),
+      g AS (SELECT user_id, sid,
+              max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ha,
+              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hb
+            FROM r GROUP BY 1, 2)
+      SELECT count(*) AS n_sessions, CAST(sum(ha) AS BIGINT) AS n_with_click,
+             CAST(sum(hb) AS BIGINT) AS n_with_purchase,
+             CAST(sum(ha * hb) AS BIGINT) AS n_with_both
+      FROM g"""),
+    (s, dir) => EventAnalytics.sessionCooccurrence(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        "click", "purchase", gapMs = 1800000L)
+      .select(col("n_sessions"), col("n_with_a").as("n_with_click"),
+        col("n_with_b").as("n_with_purchase"), col("n_with_both")))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -2972,5 +3043,5 @@ object Extensions {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q158, q159, q160, q161)
+    q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163)
 }

@@ -548,6 +548,28 @@ class DedupSimilaritySpec extends SparkSpec {
         scale = 1e9))
   }
 
+  test("minHashVerifiedPairs: verify pass rejects far candidates the bands propose") {
+    import org.apache.spark.sql.functions.col
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, near),
+      (2L, near + " x"),                      // 2 edits away → verifies
+      (3L, "completely different words that still share the quick brown fox jumps run"))
+      .toDF("doc_id", "text")
+    val verified = Dedup.minHashVerifiedPairs(docs, "doc_id", "text",
+      maxDistance = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified == Set((1L, 2L)), s"got $verified")
+    // the unverified candidate set must be a superset claim: bands may or
+    // may not propose (1,3)/(2,3), but the verify NEVER passes them
+    val all = Dedup.minHashVerifiedPairs(docs, "doc_id", "text",
+      maxDistance = 10000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(all.contains((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Dedup.minHashVerifiedPairs(docs, "doc_id", "text", maxDistance = -1))
+  }
+
   test("mutualTopK: reciprocity filter, self excluded, duplicate-tie robust") {
     // v1≈v2 (mutual), v3 far from both but its top-k contains them while
     // they prefer each other — with k=1, (1,2) is the only mutual pair.

@@ -86,6 +86,22 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L)))  // user 3's cohort
   }
 
+  test("sessionCooccurrence: per-session flags, gap splits, one-row rollup") {
+    // user 1: session A (click+purchase), 40-min gap, session B (click only);
+    // user 2: one session (purchase only)
+    val e = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "click"),
+      (1L, 2L, "2024-01-01 10:10:00", "purchase"),
+      (1L, 3L, "2024-01-01 10:55:00", "click"),
+      (2L, 4L, "2024-01-01 09:00:00", "purchase"))
+      .toDF("user_id", "event_id", "s", "event_type")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val got = EventAnalytics.sessionCooccurrence(e, "user_id", "ts",
+      "event_id", "event_type", "click", "purchase", gapMs = 30 * 60 * 1000L)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((3L, 2L, 2L, 1L)))
+  }
+
   test("runLength: splits on change, survives unordered tie ids, null-safe values") {
     // user 1 timeline: A A B A → runs (A,2) (B,1) (A,1); the second A-run's
     // opening row has the LARGER event_id arriving earlier in time
