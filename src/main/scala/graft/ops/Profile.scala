@@ -389,17 +389,20 @@ object Profile {
     *
     * Shape at 100 TB: one window per side — group-partitioned ranks
     * (parallel) and the global rank+lead window (single total sort: the
-    * EXACT contrast form, same posture as q55/q05's exact twins; the
-    * scale path replaces the global side with a broadcast
-    * `approx_percentile` grid, same join shape, sketch-bounded rank
-    * error) — then ONE equi-join on the integer floor position. No
-    * correlated subqueries, no collect.
+    * EXACT contrast form, same posture as q55/q05's exact twins;
+    * `gridPoints > 0` is the scale path — the global side collapses to
+    * a broadcast `approx_percentile` grid of that many points, same
+    * join shape, sketch-bounded rank error, no global sort) — then ONE
+    * equi-join on the integer floor position. No correlated subqueries,
+    * no collect.
     *
     * Output: (idCol, groupCol, value, rank_ppm, norm DOUBLE), one row
     * per input row.
     */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
-                        idCol: String): DataFrame = {
+                        idCol: String, gridPoints: Int = 0): DataFrame = {
+    require(gridPoints == 0 || gridPoints >= 2,
+      s"gridPoints must be 0 (exact) or >= 2: $gridPoints")
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("_v"), col(idCol))
     val wSn = org.apache.spark.sql.expressions.Window
@@ -410,13 +413,35 @@ object Profile {
       .withColumn("_ns", count(lit(1)).over(wSn).cast("long"))
       .withColumn("rank_ppm", when(col("_ns") === 1, lit(500000L))
         .otherwise(expr("1000000L * (_rn - 1) div (_ns - 1)")))
-    val wG = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_gv"), col("_gid"))
-    val glob = df
-      .select(col(valueCol).cast("long").as("_gv"), col(idCol).as("_gid"))
-      .withColumn("_grn", row_number().over(wG).cast("long"))
-      .withColumn("_gnext", lead(col("_gv"), 1).over(wG))
-    val ng = df.agg(count(lit(1)).cast("long").as("_ng"))
+    val glob =
+      if (gridPoints == 0) {
+        // EXACT: total global order (single-partition window — the
+        // deliberate contrast form the oracle gate pins)
+        val wG = org.apache.spark.sql.expressions.Window
+          .orderBy(col("_gv"), col("_gid"))
+        df.select(col(valueCol).cast("long").as("_gv"), col(idCol).as("_gid"))
+          .withColumn("_grn", row_number().over(wG).cast("long"))
+          .withColumn("_gnext", lead(col("_gv"), 1).over(wG))
+          .drop("_gid")
+      } else {
+        // SCALE PATH: the global side collapses to a gridPoints-row
+        // approx_percentile sketch (mergeable, one pass, no global sort);
+        // the join shape is unchanged — ranks land on grid positions
+        // instead of order statistics, with sketch-bounded rank error.
+        val fracs = (0 until gridPoints)
+          .map(i => i.toDouble / (gridPoints - 1)).mkString(", ")
+        df.select(col(valueCol).cast("long").as("_v0"))
+          .agg(expr(s"approx_percentile(_v0, array($fracs), 10000)")
+            .as("_grid"))
+          .select(posexplode(col("_grid")).as(Seq("_p0", "_gv")))
+          .select((col("_p0") + 1).cast("long").as("_grn"),
+            col("_gv").cast("long").as("_gv"))
+          .withColumn("_gnext", lead(col("_gv"), 1).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("_grn"))))
+      }
+    val ng =
+      if (gridPoints == 0) df.agg(count(lit(1)).cast("long").as("_ng"))
+      else df.sparkSession.range(1).select(lit(gridPoints.toLong).as("_ng"))
     src.crossJoin(broadcast(ng))
       .withColumn("_posNum", expr("1000000L + (_ng - 1) * rank_ppm"))
       .withColumn("_fpos", expr("_posNum div 1000000L"))

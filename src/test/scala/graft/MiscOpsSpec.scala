@@ -908,6 +908,31 @@ class ProfileSpec extends SparkSpec {
       (3L, "g", 30L, 1000000L, 30.0)))
   }
 
+  test("quantileNormalize grid path: endpoints exact, monotone, near the exact map") {
+    val df = (1L to 100L).map(i => ("g" + (i % 4), i, i * 7 % 101))
+      .toDF("src", "id", "v")
+    val exact = Profile.quantileNormalize(df, "src", "v", "id")
+      .select("id", "rank_ppm", "norm")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val grid = Profile.quantileNormalize(df, "src", "v", "id", gridPoints = 101)
+      .select("id", "rank_ppm", "norm")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(grid.map(_._2).toSeq == exact.map(_._2).toSeq,
+      "rank_ppm is sketch-independent")
+    val gmin = exact.map(_._3).min; val gmax = exact.map(_._3).max
+    assert(grid.forall(r => r._3 >= gmin - 1 && r._3 <= gmax + 1))
+    // per group: grid norm must be monotone in rank, like the exact map
+    grid.groupBy(g => g._1 % 4).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    // dense grid on 100 values: stays close to the exact order statistics
+    val maxDiff = grid.zip(exact).map { case (g, e) => math.abs(g._3 - e._3) }.max
+    assert(maxDiff <= 5.0, s"grid drifted from exact by $maxDiff")
+    intercept[IllegalArgumentException](
+      Profile.quantileNormalize(df, "src", "v", "id", gridPoints = 1))
+  }
+
   test("quantileNormalize: hand interpolation + singleton group pins to median") {
     // global sorted: 10,20,30,40; g1 ranks 0/500000/1000000 → 10/25/40;
     // singleton g2 pins to rank 500000 → 25

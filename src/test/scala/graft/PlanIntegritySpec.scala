@@ -450,4 +450,49 @@ class PlanIntegritySpec extends SparkSpec {
       s"expected exactly one hash exchange (key), got $hashExchanges:\n$p")
     assert(!p.contains("Join"), s"gaps-and-islands must not plan a join:\n$p")
   }
+
+  test("round-8 single-key-shuffle family: exactly ONE hash exchange each " +
+    "(window/groupBy share the key partitioning; only the output sort adds " +
+    "a range exchange)") {
+    for (n <- Seq("q146_gini_inequality", "q150_ewma",
+        "q160_runlength_collapse", "q161_weighted_median",
+        "q158_exact_stratified_split")) {
+      val p = plan(n)
+      val hashExchanges =
+        p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashExchanges == 1,
+        s"$n: expected ONE hash exchange, got $hashExchanges:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n must not shuffle-join:\n$p")
+    }
+  }
+
+  test("q150: the EWMA fold is codegen HOF, not a UDF") {
+    val p = plan("q150_ewma")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"fold must stay native:\n$p")
+    assert(p.contains("aggregate("), s"aggregate HOF expected in plan:\n$p")
+  }
+
+  test("q153: corpus side never broadcasts — only the ranked global " +
+    "relation and the one-row count do") {
+    val p = plan("q153_quantile_normalize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the floor-position join must broadcast at gate scale:\n$p")
+  }
+
+  test("q152: all correlation sums ride ONE aggregate over one scan") {
+    val p = plan("q152_corr_pairs")
+    // a single global aggregate = one shuffle to the single reducer; a
+    // second scan or per-pair re-aggregation would add exchanges
+    val hashExchanges =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val singleExchanges =
+      p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(hashExchanges == 0 && singleExchanges == 1,
+      s"expected one single-partition exchange only, " +
+        s"got hash=$hashExchanges single=$singleExchanges:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"lineitem must be scanned once, got $scans:\n$p")
+  }
 }
