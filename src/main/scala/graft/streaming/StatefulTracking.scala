@@ -2,8 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState` —
   * the per-key state machine the reference keeps in its Mongo ledger rows
@@ -77,5 +79,86 @@ object StatefulTracking {
           state.update(next)
           next
       }
+  }
+
+  /** A closed gap-session, emitted exactly once when the event-time
+    * watermark proves no future event can extend it. */
+  final case class ClosedSession(device_id: String, start_ms: Long,
+                                 end_ms: Long, n_events: Long)
+
+  private[streaming] final case class SessState(startMs: Long, lastMs: Long,
+                                                n: Long)
+
+  /** Session CLOSURE via `transformWithState` event-time TIMERS (Spark 4's
+    * successor to mapGroupsWithState): each key keeps one open-session
+    * ValueState and one timer at `last + gap`; when the watermark passes
+    * the timer, the session emits and the state clears — push-based
+    * closure, where the windowed form (`IncrementalIngest.sessionCounts`)
+    * re-aggregates and the mapGroupsWithState form has no event-time
+    * timers at all (only processing-time timeouts, which misfire on
+    * replay). Batch-internal gaps close inline as rows arrive.
+    *
+    * Requirements (Spark's, not ours): the input must carry a watermark
+    * BEFORE groupByKey, and the query must run on the RocksDB state
+    * store provider (`StateStores.rocksdb`).
+    *
+    * Input rows: (key, event time). Output: [[ClosedSession]], append.
+    */
+  private class SessionCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[String, (String, Timestamp), ClosedSession] {
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("sess", Encoders.product[SessState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Timestamp)],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val times = rows.map(_._2.getTime).toArray.sorted
+      val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+      var cur: Option[SessState] = if (st.exists()) Some(st.get()) else None
+      times.foreach { t =>
+        cur match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            cur = Some(SessState(s.startMs, math.max(s.lastMs, t), s.n + 1))
+          case Some(s) =>
+            closed += ClosedSession(key, s.startMs, s.lastMs, s.n)
+            cur = Some(SessState(t, t, 1L))
+          case None =>
+            cur = Some(SessState(t, t, 1L))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        // slide the closure timer to the new deadline
+        getHandle.listTimers().foreach(ts =>
+          getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(s.lastMs + gapMs)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (st.exists()) {
+        val s = st.get()
+        if (info.getExpiryTimeInMs >= s.lastMs + gapMs) {
+          st.clear()
+          Iterator.single(ClosedSession(key, s.startMs, s.lastMs, s.n))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** See [[SessionCloseProcessor]]. `records` must already be
+    * watermarked on its timestamp column. */
+  def closedSessionsTws(spark: SparkSession,
+                        records: Dataset[(String, Timestamp)],
+                        gapMs: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+    records.groupByKey(_._1)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

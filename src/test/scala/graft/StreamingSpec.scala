@@ -241,6 +241,51 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Seq(226L))
   }
 
+  test("closedSessionsTws: event-time timers close sessions as the watermark passes") {
+    val base = Files.createTempDirectory("graft-tws").toString
+    def writeBatch(rows: Seq[(String, String)]): Unit =
+      rows.toDF("device_id", "s")
+        .withColumn("event_time", $"s".cast("timestamp")).drop("s")
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+    def runOnce(): Seq[(String, Long)] = {
+      val emitted = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+      graft.streaming.StateStores.withProvider(spark, "rocksdb") {
+        val stream = spark.readStream.schema(
+          StructType(Seq(StructField("device_id", StringType),
+            StructField("event_time", TimestampType)))).parquet(s"$base/src")
+          .withWatermark("event_time", "1 second")
+          .as[(String, java.sql.Timestamp)]
+        val closed = graft.streaming.StatefulTracking
+          .closedSessionsTws(spark, stream, gapMs = 30 * 60 * 1000L)
+        val q = closed.toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.collect().foreach(r => emitted.synchronized {
+              emitted += ((r.getString(0), r.getLong(3)))
+            })
+            ()
+          }
+          .option("checkpointLocation", s"$base/cp")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
+      emitted.toList
+    }
+    // run 1: D1 has an open session (2 events) — nothing may emit yet
+    writeBatch(Seq(("D1", "2024-01-01 10:00:00"), ("D1", "2024-01-01 10:10:00")))
+    assert(runOnce().isEmpty, "open session must not emit")
+    // run 2: a much later event advances the watermark past 10:40 → the
+    // D1 session closes via its timer; D2's own session stays open
+    writeBatch(Seq(("D2", "2024-01-01 13:00:00")))
+    val r2 = runOnce()
+    assert(r2 == List(("D1", 2L)), s"expected D1's closed 2-event session, got $r2")
+    // run 3: within-batch gap — two D2 bursts far apart: the OLD D2
+    // session closes inline, the new one stays open
+    writeBatch(Seq(("D2", "2024-01-01 15:00:00"), ("D2", "2024-01-01 15:01:00")))
+    val r3 = runOnce()
+    assert(r3 == List(("D2", 1L)), s"expected D2's first burst closed, got $r3")
+  }
+
   test("session windows group activity by gap per device") {
     val base = Files.createTempDirectory("graft-sess").toString
     Seq(("DEV-1", "2021-11-29 08:00:00"), ("DEV-1", "2021-11-29 08:20:00"),
