@@ -278,6 +278,64 @@ object TextAnalysis {
         col("c").as("kth_count"))
   }
 
+  /** Per-source Simpson concentration index in exact ppm — the NO-LOG
+    * diversity measure (entropy needs transcendentals and can never
+    * hash-match across engines): the probability two tokens drawn
+    * without replacement are the same type,
+    * D = Σ c·(c−1) / (n·(n−1)). High D = repetitive/templated source;
+    * natural text sits low. Complements [[sourceDriftTvd]] (vs-corpus
+    * shape) with a within-source concentration number.
+    *
+    * Shape at 100 TB: corpus → (source, word) counts (one map-side
+    * combined aggregate), re-aggregated per source; DECIMAL(38,0) sums
+    * carry Σc² past int64. Sources with <2 tokens yield null.
+    *
+    * Output: (source, n_tokens, vocab, simpson_ppm), unordered.
+    */
+  def simpsonDiversity(docs: DataFrame, sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    docs.select(col(sourceCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col(sourceCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(sourceCol))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum((col("c") * (col("c") - 1)).cast(dec)).as("_sc"))
+      .select(col(sourceCol), col("n_tokens"), col("vocab"),
+        when(col("n_tokens") <= 1, lit(null).cast("long"))
+          .otherwise(expr("CAST((1000000 * _sc) div " +
+            "(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT)"))
+          .as("simpson_ppm"))
+  }
+
+  /** Vocabulary growth curve (Heaps' law, measured not assumed): the
+    * number of DISTINCT word-`shingleSize`-gram shingles seen among the
+    * first k documents (arrival order = the id), for each requested k —
+    * the "is new data still contributing novel n-grams?" diagnostic
+    * that decides when more of a source stops paying.
+    *
+    * Shape at 100 TB: one corpus shingle pass → ONE aggregate keyed by
+    * the uniform 60-bit shingle hash carrying min(first doc); the
+    * per-k counts are conditional sums in ONE pass over that vocab-sized
+    * relation, stack-unpivoted. No per-k rescans.
+    *
+    * Output: (k, distinct_shingles), one row per k.
+    */
+  def heapsCurve(docs: DataFrame, ks: Seq[Long], idCol: String = "doc_id",
+                 textCol: String = "text", shingleSize: Int = 3): DataFrame = {
+    require(ks.nonEmpty && ks.distinct.size == ks.size, s"bad ks: $ks")
+    val firstSeen = docs
+      .select(col(idCol),
+        explode(TextFns.shingleHashes(col(textCol), shingleSize)).as("sh"))
+      .groupBy("sh").agg(min(col(idCol)).as("first_doc"))
+    val aggs = ks.zipWithIndex.map { case (k, i) =>
+      sum(when(col("first_doc") <= k, 1L).otherwise(0L)).as(s"_k$i") }
+    val wide = firstSeen.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ks.zipWithIndex
+      .map { case (k, i) => s"${k}L, `_k$i`" }.mkString(", ")
+    wide.select(expr(
+      s"stack(${ks.size}, $stackArgs) AS (k, distinct_shingles)"))
+  }
+
   /** Distinctive terms per source — the "what does this source talk about
     * that the corpus doesn't" diagnostic (log-odds-style lift, kept
     * rational): for each (source, word) with at least `minCount`

@@ -3036,6 +3036,49 @@ object Extensions {
       .select(col("n_sessions"), col("n_with_a").as("n_with_click"),
         col("n_with_b").as("n_with_purchase"), col("n_with_both")))
 
+  private val q164 = Q("q164_simpson_diversity",
+    "per-source Simpson concentration in exact ppm (the no-log " +
+      "diversity measure — entropy's transcendentals can never " +
+      "hash-match engines): D = sum c(c-1) div n(n-1) over token " +
+      "counts; high = templated/repetitive source; DECIMAL(38,0) sums " +
+      "carry sum(c^2) past int64 at corpus scale",
+    Some("""
+      WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+      sw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2)
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS vocab,
+             CAST((1000000 * sum(c * (c - 1)))
+                  // (CAST(sum(c) AS HUGEINT) * (sum(c) - 1)) AS BIGINT)
+               AS simpson_ppm
+      FROM sw GROUP BY 1 ORDER BY source"""),
+    (s, dir) => TextAnalysis.simpsonDiversity(t(s, dir, "documents"))
+      .orderBy("source"))
+
+  private val q165 = Q("q165_heaps_curve",
+    "vocabulary growth curve (Heaps' law, measured): distinct 3-gram " +
+      "shingles among the first k docs for k in {100,250,500} — 'is new " +
+      "data still contributing novel n-grams?'; ONE shingle aggregate " +
+      "carrying min(first doc), per-k conditional sums in one pass, " +
+      "stack-unpivoted",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS j
+             FROM w),
+      sh AS (SELECT doc_id,
+               CAST('0x' || substr(sha256(w[j] || ' ' || w[j+1] || ' ' || w[j+2]),
+                    1, 15) AS BIGINT) AS sh
+             FROM jx),
+      fs AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      SELECT k, CAST(sum(CASE WHEN first_doc <= k THEN 1 ELSE 0 END) AS BIGINT)
+               AS distinct_shingles
+      FROM (VALUES (CAST(100 AS BIGINT)), (CAST(250 AS BIGINT)),
+                   (CAST(500 AS BIGINT))) ks(k), fs
+      GROUP BY k ORDER BY k"""),
+    (s, dir) => TextAnalysis.heapsCurve(
+        t(s, dir, "documents"), Seq(100L, 250L, 500L))
+      .orderBy("k"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -3043,5 +3086,5 @@ object Extensions {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163)
+    q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165)
 }

@@ -569,6 +569,28 @@ class TextOpsSpec extends SparkSpec {
       graft.ops.TextAnalysis.vocabCoverage(docs, Seq(1, 1)))
   }
 
+  test("simpsonDiversity: 1e6 for one repeated type, 0 for all-distinct, null for singleton") {
+    val docs = Seq(("t", "a a a"), ("d", "a b c"), ("s", "x"))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.simpsonDiversity(docs)
+      .orderBy("source")
+      .as[(String, Long, Long, Option[Long])].collect().toList
+    assert(got == List(
+      ("d", 3L, 3L, Some(0L)),
+      ("s", 1L, 1L, None),
+      ("t", 3L, 1L, Some(1000000L))))
+  }
+
+  test("heapsCurve: new docs add only their novel shingles") {
+    // doc1: {abc, bcd}; doc2 re-uses abc, adds bce
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.heapsCurve(docs, Seq(1L, 2L))
+      .orderBy("k").as[(Long, Long)].collect().toList
+    assert(got == List((1L, 2L), (2L, 3L)))
+    intercept[IllegalArgumentException](
+      graft.ops.TextAnalysis.heapsCurve(docs, Nil))
+  }
+
   test("distinctiveTerms: exact cross-multiplied lift, minCount filter, per-source rank") {
     // totals: s1=4, s2=5, corpus=9; tf: apple=3, banana=3, cherry=3
     val docs = Seq(
