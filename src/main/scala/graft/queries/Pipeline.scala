@@ -611,6 +611,60 @@ object Pipeline {
       s.table(name).orderBy("c_mktsegment")
     })
 
+  private val q166 = Q("q166_tws_closed_sessions",
+    "§2.9: session closure via transformWithState EVENT-TIME TIMERS " +
+      "(StatefulProcessor + ValueState + registerTimer, RocksDB " +
+      "provider) — push-based emission the built-in session_window " +
+      "(q130) can't do: a user's NON-FINAL sessions close inline as the " +
+      "closing event arrives, final sessions close when the watermark " +
+      "(max ts - 1h) passes last+gap; oracle rebuilds both rules in SQL",
+    Some("""
+      WITH l AS (SELECT user_id, event_id, ts,
+            CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000
+                 THEN 0 ELSE 1 END AS new_s
+            FROM events),
+      s AS (SELECT user_id, ts,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM l),
+      g AS (SELECT user_id, sid,
+              CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+              CAST(epoch_ms(max(ts)) AS BIGINT) AS last_ms,
+              count(*) AS n_events
+            FROM s GROUP BY 1, 2),
+      m AS (SELECT user_id, max(sid) AS max_sid FROM g GROUP BY 1),
+      wm AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) - 3600000 AS w
+             FROM events)
+      SELECT g.user_id AS user_id, start_ms, last_ms, n_events
+      FROM g JOIN m ON g.user_id = m.user_id CROSS JOIN wm
+      WHERE g.sid < m.max_sid OR g.last_ms + 1800000 <= wm.w
+      ORDER BY g.user_id, start_ms"""),
+    (s, dir) => {
+      val cp = java.nio.file.Files.createTempDirectory("graft-q166-cp").toString
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .select(col("user_id").cast("string").as("k"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .as[(String, java.sql.Timestamp)]
+      val closed = graft.streaming.StatefulTracking
+        .closedSessionsTws(s, stream, gapMs = 1800000L)
+      val name = "q166_out_" + math.abs(cp.hashCode).toString
+      graft.streaming.StateStores.withProvider(s, "rocksdb") {
+        withStreamStatePartitions(s, 8) {
+          val q = closed.toDF().writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.table(name)
+        .select(col("device_id").cast("long").as("user_id"),
+          col("start_ms"), col("end_ms").as("last_ms"), col("n_events"))
+        .orderBy("user_id", "start_ms")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130, q134, q157)
+    q129, q130, q134, q157, q166)
 }
