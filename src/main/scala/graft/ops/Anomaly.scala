@@ -110,4 +110,116 @@ object Anomaly {
     allDays.join(counts, keyCols :+ dayCol, "left")
       .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
   }
+
+  /** Gap-fill + last-observation-carried-forward over a (key, day) count
+    * grid — the resampling step a time-series feature pipeline runs before
+    * any window model: silent days materialize as `n_events = 0` with
+    * `filled = true`, and `locf_n` carries the key's last OBSERVED count
+    * across the gap (null before the key's first observation — a LOCF
+    * that invents a pre-history would fabricate signal).
+    *
+    * Exact by construction: days and counts are integers; no floats.
+    *
+    * Shape at 100 TB: the grid explode is |keys| × |span days| rows
+    * (bounded by calendar span, not event volume); the LOCF window is
+    * key-partitioned and day-ordered — parallel across keys, no global
+    * sort. Raw events were already collapsed to per-day counts upstream
+    * (map-side combined), so nothing here rescans the feed.
+    */
+  def gapFillLocf(counts: DataFrame, keyCols: Seq[String],
+                  dayCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    densifyDays(counts.withColumn("__obs", lit(true)), keyCols, dayCol)
+      .withColumn("filled", col("__obs").isNull)
+      .withColumn("locf_n",
+        last(when(!col("filled"), col("n_events")), ignoreNulls = true)
+          .over(w))
+      .drop("__obs")
+  }
+
+  /** Per-key lag-k autocorrelation SUFFICIENT STATISTICS over a day-count
+    * series — emitted as exact integers (num, den) rather than a rounded
+    * ratio, because r_k's numerator is signed and floor-vs-truncate
+    * integer division disagrees between engines on negatives; the caller
+    * (or the oracle) divides.
+    *
+    * With n = series length and S = Σx, the n-scaled residual
+    * r_t = n·x_t − S is an exact integer, and
+    *   num_k = Σ_{t≤n−k} r_t·r_{t+k},   den = Σ r_t²
+    * give r_k = num_k/den exactly (the n² scale cancels).
+    *
+    * Expects a DENSIFIED grid ([[densifyDays]]) — autocorrelation over a
+    * series with silently missing rows is a different (wrong) statistic.
+    *
+    * Overflow bound: |r_t| ≤ n·max(x), so den ≤ n³·max(x)² — int64-safe
+    * through ~10⁸ events/key/day on month-long spans; past that, cast the
+    * two products to DECIMAL(38,0) (q152's discipline).
+    *
+    * Shape at 100 TB: one key-partitioned window pass (lead per lag) over
+    * the already-tiny |keys × days| grid, then a map-side-combined
+    * aggregate. Nothing touches raw events.
+    */
+  def autocorrStats(counts: DataFrame, keyCols: Seq[String], dayCol: String,
+                    nCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    val kc = keyCols.map(col)
+    val wAll = Window.partitionBy(kc: _*)
+    val wOrd = wAll.orderBy(col(dayCol))
+    val base = counts
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col(nCol)).over(wAll))
+      .withColumn("__r", col("__n") * col(nCol).cast("long") - col("__s"))
+    val perLag = lags.map { k =>
+      base
+        .withColumn("__rk", lead(col("__r"), k).over(wOrd))
+        .groupBy(kc: _*)
+        .agg(
+          lit(k).as("lag"),
+          count(lit(1)).as("n_days"),
+          sum(col("__r") * col("__rk")).as("num"),
+          sum(col("__r") * col("__r")).as("den"))
+    }
+    perLag.reduce(_.unionByName(_))
+      .select((kc :+ col("lag") :+ col("n_days") :+
+        coalesce(col("num"), lit(0L)).as("num") :+ col("den")): _*)
+  }
+
+  /** Per-key one-sided CUSUM level-shift scan over a day-count series —
+    * "did this feed's rate shift up, and when?" — using the rank-one
+    * identity  cusum⁺_t = P_t − min(0, min_{u≤t} P_u)  where
+    * P_t = Σ_{u≤t} (n·x_u − S) is the n-scaled running deviation from the
+    * series mean. That turns the textbook recurrence
+    * C_t = max(0, C_{t−1} + dev_t) — not expressible as a window frame —
+    * into two plain running windows. All integers, exact.
+    *
+    * Output per key: (n_days, max_cusum, peak_day) with max_cusum in the
+    * n-scaled unit (divide by n for event units) and peak_day the FIRST
+    * day attaining the max (deterministic under ties).
+    *
+    * Shape at 100 TB: two key-partitioned ordered windows plus one
+    * aggregate over the |keys × days| grid — parallel across keys.
+    */
+  def cusumShift(counts: DataFrame, keyCols: Seq[String], dayCol: String,
+                 nCol: String): DataFrame = {
+    val kc = keyCols.map(col)
+    val wAll = Window.partitionBy(kc: _*)
+    val wRun = wAll.orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = counts
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col(nCol)).over(wAll))
+      .withColumn("__p",
+        sum(col("__n") * col(nCol).cast("long") - col("__s")).over(wRun))
+      .withColumn("__m", least(lit(0L), min(col("__p")).over(wRun)))
+      .withColumn("__c", col("__p") - col("__m"))
+      .withColumn("__cmax", max(col("__c")).over(wAll))
+    scanned.groupBy(kc: _*)
+      .agg(
+        max(col("__n")).as("n_days"),
+        max(col("__c")).as("max_cusum"),
+        min(when(col("__c") === col("__cmax"), col(dayCol)))
+          .as("peak_day"))
+  }
 }

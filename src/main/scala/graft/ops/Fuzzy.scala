@@ -55,4 +55,37 @@ object Fuzzy {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** All pairs (idCol a < b) in the same `blockCol` group whose `strCol`
+    * Jaro–Winkler similarity meets `minSimPpm` (similarity × 10⁶, rounded
+    * half-up) — the record-linkage primitive for noisy names where edit
+    * distance over-penalizes transpositions and suffix noise.
+    *
+    * Unlike the deletion-neighborhood blocking above, JW has no complete
+    * small-signature blocking — a domain blocking key (first token,
+    * phonetic code, sorted-bigram prefix) is the standard recall/cost
+    * trade, passed in explicitly so the trade is visible at the call site.
+    *
+    * Scale shape: the self-join pairs only within blocks (quadratic in
+    * BLOCK size, not corpus size — pick `blockCol` accordingly); the JW
+    * scalar is a native codegen expression evaluated once per candidate
+    * pair. The ppm rounding happens on a double produced by a fixed
+    * arithmetic tree over small exact integers, so the gate hash-matches
+    * DuckDB's independent implementation.
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+                       blockCol: org.apache.spark.sql.Column,
+                       minSimPpm: Long): DataFrame = {
+    val side = df.select(blockCol.as("_blk"), col(idCol), col(strCol))
+    val a = side.select(col("_blk"), col(idCol).as("id_a"),
+      col(strCol).as("_s_a"))
+    val b = side.select(col("_blk").as("_blk_b"), col(idCol).as("id_b"),
+      col(strCol).as("_s_b"))
+    a.join(b, col("_blk") === col("_blk_b") && col("id_a") < col("id_b"))
+      .withColumn("jw_ppm",
+        round(graft.expressions.JaroWinkler(col("_s_a"), col("_s_b"))
+          * 1000000d, 0).cast("long"))
+      .filter(col("jw_ppm") >= minSimPpm)
+      .select(col("id_a"), col("id_b"), col("jw_ppm"))
+  }
 }

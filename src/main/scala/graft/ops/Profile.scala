@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling: per-column row/non-null/distinct counts and min/max,
@@ -474,5 +474,103 @@ object Profile {
           + col("n_lo").cast("double") * col("p_lo")
           + col("n_hi").cast("double") * col("p_hi")) / col("n").cast("double"))
           .as("wins_mean"))
+  }
+
+  /** Expected first-significant-digit frequency under Benford's law,
+    * log10(1+1/d), in ppm — pinned as integer LITERALS (not computed at
+    * runtime: a libm log10 that differs by one ulp between engines would
+    * flip the rounded constant, and the law's values are constants, not
+    * data). */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-digit census — the fraud/corruption smoke test a
+    * profiling pass runs over any "organic" monetary or count column:
+    * observed leading-digit frequency vs Benford's law, with the absolute
+    * deviation in ppm. Fabricated or truncated feeds light up here long
+    * before row-level rules fire.
+    *
+    * Exact by construction: the value is fixed to integer cents
+    * (round half-up, matching SQL ROUND on nonnegative doubles), the
+    * leading digit is the first character of the DECIMAL STRING of that
+    * integer (no float log10 — the classic 10^floor(log10 x) extraction
+    * is one ulp away from misclassifying exact powers of ten), and the
+    * expected frequencies are pinned literals.
+    *
+    * Output: (digit, n, observed_ppm, benford_ppm, abs_dev_ppm), one row
+    * per digit 1–9 present in the data.
+    *
+    * Shape at 100 TB: map-side-combined 9-group aggregate over one
+    * scanned column; the total joins back via a broadcast of the 9-row
+    * aggregate. One scan, no wide shuffle.
+    */
+  def benfordDigits(df: DataFrame, valueCol: Column): DataFrame = {
+    val digits = df
+      .select(round(valueCol * 100, 0).cast("long").as("__cents"))
+      .filter(col("__cents") > 0)
+      .select(substring(col("__cents").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = broadcast(digits.agg(sum(col("n")).as("__total")))
+    val law = digits.sparkSession.createDataFrame(BenfordPpm)
+      .toDF("digit", "benford_ppm")
+    digits.crossJoin(total)
+      .join(broadcast(law), Seq("digit"), "left")
+      // exact integer floor div — a double 1e6·n/total can round UP across
+      // an integer boundary and disagree with the oracle's `//` by one
+      .select(col("digit"), col("n"),
+        expr("(1000000L * n) div __total").as("observed_ppm"),
+        col("benford_ppm"),
+        abs(expr("(1000000L * n) div __total") - col("benford_ppm"))
+          .as("abs_dev_ppm"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of the A rows (`isA` true) and B rows — the
+    * distribution-shift gate a curation pipeline runs between two
+    * sources or two snapshots ("did lengths drift?").
+    *
+    * Exact as integers: D = max_x |F_A(x) − F_B(x)| =
+    * max |c_A(x)·n_B − c_B(x)·n_A| / (n_A·n_B), so the max is taken over
+    * an integer numerator and the single floor division to ppm happens
+    * once on nonnegative values (floor = truncate, engine-portable).
+    *
+    * Output: one row (n_a, n_b, ks_num, ks_ppm).
+    *
+    * Shape at 100 TB: the raw table collapses to per-DISTINCT-VALUE
+    * (cnt_a, cnt_b) with map-side combine — shuffle volume is bounded by
+    * distinct values, not rows; the cumulative pass is a single-partition
+    * window over that distinct-value relation (the exact-contrast
+    * posture: for unbounded continuous domains, pre-bucket the value to a
+    * quantile grid first and this becomes grid-bounded with sketch
+    * error). Products go through DECIMAL(38,0) so billion-row sides
+    * cannot overflow the cross-multiplication.
+    */
+  def ksTwoSample(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val perValue = df
+      .select(valueCol.as("__v"),
+        when(isA, 1L).otherwise(0L).as("__a"),
+        when(isA, 0L).otherwise(1L).as("__b"))
+      .groupBy("__v")
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    val totals = broadcast(perValue.agg(
+      sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b")))
+    perValue.crossJoin(totals)
+      .withColumn("__cuma", sum(col("__ca")).over(wCum))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum))
+      .withColumn("__num",
+        abs(col("__cuma").cast(dec) * col("n_b").cast(dec)
+          - col("__cumb").cast(dec) * col("n_a").cast(dec)))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__num")).cast("long").as("ks_num"))
+      .select(col("n_a"), col("n_b"), col("ks_num"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * ks_num) DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("ks_ppm"))
   }
 }

@@ -933,4 +933,40 @@ object TextAnalysis {
           .as("jaccard_ppm"))
   }
 
+  /** Zipf octave profile per source — token frequencies bucketed by the
+    * OCTAVE of their frequency rank (octave b holds ranks 2^b … 2^(b+1)−1).
+    * For Zipfian text each octave contributes a roughly constant total
+    * frequency; a flat or front-loaded profile flags boilerplate-heavy or
+    * templated sources long before perplexity models run. The
+    * integer-rational companion to the Heaps curve (q165): rank octaves
+    * avoid fitting log-log slopes in floating point entirely — the octave
+    * is `length(bin(rank)) − 1`, exact in any engine (the tempting
+    * `floor(log2(rank))` misclassifies exact powers of two when an
+    * engine's log2 lands one ulp low).
+    *
+    * Output: (source, octave, n_tokens, total_freq) — number of distinct
+    * tokens whose rank falls in the octave and their summed occurrence
+    * count. Ranks order by (freq DESC, token ASC): deterministic ties.
+    *
+    * Shape at 100 TB: token explode collapses to (source, token) counts
+    * with map-side combine; the rank window partitions by source
+    * (parallel); octave re-aggregation is |sources| × ~40 rows. The only
+    * per-source serial pass is over that source's VOCABULARY, not its
+    * token stream.
+    */
+  def zipfOctaves(docs: DataFrame, sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("freq").desc, col("tok"))
+    docs
+      .select(col(sourceCol), explode(TextFns.words(col(textCol))).as("tok"))
+      .groupBy(col(sourceCol), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("octave", (length(bin(col("rank"))) - 1).cast("long"))
+      .groupBy(col(sourceCol), col("octave"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("total_freq"))
+  }
+
 }

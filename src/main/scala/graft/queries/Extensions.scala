@@ -3079,6 +3079,213 @@ object Extensions {
         t(s, dir, "documents"), Seq(100L, 250L, 500L))
       .orderBy("k"))
 
+  private val q167 = Q("q167_gap_fill_locf",
+    "time-series resampling: per-type daily grid with silent days " +
+      "materialized as zero-count filled rows and the last OBSERVED " +
+      "count carried forward (null before first observation) — the " +
+      "gap-fill step before any window/feature model; all integers, " +
+      "grid bounded by |keys|x|span days| not event volume",
+    Some("""
+      WITH c AS (SELECT event_type, epoch_ns(ts) // 1000000 // 86400000 AS day,
+                   count(*) AS n_events
+                 FROM events GROUP BY 1, 2),
+      spans AS (SELECT event_type, min(day) AS d0 FROM c GROUP BY 1),
+      fend AS (SELECT max(day) AS d1 FROM c),
+      grid AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+               FROM spans, fend),
+      j AS (SELECT g.event_type, g.day,
+              coalesce(c.n_events, 0) AS n_events,
+              c.n_events IS NULL AS filled
+            FROM grid g LEFT JOIN c
+              ON c.event_type = g.event_type AND c.day = g.day)
+      SELECT event_type, day, n_events, filled,
+             last_value(CASE WHEN NOT filled THEN n_events END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf_n
+      FROM j ORDER BY event_type, day"""),
+    (s, dir) => {
+      val counts = graft.ops.Anomaly.dailyCounts(
+        t(s, dir, "events").select("event_type", "ts"),
+        Seq("event_type"), unix_millis(col("ts")))
+      graft.ops.Anomaly.gapFillLocf(counts, Seq("event_type"), "day")
+        .orderBy("event_type", "day")
+    })
+
+  private val q168 = Q("q168_benford_digits",
+    "profiling smoke test: first-significant-digit census of order totals " +
+      "vs Benford's law — digit from the DECIMAL STRING of integer cents " +
+      "(no float log10), expectation ppm pinned as literals, observed " +
+      "share by exact integer floor division; one map-side-combined scan",
+    Some("""
+      WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+                 FROM orders
+                 WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > 0),
+      g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      t AS (SELECT sum(n) AS total FROM g),
+      law(digit, benford_ppm) AS (VALUES
+        (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+      SELECT g.digit, g.n,
+             1000000 * g.n // t.total AS observed_ppm,
+             law.benford_ppm,
+             abs(1000000 * g.n // t.total - law.benford_ppm) AS abs_dev_ppm
+      FROM g CROSS JOIN t JOIN law ON law.digit = g.digit
+      ORDER BY g.digit"""),
+    (s, dir) => graft.ops.Profile.benfordDigits(
+        t(s, dir, "orders"), col("o_totalprice"))
+      .orderBy("digit"))
+
+  private val q169 = Q("q169_ks_two_sample",
+    "distribution-shift gate: exact two-sample Kolmogorov-Smirnov " +
+      "distance between doc-length distributions of single-digit vs " +
+      "double-digit sources — D as an exact integer cross-multiplied " +
+      "numerator (max over the distinct-value ECDF), one floor division " +
+      "to ppm; shuffle bounded by distinct values, not rows",
+    Some("""
+      WITH x AS (SELECT n_chars AS v,
+                   CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS a
+                 FROM documents),
+      g AS (SELECT v, sum(a) AS ca, sum(1 - a) AS cb FROM x GROUP BY 1),
+      t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+      c AS (SELECT v,
+              sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cuma,
+              sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumb
+            FROM g)
+      SELECT t.na AS n_a, t.nb AS n_b,
+             CAST(max(abs(cuma * t.nb - cumb * t.na)) AS BIGINT) AS ks_num,
+             CAST(1000000 * max(abs(cuma * t.nb - cumb * t.na))
+                  // (t.na * t.nb) AS BIGINT) AS ks_ppm
+      FROM c, t GROUP BY t.na, t.nb"""),
+    (s, dir) => graft.ops.Profile.ksTwoSample(
+      t(s, dir, "documents"), col("n_chars"), length(col("source")) === 4))
+
+  private val q170 = Q("q170_autocorr_daily",
+    "per-type lag-1/2/3 autocorrelation SUFFICIENT STATISTICS of the " +
+      "densified daily count series — n-scaled residuals keep everything " +
+      "in exact integers; (num, den) emitted unrounded because the signed " +
+      "numerator would hit floor-vs-truncate division drift between " +
+      "engines; windows partition by key (parallel), nothing rescans " +
+      "raw events",
+    Some("""
+      WITH c AS (SELECT event_type, epoch_ns(ts) // 1000000 // 86400000 AS day,
+                   count(*) AS n FROM events GROUP BY 1, 2),
+      spans AS (SELECT event_type, min(day) AS d0 FROM c GROUP BY 1),
+      fend AS (SELECT max(day) AS d1 FROM c),
+      grid AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+               FROM spans, fend),
+      g AS (SELECT grid.event_type, grid.day, coalesce(c.n, 0) AS n
+            FROM grid LEFT JOIN c USING (event_type, day)),
+      st AS (SELECT event_type, count(*) AS nn, sum(n) AS s
+             FROM g GROUP BY 1),
+      r AS (SELECT g.event_type, g.day, st.nn * g.n - st.s AS r
+            FROM g JOIN st USING (event_type)),
+      l AS (SELECT event_type, day, r,
+              lead(r, 1) OVER w AS r1,
+              lead(r, 2) OVER w AS r2,
+              lead(r, 3) OVER w AS r3
+            FROM r WINDOW w AS (PARTITION BY event_type ORDER BY day))
+      SELECT event_type, lag, count(*) AS n_days,
+             CAST(coalesce(sum(r * CASE lag WHEN 1 THEN r1 WHEN 2 THEN r2
+                                   ELSE r3 END), 0) AS BIGINT) AS num,
+             CAST(sum(r * r) AS BIGINT) AS den
+      FROM l CROSS JOIN (VALUES (1), (2), (3)) ls(lag)
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => {
+      val counts = graft.ops.Anomaly.dailyCounts(
+        t(s, dir, "events").select("event_type", "ts"),
+        Seq("event_type"), unix_millis(col("ts")))
+        .withColumnRenamed("n_events", "n")
+      val grid = graft.ops.Anomaly.densifyDays(
+        counts.withColumnRenamed("n", "n_events"), Seq("event_type"), "day")
+      graft.ops.Anomaly.autocorrStats(grid, Seq("event_type"), "day",
+        "n_events", Seq(1, 2, 3)).orderBy("event_type", "lag")
+    })
+
+  private val q171 = Q("q171_cusum_shift",
+    "per-type one-sided CUSUM level-shift scan over the densified daily " +
+      "series — the max(0, C+dev) recurrence rewritten as running-sum " +
+      "minus running-min (two plain windows, no recursion); exact " +
+      "n-scaled integers, first peak day deterministic under ties",
+    Some("""
+      WITH c AS (SELECT event_type, epoch_ns(ts) // 1000000 // 86400000 AS day,
+                   count(*) AS n FROM events GROUP BY 1, 2),
+      spans AS (SELECT event_type, min(day) AS d0 FROM c GROUP BY 1),
+      fend AS (SELECT max(day) AS d1 FROM c),
+      grid AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+               FROM spans, fend),
+      g AS (SELECT grid.event_type, grid.day, coalesce(c.n, 0) AS n
+            FROM grid LEFT JOIN c USING (event_type, day)),
+      st AS (SELECT event_type, count(*) AS nn, sum(n) AS s
+             FROM g GROUP BY 1),
+      p AS (SELECT g.event_type, g.day, st.nn,
+              sum(st.nn * g.n - st.s)
+                OVER (PARTITION BY g.event_type ORDER BY g.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+            FROM g JOIN st USING (event_type)),
+      cc AS (SELECT event_type, day, nn,
+               p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS c
+             FROM p),
+      cm AS (SELECT *, max(c) OVER (PARTITION BY event_type) AS cmax FROM cc)
+      SELECT event_type, CAST(max(nn) AS BIGINT) AS n_days,
+             CAST(max(c) AS BIGINT) AS max_cusum,
+             min(CASE WHEN c = cmax THEN day END) AS peak_day
+      FROM cm GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val counts = graft.ops.Anomaly.dailyCounts(
+        t(s, dir, "events").select("event_type", "ts"),
+        Seq("event_type"), unix_millis(col("ts")))
+      val grid = graft.ops.Anomaly.densifyDays(
+        counts, Seq("event_type"), "day")
+      graft.ops.Anomaly.cusumShift(grid, Seq("event_type"), "day",
+        "n_events").orderBy("event_type")
+    })
+
+  private val q172 = Q("q172_zipf_octaves",
+    "corpus shape fingerprint: token frequencies bucketed by rank OCTAVE " +
+      "per source (octave = length(bin(rank))-1 — integer-exact, never " +
+      "floor(log2) whose one-ulp-low libm misclassifies powers of two); " +
+      "Zipfian text yields near-constant per-octave mass, templated " +
+      "sources go front-loaded; the rank window is vocabulary-bounded",
+    Some("""
+      WITH tf AS (SELECT source, tok, count(*) AS freq
+                  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY 1, 2),
+      rk AS (SELECT source, freq,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, tok) AS rank
+             FROM tf)
+      SELECT source, CAST(length(bin(rank)) - 1 AS BIGINT) AS octave,
+             count(*) AS n_tokens, CAST(sum(freq) AS BIGINT) AS total_freq
+      FROM rk GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => TextAnalysis.zipfOctaves(t(s, dir, "documents"))
+      .orderBy("source", "octave"))
+
+  private val q173 = Q("q173_jw_blocked_pairs",
+    "record linkage on noisy names: Jaro-Winkler similarity >= 0.9 over " +
+      "pairs blocked by first name token — the JW scalar is a native " +
+      "codegen expression matching DuckDB's built-in bit-for-bit (fixed " +
+      "double tree over exact small integers; empty-vs-empty pinned to 0 " +
+      "like the oracle); pair cost is quadratic in BLOCK size only",
+    Some("""
+      WITH p AS (SELECT p_partkey AS id, p_name AS name,
+                   string_split(p_name, ' ')[1] AS blk FROM part),
+      cand AS (SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(round(jaro_winkler_similarity(a.name, b.name)
+                   * 1000000, 0) AS BIGINT) AS jw_ppm
+               FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
+      SELECT id_a, id_b, jw_ppm FROM cand
+      WHERE jw_ppm >= 900000 ORDER BY id_a, id_b"""),
+    (s, dir) => graft.ops.Fuzzy.jaroWinklerPairs(
+        t(s, dir, "part"), "p_partkey", "p_name",
+        split(col("p_name"), " ").getItem(0), minSimPpm = 900000L)
+      .orderBy("id_a", "id_b"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -3086,5 +3293,6 @@ object Extensions {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165)
+    q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
+    q167, q168, q169, q170, q171, q172, q173)
 }

@@ -665,6 +665,35 @@ object Pipeline {
         .orderBy("user_id", "start_ms")
     })
 
+  private val q174 = Q("q174_streaming_dedup_watermark",
+    "§2.9: dropDuplicatesWithinWatermark over a deliberately DOUBLED " +
+      "stream (two independent file-source reads of the same table, " +
+      "unioned) — the at-least-once-redelivery dedup posture: state for " +
+      "each key lives only until the watermark passes it, unlike " +
+      "dropDuplicates' forever-state; append mode, result equals the " +
+      "batch distinct",
+    Some("""
+      SELECT event_type, count(*) AS n_records
+      FROM events GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val cp = java.nio.file.Files.createTempDirectory("graft-q174-cp").toString
+      val doubled = eventsStream(s, dir).unionByName(eventsStream(s, dir))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"))
+      val name = "q174_out_" + math.abs(cp.hashCode).toString
+      withStreamStatePartitions(s, 8) {
+        val q = doubled.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).groupBy("event_type")
+        .agg(count(lit(1)).as("n_records"))
+        .orderBy("event_type")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130, q134, q157, q166)
+    q129, q130, q134, q157, q166, q174)
 }

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.JaroWinklerUtil
+import graft.ops.{Anomaly, Fuzzy, Profile, TextAnalysis}
+
+/** Round-8 drift/statistics family: gap-fill+LOCF, autocorrelation
+  * sufficient statistics, CUSUM level shift, Benford census, two-sample
+  * KS, Zipf octaves, Jaro-Winkler (DuckDB-parity fuzz + blocked pairs).
+  */
+class DriftStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFillLocf zero-fills silent days and carries last observed count") {
+    val counts = Seq(("a", 1L, 5L), ("a", 3L, 2L), ("b", 2L, 7L))
+      .toDF("k", "day", "n_events")
+    val got = Anomaly.gapFillLocf(counts, Seq("k"), "day")
+      .select("k", "day", "n_events", "filled", "locf_n")
+      .as[(String, Long, Long, Boolean, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 5L, false, 5L),
+      ("a", 2L, 0L, true, 5L),   // filled, LOCF from day 1
+      ("a", 3L, 2L, false, 2L),
+      ("b", 2L, 7L, false, 7L),
+      ("b", 3L, 0L, true, 7L)))  // extended to feed end
+  }
+
+  test("autocorrStats emits exact integer (num, den) per lag") {
+    // x = [1,2,3,4]: n=4, S=10, r = 4x-10 = [-6,-2,2,6], den = 80
+    // lag1: 12 - 4 + 12 = 20 ; lag2: -12 - 12 = -24
+    val grid = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L), ("k", 4L, 4L))
+      .toDF("k", "day", "n")
+    val got = Anomaly.autocorrStats(grid, Seq("k"), "day", "n", Seq(1, 2))
+      .select("k", "lag", "n_days", "num", "den")
+      .as[(String, Int, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(("k", 1, 4L, 20L, 80L), ("k", 2, 4L, -24L, 80L)))
+  }
+
+  test("cusumShift: running-sum-minus-running-min equals the recurrence") {
+    // x = [1,1,5,5]: dev = 4x-12 = [-8,-8,8,8], P = [-8,-16,-8,0],
+    // cusum+ = [0,0,8,16] -> max 16 at day 4
+    val grid = Seq(("k", 1L, 1L), ("k", 2L, 1L), ("k", 3L, 5L), ("k", 4L, 5L))
+      .toDF("k", "day", "n")
+    val got = Anomaly.cusumShift(grid, Seq("k"), "day", "n")
+      .select("k", "n_days", "max_cusum", "peak_day")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("k", 4L, 16L, 4L)))
+    // flat series: cusum stays 0, peak is the FIRST day (tie-break)
+    val flat = Seq(("k", 1L, 3L), ("k", 2L, 3L)).toDF("k", "day", "n")
+    val g2 = Anomaly.cusumShift(flat, Seq("k"), "day", "n")
+      .select("max_cusum", "peak_day").as[(Long, Long)].collect()
+    assert(g2.toSeq == Seq((0L, 1L)))
+  }
+
+  test("benfordDigits: digit from decimal string, exact ppm, pinned law") {
+    val df = Seq(1.00, 1.23, 2.50, 9.99, 0.001).toDF("v") // 0.1 cents -> drop
+    val got = Profile.benfordDigits(df, col("v"))
+      .select("digit", "n", "observed_ppm", "benford_ppm", "abs_dev_ppm")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, 2L, 500000L, 301030L, 198970L),
+      (2, 1L, 250000L, 176091L, 73909L),
+      (9, 1L, 250000L, 45757L, 204243L)))
+  }
+
+  test("ksTwoSample: exact integer cross-multiplied D") {
+    val df = Seq((1, true), (2, true), (3, true), (2, false), (4, false))
+      .toDF("v", "a")
+    val got = Profile.ksTwoSample(df, col("v"), col("a"))
+      .select("n_a", "n_b", "ks_num", "ks_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    // D = |F_A(3) - F_B(3)| = |1 - 1/2| -> num = |3*2 - 1*3| = 3, ppm 500000
+    assert(got.toSeq == Seq((3L, 2L, 3L, 500000L)))
+  }
+
+  test("zipfOctaves: rank octaves via bin-length, deterministic ties") {
+    val docs = Seq(("s", "a a a b b c")).toDF("source", "text")
+    val got = TextAnalysis.zipfOctaves(docs)
+      .select("source", "octave", "n_tokens", "total_freq")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    // ranks: a=1 (octave 0), b=2, c=3 (octave 1)
+    assert(got.toSeq == Seq(("s", 0L, 1L, 3L), ("s", 1L, 2L, 3L)))
+  }
+
+  test("JaroWinkler matches DuckDB jaro_winkler_similarity bit-for-bit") {
+    // expectations probed from DuckDB (the oracle engine) — incl. the
+    // pinned empty-vs-empty = 0, window-0 short strings, transposition
+    // flooring, and the >0.7 boost threshold
+    val cases = Seq(
+      ("aeddcb bya", "aeddca", 0.92),
+      ("a d", "aydzeacy", 0.6388888888888888),
+      ("xb", "byb", 0.0),
+      ("eaz b", "yb exdbad", 0.5333333333333333),
+      ("b", "yez", 0.0),
+      ("xxdeb", "c", 0.0),
+      ("ye", "dxadax", 0.0),
+      ("cecd  eyyx", "cecd dc zbab", 0.8200000000000001),
+      ("yb", "yyz e ab exb", 0.5277777777777778),
+      ("ae", "c be d", 0.5555555555555555),
+      ("axzabxedad", "bb", 0.5333333333333333),
+      ("", "ccz ce yd de", 0.0),
+      ("", "", 0.0),
+      ("xz zbddbxa", "xz zbddabadbax", 0.9228571428571428),
+      ("zd", "czdz", 0.8333333333333334),
+      ("byx", "by", 0.9111111111111111),
+      ("bayxbddd zc", "bayxb", 0.890909090909091),
+      ("dbz", "dba abdc", 0.6388888888888888),
+      ("yacyaye", "zey", 0.4920634920634921),
+      ("zcdeda axa", "zcdedaz  ca bcbbd", 0.8541176470588235),
+      ("aby xedxd", "eyc", 0.48148148148148145),
+      ("xbaz", "bb d ec", 0.46428571428571425),
+      ("a ebcebb c", "a ebceedx", 0.8533333333333333),
+      ("zeabyeaax", "cecz", 0.40740740740740744),
+      ("abbc a", "x cycaex", 0.5138888888888888),
+      ("xddbx ycdccy", "xddbx ", 0.9),
+      ("ydecbyazddz", "xedda", 0.5131313131313131),
+      ("ebex y", "ebexabe", 0.8476190476190476),
+      ("byxx", "by", 0.8666666666666667),
+      ("ydeaya", "yded", 0.825),
+      ("x", "xbe eyxye", 0.7333333333333334),   // boost on 1-char match
+      ("ycey a", "yceeedyxzzzd", 0.6666666666666666),
+      ("cbe xbdeddca", "cbe xbadzbzydyzyd", 0.8643137254901961),
+      ("bydc za dbz", "bydc ", 0.890909090909091),
+      ("xz y", "xzzczzede zd", 0.5555555555555555),
+      ("e", "dexx bccdyc", 0.6969696969696969),  // jaro<=0.7: no boost
+      ("y", "x zyad", 0.0),
+      ("ayzaxe", "ayzyy  dzdeyzay", 0.6444444444444445),
+      ("yczc ayaby", "yczc czcaeyxdzxxy", 0.8541176470588235),
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("CRAZY", "CRAZE", 0.92),
+      ("abab", "baba", 0.8333333333333334),      // boost blocked: prefix 0
+      ("abcvwxyz", "cabvwxyz", 0.9583333333333334)) // t2=3 floors to t=1
+    for ((a, b, want) <- cases) {
+      val got = JaroWinklerUtil.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got == want, s"jw('$a','$b') = $got, duckdb = $want")
+      // symmetry
+      val rev = JaroWinklerUtil.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      assert(rev == got, s"jw not symmetric on ('$a','$b')")
+    }
+  }
+
+  test("jaroWinklerPairs: blocked, thresholded, codegen expression path") {
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha betta"), (3L, "alpha zzzqq"),
+      (4L, "gamma beta")).toDF("id", "name")
+    val got = Fuzzy.jaroWinklerPairs(df, "id", "name",
+        split(col("name"), " ").getItem(0), minSimPpm = 900000L)
+      .select("id_a", "id_b", "jw_ppm").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    def ppm(a: String, b: String): Long =
+      math.round(JaroWinklerUtil.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b)) * 1e6)
+    // block "alpha": pairs (1,2),(1,3),(2,3); block "gamma" has one member
+    val expected = Seq(
+      (1L, 2L, ppm("alpha beta", "alpha betta")),
+      (1L, 3L, ppm("alpha beta", "alpha zzzqq")),
+      (2L, 3L, ppm("alpha betta", "alpha zzzqq")))
+      .filter(_._3 >= 900000L)
+    assert(got.toSeq == expected)
+    assert(expected.exists(_._2 == 2L)) // the near-dup pair survives
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L)) // cross-block never pairs
+  }
+}
