@@ -217,4 +217,46 @@ object EventAnalytics {
       .groupBy("cohort_day", "offset_days")
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** Per-key TIME-weighted average of an irregularly-sampled value — the
+    * step-function integral ∫v(t)dt / span, where each event's value
+    * holds until the next event (the correct mean for sensor/price
+    * series; the plain average over-weights bursts). Exact integers
+    * end-to-end: value fixes to cents via DECIMAL(18,2)·100 (the q150
+    * idiom — engine-portable rounding), time in epoch micros, the
+    * integral as a DECIMAL(38,0) sum of cents×Δt products (int64 would
+    * overflow at ~2×10⁵ key-events of week-long gaps), one floor
+    * division at the end (values nonneg per the require — a signed
+    * numerator would hit floor-vs-truncate drift).
+    *
+    * Output: (keyCol, n_events, span_us, twa_cents); single-event keys
+    * have span 0 and report their own value.
+    *
+    * Shape at 100 TB: ONE key exchange — the lead() window and the
+    * aggregate share it; no collect, state bounded per key partition.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_us"), col("_tb"))
+    events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("_us"),
+        col(tieCol).as("_tb"),
+        (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("_x"))
+      .withColumn("_dt", lead(col("_us"), 1).over(w) - col("_us"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("_us")) - min(col("_us"))).as("span_us"),
+        sum((col("_x") * col("_dt")).cast(dec)).as("_integral"),
+        // span-0 keys (single event, or all events on one timestamp —
+        // step function undefined) pin deterministically to the min value
+        min(col("_x")).as("_minx"))
+      .select(col(keyCol), col("n_events"), col("span_us"),
+        when(col("span_us") === 0, col("_minx"))
+          .otherwise(expr("CAST(_integral DIV CAST(span_us AS DECIMAL(38,0))" +
+            " AS BIGINT)"))
+          .as("twa_cents"))
+  }
 }

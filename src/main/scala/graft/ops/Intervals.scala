@@ -40,4 +40,26 @@ object Intervals {
       .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
         count(lit(1)).as("n_intervals"))
   }
+
+  /** The complement of [[coalesce]]: per key, the SILENT stretches between
+    * maximal covered islands — "when was this device NOT reporting?", the
+    * outage/wear-gap census. Each gap runs from an island's end to the
+    * next island's start; by island maximality the gap is strictly
+    * positive, and a key with one island emits no rows.
+    *
+    * Output: (key, gap_seq = preceding island's id, gap_start, gap_end).
+    *
+    * Shape at 100 TB: [[coalesce]]'s single key-partitioned exchange plus
+    * one lead() over the (already tiny) per-key ISLAND relation — gap
+    * discovery costs nothing beyond the coalesce itself.
+    */
+  def gaps(df: DataFrame, key: Column, start: Column,
+           end: Column): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("island_id")
+    coalesce(df, key, start, end)
+      .withColumn("next_start", lead(col("island_start"), 1).over(w))
+      .filter(col("next_start").isNotNull)
+      .select(col("key"), col("island_id").as("gap_seq"),
+        col("island_end").as("gap_start"), col("next_start").as("gap_end"))
+  }
 }

@@ -547,6 +547,35 @@ object Profile {
     * error). Products go through DECIMAL(38,0) so billion-row sides
     * cannot overflow the cross-multiplication.
     */
+  /** Order-insensitive per-group content checksum — the cheap
+    * reconciliation primitive between two copies of a table (replication
+    * audit, pre/post-migration, snapshot-vs-snapshot): groups whose
+    * (n_rows, xor_sum, add_sum) triples match are byte-identical with
+    * overwhelming probability, and only MISMATCHED groups need q114's
+    * row-level diff. Two combined digests because each is blind alone:
+    * XOR misses duplicated-row pairs (x ⊕ x = 0), the wrapping SUM
+    * misses swapped values that happen to preserve totals.
+    *
+    * Row digest = the repo's 60-bit sha256 prefix of a caller-built
+    * canonical string (`rowKey` — pick columns/formatting there; keep
+    * doubles out, float formatting isn't engine-portable). Both
+    * aggregates are commutative/associative → map-side combined, one
+    * scan, |groups| output rows. add_sum wraps into signed int64 via
+    * DECIMAL(38,0) mod 2⁶³ (engine-portable: both engines floor-mod
+    * nonnegative sums).
+    */
+  def groupChecksum(df: DataFrame, groupCol: String,
+                    rowKey: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val h = graft.functions.TextFns.hash64(rowKey)
+    df.select(col(groupCol), h.as("_h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_h)").as("xor_sum"),
+        expr(s"CAST(sum(CAST(_h AS DECIMAL(38,0))) % 9223372036854775808 " +
+          "AS BIGINT)").as("add_sum"))
+  }
+
   def ksTwoSample(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val wCum = org.apache.spark.sql.expressions.Window

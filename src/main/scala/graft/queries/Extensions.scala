@@ -3286,6 +3286,101 @@ object Extensions {
         split(col("p_name"), " ").getItem(0), minSimPpm = 900000L)
       .orderBy("id_a", "id_b"))
 
+  private val q175 = Q("q175_interval_gaps",
+    "outage census — the complement of q119's islands: per-customer " +
+      "silent stretches between maximal 30-day-coverage islands (gap " +
+      "from island end to next island start, strictly positive by " +
+      "maximality; single-island keys emit nothing); one lead() over " +
+      "the island relation, riding coalesce's single key exchange",
+    Some("""
+      WITH iv AS (SELECT o_custkey, o_orderdate AS s,
+                         o_orderdate + INTERVAL 30 DAY AS e FROM orders),
+      flg AS (SELECT o_custkey, s, e,
+              CASE WHEN s <= MAX(e) OVER (PARTITION BY o_custkey
+                   ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 0 ELSE 1 END AS new_island
+              FROM iv),
+      isl AS (SELECT o_custkey, s, e,
+              SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island_id
+              FROM flg),
+      g AS (SELECT o_custkey, island_id,
+              MIN(s) AS island_start, MAX(e) AS island_end
+            FROM isl GROUP BY 1, 2),
+      nx AS (SELECT o_custkey, island_id, island_end,
+               lead(island_start, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY island_id) AS next_start
+             FROM g)
+      SELECT o_custkey, CAST(island_id AS BIGINT) AS gap_seq,
+             strftime(island_end, '%Y-%m-%d') AS gap_start,
+             strftime(next_start, '%Y-%m-%d') AS gap_end,
+             CAST(date_diff('day', island_end, next_start) AS BIGINT)
+               AS gap_days
+      FROM nx WHERE next_start IS NOT NULL
+      ORDER BY o_custkey, gap_seq"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      Intervals.gaps(o, col("o_custkey"), col("o_orderdate"),
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(col("key").as("o_custkey"), col("gap_seq"),
+          date_format(col("gap_start"), "yyyy-MM-dd").as("gap_start"),
+          date_format(col("gap_end"), "yyyy-MM-dd").as("gap_end"),
+          datediff(col("gap_end").cast("date"),
+            col("gap_start").cast("date")).cast("long").as("gap_days"))
+        .orderBy("o_custkey", "gap_seq")
+    })
+
+  private val q176 = Q("q176_time_weighted_avg",
+    "per-type TIME-weighted mean of the irregularly-sampled value " +
+      "stream (step-function integral / span — the plain mean " +
+      "over-weights bursts): cents via the q150 DECIMAL(18,2) idiom, " +
+      "epoch-micros deltas, DECIMAL(38,0) integral, ONE key exchange " +
+      "shared by the lead window and the aggregate",
+    Some("""
+      WITH e AS (SELECT event_type,
+                   epoch_us(ts) AS us, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+                 FROM events),
+      d AS (SELECT event_type, us, x,
+              lead(us, 1) OVER (PARTITION BY event_type
+                ORDER BY us, event_id) - us AS dt
+            FROM e)
+      SELECT event_type, count(*) AS n_events,
+             max(us) - min(us) AS span_us,
+             CASE WHEN max(us) = min(us) THEN min(x)
+                  ELSE CAST(CAST(sum(CAST(x AS DECIMAL(38,0)) * dt)
+                       AS HUGEINT) -- decimal // returns DOUBLE in DuckDB
+                       // (max(us) - min(us)) AS BIGINT) END AS twa_cents
+      FROM d GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => graft.ops.EventAnalytics.timeWeightedAvg(
+        t(s, dir, "events"), "event_type", "ts", "event_id", "value")
+      .orderBy("event_type"))
+
+  private val q177 = Q("q177_group_checksum",
+    "replication/migration audit: order-insensitive per-type content " +
+      "checksum (n_rows, bit_xor, wrapping add of the 60-bit sha row " +
+      "digest) — matching triples mean byte-identical groups whp, only " +
+      "mismatches need q114's row diff; both digests map-side combine, " +
+      "one scan",
+    Some("""
+      WITH h AS (SELECT event_type,
+                   CAST('0x' || substr(sha256(
+                     CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+                     CAST(epoch_us(ts) AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+                 FROM events)
+      SELECT event_type, count(*) AS n_rows,
+             bit_xor(hv) AS xor_sum,
+             CAST(sum(CAST(hv AS HUGEINT)) % 9223372036854775808
+               AS BIGINT) AS add_sum
+      FROM h GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => graft.ops.Profile.groupChecksum(
+        graft.Tables.table(s, dir, "events"), "event_type",
+        concat_ws("|", col("event_id").cast("string"), col("event_type"),
+          unix_micros(col("ts")).cast("string")))
+      .orderBy("event_type"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -3294,5 +3389,5 @@ object Extensions {
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
-    q167, q168, q169, q170, q171, q172, q173)
+    q167, q168, q169, q170, q171, q172, q173, q175, q176, q177)
 }

@@ -83,6 +83,50 @@ class DriftStatsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("s", 0L, 1L, 3L), ("s", 1L, 2L, 3L)))
   }
 
+  test("Intervals.gaps: silent stretches between islands, strictly positive") {
+    // key a: [1,3],[2,5] merge -> island [1,5]; [8,9] -> gap (5,8);
+    // key b: single island -> no gap rows
+    val iv = Seq(("a", 1, 3), ("a", 2, 5), ("a", 8, 9), ("b", 1, 2))
+      .toDF("k", "s", "e")
+    val got = graft.ops.Intervals.gaps(iv, col("k"), col("s"), col("e"))
+      .select("key", "gap_seq", "gap_start", "gap_end")
+      .as[(String, Long, Int, Int)].collect().toSeq
+    assert(got == Seq(("a", 1L, 5, 8)))
+  }
+
+  test("timeWeightedAvg: step integral over span, span-0 pins to min") {
+    // key k: v=100 cents for 3us, then 400 for 1us -> (300+400)/4 = 175
+    val df = Seq(
+      ("k", java.time.Instant.ofEpochSecond(0, 1000L), 1L, 1.00),
+      ("k", java.time.Instant.ofEpochSecond(0, 4000L), 2L, 4.00),
+      ("k", java.time.Instant.ofEpochSecond(0, 5000L), 3L, 9.00),
+      ("solo", java.time.Instant.ofEpochSecond(0, 7000L), 4L, 2.50))
+      .toDF("k", "ts", "id", "v")
+    val got = graft.ops.EventAnalytics
+      .timeWeightedAvg(df, "k", "ts", "id", "v")
+      .select("k", "n_events", "span_us", "twa_cents")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // k: integral = 100*3 + 400*1 = 700 over span 4 -> 175
+    assert(got == Seq(("k", 3L, 4L, 175L), ("solo", 1L, 0L, 250L)))
+  }
+
+  test("groupChecksum: order-insensitive, detects content drift") {
+    val a = Seq(("g", "r1"), ("g", "r2"), ("h", "r3")).toDF("grp", "payload")
+    val b = Seq(("g", "r2"), ("g", "r1"), ("h", "r3X")).toDF("grp", "payload")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Profile.groupChecksum(df, "grp", col("payload"))
+        .select("grp", "n_rows", "xor_sum", "add_sum")
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val (sa, sb) = (sums(a), sums(b))
+    assert(sa.head == sb.head)        // g: same rows, different order
+    assert(sa(1) != sb(1))            // h: content drifted
+    // xor alone is blind to duplicate pairs; the add digest catches them
+    val dup = Seq(("g", "r1"), ("g", "r1"), ("g", "r2"), ("g", "r2"))
+      .toDF("grp", "payload")
+    val sd = sums(dup)
+    assert(sd.head._3 == 0L && sd.head._4 != 0L)
+  }
+
   test("JaroWinkler matches DuckDB jaro_winkler_similarity bit-for-bit") {
     // expectations probed from DuckDB (the oracle engine) — incl. the
     // pinned empty-vs-empty = 0, window-0 short strings, transposition
