@@ -596,4 +596,72 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
+
+  /** PPJoin-style prefix-filtered EXACT Jaccard similarity join — the third
+    * exact near-dup family next to the blocked shingle intersection
+    * ([[ngramJaccard]], needs a blocking column) and sketch-then-verify
+    * ([[minHashVerifiedPairs]], probabilistic recall): corpus-wide, no
+    * blocking key, no recall loss, and still never all-pairs.
+    *
+    * Canonical order: each doc's distinct shingle hashes sort by (global
+    * document frequency ASC, hash) — rarest first. Prefix-filtering theorem
+    * (SSJoin/PPJoin, Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08): if
+    * jaccard(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, so B must hit one of the first
+    * |A| − ⌈τ·|A|⌉ + 1 elements of A under ANY shared total order. Indexing
+    * only those prefixes keeps every qualifying pair a candidate — EXACT,
+    * unlike LSH banding — while the rare-first order makes prefix postings
+    * the smallest-df lists, so candidate fan-out is bounded by rare-shingle
+    * df, not corpus size. A (τ·max ≤ min) size-compatibility test prunes
+    * length-mismatched collisions before the verify join.
+    *
+    * τ is the rational `tauNum/tauDen` so prefix length and threshold are
+    * integer-exact: ceil(τn) = (tauNum·n + tauDen − 1) div tauDen, accept
+    * iff tauDen·inter ≥ tauNum·union — no float drift vs the oracle, and
+    * `jaccard_ppm` is one floor division at the end.
+    *
+    * 100 TB shape: one shingle-keyed aggregate for df, one doc-keyed window
+    * for (pos, n), a prefix-postings self-join whose buckets are df-bounded
+    * (a global df cap on indexable shingles slots in here if a pathological
+    * corpus makes even prefixes hot), and a candidate-bounded verify join
+    * back to the full sets — the sketch-then-verify cost model with a
+    * guarantee instead of a recall gamble.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         tauNum: Int, tauDen: Int,
+                         shingleSize: Int = 3): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a rational in (0,1]: $tauNum/$tauDen")
+    val sh = docs.select(col(idCol).as("_id"),
+        explode(TextFns.shingleHashes(col(textCol), shingleSize)).as("sh"))
+      .distinct()
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("_id").orderBy(col("df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("_id")))
+    // prefix length: n - ceil(tau*n) + 1, all-integer
+    val prefix = ranked.filter(col("pos") <=
+        col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + lit(1))
+      .select(col("_id"), col("sh"), col("n"))
+    val cands = prefix.select(col("_id").as("doc_a"), col("sh"),
+        col("n").as("n_a"))
+      .join(prefix.select(col("_id").as("doc_b"), col("sh"),
+        col("n").as("n_b")), "sh")
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(tauDen) * least(col("n_a"), col("n_b")) >=
+          lit(tauNum) * greatest(col("n_a"), col("n_b")))
+      .select("doc_a", "doc_b", "n_a", "n_b").distinct()
+    val inter = cands
+      .join(sh.select(col("_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(col("sh") === col("sh_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(lit(tauDen) * col("n_inter") >= lit(tauNum) * col("n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"),
+        expr("(1000000 * n_inter) div n_union").as("jaccard_ppm"))
+  }
 }

@@ -108,4 +108,61 @@ object Diff {
     j.filter(!hasChange || col("_c_op") =!= "D")
       .select(keys ++ payload: _*)
   }
+
+  /** Incremental VIEW maintenance for the (count, sum) aggregate family:
+    * fold a change batch into a STANDING aggregate relation without
+    * rescanning the base data — [[applyChanges]] maintains rows, this
+    * maintains the aggregate built over them. At 100 TB the base aggregate
+    * is key-cardinality-sized while the raw data is petabytes; nightly
+    * full recompute is exactly the shuffle this avoids.
+    *
+    * `baseAgg` has `keyCols ++ (n_rows, sum_cents)` (build it once with
+    * [[aggregateCents]]); `delta` is row-level with `opCol` ∈ {I, D} and
+    * the raw value column. COUNT and SUM are self-maintainable under
+    * inserts AND deletes (signed multiplicities, Griffin/Libkin-style); a
+    * key whose count reaches zero leaves the relation. MIN/MAX are NOT
+    * delete-maintainable without an auxiliary structure — by design out of
+    * scope here; a delete on a min-carrying key must re-aggregate that key
+    * from base (document, don't pretend).
+    *
+    * Shape: ONE delta-sized aggregate + ONE full-outer join on the key —
+    * never touches base rows. Exact integer cents (the q150 idiom), so
+    * incremental ≡ recompute bit-for-bit, which is the gate.
+    */
+  def incrementalAgg(baseAgg: DataFrame, delta: DataFrame,
+                     keyCols: Seq[String], valueCol: String,
+                     opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val sign = when(col(opCol) === "D", lit(-1L)).otherwise(lit(1L))
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val d = delta
+      .select(keyCols.map(col) :+ sign.as("_sgn") :+ cents.as("_cents"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_sgn")).as("_dn"),
+        sum(col("_sgn") * col("_cents")).as("_dsum"))
+      .toDF(keyCols.map("_d_" + _) ++ Seq("_dn", "_dsum"): _*)
+    val b = baseAgg.toDF(
+      keyCols.map("_b_" + _) ++ Seq("_bn", "_bsum"): _*)
+    val joinCond = keyCols.map(k => col("_b_" + k) === col("_d_" + k))
+      .reduce(_ && _)
+    val keys = keyCols.map(k =>
+      coalesce(col("_d_" + k), col("_b_" + k)).as(k))
+    b.join(d, joinCond, "full_outer")
+      .select(keys :+
+        (coalesce(col("_bn"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as("n_rows") :+
+        (coalesce(col("_bsum"), lit(0L)) + coalesce(col("_dsum"), lit(0L)))
+          .as("sum_cents"): _*)
+      .filter(col("n_rows") > 0)
+  }
+
+  /** The base-aggregate builder [[incrementalAgg]] maintains: exact integer
+    * cents per key (one scan of base — paid ONCE, then only deltas).
+    */
+  def aggregateCents(base: DataFrame, keyCols: Seq[String],
+                     valueCol: String): DataFrame =
+    base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+          .as("sum_cents"))
 }

@@ -794,4 +794,116 @@ object Multimodal {
         }
       }
   }
+
+  // ---- WAV PCM: REAL sample-domain audio features ------------------------
+  // PCM is uncompressed, so the RIFF walk IS the full decode (stock JVM, no
+  // codec seam needed) — this is the audio analog of the q122 MJPEG frame
+  // decode: genuine sample arithmetic, not header metadata.
+
+  final case class WavFeature(doc_id: Long, sample_rate: Int,
+                              n_samples: Long, peak_abs: Long, rms_sq: Long,
+                              silence_ppm: Long)
+
+  /** Minimal canonical WAV: RIFF/WAVE, `fmt ` PCM 16-bit mono at
+    * `sampleRate`, one `data` chunk of little-endian samples — exactly the
+    * layout [[parseWavPcm]] reads back.
+    */
+  def buildWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"sampleRate must be positive: $sampleRate")
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = Array[Byte](1, 0, 1, 0) ++ // PCM, mono
+      leBytes(sampleRate.toLong) ++
+      leBytes(sampleRate.toLong * 2) ++ // byte rate
+      Array[Byte](2, 0, 16, 0) // block align, bits/sample
+    riffChunk("RIFF",
+      "WAVE".getBytes("ISO-8859-1") ++
+        riffChunk("fmt ", fmt) ++ riffChunk("data", data))
+  }
+
+  /** RIFF walk + PCM read-back: (sampleRate, mono 16-bit samples). None on
+    * anything that is not PCM 16-bit mono WAV — corrupt bytes route to a
+    * stub/quarantine path, never a task failure (the [[parseMp3]] posture).
+    */
+  def parseWavPcm(b: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+        return None
+      var off = 12
+      var rate = 0
+      var ok = false
+      var samples: Array[Short] = null
+      while (off + 8 <= b.length) {
+        val tpe = fourcc(b, off)
+        val len = le32(b, off + 4).toInt
+        val body = off + 8
+        if (tpe == "fmt " && len >= 16) {
+          val audioFormat = (b(body) & 0xff) | ((b(body + 1) & 0xff) << 8)
+          val channels = (b(body + 2) & 0xff) | ((b(body + 3) & 0xff) << 8)
+          val bits = (b(body + 14) & 0xff) | ((b(body + 15) & 0xff) << 8)
+          rate = le32(b, body + 4).toInt
+          ok = audioFormat == 1 && channels == 1 && bits == 16
+        } else if (tpe == "data") {
+          val n = len / 2
+          samples = Array.tabulate(n) { i =>
+            ((b(body + 2 * i) & 0xff) |
+              ((b(body + 2 * i + 1) & 0xff) << 8)).toShort
+          }
+        }
+        off = body + len + (len & 1) // RIFF chunks pad to even
+      }
+      if (ok && rate > 0 && samples != null) Some((rate, samples)) else None
+    } catch { case _: Exception => None }
+
+  /** Sample-domain features per payload: peak amplitude, integer mean
+    * square (Σs² div n — BIGINT-safe: s² ≤ 2³⁰, so n may reach 2³³ samples
+    * per file before overflow), and the silence ratio in exact ppm — a
+    * frame of `frame` samples is silent when its peak stays under
+    * `silenceThreshold` (the trim-leading/trailing-silence and
+    * dead-air-detection primitive; the tail frame counts, short as it is).
+    *
+    * Row-local mapPartitions over the binary column — the q122/q123 shape:
+    * decode cost is embarrassingly parallel, nothing shuffles, and at
+    * 100 TB the decoded samples never materialize as a relation (only the
+    * fixed-width feature row leaves the partition).
+    */
+  def wavFeatures(spark: SparkSession, withPayload: DataFrame,
+                  frame: Int = 200,
+                  silenceThreshold: Int = 1000): Dataset[WavFeature] = {
+    import spark.implicits._
+    require(frame > 0, s"frame must be positive: $frame")
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWavPcm(bytes).map { case (rate, s) =>
+          var sumSq = 0L
+          var peak = 0L
+          var i = 0
+          var framePeak = 0L
+          var silent = 0L
+          var frames = 0L
+          while (i < s.length) {
+            val v = s(i).toLong
+            val a = math.abs(v)
+            sumSq += v * v
+            if (a > peak) peak = a
+            if (a > framePeak) framePeak = a
+            if ((i + 1) % frame == 0 || i == s.length - 1) {
+              frames += 1
+              if (framePeak < silenceThreshold) silent += 1
+              framePeak = 0L
+            }
+            i += 1
+          }
+          WavFeature(id, rate, s.length.toLong, peak,
+            if (s.length == 0) 0L else sumSq / s.length,
+            if (frames == 0) 0L else 1000000L * silent / frames)
+        }
+      })
+  }
 }

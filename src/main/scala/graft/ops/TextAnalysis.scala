@@ -969,4 +969,113 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("total_freq"))
   }
 
+  /** Pointwise-mutual-information collocation mining: word pairs that
+    * co-occur in the same document far more often than their independent
+    * frequencies predict. [[distinctiveTerms]] ranks words against a
+    * SOURCE; this ranks word PAIRS against each other — the
+    * multiword-expression / template-phrase detector.
+    *
+    * `lift_ppm` is the exact PMI ratio in parts-per-million WITHOUT the
+    * log: 10⁶ · P(a,b) / (P(a)·P(b)) = 10⁶ · c_ab · n_docs div (c_a · c_b)
+    * as ONE cross-multiplied floor division (log is monotone, so rankings
+    * agree; pure integer arithmetic is engine-portable where libm log is
+    * not). int64 holds to 10⁶·c_ab·n_docs < 2⁶³ — beyond ~9·10⁶ doc
+    * co-occurrence counts at web scale, swap the numerator to
+    * DECIMAL(38,0) (the q155/q164 idiom).
+    *
+    * Scale design: the pair fan-out is the classic hazard (a stopword in
+    * 10⁹ docs pairs with everything), so words above `maxDf` documents are
+    * dropped BEFORE any pair is formed — the [[sparseCosinePairs]] bound.
+    * Pairs enumerate ROW-LOCALLY inside each doc's sorted kept-word array
+    * (the [[vocabOverlap]] slice/transform idiom, ≤ maxDf²-ish per doc),
+    * then one map-side-combined aggregate; no doc-keyed self-join shuffle.
+    * Distinct-per-doc semantics: a pair counts once per document.
+    */
+  def pmiPairs(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", maxDf: Long = 50L,
+               minPair: Long = 3L): DataFrame = {
+    val dw = docs.select(col(idCol).as("_id"),
+        explode(TextFns.words(col(textCol))).as("w"))
+      .distinct()
+    val dfreq = dw.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val kept = dw.join(dfreq.filter(col("c_w") <= maxDf), "w")
+    val byDoc = kept.groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("w"), col("c_w")))).as("ws"))
+    val pairs = byDoc.select(explode(flatten(transform(col("ws"), (a, i) =>
+        transform(slice(col("ws"), i + lit(2), size(col("ws"))), b =>
+          struct(a.getField("w").as("w_a"), b.getField("w").as("w_b"),
+            a.getField("c_w").as("c_a"), b.getField("c_w").as("c_b"))))))
+        .as("p"))
+      .select(col("p.w_a"), col("p.w_b"), col("p.c_a"), col("p.c_b"))
+      .groupBy("w_a", "w_b", "c_a", "c_b")
+      .agg(count(lit(1)).as("c_ab"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    pairs.filter(col("c_ab") >= minPair)
+      .crossJoin(broadcast(n))
+      .select(col("w_a"), col("w_b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(1000000L * c_ab * n_docs) div (c_a * c_b)").as("lift_ppm"))
+  }
+
+  /** BM25 keyword retrieval over the corpus — the lexical complement of the
+    * embedding ANN path (RAG pipelines run BOTH and fuse). Scores are the
+    * EXACT-RATIONAL BM25 with k1 = 6/5, b = 3/4: per query term,
+    *
+    *   idf_ppm  = 10⁶·(N − df + ½) div (df + ½)
+    *            = (10⁶·(2(N − df) + 1)) div (2·df + 1)
+    *   tfnorm   = tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl)), which with
+    *              avgdl = totalLen/N cross-multiplies to the single
+    *              integer division
+    *   score    = Σ_terms (idf_ppm · 44·tf·totalLen)
+    *                div (20·tf·totalLen + 6·totalLen + 18·len·N)
+    *
+    * The textbook formulation takes ln of the idf ratio; ln is strictly
+    * monotone in it, but SUMS of logged terms can reorder vs sums of the
+    * raw ratios — so this is a documented exact-arithmetic VARIANT (the
+    * family is standard: BM25 has no single canonical idf), chosen because
+    * every score is one integer expression both engines floor identically.
+    * int64 audit: idf_ppm ≤ 2·10⁶·N and the numerator ≤ 2·10⁶·N·44·tf·
+    * totalLen — beyond ~10⁵ docs×10⁸ tokens move the numerator to
+    * DECIMAL(38,0) (same operator shape).
+    *
+    * Scale design: `queryTerms` is model-sized and BROADCAST; the corpus
+    * contributes one (doc, term) count aggregate (map-side combined) that
+    * the query relation semi-joins down to matching postings only; doc
+    * lengths ride the same scan via a grouping on the doc id; N/totalLen
+    * are one-row broadcasts. Top-k per query is a bounded rank window over
+    * the matched relation.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id", termCol: String = "term",
+               k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = docs.select(col(idCol).as("_doc"),
+      explode(TextFns.words(col(textCol))).as("w"))
+    val tf = toks.groupBy("_doc", "w").agg(count(lit(1)).as("tf"))
+    val len = toks.groupBy("_doc").agg(count(lit(1)).as("len"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val totals = len.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("total_len"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(termCol).as("w")).distinct()
+    val matched = tf.join(broadcast(q), "w")
+      .join(len, "_doc")
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_ppm",
+        expr("(1000000L * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
+      .withColumn("term_score",
+        expr("""(idf_ppm * 44 * tf * total_len) div
+                (20 * tf * total_len + 6 * total_len + 18 * len * n_docs)"""))
+    val scored = matched.groupBy("query_id", "_doc")
+      .agg(sum("term_score").as("score_ppm"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_ppm").desc, col("_doc"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("_doc").as(idCol), col("score_ppm"),
+        col("n_terms_hit"), col("rank"))
+  }
+
 }

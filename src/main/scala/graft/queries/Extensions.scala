@@ -3381,6 +3381,176 @@ object Extensions {
           unix_micros(col("ts")).cast("string")))
       .orderBy("event_type"))
 
+  private val q178 = Q("q178_prefix_jaccard_join",
+    "PPJoin-style prefix-filtered EXACT Jaccard join at tau = 1/2, " +
+      "corpus-wide (no blocking column, no LSH recall loss): rare-first " +
+      "canonical order, prefix length n - ceil(n/2) + 1, size-compat " +
+      "prune, candidate-bounded verify — the oracle brute-forces every " +
+      "shared-shingle pair and must agree pair-for-pair",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      sh AS (SELECT DISTINCT doc_id,
+             CAST('0x' || substr(sha256(w[j] || ' ' || w[j+1] || ' ' || w[j+2]), 1, 15) AS BIGINT) AS sh
+             FROM jx),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+             (1000000 * n_inter) // (sa.n_sh + sb.n_sh - n_inter)
+               AS jaccard_ppm
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE 2 * n_inter >= sa.n_sh + sb.n_sh - n_inter
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id",
+      "text", tauNum = 1, tauDen = 2)
+      .orderBy("doc_a", "doc_b"))
+
+  private val q179 = Q("q179_pmi_collocations",
+    "PMI collocation mining: word pairs co-occurring in documents vs " +
+      "their independent rates, exact cross-multiplied ppm (no libm " +
+      "log); df-capped BEFORE any pair forms (the stopword-pairs-with-" +
+      "everything hazard), pairs enumerated row-locally per doc",
+    Some("""
+      WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+      cw AS (SELECT w, count(*) AS c_w FROM dw GROUP BY 1),
+      kept AS (SELECT doc_id, dw.w, c_w FROM dw JOIN cw USING (w)
+               WHERE c_w <= 395),
+      p AS (SELECT a.w AS w_a, b.w AS w_b, a.c_w AS c_a, b.c_w AS c_b,
+                   count(*) AS c_ab
+            FROM kept a JOIN kept b
+              ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY 1, 2, 3, 4),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT w_a, w_b, c_ab, c_a, c_b,
+             (1000000 * c_ab * n_docs) // (c_a * c_b) AS lift_ppm
+      FROM p, n WHERE c_ab >= 3 ORDER BY w_a, w_b"""),
+    (s, dir) => TextAnalysis.pmiPairs(t(s, dir, "documents"),
+      maxDf = 395L, minPair = 3L)
+      .orderBy("w_a", "w_b"))
+
+  private val q180 = Q("q180_wav_pcm_features",
+    "REAL audio decode (q122's discipline, audio modality): 16-bit PCM " +
+      "WAVs synthesized per doc_id, RIFF-parsed back, and the sample-" +
+      "domain features — peak, integer mean square, frame-silence ppm — " +
+      "computed from the decoded samples; the oracle predicts every " +
+      "sample arithmetically",
+    Some("""
+      WITH par AS (SELECT doc_id, 400 + (doc_id % 5) * 100 AS n,
+                          8000 + (doc_id % 3) * 4000 AS rate
+                   FROM documents),
+      ix AS (SELECT doc_id, n, rate,
+                    unnest(generate_series(0, n - 1)) AS i
+             FROM par),
+      s AS (SELECT doc_id, n, rate, i,
+              CASE WHEN (i // 200) % 3 = 2 THEN 0
+                   ELSE ((31 * i * i + 7 * i + doc_id) % 65536) - 32768
+              END AS v
+            FROM ix),
+      fr AS (SELECT doc_id, i // 200 AS f, max(abs(v)) AS fpeak
+             FROM s GROUP BY 1, 2),
+      sil AS (SELECT doc_id, count(*) AS n_frames,
+                     sum(CASE WHEN fpeak < 1000 THEN 1 ELSE 0 END)
+                       AS n_silent
+              FROM fr GROUP BY 1),
+      ag AS (SELECT doc_id, max(n) AS n, max(rate) AS rate,
+                    max(abs(v)) AS peak, sum(v * v) AS ssq
+             FROM s GROUP BY 1)
+      SELECT ag.doc_id, CAST(rate AS INT) AS sample_rate, n AS n_samples,
+             peak AS peak_abs, CAST(ssq // n AS BIGINT) AS rms_sq,
+             CAST(1000000 * n_silent // n_frames AS BIGINT) AS silence_ppm
+      FROM ag JOIN sil USING (doc_id)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (400 + (id % 5) * 100).toInt
+          val rate = (8000 + (id % 3) * 4000).toInt
+          val samples = Array.tabulate(n) { i =>
+            if ((i / 200) % 3 == 2) 0.toShort
+            else (((31L * i * i + 7L * i + id) % 65536L) - 32768L).toShort
+          }
+          (id, Multimodal.buildWav(rate, samples))
+        }).toDF("doc_id", "payload")
+      Multimodal.wavFeatures(s, payloads).toDF()
+        .orderBy("doc_id")
+    })
+
+  private val q181 = Q("q181_incremental_agg",
+    "incremental view maintenance for the (count, sum) aggregate: a " +
+      "standing per-type aggregate over the even-id events absorbs a " +
+      "change batch (odd-id inserts + every-10th-id deletes) via one " +
+      "delta-sized aggregate + one key join — NEVER rescanning base " +
+      "rows; the oracle recomputes from scratch and must match " +
+      "bit-for-bit (exact cents)",
+    Some("""
+      SELECT event_type, count(*) AS n_rows,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS sum_cents
+      FROM events
+      WHERE event_id % 2 = 1 OR event_id % 10 <> 0
+      GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val ev = graft.Tables.table(s, dir, "events")
+      val base = Diff.aggregateCents(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "value")
+      val delta = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("op", lit("I"))
+        .unionByName(ev.filter(col("event_id") % 10 === 0)
+          .withColumn("op", lit("D")))
+      Diff.incrementalAgg(base, delta, Seq("event_type"), "value")
+        .orderBy("event_type")
+    })
+
+  private val q182 = Q("q182_bm25_topk",
+    "BM25 keyword retrieval (exact-rational k1=6/5 b=3/4 variant — " +
+      "every term score is ONE integer floor division both engines " +
+      "compute identically; see TextAnalysis.bm25TopK for the int64 " +
+      "audit): three literal queries, top-5 docs each; the lexical " +
+      "complement the ANN gates (q25/q26/q36) fuse with in a RAG stack",
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+      len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+      dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      tot AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT)
+                AS total_len FROM len),
+      q(query_id, w) AS (VALUES (1, 'join'), (1, 'hash'), (2, 'vector'),
+                                (2, 'stream'), (2, 'slow'), (3, 'customer')),
+      m AS (SELECT q.query_id, tf.doc_id, tf.tf, len.len, dfq.df,
+                   tot.n_docs, tot.total_len,
+              (1000000 * (2 * (tot.n_docs - dfq.df) + 1)) // (2 * dfq.df + 1)
+                AS idf_ppm
+            FROM tf JOIN q USING (w) JOIN len USING (doc_id)
+                 JOIN dfq USING (w) CROSS JOIN tot),
+      ts AS (SELECT query_id, doc_id,
+               CAST((idf_ppm * 44 * tf * total_len) //
+                 (20 * tf * total_len + 6 * total_len + 18 * len * n_docs)
+                 AS BIGINT) AS term_score
+             FROM m),
+      sc AS (SELECT query_id, doc_id,
+               CAST(sum(term_score) AS BIGINT) AS score_ppm,
+               count(*) AS n_terms_hit
+             FROM ts GROUP BY 1, 2),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score_ppm DESC, doc_id) AS rank FROM sc)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_ppm,
+             n_terms_hit, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
+    (s, dir) => {
+      import s.implicits._
+      val queries = Seq((1L, "join"), (1L, "hash"), (2L, "vector"),
+        (2L, "stream"), (2L, "slow"), (3L, "customer"))
+        .toDF("query_id", "term")
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), queries, k = 5)
+        .orderBy("query_id", "rank")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -3389,5 +3559,6 @@ object Extensions {
     q126, q127, q128, q131, q132, q133, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
-    q167, q168, q169, q170, q171, q172, q173, q175, q176, q177)
+    q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
+    q178, q179, q180, q181, q182)
 }

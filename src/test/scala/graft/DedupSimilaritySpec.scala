@@ -638,4 +638,39 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.boilerplateSpans(docs, "doc_id", "text", minDocs = 1))
   }
+
+  test("prefixJaccardPairs: hand case — 2/4 overlap at tau=1/2, disjoint excluded") {
+    val docs = Seq(
+      (1L, "a b c d e"), // shingles {abc,bcd,cde}
+      (2L, "a b c d x"), // {abc,bcd,cdx} — inter 2, union 4, J = 1/2
+      (3L, "z y x w v")) // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 1, 2)
+      .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((1L, 2L, 2L, 3L, 3L, 500000L)))
+    // tighter tau excludes the same pair
+    assert(Dedup.prefixJaccardPairs(docs, "doc_id", "text", 2, 3).count() == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 2))
+  }
+
+  test("prefixJaccardPairs: EXACT — equals brute-force all-pairs Jaccard at tau") {
+    // 20 docs over a tiny alphabet → dense overlap structure; the prefix
+    // filter must reproduce the brute-force >= 1/3 pair set EXACTLY
+    val docs = (0L until 20L).map { i =>
+      val ws = (0 until 8).map(j => s"w${(i + j * (i % 3 + 1)) % 11}")
+      (i, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    val brute = Dedup.ngramJaccard(
+        docs.withColumn("blk", lit(1)), "doc_id", "text", Seq("blk"))
+      .filter(col("jaccard") >= 1.0 / 3.0)
+      .select("doc_a", "doc_b", "n_inter")
+      .as[(Long, Long, Long)].collect().toSet
+    val fast = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 1, 3)
+      .select("doc_a", "doc_b", "n_inter")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == brute)
+    assert(fast.nonEmpty)
+  }
 }

@@ -59,4 +59,25 @@ class DiffSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSeq
     assert(got == Seq((1L, "a2", 11.0)))
   }
+
+  test("incrementalAgg: folds inserts+deletes, drops zeroed keys, adds new ones") {
+    val baseRows = Seq(("a", 1.00), ("a", 2.00), ("b", 3.00))
+      .toDF("k", "value")
+    val base = Diff.aggregateCents(baseRows, Seq("k"), "value")
+    val delta = Seq(
+      ("a", "I", 4.00),  // insert
+      ("a", "D", 1.00),  // delete one of a's rows
+      ("b", "D", 3.00),  // b's count reaches zero → key leaves
+      ("c", "I", 5.00))  // brand-new key
+      .toDF("k", "op", "value")
+    val got = Diff.incrementalAgg(base, delta, Seq("k"), "value")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 600L), ("c", 1L, 500L)))
+    // incremental ≡ recompute over the effective row set
+    val effective = Seq(("a", 2.00), ("a", 4.00), ("c", 5.00))
+      .toDF("k", "value")
+    val full = Diff.aggregateCents(effective, Seq("k"), "value")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == full)
+  }
 }

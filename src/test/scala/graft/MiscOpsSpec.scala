@@ -1114,4 +1114,33 @@ class SourceDriftSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].head()
     assert(r == (("only", 4L, 3L, 0.0)))
   }
+
+  test("pmiPairs: df cap excludes stopwords, pairs count once per doc") {
+    // df: x=4 (capped out at maxDf=3), y=3, q=2, z=1; only (q,y) co-occurs
+    // (twice); z repeats WITHIN d4 but distinct-per-doc keeps c_w(z)=1
+    val docs = Seq(
+      (1L, "x y q"), (2L, "x y q"), (3L, "x y"), (4L, "z z x"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.pmiPairs(docs, maxDf = 3L, minPair = 2L)
+      .select("w_a", "w_b", "c_ab", "c_a", "c_b", "lift_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    // lift_ppm = 1e6 * 2 * 4 div (2 * 3) = 1333333
+    assert(got == List(("q", "y", 2L, 2L, 3L, 1333333L)))
+  }
+
+  test("bm25TopK: rarer term scores higher; tf saturates sublinearly") {
+    val docs = Seq((1L, "a a b"), (2L, "a c c"), (3L, "b b b"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "b")).toDF("query_id", "term")
+    val got = graft.ops.TextAnalysis.bm25TopK(docs, queries, k = 5)
+      .select("query_id", "doc_id", "score_ppm", "n_terms_hit", "rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // N=3, total_len=9, df(b)=2 → idf_ppm = 3_000_000 div 5 = 600_000;
+    // tf=1,len=3 → tfnorm = 1 exactly → 600_000;
+    // tf=3 → (600000*44*3*9) div (540+54+162) = 712_800_000 div 756 = 942_857
+    assert(got == List(
+      (1L, 3L, 942857L, 1L, 1L),
+      (1L, 1L, 600000L, 1L, 2L)))
+    // tf tripled but score rose only 1.57x — the saturation BM25 exists for
+  }
 }

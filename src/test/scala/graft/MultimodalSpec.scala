@@ -281,4 +281,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash(Multimodal.pngBytes(8, 8, 0x336699)).isEmpty)
     assert(Multimodal.dHash(Multimodal.pngBytes(9, 8, 0x336699)).contains(0L))
   }
+
+  test("WAV: PCM16 build/parse round trip is bit-exact; junk yields None") {
+    import graft.ops.Multimodal
+    val s = Array[Short](0, 1000, -32768, 32767, -1)
+    val bytes = Multimodal.buildWav(8000, s)
+    val Some((rate, back)) = Multimodal.parseWavPcm(bytes)
+    assert(rate == 8000)
+    assert(back.toSeq == s.toSeq)
+    assert(Multimodal.parseWavPcm("junk".getBytes).isEmpty)
+    assert(Multimodal.parseWavPcm(Array.empty[Byte]).isEmpty)
+  }
+
+  test("wavFeatures: frame silence (tail frame counts), integer mean square") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val s = Array[Short](0, 1000, -32768, 32767, -1)
+    val df = Seq((7L, Multimodal.buildWav(16000, s)))
+      .toDF("doc_id", "payload")
+    val f = Multimodal.wavFeatures(spark, df, frame = 2,
+      silenceThreshold = 1000).collect().head
+    assert(f.doc_id == 7L && f.sample_rate == 16000 && f.n_samples == 5L)
+    assert(f.peak_abs == 32768L)
+    // sum sq = 0 + 1e6 + 2^30 + 32767^2 + 1 = 2148418114; div 5
+    assert(f.rms_sq == 429683622L)
+    // frames [0,1000] peak 1000 (not < 1000), [-32768,32767], tail [-1]
+    // silent → 1 of 3
+    assert(f.silence_ppm == 333333L)
+  }
 }
