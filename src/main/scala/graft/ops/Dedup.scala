@@ -634,15 +634,27 @@ object Dedup {
     val sh = docs.select(col(idCol).as("_id"),
         explode(TextFns.shingleHashes(col(textCol), shingleSize)).as("sh"))
       .distinct()
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "sh")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("_id").orderBy(col("df"), col("sh"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("_id")))
-    // prefix length: n - ceil(tau*n) + 1, all-integer
-    val prefix = ranked.filter(col("pos") <=
-        col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + lit(1))
-      .select(col("_id"), col("sh"), col("n"))
+    // global df via a window over the SAME relation — a groupBy+join-back
+    // would derive the shingle subtree twice (measured: the naive shape
+    // re-ran the documents scan + shingle kernel SIX times across the
+    // df/rank/verify consumers)
+    val withDf = sh.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("sh")))
+    // ONE doc-keyed aggregate carries each doc's full rare-first-sorted
+    // set; persisted because prefix postings AND both verify sides read it
+    // (the q112 pageRank cache posture) — doc-count rows, set-sized arrays
+    val byDoc = withDf.groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ss"))
+      .select(col("_id"),
+        transform(col("ss"), s => s.getField("sh")).as("arr"),
+        size(col("ss")).cast("long").as("n"))
+      // prefix length: n - ceil(tau*n) + 1, all-integer
+      .withColumn("plen",
+        (col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen")
+          + lit(1)).cast("int"))
+      .persist()
+    val prefix = byDoc.select(col("_id"), col("n"),
+      explode(slice(col("arr"), lit(1), col("plen"))).as("sh"))
     val cands = prefix.select(col("_id").as("doc_a"), col("sh"),
         col("n").as("n_a"))
       .join(prefix.select(col("_id").as("doc_b"), col("sh"),
@@ -650,14 +662,16 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b") &&
         lit(tauDen) * least(col("n_a"), col("n_b")) >=
           lit(tauNum) * greatest(col("n_a"), col("n_b")))
-      .select("doc_a", "doc_b", "n_a", "n_b").distinct()
-    val inter = cands
-      .join(sh.select(col("_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .filter(col("sh") === col("sh_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+      .select("doc_a", "doc_b").distinct()
+    // verify is ROW-LOCAL: both sorted distinct sets ride the candidate
+    // row, the intersection is one array_intersect — no per-pair shuffle
+    cands
+      .join(byDoc.select(col("_id").as("doc_a"), col("arr").as("_aa"),
+        col("n").as("n_a")), "doc_a")
+      .join(byDoc.select(col("_id").as("doc_b"), col("arr").as("_ab"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("_aa"), col("_ab"))).cast("long"))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .filter(lit(tauDen) * col("n_inter") >= lit(tauNum) * col("n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),

@@ -495,4 +495,30 @@ class PlanIntegritySpec extends SparkSpec {
     val scans = p.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 1, s"lineitem must be scanned once, got $scans:\n$p")
   }
+
+  test("q178: prefix-join computes the shingle relation ONCE (cached " +
+    "doc-set relation serves postings and both verify sides)") {
+    val p = plan("q178_prefix_jaccard_join")
+    // the doc-set relation feeds prefix postings and both verify sides via
+    // the persisted InMemoryRelation; the naive shape re-derived the
+    // documents scan + shingle kernel SIX times as live subtrees. In the
+    // cached shape the kernel string does NOT appear in the live plan at
+    // all (it lives only inside the cached child that InMemoryTableScan
+    // reprints without expression bodies), so its ABSENCE is the pin.
+    val kernels = "graft_shingle_parts".r.findAllIn(p).size
+    assert(kernels == 0,
+      s"live shingle re-derivation crept back in ($kernels kernels):\n$p")
+    val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads >= 3,
+      s"byDoc cache must serve postings + both verify sides " +
+        s"($cacheReads cache reads):\n$p")
+  }
+
+  test("q182: BM25 query/df/totals relations broadcast; corpus scans bounded") {
+    val p = plan("q182_bm25_topk")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"model-sized sides must broadcast, not sort-merge:\n$p")
+  }
 }
