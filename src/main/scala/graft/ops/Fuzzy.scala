@@ -88,4 +88,59 @@ object Fuzzy {
       .filter(col("jw_ppm") >= minSimPpm)
       .select(col("id_a"), col("id_b"), col("jw_ppm"))
   }
+
+  /** Sorted-neighborhood record linkage (SNM, Hernández & Stolfo '95):
+    * rank every record by a domain sort key and compare each record only
+    * to its `window − 1` successors in that order — the classic
+    * alternative to EXPLICIT blocking ([[jaroWinklerPairs]]) when no good
+    * blocking key exists but a sort key clusters likely matches.
+    * Candidates are O(n·window) BY CONSTRUCTION — skew-proof where a hot
+    * blocking key degenerates quadratically. The standard recall caveat:
+    * matches > `window` positions apart are not candidates; multi-pass
+    * SNM (a second run with a different sort key, unioned) is the
+    * standard patch and composes here directly.
+    *
+    * Global rank WITHOUT the single-partition trap: the naive
+    * `Window.orderBy(key)` funnels the whole corpus through one task, so
+    * rank = range-repartition by (key, id) + per-partition row_number +
+    * broadcast partition-offset cumsum (the offsets relation is
+    * |partitions| rows — its tiny running-sum window is driver-scale).
+    * Boundary placement from the range sampler varies run-to-run but
+    * offset+local cancels it: the final rank is the deterministic total
+    * (key, id) order. Neighbors arrive by an EQUI-join on target rank
+    * (explode of `window−1` offsets), never an inequality join; the
+    * ranked relation is persisted because probe and build sides both
+    * read it. JW verify is the same native codegen scalar as the
+    * blocked twin.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, strCol: String,
+                              sortKey: org.apache.spark.sql.Column,
+                              window: Int, minSimPpm: Long): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val parts = df.select(col(idCol), col(strCol), sortKey.as("_k"))
+      .repartitionByRange(col("_k"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val local = parts.withColumn("_lr",
+      row_number().over(W.partitionBy("_pid")
+        .orderBy(col("_k"), col(idCol))).cast("long"))
+    val offsets = local.groupBy("_pid").agg(count(lit(1)).as("_pn"))
+      .withColumn("_off", coalesce(sum("_pn").over(W.orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    val ranked = local.join(broadcast(offsets), "_pid")
+      .select(col(idCol), col(strCol), (col("_off") + col("_lr")).as("_rank"))
+      .persist()
+    val probes = ranked.select(col(idCol).as("id_a"),
+      col(strCol).as("_s_a"),
+      explode(sequence(col("_rank") + 1, col("_rank") + (window - 1)))
+        .as("_rank"))
+    probes.join(ranked.select(col(idCol).as("id_b"),
+        col(strCol).as("_s_b"), col("_rank")), "_rank")
+      .withColumn("jw_ppm",
+        round(graft.expressions.JaroWinkler(col("_s_a"), col("_s_b"))
+          * 1000000d, 0).cast("long"))
+      .filter(col("jw_ppm") >= minSimPpm)
+      .select(col("id_a"), col("id_b"), col("jw_ppm"))
+  }
 }

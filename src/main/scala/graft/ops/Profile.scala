@@ -602,4 +602,72 @@ object Profile {
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * ks_num) DIV " +
           "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("ks_ppm"))
   }
+
+  /** EXACT equi-join cardinality prediction from per-key histograms —
+    * |A ⋈ B| restricted to key k is cA(k)·cB(k), so the full join size is
+    * predictable from two count aggregates WITHOUT executing the join.
+    * The pre-flight a planner (or an engineer sizing a shuffle) runs
+    * before committing a 100 TB join: per-key `n_pairs` surfaces the
+    * blow-up keys ([[keySkew]]'s join-specific sibling — skew in the
+    * PRODUCT, which neither side's own histogram shows), and
+    * Σ n_pairs is the exact output row count. Cost: two map-side-combined
+    * aggregates + one key join of the (distinct-key-sized) histograms —
+    * never the data×data shuffle being predicted. The gate's oracle runs
+    * the REAL join and counts; prediction ≡ execution, bit-exact.
+    */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    l.join(r, "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("n_pairs"))
+  }
+
+  /** Hierarchical (Merkle-style) range digest — [[groupChecksum]] tells
+    * you WHETHER two replicas diverge; this tells you WHERE. Rows bucket
+    * by `keyCol div bucketWidth` (level 0); each higher level folds
+    * `fanout` child buckets; the top level is a handful of near-root
+    * digests. Reconciliation walks top-down: compare roots, descend only
+    * into mismatching buckets, diff rows (q114) only inside mismatching
+    * LEAVES — O(log) round trips and leaf-sized data movement instead of
+    * a full-table sweep, the anti-entropy shape Dynamo-style systems use.
+    *
+    * Both digests (bit_xor, wrapping add mod 2⁶³) are
+    * associative-commutative, so every level is ONE re-aggregate of the
+    * LEAF relation (bucket-count-sized — the raw data is scanned exactly
+    * once, map-side combined); levels stack via cheap unions.
+    */
+  def merkleRanges(df: DataFrame, keyCol: String, rowKey: Column,
+                   bucketWidth: Long, fanout: Int = 8,
+                   levels: Int = 3): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(fanout >= 2, s"fanout must be >= 2: $fanout")
+    require(levels >= 1, s"levels must be >= 1: $levels")
+    val h = graft.functions.TextFns.hash64(rowKey)
+    val leaves = df
+      .select(expr(s"CAST($keyCol AS BIGINT) div ${bucketWidth}L")
+        .as("bucket"), h.as("_h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_h)").as("xor_sum"),
+        expr("CAST(sum(CAST(_h AS DECIMAL(38,0))) % 9223372036854775808 " +
+          "AS BIGINT)").as("add_sum"))
+    // child add_sums are in [0, 2^63) (hash64 is 60-bit positive), so the
+    // parent's re-mod stays nonneg and mod distributes over the sum:
+    // (Σ rows) mod 2^63 == (Σ (child mod 2^63)) mod 2^63
+    val byLevel = Iterator.iterate(leaves) { child =>
+      child.groupBy(expr(s"bucket div ${fanout}L").as("bucket"))
+        .agg(sum("n_rows").as("n_rows"),
+          expr("bit_xor(xor_sum)").as("xor_sum"),
+          expr("CAST(sum(CAST(add_sum AS DECIMAL(38,0))) " +
+            "% 9223372036854775808 AS BIGINT)").as("add_sum"))
+    }.take(levels).toSeq
+    byLevel.zipWithIndex
+      .map { case (lvl, i) => lvl.withColumn("level", lit(i.toLong)) }
+      .reduce(_ unionByName _)
+      .select("level", "bucket", "n_rows", "xor_sum", "add_sum")
+  }
 }

@@ -3551,6 +3551,90 @@ object Extensions {
         .orderBy("query_id", "rank")
     })
 
+  private val q183 = Q("q183_sorted_neighborhood_pairs",
+    "sorted-neighborhood record linkage (SNM): rank by name, compare " +
+      "each record only to its 4 successors — O(n·window) candidates by " +
+      "construction (skew-proof vs a hot blocking key); rank is " +
+      "range-partition + local row_number + broadcast offsets, never a " +
+      "single-partition global window; JW >= 0.9 verify",
+    Some("""
+      WITH p AS (SELECT p_partkey AS id, p_name AS name,
+                   row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+                 FROM part)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000,
+               0) AS BIGINT) AS jw_ppm
+      FROM p a JOIN p b ON b.rn > a.rn AND b.rn <= a.rn + 4
+      WHERE CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000,
+            0) AS BIGINT) >= 900000
+      ORDER BY id_a, id_b"""),
+    (s, dir) => graft.ops.Fuzzy.sortedNeighborhoodPairs(
+        t(s, dir, "part"), "p_partkey", "p_name",
+        sortKey = col("p_name"), window = 5, minSimPpm = 900000L)
+      .orderBy("id_a", "id_b"))
+
+  private val q184 = Q("q184_join_cardinality_predict",
+    "exact equi-join cardinality prediction from per-key histograms — " +
+      "two count aggregates + one histogram join predict |lineitem ⋈ " +
+      "orders| per key WITHOUT executing the join (the shuffle-sizing / " +
+      "blow-up-key pre-flight); the oracle runs the REAL join and " +
+      "counts: prediction ≡ execution",
+    Some("""
+      WITH l AS (SELECT l_orderkey AS key, count(*) AS n_left
+                 FROM lineitem GROUP BY 1),
+      o AS (SELECT o_orderkey AS key, count(*) AS n_right
+            FROM orders GROUP BY 1),
+      j AS (SELECT l_orderkey AS key, count(*) AS n_pairs
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1)
+      SELECT l.key, n_left, n_right, n_pairs
+      FROM l JOIN o USING (key) JOIN j USING (key)
+      ORDER BY key"""),
+    (s, dir) => graft.ops.Profile.joinCardinality(
+        t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey")
+      .orderBy("key"))
+
+  private val q185 = Q("q185_merkle_range_digest",
+    "hierarchical Merkle range digest over event_id buckets (width 500, " +
+      "fanout 8, 3 levels) — q177's checksum tells WHETHER replicas " +
+      "diverge, this tells WHERE: reconciliation descends only into " +
+      "mismatching buckets (anti-entropy walk); raw rows are scanned " +
+      "once, higher levels re-aggregate the leaf relation",
+    Some("""
+      WITH h AS (SELECT event_id // 500 AS bucket,
+                   CAST('0x' || substr(sha256(
+                     CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+                     CAST(epoch_us(ts) AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+                 FROM events),
+      l0 AS (SELECT bucket, count(*) AS n_rows, bit_xor(hv) AS xor_sum,
+               CAST(sum(CAST(hv AS HUGEINT)) % 9223372036854775808
+                 AS BIGINT) AS add_sum
+             FROM h GROUP BY 1),
+      l1 AS (SELECT bucket // 8 AS bucket,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               bit_xor(xor_sum) AS xor_sum,
+               CAST(sum(CAST(add_sum AS HUGEINT)) % 9223372036854775808
+                 AS BIGINT) AS add_sum
+             FROM l0 GROUP BY 1),
+      l2 AS (SELECT bucket // 8 AS bucket,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               bit_xor(xor_sum) AS xor_sum,
+               CAST(sum(CAST(add_sum AS HUGEINT)) % 9223372036854775808
+                 AS BIGINT) AS add_sum
+             FROM l1 GROUP BY 1)
+      SELECT CAST(0 AS BIGINT) AS level, bucket, n_rows, xor_sum, add_sum
+        FROM l0
+      UNION ALL SELECT 1, bucket, n_rows, xor_sum, add_sum FROM l1
+      UNION ALL SELECT 2, bucket, n_rows, xor_sum, add_sum FROM l2
+      ORDER BY level, bucket"""),
+    (s, dir) => graft.ops.Profile.merkleRanges(
+        graft.Tables.table(s, dir, "events"), "event_id",
+        concat_ws("|", col("event_id").cast("string"), col("event_type"),
+          unix_micros(col("ts")).cast("string")),
+        bucketWidth = 500L, fanout = 8, levels = 3)
+      .orderBy("level", "bucket"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -3560,5 +3644,5 @@ object Extensions {
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
-    q178, q179, q180, q181, q182)
+    q178, q179, q180, q181, q182, q183, q184, q185)
 }

@@ -212,4 +212,77 @@ class DriftStatsSpec extends SparkSpec {
     assert(expected.exists(_._2 == 2L)) // the near-dup pair survives
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L)) // cross-block never pairs
   }
+
+  test("sortedNeighborhoodPairs: only window-adjacent ranks pair; " +
+    "rank is partitioning-invariant") {
+    import graft.ops.Fuzzy
+    // sort order by name: anna(1), annb(2), annc(3), zzz1(4), zzz2(5)
+    val df = Seq((10L, "annc"), (11L, "anna"), (12L, "zzz1"),
+      (13L, "annb"), (14L, "zzz2")).toDF("id", "name")
+    val got = Fuzzy.sortedNeighborhoodPairs(df, "id", "name",
+        sortKey = col("name"), window = 2, minSimPpm = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // window=2 → only immediate successors in name order
+    assert(got == Set((11L, 13L), (13L, 10L), (10L, 12L), (12L, 14L)))
+    // window=3 adds the rank+2 pairs
+    val w3 = Fuzzy.sortedNeighborhoodPairs(df, "id", "name",
+        sortKey = col("name"), window = 3, minSimPpm = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(w3 == got ++ Set((11L, 10L), (13L, 12L), (10L, 14L)))
+    // similarity floor filters: ann*/zzz* neighbors score
+    // jw(annX,annY) = 883333 ppm; annc→zzz1 has zero matches → 0
+    val sim = Fuzzy.sortedNeighborhoodPairs(df, "id", "name",
+        sortKey = col("name"), window = 2, minSimPpm = 880000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim == Set((11L, 13L), (13L, 10L), (12L, 14L)))
+    // rank survives an adversarial pre-partitioning (offsets must cancel)
+    val skewed = Fuzzy.sortedNeighborhoodPairs(df.repartition(7), "id",
+        "name", sortKey = col("name"), window = 2, minSimPpm = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(skewed == got)
+  }
+
+  test("joinCardinality: prediction equals the executed join, " +
+    "one-sided keys drop out") {
+    import graft.ops.Profile
+    val l = Seq((1L, "x"), (1L, "y"), (2L, "z"), (9L, "only-left"))
+      .toDF("k", "pay")
+    val r = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"),
+      (8L, "only-right")).toDF("k", "pay")
+    val got = Profile.joinCardinality(l, r, "k", "k")
+      .select("key", "n_left", "n_right", "n_pairs")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 3L, 6L), (2L, 1L, 1L, 1L)))
+    val actual = l.join(r, "k").count()
+    assert(got.map(_._4).sum == actual)
+  }
+
+  test("merkleRanges: root digest equals groupChecksum; a one-row edit " +
+    "flips exactly its leaf-to-root path") {
+    import graft.ops.Profile
+    val rows = (0L until 64L).map(i => (i, s"payload-$i")).toDF("k", "v")
+    val key = concat_ws("|", col("k").cast("string"), col("v"))
+    val m = Profile.merkleRanges(rows, "k", key, bucketWidth = 8L,
+        fanout = 4, levels = 3)
+      .select("level", "bucket", "n_rows", "xor_sum", "add_sum")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(m.count(_._1 == 0L) == 8 && m.count(_._1 == 1L) == 2 &&
+      m.count(_._1 == 2L) == 1)
+    val root = m.find(_._1 == 2L).get
+    val flat = Profile.groupChecksum(rows.withColumn("g", lit(1)), "g", key)
+      .select("n_rows", "xor_sum", "add_sum")
+      .as[(Long, Long, Long)].head()
+    assert((root._3, root._4, root._5) == flat)
+    // edit row k=13 (leaf 1 → l1 bucket 0 → root): only that path changes
+    val edited = (0L until 64L)
+      .map(i => (i, if (i == 13L) "TAMPERED" else s"payload-$i"))
+      .toDF("k", "v")
+    val m2 = Profile.merkleRanges(edited, "k", key, bucketWidth = 8L,
+        fanout = 4, levels = 3)
+      .select("level", "bucket", "xor_sum")
+      .as[(Long, Long, Long)].collect().toSet
+    val m1 = m.map(t => (t._1, t._2, t._4)).toSet
+    val changed = (m1 -- m2).map(t => (t._1, t._2))
+    assert(changed == Set((0L, 1L), (1L, 0L), (2L, 0L)))
+  }
 }
