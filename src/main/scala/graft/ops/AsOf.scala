@@ -26,12 +26,29 @@ object AsOf {
     * @param rightTs   right timestamp column name
     * @param tiebreak  right-side column ordering rows within one timestamp
     * @param payload   right-side columns to attach to each left row
+    * @param direction "backward" (latest right at-or-before, ties → the
+    *                  GREATEST tiebreak) or "forward" (earliest right
+    *                  at-or-after, ties → the SMALLEST tiebreak — the
+    *                  next-scheduled-event lookup). Forward runs the same
+    *                  single union+window machinery with the sort
+    *                  reversed; cost is identical.
+    * @param maxDelta  optional staleness/lookahead horizon: a match
+    *                  farther than this from `leftTs` (numeric delta, or
+    *                  an INTERVAL expression for timestamp columns)
+    *                  reports as no-match (nulls) — "state older than 7
+    *                  days is no state". Nulling the nearest match ≡
+    *                  restricting candidates to the horizon, because the
+    *                  match is the extreme row: every other candidate is
+    *                  farther from `leftTs` on the same side.
     * Output: all left columns + `asof_<rightTs>`, `asof_<tiebreak>`, and
-    * `asof_<c>` for each payload column (null when no right row precedes).
+    * `asof_<c>` for each payload column (null when no right row matches).
     */
   def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTs: String, rightTs: String, tiebreak: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String], direction: String = "backward",
+           maxDelta: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward: $direction")
     val carried = Seq(rightTs, tiebreak) ++ payload
     // left passthrough columns: everything except the keys and the left
     // timestamp (which travels as the shared sort column `_ts`)
@@ -58,16 +75,37 @@ object AsOf {
         Seq(col(leftTs).as("_ts"), lit(1).as("_side")) ++
         leftCols.filterNot(keyCols.contains).map(col) :+
         lit(null).cast(rStructType).as("_r"): _*)
+    // forward = backward on reversed time: ts desc walks from the future,
+    // so `last` carries the EARLIEST following right row; _side stays asc
+    // (right before left at equal ts → ties match in both directions);
+    // tiebreak desc makes the carried row the smallest-tiebreak one
+    val (tsOrd, tbOrd) =
+      if (direction == "backward")
+        (col("_ts").asc, col("_r")(tiebreak).asc)
+      else (col("_ts").desc, col("_r")(tiebreak).desc)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc, col("_r")(tiebreak).asc)
+      .orderBy(tsOrd, col("_side").asc, tbOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = last(col("_r"), ignoreNulls = true).over(w)
     val carriedCols = carried.map(c => matched(c).as(s"asof_$c"))
-    taggedRight.unionByName(taggedLeft)
+    val res = taggedRight.unionByName(taggedLeft)
       .select((keyCols.map(col) ++ Seq(col("_ts"), col("_side")) ++
         leftCols.filterNot(keyCols.contains).map(col)) ++ carriedCols: _*)
       .filter(col("_side") === 1)
       .drop("_side")
       .withColumnRenamed("_ts", leftTs)
+    maxDelta.fold(res) { d =>
+      // materialize the horizon test BEFORE nulling anything — nulling
+      // asof_<rightTs> first would null the predicate itself for the
+      // remaining carried columns
+      val tooFar =
+        if (direction == "backward")
+          col(s"asof_$rightTs") < col(leftTs) - d
+        else col(s"asof_$rightTs") > col(leftTs) + d
+      val flagged = res.withColumn("_toofar", coalesce(tooFar, lit(false)))
+      carried.foldLeft(flagged)((acc, c) => acc.withColumn(s"asof_$c",
+        when(col("_toofar"), lit(null)).otherwise(col(s"asof_$c"))))
+        .drop("_toofar")
+    }
   }
 }

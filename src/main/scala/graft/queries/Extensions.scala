@@ -3635,6 +3635,49 @@ object Extensions {
         bucketWidth = 500L, fanout = 8, levels = 3)
       .orderBy("level", "bucket"))
 
+  private val q186 = Q("q186_asof_forward_horizon",
+    "FORWARD as-of join with a 1-hour lookahead horizon: each query " +
+      "event matched to the EARLIEST following state event of the same " +
+      "user (ties → smallest event_id), no-match when the nearest " +
+      "following sits beyond the horizon — q60's machinery with the " +
+      "sort reversed (AsOf.join direction=forward, maxDelta), same " +
+      "one-union-one-window cost; the next-scheduled-event lookup",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,
+                 value FROM events),
+      l AS (SELECT user_id, event_id AS q_id, tms AS q_tms FROM e
+            WHERE event_id % 7 = 0),
+      r AS (SELECT user_id, event_id, tms, value FROM e
+            WHERE event_id % 7 <> 0),
+      cand AS (SELECT l.user_id, l.q_id, l.q_tms, r.tms AS asof_tms,
+               r.event_id AS asof_event_id, r.value AS asof_value,
+               ROW_NUMBER() OVER (PARTITION BY l.q_id
+                 ORDER BY r.tms ASC, r.event_id ASC) AS rn
+               FROM l JOIN r ON l.user_id = r.user_id AND r.tms >= l.q_tms
+                            AND r.tms <= l.q_tms + 3600000)
+      SELECT user_id, q_id, q_tms, asof_tms, asof_event_id, asof_value
+      FROM cand WHERE rn = 1
+      UNION ALL
+      SELECT user_id, q_id, q_tms, NULL, NULL, NULL FROM l
+      WHERE NOT EXISTS (SELECT 1 FROM r
+                        WHERE r.user_id = l.user_id AND r.tms >= l.q_tms
+                          AND r.tms <= l.q_tms + 3600000)
+      ORDER BY q_id"""),
+    (s, dir) => {
+      val e = graft.Tables.table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("tms"), col("value"))
+      val l = e.filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("user_id"), col("event_id").as("q_id"),
+          col("tms").as("q_tms"))
+      val r = e.filter(pmod(col("event_id"), lit(7)) =!= 0)
+      graft.ops.AsOf.join(l, r, Seq("user_id"),
+        leftTs = "q_tms", rightTs = "tms", tiebreak = "event_id",
+        payload = Seq("value"), direction = "forward",
+        maxDelta = Some(lit(3600000L)))
+        .orderBy("q_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -3644,5 +3687,5 @@ object Extensions {
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
-    q178, q179, q180, q181, q182, q183, q184, q185)
+    q178, q179, q180, q181, q182, q183, q184, q185, q186)
 }

@@ -218,6 +218,37 @@ class MiscOpsSpec extends SparkSpec {
     assert(got(200L) == ((None, None, None)))            // no phantom match
   }
 
+  test("AsOf.join forward direction + horizon matches brute force") {
+    val rng = new scala.util.Random(47)
+    val right = (1L to 300L).map(i =>
+      (rng.nextInt(5).toLong, rng.nextInt(40).toLong, i, rng.nextDouble()))
+    val left = (1L to 100L).map(i =>
+      (rng.nextInt(5).toLong, rng.nextInt(40).toLong, 1000L + i))
+    val lDf = left.toDF("k", "lts", "q_id")
+    val rDf = right.toDF("k", "rts", "rid", "v")
+    val horizon = 6L
+    val got = graft.ops.AsOf.join(lDf, rDf, Seq("k"),
+      leftTs = "lts", rightTs = "rts", tiebreak = "rid",
+      payload = Seq("v"), direction = "forward",
+      maxDelta = Some(lit(horizon)))
+      .select($"q_id", $"asof_rts", $"asof_rid", $"asof_v")
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val expected = left.map { case (k, lts, qid) =>
+      val cands = right.filter(r =>
+        r._1 == k && r._2 >= lts && r._2 <= lts + horizon)
+      val best = if (cands.isEmpty) (None, None, None)
+      else {
+        val b = cands.minBy(r => (r._2, r._3)) // earliest ts, smallest rid
+        (Some(b._2), Some(b._3), Some(b._4))
+      }
+      qid -> best
+    }.toMap
+    assert(got == expected)
+    assert(expected.values.exists(_._1.isEmpty)) // horizon actually bites
+    assert(expected.values.exists(_._1.nonEmpty))
+  }
+
   test("writeSharded: non-overlapping ranges, sorted shards, bounded files") {
     import org.apache.spark.sql.functions.input_file_name
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
