@@ -678,4 +678,36 @@ object Dedup {
         col("n_b"),
         expr("(1000000 * n_inter) div n_union").as("jaccard_ppm"))
   }
+
+  /** Sketch-recall audit: how much of the EXACT Jaccard-≥-τ pair set do
+    * the MinHash-LSH band candidates actually cover? The near-dup suite
+    * ships both families — probabilistic candidates ([[minHashLshCandidates]],
+    * cheap, tunable) and exact guarantees ([[prefixJaccardPairs]]) — and
+    * this is the measurement that justifies a band configuration before
+    * pointing it at 100 TB: recall_ppm on a held-out slice decides
+    * (numHashes, rowsPerBand), not folklore. Precision's complement
+    * (candidates that aren't real pairs) is the verify-stage cost, also
+    * reported.
+    *
+    * One row: n_exact, n_candidates, n_hit (exact pairs the sketch
+    * found), recall_ppm — exact floor division, null when the exact set
+    * is empty. Cost = one run of each family + a pair-keyed semi-join;
+    * the audit is meant for a SLICE, not the full corpus.
+    */
+  def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+                     tauNum: Int, tauDen: Int, numHashes: Int = 16,
+                     rowsPerBand: Int = 2, shingleSize: Int = 3): DataFrame = {
+    val exact = prefixJaccardPairs(docs, idCol, textCol, tauNum, tauDen,
+      shingleSize).select("doc_a", "doc_b")
+    val cands = minHashLshCandidates(
+      minHashSignatures(docs, idCol, textCol, numHashes, shingleSize),
+      idCol, rowsPerBand).select("doc_a", "doc_b")
+    val hit = exact.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+        when(col("n_exact") > 0,
+          expr("(1000000 * n_hit) div n_exact")).as("recall_ppm"))
+  }
 }

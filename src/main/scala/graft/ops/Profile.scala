@@ -670,4 +670,30 @@ object Profile {
       .reduce(_ unionByName _)
       .select("level", "bucket", "n_rows", "xor_sum", "add_sum")
   }
+
+  /** Deterministic per-group mode — the survivorship / imputation
+    * primitive (fill nulls from the group's modal value, consolidate a
+    * matched entity cluster to its most-frequent field value). Ties break
+    * (count DESC, value ASC) so the answer is engine-reproducible; NULL
+    * values are excluded up front (they are what imputation fills, and
+    * Spark orders nulls first where DuckDB orders them last — excluding
+    * them is both the sane semantic and the portable one).
+    *
+    * One (group, value) aggregate + one group-keyed rank window sharing
+    * the same exchange; `n_rows` (non-null) rides the window partition for
+    * free, so modal SHARE is one division away.
+    */
+  def modePerGroup(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("mode"))
+      .agg(count(lit(1)).as("mode_count"))
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    counts
+      .withColumn("n_rows", sum("mode_count").over(grp))
+      .withColumn("_rn", row_number().over(
+        grp.orderBy(col("mode_count").desc, col("mode").asc)))
+      .filter(col("_rn") === 1)
+      .select(col(groupCol), col("mode"), col("mode_count"), col("n_rows"))
+  }
 }

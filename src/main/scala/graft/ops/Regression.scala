@@ -40,4 +40,44 @@ object Regression {
         expr(s"(${scale}L * sy - (${scale}L * (n * sxy - sx * sy) " +
           s"div (n * sxx - sx * sx)) * sx) div n").as("intercept_ppm"))
   }
+
+  /** Theil–Sen robust trend per key: the lower median of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i), x_i < x_j — a 29% breakdown point
+    * where [[fitLinePerKey]]'s OLS slope is dragged arbitrarily far by one
+    * corrupted day (the MAD-vs-stddev argument of q133, applied to trend).
+    *
+    * The slope is reported as the exact integer FRACTION (slope_num,
+    * slope_den) — one floor division would reintroduce the
+    * floor-vs-truncate drift on negative slopes that q170 documents, so
+    * rounding is the caller's choice. Median selection orders by the IEEE
+    * double num/den (identical correct rounding in both engines) with the
+    * (num, den) pair as the deterministic tie-break; equal-valued
+    * fractions in different representations order by representation, so
+    * both engines pick the same ROW.
+    *
+    * Cost: the pair self-join is O(points²) per key — per-key series
+    * here are bounded timelines (daily aggregates: ~365 points/year →
+    * ~66k pairs), the q150 sessionization-bound argument; the median rank
+    * window rides the same key exchange.
+    */
+  def theilSenPerKey(df: DataFrame, key: Column, x: Column,
+                     y: Column): DataFrame = {
+    val b = df.select(key.as("key"), x.cast("long").as("_x"),
+      y.cast("long").as("_y"))
+    val pairs = b.toDF("key", "_x", "_y").as("a")
+      .join(b.toDF("key", "_bx", "_by").as("b"),
+        col("a.key") === col("b.key") && col("_x") < col("_bx"))
+      .select(col("a.key").as("key"),
+        (col("_by") - col("_y")).as("slope_num"),
+        (col("_bx") - col("_x")).as("slope_den"))
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    pairs
+      .withColumn("n_pairs", count(lit(1)).over(grp))
+      .withColumn("_rn", row_number().over(grp.orderBy(
+        col("slope_num").cast("double") / col("slope_den"),
+        col("slope_num"), col("slope_den"))))
+      .filter(col("_rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("key"), col("n_pairs"), col("slope_num"),
+        col("slope_den"))
+  }
 }

@@ -431,4 +431,63 @@ object Similarity {
             when(mx === mn, lit(0.0)).otherwise(abs(vd - recon))
           })).as("max_err"))
   }
+
+  /** Clustering-quality audit for an assignment (e.g. [[kmeansFit]]'s
+    * output): per cluster, cohesion as the exact intra-cluster sum of
+    * squared distances to the cluster's OWN centroid-of-members, and
+    * separation as the squared distance to the nearest OTHER centroid —
+    * the Davies-Bouldin-style diagnostic that tells you whether a
+    * SemDeDup/IVF codebook actually carved the corpus or smeared it.
+    * Both reported as UNROUNDED exact BIGINT parts (the q170 discipline:
+    * a ratio would floor/truncate-drift; callers divide at their chosen
+    * scale).
+    *
+    * Centroids are recomputed from the assignment with [[kmeansFit]]'s
+    * floored-integer-mean idiom, so quality refers to the clustering AS
+    * MATERIALIZED, independent of which training round produced it.
+    * Shape: one posexplode aggregate to k×d centroid cells, intra via a
+    * broadcast join of the k-row centroid relation back onto members
+    * (corpus never shuffles), inter via the k×k centroid self-join —
+    * model-sized. Empty clusters vanish (no members, no centroid); a
+    * lone surviving cluster reports null separation.
+    */
+  def clusterQuality(embs: DataFrame, assignments: DataFrame,
+                     idCol: String, vecCol: String,
+                     clusterCol: String = "cluster",
+                     scale: Double = 1e6): DataFrame = {
+    require(scale > 0 && scale <= 1e7, s"scale must be in (0, 1e7]: $scale")
+    val sv = embs.select(col(idCol),
+        transform(col(vecCol),
+          v => floor(v.cast("double") * scale).cast("long")).as("svec"))
+      .join(assignments.select(col(idCol), col(clusterCol).as("cluster")),
+        idCol)
+    val cents = sv
+      .select(col("cluster"), posexplode(col("svec")).as(Seq("i", "s")))
+      .groupBy(col("cluster"), col("i"))
+      .agg(floor(sum(col("s")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("c"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val d2 = aggregate(
+      zip_with(col("svec"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val intra = sv.join(broadcast(cents), "cluster")
+      .withColumn("_d2", d2)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        sum("_d2").as("intra_sum_sq"))
+    val cd2 = aggregate(
+      zip_with(col("cvec"), col("_ovec"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val inter = cents
+      .join(cents.select(col("cluster").as("_oc"), col("cvec").as("_ovec")),
+        col("cluster") =!= col("_oc"))
+      .withColumn("_cd2", cd2)
+      .groupBy("cluster")
+      .agg(min("_cd2").as("min_inter_sq"))
+    intra.join(inter, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_members"), col("intra_sum_sq"),
+        col("min_inter_sq"))
+  }
 }

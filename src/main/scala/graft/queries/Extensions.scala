@@ -3678,6 +3678,167 @@ object Extensions {
         .orderBy("q_id")
     })
 
+  private val q187 = Q("q187_mode_per_group",
+    "deterministic per-group mode (imputation / survivorship primitive): " +
+      "modal event_type per user with (count DESC, value ASC) tiebreak; " +
+      "one aggregate + one rank window on the same key exchange, modal " +
+      "share = mode_count / n_rows",
+    Some("""
+      WITH c AS (SELECT user_id, event_type AS mode, count(*) AS mode_count
+                 FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT *,
+              CAST(sum(mode_count) OVER (PARTITION BY user_id) AS BIGINT)
+                AS n_rows,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY mode_count DESC, mode ASC) AS rn
+            FROM c)
+      SELECT user_id, mode, mode_count, n_rows FROM r WHERE rn = 1
+      ORDER BY user_id"""),
+    (s, dir) => graft.ops.Profile.modePerGroup(
+        t(s, dir, "events"), "user_id", "event_type")
+      .orderBy("user_id"))
+
+  private val q188 = Q("q188_theil_sen_trend",
+    "Theil-Sen robust trend per event type over the daily-count series: " +
+      "lower median of all pairwise slopes as an EXACT integer fraction " +
+      "(no floor division — the q170 signed-div discipline); median " +
+      "picked by IEEE num/den order with (num, den) tiebreak, identical " +
+      "row in both engines; OLS q129's 29%-breakdown sibling",
+    Some("""
+      WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+                   count(*) AS y
+                 FROM events GROUP BY 1, 2),
+      p AS (SELECT a.event_type, b.y - a.y AS slope_num,
+                   b.x - a.x AS slope_den
+            FROM d a JOIN d b
+              ON a.event_type = b.event_type AND a.x < b.x),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY CAST(slope_num AS DOUBLE) / slope_den,
+                       slope_num, slope_den) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n_pairs
+            FROM p)
+      SELECT event_type AS key, n_pairs,
+             CAST(slope_num AS BIGINT) AS slope_num,
+             CAST(slope_den AS BIGINT) AS slope_den
+      FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY key"""),
+    (s, dir) => {
+      val d = graft.Tables.table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("x"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.Regression.theilSenPerKey(d, col("event_type"),
+        col("x"), col("y")).orderBy("key")
+    })
+
+  private val q189 = Q("q189_cluster_quality",
+    "clustering-quality audit of the q91 k-means codebook: per cluster, " +
+      "exact intra-cluster sum of squared distances to the " +
+      "centroid-of-members and squared distance to the nearest other " +
+      "centroid — unrounded BIGINT parts (q170 discipline); centroids " +
+      "broadcast, corpus never shuffles; the did-SemDeDup-actually-" +
+      "carve-the-corpus diagnostic",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings
+                  WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)),
+      sc AS (SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS s FROM el),
+      seed AS (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS cluster
+               FROM (SELECT DISTINCT vec_id FROM sc)),
+      c0 AS (SELECT cluster, i, s AS c FROM seed JOIN sc USING (vec_id) WHERE cluster < 10),
+      a1 AS (SELECT sc.vec_id, c0.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS d2
+             FROM sc JOIN c0 USING (i) GROUP BY 1, 2),
+      w1 AS (SELECT vec_id, cluster FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS r FROM a1)
+             WHERE r = 1),
+      c1 AS (SELECT w1.cluster, sc.i,
+             CAST(floor(CAST(CAST(SUM(sc.s) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
+             FROM w1 JOIN sc USING (vec_id) GROUP BY 1, 2),
+      a2 AS (SELECT sc.vec_id, c1.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS dist2
+             FROM sc JOIN c1 USING (i) GROUP BY 1, 2),
+      w2 AS (SELECT vec_id, cluster FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS r FROM a2)
+             WHERE r = 1),
+      c2 AS (SELECT w2.cluster, sc.i,
+             CAST(floor(CAST(CAST(SUM(sc.s) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
+             FROM w2 JOIN sc USING (vec_id) GROUP BY 1, 2),
+      intra AS (SELECT w2.cluster, count(DISTINCT w2.vec_id) AS n_members,
+                  CAST(SUM((s - c) * (s - c)) AS BIGINT) AS intra_sum_sq
+                FROM w2 JOIN sc USING (vec_id)
+                     JOIN c2 ON c2.cluster = w2.cluster AND c2.i = sc.i
+                GROUP BY 1),
+      inter AS (SELECT a.cluster,
+                  min(d2) AS min_inter_sq
+                FROM (SELECT a.cluster, b.cluster AS oc,
+                        CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+                      FROM c2 a JOIN c2 b
+                        ON a.i = b.i AND a.cluster <> b.cluster
+                      GROUP BY 1, 2) a
+                GROUP BY 1)
+      SELECT intra.cluster AS cluster, n_members, intra_sum_sq,
+             min_inter_sq
+      FROM intra LEFT JOIN inter ON intra.cluster = inter.cluster
+      ORDER BY intra.cluster"""),
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val asg = Similarity.kmeansFit(embs, "vec_id", "embedding",
+        k = 10, iters = 2)
+      Similarity.clusterQuality(embs, asg, "vec_id", "embedding")
+        .orderBy("cluster")
+    })
+
+  private val q190 = Q("q190_lsh_recall_audit",
+    "sketch-recall audit: MinHash(16)x(8 bands of 2) candidates vs the " +
+      "EXACT Jaccard >= 1/2 pair set (prefix-filtered join) — the " +
+      "measurement that justifies a band configuration before 100 TB; " +
+      "one row: exact pairs, candidates, hits, exact recall ppm",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      shs AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
+      shp AS (SELECT doc_id,
+             CAST('0x' || substr(sha256(sh), 1, 15) AS BIGINT) AS p0,
+             CAST('0x' || substr(sha256(sh), 16, 15) AS BIGINT) AS p1,
+             CAST('0x' || substr(sha256(sh), 31, 15) AS BIGINT) AS p2,
+             CAST('0x' || substr(sha256(sh), 46, 15) AS BIGINT) AS p3
+             FROM shs),
+      sh0 AS (SELECT DISTINCT doc_id, p0 FROM shp),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh0 a JOIN sh0 b ON a.p0 = b.p0 AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      ex AS (SELECT doc_a, doc_b
+             FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                        JOIN sizes sb ON doc_b = sb.doc_id
+             WHERE 2 * n_inter >= sa.n_sh + sb.n_sh - n_inter),
+      mh AS (SELECT doc_id, h,
+             min(xor(
+               CASE WHEN h % 4 = 0 THEN p0 WHEN h % 4 = 1 THEN p1
+                    WHEN h % 4 = 2 THEN p2 ELSE p3 END,
+               (CASE WHEN (h + 1) % 4 = 0 THEN p0 WHEN (h + 1) % 4 = 1 THEN p1
+                     WHEN (h + 1) % 4 = 2 THEN p2 ELSE p3 END)
+                 >> ((h * 7) % 29))) AS minh
+             FROM shp CROSS JOIN generate_series(0, 15) t(h) GROUP BY doc_id, h),
+      bands AS (SELECT doc_id, h // 2 AS band,
+                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS band_sig
+                FROM mh GROUP BY doc_id, h // 2),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id),
+      hits AS (SELECT * FROM ex WHERE EXISTS
+               (SELECT 1 FROM cand WHERE cand.doc_a = ex.doc_a
+                  AND cand.doc_b = ex.doc_b))
+      SELECT n_exact, n_candidates, n_hit,
+             CASE WHEN n_exact > 0 THEN (1000000 * n_hit) // n_exact
+             END AS recall_ppm
+      FROM (SELECT (SELECT count(*) FROM ex) AS n_exact,
+                   (SELECT count(*) FROM cand) AS n_candidates,
+                   (SELECT count(*) FROM hits) AS n_hit)"""),
+    (s, dir) => Dedup.lshRecallAudit(t(s, dir, "documents"), "doc_id",
+      "text", tauNum = 1, tauDen = 2))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -3687,5 +3848,6 @@ object Extensions {
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
-    q178, q179, q180, q181, q182, q183, q184, q185, q186)
+    q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
+    q189, q190)
 }

@@ -249,6 +249,73 @@ class MiscOpsSpec extends SparkSpec {
     assert(expected.values.exists(_._1.nonEmpty))
   }
 
+  test("modePerGroup: deterministic tiebreak, nulls excluded") {
+    val df = Seq(("u1", Some("a")), ("u1", Some("a")), ("u1", Some("b")),
+      ("u2", Some("z")), ("u2", Some("y")), // tie → smaller value wins
+      ("u3", None), ("u3", Some("q")))      // null never the mode
+      .toDF("g", "v")
+    val got = graft.ops.Profile.modePerGroup(df, "g", "v")
+      .select("g", "mode", "mode_count", "n_rows")
+      .as[(String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("u1", "a", 2L, 3L), ("u2", "y", 1L, 2L),
+      ("u3", "q", 1L, 1L)))
+  }
+
+  test("theilSenPerKey: robust to the outlier that drags OLS") {
+    // y = 2x exactly except one corrupted point (x=5, y=1000)
+    val pts = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L),
+      (5L, 1000L)).map { case (x, y) => ("k", x, y) }.toDF("g", "x", "y")
+    val ts = graft.ops.Regression.theilSenPerKey(pts, col("g"), col("x"),
+        col("y")).select("n_pairs", "slope_num", "slope_den")
+      .as[(Long, Long, Long)].head()
+    assert(ts._1 == 15L)
+    // median slope is still exactly 2 (10 clean pairs vs 5 corrupted)
+    assert(ts._2.toDouble / ts._3 == 2.0)
+    val ols = graft.ops.Regression.fitLinePerKey(pts, col("g"), col("x"),
+        col("y")).select("slope_ppm").as[Long].head()
+    assert(ols > 100 * 1000000L) // OLS slope blown past 100
+  }
+
+  test("clusterQuality: tight clusters separate; lone cluster has null inter") {
+    val embs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.1f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val asg = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("vec_id", "cluster")
+    val got = graft.ops.Similarity.clusterQuality(embs, asg, "vec_id",
+        "embedding").select("cluster", "n_members", "intra_sum_sq",
+        "min_inter_sq")
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq(2L, 2L))
+    // intra is tiny vs inter (clusters are 14 apart, members 0.1 apart)
+    got.foreach { c => assert(c._4.get > 100L * c._3) }
+    // one cluster only → no other centroid → null separation
+    val lone = graft.ops.Similarity.clusterQuality(embs,
+        asg.withColumn("cluster", lit(0L)), "vec_id", "embedding")
+      .select("min_inter_sq").as[Option[Long]].collect().toSeq
+    assert(lone == Seq(None))
+  }
+
+  test("lshRecallAudit: exact copies are always candidates → full recall") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this document body"),
+      (4L, "another unrelated text with its own vocabulary set here"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.lshRecallAudit(docs, "doc_id", "text", 1, 2)
+      .select("n_exact", "n_candidates", "n_hit", "recall_ppm")
+      .as[(Long, Long, Long, Option[Long])].head()
+    assert(r._1 == 1L && r._3 == 1L && r._4.contains(1000000L))
+    // no qualifying pairs → null recall, not a divide-by-zero
+    val none = graft.ops.Dedup.lshRecallAudit(
+        docs.filter($"doc_id" > 2L), "doc_id", "text", 1, 2)
+      .select("n_exact", "recall_ppm")
+      .as[(Long, Option[Long])].head()
+    assert(none == ((0L, None)))
+  }
+
   test("writeSharded: non-overlapping ranges, sorted shards, bounded files") {
     import org.apache.spark.sql.functions.input_file_name
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
