@@ -82,12 +82,22 @@ object Fuzzy {
     val b = side.select(col("_blk").as("_blk_b"), col(idCol).as("id_b"),
       col(strCol).as("_s_b"))
     a.join(b, col("_blk") === col("_blk_b") && col("id_a") < col("id_b"))
-      .withColumn("jw_ppm",
-        round(graft.expressions.JaroWinkler(col("_s_a"), col("_s_b"))
-          * 1000000d, 0).cast("long"))
+      .withColumn("jw_ppm", jwPpmOnce(col("_s_a"), col("_s_b")))
       .filter(col("jw_ppm") >= minSimPpm)
       .select(col("id_a"), col("id_b"), col("jw_ppm"))
   }
+
+  /** JW ppm behind a one-element explode: Generate is a predicate-pushdown
+    * barrier, so the downstream threshold filter tests the GENERATED
+    * column instead of being collapsed into a plan that re-evaluates the
+    * kernel in both Filter and Project — measured 2× on the 25M-pair q173
+    * candidate set.
+    */
+  private def jwPpmOnce(sa: org.apache.spark.sql.Column,
+                        sb: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    explode(array(round(graft.expressions.JaroWinkler(sa, sb)
+      * 1000000d, 0).cast("long")))
 
   /** Sorted-neighborhood record linkage (SNM, Hernández & Stolfo '95):
     * rank every record by a domain sort key and compare each record only
@@ -137,9 +147,7 @@ object Fuzzy {
         .as("_rank"))
     probes.join(ranked.select(col(idCol).as("id_b"),
         col(strCol).as("_s_b"), col("_rank")), "_rank")
-      .withColumn("jw_ppm",
-        round(graft.expressions.JaroWinkler(col("_s_a"), col("_s_b"))
-          * 1000000d, 0).cast("long"))
+      .withColumn("jw_ppm", jwPpmOnce(col("_s_a"), col("_s_b")))
       .filter(col("jw_ppm") >= minSimPpm)
       .select(col("id_a"), col("id_b"), col("jw_ppm"))
   }

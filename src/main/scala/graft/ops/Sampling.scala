@@ -284,4 +284,60 @@ object Sampling {
       .drop("canonical_id")
     hashSplit(withRep, col("rep"), splits)
   }
+
+  /** Weighted sampling WITH replacement (bootstrap draws): `nDraws`
+    * independent draws, each landing on a row with probability
+    * weight/total — the resampling primitive behind bootstrap confidence
+    * intervals and temperature-flattened corpus mixes that
+    * [[weightedTopK]] (without-replacement) can't produce. Deterministic:
+    * draw j targets u_j = hash64(seed:j) mod total, and rows partition
+    * [0, total) into weight-sized intervals by id order, so every engine
+    * lands every draw on the same row.
+    *
+    * Scale shape: the cumulative interval bounds come from a
+    * range-partition + per-partition running sum + broadcast
+    * partition-offset cumsum (the q183 global-rank pattern — never a
+    * single-partition window over the corpus). The draw→row lookup is an
+    * EQUI-join on a bin index of width ⌈total/nDraws⌉: a row fans out to
+    * (weight/binWidth + 1) bins, so the exploded relation is
+    * O(nDraws + rows) — no inequality join, no broadcast of the corpus.
+    *
+    * Output: (draw_id, id) — one row per draw. Weights must be positive.
+    */
+  def bootstrapDraws(df: DataFrame, idCol: String, weightCol: Column,
+                     nDraws: Long, seed: String): DataFrame = {
+    require(nDraws >= 1, s"nDraws must be >= 1: $nDraws")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val base = df.select(col(idCol).as("_id"),
+      weightCol.cast("long").as("_w"))
+    val parts = base.repartitionByRange(col("_id"))
+      .withColumn("_pid", spark_partition_id())
+    val local = parts.withColumn("_lhi",
+      sum("_w").over(W.partitionBy("_pid").orderBy("_id")))
+    val offsets = local.groupBy("_pid").agg(sum("_w").as("_pw"))
+      .withColumn("_off", coalesce(sum("_pw").over(W.orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    val bounded = local.join(broadcast(offsets), "_pid")
+      .select(col("_id"), col("_w"),
+        (col("_off") + col("_lhi")).as("_hi"))
+    val total = bounded.agg(sum("_w").as("_total"))
+    // bin width ~ total/nDraws keeps the exploded row-bin relation at
+    // O(nDraws + rows)
+    val binned = bounded.crossJoin(broadcast(total))
+      .withColumn("_bw", expr(s"greatest(_total div ${nDraws}L, 1L)"))
+      .select(col("_id"), col("_w"), col("_hi"), col("_bw"),
+        explode(sequence(expr("(_hi - _w) div _bw"),
+          expr("(_hi - 1) div _bw"))).as("_bin"))
+    val draws = total
+      .select(col("_total"), explode(sequence(lit(0L), lit(nDraws - 1)))
+        .as("draw_id"))
+      .withColumn("_u", graft.functions.TextFns.seededHash64(
+        lit(seed), col("draw_id").cast("string")) % col("_total"))
+      .withColumn("_bw", expr(s"greatest(_total div ${nDraws}L, 1L)"))
+      .select(col("draw_id"), col("_u"), expr("_u div _bw").as("_bin"))
+    draws.join(binned, "_bin")
+      .filter(col("_u") >= col("_hi") - col("_w") && col("_u") < col("_hi"))
+      .select(col("draw_id"), col("_id").as(idCol))
+  }
 }

@@ -176,7 +176,14 @@ class DriftStatsSpec extends SparkSpec {
       ("dixon", "dicksonx", 0.8133333333333332),
       ("CRAZY", "CRAZE", 0.92),
       ("abab", "baba", 0.8333333333333334),      // boost blocked: prefix 0
-      ("abcvwxyz", "cabvwxyz", 0.9583333333333334)) // t2=3 floors to t=1
+      ("abcvwxyz", "cabvwxyz", 0.9583333333333334), // t2=3 floors to t=1
+      // GENERIC-path pins (non-ASCII / >64 chars — the ASCII bitmask
+      // fast path must not change these; probed from DuckDB like the rest)
+      ("café au lait", "cafe au lait", 0.9446581196581196),
+      ("überstraße", "uberstrasse", 0.797979797979798),
+      ("a" * 70 + " quick brown fox", "a" * 70 + " quick brown vixen",
+        0.9862579281183932),
+      ("x" * 65, "x" * 64 + "y", 0.9938461538461538))
     for ((a, b, want) <- cases) {
       val got = JaroWinklerUtil.similarity(
         org.apache.spark.unsafe.types.UTF8String.fromString(a),
