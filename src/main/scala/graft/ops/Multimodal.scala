@@ -906,4 +906,30 @@ object Multimodal {
         }
       })
   }
+
+  /** Scene-cut census over decoded video frames ([[decodeMjpegFrames]]
+    * output): a cut fires between consecutive frames whose mean-luma
+    * difference meets `threshold` — the shot-boundary / keyframe-selection
+    * primitive (sample one frame per scene instead of per time unit).
+    *
+    * JPEG is lossy, so EXACT luma is decoder-shaped; callers gate scene
+    * decisions with a threshold far above the codec's reconstruction
+    * error (the q193 fixture alternates ~40 vs ~200 luma against a
+    * threshold of 80 — a ±5 decode wobble cannot flip a decision).
+    * One lag() window keyed by doc (frames of a payload are few and
+    * colocated), then a per-doc aggregate on the same key.
+    */
+  def sceneCuts(frames: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("_prev", lag(col("mean_luma"), 1).over(w))
+      .withColumn("_cut",
+        when(col("_prev").isNotNull &&
+          abs(col("mean_luma") - col("_prev")) >= threshold, 1L)
+          .otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), sum("_cut").as("n_cuts"))
+  }
 }

@@ -1078,4 +1078,58 @@ object TextAnalysis {
         col("n_terms_hit"), col("rank"))
   }
 
+  /** Character-trigram rank-profile language ID (Cavnar–Trenkle '94) —
+    * the corpus-TRAINED complement of the inlined-wordlist heuristic
+    * ([[LangWordlists]]): per language, the top-`profileSize` char
+    * 3-grams by frequency form a rank profile; a document is scored
+    * against each profile by the out-of-place measure (Σ per doc-gram of
+    * |doc rank − profile rank|, missing grams costing `profileSize`) and
+    * takes the argmin language, ties to the lexicographically first.
+    * All-integer — no smoothing constants or float log-probs to drift.
+    *
+    * Scale shape: training is one (lang, gram) aggregate + a
+    * lang-partitioned rank window over the VOCABULARY-sized count
+    * relation; profiles are model-sized and broadcast. Classification is
+    * one (doc, gram) aggregate, a doc-partitioned rank window, then a
+    * broadcast join against langs × profile — each doc contributes
+    * `profileSize · |langs|` rows, corpus-size-independent per doc.
+    */
+  def charNgramLangId(train: DataFrame, docs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      langCol: String = "lang",
+                      profileSize: Int = 20): DataFrame = {
+    require(profileSize >= 1, s"profileSize must be >= 1: $profileSize")
+    // 1-based char trigrams; empty array (not a [1,0] descending-sequence
+    // artifact) for texts shorter than 3 chars — the wordShingles guard
+    def grams(t: Column): Column =
+      when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+        .otherwise(array().cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+    def gramRows(df: DataFrame, keyCol: Column, keyName: String) = df
+      .select(keyCol.as(keyName), explode(grams(col(textCol))).as("gram"))
+      .groupBy(col(keyName), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(keyName).orderBy(col("cnt").desc, col("gram")))
+        .cast("long"))
+      .filter(col("r") <= profileSize)
+    val profiles = gramRows(train.filter(col(langCol).isNotNull),
+      col(langCol), "lang")
+      .select(col("lang"), col("gram"), col("r").as("pr"))
+    val langs = profiles.select("lang").distinct()
+    val docGrams = gramRows(docs, col(idCol), "_id")
+    val scored = docGrams
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "gram"), "left")
+      .groupBy(col("_id"), col("lang"))
+      .agg(sum(coalesce(abs(col("r") - col("pr")),
+        lit(profileSize.toLong))).as("oop"))
+    scored.withColumn("_rn", row_number().over(
+        Window.partitionBy("_id").orderBy(col("oop"), col("lang"))))
+      .filter(col("_rn") === 1)
+      .select(col("_id").as(idCol), col("lang").as("pred_lang"),
+        col("oop").as("oop_score"))
+  }
 }

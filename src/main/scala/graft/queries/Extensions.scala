@@ -3839,6 +3839,110 @@ object Extensions {
     (s, dir) => Dedup.lshRecallAudit(t(s, dir, "documents"), "doc_id",
       "text", tauNum = 1, tauDen = 2))
 
+  private val q191 = Q("q191_char_ngram_langid",
+    "Cavnar-Trenkle character-trigram rank-profile language ID: " +
+      "profiles trained from the corpus's own labels (top-20 grams per " +
+      "lang), documents scored by the all-integer out-of-place measure, " +
+      "argmin language — the TRAINED complement of q28's wordlist " +
+      "heuristic; profiles broadcast, vocabulary-sized rank windows",
+    Some("""
+      WITH g AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS gram
+                 FROM (SELECT doc_id, lang, text,
+                         unnest(generate_series(1, length(text) - 2)) AS i
+                       FROM documents WHERE length(text) >= 3)),
+      lp AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      lr AS (SELECT lang, gram,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, gram) AS pr
+             FROM lp),
+      prof AS (SELECT lang, gram, pr FROM lr WHERE pr <= 20),
+      dp AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      dr AS (SELECT doc_id, gram,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, gram) AS r
+             FROM dp),
+      dg AS (SELECT doc_id, gram, r FROM dr WHERE r <= 20),
+      langs AS (SELECT DISTINCT lang FROM prof),
+      sc AS (SELECT dg.doc_id, langs.lang,
+               CAST(sum(coalesce(abs(dg.r - prof.pr), 20)) AS BIGINT)
+                 AS oop
+             FROM dg CROSS JOIN langs
+                  LEFT JOIN prof ON prof.lang = langs.lang
+                               AND prof.gram = dg.gram
+             GROUP BY 1, 2),
+      win AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY oop, lang) AS rn FROM sc)
+      SELECT doc_id, lang AS pred_lang, oop AS oop_score
+      FROM win WHERE rn = 1 ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.charNgramLangId(docs, docs).orderBy("doc_id")
+    })
+
+  private val q192 = Q("q192_bootstrap_draws",
+    "weighted sampling WITH replacement (1000 bootstrap draws over " +
+      "n_chars weights): deterministic hash targets u_j = " +
+      "hash64('bs:'||j) mod total onto weight-interval rows; cumulative " +
+      "bounds from range-partition + offset cumsum (no single-partition " +
+      "window), draw->row lookup is an EQUI-join on a bin index — " +
+      "O(nDraws + rows), no inequality join at scale (the oracle, " +
+      "corpus-small, allows itself one)",
+    Some("""
+      WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wt
+                 FROM documents),
+      c AS (SELECT doc_id, wt,
+              CAST(sum(wt) OVER (ORDER BY doc_id) AS BIGINT) AS hi
+            FROM w),
+      t AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM w),
+      d AS (SELECT j AS draw_id,
+              CAST('0x' || substr(sha256('bs:' || CAST(j AS VARCHAR)),
+                1, 15) AS BIGINT) % total AS u
+            FROM generate_series(0, 999) g(j) CROSS JOIN t)
+      SELECT draw_id, doc_id FROM d JOIN c ON u >= hi - wt AND u < hi
+      ORDER BY draw_id"""),
+    (s, dir) => graft.ops.Sampling.bootstrapDraws(
+        t(s, dir, "documents"), "doc_id", col("n_chars"),
+        nDraws = 1000L, seed = "bs")
+      .orderBy("draw_id"))
+
+  private val q193 = Q("q193_video_scene_cuts",
+    "shot-boundary census over REAL decoded MJPEG frames: per-doc " +
+      "frame sequences alternate dark(40)/bright(200) solid grays by an " +
+      "arithmetic class rule; a cut = |mean-luma delta| >= 80 between " +
+      "consecutive decoded frames — the 160-luma gap dwarfs JPEG " +
+      "reconstruction error, so the lossy decode cannot flip a " +
+      "decision and the oracle predicts cuts from the class rule alone " +
+      "(q122's discipline, extended from geometry to CONTENT)",
+    Some("""
+      WITH f AS (SELECT doc_id,
+                   unnest(generate_series(0, doc_id % 6 + 1)) AS k
+                 FROM documents),
+      c AS (SELECT doc_id, k,
+              CASE WHEN (doc_id * 31 + k * 17) % 5 < 2 THEN 1 ELSE 0 END
+                AS b
+            FROM f),
+      l AS (SELECT doc_id, k, b,
+              lag(b) OVER (PARTITION BY doc_id ORDER BY k) AS pb
+            FROM c)
+      SELECT doc_id, count(*) AS n_frames,
+             CAST(sum(CASE WHEN pb IS NOT NULL AND b <> pb THEN 1 ELSE 0
+               END) AS BIGINT) AS n_cuts
+      FROM l GROUP BY 1 ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 64 + 16).toInt
+          val h = (id % 48 + 16).toInt
+          val grays = (0 until (id % 6 + 2).toInt)
+            .map(k => if ((id * 31 + k * 17) % 5 < 2) 200 else 40)
+          (id, Multimodal.buildMjpegAvi(usPerFrame = 33333, w, h, grays))
+        }).toDF("doc_id", "payload")
+      Multimodal.sceneCuts(
+          Multimodal.decodeMjpegFrames(s, payloads).toDF(), threshold = 80.0)
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -3849,5 +3953,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190)
+    q189, q190, q191, q192, q193)
 }

@@ -297,6 +297,65 @@ class MiscOpsSpec extends SparkSpec {
     assert(lone == Seq(None))
   }
 
+  test("charNgramLangId: rank profiles separate languages; penalty for " +
+    "out-of-profile grams") {
+    val train = Seq(
+      (1L, "the the the cat sat on the mat with the hat", "en"),
+      (2L, "der der der hund und die katze und der ball", "de"))
+      .toDF("doc_id", "text", "lang")
+    val docs = Seq(
+      (10L, "the cat and the hat sat on the mat the cat"),
+      (11L, "der hund und der ball und die katze der hund"),
+      (12L, "xq")) // shorter than one trigram → all profiles tie at 0
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.charNgramLangId(train, docs)
+      .select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // 12: no trigrams → no evidence → UNCLASSIFIED (absent), matching the
+    // oracle's length>=3 gram derivation — never a coin-flip label
+    assert(got == Seq((10L, "en"), (11L, "de")))
+  }
+
+  test("bootstrapDraws: every draw lands exactly once, on the brute-force row") {
+    val df = Seq((1L, 10L), (2L, 1L), (3L, 100L), (4L, 50L))
+      .toDF("id", "w")
+    val got = graft.ops.Sampling.bootstrapDraws(df, "id", col("w"),
+        nDraws = 500L, seed = "t")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 500)
+    // brute force: same hash arithmetic, interval scan
+    val rows = Seq((1L, 10L), (2L, 1L), (3L, 100L), (4L, 50L))
+    val total = rows.map(_._2).sum
+    val cums = rows.scanLeft(0L)(_ + _._2).tail.zip(rows)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def h64(s: String): Long = {
+      val hex = sha.clone().asInstanceOf[java.security.MessageDigest]
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (0L until 500L).foreach { j =>
+      val u = h64(s"t:$j") % total
+      val expect = cums.find { case (hi, (_, w)) => u >= hi - w && u < hi }
+        .get._2._1
+      assert(got(j) == expect, s"draw $j")
+    }
+    // weight-100 row drawn far more often than weight-1 row
+    val byRow = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byRow.getOrElse(3L, 0) > byRow.getOrElse(2L, 0))
+  }
+
+  test("sceneCuts: cuts fire only across the threshold; first frame never cuts") {
+    val frames = Seq(
+      (1L, 0, 40.0), (1L, 1, 41.5), (1L, 2, 200.0), (1L, 3, 199.0),
+      (1L, 4, 40.2), // two cuts: 1→2 and 3→4
+      (2L, 0, 120.0)) // single frame, no cuts
+      .toDF("doc_id", "frame_idx", "mean_luma")
+    val got = graft.ops.Multimodal.sceneCuts(frames, threshold = 80.0)
+      .select("doc_id", "n_frames", "n_cuts")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 5L, 2L), (2L, 1L, 0L)))
+  }
+
   test("lshRecallAudit: exact copies are always candidates → full recall") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
