@@ -973,7 +973,10 @@ object TextAnalysis {
     * co-occur in the same document far more often than their independent
     * frequencies predict. [[distinctiveTerms]] ranks words against a
     * SOURCE; this ranks word PAIRS against each other — the
-    * multiword-expression / template-phrase detector.
+    * multiword-expression / template-phrase detector. The q120 gate runs
+    * the same statistic through a per-doc SELF-JOIN over a top-df
+    * vocabulary; this is its row-local scale twin (the q51/q23 twin
+    * discipline): no pair-forming shuffle, absolute df cap.
     *
     * `lift_ppm` is the exact PMI ratio in parts-per-million WITHOUT the
     * log: 10⁶ · P(a,b) / (P(a)·P(b)) = 10⁶ · c_ab · n_docs div (c_a · c_b)

@@ -3409,10 +3409,13 @@ object Extensions {
       .orderBy("doc_a", "doc_b"))
 
   private val q179 = Q("q179_pmi_collocations",
-    "PMI collocation mining: word pairs co-occurring in documents vs " +
-      "their independent rates, exact cross-multiplied ppm (no libm " +
-      "log); df-capped BEFORE any pair forms (the stopword-pairs-with-" +
-      "everything hazard), pairs enumerated row-locally per doc",
+    "PMI collocations, the ROW-LOCAL scale twin of q120's self-join " +
+      "formulation (q51/q23 twin discipline): same exact " +
+      "cross-multiplied lift ppm, but pairs enumerate inside each " +
+      "doc's sorted kept-word ARRAY (vocabOverlap slice idiom — no " +
+      "doc-keyed self-join shuffle) and the bound is an absolute df " +
+      "cap (drop stopwords before any pair forms) rather than q120's " +
+      "top-df vocabulary; emits the full capped relation, not top-50",
     Some("""
       WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
                   FROM documents),
@@ -3703,7 +3706,7 @@ object Extensions {
       "lower median of all pairwise slopes as an EXACT integer fraction " +
       "(no floor division — the q170 signed-div discipline); median " +
       "picked by IEEE num/den order with (num, den) tiebreak, identical " +
-      "row in both engines; OLS q129's 29%-breakdown sibling",
+      "row in both engines; the 29%-breakdown sibling of q121's OLS",
     Some("""
       WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x,
                    count(*) AS y
