@@ -683,6 +683,81 @@ object Profile {
     * the same exchange; `n_rows` (non-null) rides the window partition for
     * free, so modal SHARE is one division away.
     */
+  /** Declarative data-quality constraint audit: each named boolean
+    * predicate is checked over the whole relation in ONE scan — all
+    * violation counters ride a single wide aggregate (map-side combined,
+    * fixed-width state), then unpivot to one row per constraint. A NULL
+    * predicate result counts as a violation (a range check over a null
+    * value is not satisfied — the Deequ/DQ convention; wrap the column in
+    * `coalesce`/`isNull` terms to express nullable-tolerant rules).
+    *
+    * The pre-flight a pipeline runs before promoting a batch: at 100 TB
+    * the point is precisely that 40 rules cost ONE pass, not 40.
+    */
+  def constraintAudit(df: DataFrame,
+                      constraints: Seq[(String, Column)]): DataFrame = {
+    require(constraints.nonEmpty, "constraints must be non-empty")
+    val aggs = constraints.map { case (n, p) =>
+      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"_v_$n")
+    } :+ count(lit(1)).as("_n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = constraints
+      .map { case (n, _) => s"'$n', `_v_$n`" }.mkString(", ")
+    wide.selectExpr("_n",
+        s"stack(${constraints.size}, $stackArgs) AS (rule, n_violations)")
+      .select(col("rule"), col("_n").as("n_rows"),
+        col("n_violations"),
+        expr("CASE WHEN _n > 0 THEN (1000000 * n_violations) div _n END")
+          .as("violation_ppm"))
+  }
+
+  /** Functional-dependency violation census: does `detCols → depCol` hold?
+    * One aggregate keyed by the determinant (map-side combined two-phase
+    * count-distinct), one summary row: determinants seen, determinants
+    * with >1 dependent value, their ppm, and the worst fan-out. The
+    * schema-discovery / denormalization-audit primitive — run it on a
+    * joined relation to prove a lookup column is actually functional
+    * before caching it as a dimension.
+    */
+  def fdViolations(df: DataFrame, detCols: Seq[String],
+                   depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "detCols must be non-empty")
+    df.groupBy(detCols.map(col): _*)
+      .agg(countDistinct(col(depCol)).as("_nd"))
+      .agg(count(lit(1)).as("n_determinants"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("_nd")).as("max_variants"))
+      .select(col("n_determinants"), col("n_violating"),
+        expr("CASE WHEN n_determinants > 0 THEN " +
+          "(1000000 * n_violating) div n_determinants END")
+          .as("violating_ppm"),
+        col("max_variants"))
+  }
+
+  /** Equi-WIDTH histogram with fixed caller-declared bounds — the
+    * drift-monitor building block ([[quantileBins]] is the equi-frequency
+    * sibling; fixed bounds are what make two snapshots' histograms
+    * COMPARABLE bin-for-bin, which PSI-style monitoring needs). All
+    * integer: bin = (cents − lo) div width over cents-scaled values,
+    * out-of-range values clamp to the edge bins (never dropped — a drift
+    * monitor that silently discards the drifted tail is useless). One
+    * map-side-combined aggregate.
+    */
+  def histogramFixed(df: DataFrame, groupCol: String, valueCol: String,
+                     loCents: Long, hiCents: Long, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1: $bins")
+    require(hiCents > loCents, s"need hiCents > loCents: $loCents..$hiCents")
+    val width = (hiCents - loCents + bins - 1) / bins // ceil → covers hi
+    df.select(col(groupCol),
+        least(greatest(expr(s"(${centsSql(valueCol)} - ${loCents}L) " +
+          s"div ${width}L"), lit(0L)), lit(bins - 1L)).as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  private def centsSql(valueCol: String): String =
+    s"CAST(CAST(`$valueCol` AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
   def modePerGroup(df: DataFrame, groupCol: String,
                    valueCol: String): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)

@@ -3946,6 +3946,102 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q194 = Q("q194_constraint_audit",
+    "declarative data-quality gate: four named predicates audited over " +
+      "lineitem in ONE scan (all violation counters ride a single wide " +
+      "map-side-combined aggregate — 40 rules cost one pass at 100 TB); " +
+      "null predicate results count as violations (the DQ convention)",
+    Some("""
+      WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+      v AS (
+        SELECT 'flag_domain' AS rule,
+               CAST(sum(CASE WHEN NOT coalesce(
+                 l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'price_positive',
+               CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'qty_range',
+               CAST(sum(CASE WHEN NOT coalesce(
+                 l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0
+                 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'ship_not_null',
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0
+                 END) AS BIGINT)
+        FROM lineitem)
+      SELECT rule, n_rows, n_violations,
+             CASE WHEN n_rows > 0 THEN (1000000 * n_violations) // n_rows
+             END AS violation_ppm
+      FROM v CROSS JOIN n ORDER BY rule"""),
+    (s, dir) => Profile.constraintAudit(t(s, dir, "lineitem"), Seq(
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "qty_range" -> col("l_quantity").between(1, 50),
+        "ship_not_null" -> col("l_shipdate").isNotNull))
+      .orderBy("rule"))
+
+  private val q195 = Q("q195_fd_violations",
+    "functional-dependency census: does source→lang hold on documents " +
+      "(no — sources mix languages) and p_partkey→p_name on part (yes — " +
+      "it is the key)? one determinant-keyed aggregate each, summary " +
+      "row per FD; the denormalization/lookup-cache pre-flight",
+    Some("""
+      WITH d1 AS (SELECT source, count(DISTINCT lang) AS nd
+                  FROM documents GROUP BY 1),
+      s1 AS (SELECT 'documents: source->lang' AS fd,
+               count(*) AS n_determinants,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating,
+               max(nd) AS max_variants
+             FROM d1),
+      d2 AS (SELECT p_partkey, count(DISTINCT p_name) AS nd
+             FROM part GROUP BY 1),
+      s2 AS (SELECT 'part: p_partkey->p_name' AS fd,
+               count(*) AS n_determinants,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating,
+               max(nd) AS max_variants
+             FROM d2)
+      SELECT fd, n_determinants, n_violating,
+             CASE WHEN n_determinants > 0
+               THEN (1000000 * n_violating) // n_determinants
+             END AS violating_ppm, max_variants
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      ORDER BY fd"""),
+    (s, dir) => Profile.fdViolations(t(s, dir, "documents"),
+        Seq("source"), "lang")
+      .withColumn("fd", lit("documents: source->lang"))
+      .unionByName(Profile.fdViolations(t(s, dir, "part"),
+          Seq("p_partkey"), "p_name")
+        .withColumn("fd", lit("part: p_partkey->p_name")))
+      .select("fd", "n_determinants", "n_violating", "violating_ppm",
+        "max_variants")
+      .orderBy("fd"))
+
+  private val q196 = Q("q196_histogram_fixed",
+    "equi-WIDTH value histogram with fixed declared bounds (0.00-100.00 " +
+      "in 20 bins) per event type — q142's equi-frequency sibling; fixed " +
+      "bounds make snapshots comparable bin-for-bin (the PSI-style drift " +
+      "monitor input), out-of-range values clamp to edge bins (never " +
+      "silently dropped); all-integer, one map-side-combined aggregate",
+    Some("""
+      WITH b AS (SELECT event_type,
+        least(greatest(
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 500,
+          0), 19) AS bin
+        FROM events)
+      SELECT event_type, bin, count(*) AS n_rows
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => Profile.histogramFixed(t(s, dir, "events"), "event_type",
+        "value", loCents = 0L, hiCents = 10000L, bins = 20)
+      .orderBy("event_type", "bin"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -3956,5 +4052,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190, q191, q192, q193)
+    q189, q190, q191, q192, q193, q194, q195, q196)
 }

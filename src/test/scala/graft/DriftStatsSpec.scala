@@ -292,4 +292,48 @@ class DriftStatsSpec extends SparkSpec {
     val changed = (m1 -- m2).map(t => (t._1, t._2))
     assert(changed == Set((0L, 1L), (1L, 0L), (2L, 0L)))
   }
+
+  test("constraintAudit: one scan, null predicates count as violations") {
+    import graft.ops.Profile
+    val df = Seq(
+      (1L, Some(5.0), "A"), (2L, Some(-1.0), "A"),  // neg price violates
+      (3L, None, "B"),                               // null → violation
+      (4L, Some(2.0), "X"))                          // bad flag
+      .toDF("id", "price", "flag")
+    val got = Profile.constraintAudit(df, Seq(
+        "flag_ok" -> col("flag").isin("A", "B"),
+        "price_pos" -> (col("price") > 0)))
+      .select("rule", "n_rows", "n_violations", "violation_ppm")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("flag_ok", 4L, 1L, 250000L),
+      ("price_pos", 4L, 2L, 500000L))) // -1.0 AND the null row
+  }
+
+  test("fdViolations: key FDs hold, mixed dependents counted with fan-out") {
+    import graft.ops.Profile
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s2", "en"), ("s2", "de"),
+      ("s2", "fr"), ("s3", "zh")).toDF("src", "lang")
+    val r = Profile.fdViolations(df, Seq("src"), "lang")
+      .select("n_determinants", "n_violating", "violating_ppm",
+        "max_variants")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((3L, 1L, 333333L, 3L)))
+    // a real key: id → lang trivially functional
+    val ok = Profile.fdViolations(df.withColumn("id",
+        monotonically_increasing_id()), Seq("id"), "lang")
+      .select("n_violating").as[Long].head()
+    assert(ok == 0L)
+  }
+
+  test("histogramFixed: exact bin edges, out-of-range clamps to edge bins") {
+    import graft.ops.Profile
+    val df = Seq(("g", -5.0), ("g", 0.0), ("g", 4.99), ("g", 5.0),
+      ("g", 99.99), ("g", 150.0)).toDF("k", "v")
+    // lo=0, hi=10000 cents, 10 bins → width 1000 cents (10.00 units)
+    val got = Profile.histogramFixed(df, "k", "v", 0L, 10000L, 10)
+      .select("bin", "n_rows").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // -5.0 clamps to bin 0; 0, 4.99, 5.0 in bin 0; 99.99 bin 9; 150 clamps
+    assert(got == Seq((0L, 4L), (9L, 2L)))
+  }
 }
