@@ -919,6 +919,41 @@ object Multimodal {
     * One lag() window keyed by doc (frames of a payload are few and
     * colocated), then a per-doc aggregate on the same key.
     */
+  /** Silence trim as a real TRANSFORMATION round trip (the audio analog
+    * of the q123 image resize): parse the PCM WAV, drop leading and
+    * trailing all-silent frames (`frame` samples each, silent = peak
+    * under `threshold`), re-encode the kept span as a WAV. Interior
+    * silence is preserved (trimming is lead/tail only — the
+    * dataset-prep convention; dead-air REMOVAL mid-stream would break
+    * alignment with transcripts). All-silent input yields an empty-data
+    * WAV, not None — "we processed it and nothing remained" is a
+    * different fact from "not decodable".
+    */
+  def trimSilence(bytes: Array[Byte], frame: Int = 100,
+                  threshold: Int = 1000): Option[Array[Byte]] = {
+    require(frame > 0, s"frame must be positive: $frame")
+    parseWavPcm(bytes).map { case (rate, s) =>
+      val nFrames = (s.length + frame - 1) / frame
+      def framePeak(f: Int): Int = {
+        var p = 0
+        var i = f * frame
+        val end = math.min(s.length, (f + 1) * frame)
+        while (i < end) {
+          val a = math.abs(s(i).toInt); if (a > p) p = a; i += 1
+        }
+        p
+      }
+      var first = 0
+      while (first < nFrames && framePeak(first) < threshold) first += 1
+      var last = nFrames - 1
+      while (last >= first && framePeak(last) < threshold) last -= 1
+      val kept =
+        if (first > last) Array.empty[Short]
+        else s.slice(first * frame, math.min(s.length, (last + 1) * frame))
+      buildWav(rate, kept)
+    }
+  }
+
   def sceneCuts(frames: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0, s"threshold must be positive: $threshold")
     val w = org.apache.spark.sql.expressions.Window

@@ -490,4 +490,61 @@ object Similarity {
       .select(col("cluster"), col("n_members"), col("intra_sum_sq"),
         col("min_inter_sq"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein '98):
+    * greedily pick `k` items maximizing λ·relevance − (1−λ)·max-cosine-to-
+    * already-selected — the diversification step between ANN retrieval
+    * and a RAG context window (top-k alone returns k near-duplicates of
+    * the best hit; MMR trades relevance for coverage).
+    *
+    * `candidates` is a RETRIEVED, model-sized relation (an ANN gate's
+    * top-k output joined back to vectors — tens of rows), NOT a corpus:
+    * greedy MMR is inherently sequential, so each of the k rounds runs
+    * one candidates×selected cosine pass and one argmax `limit(1)` —
+    * the bounded-driver-loop posture of the BPE trainer (driver holds
+    * only the k selected rows, materialized per round via
+    * localCheckpoint). All cosines come from the exact scaled parts
+    * ([[graft.functions.VectorFns]]) with one fixed-shape IEEE finale,
+    * so selection is engine-reproducible; the first round's score is
+    * λ·relevance (max-sim over the empty set pinned to 0). Ties break
+    * on the id ascending.
+    *
+    * Output: (rank, id, score) — rank in selection order.
+    */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lam: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = candidates.select(col(idCol).as("_id"),
+        col(vecCol).as("_vec"), col(relCol).cast("double").as("_rel"))
+      .withColumn("_n2s", VectorFns.norm2Scaled(col("_vec")))
+      .localCheckpoint(true)
+    var selected: DataFrame = null
+    for (round <- 1 to k) {
+      val scored =
+        if (selected == null)
+          base.withColumn("_score", lit(lam) * col("_rel"))
+        else {
+          val sel = broadcast(selected.select(col("_vec").as("_svec"),
+            col("_n2s").as("_sn2s")))
+          base.join(selected.select(col("_id")), Seq("_id"), "left_anti")
+            .crossJoin(sel)
+            .withColumn("_sim", VectorFns.cosineScaled(
+              VectorFns.dotScaled(col("_vec"), col("_svec")),
+              col("_n2s"), col("_sn2s")))
+            .groupBy(col("_id"), col("_vec"), col("_n2s"), col("_rel"))
+            .agg(max(col("_sim")).as("_maxsim"))
+            .withColumn("_score",
+              lit(lam) * col("_rel") - lit(1.0 - lam) * col("_maxsim"))
+        }
+      val pick = scored
+        .orderBy(col("_score").desc, col("_id").asc)
+        .limit(1)
+        .select(col("_id"), col("_vec"), col("_n2s"),
+          col("_rel"), col("_score"), lit(round.toLong).as("rank"))
+        .localCheckpoint(true) // k rows total on the driver side, ever
+      selected = if (selected == null) pick else selected.unionByName(pick)
+    }
+    selected.select(col("rank"), col("_id").as(idCol),
+      col("_score").as("score"))
+  }
 }

@@ -4042,6 +4042,155 @@ object Extensions {
         "value", loCents = 0L, hiCents = 10000L, bins = 20)
       .orderBy("event_type", "bin"))
 
+  private val q197 = Q("q197_wav_trim_silence",
+    "silence trim as a REAL transformation round trip (q123's " +
+      "discipline, audio): WAVs with arithmetically-known muted lead/" +
+      "tail regions are PCM-decoded, lead/tail silent frames dropped, " +
+      "re-encoded, and RE-PARSED — the gate checks the decoded output " +
+      "length, so a mis-sliced frame or broken re-encode fails; " +
+      "interior silence is preserved by design (transcript alignment)",
+    Some("""
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             700 + (doc_id % 3) * 200 AS n_in,
+             700 + (doc_id % 3) * 200
+               - (doc_id % 3) * 100 - (doc_id % 4) * 100 AS n_out
+      FROM documents ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val n = (700 + (id % 3) * 200).toInt
+          val lead = ((id % 3) * 100).toInt
+          val tail = ((id % 4) * 100).toInt
+          val rate = (8000 + (id % 3) * 4000).toInt
+          val samples = Array.tabulate(n) { i =>
+            if (i < lead || i >= n - tail) 0.toShort
+            else (3000L + ((31L * i * i + 7L * i + id) % 25000L)).toShort
+          }
+          val wav = Multimodal.buildWav(rate, samples)
+          for {
+            trimmed <- Multimodal.trimSilence(wav)
+            (outRate, outSamples) <- Multimodal.parseWavPcm(trimmed)
+          } yield (id, outRate, n.toLong, outSamples.length.toLong)
+        }).toDF("doc_id", "sample_rate", "n_in", "n_out")
+        .orderBy("doc_id")
+    })
+
+  private val q198 = Q("q198_mmr_diverse_select",
+    "Maximal Marginal Relevance: top-8 exact cosine candidates for the " +
+      "vec_id=0 query, then 3 greedy rounds of lambda*rel - " +
+      "(1-lambda)*maxSimToSelected (lambda=1/2) — the diversification " +
+      "step between ANN retrieval and a RAG context window; bounded " +
+      "driver loop (the BPE-trainer posture), exact scaled-integer " +
+      "cosine parts with one IEEE finale; the oracle unrolls the greedy",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings),
+      nrm AS (SELECT vec_id,
+              CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                * 1e12) AS BIGINT)) AS BIGINT) AS n2s
+              FROM el GROUP BY 1),
+      dq AS (SELECT c.vec_id,
+               CAST(SUM(CAST(floor(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)
+                 * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+             FROM el q JOIN el c ON q.i = c.i
+             WHERE q.vec_id = 0 AND c.vec_id <> 0 GROUP BY 1),
+      cand0 AS (SELECT dq.vec_id,
+                 CAST(dot_s AS DOUBLE) /
+                   (sqrt(CAST(nq.n2s AS DOUBLE)) * sqrt(CAST(nc.n2s AS DOUBLE)))
+                   AS rel
+               FROM dq JOIN nrm nc ON dq.vec_id = nc.vec_id
+                       CROSS JOIN (SELECT n2s FROM nrm WHERE vec_id = 0) nq),
+      cand AS (SELECT vec_id, rel FROM
+               (SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS r
+                FROM cand0) WHERE r <= 8),
+      dcc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(SUM(CAST(floor(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)
+                 * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+              FROM el a JOIN el b ON a.i = b.i
+              WHERE a.vec_id IN (SELECT vec_id FROM cand)
+                AND b.vec_id IN (SELECT vec_id FROM cand)
+              GROUP BY 1, 2),
+      ccos AS (SELECT ia, ib,
+                CAST(dot_s AS DOUBLE) /
+                  (sqrt(CAST(na.n2s AS DOUBLE)) * sqrt(CAST(nb.n2s AS DOUBLE)))
+                  AS cos
+               FROM dcc JOIN nrm na ON ia = na.vec_id
+                        JOIN nrm nb ON ib = nb.vec_id),
+      s1 AS (SELECT vec_id, 0.5 * rel AS score FROM cand
+             ORDER BY 0.5 * rel DESC, vec_id LIMIT 1),
+      s2 AS (SELECT c.vec_id, 0.5 * c.rel - 0.5 * cc.cos AS score
+             FROM cand c JOIN ccos cc
+               ON cc.ia = c.vec_id AND cc.ib = (SELECT vec_id FROM s1)
+             WHERE c.vec_id <> (SELECT vec_id FROM s1)
+             ORDER BY score DESC, c.vec_id LIMIT 1),
+      s3 AS (SELECT c.vec_id,
+               0.5 * c.rel - 0.5 * greatest(c1.cos, c2.cos) AS score
+             FROM cand c
+             JOIN ccos c1 ON c1.ia = c.vec_id
+                         AND c1.ib = (SELECT vec_id FROM s1)
+             JOIN ccos c2 ON c2.ia = c.vec_id
+                         AND c2.ib = (SELECT vec_id FROM s2)
+             WHERE c.vec_id NOT IN ((SELECT vec_id FROM s1),
+                                    (SELECT vec_id FROM s2))
+             ORDER BY score DESC, c.vec_id LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS rank, vec_id, score FROM s1
+      UNION ALL SELECT 2, vec_id, score FROM s2
+      UNION ALL SELECT 3, vec_id, score FROM s3
+      ORDER BY rank"""),
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val top = Similarity.bruteForceTopK(
+        embs.filter(col("vec_id") === 0),
+        embs.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", k = 8)
+      val cands = top
+        .join(embs.select(col("vec_id").as("neighbor_id"),
+          col("embedding")), "neighbor_id")
+        .select(col("neighbor_id").as("vec_id"), col("embedding"),
+          col("cosine").as("rel"))
+      Similarity.mmrSelect(cands, "vec_id", "embedding", "rel", k = 3)
+        .orderBy("rank")
+    })
+
+  private val q199 = Q("q199_bootstrap_median_ci",
+    "bootstrap confidence interval for the corpus median doc length: " +
+      "50 deterministic resamples of 200 uniform draws each " +
+      "(q192's bootstrapDraws, weight 1), exact interpolated median per " +
+      "resample, then the 5th/50th/95th percentiles of the 50 medians — " +
+      "the composition q192 exists for; fully reproducible across " +
+      "engines because the draws are hash-targeted",
+    Some("""
+      WITH w AS (SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY doc_id) AS hi
+                 FROM documents),
+      t AS (SELECT count(*) AS total FROM documents),
+      d AS (SELECT j, j // 200 AS rep,
+              CAST('0x' || substr(sha256('ci:' || CAST(j AS VARCHAR)),
+                1, 15) AS BIGINT) % total AS u
+            FROM generate_series(0, 9999) g(j) CROSS JOIN t),
+      m AS (SELECT rep, quantile_cont(w.n_chars, 0.5) AS med
+            FROM d JOIN w ON u = hi - 1 GROUP BY 1)
+      SELECT count(*) AS n_reps, quantile_cont(med, 0.05) AS ci_lo,
+             quantile_cont(med, 0.5) AS ci_med,
+             quantile_cont(med, 0.95) AS ci_hi
+      FROM m"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val meds = graft.ops.Sampling.bootstrapDraws(docs, "doc_id",
+          lit(1L), nDraws = 10000L, seed = "ci")
+        .withColumn("rep", expr("draw_id div 200"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("rep")
+        .agg(expr("percentile(n_chars, 0.5d)").as("med"))
+      meds.agg(count(lit(1)).as("n_reps"),
+        expr("percentile(med, 0.05d)").as("ci_lo"),
+        expr("percentile(med, 0.5d)").as("ci_med"),
+        expr("percentile(med, 0.95d)").as("ci_hi"))
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4052,5 +4201,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190, q191, q192, q193, q194, q195, q196)
+    q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
 }

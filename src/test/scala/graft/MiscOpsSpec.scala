@@ -356,6 +356,42 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 5L, 2L), (2L, 1L, 0L)))
   }
 
+  test("trimSilence: lead/tail dropped, interior silence kept, " +
+    "all-silent yields empty WAV, junk yields None") {
+    import graft.ops.Multimodal
+    // frames of 2: [0,0][5k,5k][0,0][5k,5k][0,0] — trim outer, keep inner
+    val s = Array[Short](0, 0, 5000, 5000, 0, 0, 5000, 5000, 0, 0)
+    val wav = Multimodal.buildWav(8000, s)
+    val Some(trimmed) = Multimodal.trimSilence(wav, frame = 2,
+      threshold = 1000)
+    val Some((rate, back)) = Multimodal.parseWavPcm(trimmed)
+    assert(rate == 8000)
+    assert(back.toSeq == Seq[Short](5000, 5000, 0, 0, 5000, 5000))
+    val silent = Multimodal.buildWav(8000, Array[Short](0, 1, -2, 3))
+    val Some(empty) = Multimodal.trimSilence(silent, frame = 2,
+      threshold = 1000)
+    assert(Multimodal.parseWavPcm(empty).exists(_._2.isEmpty))
+    assert(Multimodal.trimSilence("junk".getBytes).isEmpty)
+  }
+
+  test("mmrSelect: diversifies where pure top-k returns near-duplicates") {
+    // relevance order: a1 (.99) > a2 (.98, near-dup of a1) > b (.5)
+    // top-3 by relevance = a1, a2, b; MMR must demote a2 below b
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f), 0.99),
+      (2L, Array(0.999f, 0.01f), 0.98),
+      (3L, Array(0.0f, 1.0f), 0.5))
+      .toDF("vec_id", "embedding", "rel")
+    val got = graft.ops.Similarity.mmrSelect(cands, "vec_id", "embedding",
+        "rel", k = 3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    // round-1 score is lam*rel exactly
+    val s1 = graft.ops.Similarity.mmrSelect(cands, "vec_id", "embedding",
+        "rel", k = 1).select("score").as[Double].head()
+    assert(s1 == 0.5 * 0.99)
+  }
+
   test("lshRecallAudit: exact copies are always candidates → full recall") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
