@@ -4191,6 +4191,110 @@ object Extensions {
         expr("percentile(med, 0.95d)").as("ci_hi"))
     })
 
+  private val q200 = Q("q200_curation_pipeline_full",
+    "the FULL training-data curation DAG as one oracle-gated chain: " +
+      "exact dedup (keep min id) -> SimHash-blocked near-dup keep-best " +
+      "(n_chars desc) -> quality/lang filter -> benchmark " +
+      "decontamination vs the held-out eval slice -> leakage-plain " +
+      "90/5/5 hash split -> per-(lang, split) census. Every stage is a " +
+      "separately-gated operator (q20/q51/q154/q62/q63/q53); this gate " +
+      "proves they COMPOSE — stage order, survivor wiring, and the " +
+      "contamination-against-the-ORIGINAL-corpus subtlety included. " +
+      "The oracle replays all six stages in SQL (recursive-CTE CC)",
+    Some("""
+      WITH ex AS (SELECT min(doc_id) AS doc_id FROM documents
+                  GROUP BY sha256(text)),
+      s1 AS (SELECT d.* FROM documents d JOIN ex USING (doc_id)),
+      wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM s1),
+      wh AS (SELECT doc_id,
+               CAST('0x' || substr(sha256(w), 1, 15) AS BIGINT) AS wh
+             FROM wds),
+      votes AS (SELECT doc_id, b,
+                SUM(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM wh CROSS JOIN generate_series(0, 31) t(b)
+                GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b)
+                ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b
+                  ON (a.simhash >> 28) = (b.simhash >> 28)
+                 AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        WITH RECURSIVE r(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN r ON e.dst = r.node)
+        SELECT node, min(lab) AS canonical_id FROM r GROUP BY node),
+      clus AS (SELECT s1.doc_id, s1.n_chars,
+                 coalesce(reach.canonical_id, s1.doc_id) AS cluster
+               FROM s1 LEFT JOIN reach ON reach.node = s1.doc_id),
+      best AS (SELECT doc_id FROM
+               (SELECT doc_id, row_number() OVER (PARTITION BY cluster
+                  ORDER BY n_chars DESC, doc_id) AS rn FROM clus)
+               WHERE rn = 1),
+      s3 AS (SELECT s1.* FROM s1 JOIN best USING (doc_id)
+             WHERE n_chars >= 150 AND lang IN ('de', 'en', 'fr')),
+      w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j
+             FROM w2),
+      shq AS (SELECT DISTINCT doc_id,
+               CAST('0x' || substr(sha256(w[j] || ' ' || w[j+1] || ' ' ||
+                 w[j+2]), 1, 15) AS BIGINT) AS sh
+              FROM jx),
+      ev AS (SELECT DISTINCT sh FROM shq WHERE doc_id % 97 = 0),
+      contam AS (SELECT DISTINCT c.doc_id FROM shq c JOIN ev USING (sh)
+                 WHERE c.doc_id % 97 <> 0),
+      clean AS (SELECT * FROM s3
+                WHERE doc_id % 97 <> 0
+                  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+      sp AS (SELECT lang, n_chars,
+               CASE WHEN h % 100 < 90 THEN 'train'
+                    WHEN h % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (SELECT *, CAST('0x' || substr(sha256(
+                     CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                   FROM clean))
+      SELECT lang, split, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM sp GROUP BY 1, 2 ORDER BY lang, split"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // stage 1: exact dedup, canonical (min-id) survivors
+      val surv1 = docs.join(
+        Dedup.exact(docs, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id")), "doc_id")
+      // stage 2: near-dup families keep the longest member
+      val sigs = Dedup.simHash(surv1, "doc_id", "text", bits = 32)
+      val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2,
+        blockBits = 4)
+      val kept = Dedup.keepBestInCluster(surv1, pairs, "doc_id", "n_chars")
+        .filter(col("keep")).select("doc_id")
+      // stage 3: quality + language gate
+      val surv3 = surv1.join(kept, "doc_id")
+        .filter(col("n_chars") >= 150 && col("lang").isin("de", "en", "fr"))
+      // stage 4: decontamination runs against the ORIGINAL corpus — the
+      // eval slice's shingles exist whether or not eval docs survived
+      // earlier stages
+      val contamIds = Decontamination.contamination(docs, "doc_id", "text",
+        evalPred = col("doc_id") % 97 === 0).select("doc_id")
+      val clean = surv3.filter(col("doc_id") % 97 =!= 0)
+        .join(contamIds, Seq("doc_id"), "left_anti")
+      // stage 5+6: hash split, census
+      val h = graft.functions.TextFns.hash64(col("doc_id").cast("string"))
+      clean
+        .withColumn("split",
+          when(h % 100 < 90, "train").when(h % 100 < 95, "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "split")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4201,5 +4305,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
+    q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 }
