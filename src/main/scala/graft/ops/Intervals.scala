@@ -62,4 +62,43 @@ object Intervals {
       .select(col("key"), col("island_id").as("gap_seq"),
         col("island_end").as("gap_start"), col("next_start").as("gap_end"))
   }
+
+  /** Generic interval-OVERLAP join: all (left, right) interval pairs on
+    * the same key whose CLOSED ranges intersect (l_s ≤ r_e ∧ r_s ≤ l_e)
+    * — interval×interval, where the production wear-period join
+    * ([[graft.etl.Stages]] resolvePatients) is point-in-interval. The
+    * coverage-vs-outage / campaign-vs-session / shift-vs-incident
+    * reconciliation primitive.
+    *
+    * The inequality pair never runs as a raw theta-join: both sides
+    * explode to the `bucketWidth`-sized bucket range they span, pair
+    * through the (key, bucket) EQUI-join, verify the exact predicate, and
+    * dedup (an overlap spanning several buckets matches in each — the
+    * distinct is pair-keyed). Bucket fan-out per interval is
+    * span/width + 1, so pick `bucketWidth` near the typical span; pair
+    * work is bounded by per-bucket density, never |L|·|R| per key.
+    * Bounds are nonneg longs with start ≤ end (the day-number domain;
+    * `div` truncation ≡ floor there).
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                  leftId: String, leftStart: String, leftEnd: String,
+                  rightId: String, rightStart: String, rightEnd: String,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def buckets(df: DataFrame, id: String, s0: String, e0: String,
+                side: String) =
+      df.select(col(keyCol).as("_k"), col(id).as(s"${side}_id"),
+          col(s0).cast("long").as(s"${side}_s"),
+          col(e0).cast("long").as(s"${side}_e"))
+        .withColumn("_b", explode(sequence(
+          expr(s"${side}_s div ${bucketWidth}L"),
+          expr(s"${side}_e div ${bucketWidth}L"))))
+    val l = buckets(left, leftId, leftStart, leftEnd, "l")
+    val r = buckets(right, rightId, rightStart, rightEnd, "r")
+    l.join(r, Seq("_k", "_b"))
+      .filter(col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+      .select(col("_k").as(keyCol), col("l_id"), col("r_id"),
+        col("l_s"), col("l_e"), col("r_s"), col("r_e"))
+      .distinct()
+  }
 }

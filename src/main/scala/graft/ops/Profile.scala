@@ -260,7 +260,21 @@ object Profile {
     * in the caller's column order. Zero-variance columns yield null corr
     * (0/0) rather than failing.
     */
-  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame =
+    corrPairsImpl(df, Nil, cols)
+
+  /** [[corrPairs]] per group — does the quantity/price relationship hold
+    * within every segment, or is the global correlation a mix artifact
+    * (Simpson's-paradox audit)? Same single-scan exact-parts shape; the
+    * one aggregate keys on the group, so groups parallelize instead of
+    * funneling into the global single partition.
+    */
+  def corrPairsByGroup(df: DataFrame, groupCol: String,
+                       cols: Seq[String]): DataFrame =
+    corrPairsImpl(df, Seq(groupCol), cols)
+
+  private def corrPairsImpl(df: DataFrame, groupCols: Seq[String],
+                            cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"corrPairs needs >= 2 columns, got $cols")
     require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
     val unsafe = cols.filterNot(SafeName.matches)
@@ -274,7 +288,7 @@ object Profile {
     val cents = cols.map(c =>
       (col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
         .cast("long").as("_c_" + c))
-    val base = df.select(cents: _*)
+    val base = df.select(groupCols.map(col) ++ cents: _*)
     val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
     val aggs =
       cols.flatMap(c => Seq(
@@ -282,14 +296,16 @@ object Profile {
         sum((col("_c_" + c) * col("_c_" + c)).cast(dec)).as("_q_" + c))) ++
       pairs.map { case (a, b) =>
         sum((col("_c_" + a) * col("_c_" + b)).cast(dec)).as(s"_p_${a}_$b") }
-    val wide = base.agg(count(lit(1)).cast(dec).as("_n"), aggs: _*)
+    val wide = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("_n"), aggs: _*)
     val stackArgs = pairs.map { case (a, b) =>
       s"'$a', '$b', `_s_$a`, `_s_$b`, `_q_$a`, `_q_$b`, `_p_${a}_$b`"
     }.mkString(", ")
-    wide.select(col("_n"),
-      expr(s"stack(${pairs.size}, $stackArgs) AS " +
-        "(col_a, col_b, sa, sb, qa, qb, sab)"))
-      .select(col("col_a"), col("col_b"), col("_n").cast("long").as("n"), {
+    wide.select(groupCols.map(col) :+ col("_n") :+
+        expr(s"stack(${pairs.size}, $stackArgs) AS " +
+          "(col_a, col_b, sa, sb, qa, qb, sab)"): _*)
+      .select(groupCols.map(col) ++ Seq(col("col_a"), col("col_b"),
+        col("_n").cast("long").as("n")) :+ {
         val num = (col("_n") * col("sab") - col("sa") * col("sb"))
           .cast("double")
         val denom =
@@ -300,7 +316,7 @@ object Profile {
         // zero-variance column → undefined correlation → null (ANSI-safe)
         when(denom === 0.0, lit(null).cast("double"))
           .otherwise(num / denom).as("corr")
-      })
+      }: _*)
   }
 
   /** Per-group exact weighted median (lower weighted median: the smallest

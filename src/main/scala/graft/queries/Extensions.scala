@@ -4295,6 +4295,85 @@ object Extensions {
         .orderBy("lang", "split")
     })
 
+  private val q201 = Q("q201_corr_pairs_by_group",
+    "q152's exact-parts Pearson matrix PER RETURN FLAG — the Simpson's-" +
+      "paradox audit (does the global quantity/price relationship hold " +
+      "inside every segment?); same one-scan shape, the aggregate keys " +
+      "on the group so segments parallelize instead of funneling into " +
+      "the global single partition",
+    Some("""
+      WITH c AS (SELECT l_returnflag AS flag,
+        CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS cq,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ce,
+        CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS cd
+        FROM lineitem),
+      s AS (SELECT flag, count(*) AS n,
+        sum(cq) sq, sum(ce) se, sum(cd) sd,
+        sum(cq*cq) qq, sum(ce*ce) ee, sum(cd*cd) dd,
+        sum(cq*ce) pqe, sum(cq*cd) pqd, sum(ce*cd) ped
+        FROM c GROUP BY 1)
+      SELECT * FROM (
+        SELECT flag AS l_returnflag, 'l_quantity' AS col_a,
+               'l_extendedprice' AS col_b, CAST(n AS BIGINT) AS n,
+               CAST(n*pqe - sq*se AS DOUBLE)
+                 / (sqrt(CAST(n*qq - sq*sq AS DOUBLE))
+                    * sqrt(CAST(n*ee - se*se AS DOUBLE))) AS corr FROM s
+        UNION ALL
+        SELECT flag, 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+               CAST(n*pqd - sq*sd AS DOUBLE)
+                 / (sqrt(CAST(n*qq - sq*sq AS DOUBLE))
+                    * sqrt(CAST(n*dd - sd*sd AS DOUBLE))) FROM s
+        UNION ALL
+        SELECT flag, 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+               CAST(n*ped - se*sd AS DOUBLE)
+                 / (sqrt(CAST(n*ee - se*se AS DOUBLE))
+                    * sqrt(CAST(n*dd - sd*sd AS DOUBLE))) FROM s)
+      ORDER BY l_returnflag, col_a, col_b"""),
+    (s, dir) => Profile.corrPairsByGroup(t(s, dir, "lineitem"),
+        "l_returnflag",
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy("l_returnflag", "col_a", "col_b"))
+
+  private val q202 = Q("q202_interval_overlap_join",
+    "generic interval×interval OVERLAP join (closed ranges), per " +
+      "customer: 8-day prep windows from even orders vs day-5-to-15 " +
+      "billing windows from odd orders — bucketed to a (key, bucket) " +
+      "EQUI-join (never a raw theta join), exact predicate verify, " +
+      "pair-keyed dedup for bucket-spanning overlaps; the oracle " +
+      "allows itself the small-data inequality join",
+    Some("""
+      WITH base AS (SELECT o_orderkey, o_custkey,
+                      date_diff('day', DATE '1992-01-01', o_orderdate)
+                        AS d0
+                    FROM orders),
+      l AS (SELECT o_custkey, o_orderkey AS l_id,
+              CAST(d0 AS BIGINT) AS l_s, CAST(d0 + 7 AS BIGINT) AS l_e
+            FROM base WHERE o_orderkey % 2 = 0),
+      r AS (SELECT o_custkey, o_orderkey AS r_id,
+              CAST(d0 + 5 AS BIGINT) AS r_s, CAST(d0 + 15 AS BIGINT) AS r_e
+            FROM base WHERE o_orderkey % 2 = 1)
+      SELECT l.o_custkey AS o_custkey, l_id, r_id, l_s, l_e, r_s, r_e
+      FROM l JOIN r ON l.o_custkey = r.o_custkey
+         AND l_s <= r_e AND r_s <= l_e
+      ORDER BY l.o_custkey, l_id, r_id"""),
+    (s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("d0"))
+      val l = base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_custkey"), col("o_orderkey").as("lid"),
+          col("d0").as("ls"), (col("d0") + 7).as("le"))
+      val r = base.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("rid"),
+          (col("d0") + 5).as("rs"), (col("d0") + 15).as("re"))
+      Intervals.overlapJoin(l, r, "o_custkey", "lid", "ls", "le",
+          "rid", "rs", "re", bucketWidth = 8L)
+        .select(col("o_custkey"), col("l_id"), col("r_id"),
+          col("l_s"), col("l_e"), col("r_s"), col("r_e"))
+        .orderBy("o_custkey", "l_id", "r_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4305,5 +4384,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+    q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }

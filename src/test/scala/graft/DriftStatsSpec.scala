@@ -326,6 +326,39 @@ class DriftStatsSpec extends SparkSpec {
     assert(ok == 0L)
   }
 
+  test("corrPairsByGroup: segments keep their own correlations " +
+    "(Simpson's-paradox shape)") {
+    import graft.ops.Profile
+    // group a: y = x (corr +1); group b: y = -x (corr -1); pooled ~0
+    val df = (1 to 20).flatMap(i => Seq(
+      ("a", i.toDouble, i.toDouble), ("b", i.toDouble, -i.toDouble)))
+      .toDF("g", "x", "y")
+    val got = Profile.corrPairsByGroup(df, "g", Seq("x", "y"))
+      .select("g", "corr").as[(String, Double)].collect().toMap
+    assert(math.abs(got("a") - 1.0) < 1e-12)
+    assert(math.abs(got("b") + 1.0) < 1e-12)
+    val pooled = Profile.corrPairs(df, Seq("x", "y"))
+      .select("corr").as[Double].head()
+    assert(math.abs(pooled) < 0.2) // the mix hides both segment signals
+  }
+
+  test("overlapJoin: closed-range touch matches, disjoint/cross-key do " +
+    "not, bucket-spanning pairs dedup") {
+    import graft.ops.Intervals
+    val l = Seq(("k1", 1L, 0L, 10L), ("k1", 2L, 40L, 41L),
+      ("k2", 3L, 0L, 100L)).toDF("k", "id", "s", "e")
+    val r = Seq(("k1", 11L, 10L, 20L),  // touches l1 at 10 → match
+      ("k1", 12L, 25L, 30L),            // disjoint from both
+      ("k1", 13L, 0L, 60L),             // spans many buckets; hits l1+l2
+      ("k3", 14L, 0L, 100L))            // different key
+      .toDF("k", "id", "s", "e")
+    val got = Intervals.overlapJoin(l, r, "k", "id", "s", "e",
+        "id", "s", "e", bucketWidth = 7L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size) // no duplicate pairs
+    assert(got.toSet == Set((1L, 11L), (1L, 13L), (2L, 13L)))
+  }
+
   test("histogramFixed: exact bin edges, out-of-range clamps to edge bins") {
     import graft.ops.Profile
     val df = Seq(("g", -5.0), ("g", 0.0), ("g", 4.99), ("g", 5.0),
