@@ -446,6 +446,72 @@ class PropertySpec extends SparkSpec {
     val got = merged.as[(String, Option[String])].collect().toMap
     assert(got == once)
   }
+
+  test("theilSenPerKey equals the brute-force lower-median pairwise slope") {
+    val pts = gen(Gen.listOfN(40, for {
+      k <- Gen.oneOf("a", "b", "c")
+      x <- Gen.choose(0L, 30L)
+      y <- Gen.choose(-50L, 50L)
+    } yield (k, x, y)), 7L)
+      // distinct x per key (the daily-grid contract)
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val got = graft.ops.Regression.theilSenPerKey(
+        pts.toDF("k", "x", "y"), col("k"), col("x"), col("y"))
+      .select("key", "n_pairs", "slope_num", "slope_den")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    pts.groupBy(_._1).foreach { case (k, rows) =>
+      val slopes = (for {
+        a <- rows; b <- rows if a._2 < b._2
+      } yield (b._3 - a._3, b._2 - a._2))
+        .sortBy { case (n, d) => (n.toDouble / d, n, d) }
+      if (slopes.isEmpty) assert(!got.contains(k))
+      else {
+        val med = slopes(((slopes.size + 1) / 2 - 1).toInt)
+        assert(got(k) == ((slopes.size.toLong, med._1, med._2)), s"key $k")
+      }
+    }
+  }
+
+  test("overlapJoin equals the brute-force inequality join on random intervals") {
+    val iv = gen(Gen.listOfN(60, for {
+      k <- Gen.oneOf(1L, 2L)
+      s <- Gen.choose(0L, 200L)
+      len <- Gen.choose(0L, 40L)
+    } yield (k, s, s + len)), 11L)
+      .zipWithIndex.map { case ((k, s, e), i) => (k, i.toLong, s, e) }
+    val (lRows, rRows) = iv.partition(_._2 % 2 == 0)
+    val l = lRows.toDF("k", "id", "s", "e")
+    val r = rRows.toDF("k", "id", "s", "e")
+    for (width <- Seq(1L, 7L, 64L)) {
+      val got = graft.ops.Intervals.overlapJoin(l, r, "k", "id", "s", "e",
+          "id", "s", "e", bucketWidth = width)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        a <- lRows; b <- rRows
+        if a._1 == b._1 && a._3 <= b._4 && b._3 <= a._4
+      } yield (a._2, b._2)).toSet
+      assert(got == brute, s"width $width")
+    }
+  }
+
+  test("histogramFixed bin populations equal the brute-force clamp rule") {
+    val vals = gen(Gen.listOfN(200, for {
+      g <- Gen.oneOf("x", "y")
+      v <- Gen.choose(-3000L, 18000L) // cents, some out of [0, 10000)
+    } yield (g, v / 100.0)), 13L)
+    val got = graft.ops.Profile.histogramFixed(vals.toDF("g", "v"),
+        "g", "v", 0L, 10000L, 10)
+      .select("g", "bin", "n_rows").as[(String, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val brute = vals
+      .map { case (g, v) =>
+        val cents = math.rint(v * 100).toLong
+        (g, math.min(9L, math.max(0L, cents / 1000L)))
+      } // cents here are exact multiples of 100 → rint ≡ the decimal cast
+      .groupBy(identity).map { case (k, rows) => k -> rows.size.toLong }
+    assert(got == brute)
+  }
 }
 
 /** Thin forwarding (keeps the spec readable). */
