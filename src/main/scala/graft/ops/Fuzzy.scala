@@ -66,25 +66,76 @@ object Fuzzy {
     * phonetic code, sorted-bigram prefix) is the standard recall/cost
     * trade, passed in explicitly so the trade is visible at the call site.
     *
-    * Scale shape: the self-join pairs only within blocks (quadratic in
-    * BLOCK size, not corpus size — pick `blockCol` accordingly); the JW
-    * scalar is a native codegen expression evaluated once per candidate
-    * pair. The ppm rounding happens on a double produced by a fixed
-    * arithmetic tree over small exact integers, so the gate hash-matches
-    * DuckDB's independent implementation.
+    * Scale shape — TRIANGLE-SALTED pairing, not a naive per-block
+    * self-join: a hot block's O(n²) pair enumeration is the classic
+    * skew-killer (q173's data has 8 first-token blocks, so a plain
+    * equi-join leaves 24 of 32 threads idle and the hottest block's 3.3M
+    * pairs on ONE task). Each row gets a deterministic bucket
+    * g = hash(id) mod `salt`; the block's pair set decomposes exactly into
+    * salt·(salt+1)/2 cells (i ≤ j): cell (i,j) pairs bucket-i rows against
+    * bucket-j rows (diagonal cells orient by id_a < id_b; off-diagonal
+    * cells are already unordered-unique, output re-oriented via
+    * least/greatest). Every within-block pair lands in EXACTLY one cell,
+    * so results are identical to the naive join while per-task pair work
+    * drops ~salt² and cells spread over all cores. Shuffle volume grows
+    * only (salt+1)/2 × rows — rows, not pairs. At 100 TB, raise `salt`
+    * with expected block size; the decomposition is what keeps a hot key
+    * from becoming a single-task quadratic blow-up.
+    *
+    * A SOUND length prefilter runs inside the join before the kernel:
+    * JW ≥ θ forces jaro ≥ (θ−0.4)/0.6 (prefix boost caps at 0.4·(1−J)),
+    * and jaro ≤ (2 + min/max)/3 (all of the shorter side matching, zero
+    * transpositions), so min·10⁶ ≥ max·(3·Jmin−2)·10⁶ over BYTE lengths —
+    * pairs that can't possibly reach the threshold never run the kernel
+    * (θ = 0.9 ⇒ length ratio ≥ 0.5). The JW scalar itself is a native
+    * codegen expression; its ppm rounding is a fixed double tree over
+    * exact small integers, so the gate hash-matches DuckDB's independent
+    * implementation.
     */
   def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
                        blockCol: org.apache.spark.sql.Column,
-                       minSimPpm: Long): DataFrame = {
-    val side = df.select(blockCol.as("_blk"), col(idCol), col(strCol))
-    val a = side.select(col("_blk"), col(idCol).as("id_a"),
-      col(strCol).as("_s_a"))
-    val b = side.select(col("_blk").as("_blk_b"), col(idCol).as("id_b"),
-      col(strCol).as("_s_b"))
-    a.join(b, col("_blk") === col("_blk_b") && col("id_a") < col("id_b"))
+                       minSimPpm: Long, salt: Int = 16): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1: $salt")
+    val side = df.select(blockCol.as("_blk"), col(idCol), col(strCol),
+      pmod(xxhash64(col(idCol)), lit(salt.toLong)).cast("int").as("_g"))
+    // left role in cells (g, x) for x >= g; right role in cells (x, g)
+    // for x <= g — the diagonal (g, g) gets both roles, orient by id.
+    val a = side.select(col("_blk"), col("_g").as("_ci"),
+        explode(sequence(col("_g"), lit(salt - 1))).as("_cj"),
+        col(idCol).as("id_a"), col(strCol).as("_s_a"))
+    val b = side.select(col("_blk").as("_blk_b"),
+        explode(sequence(lit(0), col("_g"))).as("_ci_b"),
+        col("_g").as("_cj_b"),
+        col(idCol).as("id_b"), col(strCol).as("_s_b"))
+    // JW ≥ θ ⇒ byte-length ratio ≥ 3·(θ−0.4)/0.6 − 2 (see scaladoc);
+    // −1 ppm slack covers the half-up rounding of jw_ppm.
+    val jminPpm = ((minSimPpm - 1 - 400000L) * 10L) / 6L
+    val ratioPpm = 3L * jminPpm - 2000000L
+    val lenOk =
+      if (ratioPpm <= 0L) lit(true)
+      else least(octet_length(col("_s_a")), octet_length(col("_s_b")))
+        .cast("long") * 1000000L >=
+        greatest(octet_length(col("_s_a")), octet_length(col("_s_b")))
+          .cast("long") * ratioPpm
+    // EXPLICIT repartition on the cell key: this join's INPUT is tiny
+    // (rows × (salt+1)/2) but its OUTPUT is the quadratic pair stream, so
+    // AQE's input-byte-driven coalescing would fold all cells into one or
+    // two tasks and serialize the kernel work. A user repartition with an
+    // explicit count is exempt from AQE coalescing, and both sides sharing
+    // it makes the join co-partitioned (no further exchange).
+    val nParts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions * 3, 32)
+    val aP = a.repartition(nParts, col("_blk"), col("_ci"), col("_cj"))
+    val bP = b.repartition(nParts, col("_blk_b"), col("_ci_b"), col("_cj_b"))
+    aP.join(bP.hint("shuffle_hash"),
+        col("_blk") === col("_blk_b") &&
+        col("_ci") === col("_ci_b") && col("_cj") === col("_cj_b") &&
+        (col("_ci") =!= col("_cj") || col("id_a") < col("id_b")) &&
+        lenOk)
       .withColumn("jw_ppm", jwPpmOnce(col("_s_a"), col("_s_b")))
       .filter(col("jw_ppm") >= minSimPpm)
-      .select(col("id_a"), col("id_b"), col("jw_ppm"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jw_ppm"))
   }
 
   /** JW ppm behind a one-element explode: Generate is a predicate-pushdown

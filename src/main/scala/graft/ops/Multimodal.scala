@@ -842,6 +842,11 @@ object Multimodal {
         val tpe = fourcc(b, off)
         val len = le32(b, off + 4).toInt
         val body = off + 8
+        // Corrupt-stop guard (the findBox posture): a negative len (high
+        // bit set) or one overrunning the buffer would make `off`
+        // non-increasing — an infinite loop, not an exception — so bail to
+        // the quarantine path before touching the chunk body.
+        if (len < 0 || body + len > b.length) return None
         if (tpe == "fmt " && len >= 16) {
           val audioFormat = (b(body) & 0xff) | ((b(body + 1) & 0xff) << 8)
           val channels = (b(body + 2) & 0xff) | ((b(body + 3) & 0xff) << 8)

@@ -713,6 +713,14 @@ object Profile {
   def constraintAudit(df: DataFrame,
                       constraints: Seq[(String, Column)]): DataFrame = {
     require(constraints.nonEmpty, "constraints must be non-empty")
+    // Rule names are spliced into the stack() SQL both as string literals
+    // and as backticked identifiers — hold them to the same identifier
+    // discipline as profile()/corrPairs rather than risk broken SQL.
+    val unsafeRules = constraints.map(_._1).filterNot(SafeName.matches)
+    require(unsafeRules.isEmpty,
+      s"constraint names must be simple identifiers, got: ${unsafeRules.mkString(", ")}")
+    require(constraints.map(_._1).distinct.size == constraints.size,
+      "duplicate constraint names")
     val aggs = constraints.map { case (n, p) =>
       sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"_v_$n")
     } :+ count(lit(1)).as("_n")
@@ -756,15 +764,21 @@ object Profile {
     * COMPARABLE bin-for-bin, which PSI-style monitoring needs). All
     * integer: bin = (cents − lo) div width over cents-scaled values,
     * out-of-range values clamp to the edge bins (never dropped — a drift
-    * monitor that silently discards the drifted tail is useless). One
-    * map-side-combined aggregate.
+    * monitor that silently discards the drifted tail is useless). NULL
+    * values are excluded (not clamped to bin 0); monitor null rates
+    * separately via [[profile]]. One map-side-combined aggregate.
     */
   def histogramFixed(df: DataFrame, groupCol: String, valueCol: String,
                      loCents: Long, hiCents: Long, bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1: $bins")
     require(hiCents > loCents, s"need hiCents > loCents: $loCents..$hiCents")
     val width = (hiCents - loCents + bins - 1) / bins // ceil → covers hi
-    df.select(col(groupCol),
+    // NULL values are EXCLUDED, not binned: greatest(null, 0) = 0 would
+    // silently fold missing data into the lo-edge bin, indistinguishable
+    // from genuine low-tail drift. Track null rates via profile()/
+    // constraintAudit — a histogram is a census of present values only.
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol),
         least(greatest(expr(s"(${centsSql(valueCol)} - ${loCents}L) " +
           s"div ${width}L"), lit(0L)), lit(bins - 1L)).as("bin"))
       .groupBy(col(groupCol), col("bin"))

@@ -302,14 +302,26 @@ object Sampling {
     * (weight/binWidth + 1) bins, so the exploded relation is
     * O(nDraws + rows) — no inequality join, no broadcast of the corpus.
     *
-    * Output: (draw_id, id) — one row per draw. Weights must be positive.
+    * Output: (draw_id, id) — one row per draw. Weights must be positive
+    * — ENFORCED: a null/zero/negative weight fails the job (in-plan
+    * `raise_error`, no extra pass) rather than silently corrupting the
+    * cumulative interval bounds.
     */
   def bootstrapDraws(df: DataFrame, idCol: String, weightCol: Column,
                      nDraws: Long, seed: String): DataFrame = {
     require(nDraws >= 1, s"nDraws must be >= 1: $nDraws")
     import org.apache.spark.sql.expressions.{Window => W}
-    val base = df.select(col(idCol).as("_id"),
-      weightCol.cast("long").as("_w"))
+    // Enforce the documented positive-weight contract in-plan: a negative
+    // weight silently corrupts every downstream cumulative bound and a
+    // null/zero row silently never draws — fail the job instead (zero
+    // extra passes: the check rides the first projection).
+    val rawW = weightCol.cast("long")
+    val checkedW = when(rawW.isNull || rawW <= 0L,
+        raise_error(concat(lit("bootstrapDraws: weight must be positive, " +
+          s"got weight="), rawW.cast("string"),
+          lit(s" at $idCol="), col(idCol).cast("string"))))
+      .otherwise(rawW)
+    val base = df.select(col(idCol).as("_id"), checkedW.as("_w"))
     val parts = base.repartitionByRange(col("_id"))
       .withColumn("_pid", spark_partition_id())
     val local = parts.withColumn("_lhi",

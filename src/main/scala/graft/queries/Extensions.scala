@@ -1921,7 +1921,7 @@ object Extensions {
             (SELECT SUM((((qx >> i) & 1) << (2*i)) + (((qy >> i) & 1) << (2*i+1)))
              FROM generate_series(0, 15) AS t(i)) AS zval
             FROM q)
-      SELECT zval >> 26 AS zbucket, count(*) AS n_rows,
+      SELECT CAST(zval >> 26 AS BIGINT) AS zbucket, count(*) AS n_rows,
              min(x) AS x_min, max(x) AS x_max,
              min(y) AS y_min, max(y) AS y_max
       FROM z GROUP BY 1 ORDER BY 1"""),
@@ -2404,9 +2404,10 @@ object Extensions {
       "local filter",
     Some("""
       WITH c AS (SELECT source, doc_id, n_chars,
-                 SUM(n_chars) OVER (PARTITION BY source
-                                    ORDER BY n_chars DESC, doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS cum_weight
+                 CAST(SUM(n_chars) OVER (PARTITION BY source
+                                         ORDER BY n_chars DESC, doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_weight
                  FROM documents)
       SELECT source, doc_id, n_chars, cum_weight FROM c
       WHERE cum_weight <= 4000 ORDER BY source, doc_id"""),
@@ -3128,9 +3129,10 @@ object Extensions {
         (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
         (6, 66947), (7, 57992), (8, 51153), (9, 45757))
       SELECT g.digit, g.n,
-             1000000 * g.n // t.total AS observed_ppm,
+             CAST(1000000 * g.n // t.total AS BIGINT) AS observed_ppm,
              law.benford_ppm,
-             abs(1000000 * g.n // t.total - law.benford_ppm) AS abs_dev_ppm
+             CAST(abs(1000000 * g.n // t.total - law.benford_ppm)
+                  AS BIGINT) AS abs_dev_ppm
       FROM g CROSS JOIN t JOIN law ON law.digit = g.digit
       ORDER BY g.digit"""),
     (s, dir) => graft.ops.Profile.benfordDigits(
@@ -3155,7 +3157,7 @@ object Extensions {
               sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS cumb
             FROM g)
-      SELECT t.na AS n_a, t.nb AS n_b,
+      SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
              CAST(max(abs(cuma * t.nb - cumb * t.na)) AS BIGINT) AS ks_num,
              CAST(1000000 * max(abs(cuma * t.nb - cumb * t.na))
                   // (t.na * t.nb) AS BIGINT) AS ks_ppm

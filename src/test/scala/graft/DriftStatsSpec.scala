@@ -177,13 +177,21 @@ class DriftStatsSpec extends SparkSpec {
       ("CRAZY", "CRAZE", 0.92),
       ("abab", "baba", 0.8333333333333334),      // boost blocked: prefix 0
       ("abcvwxyz", "cabvwxyz", 0.9583333333333334), // t2=3 floors to t=1
-      // GENERIC-path pins (non-ASCII / >64 chars — the ASCII bitmask
-      // fast path must not change these; probed from DuckDB like the rest)
+      // Small-path pins with NON-ASCII bytes (≤64 bytes, so these hit the
+      // bitmask path — they pin its byte semantics on multi-byte UTF-8;
+      // probed from DuckDB like the rest)
       ("café au lait", "cafe au lait", 0.9446581196581196),
       ("überstraße", "uberstrasse", 0.797979797979798),
+      // GENERIC-path pins (>64 BYTES — the only trigger for the generic
+      // byte loop); the last two put multi-byte UTF-8 inside the match
+      // window so the generic path's non-ASCII byte semantics are pinned
+      // directly, not just via ASCII-dominant strings
       ("a" * 70 + " quick brown fox", "a" * 70 + " quick brown vixen",
         0.9862579281183932),
-      ("x" * 65, "x" * 64 + "y", 0.9938461538461538))
+      ("x" * 65, "x" * 64 + "y", 0.9938461538461538),
+      ("café " + "a" * 62 + " latté", "cafe " + "a" * 62 + " latte",
+        0.9811628614916286),
+      ("über" * 20, "uber" * 20, 0.7833333333333333))
     for ((a, b, want) <- cases) {
       val got = JaroWinklerUtil.similarity(
         org.apache.spark.unsafe.types.UTF8String.fromString(a),
