@@ -1093,9 +1093,15 @@ object TextAnalysis {
     * Scale shape: training is one (lang, gram) aggregate + a
     * lang-partitioned rank window over the VOCABULARY-sized count
     * relation; profiles are model-sized and broadcast. Classification is
-    * one (doc, gram) aggregate, a doc-partitioned rank window, then a
-    * broadcast join against langs × profile — each doc contributes
-    * `profileSize · |langs|` rows, corpus-size-independent per doc.
+    * one (doc, gram) aggregate, a doc-partitioned rank window, then an
+    * INNER broadcast join on shared grams only — never doc × langs. The
+    * algebra makes that lossless: a gram the profile lacks costs
+    * `profileSize` while a matched one costs |r − pr| ≤ profileSize − 1,
+    * so any language sharing ≥1 gram strictly beats every zero-overlap
+    * language, whose score is the closed form profileSize·|doc grams|;
+    * zero-overlap docs fall back to the lexicographically first language
+    * via a one-row broadcast. Per doc the joined rows are bounded by its
+    * MATCHING (gram, lang) pairs, not profileSize · |langs|.
     */
   def charNgramLangId(train: DataFrame, docs: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text",
@@ -1110,29 +1116,85 @@ object TextAnalysis {
         .otherwise(array().cast(
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.StringType)))
-    def gramRows(df: DataFrame, keyCol: Column, keyName: String) = df
-      .select(keyCol.as(keyName), explode(grams(col(textCol))).as("gram"))
-      .groupBy(col(keyName), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(keyName).orderBy(col("cnt").desc, col("gram")))
-        .cast("long"))
-      .filter(col("r") <= profileSize)
-    val profiles = gramRows(train.filter(col(langCol).isNotNull),
-      col(langCol), "lang")
-      .select(col("lang"), col("gram"), col("r").as("pr"))
-    val langs = profiles.select("lang").distinct()
-    val docGrams = gramRows(docs, col(idCol), "_id")
-    val scored = docGrams
-      .crossJoin(broadcast(langs))
-      .join(broadcast(profiles), Seq("lang", "gram"), "left")
+    // filter on the RAW row_number, cast after: a predicate on a cast of
+    // the rank blocks InferWindowGroupLimit, which otherwise turns the
+    // per-key full sort into a bounded top-k heap
+    def rankTop(counts: DataFrame, keyName: String) = counts
+      .withColumn("_ri", row_number().over(
+        Window.partitionBy(keyName).orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("_ri") <= profileSize)
+      .withColumn("r", col("_ri").cast("long")).drop("_ri")
+    def gramRows(df: DataFrame, keyCol: Column, keyName: String) =
+      rankTop(df
+        .select(keyCol.as(keyName), explode(grams(col(textCol))).as("gram"))
+        .groupBy(col(keyName), col("gram"))
+        .agg(count(lit(1)).as("cnt")), keyName)
+    // Self-training (the q191 shape: train eq docs) runs the expensive
+    // gram explode + count ONCE: lang rides the (doc, gram) aggregate for
+    // free (functionally dependent on the doc id), the shared counts are
+    // persisted, and profiles re-aggregate them per (lang, gram) — no
+    // second corpus scan. Distinct corpora keep the two-pass general path.
+    val (profiles, docGrams, docN) =
+      if (train eq docs) {
+        // ONE exchange for the whole doc side: repartition the raw docs by
+        // id BEFORE the explode — HashPartitioning(_id) satisfies every
+        // downstream requirement (the (id, lang, gram) aggregate, both
+        // doc-partitioned windows, the docN aggregate and the final id
+        // join), so none of them shuffles; only the raw doc rows move,
+        // never the exploded gram stream.
+        // explicit count: AQE's input-byte coalescing would see only the
+        // small raw-doc shuffle and fold the expensive explode+window
+        // work onto one task (the q173 lesson)
+        val base = docs.repartition(
+            docs.sparkSession.sessionState.conf.numShufflePartitions,
+            col(idCol))
+          .select(col(idCol).as("_id"),
+            col(langCol).as("_lang"),
+            explode(grams(col(textCol))).as("gram"))
+          .groupBy(col("_id"), col("_lang"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist()
+        val lp = rankTop(base.filter(col("_lang").isNotNull)
+          .groupBy(col("_lang").as("lang"), col("gram"))
+          .agg(sum("cnt").as("cnt")), "lang")
+        // gram budget per doc WITHOUT a second window pass: the ranked
+        // relation keeps min(profileSize, distinct grams) rows per doc,
+        // which is a plain capped count over the cached base
+        val n = base.groupBy("_id").agg(
+          least(count(lit(1)), lit(profileSize.toLong)).as("_ng"))
+        (lp.select(col("lang"), col("gram"), col("r").as("pr")),
+          rankTop(base.drop("_lang"), "_id"), n)
+      } else {
+        val lp = gramRows(train.filter(col(langCol).isNotNull),
+          col(langCol), "lang")
+        val dg = gramRows(docs, col(idCol), "_id")
+        (lp.select(col("lang"), col("gram"), col("r").as("pr")),
+          dg, dg.groupBy("_id").agg(count(lit(1)).as("_ng")))
+      }
+    // score(doc, lang) = Σ matched |r − pr| + (unmatched grams) · size —
+    // only the matched part needs a join; the rest is the doc's gram count
+    val matched = docGrams.join(broadcast(profiles), Seq("gram"))
       .groupBy(col("_id"), col("lang"))
-      .agg(sum(coalesce(abs(col("r") - col("pr")),
-        lit(profileSize.toLong))).as("oop"))
-    scored.withColumn("_rn", row_number().over(
-        Window.partitionBy("_id").orderBy(col("oop"), col("lang"))))
+      .agg(sum(abs(col("r") - col("pr"))).as("_msum"),
+        count(lit(1)).as("_nm"))
+    // One pass to the answer: docN ⟕ matched keeps every doc (a doc whose
+    // grams match NO profile surfaces as a single null-lang row), the
+    // argmin window orders nulls last (a matched language always beats
+    // the zero-overlap default — |r − pr| < profileSize per gram), and
+    // the fallback language/score fill in via coalesce. docN and matched
+    // share the _id partitioning, so the join adds no exchange.
+    val lang0 = profiles.agg(array_min(collect_set(col("lang"))).as("_lang0"))
+    docN.join(matched, Seq("_id"), "left")
+      .withColumn("oop", col("_msum") +
+        (col("_ng") - col("_nm")) * profileSize.toLong)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_id")
+          .orderBy(col("oop").asc_nulls_last, col("lang").asc_nulls_last)))
       .filter(col("_rn") === 1)
-      .select(col("_id").as(idCol), col("lang").as("pred_lang"),
-        col("oop").as("oop_score"))
+      .crossJoin(broadcast(lang0))
+      .select(col("_id").as(idCol),
+        coalesce(col("lang"), col("_lang0")).as("pred_lang"),
+        coalesce(col("oop"), col("_ng") * profileSize.toLong)
+          .as("oop_score"))
   }
 }
