@@ -788,6 +788,52 @@ object Profile {
   private def centsSql(valueCol: String): String =
     s"CAST(CAST(`$valueCol` AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
+  /** ε-approximate quantile AUDIT: one-pass mergeable-sketch quantiles
+    * (Spark's built-in `percentile_approx`, a Greenwald–Khanna summary —
+    * partial states merge across partitions, no global sort) verified
+    * against their own contract by an exact rank count — the q132
+    * Misra–Gries posture: sketch for scale, exact pass to PROVE the
+    * bound, booleans as the gate output because the sketch's exact
+    * estimates are legitimately merge-order-dependent while the
+    * ε-contract is not.
+    *
+    * For each φ the sketch estimate x must have SOME rank r with
+    * |r − φ·n| ≤ ε·n (ε = 1/accuracy); x's ranks occupy (#{v<x}, #{v≤x}],
+    * so the check is the exact integer interval intersection with ±1 rank
+    * slack for ceil/floor conventions. At 100 TB the sketch pass is the
+    * product; the verify pass is the audit a pipeline runs at sf-scale to
+    * certify the accuracy knob before trusting it upstream.
+    */
+  def approxQuantileAudit(df: DataFrame, valueCol: Column,
+                          phisPpm: Seq[Long],
+                          accuracy: Int = 1000): DataFrame = {
+    require(phisPpm.nonEmpty, "phisPpm must be non-empty")
+    require(phisPpm.forall(p => p > 0 && p < 1000000),
+      s"phis must be in (0, 1e6) ppm: $phisPpm")
+    require(accuracy >= 10, s"accuracy must be >= 10: $accuracy")
+    val epsPpm = 1000000L / accuracy
+    val v = df.select(valueCol.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+    val sk = v.agg(
+      percentile_approx(col("_v"),
+        array(phisPpm.map(p => lit(p / 1e6)): _*), lit(accuracy)).as("_est"),
+      count(lit(1)).as("_n"))
+    val ests = sk.select(col("_n"), posexplode(col("_est")))
+      .toDF("_n", "_i", "_e")
+    val phiArr = array(phisPpm.map(lit): _*)
+    val phi = element_at(phiArr, col("_i") + 1)
+    v.crossJoin(broadcast(ests))
+      .groupBy("_i", "_n")
+      .agg(sum(when(col("_v") <= col("_e"), 1L).otherwise(0L)).as("_le"),
+        sum(when(col("_v") < col("_e"), 1L).otherwise(0L)).as("_lt"))
+      .select(phi.as("phi_ppm"), col("_n").as("n_rows"),
+        ((col("_le") * 1000000L >=
+            (phi - epsPpm) * col("_n") - 1000000L) &&
+          (col("_lt") * 1000000L <=
+            (phi + epsPpm) * col("_n") + 1000000L)).as("within_eps"))
+      .orderBy("phi_ppm")
+  }
+
   def modePerGroup(df: DataFrame, groupCol: String,
                    valueCol: String): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)

@@ -1197,4 +1197,50 @@ object TextAnalysis {
         coalesce(col("oop"), col("_ng") * profileSize.toLong)
           .as("oop_score"))
   }
+
+  /** Cross-document repeated-PASSAGE census — the corpus-level exact
+    * repetition detector (Lee et al. '22 "Deduplicating Training Data
+    * Makes Language Models Better", the ExactSubstr family) at fixed
+    * word-window granularity: each document's token stream chunks into
+    * consecutive `window`-word passages (the tail keeps its short
+    * remainder), a passage is "duplicated" when it appears verbatim in
+    * ≥ 2 DISTINCT documents, and each document reports its passage count,
+    * duplicated-passage count, and duplication ppm — the boilerplate /
+    * template-contamination rate that document-level near-dup (MinHash,
+    * SimHash) structurally cannot see because the containing documents
+    * differ.
+    *
+    * Scale shape: one tokenize+chunk aggregate per document (map-side
+    * combined), then the corpus-wide census runs on an 8-byte
+    * (xxhash64, byte-length) passage key — never the passage STRING —
+    * so the global shuffle carries 16-byte keys; a collision would need
+    * an equal 64-bit hash AND equal length between distinct passages
+    * (vanishing, and it only merges two census buckets). The distinct-doc
+    * count is a two-level (key, doc) distinct-then-count, both map-side
+    * combinable. Nothing is quadratic; everything keys on hashes.
+    */
+  def passageCensus(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", window: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val toks = docs.select(col(idCol).as("_id"),
+      posexplode(TextFns.words(col(textCol)))).toDF("_id", "_pos", "_w")
+    val passages = toks
+      .groupBy(col("_id"), expr(s"_pos div $window").as("_chunk"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_w")))),
+        x => x.getField("_w")), " ").as("_passage"))
+      .select(col("_id"),
+        xxhash64(col("_passage")).as("_ph"),
+        octet_length(col("_passage")).as("_pl"))
+    val ndocs = passages.select("_ph", "_pl", "_id").distinct()
+      .groupBy("_ph", "_pl").agg(count(lit(1)).as("_ndocs"))
+    passages.join(ndocs, Seq("_ph", "_pl"))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("_ndocs") >= 2, 1L).otherwise(0L))
+          .as("n_dup_passages"))
+      .select(col("_id").as(idCol), col("n_passages"),
+        col("n_dup_passages"),
+        expr("(1000000 * n_dup_passages) div n_passages").as("dup_ppm"))
+  }
 }

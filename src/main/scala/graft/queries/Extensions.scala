@@ -4376,6 +4376,51 @@ object Extensions {
         .orderBy("o_custkey", "l_id", "r_id")
     })
 
+  private val q203 = Q("q203_passage_census",
+    "cross-document repeated-passage census (the ExactSubstr family at " +
+      "8-word-window granularity): per doc, how many of its consecutive " +
+      "8-word passages appear verbatim in >= 2 distinct documents — the " +
+      "boilerplate/template-contamination rate document-level near-dup " +
+      "cannot see; corpus census keys on (xxhash64, length), never the " +
+      "passage string",
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      w AS (SELECT doc_id, unnest(ws) AS w,
+                   unnest(generate_series(1, len(ws))) AS ord FROM t),
+      c AS (SELECT doc_id, (ord - 1) // 8 AS chunk,
+                   string_agg(w, ' ' ORDER BY ord) AS passage
+            FROM w GROUP BY 1, 2),
+      p AS (SELECT passage, count(DISTINCT doc_id) AS ndocs
+            FROM c GROUP BY 1)
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+             CAST(sum(CASE WHEN p.ndocs >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_passages,
+             CAST(1000000 * sum(CASE WHEN p.ndocs >= 2 THEN 1 ELSE 0 END)
+                  // count(*) AS BIGINT) AS dup_ppm
+      FROM c JOIN p USING (passage) GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => TextAnalysis.passageCensus(t(s, dir, "documents"))
+      .orderBy("doc_id"))
+
+  private val q204 = Q("q204_approx_quantile_audit",
+    "mergeable-sketch quantiles certified by their own contract: " +
+      "percentile_approx (Greenwald-Khanna, accuracy 1000) over integer " +
+      "price cents at 7 phis, then an exact rank count proves each " +
+      "estimate within eps*n ranks — booleans gate because the sketch's " +
+      "exact estimates are merge-order-dependent while the eps-contract " +
+      "is not (the q132 sketch-plus-exact-verify posture)",
+    Some("""
+      WITH t AS (SELECT count(*) AS n FROM lineitem),
+      phis(phi_ppm) AS (VALUES (10000), (50000), (250000), (500000),
+                               (750000), (950000), (990000))
+      SELECT CAST(phi_ppm AS BIGINT) AS phi_ppm, t.n AS n_rows,
+             TRUE AS within_eps
+      FROM phis, t ORDER BY phi_ppm"""),
+    (s, dir) => Profile.approxQuantileAudit(
+      t(s, dir, "lineitem"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+      Seq(10000L, 50000L, 250000L, 500000L, 750000L, 950000L, 990000L)))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4386,5 +4431,6 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q158, q159, q160, q161, q162, q163, q164, q165,
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+    q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
+    q201, q202, q203, q204)
 }

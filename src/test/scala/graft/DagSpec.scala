@@ -82,6 +82,32 @@ class DagSpec extends AnyFunSuite {
       "dags/graft_dreem.py drifted from graft.dag.DreemDag — regenerate with `sbt \"runMain graft.dag.DreemDag\"`")
   }
 
+  test("graft_dummy mirrors the reference umbrella graph and round-trips") {
+    import graft.dag.DummyDag
+    // task-for-task the reference scaffold (dags/dummy_dag.py:15-26),
+    // including the branch/merge the linear dreem chain never exercises
+    assert(DummyDag.tasks.size == 7)
+    assert(Dag.topoSort(DummyDag.tasks).map(_.id) == Seq(
+      "fetch_weather_forecast", "fetch_sales_data", "clean_forecast_data",
+      "clean_sales_data", "join_datasets", "train_ml_model",
+      "deploy_ml_model"))
+    assert(DummyDag.tasks.find(_.id == "join_datasets").get.upstream ==
+      Seq("clean_forecast_data", "clean_sales_data"))
+    val py = DummyDag.render
+    DummyDag.tasks.foreach(t =>
+      assert(py.contains(s"""task_id="${t.id}""""), s"missing ${t.id}"))
+    assert(py.contains(
+      "[clean_forecast_data, clean_sales_data] >> join_datasets"))
+    // generated-artifact round trip, same pin as graft_dreem
+    val artifact = java.nio.file.Paths.get("dags/graft_dummy.py")
+    assert(java.nio.file.Files.exists(artifact),
+      "dags/graft_dummy.py missing — regenerate with `sbt \"runMain graft.dag.DummyDag\"`")
+    val onDisk = new String(java.nio.file.Files.readAllBytes(artifact),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(onDisk == py,
+      "dags/graft_dummy.py drifted — regenerate with `sbt \"runMain graft.dag.DummyDag\"`")
+  }
+
   test("rendered DAG wires every task as an EtlJob --stage spark-submit") {
     val py = DreemDag.render
     EtlJob.stageNames.foreach { id =>

@@ -91,19 +91,53 @@ class LedgerStoreSpec extends SparkSpec {
     }
   }
 
-  test("MongoLedger round-trip (live store only)") {
-    val uri = sys.env.get("GRAFT_MONGO_URI")
-    assume(uri.isDefined,
-      "set GRAFT_MONGO_URI (and put the mongodb connector jar on the " +
-        "classpath) to run the Mongo round-trip")
-    val led = new MongoLedger(spark, uri.get, "graft_test",
-      s"ledger_${System.nanoTime()}")
+  test("MongoLedger round-trip (live store when GRAFT_MONGO_URI, else offline fake)") {
+    // Same assertions either way: against a live Mongo + connector when
+    // configured, else against the filesystem-backed transport that
+    // implements Mongo's keyed-write semantics — the round trip always
+    // runs, nothing cancels offline.
+    val led = sys.env.get("GRAFT_MONGO_URI") match {
+      case Some(uri) => new MongoLedger(spark, uri, "graft_test",
+        s"ledger_${System.nanoTime()}")
+      case None => MongoLedger.forTransport(spark, new FakeDocTransport(
+        spark, java.nio.file.Files.createTempDirectory("graft_mongo_rt")))
+    }
+    assert(!led.exists)
     led.init(df(Seq(rec("a"), rec("b"))))
-    led.append(df(Seq(rec("b"), rec("c"))))
+    assert(led.exists)
+    led.append(df(Seq(rec("b"), rec("c", dmpId = Some("G1")))))
     assert(led.read().count() == 3)
-    led.mergeNoOverride(updates(df(Seq(rec("a", serial = Some("S-A"))))))
-    val m = led.read().select($"manufacturer_ref", $"device_serial")
+
+    led.mergeNoOverride(updates(df(Seq(
+      rec("a", serial = Some("NEW")), rec("b", serial = Some("S-B"))))))
+    def serials() = led.read().select($"manufacturer_ref", $"device_serial")
       .as[(String, Option[String])].collect().toMap
-    assert(m("a").contains("S-A") && m("b").isEmpty)
+    val s1 = serials()
+    assert(s1("a").isEmpty || s1("a").contains("NEW")) // see next line
+    // rec("a") carries no serial in init, so NEW advances the null; pin
+    // the no-override side with a second merge trying to overwrite it
+    led.mergeNoOverride(updates(df(Seq(rec("a", serial = Some("CLOBBER"))))))
+    val s2 = serials()
+    assert(s2("a").contains("NEW"))  // existing value wins
+    assert(s2("b").contains("S-B"))
+    assert(s2("c").isEmpty)          // unmatched untouched
+    assert(led.read().count() == 3)  // replace-upsert never duplicates
+
+    led.markUploaded(Seq("G1").toDF("dmp_id"))
+    val up = led.read().select($"manufacturer_ref", $"is_uploaded")
+      .as[(String, Boolean)].collect().toMap
+    assert(up == Map("a" -> false, "b" -> false, "c" -> true))
+  }
+
+  test("FakeDocTransport pins insert_many(ordered=False): non-duplicates land, then the duplicate-key error raises") {
+    val t = new FakeDocTransport(spark,
+      java.nio.file.Files.createTempDirectory("graft_mongo_dup"))
+    t.overwrite(df(Seq(rec("a"), rec("b"))))
+    val e = intercept[t.DuplicateKeyException] {
+      t.insert(df(Seq(rec("b"), rec("c"))))
+    }
+    assert(e.getMessage.contains("duplicate key"))
+    // the non-duplicate document c landed BEFORE the error surfaced
+    assert(t.load().count() == 3)
   }
 }

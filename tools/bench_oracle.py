@@ -78,6 +78,13 @@ def spark_times(path: str) -> dict:
     return {k: float(v) for k, v in pairs}
 
 
+def spark_overhead(path: str):
+    """Bench's measured do-nothing-job floor (overhead_s), if present."""
+    m = re.search(r'(?:\\"|")overhead_s(?:\\"|")\s*:\s*(-?[0-9.]+)',
+                  open(path).read())
+    return float(m.group(1)) if m else None
+
+
 def main() -> None:
     if len(sys.argv) < 4:
         raise SystemExit(__doc__)
@@ -87,6 +94,7 @@ def main() -> None:
 
     oracle = json.load(open(f"{verify_dir}/oracle_sql.json"))
     spark = spark_times(bench_json)
+    overhead = spark_overhead(bench_json)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -111,6 +119,13 @@ def main() -> None:
                  if spark_s is not None and spark_s >= 0 and duck_s
                  else None)
         entry = {"spark_s": spark_s, "duckdb_s": duck_s, "ratio": ratio}
+        # floor-adjusted ratio: Spark pays a fixed job-submit/task-launch
+        # cost per query that an embedded engine doesn't; on sub-second
+        # gates the raw ratio measures that floor, not the plan. Clamped
+        # at 0 (a query can't be cheaper than the floor it includes).
+        if ratio is not None and overhead is not None:
+            entry["ratio_adjusted"] = round(
+                max(spark_s - overhead, 0.0) / duck_s, 3)
         if name in ROUNDTRIP_GATES:
             entry["note"] = ("media round-trip vs arithmetic oracle ("
                              + ROUNDTRIP_GATES[name] + ")")
@@ -144,12 +159,22 @@ def main() -> None:
              if k not in STREAMING_GATES and k not in ROUNDTRIP_GATES
              and v["duckdb_s"]
              and v["spark_s"] is not None and v["spark_s"] >= 0]
+    if overhead is not None:
+        summary["overhead_s"] = overhead
+    import os
+    if os.environ.get("ORACLE_BENCH_NOTE"):
+        summary["note"] = os.environ["ORACLE_BENCH_NOTE"]
     if batch:
         bs = round(sum(v["spark_s"] for _, v in batch), 3)
         bd = round(sum(v["duckdb_s"] for _, v in batch), 3)
         summary["batch_spark_total_s"] = bs
         summary["batch_duckdb_total_s"] = bd
         summary["ratio_total_batch"] = round(bs / bd, 3) if bd else None
+        if overhead is not None and bd:
+            bsa = round(sum(max(v["spark_s"] - overhead, 0.0)
+                            for _, v in batch), 3)
+            summary["batch_spark_total_adj_s"] = bsa
+            summary["ratio_total_batch_adjusted"] = round(bsa / bd, 3)
     payload = {"summary": summary, "queries": result}
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
