@@ -137,9 +137,18 @@ object Graph {
     e.unpersist()
     // wedges at the minimum-order corner: unordered out-neighbor pairs,
     // normalized by the same (deg,node) order the orientation used; the
-    // closure probe keys on (lower endpoint's NODE, higher endpoint struct)
-    val closed = ort.select(col("src"), col("dst").as("x"))
-      .join(ort.select(col("src"), col("dst").as("y")), "src")
+    // closure probe keys on (lower endpoint's NODE, higher endpoint struct).
+    // The wedge self-join is an EXPANSION join (Σ outdeg² output from a
+    // small oriented-edge input), so its parallelism is pinned with an
+    // explicit-count repartition on the corner key — AQE's input-byte
+    // coalescing would otherwise fold the wedge enumeration onto 1–2
+    // tasks (the q173 lesson). Orientation bounds outdeg by √(2·edges),
+    // so per-corner work is already skew-capped; this keeps it spread.
+    val nParts = math.max(
+      edges.sparkSession.sessionState.conf.numShufflePartitions * 3, 32)
+    val ortP = ort.repartition(nParts, col("src"))
+    val closed = ortP.select(col("src"), col("dst").as("x"))
+      .join(ortP.select(col("src"), col("dst").as("y")), "src")
       .filter(col("x") < col("y"))
       .select(col("x").getField("n").as("wsrc"), col("y").as("wdst"))
       .join(ort.select(col("src").as("wsrc"), col("dst").as("wdst")),

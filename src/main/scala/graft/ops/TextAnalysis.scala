@@ -592,7 +592,17 @@ object TextAnalysis {
       col("n2").as("n2_a"))
     val b = w.select(col(idCol).as("doc_b"), col("term").as("term_b"),
       col("wi").as("w_b"), col("n2").as("n2_b"))
-    a.join(b, col("term") === col("term_b") && col("doc_a") < col("doc_b"))
+    // explicit-count repartition on the posting key: the join INPUT is a
+    // few MB of postings but its OUTPUT is Σ df² pair rows — AQE's
+    // input-byte coalescing would fold the expansion onto 1–2 tasks (the
+    // q173 lesson); pinning the count keeps the df-bounded pair work on
+    // all cores and makes the join co-partitioned.
+    val nParts = math.max(
+      docs.sparkSession.sessionState.conf.numShufflePartitions * 3, 32)
+    val aP = a.repartition(nParts, col("term"))
+    val bP = b.repartition(nParts, col("term_b"))
+    aP.join(bP.hint("shuffle_hash"),
+        col("term") === col("term_b") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("n2_a"), col("n2_b"))
       .agg(sum(col("w_a") * col("w_b")).as("dot"),
         count(lit(1)).as("n_common"))

@@ -44,6 +44,11 @@ STREAMING_GATES = {
     "q113_streaming_stream_join": "stream_join",
     "q129_streaming_append_window": "append_window",
     "q130_streaming_closed_sessions": "closed_sessions",
+    # same cold-stream-vs-batch-replay artifact, no StreamBench shape yet
+    "q134_streaming_ledger_sink": None,
+    "q157_streaming_enrich": None,
+    "q166_tws_closed_sessions": None,
+    "q174_streaming_dedup_watermark": None,
 }
 
 # Gates whose oracle PREDICTS the synthesized round-trip arithmetically
@@ -58,6 +63,18 @@ ROUNDTRIP_GATES = {
     "q123_image_resize": "encodes, bilinear-resamples, re-encodes and "
         "re-decodes real PNGs; the oracle only predicts geometry and the "
         "round-tripped color arithmetically",
+    "q204_approx_quantile_audit": "runs the GK sketch plus an exact "
+        "rank-verification pass; the oracle only asserts the expected "
+        "contract booleans via VALUES — it never computes a quantile",
+    "q141_image_dhash_neardup": "synthesizes, PNG-encodes and "
+        "ImageIO-decodes a real image per doc before hashing; the oracle "
+        "predicts the lossless round-tripped pixels arithmetically",
+    "q193_video_scene_cuts": "decodes every MJPEG frame of every "
+        "synthesized AVI before differencing; the oracle predicts the "
+        "cuts from the frame-class rule without touching a byte",
+    "q197_wav_trim_silence": "PCM-decodes, trims, RE-ENCODES and "
+        "re-parses real WAVs; the oracle predicts the surviving frame "
+        "arithmetic only",
 }
 
 
@@ -127,12 +144,15 @@ def main() -> None:
             entry["ratio_adjusted"] = round(
                 max(spark_s - overhead, 0.0) / duck_s, 3)
         if name in ROUNDTRIP_GATES:
-            entry["note"] = ("media round-trip vs arithmetic oracle ("
+            entry["note"] = ("real work vs predicting oracle ("
                              + ROUNDTRIP_GATES[name] + ")")
         if name in STREAMING_GATES:
             entry["note"] = ("cold checkpointed-stream start vs batch "
-                            "DuckDB replay; see spark_steady_s")
-            warm = steady.get(STREAMING_GATES[name])
+                            "DuckDB replay"
+                            + ("; see spark_steady_s"
+                               if STREAMING_GATES[name] else ""))
+            shape = STREAMING_GATES[name]
+            warm = steady.get(shape) if shape else None
             if warm is not None:
                 entry["spark_steady_s"] = warm
                 entry["ratio_steady"] = (round(warm / duck_s, 3)
