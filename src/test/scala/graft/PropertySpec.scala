@@ -512,6 +512,60 @@ class PropertySpec extends SparkSpec {
       .groupBy(identity).map { case (k, rows) => k -> rows.size.toLong }
     assert(got == brute)
   }
+
+  test("triangle-salt law: jaroWinklerPairs output is IDENTICAL for salt " +
+    "1, 2, 7, 16 on random corpora (the cell decomposition is exact)") {
+    val words = Seq("alpha", "beta", "betta", "gamma", "gamm", "delta")
+    val gen = Gen.listOfN(60, Gen.zip(
+      Gen.oneOf(words), Gen.oneOf(words), Gen.oneOf(words)))
+    val rows = gen(Gen.Parameters.default, Seed(901L)).get
+      .zipWithIndex.map { case ((a, b, c), i) => (i.toLong, s"$a $b $c") }
+    val df = rows.toDF("id", "name")
+    def pairs(salt: Int) = graft.ops.Fuzzy.jaroWinklerPairs(df, "id", "name",
+        split(col("name"), " ").getItem(0), minSimPpm = 850000L, salt = salt)
+      .as[(Long, Long, Long)].collect().toSet
+    val base = pairs(1) // salt=1 ≡ the naive per-block self-join
+    assert(base.nonEmpty, "degenerate fixture: no qualifying pairs")
+    Seq(2, 7, 16).foreach(s => assert(pairs(s) == base, s"salt=$s diverged"))
+  }
+
+  test("passageCensus law: matches a brute-force Scala census on random " +
+    "corpora, for window sizes 1, 3, 8") {
+    val vocab = Seq("a", "b", "c", "d")
+    val gen = Gen.listOfN(25, Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab))))
+    val docs = gen(Gen.Parameters.default, Seed(902L)).get
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    for (w <- Seq(1, 3, 8)) {
+      val brute: Map[Long, (Long, Long, Long)] = {
+        val chunks = docs.map { case (id, t) =>
+          id -> t.split(" ").grouped(w).map(_.mkString(" ")).toSeq }
+        val nd = chunks.flatMap { case (id, ps) => ps.distinct.map(_ -> id) }
+          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.size }
+        chunks.map { case (id, ps) =>
+          val dup = ps.count(p => nd(p) >= 2).toLong
+          id -> (ps.size.toLong, dup, 1000000L * dup / ps.size)
+        }.toMap
+      }
+      val got = graft.ops.TextAnalysis.passageCensus(
+          docs.toDF("doc_id", "text"), window = w)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == brute, s"window=$w")
+    }
+  }
+
+  test("approxQuantileAudit law: contract certified across accuracies and " +
+    "skewed distributions") {
+    val skewed = (1 to 2000).map(i => (i.toLong * i)) ++ Seq.fill(500)(7L)
+    val df = skewed.toDF("v")
+    for (acc <- Seq(100, 1000, 10000)) {
+      val rows = graft.ops.Profile.approxQuantileAudit(df, col("v"),
+          Seq(10000L, 500000L, 990000L), accuracy = acc)
+        .as[(Long, Long, Boolean)].collect()
+      assert(rows.length == 3 && rows.forall(_._3), s"accuracy=$acc: $rows")
+    }
+  }
 }
 
 /** Thin forwarding (keeps the spec readable). */
