@@ -366,8 +366,12 @@ object Multimodal {
     while (o + 8 <= to) {
       val id = fourcc(b, o)
       val size = le32(b, o + 8 - 4) // chunk size after the fourcc
+      // Compare as LONG before narrowing: le32 is unsigned (never < 0),
+      // so a size ≥ 2³¹ would wrap NEGATIVE in `end`, slide it back to
+      // ≤ o, pass an `end > to` check, and stall the walk forever — the
+      // corrupt-stop guard must reject the oversize chunk first.
+      if (size > (to - o - 8).toLong) return None
       val end = o + 8 + size.toInt
-      if (size < 0 || end > to) return None
       if (id == "LIST" && o + 12 <= to && fourcc(b, o + 8) == tpe)
         return Some((o + 12, end))
       if (id == tpe) return Some((o + 8, end))
