@@ -202,6 +202,11 @@ object MiniJson {
     def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     private def fail(msg: String) =
       throw new IllegalArgumentException(s"json parse error at $i: $msg")
+    // bounds-checked cursor read: truncated input must surface as the
+    // documented IllegalArgumentException (callers catch that), never a
+    // raw StringIndexOutOfBoundsException escaping the parser
+    private def at(j: Int): Char =
+      if (j < s.length) s(j) else fail("eof")
     def value(): J = {
       ws()
       if (i >= s.length) fail("eof")
@@ -225,41 +230,44 @@ object MiniJson {
     }
     private def str(): String = {
       i += 1; val sb = new StringBuilder
-      while (s(i) != '"') {
-        if (s(i) == '\\') {
+      while (at(i) != '"') {
+        if (at(i) == '\\') {
           i += 1
-          s(i) match {
+          at(i) match {
             case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
-            case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+            case 'u' =>
+              if (i + 5 > s.length) fail("eof in unicode escape")
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
             case c => sb += c
           }
-        } else sb += s(i)
+        } else sb += at(i)
         i += 1
       }
       i += 1; sb.toString
     }
     private def obj(): J = {
       i += 1; ws()
-      if (s(i) == '}') { i += 1; return JObj(Map.empty) }
+      if (at(i) == '}') { i += 1; return JObj(Map.empty) }
       val fields = scala.collection.mutable.LinkedHashMap.empty[String, J]
       while (true) {
         ws(); val k = str(); ws()
-        if (s(i) != ':') fail("expected :"); i += 1
+        if (at(i) != ':') fail("expected :"); i += 1
         fields(k) = value(); ws()
-        if (s(i) == ',') i += 1
-        else if (s(i) == '}') { i += 1; return JObj(scala.collection.immutable.VectorMap.from(fields)) }
+        if (at(i) == ',') i += 1
+        else if (at(i) == '}') { i += 1; return JObj(scala.collection.immutable.VectorMap.from(fields)) }
         else fail("expected , or }")
       }
       JObj(scala.collection.immutable.VectorMap.from(fields))
     }
     private def arr(): J = {
       i += 1; ws()
-      if (s(i) == ']') { i += 1; return JArr(Vector.empty) }
+      if (at(i) == ']') { i += 1; return JArr(Vector.empty) }
       val items = Vector.newBuilder[J]
       while (true) {
         items += value(); ws()
-        if (s(i) == ',') i += 1
-        else if (s(i) == ']') { i += 1; return JArr(items.result()) }
+        if (at(i) == ',') i += 1
+        else if (at(i) == ']') { i += 1; return JArr(items.result()) }
         else fail("expected , or ]")
       }
       JArr(items.result())

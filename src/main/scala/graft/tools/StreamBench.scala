@@ -205,6 +205,102 @@ object StreamBench {
         redeliver("join", "events", "batch_001.parquet")
         results(s"stream_join/$provider/warm") = drainToFiles(q, out, cp)
       }
+
+      // q134 shape: foreachBatch → Ledger exactly-once sink; the warm
+      // drain redelivers the identical file and must leave the ledger
+      // unchanged (the anti-join dedup probes existing ledger state)
+      locally {
+        val dir = stage("ledger", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_ledger").toString
+        val schema = spark.read
+          .parquet(Paths.get(sfDir, "events.parquet").toString)
+          .select(col("event_type").as("device_type"),
+            col("event_id").cast("string").as("manufacturer_ref"))
+          .schema
+        val src = work.resolve("ledger-src")
+        Files.createDirectories(src)
+        spark.read.parquet(dir)
+          .select(col("event_type").as("device_type"),
+            col("event_id").cast("string").as("manufacturer_ref"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(src.resolve("staged").toString)
+        val part = Files.list(src.resolve("staged")).iterator()
+        var staged: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) staged = p
+        }
+        val feed = work.resolve("ledger-feed")
+        Files.createDirectories(feed)
+        Files.copy(staged, feed.resolve("batch_000.parquet"))
+        val ledger = new graft.ledger.Ledger(
+          spark, work.resolve(s"ledger-store-$provider").toString)
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          graft.streaming.IncrementalIngest.runIntoLedger(
+            spark, feed.toString, schema, cp, ledger)
+          (System.nanoTime() - t0) / 1e9
+        }
+        results(s"ledger_sink/$provider/cold") = run()
+        Files.copy(staged, feed.resolve("batch_001.parquet"))
+        results(s"ledger_sink/$provider/warm") = run()
+      }
+
+      // q157 shape: stream-static broadcast enrichment + exact-cents agg
+      locally {
+        val dir = stage("enrich", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_enrich").toString
+        val dim = spark.read
+          .parquet(Paths.get(sfDir, "customer.parquet").toString)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        def q = graft.Tables.dirStream(spark, dir)
+          .select(col("user_id"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+              .as("cents"))
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+        results(s"enrich/$provider/cold") =
+          drain(q, s"sb_e_$provider", cp)
+        redeliver("enrich", "events", "batch_001.parquet")
+        results(s"enrich/$provider/warm") =
+          drain(q, s"sb_e2_$provider", cp)
+      }
+
+      // q174 shape: doubled source + dropDuplicatesWithinWatermark —
+      // watermark-bounded dedup state, append mode
+      locally {
+        val dir = stage("dedupwm", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_dedupwm").toString
+        def q = graft.Tables.dirStream(spark, dir)
+          .unionByName(graft.Tables.dirStream(spark, dir))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("event_type"))
+        val out = work.resolve("dedupwm-out").toString
+        results(s"dedup_watermark/$provider/cold") = drainToFiles(q, out, cp)
+        redeliver("dedupwm", "events", "batch_001.parquet")
+        results(s"dedup_watermark/$provider/warm") = drainToFiles(q, out, cp)
+      }
+
+      // q166 shape: transformWithState event-time-timer sessions —
+      // RocksDB-only (the operator requires that provider), so it runs
+      // once, inside the rocksdb pass
+      if (provider == "rocksdb") locally {
+        val dir = stage("tws", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_tws").toString
+        import spark.implicits._
+        def q = graft.streaming.StatefulTracking.closedSessionsTws(spark,
+          graft.Tables.dirStream(spark, dir)
+            .select(col("user_id").cast("string").as("k"), col("ts"))
+            .withWatermark("ts", "1 hour")
+            .as[(String, java.sql.Timestamp)],
+          gapMs = 1800000L).toDF()
+        val out = work.resolve("tws-out").toString
+        results(s"tws_sessions/$provider/cold") = drainToFiles(q, out, cp)
+        redeliver("tws", "events", "batch_001.parquet")
+        results(s"tws_sessions/$provider/warm") = drainToFiles(q, out, cp)
+      }
     }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)

@@ -37,6 +37,22 @@ class ConnectSpec extends SparkSpec {
     assert(Jwt.dotPath("""{"a": null}""", "a.b").isEmpty)
   }
 
+  test("MiniJson: truncated input raises the documented parse error, not a raw index exception") {
+    // every truncation point of a nested document — the parser contract is
+    // IllegalArgumentException (which callers catch), never
+    // StringIndexOutOfBoundsException escaping from a malformed response
+    val full = """{"a": [1, "xAy", {"b": true}], "c": null}"""
+    for (cut <- 1 until full.length) {
+      val t = full.take(cut)
+      try { MiniJson.parse(t); () }
+      catch {
+        case _: IllegalArgumentException => () // the documented failure
+        case e: Throwable => fail(s"cut=$cut: ${e.getClass.getName}: $e")
+      }
+    }
+    assert(MiniJson.parse(full).isInstanceOf[MiniJson.JObj])
+  }
+
   test("TokenProvider refreshes only when expired and persists the new token") {
     val fresh = jwt(System.currentTimeMillis() / 1000 + 3600)
     val transport = new MockTransport(Seq({

@@ -44,11 +44,11 @@ STREAMING_GATES = {
     "q113_streaming_stream_join": "stream_join",
     "q129_streaming_append_window": "append_window",
     "q130_streaming_closed_sessions": "closed_sessions",
-    # same cold-stream-vs-batch-replay artifact, no StreamBench shape yet
-    "q134_streaming_ledger_sink": None,
-    "q157_streaming_enrich": None,
-    "q166_tws_closed_sessions": None,
-    "q174_streaming_dedup_watermark": None,
+    "q134_streaming_ledger_sink": "ledger_sink",
+    "q157_streaming_enrich": "enrich",
+    # RocksDB-only shape (transformWithState requires that provider)
+    "q166_tws_closed_sessions": "tws_sessions",
+    "q174_streaming_dedup_watermark": "dedup_watermark",
 }
 
 # Gates whose oracle PREDICTS the synthesized round-trip arithmetically
@@ -79,10 +79,16 @@ ROUNDTRIP_GATES = {
 
 
 def stream_steady(path: str) -> dict:
-    """shape -> warm seconds (hdfs provider) from a StreamBench line."""
+    """shape -> warm seconds from a StreamBench line: the default (hdfs)
+    provider, falling back to rocksdb for shapes that only run there
+    (transformWithState requires the RocksDB provider)."""
     raw = open(path).read()
-    pairs = re.findall(r'"([a-z_]+)/hdfs/warm"\s*:\s*(-?[0-9.]+)', raw)
-    return {k: float(v) for k, v in pairs}
+    out = {}
+    for prov in ("rocksdb", "hdfs"):  # hdfs second -> wins when present
+        for k, v in re.findall(
+                rf'"([a-z_]+)/{prov}/warm"\s*:\s*(-?[0-9.]+)', raw):
+            out[k] = float(v)
+    return out
 
 
 def spark_times(path: str) -> dict:
@@ -199,7 +205,11 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(summary))
-    worst = sorted(both, key=lambda v: -(v["ratio"] or 0))[:5]
+    # console highlight: real BATCH offenders only — noted gates (streaming
+    # machinery / real-codec work vs predicting oracles) are excluded from
+    # the batch ratio, so surfacing them here would only mislead
+    batch_only = [v for v in both if not v.get("note")]
+    worst = sorted(batch_only, key=lambda v: -(v["ratio"] or 0))[:5]
     for v in worst:
         name = next(k for k, vv in result.items() if vv is v)
         print(f"  slowest vs oracle: {name} ratio={v['ratio']}")
