@@ -118,13 +118,9 @@ object Fuzzy {
         greatest(octet_length(col("_s_a")), octet_length(col("_s_b")))
           .cast("long") * ratioPpm
     // EXPLICIT repartition on the cell key: this join's INPUT is tiny
-    // (rows × (salt+1)/2) but its OUTPUT is the quadratic pair stream, so
-    // AQE's input-byte-driven coalescing would fold all cells into one or
-    // two tasks and serialize the kernel work. A user repartition with an
-    // explicit count is exempt from AQE coalescing, and both sides sharing
-    // it makes the join co-partitioned (no further exchange).
-    val nParts = math.max(
-      df.sparkSession.sessionState.conf.numShufflePartitions * 3, 32)
+    // (rows × (salt+1)/2) but its OUTPUT is the quadratic pair stream —
+    // the expansion-join rule, see [[Expansion.parts]].
+    val nParts = Expansion.parts(df.sparkSession)
     val aP = a.repartition(nParts, col("_blk"), col("_ci"), col("_cj"))
     val bP = b.repartition(nParts, col("_blk_b"), col("_ci_b"), col("_cj_b"))
     aP.join(bP.hint("shuffle_hash"),

@@ -139,13 +139,10 @@ object Graph {
     // normalized by the same (deg,node) order the orientation used; the
     // closure probe keys on (lower endpoint's NODE, higher endpoint struct).
     // The wedge self-join is an EXPANSION join (Σ outdeg² output from a
-    // small oriented-edge input), so its parallelism is pinned with an
-    // explicit-count repartition on the corner key — AQE's input-byte
-    // coalescing would otherwise fold the wedge enumeration onto 1–2
-    // tasks (the q173 lesson). Orientation bounds outdeg by √(2·edges),
-    // so per-corner work is already skew-capped; this keeps it spread.
-    val nParts = math.max(
-      edges.sparkSession.sessionState.conf.numShufflePartitions * 3, 32)
+    // small oriented-edge input) — the expansion-join rule, see
+    // [[Expansion.parts]]. Orientation bounds outdeg by √(2·edges), so
+    // per-corner work is already skew-capped; this keeps it spread.
+    val nParts = Expansion.parts(edges.sparkSession)
     val ortP = ort.repartition(nParts, col("src"))
     val closed = ortP.select(col("src"), col("dst").as("x"))
       .join(ortP.select(col("src"), col("dst").as("y")), "src")

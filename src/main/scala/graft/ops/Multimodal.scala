@@ -644,9 +644,14 @@ object Multimodal {
       while (ok && o + 8 <= e) {
         val id = fourcc(b, o)
         val size = le32(b, o + 8 - 4).toInt
-        val end = o + 8 + size
-        if (size < 0 || end > e) ok = false
+        // LONG-range check before computing `end`: a positive size near
+        // 2³¹ makes `o + 8 + size` wrap negative, passing both the old
+        // `size < 0` and `end > e` checks and driving o negative — the
+        // next fourcc would throw out of this (catch-less) walker as a
+        // task failure. Same guard shape as findRiff/parseWavPcm.
+        if (size < 0 || size.toLong > (e - o - 8).toLong) ok = false
         else {
+          val end = o + 8 + size
           if (id.endsWith("dc") || id.endsWith("db")) out += ((o + 8, end))
           o = end + (size & 1)
         }
@@ -849,8 +854,11 @@ object Multimodal {
         // Corrupt-stop guard (the findBox posture): a negative len (high
         // bit set) or one overrunning the buffer would make `off`
         // non-increasing — an infinite loop, not an exception — so bail to
-        // the quarantine path before touching the chunk body.
-        if (len < 0 || body + len > b.length) return None
+        // the quarantine path before touching the chunk body. The bounds
+        // compare stays in LONG: `body + len` overflows Int for len near
+        // 2³¹, sneaking a ~2 GB allocation past the guard (OutOfMemoryError
+        // is an Error — the catch below never sees it).
+        if (len < 0 || len.toLong > (b.length - body).toLong) return None
         if (tpe == "fmt " && len >= 16) {
           val audioFormat = (b(body) & 0xff) | ((b(body + 1) & 0xff) << 8)
           val channels = (b(body + 2) & 0xff) | ((b(body + 3) & 0xff) << 8)

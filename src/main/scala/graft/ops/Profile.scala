@@ -827,9 +827,13 @@ object Profile {
       .agg(sum(when(col("_v") <= col("_e"), 1L).otherwise(0L)).as("_le"),
         sum(when(col("_v") < col("_e"), 1L).otherwise(0L)).as("_lt"))
       .select(phi.as("phi_ppm"), col("_n").as("n_rows"),
+        // x's ranks are (lt, le]; intersect with the ±1-rank-slack band:
+        // le ≥ band_lo − 1 and lt + 1 ≤ band_hi + 1 — the upper compare
+        // is STRICT so both sides carry exactly one rank of slack (a
+        // non-strict ≤ with the +1e6 term would quietly allow two)
         ((col("_le") * 1000000L >=
             (phi - epsPpm) * col("_n") - 1000000L) &&
-          (col("_lt") * 1000000L <=
+          (col("_lt") * 1000000L <
             (phi + epsPpm) * col("_n") + 1000000L)).as("within_eps"))
       .orderBy("phi_ppm")
   }

@@ -593,12 +593,9 @@ object TextAnalysis {
     val b = w.select(col(idCol).as("doc_b"), col("term").as("term_b"),
       col("wi").as("w_b"), col("n2").as("n2_b"))
     // explicit-count repartition on the posting key: the join INPUT is a
-    // few MB of postings but its OUTPUT is Σ df² pair rows — AQE's
-    // input-byte coalescing would fold the expansion onto 1–2 tasks (the
-    // q173 lesson); pinning the count keeps the df-bounded pair work on
-    // all cores and makes the join co-partitioned.
-    val nParts = math.max(
-      docs.sparkSession.sessionState.conf.numShufflePartitions * 3, 32)
+    // few MB of postings but its OUTPUT is Σ df² pair rows — the
+    // expansion-join rule, see [[graft.ops.Expansion.parts]].
+    val nParts = graft.ops.Expansion.parts(docs.sparkSession)
     val aP = a.repartition(nParts, col("term"))
     val bP = b.repartition(nParts, col("term_b"))
     aP.join(bP.hint("shuffle_hash"),
@@ -1163,6 +1160,13 @@ object TextAnalysis {
             explode(grams(col(textCol))).as("gram"))
           .groupBy(col("_id"), col("_lang"), col("gram"))
           .agg(count(lit(1)).as("cnt"))
+          // persisted for the THREE consumers (profiles, ranks, gram
+          // counts) and deliberately not unpersisted: the returned plan
+          // is lazy, so there is no post-execution hook here — the
+          // Dedup.scala posture. MEMORY_AND_DISK (the default) spills
+          // rather than OOMs, and an eviction merely recomputes; callers
+          // running many corpora in one session can spark.catalog
+          // .clearCache() between them.
           .persist()
         val lp = rankTop(base.filter(col("_lang").isNotNull)
           .groupBy(col("_lang").as("lang"), col("gram"))
@@ -1202,6 +1206,10 @@ object TextAnalysis {
           .orderBy(col("oop").asc_nulls_last, col("lang").asc_nulls_last)))
       .filter(col("_rn") === 1)
       .crossJoin(broadcast(lang0))
+      // degenerate corpus with ZERO trained profiles (no non-null lang):
+      // there is no language to predict, so no rows — the semantics of
+      // the doc × langs formulation this replaced, not a null-label flood
+      .filter(col("_lang0").isNotNull)
       .select(col("_id").as(idCol),
         coalesce(col("lang"), col("_lang0")).as("pred_lang"),
         coalesce(col("oop"), col("_ng") * profileSize.toLong)

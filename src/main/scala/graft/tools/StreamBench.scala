@@ -224,12 +224,15 @@ object StreamBench {
             col("event_id").cast("string").as("manufacturer_ref"))
           .coalesce(1).write.mode("overwrite")
           .parquet(src.resolve("staged").toString)
-        val part = Files.list(src.resolve("staged")).iterator()
-        var staged: java.nio.file.Path = null
-        while (part.hasNext) {
-          val p = part.next()
-          if (p.getFileName.toString.endsWith(".parquet")) staged = p
-        }
+        val listing = Files.list(src.resolve("staged"))
+        val staged =
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(
+                s"no parquet part under ${src.resolve("staged")}"))
+          } finally listing.close()
         val feed = work.resolve("ledger-feed")
         Files.createDirectories(feed)
         Files.copy(staged, feed.resolve("batch_000.parquet"))

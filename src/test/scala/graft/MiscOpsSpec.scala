@@ -1364,6 +1364,13 @@ class SourceDriftSpec extends SparkSpec {
     assert(got == List((1L, 2L, 0L, 0L), (2L, 2L, 0L, 0L)))
   }
 
+  test("charNgramLangId: zero trained profiles (all langs null) yields ZERO rows, not null labels") {
+    val docs = Seq((1L, null.asInstanceOf[String], "hello world text"),
+      (2L, null.asInstanceOf[String], "more text here"))
+      .toDF("doc_id", "lang", "text")
+    assert(graft.ops.TextAnalysis.charNgramLangId(docs, docs).count() == 0)
+  }
+
   test("approxQuantileAudit: contract certified on a known distribution") {
     val df = spark.range(1, 100001).toDF("v") // 1..100000, exact quantiles known
     val got = graft.ops.Profile.approxQuantileAudit(

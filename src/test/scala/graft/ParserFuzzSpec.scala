@@ -85,6 +85,35 @@ class ParserFuzzSpec extends AnyFunSuite with TimeLimits {
     }
   }
 
+  test("positive-but-overflowing lengths (MSB 0x7F) cannot allocate, crash, or stall") {
+    // len near 2^31 stays POSITIVE after .toInt, so `off + len` wraps —
+    // the class that bypasses a `len < 0` guard: a 'data' chunk would
+    // allocate ~2 GB (OOME = Error, uncatchable by `case _: Exception`),
+    // and an inner movi chunk would drive the walk offset negative
+    failAfter(10.seconds) {
+      def le(b: Array[Byte], o: Int, v: Long): Unit = {
+        b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+        b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def put4(b: Array[Byte], o: Int, s: String): Unit =
+        s.getBytes("ISO-8859-1").copyToArray(b, o)
+      // WAV whose data chunk claims 0x7FFFFFF0 bytes
+      val w = new Array[Byte](128)
+      put4(w, 0, "RIFF"); le(w, 4, 120); put4(w, 8, "WAVE")
+      put4(w, 12, "fmt "); le(w, 16, 16)
+      w(20) = 1; w(22) = 1; le(w, 24, 8000); w(34) = 16
+      put4(w, 36, "data"); le(w, 40, 0x7ffffff0L)
+      assert(Multimodal.parseWavPcm(w).isEmpty)
+      // AVI with a VALID outer movi LIST whose first inner chunk claims
+      // 0x7FFFFFF0 — the inner walk must stop cleanly, not go negative
+      val a = new Array[Byte](64)
+      put4(a, 0, "RIFF"); le(a, 4, 56); put4(a, 8, "AVI ")
+      put4(a, 12, "LIST"); le(a, 16, 44); put4(a, 20, "movi")
+      put4(a, 24, "00dc"); le(a, 28, 0x7ffffff0L)
+      assert(Multimodal.moviFrameChunks(a).isEmpty)
+    }
+  }
+
   test("handcrafted oversize/negative 32-bit length fields cannot stall a RIFF walk") {
     failAfter(10.seconds) {
       for (evil <- Seq(0xfffffff8L, 0xffffffffL, 0x80000000L, 0x7fffffffL)) {
