@@ -73,6 +73,9 @@ object Decontamination {
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     evalPred: Column, shingleSize: Int = 3): DataFrame =
-    contamination(docs.filter(!evalPred), docs.filter(evalPred),
-      idCol, textCol, shingleSize)
+    // a NULL predicate must not route a row out of BOTH frames (filter
+    // drops null-predicate rows on each side, so such a doc would ship to
+    // the trainer unchecked and unreported): null counts as corpus-side
+    contamination(docs.filter(!coalesce(evalPred, lit(false))),
+      docs.filter(evalPred), idCol, textCol, shingleSize)
 }

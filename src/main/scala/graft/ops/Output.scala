@@ -86,8 +86,14 @@ object Output {
                      shardCol: String = "shard_id",
                      maxRecordsPerFile: Long = 1000000L): Unit = {
     require(sortCols.nonEmpty, "writeShardedBy needs at least one sort column")
+    // the shard column LEADS the within-partition sort: the V1 write path
+    // requires ordering by partitionBy columns and would otherwise stack
+    // its own Sort(shard_id) on top of this one — correct only via sort
+    // stability, which the spill-merge path does NOT provide, silently
+    // breaking the documented sorted-within-shard invariant under memory
+    // pressure (and paying a redundant whole-task sort even without it)
     assigned.repartition(col(shardCol))
-      .sortWithinPartitions(sortCols.map(col): _*)
+      .sortWithinPartitions((col(shardCol) +: sortCols.map(col)): _*)
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(shardCol)

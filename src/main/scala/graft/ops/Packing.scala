@@ -22,6 +22,7 @@ object Packing {
 
   def packByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
                         groupCols: Seq[String], budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

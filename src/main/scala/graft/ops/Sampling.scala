@@ -32,6 +32,10 @@ object Sampling {
   def hashSplit(df: DataFrame, key: Column,
                 splits: Seq[(String, Int)]): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must total 100")
+    // each entry must be positive on its own: 110/-10 sums to 100 but
+    // silently yields a 100%/0% split instead of a rejected argument
+    require(splits.forall(_._2 > 0),
+      s"each split percentage must be positive: $splits")
     val bucket = hashBucket(key, 100)
     val label = splits.tail.scanLeft((splits.head._1, splits.head._2)) {
       case ((_, acc), (name, pct)) => (name, acc + pct)
@@ -103,7 +107,15 @@ object Sampling {
                    k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val u = (hashBucket(key, 1000000).cast("double") + lit(0.5)) / lit(1e6)
-    df.withColumn("__es_key", pow(u, lit(1.0) / weight.cast("double")))
+    // enforce the strictly-positive-weight contract in-plan (the
+    // bootstrapDraws posture): weight = 0 would die later as an unrelated
+    // ANSI DIVIDE_BY_ZERO, and a NEGATIVE weight flips the exponent so
+    // pow(u, 1/w) > 1 — every bad row silently outranks every valid one
+    val w = weight.cast("double")
+    val checkedW = when(w.isNull || w <= 0d,
+        raise_error(concat(lit("weightedTopK: weight must be positive, got "),
+          w.cast("string")))).otherwise(w)
+    df.withColumn("__es_key", pow(u, lit(1.0) / checkedW))
       .orderBy(col("__es_key").desc, key)
       .limit(k)
       .drop("__es_key")
@@ -165,9 +177,14 @@ object Sampling {
   def capPerGroup(df: DataFrame, group: Column, key: Column,
                   cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
+    // nulls LAST: hash64(null) is null, and the default ascending order
+    // would put null-key rows FIRST — they would deterministically win
+    // every cap slot, the opposite of this file's null-key discipline
+    // (and of DuckDB's NULLS LAST default the oracle compares against)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(group)
-      .orderBy(TextFns.hash64(key.cast("string")), key)
+      .orderBy(TextFns.hash64(key.cast("string")).asc_nulls_last,
+        key.asc_nulls_last)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= cap)
       .drop("__rn")
@@ -256,7 +273,16 @@ object Sampling {
       .partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("cum_weight", sum(col(weightCol).cast("long")).over(w))
+    // weights must be present and non-negative, enforced in-plan: a NULL
+    // weight is skipped by the window sum (a free rider that consumes no
+    // budget), and a NEGATIVE one makes cum_weight non-monotone so rows
+    // AFTER the overflow point re-enter the "prefix"
+    val rawW = col(weightCol).cast("long")
+    val checkedW = when(rawW.isNull || rawW < 0L,
+        raise_error(concat(
+          lit("budgetSelect: weight must be non-null and >= 0, got "),
+          rawW.cast("string")))).otherwise(rawW)
+    df.withColumn("cum_weight", sum(checkedW).over(w))
       .filter(col("cum_weight") <= budget)
   }
 
@@ -321,7 +347,14 @@ object Sampling {
           s"got weight="), rawW.cast("string"),
           lit(s" at $idCol="), col(idCol).cast("string"))))
       .otherwise(rawW)
+    // duplicate ids collapse to ONE interval with their summed weight:
+    // the running sum's default RANGE frame treats equal-id rows as frame
+    // PEERS sharing one cumulative bound, which would overlap their
+    // intervals (a draw landing twice) and leave a gap (a draw landing
+    // nowhere). Output keys on the id anyway, so merging mass is the
+    // correct semantics, and unique keys make the window deterministic.
     val base = df.select(col(idCol).as("_id"), checkedW.as("_w"))
+      .groupBy("_id").agg(sum("_w").as("_w"))
     val parts = base.repartitionByRange(col("_id"))
       .withColumn("_pid", spark_partition_id())
     val local = parts.withColumn("_lhi",
