@@ -190,6 +190,14 @@ object Dedup {
     * by (band, band_sig) whose buckets are near-dup-cluster-sized, never a
     * batch×corpus comparison. The final annotation join is keyed by the
     * incoming id. No driver state; both match aggregates map-side combine.
+    *
+    * CONTRACT — minimum document length: a document shorter than
+    * `shingleSize` words has NO shingles, hence no signature and no bands,
+    * and is therefore ALWAYS annotated novel (n_matches = 0) even when the
+    * index holds its exact copy — inherent to every shingle-based method
+    * in this family, not a quirk of this one. An admission pipeline must
+    * route sub-shingle docs through exact-hash dedup ([[exactDedup]] /
+    * the q03 anti-join) instead; do not rely on LSH for them.
     */
   def dedupAgainstIndex(incoming: DataFrame, index: DataFrame,
                         idCol: String, textCol: String, numHashes: Int,
@@ -323,13 +331,28 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     } else {
       val nBlocks = maxHamming + 1
-      val base = bits / nBlocks
-      val widths = (0 until nBlocks).map(j => base + (if (j < bits % nBlocks) 1 else 0))
-      val shifts = widths.scanLeft(0)(_ + _).init
-      val probes = (0 until nBlocks).map { j =>
-        struct(lit(j).as("j"),
-          expr(s"(simhash >> ${shifts(j)}) & ${(1L << widths(j)) - 1}").as("bv"))
-      }
+      // Scala shifts are mod 64: (1L << 64) - 1 is 0, which would collapse
+      // every signature to bucket 0 and silently degrade the equi-join to
+      // all-pairs for the single-block (maxHamming = 0, bits = 64) config
+      def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+      val probes =
+        if (nBlocks > bits) {
+          // maxHamming >= bits: EVERY pair is within threshold, so the
+          // complete candidate set is all pairs — previously this worked
+          // only by accident (a zero-width block's zero mask bucketed
+          // everything together); make the degenerate exhaustive pairing
+          // explicit with one constant probe
+          Seq(struct(lit(0).as("j"), lit(0L).as("bv")))
+        } else {
+          val base = bits / nBlocks
+          val widths =
+            (0 until nBlocks).map(j => base + (if (j < bits % nBlocks) 1 else 0))
+          val shifts = widths.scanLeft(0)(_ + _).init
+          (0 until nBlocks).map { j =>
+            struct(lit(j).as("j"),
+              expr(s"(simhash >> ${shifts(j)}) & ${mask(widths(j))}").as("bv"))
+          }
+        }
       val probed = sigs.select(col(idCol), col("simhash"),
         explode(array(probes: _*)).as("p"))
         .select(col(idCol), col("simhash"), col("p.j").as("j"), col("p.bv").as("bv"))
@@ -458,9 +481,16 @@ object Dedup {
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // convergence checksum over xxhash64 of the label, NOT a numeric cast
+    // of the label itself: string doc ids cast to NULL, which summed to
+    // NULL -> ZERO every round and declared convergence after round 1
+    // with wrong components. The hash is type-agnostic; labels only move
+    // by min-propagation, so an unconverged round changes the label
+    // multiset and (w.h.p.) this sum.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df
-        .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .agg(sum(xxhash64(col("label"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty graph
     }
@@ -642,7 +672,11 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy("sh")))
     // ONE doc-keyed aggregate carries each doc's full rare-first-sorted
     // set; persisted because prefix postings AND both verify sides read it
-    // (the q112 pageRank cache posture) — doc-count rows, set-sized arrays
+    // (the q112 pageRank cache posture) — doc-count rows, set-sized arrays.
+    // Deliberately NOT unpersisted: the returned plan is lazy, so there is
+    // no post-execution hook; MEMORY_AND_DISK spills rather than OOMs and
+    // eviction merely recomputes. Long-lived sessions calling this across
+    // many corpora can spark.catalog.clearCache() between them.
     val byDoc = withDf.groupBy("_id")
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ss"))
       .select(col("_id"),

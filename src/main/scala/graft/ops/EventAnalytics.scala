@@ -125,9 +125,15 @@ object EventAnalytics {
     val cents = (col(valueCol)
       .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
       .cast("long")
+    // the documented non-negativity contract, actually ENFORCED (it was
+    // doc-only): a negative accumulator makes Spark's truncate-toward-zero
+    // `div` silently diverge from floor-dividing engines by one cent
+    val checked = when(cents.isNull || cents < 0L,
+      raise_error(concat(lit("ewmaCents: value must be non-null and >= 0, "),
+        lit("got "), cents.cast("string")))).otherwise(cents)
     events
       .select(col(keyCol), col(tsCol).as("_t"), col(tieCol).as("_tb"),
-        cents.as("_x"))
+        checked.as("_x"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         array_sort(collect_list(struct(col("_t"), col("_tb"), col("_x"))))
@@ -161,8 +167,14 @@ object EventAnalytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .select(col(keyCol), col(tsCol), col(tieCol), col(valCol))
+      // the opening row is ALWAYS a run start: lag's out-of-frame NULL
+      // would otherwise satisfy `NULL <=> NULL` when the key's first
+      // value is itself NULL, yielding a 0-based run_seq and a run with
+      // no opening row (breaking first_tie and lossless reconstruction)
       .withColumn("_chg",
-        when(lag(col(valCol), 1).over(seq) <=> col(valCol), 0L).otherwise(1L))
+        when(row_number().over(seq) === 1, 1L)
+          .otherwise(when(lag(col(valCol), 1).over(seq) <=> col(valCol), 0L)
+            .otherwise(1L)))
       .withColumn("run_seq", sum(col("_chg")).over(run))
       .groupBy(col(keyCol), col("run_seq"))
       // every run has exactly one run-opening row (_chg = 1); its tie id
@@ -240,11 +252,19 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_us"), col("_tb"))
+    val cents = (col(valueCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long")
+    // enforce the non-negativity the docstring already promised: DECIMAL
+    // DIV truncates toward zero, so a negative integral would silently
+    // drift one cent off a floor-dividing oracle
+    val checked = when(cents.isNull || cents < 0L,
+      raise_error(concat(
+        lit("timeWeightedAvg: value must be non-null and >= 0, got "),
+        cents.cast("string")))).otherwise(cents)
     events
       .select(col(keyCol), unix_micros(col(tsCol)).as("_us"),
-        col(tieCol).as("_tb"),
-        (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
-          * 100).cast("long").as("_x"))
+        col(tieCol).as("_tb"), checked.as("_x"))
       .withColumn("_dt", lead(col("_us"), 1).over(w) - col("_us"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),

@@ -73,11 +73,15 @@ object Similarity {
     * (n·k)-sized list equi-joined on the swapped id pair.
     */
   def mutualTopK(embs: DataFrame, idCol: String, vecCol: String,
-                 k: Int): DataFrame = {
+                 k: Int, broadcastQueries: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("rank"))
-    val tk = bruteForceTopK(embs, embs, idCol, vecCol, k + 1)
+    // broadcastQueries=false is the escape hatch when the corpus (which
+    // IS the query side here) exceeds the broadcast limit — without the
+    // pass-through, bruteForceTopK's non-broadcast path was unreachable
+    val tk = bruteForceTopK(embs, embs, idCol, vecCol, k + 1,
+      broadcastQueries)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("_rk2", row_number().over(wq))
       .filter(col("_rk2") <= k)
@@ -148,15 +152,35 @@ object Similarity {
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
       .withColumn("cent_n2s", VectorFns.norm2Scaled(col("cent_vec"))))
     def assign(df: DataFrame, side: String, probes: Int) = {
-      val w = Window.partitionBy(col(s"${side}_id"))
-        .orderBy(col("cent_cos").desc, col("cent_id").asc)
-      df.join(cent)
+      val scored = df.join(cent)
         .withColumn("cent_cos", VectorFns.cosineScaled(
           VectorFns.dotScaled(col(s"${side}_vec"), col("cent_vec")),
           col(s"${side}_n2s"), col("cent_n2s")))
-        .withColumn("_cr", row_number().over(w))
-        .filter(col("_cr") <= probes)
-        .drop("cent_vec", "cent_n2s", "cent_cos", "_cr")
+      if (probes == 1) {
+        // CORPUS-side argmin as a map-side-combinable aggregate (the
+        // kmeansFit idiom): min(struct(-cos, cent_id, payload)) picks the
+        // same (max cos, min cent_id) winner as the rank window but
+        // partially combines the k candidate rows per vector BEFORE the
+        // exchange — k-fold less shuffle than sorting corpus × k rows.
+        // cos is never -0.0 here (positive norms; a zero dot casts to
+        // +0.0), so negation keeps the double total order intact.
+        scored.groupBy(col(s"${side}_id"))
+          .agg(min(struct(negate(col("cent_cos")).as("_nc"),
+            col("cent_id").as("cent_id"),
+            col(s"${side}_vec").as("_v"),
+            col(s"${side}_n2s").as("_n"))).as("_m"))
+          .select(col(s"${side}_id"), col("_m.cent_id").as("cent_id"),
+            col("_m._v").as(s"${side}_vec"),
+            col("_m._n").as(s"${side}_n2s"))
+      } else {
+        // nProbe > 1 needs the top-N centroids, which is a genuine rank
+        val w = Window.partitionBy(col(s"${side}_id"))
+          .orderBy(col("cent_cos").desc, col("cent_id").asc)
+        scored
+          .withColumn("_cr", row_number().over(w))
+          .filter(col("_cr") <= probes)
+          .drop("cent_vec", "cent_n2s", "cent_cos", "_cr")
+      }
     }
     val c = assign(withNorm2(corpus, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("dvec").as("neighbor_vec"),
@@ -456,7 +480,13 @@ object Similarity {
                      clusterCol: String = "cluster",
                      scale: Double = 1e6): DataFrame = {
     require(scale > 0 && scale <= 1e7, s"scale must be in (0, 1e7]: $scale")
-    val sv = embs.select(col(idCol),
+    // full-dimension vectors only (the kmeansFit discipline): a ragged
+    // member would null out its zip_with distance — skipped by the SUM
+    // but still counted in n_members, silently understating cohesion
+    val dmax = embs.agg(max(size(col(vecCol))).as("_dmax"))
+    val sv = embs.crossJoin(broadcast(dmax))
+      .filter(size(col(vecCol)) === col("_dmax"))
+      .select(col(idCol),
         transform(col(vecCol),
           v => floor(v.cast("double") * scale).cast("long")).as("svec"))
       .join(assignments.select(col(idCol), col(clusterCol).as("cluster")),
