@@ -203,8 +203,15 @@ object Profile {
       .agg(
         count(lit(1)).as("n"),
         sum(col("_x")).as("total"),
-        expr("1000000L * (2L * sum(_i * _x) - (count(1) + 1L) * sum(_x))" +
-          " div (count(1) * sum(_x))").as("gini_ppm"))
+        // numerator through DECIMAL(38,0): the int64 form wraps silently
+        // at ~n·total·1e6 > 2⁶³ — exactly the big-skewed-group case this
+        // op exists to flag (the distinctiveTerms/pmiPairs discipline);
+        // final ppm is small, so the narrowing cast back is exact
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(2 * sum(CAST(_i * _x AS DECIMAL(38,0))) - " +
+          "(count(1) + 1) * sum(CAST(_x AS DECIMAL(38,0))))) div " +
+          "(count(1) * sum(CAST(_x AS DECIMAL(38,0)))) AS BIGINT)")
+          .as("gini_ppm"))
   }
 
   /** Referential-integrity audit over declared foreign-key edges — the
@@ -233,8 +240,10 @@ object Profile {
         .agg(
           count(lit(1)).as("n_child"),
           count(col("_fk")).as("n_fk_nonnull"),
-          sum(when(col("_fk").isNotNull && col("_pk").isNull, 1L)
-            .otherwise(0L)).as("n_orphans"))
+          // empty child table: sum() over zero rows is NULL, but "no
+          // orphans measured over zero children" is 0, not unknown
+          coalesce(sum(when(col("_fk").isNotNull && col("_pk").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_orphans"))
         .select(lit(label).as("edge"), col("n_child"),
           col("n_fk_nonnull"), col("n_orphans"))
     }.reduce(_ unionAll _)
@@ -290,20 +299,33 @@ object Profile {
         .cast("long").as("_c_" + c))
     val base = df.select(groupCols.map(col) ++ cents: _*)
     val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
-    val aggs =
-      cols.flatMap(c => Seq(
-        sum(col("_c_" + c).cast(dec)).as("_s_" + c),
-        sum((col("_c_" + c) * col("_c_" + c)).cast(dec)).as("_q_" + c))) ++
-      pairs.map { case (a, b) =>
-        sum((col("_c_" + a) * col("_c_" + b)).cast(dec)).as(s"_p_${a}_$b") }
+    // PAIRWISE-COMPLETE statistics (Spark's own corr convention): every
+    // stat for pair (a, b) covers exactly the rows where BOTH are
+    // non-null. Sharing per-column sums across pairs looks cheaper but is
+    // wrong under nulls — n would count rows the null-skipping sums drop,
+    // which skews corr arbitrarily (it can even flip sign); a value
+    // overflowing DECIMAL(18,2) nulls out and corrupts identically.
+    val aggs = pairs.flatMap { case (a, b) =>
+      val ca = col("_c_" + a); val cb = col("_c_" + b)
+      val both = ca.isNotNull && cb.isNotNull
+      Seq(
+        sum(when(both, 1L)).cast(dec).as(s"_n_${a}_$b"),
+        sum(when(both, ca).cast(dec)).as(s"_sa_${a}_$b"),
+        sum(when(both, cb).cast(dec)).as(s"_sb_${a}_$b"),
+        sum(when(both, ca * ca).cast(dec)).as(s"_qa_${a}_$b"),
+        sum(when(both, cb * cb).cast(dec)).as(s"_qb_${a}_$b"),
+        sum(when(both, ca * cb).cast(dec)).as(s"_p_${a}_$b"))
+    }
     val wide = base.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).cast(dec).as("_n"), aggs: _*)
+      .agg(aggs.head, aggs.tail: _*)
     val stackArgs = pairs.map { case (a, b) =>
-      s"'$a', '$b', `_s_$a`, `_s_$b`, `_q_$a`, `_q_$b`, `_p_${a}_$b`"
+      s"'$a', '$b', coalesce(`_n_${a}_$b`, CAST(0 AS DECIMAL(38,0))), " +
+        s"`_sa_${a}_$b`, `_sb_${a}_$b`, `_qa_${a}_$b`, `_qb_${a}_$b`, " +
+        s"`_p_${a}_$b`"
     }.mkString(", ")
-    wide.select(groupCols.map(col) :+ col("_n") :+
+    wide.select(groupCols.map(col) :+
         expr(s"stack(${pairs.size}, $stackArgs) AS " +
-          "(col_a, col_b, sa, sb, qa, qb, sab)"): _*)
+          "(col_a, col_b, _n, sa, sb, qa, qb, sab)"): _*)
       .select(groupCols.map(col) ++ Seq(col("col_a"), col("col_b"),
         col("_n").cast("long").as("n")) :+ {
         val num = (col("_n") * col("sab") - col("sa") * col("sb"))
@@ -423,8 +445,18 @@ object Profile {
       .partitionBy(col(groupCol)).orderBy(col("_v"), col(idCol))
     val wSn = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
+    // INTEGER-VALUED contract, enforced (this op's rank/grid math is
+    // integer throughout): a fractional value would silently truncate to
+    // its floor — e.g. every quality score in [0,1) collapsing to 0 and
+    // all ranks decided by the id tiebreak — so reject it loudly
+    val rawV = col(valueCol).cast("long")
+    val checkedV = when(col(valueCol).cast("double") =!=
+        rawV.cast("double"),
+      raise_error(concat(
+        lit(s"quantileNormalize: $valueCol must be integer-valued, got "),
+        col(valueCol).cast("string")))).otherwise(rawV)
     val src = df
-      .select(col(groupCol), col(idCol), col(valueCol).cast("long").as("_v"))
+      .select(col(groupCol), col(idCol), checkedV.as("_v"))
       .withColumn("_rn", row_number().over(wS).cast("long"))
       .withColumn("_ns", count(lit(1)).over(wSn).cast("long"))
       .withColumn("rank_ppm", when(col("_ns") === 1, lit(500000L))
@@ -482,11 +514,14 @@ object Profile {
       .agg(count(lit(1)).as("n"),
         count(when(col(valueCol) < col("p_lo"), 1)).as("n_lo"),
         count(when(col(valueCol) > col("p_hi"), 1)).as("n_hi"),
+        // inlier sum in DOUBLE: the old cast("long") silently truncated
+        // fractional values (quality scores in [0,1] all became 0),
+        // wrecking wins_mean; integers stay exact in double up to 2⁵³
         sum(when(col(valueCol) >= col("p_lo") && col(valueCol) <= col("p_hi"),
-          col(valueCol).cast("long")).otherwise(lit(0L))).as("__s_in"))
+          col(valueCol).cast("double")).otherwise(lit(0d))).as("__s_in"))
       .select(col(groupCol), col("n"), col("p_lo"), col("p_hi"),
         col("n_lo"), col("n_hi"),
-        ((col("__s_in").cast("double")
+        ((col("__s_in")
           + col("n_lo").cast("double") * col("p_lo")
           + col("n_hi").cast("double") * col("p_hi")) / col("n").cast("double"))
           .as("wins_mean"))

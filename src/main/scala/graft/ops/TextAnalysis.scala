@@ -784,14 +784,17 @@ object TextAnalysis {
     * holds length ≥ 2 words; a 1-symbol array can't merge, so folding it
     * is the identity and needs no special case).
     *
-    * Output: (idCol, token) in document order per doc — aggregate
-    * downstream (token counts, packing, id assignment).
+    * Output: (idCol, word_pos, token_pos, token) — document order is the
+    * EXPLICIT (word_pos, token_pos) pair, never row order (the shuffle
+    * join can't preserve one); sort on it for packing/id assignment,
+    * ignore it for counts.
     */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
                 textCol: String = "text", idCol: String = "doc_id",
                 broadcastVocab: Boolean = true): DataFrame = {
     val words = docs
-      .select(col(idCol), explode(TextFns.words(col(textCol))).as("word"))
+      .select(col(idCol),
+        posexplode(TextFns.words(col(textCol))).as(Seq("word_pos", "word")))
       .filter(length(col("word")) >= 1)
     val vocab0 = words.select(col("word")).distinct()
       .withColumn("syms", transform(
@@ -801,8 +804,13 @@ object TextAnalysis {
       v.withColumn("syms", mergePair(col("syms"), lit(l), lit(r)))
     }
     val seg = if (broadcastVocab) broadcast(encoded) else encoded
+    // document order is CARRIED, not assumed: the non-broadcast path
+    // shuffle-joins on `word`, which reorders rows, and even the
+    // broadcast path only preserves order incidentally — (word_pos,
+    // token_pos) is the explicit total order downstream packing needs
     words.join(seg, "word")
-      .select(col(idCol), explode(col("syms")).as("token"))
+      .select(col(idCol), col("word_pos"),
+        posexplode(col("syms")).as(Seq("token_pos", "token")))
   }
 
   /** Overlapping fixed-window document chunking — the retrieval/RAG prep

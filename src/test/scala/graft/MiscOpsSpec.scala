@@ -726,12 +726,15 @@ class TextOpsSpec extends SparkSpec {
     assert(merges == Seq(("a", "b"), ("ab", "ab")))
     def run(bcast: Boolean) =
       TextAnalysis.bpeEncode(docs, merges, broadcastVocab = bcast)
-        .as[(Long, String)].collect().toSeq.sorted
+        .as[(Long, Int, Int, String)].collect().toSeq
+        .sortBy(t => (t._1, t._2, t._3))
     val got = run(bcast = true)
     // doc 1: abab->[abab] x2, ab->[ab]; doc 2: ab->[ab], c->[c] (1-char
-    // identity, never trained), abab->[abab]
-    assert(got == Seq((1L, "ab"), (1L, "abab"), (1L, "abab"),
-      (2L, "ab"), (2L, "abab"), (2L, "c")))
+    // identity, never trained), abab->[abab] — and the carried
+    // (word_pos, token_pos) order IS the document order
+    assert(got == Seq(
+      (1L, 0, 0, "abab"), (1L, 1, 0, "abab"), (1L, 2, 0, "ab"),
+      (2L, 0, 0, "ab"), (2L, 1, 0, "c"), (2L, 2, 0, "abab")))
     assert(run(bcast = false) == got, "shuffle-join path must agree")
   }
 

@@ -225,9 +225,14 @@ class PropertySpec extends SparkSpec {
       val merges = TextAnalysis.bpeTrain(docs, rounds = rounds)._2
         .orderBy("round").as[(Int, String, String, Long)].collect()
         .map(m => (m._2, m._3)).toSeq
+      // glue in the CARRIED (word_pos, token_pos) order — collect_list
+      // order is arbitrary, which is exactly why bpeEncode emits positions
       val rebuilt = TextAnalysis.bpeEncode(docs, merges)
         .groupBy("doc_id")
-        .agg(concat_ws("", collect_list(col("token"))).as("glued"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("word_pos"),
+            col("token_pos"), col("token")))),
+          x => x.getField("token"))).as("glued"))
         .as[(Long, String)].collect().toMap
       val expected = docs.as[(Long, String)].collect().toMap
         .map { case (k, v) => k -> v.replace(" ", "") }
