@@ -385,4 +385,62 @@ object Sampling {
       .filter(col("_u") >= col("_hi") - col("_w") && col("_u") < col("_hi"))
       .select(col("draw_id"), col("_id").as(idCol))
   }
+
+  /** Largest feasible downsample at an exact target mixture — the
+    * training-mix construction step ("40% en / 15% each of the rest")
+    * when upsampling is off the table: compute the biggest total T such
+    * that every group g can supply its share want_g = ⌊T·target_g/10⁶⌋
+    * from its n_g available rows, then select EXACTLY want_g rows per
+    * group by the shared deterministic hash order (salted, id-tiebroken —
+    * same rows every run and engine). Contrast [[weightedMixture]], which
+    * applies caller-chosen independent per-group rates (realized mixture
+    * wanders); here the RATES are derived and the COUNTS are pinned.
+    *
+    * T = min over target groups of ⌊n_g·10⁶/target_g⌋ — the bottleneck
+    * group is taken (almost) whole and everything else downsampled to
+    * match. A target group absent from `df` (n_g = 0) makes T = 0 and the
+    * selection empty: an unsatisfiable mixture is surfaced as zero rows,
+    * not silently renormalized. Groups not named in `targetsPpm` are
+    * excluded (target 0).
+    *
+    * Scale shape: one tiny per-group count aggregate → global min
+    * (broadcast both), then ONE group-partitioned window rank over the
+    * kept groups. No driver state, no collect; the only full-data
+    * exchange is the rank window, same as [[exactStratifiedSplit]].
+    *
+    * Output: input columns + `want` (the group's pinned count), selected
+    * rows only.
+    */
+  def mixtureRebalance(df: DataFrame, groupCol: String, idCol: String,
+                       targetsPpm: Seq[(String, Long)],
+                       salt: String = "mix"): DataFrame = {
+    require(targetsPpm.nonEmpty, "targetsPpm must be non-empty")
+    require(targetsPpm.map(_._2).sum == 1000000L,
+      s"target ppm must total 1000000: $targetsPpm")
+    require(targetsPpm.forall(_._2 > 0),
+      s"each target ppm must be positive: $targetsPpm")
+    require(targetsPpm.map(_._1).distinct.size == targetsPpm.size,
+      s"duplicate group in targets: $targetsPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetsPpm.toDF("_grp", "_target_ppm")
+    val counts = df.groupBy(col(groupCol).as("_grp"))
+      .agg(count(lit(1)).as("_n"))
+    // left join from TARGETS so an absent group contributes n_g = 0 (and
+    // thus T = 0) instead of dropping out of the min
+    val avail = targets.join(counts, Seq("_grp"), "left")
+      .withColumn("_n", coalesce(col("_n"), lit(0L)))
+    val feasible = avail
+      .agg(min(expr("_n * 1000000L div _target_ppm")).as("_t"))
+    val want = avail.crossJoin(broadcast(feasible))
+      .select(col("_grp"), expr("_t * _target_ppm div 1000000L").as("want"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_h"), col(idCol))
+    df.join(broadcast(want), df(groupCol) === col("_grp"))
+      .withColumn("_h",
+        TextFns.hash64(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .filter(col("_rn") <= col("want"))
+      .drop("_grp", "_h", "_rn")
+  }
 }

@@ -506,6 +506,68 @@ object TextAnalysis {
         expr("min(1000000L * c12 div c1)").as("min_cond_ppm"))
   }
 
+  /** Hashed-n-gram distribution-shift score — the data-selection signal
+    * of importance resampling (DSIR, Xie et al. 2023: score source docs
+    * by how target-like their hashed n-gram features look, then sample by
+    * that score). Features are word bigrams hashed into `buckets` via the
+    * shared engine-portable hash64; the target and source unigram-of-
+    * bucket distributions are estimated from the corpus itself, split by
+    * `targetPred` (e.g. "lang = 'en'" or "source = 'wiki'"). Each doc
+    * scores sum over its bigram occurrences of
+    * (target_ppm(bucket) − source_ppm(bucket)) — the integer-exact,
+    * cross-engine analogue of DSIR's log-likelihood-ratio sum (log-ratio
+    * ranks by the same monotone per-bucket signal but is float-valued;
+    * ppm difference keeps the gate bit-exact).
+    *
+    * Scale shape: two scans of `docs` (one per aggregation key — bucket
+    * stats, then per-doc sums); the bucket table is ≤ `buckets` rows,
+    * broadcast back. No driver state. A doc with < 2 words has no
+    * bigrams: it surfaces with n_bigrams = 0 and score 0 (left join),
+    * never silently dropped. A NULL `targetPred` counts as source
+    * (coalesce false) — the conservative side for selection.
+    *
+    * Degenerate corpora are defined, not special-cased: with zero target
+    * (or zero source) docs the corresponding distribution is all-zero
+    * ppm, so scores collapse toward the other side's negation instead of
+    * dividing by zero.
+    */
+  def hashedNgramShift(docs: DataFrame, targetPred: Column,
+                       buckets: Int = 256, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val base = docs.select(col(idCol),
+      coalesce(targetPred, lit(false)).as("is_target"),
+      split(col(textCol), " ").as("_w"))
+    val bg = base.select(col(idCol), col("is_target"),
+        explode(expr(
+          "transform(slice(_w, 1, greatest(size(_w) - 1, 0))," +
+            " (x, i) -> concat(x, ' ', _w[i + 1]))")).as("_bg"))
+      .select(col(idCol), col("is_target"),
+        pmod(TextFns.hash64(col("_bg")), lit(buckets.toLong)).as("_bkt"))
+    val stats = bg.groupBy("_bkt")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("_ct"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("_cs"))
+    val totals = stats.agg(sum("_ct").as("_tt"), sum("_cs").as("_ts"))
+    val ppm = stats.crossJoin(broadcast(totals))
+      .select(col("_bkt"),
+        expr("CASE WHEN _tt > 0 THEN 1000000L * _ct div _tt ELSE 0L END")
+          .as("_tppm"),
+        expr("CASE WHEN _ts > 0 THEN 1000000L * _cs div _ts ELSE 0L END")
+          .as("_sppm"))
+    val perDoc = bg.join(broadcast(ppm), Seq("_bkt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("_tppm") - col("_sppm")).as("shift_sum_ppm"))
+    base.select(col(idCol), col("is_target"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("is_target"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("shift_sum_ppm"), lit(0L)).as("shift_sum_ppm"))
+      .withColumn("shift_mean_ppm",
+        expr("CASE WHEN n_bigrams > 0 THEN shift_sum_ppm div n_bigrams " +
+          "ELSE 0L END"))
+  }
+
   /** Percentile-threshold filter — the corpus-relative form of a quality
     * cut (drop the shortest/lowest-scoring p% of the corpus, rather than
     * guessing a fixed constant that goes stale as the corpus drifts).

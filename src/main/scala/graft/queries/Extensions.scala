@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontamination, Dedup, Diff, EventAnalytics, Graph, Intervals, Multimodal, Profile, Regression, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Diff, EventAnalytics, Formats, Graph, Intervals, Multimodal, Profile, Regression, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -4421,6 +4421,211 @@ object Extensions {
       expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
       Seq(10000L, 50000L, 250000L, 500000L, 750000L, 950000L, 990000L)))
 
+  private val q205 = Q("q205_mixture_rebalance",
+    "largest feasible downsample at an exact target language mixture " +
+      "(40% en / 15% each of de/es/fr/zh) without upsampling: T = min_g " +
+      "floor(n_g*1e6/target_g), per-group want = floor(T*target_g/1e6) " +
+      "rows picked by the shared salted hash order — derived RATES, " +
+      "pinned COUNTS (contrast q127's caller-chosen independent rates); " +
+      "sel_xor pins the exact row set, not just its size",
+    Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      t(lang, ppm) AS (VALUES ('en', 400000), ('de', 150000),
+                              ('es', 150000), ('fr', 150000), ('zh', 150000)),
+      a AS (SELECT t.lang, t.ppm, coalesce(c.n, 0) AS n
+            FROM t LEFT JOIN c USING (lang)),
+      f AS (SELECT min(n * 1000000 // ppm) AS tt FROM a),
+      w AS (SELECT lang, CAST(tt * ppm // 1000000 AS BIGINT) AS want
+            FROM a, f),
+      r AS (SELECT d.lang, d.doc_id,
+              ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY
+                CAST('0x' || substr(sha256('mix:' || CAST(doc_id AS VARCHAR)),
+                     1, 15) AS BIGINT), doc_id) AS rn
+            FROM documents d JOIN t ON d.lang = t.lang)
+      SELECT r.lang AS lang, w.want AS want,
+             CAST(count(*) AS BIGINT) AS n_out,
+             bit_xor(CAST('0x' || substr(sha256(CAST(r.doc_id AS VARCHAR)),
+                     1, 15) AS BIGINT)) AS sel_xor
+      FROM r JOIN w ON r.lang = w.lang AND r.rn <= w.want
+      GROUP BY 1, 2 ORDER BY lang"""),
+    (s, dir) => Sampling.mixtureRebalance(t(s, dir, "documents"),
+        "lang", "doc_id",
+        Seq("en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+          "fr" -> 150000L, "zh" -> 150000L))
+      .withColumn("_h",
+        graft.functions.TextFns.hash64(col("doc_id").cast("string")))
+      .groupBy("lang")
+      .agg(max(col("want")).as("want"), count(lit(1)).as("n_out"),
+        expr("bit_xor(_h)").as("sel_xor"))
+      .orderBy("lang"))
+
+  private val q206 = Q("q206_hashed_ngram_shift",
+    "DSIR-style importance signal: word bigrams hashed into 256 buckets, " +
+      "target (en) vs source bucket distributions in ppm, per-doc score " +
+      "= sum of per-occurrence (target_ppm - source_ppm) — the " +
+      "integer-exact analogue of the hashed-n-gram log-likelihood ratio; " +
+      "bucket table broadcast, zero-bigram docs surfaced at score 0",
+    Some("""
+      WITH b AS (SELECT doc_id, lang = 'en' AS is_target,
+                        string_split(text, ' ') AS ws FROM documents),
+      bg AS (SELECT doc_id, is_target,
+               CAST('0x' || substr(sha256(ws[i] || ' ' || ws[i + 1]), 1, 15)
+                    AS BIGINT) % 256 AS bkt
+             FROM (SELECT doc_id, is_target, ws,
+                     unnest(generate_series(1, len(ws) - 1)) AS i FROM b)),
+      st AS (SELECT bkt, SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                    SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+             FROM bg GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                     CAST(SUM(cs) AS BIGINT) AS ts FROM st),
+      ppm AS (SELECT bkt,
+               CASE WHEN tt > 0 THEN 1000000 * ct // tt ELSE 0 END AS tppm,
+               CASE WHEN ts > 0 THEN 1000000 * cs // ts ELSE 0 END AS sppm
+              FROM st, tot),
+      pd AS (SELECT doc_id, count(*) AS nb, SUM(tppm - sppm) AS ss
+             FROM bg JOIN ppm USING (bkt) GROUP BY 1)
+      SELECT b.doc_id AS doc_id, b.is_target AS is_target,
+             CAST(coalesce(pd.nb, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(pd.ss, 0) AS BIGINT) AS shift_sum_ppm,
+             CAST(CASE WHEN coalesce(pd.nb, 0) > 0
+                  THEN coalesce(pd.ss, 0) // pd.nb ELSE 0 END AS BIGINT)
+               AS shift_mean_ppm
+      FROM b LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.hashedNgramShift(t(s, dir, "documents"),
+        col("lang") === "en", buckets = 256)
+      .orderBy("doc_id"))
+
+  private val q207 = Q("q207_orc_roundtrip",
+    "ORC interchange round trip: documents written ORC partitioned by " +
+      "lang (directory-encoded partition values), re-read through " +
+      "partition discovery, per-lang count + char sum + text-hash XOR " +
+      "prove bit-perfect fidelity vs the parquet original; FormatsSpec " +
+      "pins that a lang filter prunes partitions before any ORC byte is " +
+      "read",
+    Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             bit_xor(CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT))
+               AS text_xor
+      FROM documents GROUP BY 1 ORDER BY lang"""),
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q207")
+        .toString + "/docs_orc"
+      Formats.orcRoundTrip(t(s, dir, "documents"), path, "lang")
+        .withColumn("_h", graft.functions.TextFns.hash64(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          expr("bit_xor(_h)").as("text_xor"))
+        .orderBy("lang")
+    })
+
+  private val q208 = Q("q208_jsonl_quarantine",
+    "defensive JSONL ingest (the raw web-crawl dump format): every 50th " +
+      "doc's line deterministically truncated to half length (invalid " +
+      "JSON), read back through Spark's PERMISSIVE JSON source — " +
+      "malformed lines quarantined into _corrupt_record WITH the raw " +
+      "evidence, never a task failure; payload_xor covers good text AND " +
+      "preserved corrupt lines, so silent drops or evidence loss flip " +
+      "the hash",
+    Some("""
+      WITH j AS (SELECT doc_id, lang, text,
+                   '{"doc_id":' || doc_id || ',"lang":"' || lang ||
+                     '","text":"' || text || '"}' AS line0
+                 FROM documents),
+      m AS (SELECT
+              CASE WHEN doc_id % 50 = 0 THEN NULL ELSE lang END AS lang_p,
+              CASE WHEN doc_id % 50 = 0 THEN NULL ELSE text END AS text_p,
+              CASE WHEN doc_id % 50 = 0
+                THEN substr(line0, 1, CAST(length(line0) // 2 AS INT))
+                ELSE NULL END AS corrupt
+            FROM j)
+      SELECT coalesce(lang_p, '(quarantined)') AS lang_bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(coalesce(length(text_p), 0)) AS BIGINT)
+               AS n_chars_good,
+             bit_xor(CAST('0x' ||
+               substr(sha256(coalesce(text_p, corrupt)), 1, 15) AS BIGINT))
+               AS payload_xor
+      FROM m GROUP BY 1 ORDER BY lang_bucket"""),
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q208")
+        .toString + "/docs_jsonl"
+      val lines = t(s, dir, "documents")
+        .select(col("doc_id"), to_json(struct(col("doc_id"), col("lang"),
+          col("text"))).as("line0"))
+        .select(when(col("doc_id") % 50 === 0,
+            expr("substring(line0, 1, length(line0) div 2)"))
+          .otherwise(col("line0")).as("line"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      Formats.jsonlQuarantineRead(lines, path, schema)
+        .withColumn("_h", graft.functions.TextFns.hash64(
+          coalesce(col("text"), col("_corrupt_record"))))
+        .groupBy(coalesce(col("lang"), lit("(quarantined)"))
+          .as("lang_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(length(col("text")), lit(0))).as("n_chars_good"),
+          expr("bit_xor(_h)").as("payload_xor"))
+        .orderBy("lang_bucket")
+    })
+
+  private val q209 = Q("q209_tokenizer_fertility",
+    "tokenizer-efficiency census per language over the 3-round trained " +
+      "BPE (q117/q124's model): words, tokens, token chars, and the two " +
+      "ratios a tokenizer report leads with — tokens per 1000 words " +
+      "(fertility) and chars per 1000 tokens (compression) — the " +
+      "cross-lingual fairness signal (a tokenizer that fragments one " +
+      "language inflates its training cost per character)",
+    Some(s"""
+      WITH $bpeTrainCtes,
+      dw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+      dw1 AS (SELECT doc_id, lang, word FROM dw WHERE length(word) >= 1),
+      dtok AS (
+        SELECT d.lang, t.sym
+        FROM dw1 d JOIN (SELECT word, unnest(syms) AS sym FROM v3) t
+          ON d.word = t.word
+        UNION ALL
+        SELECT lang, word AS sym FROM dw1 WHERE length(word) = 1),
+      wstat AS (SELECT lang, count(*) AS n_words FROM dw1 GROUP BY 1),
+      tstat AS (SELECT lang, count(*) AS n_tokens,
+                       SUM(length(sym)) AS n_token_chars
+                FROM dtok GROUP BY 1)
+      SELECT w.lang AS lang, CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_token_chars AS BIGINT) AS n_token_chars,
+             CAST(1000 * n_tokens // n_words AS BIGINT) AS tokens_per_kword,
+             CAST(1000 * n_token_chars // n_tokens AS BIGINT)
+               AS chars_per_ktoken
+      FROM wstat w JOIN tstat t ON w.lang = t.lang ORDER BY lang"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, rounds = 3)._2
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq // model-sized
+      val words = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+      val wstat = words.groupBy("lang").agg(count(lit(1)).as("n_words"))
+      val tstat = TextAnalysis.bpeEncode(docs, merges)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("token"))).as("n_token_chars"))
+      wstat.join(tstat, "lang")
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          col("n_token_chars"),
+          expr("1000L * n_tokens div n_words").as("tokens_per_kword"),
+          expr("1000L * n_token_chars div n_tokens").as("chars_per_ktoken"))
+        .orderBy("lang")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4432,5 +4637,5 @@ object Extensions {
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209)
 }

@@ -363,6 +363,45 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mixtureRebalance: derived rates, pinned counts, bottleneck whole") {
+    import graft.ops.Sampling
+    // 100 a / 50 b / 10 c; targets 50/30/20% → T = min(200, 166, 50) = 50
+    // → want a=25 b=15 c=10 (c, the bottleneck, taken whole)
+    val docs = ((0L until 100L).map(i => (i, "a")) ++
+      (100L until 150L).map(i => (i, "b")) ++
+      (150L until 160L).map(i => (i, "c"))).toDF("id", "grp")
+    val targets = Seq("a" -> 500000L, "b" -> 300000L, "c" -> 200000L)
+    val out = Sampling.mixtureRebalance(docs, "grp", "id", targets)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 25L, "b" -> 15L, "c" -> 10L))
+    // want column matches the realized count per group
+    assert(out.filter($"grp" === "a").select("want").distinct()
+      .as[Long].collect().toSeq == Seq(25L))
+    // deterministic: the exact same rows on a second run
+    val again = Sampling.mixtureRebalance(docs, "grp", "id", targets)
+    assert(out.select("id").except(again.select("id")).count() == 0)
+    // survivors are hash-picked, not an id-prefix scan bias
+    val aIds = out.filter($"grp" === "a").select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(aIds != (0L until 25L).toSeq)
+    // a group missing from the targets is excluded entirely
+    val withD = docs.union(Seq((900L, "d"), (901L, "d")).toDF("id", "grp"))
+    val outD = Sampling.mixtureRebalance(withD, "grp", "id", targets)
+    assert(outD.filter($"grp" === "d").count() == 0)
+    assert(outD.count() == 50)
+    // a TARGET group with no rows makes the mixture infeasible → empty,
+    // not silently renormalized
+    val noC = docs.filter($"grp" =!= "c")
+    assert(Sampling.mixtureRebalance(noC, "grp", "id", targets).count() == 0)
+    intercept[IllegalArgumentException] { // must total 1e6
+      Sampling.mixtureRebalance(docs, "grp", "id", Seq("a" -> 999999L))
+    }
+    intercept[IllegalArgumentException] { // duplicate group
+      Sampling.mixtureRebalance(docs, "grp", "id",
+        Seq("a" -> 500000L, "a" -> 500000L))
+    }
+  }
+
   test("repeatWeighted: integer copies exact, fractional copies hash-deterministic") {
     import graft.ops.Sampling
     val docs = (0L until 1000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")

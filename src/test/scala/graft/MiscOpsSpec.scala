@@ -738,6 +738,43 @@ class TextOpsSpec extends SparkSpec {
     assert(run(bcast = false) == got, "shuffle-join path must agree")
   }
 
+  test("hashedNgramShift: bigram census, zero-bigram docs kept, " +
+    "predicate flip negates scores, target vocabulary scores higher") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "en"),
+      (2L, "the lazy brown dog sleeps", "en"),
+      (3L, "le chat noir dort bien", "fr"),
+      (4L, "un chien noir court vite", "fr"),
+      (5L, "solo", "fr"), // 1 word → 0 bigrams
+      (6L, "", "fr")      // split('') = [''] → 0 bigrams
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.hashedNgramShift(docs, col("lang") === "en")
+      .as[(Long, Boolean, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // n_bigrams = words - 1; zero-bigram docs surface at score 0
+    assert(out(1L)._3 == 4 && out(3L)._3 == 4)
+    assert(out(5L)._3 == 0 && out(5L)._4 == 0 && out(5L)._5 == 0)
+    assert(out(6L)._3 == 0 && out(6L)._4 == 0)
+    // disjoint vocabularies: every en doc must outscore every fr doc
+    val enMin = Seq(out(1L)._4, out(2L)._4).min
+    val frMax = Seq(out(3L)._4, out(4L)._4).max
+    assert(enMin > frMax,
+      s"target vocab must score above source vocab: $enMin vs $frMax")
+    // exact law: flipping the predicate swaps the distributions, so every
+    // doc's shift_sum negates
+    val flipped = TextAnalysis.hashedNgramShift(docs, col("lang") =!= "en")
+      .as[(Long, Boolean, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    for (id <- out.keys) assert(flipped(id) == -out(id)._4,
+      s"doc $id: flip must negate ${out(id)._4}, got ${flipped(id)}")
+    // NULL predicate counts as source (conservative side)
+    val nullPred = TextAnalysis.hashedNgramShift(docs,
+      when(col("lang") === "en", lit(true)))
+      .select("doc_id", "is_target").as[(Long, Boolean)].collect().toMap
+    assert(!nullPred(3L) && nullPred(1L))
+  }
+
   test("bigramLmScore: exact ppm conditionals, sub-2-token docs drop out") {
     // bigrams: (a,b)×2, (b,c), (b,d) → c(a·)=2, c(b·)=2
     // ppm: (a,b)=1000000, (b,c)=(b,d)=500000; both docs mean 750000
