@@ -547,8 +547,14 @@ object TextAnalysis {
     val stats = bg.groupBy("_bkt")
       .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("_ct"),
         sum(when(!col("is_target"), 1L).otherwise(0L)).as("_cs"))
-    val totals = stats.agg(sum("_ct").as("_tt"), sum("_cs").as("_ts"))
-    val ppm = stats.crossJoin(broadcast(totals))
+    // totals come from a window over the ≤`buckets`-row stats relation —
+    // an agg + cross-broadcast would RE-EVALUATE the whole bigram
+    // subtree a second time (plans don't share subtrees); the window
+    // funnels only the tiny stats table to one partition
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val ppm = stats
+      .withColumn("_tt", sum("_ct").over(wAll))
+      .withColumn("_ts", sum("_cs").over(wAll))
       .select(col("_bkt"),
         expr("CASE WHEN _tt > 0 THEN 1000000L * _ct div _tt ELSE 0L END")
           .as("_tppm"),

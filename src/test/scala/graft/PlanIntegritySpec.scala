@@ -521,4 +521,30 @@ class PlanIntegritySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"model-sized sides must broadcast, not sort-merge:\n$p")
   }
+
+  test("q205: per-group want counts broadcast into the data relation; " +
+    "the only data-sized exchanges are the group window and the tiny " +
+    "count aggregate") {
+    val p = plan("q205_mixture_rebalance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"want table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join means the group-count side stopped " +
+        s"broadcasting:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"expected the lang window + lang count exchanges only, " +
+        s"got $hashExchanges:\n$p")
+  }
+
+  test("q206: the bigram subtree is evaluated exactly twice (bucket " +
+    "stats + per-doc pass) — totals must derive from the stats window, " +
+    "never a third corpus explode; bucket ppm table broadcasts") {
+    val p = plan("q206_hashed_ngram_shift")
+    val explodes = p.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes == 2,
+      s"expected 2 bigram explodes (stats + per-doc), got $explodes:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket ppm table must broadcast into the per-doc pass:\n$p")
+  }
 }
