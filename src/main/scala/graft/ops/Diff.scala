@@ -89,10 +89,27 @@ object Diff {
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    // a tie AT THE MAX seq has no defined winner — enforced, not assumed:
+    // in seq-desc order the winner row's successor carrying the same seq
+    // IS the tie, so lead() detects it on the surviving row with zero
+    // extra exchange; the guard rides the op column (always consumed
+    // downstream, so pruning can't drop it)
+    val tied = lead(col(seqCol), 1).over(w) === col(seqCol)
+    // guard keys on (_rn = 1 AND tied): evaluation-order-proof — whether
+    // Catalyst pushes the rn filter below this projection or not, only
+    // the actual max-seq tie can fire
+    val checkedOp = when(col("_rn") === 1 && tied, raise_error(concat(
+        lit(s"applyChanges: two changes share the max $seqCol for key ("),
+        concat_ws(",", keyCols.map(k => col(k).cast("string")): _*),
+        lit(") — no defined winner")))).otherwise(col(opCol))
     val winner = changes
       .select((keyCols ++ payloadCols :+ opCol :+ seqCol).map(col): _*)
       .withColumn("_rn", row_number().over(w))
+      .withColumn("_op_checked", checkedOp)
       .filter(col("_rn") === 1)
+      .drop(opCol)
+      .select((keyCols ++ payloadCols ++ Seq("_op_checked", seqCol, "_rn"))
+        .map(col): _*)
       .toDF(keyCols.map("_c_" + _) ++ payloadCols.map("_c_" + _)
         ++ Seq("_c_op", "_c_seq", "_rn"): _*)
     val b = base.select((keyCols ++ payloadCols).map(col): _*)
@@ -133,7 +150,13 @@ object Diff {
                      keyCols: Seq[String], valueCol: String,
                      opCol: String = "op"): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
-    val sign = when(col(opCol) === "D", lit(-1L)).otherwise(lit(1L))
+    // op ∈ {I, D}, enforced: anything else (a stray 'U', a null) counting
+    // silently as an insert would double rows it meant to modify
+    val sign = when(col(opCol) === "D", lit(-1L))
+      .when(col(opCol) === "I", lit(1L))
+      .otherwise(raise_error(concat(
+        lit("incrementalAgg: op must be 'I' or 'D', got "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
     val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
     val d = delta
       .select(keyCols.map(col) :+ sign.as("_sgn") :+ cents.as("_cents"): _*)

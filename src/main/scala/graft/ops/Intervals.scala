@@ -90,8 +90,19 @@ object Intervals {
       df.select(col(keyCol).as("_k"), col(id).as(s"${side}_id"),
           col(s0).cast("long").as(s"${side}_s"),
           col(e0).cast("long").as(s"${side}_e"))
+        // domain contract ENFORCED, not assumed: a negative bound makes
+        // `div` truncation diverge from floor (wrong bucket → silently
+        // MISSED pairs), and end < start is a malformed interval. The
+        // guard rides the sequence's start bound — a consumed expression
+        // column pruning can never drop
         .withColumn("_b", explode(sequence(
-          expr(s"${side}_s div ${bucketWidth}L"),
+          when(col(s"${side}_s") < 0L ||
+              col(s"${side}_e") < col(s"${side}_s"),
+            raise_error(concat(
+              lit(s"overlapJoin: need 0 <= $side start <= end, got ["),
+              col(s"${side}_s").cast("string"), lit(", "),
+              col(s"${side}_e").cast("string"), lit("]"))))
+            .otherwise(expr(s"${side}_s div ${bucketWidth}L")),
           expr(s"${side}_e div ${bucketWidth}L"))))
     val l = buckets(left, leftId, leftStart, leftEnd, "l")
     val r = buckets(right, rightId, rightStart, rightEnd, "r")

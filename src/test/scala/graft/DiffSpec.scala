@@ -60,6 +60,36 @@ class DiffSpec extends SparkSpec {
     assert(got == Seq((1L, "a2", 11.0)))
   }
 
+  test("applyChanges: a tie at the max seq raises instead of picking an " +
+    "arbitrary winner; ties below the max stay harmless") {
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val tiedAtMax = Seq((1L, 2L, "U", "x"), (1L, 2L, "U", "y"))
+      .toDF("id", "seq", "op", "v")
+    val ex = intercept[Exception] {
+      Diff.applyChanges(base, tiedAtMax, Seq("id"), Seq("v")).collect()
+    }
+    assert(ex.getMessage.contains("applyChanges") ||
+      Option(ex.getCause).exists(_.getMessage.contains("applyChanges")))
+    // duplicate seq BELOW the max has a defined winner — must not raise
+    val tiedBelow = Seq((1L, 1L, "U", "x"), (1L, 1L, "U", "y"),
+      (1L, 2L, "U", "z")).toDF("id", "seq", "op", "v")
+    val got = Diff.applyChanges(base, tiedBelow, Seq("id"), Seq("v"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "z")))
+  }
+
+  test("incrementalAgg: an unknown op raises instead of silently " +
+    "counting as an insert") {
+    val base = Diff.aggregateCents(
+      Seq(("a", 1.00)).toDF("k", "value"), Seq("k"), "value")
+    val delta = Seq(("a", "U", 2.00)).toDF("k", "op", "value")
+    val ex = intercept[Exception] {
+      Diff.incrementalAgg(base, delta, Seq("k"), "value").collect()
+    }
+    assert(ex.getMessage.contains("incrementalAgg") ||
+      Option(ex.getCause).exists(_.getMessage.contains("incrementalAgg")))
+  }
+
   test("incrementalAgg: folds inserts+deletes, drops zeroed keys, adds new ones") {
     val baseRows = Seq(("a", 1.00), ("a", 2.00), ("b", 3.00))
       .toDF("k", "value")

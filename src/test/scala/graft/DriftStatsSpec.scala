@@ -367,6 +367,21 @@ class DriftStatsSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 11L), (1L, 13L), (2L, 13L)))
   }
 
+  test("overlapJoin: negative or inverted bounds raise instead of " +
+    "silently mis-bucketing") {
+    import graft.ops.Intervals
+    val ok = Seq(("k", 1L, 0L, 5L)).toDF("k", "id", "s", "e")
+    for (badRow <- Seq(("k", 9L, -3L, 5L), ("k", 9L, 7L, 5L))) {
+      val bad = Seq(badRow).toDF("k", "id", "s", "e")
+      val ex = intercept[Exception] {
+        Intervals.overlapJoin(bad, ok, "k", "id", "s", "e",
+          "id", "s", "e", bucketWidth = 7L).collect()
+      }
+      assert(ex.getMessage.contains("overlapJoin") ||
+        Option(ex.getCause).exists(_.getMessage.contains("overlapJoin")))
+    }
+  }
+
   test("histogramFixed: exact bin edges, out-of-range clamps to edge bins") {
     import graft.ops.Profile
     val df = Seq(("g", -5.0), ("g", 0.0), ("g", 4.99), ("g", 5.0),
