@@ -571,6 +571,63 @@ class PropertySpec extends SparkSpec {
       assert(rows.length == 3 && rows.forall(_._3), s"accuracy=$acc: $rows")
     }
   }
+
+  test("mixtureRebalance law: realized counts equal the closed-form " +
+    "want on random group sizes, selection is the hash-order prefix") {
+    val targets = Seq("g0" -> 400000L, "g1" -> 350000L, "g2" -> 250000L)
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val sizes = gen(Gen.listOfN(3, Gen.chooseNum(0, 80)), seed)
+      val rows = targets.map(_._1).zip(sizes).flatMap { case (g, n) =>
+        (0 until n).map(i => (s"$g-$i".hashCode.toLong * 100 + i, g))
+      }
+      val df = rows.toDF("id", "grp")
+      val got = graft.ops.Sampling.mixtureRebalance(df, "grp", "id", targets)
+        .groupBy("grp").count().as[(String, Long)].collect().toMap
+      // closed form in plain Scala
+      val n = targets.map(_._1).zip(sizes.map(_.toLong)).toMap
+      val t = targets.map { case (g, ppm) => n(g) * 1000000L / ppm }.min
+      val want = targets.map { case (g, ppm) => g -> t * ppm / 1000000L }
+        .filter(_._2 > 0).toMap
+      assert(got == want, s"seed=$seed sizes=$sizes: got $got want $want")
+      // and the selected rows are the salted-hash-order prefix per group
+      val sel = graft.ops.Sampling.mixtureRebalance(df, "grp", "id", targets)
+        .select("grp", "id").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+      def h(id: Long) = {
+        val d = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"mix:$id".getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      }
+      for ((g, ppm) <- targets; if want.getOrElse(g, 0L) > 0) {
+        val ids = rows.filter(_._2 == g).map(_._1)
+        val expect = ids.sortBy(id => (h(id), id)).take(want(g).toInt).toSet
+        assert(sel(g) == expect, s"seed=$seed group=$g prefix mismatch")
+      }
+    }
+  }
+
+  test("hashedNgramShift law: flipping the target predicate negates " +
+    "every doc's shift_sum on random corpora; n_bigrams = words - 1") {
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    for (seed <- Seq(21L, 22L)) {
+      val docs = gen(Gen.listOfN(40, Gen.chooseNum(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)))), seed)
+        .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      val pred = col("doc_id") % 3 === 0
+      def run(p: org.apache.spark.sql.Column) =
+        graft.ops.TextAnalysis.hashedNgramShift(df, p, buckets = 64)
+          .as[(Long, Boolean, Long, Long, Long)].collect()
+          .map(r => r._1 -> r).toMap
+      val a = run(pred)
+      val b = run(!pred)
+      for ((id, text) <- docs) {
+        assert(a(id)._3 == text.split(" ").length - 1)
+        assert(b(id)._4 == -a(id)._4, s"seed=$seed doc=$id flip law broke")
+      }
+    }
+  }
 }
 
 /** Thin forwarding (keeps the spec readable). */

@@ -75,6 +75,12 @@ ROUNDTRIP_GATES = {
     "q197_wav_trim_silence": "PCM-decodes, trims, RE-ENCODES and "
         "re-parses real WAVs; the oracle predicts the surviving frame "
         "arithmetic only",
+    "q207_orc_roundtrip": "writes the corpus to partitioned ORC and "
+        "re-reads it through partition discovery; the oracle aggregates "
+        "the parquet original without any write",
+    "q208_jsonl_quarantine": "serializes, corrupts, writes and "
+        "PERMISSIVE-parses real JSONL files; the oracle predicts the "
+        "quarantine split from the corruption rule without any I/O",
 }
 
 
