@@ -541,6 +541,124 @@ object Similarity {
     *
     * Output: (rank, id, score) — rank in selection order.
     */
+  /** Product-quantization ANN (PQ with asymmetric distance computation —
+    * Jégou, Douze & Schmid 2011): split each vector into `m` contiguous
+    * subspaces, train a tiny k-means codebook PER SUBSPACE (the same
+    * hash-seeded exact-integer Lloyd as [[kmeansFit]], all subspaces in
+    * ONE relation keyed by a `sub` column — one job per round, not m),
+    * encode every vector as its m nearest-codeword ids, and answer
+    * queries by ADC: the query's exact per-(subspace, codeword) distance
+    * table is summed over each vector's CODES — the corpus's float
+    * vectors are never touched at query time.
+    *
+    * Memory story at 100 TB (the reason PQ exists): m·log₂(k) bits per
+    * vector instead of d floats — here 64-dim floats (256 B) compress to
+    * m codes (m bytes at k ≤ 256), a ~64× index shrink, at the cost of
+    * quantization error the gate AUDITS rather than hides (adc_d2 is
+    * reported; q190's recall-audit posture applies).
+    *
+    * Scale shape: codebooks are m·k rows (broadcast everywhere); per
+    * round ONE corpus-sized argmin aggregate; encode is the same argmin
+    * against the final codebook; the ADC join keys codes to the
+    * |queries|·m·k-row distance table by EQUI-key (sub, code) and
+    * aggregates per (query, vector) — no vector math on the corpus side,
+    * no shuffle of raw vectors. Exact integers end-to-end (scaled
+    * components, BIGINT d²), so ranks are engine-portable; ties break on
+    * vec_id.
+    *
+    * Queries are given BY ID (a subset of the corpus — the standard
+    * recall-audit shape); self-matches stay in the output (rank 1 at
+    * distance ≥ 0 is itself a quantization-error signal).
+    *
+    * Output: (q_id, rank, vec_id, adc_d2), topK rows per query.
+    */
+  def pqTopK(embs: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], m: Int, k: Int, iters: Int,
+             topK: Int, scale: Double = 1e6): DataFrame = {
+    require(m >= 1 && k >= 1 && iters >= 1 && topK >= 1,
+      s"need positive m/k/iters/topK: $m/$k/$iters/$topK")
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    require(scale > 0 && scale <= 1e7, s"scale must be in (0, 1e7]: $scale")
+    val probe = embs.select(max(size(col(vecCol))).as("d")).head()
+    require(!probe.isNullAt(0), "pqTopK needs a non-empty corpus")
+    val d = probe.getInt(0)
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    val w = d / m
+    // (id, sub, sv): every vector's m scaled-integer sub-vectors
+    // the training working set: persisted because SIX consumers read it
+    // (assign + memberMeans per round, the final encode, the query
+    // distance tables) — the iterative-trainer posture; freed after the
+    // (topK·|q|-row) result materializes below
+    val sv = embs.filter(size(col(vecCol)) === d)
+      .select(col(idCol).as("_id"),
+        transform(col(vecCol),
+          v => floor(v.cast("double") * scale).cast("long")).as("_svec"))
+      .select(col("_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("_svec"))
+      .select(col("_id"), col("sub"),
+        expr(s"slice(_svec, sub * $w + 1, $w)").as("_sv"))
+      .persist()
+    // k global seed rows by (hash, id) — each contributes its sub-vector
+    // to every subspace's initial codebook (q91's seeding, PQ-wide)
+    val seedW = Window.orderBy(col("_h"), col("_id"))
+    val seeds = embs.select(col(idCol).as("_id"))
+      .withColumn("_h", TextFns.hash64(col("_id").cast("string")))
+      .orderBy(col("_h"), col("_id")).limit(k)
+      .withColumn("cluster", (row_number().over(seedW) - 1).cast("long"))
+      .select(col("_id"), col("cluster"))
+    var cents = sv.join(broadcast(seeds), "_id")
+      .select(col("sub"), col("cluster"), col("_sv").as("_cv"))
+    val d2 = aggregate(
+      zip_with(col("_sv"), col("_cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    // the sub-vector rides THROUGH the argmin aggregate (kmeansFit's
+    // shape) so the centroid update needs no corpus-to-corpus re-join
+    def assign(cb: DataFrame): DataFrame =
+      sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("_d2", d2)
+        .groupBy(col("_id"), col("sub"), col("_sv"))
+        .agg(min(struct(col("_d2"), col("cluster"))).as("_m"))
+        .select(col("_id"), col("sub"), col("_sv"),
+          col("_m.cluster").as("code"), col("_m._d2").as("_d2"))
+    def memberMeans(asg: DataFrame): DataFrame =
+      asg.select(col("sub"), col("code").as("cluster"),
+          posexplode(col("_sv")).as(Seq("i", "s")))
+        .groupBy(col("sub"), col("cluster"), col("i"))
+        .agg(floor(sum(col("s")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("c"))
+        .groupBy(col("sub"), col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          x => x.getField("c")).as("_cv"))
+    for (_ <- 1 to iters) cents = memberMeans(assign(cents))
+    // the trained codebook is m·k rows with TWO consumers below (encode
+    // + distance tables) — one eager materialization stops the whole
+    // training chain from evaluating twice (pageRank's checkpoint
+    // discipline); rounds themselves are a linear chain, one evaluation
+    cents = cents.localCheckpoint(true)
+    // encode the whole corpus against the TRAINED codebook
+    val codes = assign(cents).select(col("_id"), col("sub"), col("code"))
+    // exact per-(query, sub, codeword) distance table — |q|·m·k rows
+    val dt = sv.filter(col("_id").isin(queryIds: _*))
+      .select(col("_id").as("q_id"), col("sub"), col("_sv"))
+      .join(cents, Seq("sub"))
+      .withColumn("_d2", d2)
+      .select(col("q_id"), col("sub"), col("cluster").as("code"),
+        col("_d2"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+    val result = codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("q_id"), col("_id"))
+      .agg(sum(col("_d2")).as("adc_d2"))
+      .select(col("q_id"), col("_id").as("vec_id"), col("adc_d2"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_d2"))
+      .persist()
+    result.count() // pin the (≤ topK·|q|-row) answer, then free the corpus
+    sv.unpersist()
+    result
+  }
+
   def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
                 relCol: String, k: Int, lam: Double = 0.5): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

@@ -4626,6 +4626,80 @@ object Extensions {
         .orderBy("lang")
     })
 
+  private val q210 = Q("q210_pq_adc_topk",
+    "product-quantization ANN (Jegou et al. 2011): 64-dim embeddings " +
+      "split into 4x16-dim subspaces, a 4-codeword exact-integer Lloyd " +
+      "codebook per subspace (2 rounds, hash-seeded — q91's trainer, " +
+      "all subspaces in one relation), corpus encoded to 4 codes/vector, " +
+      "3 queries answered by ADC: exact per-(subspace, codeword) " +
+      "distance tables summed over codes — ~64x index compression, " +
+      "corpus floats untouched at query time",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings
+                  WHERE len(embedding) =
+                    (SELECT max(len(embedding)) FROM embeddings)),
+      sc AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
+                    CAST((i - 1) % 16 AS BIGINT) AS li,
+                    CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS s
+             FROM el),
+      seed AS (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY CAST('0x' ||
+                 substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                 vec_id) - 1 AS cluster
+               FROM (SELECT DISTINCT vec_id FROM sc)),
+      c0 AS (SELECT cluster, sub, li, s AS c
+             FROM seed JOIN sc USING (vec_id) WHERE cluster < 4),
+      a1 AS (SELECT sc.vec_id, sc.sub, c0.cluster,
+               CAST(SUM((s - c) * (s - c)) AS BIGINT) AS d2
+             FROM sc JOIN c0 ON sc.sub = c0.sub AND sc.li = c0.li
+             GROUP BY 1, 2, 3),
+      w1 AS (SELECT vec_id, sub, cluster FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                ORDER BY d2, cluster) AS r FROM a1) WHERE r = 1),
+      c1 AS (SELECT w1.sub, w1.cluster, sc.li,
+               CAST(floor(CAST(CAST(SUM(sc.s) AS BIGINT) AS DOUBLE)
+                 / count(*)) AS BIGINT) AS c
+             FROM w1 JOIN sc ON w1.vec_id = sc.vec_id AND w1.sub = sc.sub
+             GROUP BY 1, 2, 3),
+      a2 AS (SELECT sc.vec_id, sc.sub, c1.cluster,
+               CAST(SUM((s - c) * (s - c)) AS BIGINT) AS d2
+             FROM sc JOIN c1 ON sc.sub = c1.sub AND sc.li = c1.li
+             GROUP BY 1, 2, 3),
+      w2 AS (SELECT vec_id, sub, cluster FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                ORDER BY d2, cluster) AS r FROM a2) WHERE r = 1),
+      c2 AS (SELECT w2.sub, w2.cluster, sc.li,
+               CAST(floor(CAST(CAST(SUM(sc.s) AS BIGINT) AS DOUBLE)
+                 / count(*)) AS BIGINT) AS c
+             FROM w2 JOIN sc ON w2.vec_id = sc.vec_id AND w2.sub = sc.sub
+             GROUP BY 1, 2, 3),
+      a3 AS (SELECT sc.vec_id, sc.sub, c2.cluster,
+               CAST(SUM((s - c) * (s - c)) AS BIGINT) AS d2
+             FROM sc JOIN c2 ON sc.sub = c2.sub AND sc.li = c2.li
+             GROUP BY 1, 2, 3),
+      enc AS (SELECT vec_id, sub, cluster AS code FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                 ORDER BY d2, cluster) AS r FROM a3) WHERE r = 1),
+      dt AS (SELECT q.vec_id AS q_id, c2.sub, c2.cluster AS code,
+               CAST(SUM((q.s - c2.c) * (q.s - c2.c)) AS BIGINT) AS d2
+             FROM sc q JOIN c2 ON q.sub = c2.sub AND q.li = c2.li
+             WHERE q.vec_id IN (0, 1, 2)
+             GROUP BY 1, 2, 3),
+      adc AS (SELECT dt.q_id, enc.vec_id,
+                CAST(SUM(dt.d2) AS BIGINT) AS adc_d2
+              FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+              GROUP BY 1, 2)
+      SELECT q_id, CAST(r AS BIGINT) AS rank, vec_id, adc_d2 FROM
+      (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         ORDER BY adc_d2, vec_id) AS r FROM adc)
+      WHERE r <= 5 ORDER BY q_id, rank"""),
+    (s, dir) => Similarity.pqTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L),
+        m = 4, k = 4, iters = 2, topK = 5)
+      .orderBy("q_id", "rank"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4637,5 +4711,5 @@ object Extensions {
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206, q207, q208, q209)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 }

@@ -560,6 +560,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
   }
 
+  test("pqTopK exactness law: k = n makes every vector its own codeword, " +
+    "so ADC ranking equals brute-force squared distance — for m = 1 AND " +
+    "m = 2") {
+    // 8 distinct 4-dim vectors; with k = 8 the trained codebook IS the
+    // vector set per subspace, encoding is lossless, ADC = exact d2
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 1f, 0f)), (1L, Array(1f, 0f, 0f, 1f)),
+      (2L, Array(0f, 2f, 0f, 0f)), (3L, Array(2f, 0f, 1f, 1f)),
+      (4L, Array(0f, 1f, 2f, 0f)), (5L, Array(1f, 1f, 0f, 2f)),
+      (6L, Array(2f, 2f, 1f, 0f)), (7L, Array(0f, 0f, 0f, 3f)))
+    val embs = vecs.toDF("vec_id", "embedding")
+    val s = 1000000L
+    def exactRank(q: Long): Seq[(Long, Long, Long)] = {
+      val qv = vecs.find(_._1 == q).get._2.map(v => (v * s).toLong)
+      vecs.map { case (id, v) =>
+        val d2 = v.map(x => (x * s).toLong).zip(qv)
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        (id, d2)
+      }.sortBy { case (id, d2) => (d2, id) }.take(3)
+        .zipWithIndex.map { case ((id, d2), r) => (r + 1L, id, d2) }
+    }
+    for (m <- Seq(1, 2)) {
+      val got = Similarity.pqTopK(embs, "vec_id", "embedding",
+          queryIds = Seq(0L, 5L), m = m, k = 8, iters = 2, topK = 3)
+        .orderBy("q_id", "rank")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val want = Seq(0L, 5L).flatMap(q =>
+        exactRank(q).map { case (r, id, d2) => (q, r, id, d2) })
+      assert(got == want, s"m=$m: got $got, want $want")
+      // and in particular every query retrieves ITSELF at rank 1, d2 = 0
+      assert(got.filter(_._2 == 1L).map(r => (r._1, r._3, r._4)) ==
+        Seq((0L, 0L, 0L), (5L, 5L, 0L)))
+    }
+    intercept[IllegalArgumentException] { // 4 dims don't split 3 ways
+      Similarity.pqTopK(embs, "vec_id", "embedding", Seq(0L),
+        m = 3, k = 2, iters = 1, topK = 1)
+    }
+  }
+
   test("kmeansNearDupPairs finds only in-threshold pairs, ordered id_a < id_b") {
     // (1,1) and (1.000001,1) are 1 scaled unit apart; (9,9) is far
     val embs = Seq((5L, Array(1f, 1f)), (2L, Array(1.000001f, 1f)),
