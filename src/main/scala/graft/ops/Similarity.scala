@@ -659,6 +659,43 @@ object Similarity {
     result
   }
 
+  /** Recall audit for [[pqTopK]] — the q190 posture applied to PQ:
+    * measure the compressed index's top-k against the EXACT squared-
+    * distance top-k (same tie-break: (d², id)) and report overlap in
+    * ppm. The exact side is the honest brute-force contrast (queries
+    * broadcast, corpus scanned once); the audit is what a pipeline runs
+    * at sample scale to pick (m, k, iters) before trusting the
+    * compressed index at 100 TB.
+    *
+    * Output: (q_id, k, n_overlap, recall_ppm), one row per query.
+    */
+  def pqRecallAudit(embs: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Seq[Long], m: Int, k: Int, iters: Int,
+                    topK: Int, scale: Double = 1e6): DataFrame = {
+    val pq = pqTopK(embs, idCol, vecCol, queryIds, m, k, iters, topK, scale)
+      .select(col("q_id"), col("vec_id"))
+    val sv = embs.select(col(idCol).as("_id"),
+      transform(col(vecCol),
+        v => floor(v.cast("double") * scale).cast("long")).as("_svec"))
+    val q = sv.filter(col("_id").isin(queryIds: _*))
+      .select(col("_id").as("q_id"), col("_svec").as("_qvec"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("_d2"), col("_id"))
+    val exact = sv.crossJoin(broadcast(q))
+      .withColumn("_d2", aggregate(
+        zip_with(col("_svec"), col("_qvec"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("_r", row_number().over(rankW))
+      .filter(col("_r") <= topK)
+      .select(col("q_id"), col("_id").as("vec_id"))
+    val overlap = pq.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("q_id")).join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), lit(topK.toLong).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("1000000L * n_overlap div k"))
+  }
+
   def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
                 relCol: String, k: Int, lam: Double = 0.5): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

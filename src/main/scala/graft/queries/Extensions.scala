@@ -4626,20 +4626,16 @@ object Extensions {
         .orderBy("lang")
     })
 
-  private val q210 = Q("q210_pq_adc_topk",
-    "product-quantization ANN (Jegou et al. 2011): 64-dim embeddings " +
-      "split into 4x16-dim subspaces, a 4-codeword exact-integer Lloyd " +
-      "codebook per subspace (2 rounds, hash-seeded — q91's trainer, " +
-      "all subspaces in one relation), corpus encoded to 4 codes/vector, " +
-      "3 queries answered by ADC: exact per-(subspace, codeword) " +
-      "distance tables summed over codes — ~64x index compression, " +
-      "corpus floats untouched at query time",
-    Some("""
-      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
-                  unnest(generate_series(1, len(embedding))) AS i
-                  FROM embeddings
-                  WHERE len(embedding) =
-                    (SELECT max(len(embedding)) FROM embeddings)),
+  /** The PQ train→encode→ADC chain (m=4 × 16-dim subspaces, k=4
+    * codewords, 2 Lloyd rounds, queries 0/1/2), shared by q210 (top-k)
+    * and q211 (recall audit). Ends at `adc` (q_id, vec_id, adc_d2).
+    */
+  private val pqCtes = """
+      el AS (SELECT vec_id, unnest(embedding) AS v,
+             unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings
+             WHERE len(embedding) =
+               (SELECT max(len(embedding)) FROM embeddings)),
       sc AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
                     CAST((i - 1) % 16 AS BIGINT) AS li,
                     CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS s
@@ -4690,7 +4686,18 @@ object Extensions {
       adc AS (SELECT dt.q_id, enc.vec_id,
                 CAST(SUM(dt.d2) AS BIGINT) AS adc_d2
               FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
-              GROUP BY 1, 2)
+              GROUP BY 1, 2)"""
+
+  private val q210 = Q("q210_pq_adc_topk",
+    "product-quantization ANN (Jegou et al. 2011): 64-dim embeddings " +
+      "split into 4x16-dim subspaces, a 4-codeword exact-integer Lloyd " +
+      "codebook per subspace (2 rounds, hash-seeded — q91's trainer, " +
+      "all subspaces in one relation), corpus encoded to 4 codes/vector, " +
+      "3 queries answered by ADC: exact per-(subspace, codeword) " +
+      "distance tables summed over codes — ~64x index compression, " +
+      "corpus floats untouched at query time",
+    Some(s"""
+      WITH $pqCtes
       SELECT q_id, CAST(r AS BIGINT) AS rank, vec_id, adc_d2 FROM
       (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          ORDER BY adc_d2, vec_id) AS r FROM adc)
@@ -4699,6 +4706,37 @@ object Extensions {
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L),
         m = 4, k = 4, iters = 2, topK = 5)
       .orderBy("q_id", "rank"))
+
+  private val q211 = Q("q211_pq_recall_audit",
+    "PQ recall audit (q190's sketch-vs-exact posture applied to q210): " +
+      "the compressed index's top-5 measured against the exact squared-" +
+      "distance top-5 per query, overlap in ppm — the (m, k, iters) " +
+      "selection knob a pipeline certifies at sample scale before " +
+      "trusting the codes at 100 TB",
+    Some(s"""
+      WITH $pqCtes,
+      pqtop AS (SELECT q_id, vec_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY adc_d2, vec_id) AS r FROM adc) WHERE r <= 5),
+      ex AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               CAST(SUM((q.s - c.s) * (q.s - c.s)) AS BIGINT) AS d2
+             FROM sc q JOIN sc c ON q.sub = c.sub AND q.li = c.li
+             WHERE q.vec_id IN (0, 1, 2) GROUP BY 1, 2),
+      extop AS (SELECT q_id, vec_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY d2, vec_id) AS r FROM ex) WHERE r <= 5),
+      ov AS (SELECT q_id, count(*) AS n_overlap
+             FROM pqtop JOIN extop USING (q_id, vec_id) GROUP BY 1)
+      SELECT q.q_id AS q_id, CAST(5 AS BIGINT) AS k,
+             CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(1000000 * coalesce(n_overlap, 0) // 5 AS BIGINT)
+               AS recall_ppm
+      FROM (SELECT DISTINCT q_id FROM extop) q LEFT JOIN ov USING (q_id)
+      ORDER BY q_id"""),
+    (s, dir) => Similarity.pqRecallAudit(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L),
+        m = 4, k = 4, iters = 2, topK = 5)
+      .orderBy("q_id"))
 
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
@@ -4711,5 +4749,5 @@ object Extensions {
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
 }

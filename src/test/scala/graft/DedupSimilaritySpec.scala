@@ -597,6 +597,11 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.pqTopK(embs, "vec_id", "embedding", Seq(0L),
         m = 3, k = 2, iters = 1, topK = 1)
     }
+    // and the recall audit reads 100% at the lossless setting
+    val audit = Similarity.pqRecallAudit(embs, "vec_id", "embedding",
+        Seq(0L, 5L), m = 2, k = 8, iters = 2, topK = 3)
+      .orderBy("q_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(audit == Seq((0L, 3L, 3L, 1000000L), (5L, 3L, 3L, 1000000L)))
   }
 
   test("kmeansNearDupPairs finds only in-threshold pairs, ordered id_a < id_b") {
