@@ -67,6 +67,13 @@ object StatefulTracking {
         (key: String, rows: Iterator[(String, Timestamp, Long, Long)],
          state: GroupState[EwmaState]) =>
           val ordered = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          // the batch twin (EventAnalytics.ewmaCents) RAISES on negative
+          // cents because truncating division silently diverges from
+          // floor below zero — the streaming twin enforces the same
+          // contract instead of quietly drifting from it
+          ordered.find(_._4 < 0L).foreach(r =>
+            throw new IllegalArgumentException(
+              s"trackEwma: cents must be >= 0, got ${r._4} for key $key"))
           val prev = state.getOption
           val init = prev.map(_.ewma_cents)
           val folded = ordered.foldLeft(init) {

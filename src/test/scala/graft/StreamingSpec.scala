@@ -239,6 +239,31 @@ class StreamingSpec extends SparkSpec {
       .ewmaCents(all, "k", "ts", "tie", "value")
       .select("ewma_cents").as[Long].collect().toSeq
     assert(batch == Seq(226L))
+    // negative cents: the batch twin raises, so the streaming twin must
+    // too (a truncating fold below zero would silently drift from floor)
+    val base2 = Files.createTempDirectory("graft-ewma-neg").toString
+    Seq(("U2", "2024-01-01 10:00:00", 1L, -5L))
+      .toDF("k", "s", "tie", "cents")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+      .select("k", "ts", "tie", "cents")
+      .coalesce(1).write.mode("append").parquet(s"$base2/src")
+    val badStream = spark.readStream.schema(
+      StructType(Seq(StructField("k", StringType),
+        StructField("ts", TimestampType), StructField("tie", LongType),
+        StructField("cents", LongType)))).parquet(s"$base2/src")
+      .as[(String, java.sql.Timestamp, Long, Long)]
+    val badQ = graft.streaming.StatefulTracking.trackEwma(spark, badStream)
+      .toDF().writeStream
+      .format("noop")
+      .option("checkpointLocation", s"$base2/cp")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      badQ.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("trackEwma")))
   }
 
   test("closedSessionsTws: event-time timers close sessions as the watermark passes") {
