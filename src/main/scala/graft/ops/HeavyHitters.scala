@@ -107,4 +107,60 @@ object HeavyHitters {
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") * k > lit(n))
   }
+
+  /** Count-min sketch point queries with an exact audit — the OTHER
+    * classic frequency summary beside Misra–Gries (Cormode & Muthukrishnan
+    * 2005): `depth` hash rows of `width` counters, each value incrementing
+    * one counter per row, point estimate = min over rows. One-sided error
+    * by construction (estimate ≥ exact, always — collisions only ADD), and
+    * the sketch relation is mergeable by plain per-cell summation, which
+    * is why it survives any partitioning.
+    *
+    * Where [[heavyHitters]] answers "which values are frequent", CMS
+    * answers "how frequent is THIS value" for values chosen after the
+    * scan — the audit reports, per probe, the exact count next to the
+    * estimate so the (depth, width) sizing is certified by measurement
+    * (the q190/q204/q211 sketch-audit posture; overcount ≤ ⌈n/width⌉
+    * per row in expectation, and the gate shows the realized values).
+    *
+    * Hashing is the shared seeded sha256 family (engine-portable — the
+    * oracle builds the identical sketch). NULLs are excluded, as in
+    * [[heavyHitters]].
+    *
+    * Shape at 100 TB: ONE scan exploded ×depth, map-side combined to a
+    * ≤ depth·width-cell sketch (broadcast everywhere after); the exact
+    * pass aggregates only rows matching the ≤|probes| values behind a
+    * pushable isin. No raw-data shuffle, no driver state beyond the
+    * sketch model.
+    *
+    * Output: (value, exact_n, est_n, overcount), one row per probe.
+    */
+  def cmsAudit(df: DataFrame, valueCol: Column, probes: Seq[String],
+               depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be 1..16: $depth")
+    require(width >= 1, s"width must be >= 1: $width")
+    require(probes.nonEmpty && probes.distinct.size == probes.size,
+      s"probes must be non-empty and distinct: $probes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFns
+    val vals = df.select(valueCol.cast("string").as("_v")).na.drop(Seq("_v"))
+    def bucketed(src: DataFrame, v: String) = src
+      .select(col(v), explode(sequence(lit(0L), lit(depth - 1L))).as("_j"))
+      .select(col(v), col("_j"),
+        pmod(TextFns.seededHash64(col("_j"), col(v)), lit(width.toLong))
+          .as("_b"))
+    val sketch = bucketed(vals, "_v")
+      .groupBy("_j", "_b").agg(count(lit(1)).as("_c"))
+    val est = bucketed(probes.toDF("value"), "value")
+      .join(broadcast(sketch), Seq("_j", "_b"), "left")
+      .groupBy("value")
+      .agg(min(coalesce(col("_c"), lit(0L))).as("est_n"))
+    val exact = vals.filter(col("_v").isin(probes: _*))
+      .groupBy(col("_v").as("value")).agg(count(lit(1)).as("exact_n"))
+    est.join(exact, Seq("value"), "left")
+      .select(col("value"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"), col("est_n"))
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+  }
 }

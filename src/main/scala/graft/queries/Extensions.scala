@@ -4738,6 +4738,39 @@ object Extensions {
         m = 4, k = 4, iters = 2, topK = 5)
       .orderBy("q_id"))
 
+  private val q212 = Q("q212_cms_audit",
+    "count-min sketch point queries certified by exact counts (Cormode-" +
+      "Muthukrishnan; the frequency-summary complement of q132's Misra-" +
+      "Gries): depth-4 x width-64 seeded-sha256 sketch over event " +
+      "user_ids, ten probe keys, per-probe (exact, estimate, overcount) " +
+      "— one-sided error realized and measured, never assumed; one scan " +
+      "to a 256-cell mergeable sketch, no raw-data shuffle",
+    Some("""
+      WITH v AS (SELECT CAST(user_id AS VARCHAR) AS val FROM events
+                 WHERE user_id IS NOT NULL),
+      inc AS (SELECT j, CAST('0x' || substr(sha256(
+                CAST(j AS VARCHAR) || ':' || val), 1, 15) AS BIGINT) % 64
+                AS b
+              FROM v CROSS JOIN generate_series(0, 3) t(j)),
+      sk AS (SELECT j, b, count(*) AS c FROM inc GROUP BY 1, 2),
+      pr AS (SELECT CAST(p AS VARCHAR) AS value, j,
+               CAST('0x' || substr(sha256(CAST(j AS VARCHAR) || ':' ||
+                 CAST(p AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+             FROM generate_series(0, 9) q(p)
+               CROSS JOIN generate_series(0, 3) t(j)),
+      est AS (SELECT value, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_n
+              FROM pr LEFT JOIN sk USING (j, b) GROUP BY 1),
+      ex AS (SELECT val AS value, count(*) AS n FROM v
+             WHERE val IN ('0','1','2','3','4','5','6','7','8','9')
+             GROUP BY 1)
+      SELECT e.value AS value, CAST(coalesce(ex.n, 0) AS BIGINT) AS exact_n,
+             est_n, CAST(est_n - coalesce(ex.n, 0) AS BIGINT) AS overcount
+      FROM est e LEFT JOIN ex ON e.value = ex.value
+      ORDER BY CAST(e.value AS BIGINT)"""),
+    (s, dir) => graft.ops.HeavyHitters.cmsAudit(t(s, dir, "events"),
+        col("user_id"), (0 to 9).map(_.toString))
+      .orderBy(col("value").cast("long")))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4749,5 +4782,5 @@ object Extensions {
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
 }

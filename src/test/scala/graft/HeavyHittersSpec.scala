@@ -81,4 +81,30 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("value", "n_occurrences"))
     assert(got.count() == 0)
   }
+
+  test("cmsAudit: one-sided error (est >= exact always), wide sketch is " +
+    "exact, width-1 degenerates to the row total, absent probes read 0") {
+    val data = (0 until 400).map(i => s"k${i % 7}").toDF("w") // 7 keys
+    // narrow sketch: collisions allowed, but the estimate NEVER undercounts
+    val narrow = HeavyHitters.cmsAudit(data, col("w"),
+        (0 until 7).map(i => s"k$i") :+ "absent", depth = 2, width = 4)
+      .as[(String, Long, Long, Long)].collect()
+    assert(narrow.length == 8)
+    narrow.foreach { case (v, exact, est, over) =>
+      assert(est >= exact && over == est - exact, s"$v: $exact/$est")
+      if (v != "absent") assert(exact == (if (v == "k0") 58 else 57))
+    }
+    // wide sketch: 7 keys in 4096 buckets x 4 rows -> no surviving collision
+    val wide = HeavyHitters.cmsAudit(data, col("w"),
+        (0 until 7).map(i => s"k$i"), depth = 4, width = 4096)
+      .as[(String, Long, Long, Long)].collect()
+    wide.foreach { case (v, exact, est, over) =>
+      assert(over == 0L && est == exact, s"$v overcounted: $exact/$est")
+    }
+    // depth 1, width 1: every value lands in the single cell
+    val degenerate = HeavyHitters.cmsAudit(data, col("w"), Seq("k0"),
+        depth = 1, width = 1)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(degenerate == (("k0", 58L, 400L, 342L)))
+  }
 }
