@@ -627,6 +627,72 @@ object Profile {
           "AS BIGINT)").as("add_sum"))
   }
 
+  /** Pearson chi-square independence census over two categorical columns
+    * — the CATEGORICAL drift/association complement of [[ksTwoSample]]
+    * (continuous) and `sourceDriftTvd` (one-vs-rest): are `rowCol` and
+    * `colCol` distributed independently? Reports the full-table statistic
+    * in exact integer ppm plus the top contributing cells, so the answer
+    * names WHICH (row, col) combinations drive the association — the
+    * actionable half a bare p-value hides.
+    *
+    * Exact integer arithmetic: with o = cell count, r/c = margins, N =
+    * total, each cell's scaled contribution is
+    * ⌊10⁶·(o·N − r·c)² / (N·r·c)⌋ (the algebraic (o−e)²/e with e = r·c/N,
+    * cleared of fractions); per-cell floor division is part of the
+    * cross-engine contract. ZERO cells are included — a missing (r, c)
+    * combination contributes r·c·10⁶/N² — via the margins cross join,
+    * never assumed away. Overflow bound: (o·N − r·c)² ≤ N⁴ must fit
+    * DECIMAL(38,0) ⇒ exact while N ≤ ~3·10⁹ input rows; past that,
+    * chi-square pre-binned counts (the table is usually an aggregate
+    * anyway) or scale counts down — documented, not silent.
+    *
+    * Shape at 100 TB: ONE map-side-combined aggregate collapses the raw
+    * data to ≤ |rows|·|cols| cells; margins are windows over that tiny
+    * cell relation; the dense grid is a margins×margins cross join
+    * (category-sized, not data-sized). Output: one row per cell
+    * (row_val, col_val, n_obs, term_ppm) plus the caller sums — or use
+    * the companion one-row summary via `.agg`.
+    */
+  def chiSquareCells(df: DataFrame, rowCol: Column,
+                     colCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .select(rowCol.cast("string").as("row_val"),
+        colCol.cast("string").as("col_val"))
+      .filter(col("row_val").isNotNull && col("col_val").isNotNull)
+      .groupBy("row_val", "col_val").agg(count(lit(1)).as("_o"))
+    val rows = cells.groupBy("row_val").agg(sum("_o").as("_r"))
+    val cols = cells.groupBy("col_val").agg(sum("_o").as("_c"))
+    // N sums the row margins BEFORE the grid cross join — summed after,
+    // each margin would count once per column and inflate N by |cols|
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val grid = rows.withColumn("_n", sum(col("_r")).over(wAll))
+      .crossJoin(cols)
+    grid.join(cells, Seq("row_val", "col_val"), "left")
+      .withColumn("n_obs", coalesce(col("_o"), lit(0L)))
+      .select(col("row_val"), col("col_val"), col("n_obs"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+          "CAST(n_obs * _n - _r * _c AS DECIMAL(38,0)) * " +
+          "CAST(n_obs * _n - _r * _c AS DECIMAL(38,0))) div " +
+          "(CAST(_n AS DECIMAL(38,0)) * _r * _c) AS BIGINT)")
+          .as("term_ppm"))
+  }
+
+  /** One-row roll-up of [[chiSquareCells]]: (n, n_rows, n_cols, dof,
+    * chi2_ppm). chi2_ppm / 10⁶ is the Pearson statistic; compare against
+    * the chi-square quantile for dof = (rows−1)(cols−1) offline.
+    */
+  def chiSquareSummary(df: DataFrame, rowCol: Column,
+                       colCol: Column): DataFrame =
+    chiSquareCells(df, rowCol, colCol)
+      .agg(sum(col("n_obs")).as("n"),
+        countDistinct(col("row_val")).as("n_rows"),
+        countDistinct(col("col_val")).as("n_cols"),
+        sum(col("term_ppm")).as("chi2_ppm"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        col("chi2_ppm"))
+
   def ksTwoSample(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val wCum = org.apache.spark.sql.expressions.Window

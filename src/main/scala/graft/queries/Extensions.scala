@@ -4771,6 +4771,38 @@ object Extensions {
         col("user_id"), (0 to 9).map(_.toString))
       .orderBy(col("value").cast("long")))
 
+  private val q213 = Q("q213_chi_square_cells",
+    "Pearson chi-square independence census over the (source, lang) " +
+      "contingency table — the categorical drift/association complement " +
+      "of q169's KS: every cell's exact-integer scaled contribution " +
+      "floor(1e6*(o*N - r*c)^2 / (N*r*c)), ZERO cells included via the " +
+      "margins cross join (a missing combination is evidence, not " +
+      "absence); one map-side-combined aggregate collapses the corpus " +
+      "to the category-sized cell relation",
+    Some("""
+      WITH cells AS (SELECT source AS row_val, lang AS col_val,
+                       count(*) AS o
+                     FROM documents GROUP BY 1, 2),
+      r AS (SELECT row_val, CAST(SUM(o) AS BIGINT) AS rr
+            FROM cells GROUP BY 1),
+      c AS (SELECT col_val, CAST(SUM(o) AS BIGINT) AS cc
+            FROM cells GROUP BY 1),
+      n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+      grid AS (SELECT row_val, col_val, rr, cc, nn
+               FROM r CROSS JOIN c CROSS JOIN n),
+      j AS (SELECT g.row_val, g.col_val,
+              CAST(coalesce(cells.o, 0) AS BIGINT) AS n_obs, rr, cc, nn
+            FROM grid g LEFT JOIN cells
+              ON g.row_val = cells.row_val AND g.col_val = cells.col_val)
+      SELECT row_val, col_val, n_obs,
+        CAST((CAST(1000000 AS HUGEINT) * (n_obs * nn - rr * cc) *
+          (n_obs * nn - rr * cc)) // (CAST(nn AS HUGEINT) * rr * cc)
+          AS BIGINT) AS term_ppm
+      FROM j ORDER BY row_val, col_val"""),
+    (s, dir) => Profile.chiSquareCells(t(s, dir, "documents"),
+        col("source"), col("lang"))
+      .orderBy("row_val", "col_val"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4782,5 +4814,5 @@ object Extensions {
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
 }

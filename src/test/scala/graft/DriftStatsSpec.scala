@@ -367,6 +367,39 @@ class DriftStatsSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 11L), (1L, 13L), (2L, 13L)))
   }
 
+  test("chiSquareCells: perfectly independent table reads 0 everywhere; " +
+    "hand-computed 2x2; zero cells contribute r*c*1e6/N^2") {
+    import graft.ops.Profile
+    // independent: every (row, col) cell = 5, margins 10x10, N = 20 →
+    // o*N - r*c = 100 - 100 = 0 for every cell
+    val indep = (for (r <- Seq("a", "b"); c <- Seq("x", "y");
+                      _ <- 0 until 5) yield (r, c)).toDF("r", "c")
+    val t0 = Profile.chiSquareCells(indep, col("r"), col("c"))
+      .as[(String, String, Long, Long)].collect()
+    assert(t0.length == 4 && t0.forall(_._4 == 0L))
+    // skewed 2x2: a→x 8, a→y 2, b→x 2, b→y 8; N=20, all margins 10
+    // each cell: (o*20 - 100)^2 / (20*100) → (60)^2/2000 = 1.8 → 1800000
+    val skew = (Seq.fill(8)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(2)(("b", "x")) ++ Seq.fill(8)(("b", "y"))).toDF("r", "c")
+    val t1 = Profile.chiSquareCells(skew, col("r"), col("c"))
+      .as[(String, String, Long, Long)].collect()
+    assert(t1.forall(_._4 == 1800000L), t1.mkString(","))
+    val sum1 = Profile.chiSquareSummary(skew, col("r"), col("c"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(sum1 == ((20L, 2L, 2L, 1L, 7200000L))) // chi2 = 7.2, dof 1
+    // zero cell: a→x 6, a→y 2, b→x 2 (b→y ABSENT) — the missing cell
+    // must appear with n_obs = 0 and term = floor(1e6*(r*c)^2/(N*r*c))
+    //   = floor(1e6 * r*c / N) ... r(b)=2, c(y)=2, N=10 → (0*10-4)^2=16;
+    //   N*r*c = 40 → 16e6/40 = 400000
+    val hole = (Seq.fill(6)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(2)(("b", "x"))).toDF("r", "c")
+    val t2 = Profile.chiSquareCells(hole, col("r"), col("c"))
+      .as[(String, String, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4)).toMap
+    assert(t2(("b", "y")) == ((0L, 400000L)))
+    assert(t2.size == 4)
+  }
+
   test("overlapJoin: negative or inverted bounds raise instead of " +
     "silently mis-bucketing") {
     import graft.ops.Intervals
