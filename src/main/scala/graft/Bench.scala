@@ -16,6 +16,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
