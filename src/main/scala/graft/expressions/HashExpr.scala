@@ -363,6 +363,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (c.length > 1) litInt(c(1), "graft_deletion_neighborhood") else 2))
     inject("graft_dot_scaled", c =>
       DotScaled(c(0), c(1), graft.functions.VectorFns.Scale))
+    inject("graft_sum128", c =>
+      Sum128(org.apache.spark.sql.catalyst.expressions.Cast(c.head,
+        org.apache.spark.sql.types.LongType)))
     inject("graft_norm2_scaled", c =>
       Norm2Scaled(c.head, graft.functions.VectorFns.Scale))
     inject("graft_unicode_norm", c =>

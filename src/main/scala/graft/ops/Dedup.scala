@@ -245,11 +245,15 @@ object Dedup {
     * pairs.
     *
     * Shape at 100 TB: candidates come from [[minHashLshCandidates]]
-    * (band-bucketed, never all-pairs); texts join back onto the
-    * candidate relation (two id-keyed joins, candidate-sized); the
-    * verify is row-local codegen `levenshtein`. The expensive kernel
-    * runs on exactly the pairs the sketch proposes — the standard
-    * sketch-then-verify cost model.
+    * (band-bucketed, never all-pairs). The candidate relation is tiny
+    * relative to the corpus, so it is BROADCAST into both text joins —
+    * the corpus text column streams through two broadcast hash joins and
+    * never shuffles. The surviving pair rows then get an EXPLICIT-COUNT
+    * repartition before the Levenshtein kernel: the pair relation is a
+    * few KB of ids but carries O(len²) CPU per row, and AQE's
+    * input-bytes-driven coalescing would otherwise fold the whole verify
+    * stage onto one task (the expansion-join trap, CPU flavor — the
+    * explicit numPartitions exempts the exchange from coalescing).
     */
   def minHashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            maxDistance: Int, numHashes: Int = 16,
@@ -259,7 +263,10 @@ object Dedup {
     val cands = minHashLshCandidates(sigs, idCol, rowsPerBand)
     val ta = docs.select(col(idCol).as("doc_a"), col(textCol).as("_ta"))
     val tb = docs.select(col(idCol).as("doc_b"), col(textCol).as("_tb"))
-    cands.join(ta, "doc_a").join(tb, "doc_b")
+    val verifyParts =
+      docs.sparkSession.sessionState.conf.numShufflePartitions * 3
+    broadcast(broadcast(cands).join(ta, "doc_a")).join(tb, "doc_b")
+      .repartition(verifyParts, col("doc_a"), col("doc_b"))
       .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")))
       .filter(col("edit_dist") <= maxDistance)
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),

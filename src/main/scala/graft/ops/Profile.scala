@@ -288,16 +288,31 @@ object Profile {
     require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
     val unsafe = cols.filterNot(SafeName.matches)
     require(unsafe.isEmpty, s"column names must be simple identifiers: $unsafe")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // per-row arithmetic stays in LONG (a cents product of two 2-decimal
     // measures fits int64 up to ~±3·10⁹ per column — far beyond money
-    // ranges); only the cross-row SUMS widen to DECIMAL(38,0), where the
-    // int64 overflow actually lives at 100 TB row counts. The previous
-    // all-decimal per-row form was ~2× slower for identical results.
+    // ranges); only the cross-row SUMS are 128-bit, where the int64
+    // overflow actually lives at 100 TB row counts. Cents come from
+    // round(x·100) in DOUBLE, not a DECIMAL(18,2) cast: both are HALF_UP,
+    // and for any |x| ≲ 9·10¹¹ the float error of x·100 is far below the
+    // 0.5 rounding slack, so the two paths agree on every input — while
+    // the decimal cast allocates a BigDecimal per row and was the single
+    // largest per-row cost of the whole matrix scan.
     val cents = cols.map(c =>
-      (col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-        .cast("long").as("_c_" + c))
-    val base = df.select(groupCols.map(col) ++ cents: _*)
+      round(col(c) * 100).cast("long").as("_c_" + c))
+    val base0 = df.select(groupCols.map(col) ++ cents: _*)
+    // Feed every core even when the source can't: parquet splits at row
+    // -group granularity, so a single-row-group file (the shape of the
+    // small-SF test tables) hands the ENTIRE scan+update loop to one task
+    // — measured as the whole cost of this operator. When the planned
+    // split count can't occupy half the cluster, spread the narrow cents
+    // projection (a few longs per row) with one round-robin shuffle; on
+    // real many-row-group data the guard sees enough splits and the plan
+    // stays exchange-free. base0 has no exchanges, so .rdd here only
+    // compiles the plan — it cannot trigger a job.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (base0.rdd.getNumPartitions * 2 < par) base0.repartition(par)
+      else base0
     val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
     // PAIRWISE-COMPLETE statistics (Spark's own corr convention): every
     // stat for pair (a, b) covers exactly the rows where BOTH are
@@ -305,19 +320,33 @@ object Profile {
     // wrong under nulls — n would count rows the null-skipping sums drop,
     // which skews corr arbitrarily (it can even flip sign); a value
     // overflowing DECIMAL(18,2) nulls out and corrupts identically.
+    // Sum128, not sum(.cast(DECIMAL(38,0))): same null-skipping exact
+    // 128-bit semantics, but the running sums live in two codegen longs
+    // instead of a per-row BigDecimal add — on a 4-column matrix this is
+    // 36 aggregate buffers touched per row, and the decimal form made the
+    // buffer updates (not the scan) the dominant cost.
     val aggs = pairs.flatMap { case (a, b) =>
       val ca = col("_c_" + a); val cb = col("_c_" + b)
       val both = ca.isNotNull && cb.isNotNull
       Seq(
-        sum(when(both, 1L)).cast(dec).as(s"_n_${a}_$b"),
-        sum(when(both, ca).cast(dec)).as(s"_sa_${a}_$b"),
-        sum(when(both, cb).cast(dec)).as(s"_sb_${a}_$b"),
-        sum(when(both, ca * ca).cast(dec)).as(s"_qa_${a}_$b"),
-        sum(when(both, cb * cb).cast(dec)).as(s"_qb_${a}_$b"),
-        sum(when(both, ca * cb).cast(dec)).as(s"_p_${a}_$b"))
+        graft.expressions.Sum128(when(both, 1L)).as(s"_n_${a}_$b"),
+        graft.expressions.Sum128(when(both, ca)).as(s"_sa_${a}_$b"),
+        graft.expressions.Sum128(when(both, cb)).as(s"_sb_${a}_$b"),
+        graft.expressions.Sum128(when(both, ca * ca)).as(s"_qa_${a}_$b"),
+        graft.expressions.Sum128(when(both, cb * cb)).as(s"_qb_${a}_$b"),
+        graft.expressions.Sum128(when(both, ca * cb)).as(s"_p_${a}_$b"))
     }
-    val wide = base.groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    // A GROUPED HashAggregate even when the matrix is global: with no
+    // grouping key the wide buffer set lives as local variables in one
+    // unsplittable whole-stage-codegen method, which blows past the JIT's
+    // huge-method limit at ~36 buffers and drops the hot loop to
+    // interpreted bytecode (measured 3× slower than the same aggregate
+    // keyed on a constant). The constant key routes through the unsafe-row
+    // hash-map path whose update code Spark splits into JIT-able
+    // functions; the map holds exactly one entry, so the detour is free.
+    val effGroups = if (groupCols.isEmpty) Seq(lit(0).as("_g")) else groupCols.map(col)
+    val wide0 = base.groupBy(effGroups: _*).agg(aggs.head, aggs.tail: _*)
+    val wide = if (groupCols.isEmpty) wide0.drop("_g") else wide0
     val stackArgs = pairs.map { case (a, b) =>
       s"'$a', '$b', coalesce(`_n_${a}_$b`, CAST(0 AS DECIMAL(38,0))), " +
         s"`_sa_${a}_$b`, `_sb_${a}_$b`, `_qa_${a}_$b`, `_qb_${a}_$b`, " +
