@@ -120,9 +120,13 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct().persist()
+    // deg is REUSED after e unpersists (orientation join now, node and
+    // wedge counts at the end) — cache the per-node rows or the final
+    // aggregates silently rebuild the full edge scan + distinct, twice
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist()
     // orient a->b when (deg,node) of a sorts below b; struct compare is
     // lexicographic, mirroring the documented total order
     val oa = struct(col("da").as("d"), col("a").as("n"))
@@ -151,14 +155,14 @@ object Graph {
       .join(ort.select(col("src").as("wsrc"), col("dst").as("wdst")),
         Seq("wsrc", "wdst"))
 
-    val nodesDf = deg.agg(count(lit(1)).as("nodes"))
+    val nodeWedgeDf = deg.agg(count(lit(1)).as("nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("wedges"))
     val edgesDf = ort.agg(count(lit(1)).as("edges"))
-    val wedgesDf = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("wedges"))
     val triDf = closed.agg(count(lit(1)).as("triangles"))
     // wedge-free graphs (every component a single edge) get an explicit NULL
     // coefficient: `div 0` is NULL in Spark but an error in ANSI engines, so
     // the guard makes the degenerate case portable instead of engine-luck
-    nodesDf.crossJoin(edgesDf).crossJoin(wedgesDf).crossJoin(triDf)
+    nodeWedgeDf.crossJoin(edgesDf).crossJoin(triDf)
       .select(col("nodes"), col("edges"), col("wedges"), col("triangles"),
         when(col("wedges") > 0,
           expr("3L * triangles * 1000000L div wedges")).as("global_cc_ppm"))
