@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Interchange-format seams beyond parquet — the ingest/egress surface a
   * corpus pipeline actually meets in the wild: columnar ORC for
@@ -58,5 +58,124 @@ object Formats {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
+  }
+
+  /** Avro Object Container File interchange — the row-oriented exchange
+    * format of Kafka/stream-adjacent pipelines. This build carries the
+    * core `org.apache.avro` library but NOT the `spark-avro` datasource
+    * module, so the container IO is implemented directly on the public
+    * Avro API: ONE OCF per input partition on write (task-local
+    * sequential IO, no driver involvement beyond the job), and on read
+    * one task per container file decoding through a STREAMING iterator —
+    * a file is never buffered whole, so a multi-GB container costs one
+    * record of memory at a time. Supported column types: long, int,
+    * double, string, boolean, binary; nullability maps to
+    * union(null, T) both ways.
+    */
+  def writeAvro(df: DataFrame, path: String): Long = {
+    val schema = df.schema
+    val json = avroSchemaJson(schema)
+    new java.io.File(path).mkdirs()
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val sch = new org.apache.avro.Schema.Parser().parse(json)
+      val out = new java.io.File(path, f"part-$pid%05d.avro")
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](sch))
+      w.create(sch, out)
+      var n = 0L
+      try {
+        rows.foreach { r =>
+          val rec = new org.apache.avro.generic.GenericData.Record(sch)
+          var i = 0
+          while (i < schema.length) {
+            rec.put(i,
+              if (r.isNullAt(i)) null
+              else schema(i).dataType match {
+                case BinaryType =>
+                  java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+                case _ => r.get(i)
+              })
+            i += 1
+          }
+          w.append(rec)
+          n += 1
+        }
+      } finally w.close()
+      Iterator.single(n)
+    }.sum().toLong
+  }
+
+  /** Read a [[writeAvro]] layout back as a DataFrame with `schema`. */
+  def readAvro(spark: org.apache.spark.sql.SparkSession, path: String,
+               schema: StructType): DataFrame = {
+    val files = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    val fields = schema.fields
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, files.length))
+      .flatMap { fp =>
+        val reader = org.apache.avro.file.DataFileReader.openReader(
+          new java.io.File(fp),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        new Iterator[Row] {
+          private var open = true
+          override def hasNext: Boolean = {
+            if (!open) return false
+            val h = reader.hasNext
+            if (!h) { reader.close(); open = false }
+            h
+          }
+          override def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq(fields.indices.map { i =>
+              rec.get(i) match {
+                case null => null
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case b: java.nio.ByteBuffer =>
+                  val a = new Array[Byte](b.remaining()); b.get(a); a
+                case v => v
+              }
+            })
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** [[writeAvro]] then [[readAvro]] — the fidelity-gate form. */
+  def avroRoundTrip(df: DataFrame, path: String): DataFrame = {
+    val schema = df.schema
+    writeAvro(df, path)
+    readAvro(df.sparkSession, path, schema)
+  }
+
+  private def avroType(dt: DataType): String = dt match {
+    case LongType => "\"long\""
+    case IntegerType => "\"int\""
+    case DoubleType => "\"double\""
+    case StringType => "\"string\""
+    case BooleanType => "\"boolean\""
+    case BinaryType => "\"bytes\""
+    case other => throw new IllegalArgumentException(
+      s"avro seam supports primitive columns only, got $other")
+  }
+
+  private val AvroName = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  private def avroSchemaJson(schema: StructType): String = {
+    val unsafe = schema.fieldNames.filterNot(AvroName.matches)
+    require(unsafe.isEmpty,
+      s"avro field names must be simple identifiers: ${unsafe.toSeq}")
+    // a default is only legal when it matches the FIRST union branch, so
+    // nullable fields carry "default": null and required ones carry none
+    val fs = schema.fields.map { f =>
+      if (f.nullable)
+        s"""{"name": "${f.name}", "type": ["null", ${avroType(f.dataType)}], "default": null}"""
+      else
+        s"""{"name": "${f.name}", "type": ${avroType(f.dataType)}}"""
+    }
+    s"""{"type": "record", "name": "graft_row", "fields": [${fs.mkString(", ")}]}"""
   }
 }

@@ -749,6 +749,62 @@ object Profile {
           "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("ks_ppm"))
   }
 
+  /** Mann–Whitney U rank-sum test between two samples — [[ksTwoSample]]'s
+    * rank-based sibling (sensitive to stochastic dominance rather than
+    * max CDF gap), in EXACT integers: ties take midranks, and since a tie
+    * run over ranks [r, r+t−1] has midrank (2r+t−1)/2, every DOUBLED
+    * midrank 2r+t−1 is an integer — the statistics come out of pure int64
+    * arithmetic, bit-portable across engines (the halving is the
+    * caller's, as is the normal approximation; the tie-correction term
+    * Σ(t³−t) ships so the variance needs no second pass).
+    *
+    * Output (one row): n_a, n_b, u2_a, u2_b (DOUBLED U statistics,
+    * u2_a + u2_b = 2·n_a·n_b by construction — a self-check an auditor
+    * can run on the row), tie_cubes = Σ(t³−t) over tie groups.
+    *
+    * Shape at 100 TB: one map-side-combined aggregate collapses the data
+    * to the distinct-value relation; the rank accumulation is ONE window
+    * over THAT (value-cardinality-sized) relation, then a one-row
+    * aggregate — the raw data is never globally sorted. Same posture as
+    * [[ksTwoSample]]; for unbounded continuous domains pre-bucket to a
+    * grid first.
+    */
+  def mannWhitney(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val perValue = df
+      .select(valueCol.as("__v"),
+        when(isA, 1L).otherwise(0L).as("__a"),
+        when(isA, 0L).otherwise(1L).as("__b"))
+      // a NULL value has no rank; admitting it would silently shift every
+      // real rank (NULLS FIRST) — excluded, like a pairwise-incomplete row
+      .filter(col("__v").isNotNull)
+      .groupBy("__v")
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    perValue
+      .withColumn("__t", col("__ca") + col("__cb"))
+      .withColumn("__start",
+        coalesce(sum(col("__t")).over(wPrev), lit(0L)) + 1L)
+      // doubled midrank of every member of this tie run
+      .withColumn("__dm", lit(2L) * col("__start") + col("__t") - 1L)
+      .agg(
+        sum(col("__ca")).as("n_a"),
+        sum(col("__cb")).as("n_b"),
+        sum((col("__ca") * col("__dm")).cast(dec)).as("__r2a"),
+        sum((col("__cb") * col("__dm")).cast(dec)).as("__r2b"),
+        sum((col("__t") * col("__t") * col("__t") - col("__t")).cast(dec))
+          .as("__tc"))
+      .select(col("n_a"), col("n_b"),
+        (col("__r2a") - (col("n_a").cast(dec) * (col("n_a") + 1L)))
+          .cast("long").as("u2_a"),
+        (col("__r2b") - (col("n_b").cast(dec) * (col("n_b") + 1L)))
+          .cast("long").as("u2_b"),
+        col("__tc").cast("long").as("tie_cubes"))
+  }
+
   /** EXACT equi-join cardinality prediction from per-key histograms —
     * |A ⋈ B| restricted to key k is cA(k)·cB(k), so the full join size is
     * predictable from two count aggregates WITHOUT executing the join.

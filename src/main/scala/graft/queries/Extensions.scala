@@ -4803,6 +4803,60 @@ object Extensions {
         col("source"), col("lang"))
       .orderBy("row_val", "col_val"))
 
+  private val q214 = Q("q214_avro_roundtrip",
+    "Avro OCF interchange round trip WITHOUT the spark-avro module: one " +
+      "container file per partition written through the public Avro API, " +
+      "re-read via one streaming-decode task per container, per-lang " +
+      "count + char sum + text-hash XOR prove bit-perfect fidelity vs " +
+      "the parquet original (q207's ORC contract on the row-oriented " +
+      "stream-side format); nullability maps to union(null,T) both ways",
+    Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             bit_xor(CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT))
+               AS text_xor
+      FROM documents GROUP BY 1 ORDER BY lang"""),
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q214")
+        .toString + "/docs_avro"
+      Formats.avroRoundTrip(t(s, dir, "documents"), path)
+        .withColumn("_h", graft.functions.TextFns.hash64(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          expr("bit_xor(_h)").as("text_xor"))
+        .orderBy("lang")
+    })
+
+  private val q215 = Q("q215_mann_whitney",
+    "Mann-Whitney U rank-sum test (are English docs longer?): doubled " +
+      "midranks keep tied ranks in pure int64 — u2_a + u2_b = 2*n_a*n_b " +
+      "is an auditable invariant of the output row, and the tie term " +
+      "sum(t^3-t) ships for the variance; one map-side-combined " +
+      "aggregate to the distinct-length relation, one window over THAT, " +
+      "never a global sort of the data (q169 KS's rank-based sibling)",
+    Some("""
+      WITH s AS (SELECT n_chars AS v,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+                 FROM documents WHERE n_chars IS NOT NULL),
+      c AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                   CAST(sum(1 - a) AS BIGINT) AS cb FROM s GROUP BY v),
+      w AS (SELECT v, ca, cb, ca + cb AS t,
+              coalesce(sum(ca + cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                AS start
+            FROM c)
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(ca * (2*start + t - 1))
+                  - sum(ca) * (sum(ca) + 1) AS BIGINT) AS u2_a,
+             CAST(sum(cb * (2*start + t - 1))
+                  - sum(cb) * (sum(cb) + 1) AS BIGINT) AS u2_b,
+             CAST(sum(t*t*t - t) AS BIGINT) AS tie_cubes
+      FROM w"""),
+    (s, dir) => Profile.mannWhitney(t(s, dir, "documents"),
+      col("n_chars"), col("lang") === "en"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4814,5 +4868,6 @@ object Extensions {
     q167, q168, q169, q170, q171, q172, q173, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
+    q214, q215)
 }

@@ -74,6 +74,48 @@ class DriftStatsSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 2L, 3L, 500000L)))
   }
 
+  test("mannWhitney: hand-computed midranks incl. a cross-group tie run") {
+    // values: a = {1, 3, 3}, b = {3, 5}; ranks: 1->1, the 3-run holds
+    // ranks 2..4 (midrank 3, doubled 6), 5->5
+    // R_a = 1 + 3 + 3 = 7 -> U_a = 7 - 3*4/2 = 1 -> u2_a = 2
+    // R_b = 3 + 5 = 8    -> U_b = 8 - 2*3/2 = 5 -> u2_b = 10
+    // tie_cubes = 3^3 - 3 = 24; invariant: 2 + 10 = 2*3*2
+    val df = Seq((1, true), (3, true), (3, true), (3, false), (5, false))
+      .toDF("v", "a")
+    val got = Profile.mannWhitney(df, col("v"), col("a"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((3L, 2L, 2L, 10L, 24L)))
+  }
+
+  test("mannWhitney: property — doubled-U identity, null exclusion, and " +
+    "brute-force midrank agreement on random data") {
+    val rnd = new scala.util.Random(1234)
+    for (round <- 0 until 3) {
+      val rows = (0 until 200).map { i =>
+        (if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(12)),
+          rnd.nextBoolean())
+      }
+      val df = rows.map { case (v, a) => (v, a) }.toDF("v", "a")
+      val got = Profile.mannWhitney(df, col("v"), col("a"))
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      val (na, nb, u2a, u2b, tc) = got
+      assert(u2a + u2b == 2 * na * nb, s"round $round identity: $got")
+      // brute force: sort non-null values, assign doubled midranks
+      val vs = rows.collect { case (Some(v), a) => (v, a) }
+      assert(na == vs.count(_._2) && nb == vs.count(!_._2))
+      val sorted = vs.sortBy(_._1)
+      val dmByValue = sorted.map(_._1).zipWithIndex
+        .groupBy(_._1).map { case (v, idx) =>
+          v -> (2 * (idx.map(_._2).min + 1) + idx.size - 1).toLong
+        }
+      val r2a = vs.filter(_._2).map(x => dmByValue(x._1)).sum
+      assert(u2a == r2a - na * (na + 1), s"round $round u2_a: $got vs $r2a")
+      val tcExp = sorted.groupBy(_._1).values
+        .map(g => g.size.toLong).map(t => t * t * t - t).sum
+      assert(tc == tcExp, s"round $round ties: $got vs $tcExp")
+    }
+  }
+
   test("zipfOctaves: rank octaves via bin-length, deterministic ties") {
     val docs = Seq(("s", "a a a b b c")).toDF("source", "text")
     val got = TextAnalysis.zipfOctaves(docs)

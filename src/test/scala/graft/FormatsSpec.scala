@@ -70,4 +70,42 @@ class FormatsSpec extends SparkSpec {
     assert(corrupt.forall(r => r._1.isEmpty && r._2.isEmpty && r._3.isEmpty))
     assert(corrupt.map(_._4.get).toSet == bad.toSet)
   }
+
+  test("avroRoundTrip: fidelity across nulls, unicode, binary, booleans " +
+    "and empty partitions; one container per partition") {
+    val rows = Seq(
+      (1L, Some("héllo ✓ wörld"), Some(2.5), Some(true),
+        Some(Array[Byte](0, 1, -1, 127))),
+      (2L, None, None, None, None),
+      (3L, Some(""), Some(-0.0), Some(false), Some(Array.emptyByteArray)))
+    val df = rows.toDF("id", "s", "d", "b", "bin").repartition(4) // > rows
+    val path = java.nio.file.Files.createTempDirectory("graft-avro")
+      .toString + "/t"
+    val back = Formats.avroRoundTrip(df, path)
+    assert(back.schema == df.schema)
+    val got = back.orderBy("id")
+      .as[(Long, Option[String], Option[Double], Option[Boolean],
+        Option[Array[Byte]])]
+      .collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got.map(_._2) == rows.map(_._2))
+    assert(got.map(_._3) == rows.map(_._3))
+    assert(got.map(_._4) == rows.map(_._4))
+    assert(got.map(_._5.map(_.toSeq)) == rows.map(_._5.map(_.toSeq)))
+    // one OCF per input partition, including the empty ones (a reader
+    // must tolerate zero-record containers)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 4)
+  }
+
+  test("avroRoundTrip: unsupported column types and unsafe names are " +
+    "rejected up front") {
+    val arr = Seq((1L, Seq(1, 2))).toDF("id", "xs")
+    intercept[IllegalArgumentException](Formats.writeAvro(arr,
+      java.nio.file.Files.createTempDirectory("graft-avro-bad").toString))
+    val odd = Seq((1L, "x")).toDF("id", "weird name")
+    intercept[IllegalArgumentException](Formats.writeAvro(odd,
+      java.nio.file.Files.createTempDirectory("graft-avro-bad2").toString))
+  }
 }

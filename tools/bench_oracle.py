@@ -81,6 +81,9 @@ ROUNDTRIP_GATES = {
     "q208_jsonl_quarantine": "serializes, corrupts, writes and "
         "PERMISSIVE-parses real JSONL files; the oracle predicts the "
         "quarantine split from the corruption rule without any I/O",
+    "q214_avro_roundtrip": "writes the corpus to Avro OCF containers and "
+        "streaming-decodes them back; the oracle aggregates the parquet "
+        "original without any write",
 }
 
 
