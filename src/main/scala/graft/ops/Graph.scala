@@ -167,4 +167,68 @@ object Graph {
         when(col("wedges") > 0,
           expr("3L * triangles * 1000000L div wedges")).as("global_cc_ppm"))
   }
+
+  /** Common-neighbors link prediction: the top-`topK` UNLINKED node pairs
+    * by shared-neighbor count, with the neighborhood-Jaccard score in
+    * exact ppm — "which parts are bought together with the same other
+    * parts but never in one order" / "which users share a community but
+    * never met". Output: (u, v, cn, deg_u, deg_v, jaccard_ppm), u < v,
+    * ordered by (cn DESC, u, v) — a total order, so the cut is
+    * deterministic under ties.
+    *
+    * Scale design: candidates come from wedge enumeration at each shared
+    * neighbor — the ONLY pairs that can score at all — never from node ×
+    * node. Per-center fan-out is deg², which is the honest size of the
+    * answer at that hub; `maxDegree` caps the centers that may vouch for
+    * a pair (the standard link-prediction hub cut: a mega-hub's
+    * co-neighborhood says nothing and would alone contribute deg²/2
+    * candidates), making worst-case work Σ min(deg, maxDegree)² by
+    * construction. The wedge self-join carries an explicit-count
+    * repartition on the center key ([[Expansion.parts]]) so AQE's
+    * input-byte heuristic cannot fold the quadratic expansion onto few
+    * tasks; `minCommon` prunes the candidate relation before the degree
+    * joins; the linked-pair anti-join and the two degree joins are all
+    * key joins on candidate-sized relations.
+    */
+  def commonNeighborPairs(edges: DataFrame, aCol: String = "a",
+                          bCol: String = "b", minCommon: Int = 2,
+                          topK: Int = 100,
+                          maxDegree: Int = 1 << 20): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
+    require(topK >= 1 && maxDegree >= 1, s"bad topK/maxDegree")
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct().persist()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist()
+    // materialize both caches with ONE job before the multi-consumer
+    // fan-out (deg is read three times in the final job; an
+    // unmaterialized cache would race its own population across those
+    // consumers) — counting deg computes and caches e on the way
+    deg.count()
+    val adj = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+      .join(deg.filter(col("deg") <= maxDegree)
+        .select(col("node").as("w")), "w")
+    val nParts = Expansion.parts(edges.sparkSession)
+    val adjP = adj.repartition(nParts, col("w"))
+    val cand = adjP.select(col("w"), col("n").as("u"))
+      .join(adjP.select(col("w"), col("n").as("v")), "w")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    val unlinked = cand.join(e,
+      cand("u") === e("a") && cand("v") === e("b"), "left_anti")
+    unlinked
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), "v")
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        expr("1000000L * cn div (deg_u + deg_v - cn)").as("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(topK)
+  }
 }

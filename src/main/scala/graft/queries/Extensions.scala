@@ -4857,6 +4857,45 @@ object Extensions {
     (s, dir) => Profile.mannWhitney(t(s, dir, "documents"),
       col("n_chars"), col("lang") === "en"))
 
+  private val q216 = Q("q216_common_neighbors",
+    "common-neighbors link prediction over the part co-purchase graph: " +
+      "top-100 UNLINKED part pairs by shared-neighbor count plus " +
+      "neighborhood-Jaccard in exact ppm — candidates only from wedge " +
+      "enumeration at shared neighbors (never node x node), hub-capped, " +
+      "expansion-join repartition pinned; (cn DESC, u, v) total order " +
+      "makes the top-k cut deterministic under ties",
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity >= 30 AND b.l_quantity >= 30),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+              (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+              GROUP BY 1),
+      adj AS (SELECT a AS w, b AS n FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+      cand AS (SELECT x.n AS u, y.n AS v, CAST(count(*) AS BIGINT) AS cn
+               FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+      unl AS (SELECT c.* FROM cand c
+              LEFT JOIN pairs p ON p.a = c.u AND p.b = c.v
+              WHERE p.a IS NULL)
+      SELECT u, v, cn, du.deg AS deg_u, dv.deg AS deg_v,
+             CAST(1000000 * cn // (du.deg + dv.deg - cn) AS BIGINT)
+               AS jaccard_ppm
+      FROM unl JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+      ORDER BY cn DESC, u, v LIMIT 100"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val pairs = li.as("x")
+        .join(li.as("y"),
+          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      Graph.commonNeighborPairs(pairs, minCommon = 2, topK = 100)
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4869,5 +4908,5 @@ object Extensions {
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215)
+    q214, q215, q216)
 }

@@ -109,4 +109,29 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(r == Seq((3L, 2L, 1L, 0L, 0L)))
   }
+
+  test("commonNeighborPairs: 4-cycle diagonals score cn=2, jaccard 1e6; " +
+    "linked pairs never appear; tie order is (cn DESC, u, v)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = Graph.commonNeighborPairs(edges, minCommon = 2, topK = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // diagonals (1,3) and (2,4): two shared neighbors each, all degs 2,
+    // jaccard = 2 / (2 + 2 - 2) = 1
+    assert(got == Seq((1L, 3L, 2L, 2L, 2L, 1000000L),
+      (2L, 4L, 2L, 2L, 2L, 1000000L)))
+  }
+
+  test("commonNeighborPairs: maxDegree removes hub-vouched candidates") {
+    // hub 100 touches 1,2,3; no other edges. All co-neighbor pairs exist
+    // only through the hub (deg 3).
+    val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L)).toDF("a", "b")
+    val capped = Graph.commonNeighborPairs(edges, minCommon = 1,
+      topK = 10, maxDegree = 2).count()
+    assert(capped == 0)
+    val open = Graph.commonNeighborPairs(edges, minCommon = 1,
+      topK = 10, maxDegree = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(open == Seq((1L, 2L, 1L, 1L, 1L, 1000000L),
+      (1L, 3L, 1L, 1L, 1L, 1000000L), (2L, 3L, 1L, 1L, 1L, 1000000L)))
+  }
 }
