@@ -443,4 +443,47 @@ object Sampling {
       .filter(col("_rn") <= col("want"))
       .drop("_grp", "_h", "_rn")
   }
+
+  /** Per-group effective sample size under weighted sampling — the
+    * pre-flight diagnostic of every mixture/importance-weighting step
+    * (Kish's ESS = (Σw)²/Σw²): a source whose clipped weights concentrate
+    * on a few rows contributes far fewer EFFECTIVE examples than its row
+    * count, and this census says exactly how many, before any sampling
+    * runs. Weights are clipped at `clipAt` first (the standard
+    * variance/ESS trade — report both sides by calling twice if the
+    * unclipped view is also wanted).
+    *
+    * Output per group: (group, n, sum_w, sum_w2, ess_ppm) where
+    * ess_ppm = ⌊10⁶·(Σw)² / (n·Σw²)⌋ — ESS as a fraction of the group's
+    * row count, 10⁶ = every row fully effective (all weights equal),
+    * → 0 = the mass sits on one row. All-integer; sums are exact 128-bit
+    * ([[graft.expressions.Sum128]]) so billion-row groups with large
+    * weights cannot overflow, and the final ratio is one integral
+    * division per GROUP (exact while 10⁶·(Σw)² < 10³⁸, i.e. Σ of CLIPPED
+    * weights < 10¹⁶ — the same headroom an int128 engine has; the clip
+    * is what keeps real corpora inside it). Positive-weight contract enforced in-plan like
+    * [[bootstrapDraws]]. ONE map-side-combined aggregate — no window, no
+    * second pass.
+    */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+                          weightCol: Column, clipAt: Long): DataFrame = {
+    require(clipAt >= 1, s"clipAt must be >= 1: $clipAt")
+    val rawW = weightCol.cast("long")
+    val checkedW = when(rawW.isNull || rawW <= 0L,
+        raise_error(concat(
+          lit("effectiveSampleSize: weight must be positive, got "),
+          rawW.cast("string"))))
+      .otherwise(least(rawW, lit(clipAt)))
+    val dec38 = "DECIMAL(38,0)"
+    df.select(col(groupCol), checkedW.as("_w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        graft.expressions.Sum128(col("_w")).as("_sw"),
+        graft.expressions.Sum128(col("_w") * col("_w")).as("_sw2"))
+      .select(col(groupCol), col("n"),
+        col("_sw").cast("long").as("sum_w"),
+        col("_sw2").cast("long").as("sum_w2"),
+        expr(s"CAST((CAST(1000000 AS $dec38) * _sw * _sw) div " +
+          s"(CAST(n AS $dec38) * _sw2) AS BIGINT)").as("ess_ppm"))
+  }
 }

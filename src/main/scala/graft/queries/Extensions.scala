@@ -4896,6 +4896,24 @@ object Extensions {
       Graph.commonNeighborPairs(pairs, minCommon = 2, topK = 100)
     })
 
+  private val q217 = Q("q217_effective_sample_size",
+    "Kish effective-sample-size census per source under length-" +
+      "proportional weights clipped at 400 — the pre-flight diagnostic " +
+      "of a mixture/importance-weighting step (how many EFFECTIVE docs " +
+      "does each source contribute?): ess_ppm = 1e6*(sum w)^2 div " +
+      "(n*sum w^2), exact 128-bit sums, one map-side-combined aggregate",
+    Some("""
+      WITH w AS (SELECT source, least(n_chars, 400) AS w FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS sum_w,
+             CAST(sum(w * w) AS BIGINT) AS sum_w2,
+             CAST(1000000 * sum(w) * sum(w)
+                  // (count(*) * sum(w * w)) AS BIGINT) AS ess_ppm
+      FROM w GROUP BY 1 ORDER BY source"""),
+    (s, dir) => Sampling.effectiveSampleSize(t(s, dir, "documents"),
+        "source", col("n_chars"), clipAt = 400L)
+      .orderBy("source"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4908,5 +4926,5 @@ object Extensions {
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215, q216)
+    q214, q215, q216, q217)
 }

@@ -344,6 +344,31 @@ class MiscOpsSpec extends SparkSpec {
     assert(byRow.getOrElse(3L, 0) > byRow.getOrElse(2L, 0))
   }
 
+  test("effectiveSampleSize: equal weights read 1e6; concentration " +
+    "collapses it; clip restores it; non-positive weight fails the job") {
+    import graft.ops.Sampling
+    val even = Seq(("a", 7L), ("a", 7L), ("a", 7L), ("a", 7L))
+      .toDF("g", "w")
+    val e1 = Sampling.effectiveSampleSize(even, "g", col("w"), clipAt = 100L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(e1 == (("a", 4L, 28L, 196L, 1000000L)))
+    // one dominant row: w = (1,1,1,997) -> ESS = 1000^2/(3+997^2) ~ 1.006
+    // rows of 4 -> 251_507 ppm; clipping at 1 makes all equal again
+    val skew = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 997L))
+      .toDF("g", "w")
+    val e2 = Sampling.effectiveSampleSize(skew, "g", col("w"), clipAt = 1000L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(e2._5 == 1000000L * 1000L * 1000L / (4L * (3L + 997L * 997L)))
+    val e3 = Sampling.effectiveSampleSize(skew, "g", col("w"), clipAt = 1L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(e3._5 == 1000000L)
+    val bad = Seq(("a", 5L), ("a", 0L)).toDF("g", "w")
+    val ex = intercept[Exception] {
+      Sampling.effectiveSampleSize(bad, "g", col("w"), clipAt = 10L).collect()
+    }
+    assert(ex.getMessage.contains("weight must be positive"))
+  }
+
   test("sceneCuts: cuts fire only across the threshold; first frame never cuts") {
     val frames = Seq(
       (1L, 0, 40.0), (1L, 1, 41.5), (1L, 2, 200.0), (1L, 3, 199.0),
