@@ -1037,4 +1037,83 @@ object Profile {
       .filter(col("_rn") === 1)
       .select(col(groupCol), col("mode"), col("mode_count"), col("n_rows"))
   }
+
+  /** HLL++ distinct-count audit — the cardinality member of the
+    * sketch-certified-by-exact family ([[approxQuantileAudit]] quantiles,
+    * q132 Misra–Gries heavy hitters, q212 count-min, q211 PQ recall):
+    * per group, Spark's `approx_count_distinct` (HyperLogLog++, Heule et
+    * al., mergeable, one pass, no Expand) measured against the exact
+    * distinct count, gated as a BOOLEAN error-bound check because the
+    * estimate itself is legitimately engine/merge-specific while the
+    * |est − exact| ≤ bound·exact contract is not (the q204 posture).
+    *
+    * `boundPpm` is the certified relative-error budget in ppm. HLL++ at
+    * rsd r has σ ≈ r·exact; the default 3·rsd budget is the standard 3σ
+    * envelope, PLUS an absolute slack of 4 so near-empty groups (exact
+    * in the single digits, where "relative" error is quantized) don't
+    * flap. The audit is the point: run it at sample scale to certify the
+    * rsd knob before trusting the sketch at 100 TB, where the exact
+    * count-distinct's two-phase shuffle is the thing being avoided.
+    *
+    * Shape: ONE aggregate computes both (count_distinct plans its Expand
+    * ×2 here — acceptable at audit scale, and exactly what the certified
+    * production path then skips by keeping only the HLL half).
+    */
+  def hllAudit(df: DataFrame, groupCol: String, valueCol: Column,
+               rsd: Double = 0.05, boundPpmOpt: Option[Long] = None): DataFrame = {
+    require(rsd > 0 && rsd < 0.3, s"rsd out of (0, 0.3): $rsd")
+    val boundPpm = boundPpmOpt.getOrElse((3e6 * rsd).toLong)
+    df.groupBy(col(groupCol))
+      .agg(countDistinct(valueCol).as("exact_n"),
+        approx_count_distinct(valueCol, rsd).as("_est"))
+      .select(col(groupCol), col("exact_n"),
+        (abs(col("_est") - col("exact_n")) * 1000000L <=
+          lit(boundPpm) * col("exact_n") + 4000000L).as("within_bound"))
+  }
+
+  /** k-anonymity census over a quasi-identifier column set — the
+    * privacy-audit primitive a pipeline runs before releasing a table:
+    * every row whose QI equivalence class has fewer than k members is
+    * re-identifiable at confidence 1/class-size. One map-side-combined
+    * aggregate to the class relation, one tiny roll-up — the raw table
+    * never shuffles twice. Output (one row): n_rows, n_classes,
+    * min_class_size, n_violating_classes, n_rows_at_risk, and the
+    * at-risk fraction in exact ppm (the suppression cost of enforcing k
+    * by dropping violators — the usual first remediation).
+    *
+    * NULL QI values form their own class (standard k-anonymity posture:
+    * NULL is an observable value to an attacker, not an exclusion).
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("_n")).as("min_class_size"),
+        sum(when(col("_n") < k, 1L).otherwise(0L)).as("n_violating_classes"),
+        sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("n_rows_at_risk"))
+      .select(col("n_rows"), col("n_classes"), col("min_class_size"),
+        col("n_violating_classes"), col("n_rows_at_risk"),
+        expr("CASE WHEN n_rows > 0 THEN (1000000 * n_rows_at_risk) div n_rows END")
+          .as("at_risk_ppm"))
+  }
+
+  /** Cramér's V² association strength from [[chiSquareSummary]] — the
+    * normalized (0..1) version of the chi-square statistic, comparable
+    * ACROSS tables of different size and shape, which the raw statistic
+    * is not: V² = χ² / (N·min(r−1, c−1)). Emitted as exact-integer ppm
+    * (v2_ppm = chi2_ppm div (N·min(r−1,c−1))) — V itself needs a sqrt,
+    * which the caller takes offline; V² preserves the ordering and the
+    * 0/1 endpoints, so it is the drift-dashboard column. Inherits the
+    * one-aggregate + category-sized-grid shape of [[chiSquareCells]].
+    */
+  def cramersV2(df: DataFrame, rowCol: Column, colCol: Column): DataFrame =
+    chiSquareSummary(df, rowCol, colCol)
+      .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+        col("chi2_ppm"),
+        expr("CASE WHEN n > 0 AND least(n_rows - 1, n_cols - 1) > 0 THEN " +
+          "chi2_ppm div (n * least(n_rows - 1, n_cols - 1)) END")
+          .as("v2_ppm"))
 }

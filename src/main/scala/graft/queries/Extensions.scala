@@ -4914,6 +4914,88 @@ object Extensions {
         "source", col("n_chars"), clipAt = 400L)
       .orderBy("source"))
 
+  private val q218 = Q("q218_hll_audit",
+    "HyperLogLog++ distinct-user count per event type certified by the " +
+      "exact count (the q204/q212 sketch-plus-exact-verify posture " +
+      "applied to cardinality): |est - exact| <= 3*rsd*exact + 4 gates " +
+      "as a boolean because the estimate is engine-specific while the " +
+      "error contract is not — the rsd knob a pipeline certifies at " +
+      "sample scale before replacing the two-phase exact count-distinct " +
+      "shuffle with the one-pass mergeable sketch at 100 TB",
+    Some("""
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
+             TRUE AS within_bound
+      FROM events GROUP BY 1 ORDER BY event_type"""),
+    (s, dir) => Profile.hllAudit(t(s, dir, "events"),
+        "event_type", col("user_id"), rsd = 0.05)
+      .orderBy("event_type"))
+
+  private val q219 = Q("q219_k_anonymity",
+    "k-anonymity census (k=10) over the (nation, market segment) quasi-" +
+      "identifier pair: every customer in an equivalence class smaller " +
+      "than k is re-identifiable at confidence 1/class-size — one map-" +
+      "side-combined aggregate to the class relation, one roll-up row " +
+      "with the at-risk fraction in exact ppm (= the suppression cost " +
+      "of enforcing k by dropping violators); NULL QI values form their " +
+      "own class, an attacker observes NULL like any other value",
+    Some("""
+      WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                   FROM customer GROUP BY 1, 2)
+      SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(n) AS BIGINT) AS min_class_size,
+             CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_classes,
+             CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+             CAST((1000000 * sum(CASE WHEN n < 10 THEN n ELSE 0 END))
+               // sum(n) AS BIGINT) AS at_risk_ppm
+      FROM cls"""),
+    (s, dir) => Profile.kAnonymity(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 10L))
+
+  private val q220 = Q("q220_cramers_v",
+    "Cramér's V² association strength for (source, lang) — q213's chi-" +
+      "square statistic normalized to 0..1 so drift dashboards can " +
+      "compare association ACROSS tables of different size and shape: " +
+      "v2_ppm = chi2_ppm div (N*min(r-1,c-1)), exact integers end to " +
+      "end (V itself needs a sqrt — the caller's, offline; V² keeps the " +
+      "ordering and endpoints); same one-aggregate + category-sized-" +
+      "grid shape as q213",
+    Some("""
+      WITH cells AS (SELECT source AS row_val, lang AS col_val,
+                       count(*) AS o
+                     FROM documents GROUP BY 1, 2),
+      r AS (SELECT row_val, CAST(SUM(o) AS BIGINT) AS rr
+            FROM cells GROUP BY 1),
+      c AS (SELECT col_val, CAST(SUM(o) AS BIGINT) AS cc
+            FROM cells GROUP BY 1),
+      n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+      grid AS (SELECT row_val, col_val, rr, cc, nn
+               FROM r CROSS JOIN c CROSS JOIN n),
+      j AS (SELECT g.row_val, g.col_val,
+              CAST(coalesce(cells.o, 0) AS BIGINT) AS n_obs, rr, cc, nn
+            FROM grid g LEFT JOIN cells
+              ON g.row_val = cells.row_val AND g.col_val = cells.col_val),
+      terms AS (SELECT row_val, col_val, n_obs, nn,
+        CAST((CAST(1000000 AS HUGEINT) * (n_obs * nn - rr * cc) *
+          (n_obs * nn - rr * cc)) // (CAST(nn AS HUGEINT) * rr * cc)
+          AS BIGINT) AS term_ppm
+        FROM j),
+      agg AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+               CAST(count(DISTINCT row_val) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT col_val) AS BIGINT) AS n_cols,
+               CAST(sum(term_ppm) AS BIGINT) AS chi2_ppm
+              FROM terms)
+      SELECT n, n_rows, n_cols,
+             CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+             chi2_ppm,
+             CAST(chi2_ppm // (n * least(n_rows - 1, n_cols - 1))
+               AS BIGINT) AS v2_ppm
+      FROM agg"""),
+    (s, dir) => Profile.cramersV2(t(s, dir, "documents"),
+      col("source"), col("lang")))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -4926,5 +5008,5 @@ object Extensions {
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215, q216, q217)
+    q214, q215, q216, q217, q218, q219, q220)
 }

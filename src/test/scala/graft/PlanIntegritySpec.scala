@@ -483,15 +483,21 @@ class PlanIntegritySpec extends SparkSpec {
 
   test("q152: all correlation sums ride ONE aggregate over one scan") {
     val p = plan("q152_corr_pairs")
-    // a single global aggregate = one shuffle to the single reducer; a
-    // second scan or per-pair re-aggregation would add exchanges
+    // one shuffle to the single reducer — since the Sum128 de-bottleneck
+    // the aggregate keys on a constant (JIT-splittable hash-map path, see
+    // corrPairsImpl), so the reducer exchange prints as hashpartitioning
+    // on literal 0, not SinglePartition: same data movement, one entry.
+    // A second scan or per-pair re-aggregation would add exchanges.
     val hashExchanges =
       p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val constantKeyed =
+      p.linesIterator.count(l => l.contains("Exchange hashpartitioning(0#"))
     val singleExchanges =
       p.linesIterator.count(_.contains("Exchange SinglePartition"))
-    assert(hashExchanges == 0 && singleExchanges == 1,
-      s"expected one single-partition exchange only, " +
-        s"got hash=$hashExchanges single=$singleExchanges:\n$p")
+    assert(hashExchanges == 1 && constantKeyed == 1 && singleExchanges == 0,
+      s"expected exactly one constant-keyed reducer exchange, " +
+        s"got hash=$hashExchanges constant=$constantKeyed " +
+        s"single=$singleExchanges:\n$p")
     val scans = p.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 1, s"lineitem must be scanned once, got $scans:\n$p")
   }
