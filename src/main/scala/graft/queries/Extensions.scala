@@ -4996,6 +4996,140 @@ object Extensions {
     (s, dir) => Profile.cramersV2(t(s, dir, "documents"),
       col("source"), col("lang")))
 
+  /** Deterministic MESSY url per event — mixed-case scheme/host, default
+    * and explicit ports, trailing-slash variants, shuffled + tracking
+    * query params, fragments — so q221/q222 exercise every rule of the
+    * [[graft.ops.UrlOps]] canonical contract on driver data. Twin of the
+    * `messyUrlSql` CTE below; keep the two in lockstep. */
+  private def messyUrl: org.apache.spark.sql.Column = {
+    val eid = col("event_id"); val uid = col("user_id")
+    val scheme = when(eid % 2 === 0, "HTTPS").otherwise("http")
+    val host = when(uid % 4 === 0, "WWW.Example.COM")
+      .when(uid % 4 === 1, "cdn.Example.com")
+      .when(uid % 4 === 2, "Ads.Tracker.NET")
+      .otherwise("blog.example.Org")
+    val port = when(eid % 3 === 0, ":443")
+      .when(eid % 3 === 1, ":8080").otherwise("")
+    val path = concat(lit("/"), col("event_type"), lit("/item"),
+      (uid % 5).cast("string"),
+      when(eid % 5 === 0, "/").otherwise(""))
+    val q = when(eid % 2 === 0,
+        concat(lit("?id="), (eid % 8).cast("string"),
+          lit("&utm_campaign=Spring&b=2&a=1")))
+      .otherwise(concat(lit("?b=2&utm_source=feed&a=1&id="),
+        (eid % 8).cast("string")))
+    val frag = when(eid % 7 === 0, "#sec").otherwise("")
+    concat(scheme, lit("://"), host, port, path, q, frag)
+  }
+
+  private val messyUrlSql = """
+      u AS (
+        SELECT (CASE WHEN event_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+          || '://' ||
+          (CASE user_id % 4 WHEN 0 THEN 'WWW.Example.COM'
+                WHEN 1 THEN 'cdn.Example.com'
+                WHEN 2 THEN 'Ads.Tracker.NET'
+                ELSE 'blog.example.Org' END) ||
+          (CASE event_id % 3 WHEN 0 THEN ':443'
+                WHEN 1 THEN ':8080' ELSE '' END) ||
+          '/' || event_type || '/item' || CAST(user_id % 5 AS VARCHAR) ||
+          (CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END) ||
+          (CASE WHEN event_id % 2 = 0
+                THEN '?id=' || CAST(event_id % 8 AS VARCHAR)
+                  || '&utm_campaign=Spring&b=2&a=1'
+                ELSE '?b=2&utm_source=feed&a=1&id='
+                  || CAST(event_id % 8 AS VARCHAR) END) ||
+          (CASE WHEN event_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL)"""
+
+  private val q221 = Q("q221_url_canonicalize",
+    "URL canonicalization census — the key-hygiene step BEFORE any url-" +
+      "keyed dedup: lowercase scheme/host, strip default ports + " +
+      "fragments + utm_*/gclid/fbclid/ref params, sort surviving params, " +
+      "collapse trailing slashes; per canonical url the event count and " +
+      "how many raw spellings collapsed into it — all row-local Column " +
+      "composition (regexp + array HOFs, no UDF), mirrored step-for-step " +
+      "in DuckDB so the canonical form is an engine-portable contract",
+    Some(s"""
+      WITH $messyUrlSql,
+      p1 AS (SELECT url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_replace(regexp_replace(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
+        FROM u),
+      p2 AS (SELECT url, scheme,
+        regexp_extract(nofrag, '^([^/?]*)', 1) AS hostport,
+        regexp_replace(nofrag, '^[^/?]*', '') AS rest FROM p1),
+      p3 AS (SELECT url, scheme,
+        lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+        regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+        regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '')
+          AS path0,
+        coalesce(array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(rest, '\\?(.*)$$', 1), '&'),
+          p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&'), '') AS q
+        FROM p2),
+      canon AS (SELECT url,
+        scheme || '://' || host ||
+        (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END) ||
+        (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+        FROM p3)
+      SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+      FROM canon GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      import graft.ops.UrlOps
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(messyUrl.as("url"))
+        .select(col("url"), UrlOps.canonicalizeUrl(col("url"))
+          .as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("url")).as("n_raw_forms"))
+        .orderBy("canonical_url")
+    })
+
+  private val q222 = Q("q222_blocklist_suffix",
+    "domain-suffix blocklist at RPZ scale: hosts explode into their " +
+      "<=8 label-suffixes so 'host ends with .suffix' becomes an EQUI-" +
+      "join against the blocklist relation (broadcast when small, plain " +
+      "hash join when the list itself is millions of rows) — never a " +
+      "LIKE/theta join; per-host blocked flag + event count, distinct-" +
+      "host relation joined once however many events share a host",
+    Some(s"""
+      WITH $messyUrlSql,
+      h AS (SELECT lower(regexp_extract(regexp_extract(regexp_replace(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1),
+              '^([^:]*)', 1)) AS host FROM u),
+      b(suffix) AS (VALUES ('tracker.net'), ('blog.example.org')),
+      g AS (SELECT host, CAST(count(*) AS BIGINT) AS n_events
+            FROM h GROUP BY 1)
+      SELECT host,
+             EXISTS(SELECT 1 FROM b WHERE g.host = b.suffix
+                    OR g.host LIKE '%.' || b.suffix) AS blocked,
+             n_events
+      FROM g ORDER BY host"""),
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.UrlOps
+      val hosts = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(UrlOps.hostOf(messyUrl).as("host"))
+      val block = Seq("tracker.net", "blog.example.org").toDF("suffix")
+      UrlOps.blocklistJoin(hosts, col("host"), block)
+        .groupBy("host", "blocked")
+        .agg(count(lit(1)).as("n_events"))
+        .select("host", "blocked", "n_events")
+        .orderBy("host")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5008,5 +5142,5 @@ object Extensions {
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215, q216, q217, q218, q219, q220)
+    q214, q215, q216, q217, q218, q219, q220, q221, q222)
 }
