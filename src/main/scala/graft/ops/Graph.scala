@@ -231,4 +231,60 @@ object Graph {
       .orderBy(col("cn").desc, col("u"), col("v"))
       .limit(topK)
   }
+
+  /** k-core decomposition (fixed k): iteratively peel nodes of degree
+    * < k from the undirected simple graph until none remain; return
+    * (node, core_deg) for the surviving core, core_deg = degree INSIDE
+    * the core. The community/spam-filter primitive ("keep only parts
+    * that co-occur with ≥k other well-connected parts"): peeling is
+    * confluent — removal order cannot change the fixpoint — so the
+    * output is a deterministic set, portable across engines.
+    *
+    * Scale design: each round is (1) a map-side-combined degree
+    * aggregate over the edge relation, (2) a REMOVED-set derivation
+    * (deg < k — small after the first round, usually near-empty as the
+    * peel anneals), (3) two anti-joins of edges against that small
+    * relation (AQE turns them into broadcast anti-joins at runtime).
+    * The edge relation never re-derives: each round's survivor edges are
+    * eagerly localCheckpointed, so lineage stays one round deep no
+    * matter the peel depth. Driver state = two scalars per round
+    * (removed count, round counter). Round count is the graph's peel
+    * depth (degeneracy ordering length / k) — the standard distributed
+    * k-core cost, bounded here by `maxRounds` with an explicit error
+    * rather than a silent partial answer.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_deg"))
+    var e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val removed = degrees(e).filter(col("core_deg") < k)
+        .select(col("node")).persist()
+      if (removed.count() == 0L) converged = true
+      else {
+        val next = e
+          .join(removed.select(col("node").as("a")), Seq("a"), "left_anti")
+          .join(removed.select(col("node").as("b")), Seq("b"), "left_anti")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        e = next
+        rounds += 1
+      }
+      removed.unpersist()
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds (k=$k)")
+    degrees(e)
+  }
 }

@@ -5130,6 +5130,56 @@ object Extensions {
         .orderBy("host")
     })
 
+  /** Unrolled k-core peel for the DuckDB oracle: `rounds` rounds of
+    * degree-census → survivor filter → edge semi-join over the sparse
+    * (qty ≥ 45) co-purchase graph. 14 unrolled rounds ≥ measured peel
+    * depth + slack (6 at sf0.01, 10 at sf0.1; peeling is confluent, so
+    * extra rounds are no-ops once the fixpoint is reached). */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: every round references the
+    // previous CTE three times, so inlining would expand the plan 3^R-
+    // fold (observed: DuckDB re-opening lineitem until EMFILE at R=14)
+    val sb = new StringBuilder(
+      """
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a,
+          b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45)""")
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+      d$i AS MATERIALIZED (SELECT x, count(*) AS c FROM
+        (SELECT a AS x FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1),
+      s$i AS (SELECT x FROM d$i WHERE c >= $k),
+      e${i + 1} AS MATERIALIZED (SELECT e$i.a, e$i.b FROM e$i
+        JOIN s$i su ON e$i.a = su.x JOIN s$i sv ON e$i.b = sv.x)""")
+    }
+    sb.append(s"""
+      SELECT x AS node, CAST(count(*) AS BIGINT) AS core_deg
+      FROM (SELECT a AS x FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+      GROUP BY 1 ORDER BY node""")
+    sb.toString
+  }
+
+  private val q223 = Q("q223_kcore",
+    "3-core of the sparse (qty >= 45) part co-purchase graph: " +
+      "iteratively peel degree-<3 nodes to the fixpoint (6 rounds at " +
+      "sf0.01, 10 at sf0.1), emit each core node with its WITHIN-core " +
+      "degree — peeling is confluent so the core is a deterministic " +
+      "set; per round one degree aggregate + two anti-joins against the " +
+      "shrinking removed set, survivor edges localCheckpointed so " +
+      "lineage stays one round deep at any peel depth",
+    Some(kCoreSql(k = 3, rounds = 14)),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val pairs = li.as("x")
+        .join(li.as("y"),
+          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      Graph.kCore(pairs, k = 3).orderBy("node")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5142,5 +5192,5 @@ object Extensions {
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215, q216, q217, q218, q219, q220, q221, q222)
+    q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
 }

@@ -134,4 +134,30 @@ class GraphSpec extends SparkSpec {
     assert(open == Seq((1L, 2L, 1L, 1L, 1L, 1000000L),
       (1L, 3L, 1L, 1L, 1L, 1000000L), (2L, 3L, 1L, 1L, 1L, 1000000L)))
   }
+
+  test("kCore: cascading peel reaches the fixpoint, core_deg is the " +
+    "WITHIN-core degree") {
+    // K4 on 1..4; pendant chain 4-5, 5-6. k=3: one peel round removes 5
+    // AND 6 together (both deg < 3 in the same census), then a second
+    // pass certifies the fixpoint — which is why maxRounds=1 below still
+    // throws. Core = K4 with in-core degree 3; node 4's raw degree was
+    // 4, so the output degree must be the core's, not the input's.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.kCore(edges, k = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k above the max core → empty relation, still converges
+    assert(Graph.kCore(edges, k = 4).count() == 0)
+    // duplicate / reversed / self edges normalize away before peeling
+    val messy = Seq((2L, 1L), (1L, 2L), (1L, 1L), (3L, 1L), (2L, 3L))
+      .toDF("a", "b")
+    val tri = Graph.kCore(messy, k = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(tri == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    val ex = intercept[IllegalStateException] {
+      Graph.kCore(edges, k = 3, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
 }
