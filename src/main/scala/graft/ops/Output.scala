@@ -137,4 +137,29 @@ object Output {
       .withColumn("zbucket", shiftright(col("zval"), 2 * bits - log2n))
       .drop("__xmin", "__xmax", "__ymin", "__ymax", "__qx", "__qy")
   }
+
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `partitionCols` (`col=value/...`), the physical contract that lets a
+    * reader with a predicate on those columns SKIP whole directories —
+    * partition pruning, the single biggest scan reducer at 100 TB (a
+    * day/source predicate over a year of data touches 1/365 of the
+    * files, before any row is read). Choose LOW-cardinality, always-
+    * filtered columns; a high-cardinality partition key degrades into
+    * millions of tiny files (that case wants [[zorderBuckets]] /
+    * [[writeSharded]] instead — documented, not guessed).
+    */
+  def writeHivePartitioned(df: DataFrame, path: String,
+                           partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+  }
+
+  /** Read-back of [[writeHivePartitioned]]. The caller's filter on the
+    * partition columns becomes `PartitionFilters` in the scan (pinned by
+    * PlanIntegritySpec) — directories outside the predicate are never
+    * opened. Partition values come back as strings (hive path encoding);
+    * cast as needed. */
+  def readHivePartitioned(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame =
+    spark.read.parquet(path)
 }

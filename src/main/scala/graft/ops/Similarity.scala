@@ -732,4 +732,63 @@ object Similarity {
     selected.select(col("rank"), col("_id").as(idCol),
       col("_score").as("score"))
   }
+
+  /** Pairwise centroid cosine between label groups — the embedding-space
+    * drift matrix ("did source A move toward source B between snapshots?"
+    * / "are these two clusters secretly one?"). Exact integers end to
+    * end: components quantize to floor(v·scale) (fixed-shape IEEE double
+    * op, engine-portable), and the centroid DIVISION cancels out of
+    * cosine — cos(Σa/n_a, Σb/n_b) = cos(Σa, Σb) — so the op works on
+    * per-dim SUM vectors and never divides until the final
+    * cos²·10⁶ div (‖a‖²·‖b‖²), whose operands are non-negative (floor
+    * vs truncating integer division never disagrees). dot carries the
+    * sign; cos2_ppm carries the magnitude.
+    *
+    * Output: (label_a, label_b, n_a, n_b, dot, cos2_ppm), a < b.
+    *
+    * Shape at 100 TB: one explode + map-side-combined aggregate collapses
+    * the corpus to |labels|·dims sum rows; the pairwise join is over THAT
+    * (category-sized, never data-sized). Sums ride DECIMAL(38,0) so a
+    * trillion-row label can't overflow the int64 partials; `dot` is
+    * emitted as BIGINT (|dot| < 2⁶³ holds while n·scale·‖v‖ < ~3·10⁹ per
+    * dim — far past any tested SF; past that, read dot from the decimal).
+    */
+  def centroidCosineMatrix(df: DataFrame, labelCol: String, embCol: String,
+                           scale: Int = 1000): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sums = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("_l"), posexplode(col(embCol)))
+      .select(col("_l"), col("pos").as("_dim"),
+        floor(col("col").cast("double") * scale).cast("long").as("_q"))
+      .groupBy("_l", "_dim")
+      .agg(sum(col("_q").cast(dec)).as("_s"))
+    val counts = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("_l")).agg(count(lit(1)).as("_n"))
+    val norms = sums.groupBy("_l")
+      .agg(sum(col("_s") * col("_s")).as("_n2"))
+    val dots = sums.as("a")
+      .join(sums.as("b"),
+        col("a._dim") === col("b._dim") && col("a._l") < col("b._l"))
+      .groupBy(col("a._l").as("label_a"), col("b._l").as("label_b"))
+      .agg(sum(col("a._s") * col("b._s")).as("_dot"))
+    dots
+      .join(counts.select(col("_l").as("label_a"), col("_n").as("n_a")),
+        Seq("label_a"))
+      .join(counts.select(col("_l").as("label_b"), col("_n").as("n_b")),
+        Seq("label_b"))
+      .join(norms.select(col("_l").as("label_a"), col("_n2").as("_n2a")),
+        Seq("label_a"))
+      .join(norms.select(col("_l").as("label_b"), col("_n2").as("_n2b")),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("_dot").cast("long").as("dot"),
+        // SQL `div`, not decimal `/`: the latter rounds HALF_UP at scale
+        // 6 before the long cast and can land one above the exact floor
+        when(col("_n2a") > 0 && col("_n2b") > 0,
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * _dot * _dot) div " +
+            "(_n2a * _n2b) AS BIGINT)"))
+          .as("cos2_ppm"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontamination, Dedup, Diff, EventAnalytics, Formats, Graph, Intervals, Multimodal, Profile, Regression, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Diff, EventAnalytics, Formats, Graph, Intervals, Multimodal, Output, Profile, Regression, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Scale-extension queries: dedup suite, similarity search, text analysis,
   * multimodal binary plumbing — each oracle-backed over `documents` /
@@ -5180,6 +5180,74 @@ object Extensions {
       Graph.kCore(pairs, k = 3).orderBy("node")
     })
 
+  private val q224 = Q("q224_partition_prune",
+    "hive-partitioned layout round trip: events written one directory " +
+      "per event_type, read back through a partition-column predicate — " +
+      "the predicate becomes PartitionFilters in the scan (pinned by " +
+      "PlanIntegritySpec) so non-matching directories are never OPENED, " +
+      "the single biggest scan reducer at 100 TB; per-type census " +
+      "(rows, exact cents sum, distinct users) proves the round trip " +
+      "loses nothing the predicate admits",
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS sum_cents,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1 ORDER BY event_type"""),
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q224")
+        .toString + "/events_by_type"
+      Output.writeHivePartitioned(
+        t(s, dir, "events").select("event_type", "value", "user_id"),
+        path, Seq("event_type"))
+      Output.readHivePartitioned(s, path)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    })
+
+  private val q225 = Q("q225_centroid_drift",
+    "pairwise centroid cosine between embedding label groups — the " +
+      "cluster-drift matrix in exact integers: centroid division cancels " +
+      "out of cosine, so per-dim SUM vectors of floor(v*1000) quantized " +
+      "components carry the whole computation (decimal-safe sums, " +
+      "category-sized pairwise join, corpus collapses in ONE explode+" +
+      "aggregate); dot keeps the sign, cos2_ppm the magnitude",
+    Some("""
+      WITH d AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                        unnest(range(1, len(embedding) + 1)) AS dim
+                 FROM embeddings WHERE label IS NOT NULL),
+      q AS (SELECT label, dim,
+              CAST(floor(v * 1000.0) AS BIGINT) AS qv FROM d),
+      sums AS (SELECT label, dim, CAST(sum(qv) AS HUGEINT) AS s
+               FROM q GROUP BY 1, 2),
+      cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+              FROM embeddings WHERE label IS NOT NULL GROUP BY 1),
+      norm AS (SELECT label, sum(s * s) AS n2 FROM sums GROUP BY 1),
+      dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                 sum(a.s * b.s) AS dot
+               FROM sums a JOIN sums b
+                 ON a.dim = b.dim AND a.label < b.label
+               GROUP BY 1, 2)
+      SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
+             CAST(dot AS BIGINT) AS dot,
+             CAST((1000000 * dot * dot) // (na.n2 * nb.n2) AS BIGINT)
+               AS cos2_ppm
+      FROM dots
+        JOIN cnt ca ON ca.label = label_a
+        JOIN cnt cb ON cb.label = label_b
+        JOIN norm na ON na.label = label_a
+        JOIN norm nb ON nb.label = label_b
+      ORDER BY label_a, label_b"""),
+    (s, dir) => Similarity.centroidCosineMatrix(
+        t(s, dir, "embeddings"), "label", "embedding", scale = 1000)
+      .orderBy("label_a", "label_b"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5192,5 +5260,5 @@ object Extensions {
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
+    q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
 }

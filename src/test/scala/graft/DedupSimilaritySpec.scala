@@ -756,4 +756,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fast == brute)
     assert(fast.nonEmpty)
   }
+
+  test("centroidCosineMatrix: orthogonal 0, parallel 1e6, sign on dot, " +
+    "centroid division cancels (different group sizes agree)") {
+    val vecs = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)),     // centroid (1, 0)
+      (1, Seq(0.0f, 1.0f)),                           // orthogonal
+      (2, Seq(2.0f, 0.0f)), (2, Seq(2.0f, 0.0f)),
+      (2, Seq(2.0f, 0.0f)),                           // parallel, n=3
+      (3, Seq(-1.0f, 0.0f))                           // anti-parallel
+    ).toDF("label", "embedding")
+    val got = Similarity.centroidCosineMatrix(vecs, "label", "embedding")
+      .select("label_a", "label_b", "n_a", "n_b", "dot", "cos2_ppm")
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4, r._5, r._6))).toMap
+    assert(got((0, 1)) == ((2L, 1L, 0L, 0L)))             // orthogonal
+    assert(got((0, 2))._4 == 1000000L)                    // parallel
+    assert(got((0, 2))._3 > 0)                            // positive dot
+    assert(got((0, 3))._4 == 1000000L)                    // anti-parallel…
+    assert(got((0, 3))._3 < 0)                            // …sign via dot
+    assert(got.size == 6)                                 // 4 choose 2
+  }
 }

@@ -553,4 +553,29 @@ class PlanIntegritySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"bucket ppm table must broadcast into the per-doc pass:\n$p")
   }
+
+  test("q224: the event_type predicate prunes PARTITIONS (directory " +
+    "skip), never a row filter over the full scan") {
+    // build the read side directly — the gate body writes a temp layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune-pin")
+      .toString + "/events_by_type"
+    graft.ops.Output.writeHivePartitioned(
+      graft.Tables.table(spark, sf, "events")
+        .select("event_type", "value", "user_id"),
+      tmp, Seq("event_type"))
+    val read = graft.ops.Output.readHivePartitioned(spark, tmp)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("click", "purchase"))
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [event_type#"),
+      s"partition predicate must reach PartitionFilters:\n$p")
+    assert(p.contains(" IN (click,purchase"),
+      s"IN-list must prune directories:\n$p")
+    // the data filter list must stay empty — pruning replaces filtering
+    assert(p.contains("PushedFilters: []"),
+      s"no residual row-level filter expected:\n$p")
+    // and the scan must actually see only the 2 matching directories
+    val scanned = read.select("event_type").distinct().collect().map(_.getString(0)).sorted
+    assert(scanned.sameElements(Array("click", "purchase")))
+  }
 }
