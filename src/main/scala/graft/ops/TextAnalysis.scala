@@ -1164,6 +1164,38 @@ object TextAnalysis {
         col("n_terms_hit"), col("rank"))
   }
 
+  /** Length-normalized term-frequency retrieval — the idf-free baseline
+    * ranker ([[bm25TopK]]'s null hypothesis, and the second voice a
+    * rank-fusion stack wants precisely BECAUSE it disagrees with BM25 on
+    * common terms): score = Σ_terms 10⁶·tf div len, exact integers.
+    * Same posting shape as BM25 — one (doc, term) aggregate semi-joined
+    * down by the broadcast query relation, doc lengths on the same scan,
+    * a bounded rank window per query — without the df/totals branch.
+    */
+  def tfTopK(docs: DataFrame, queries: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             queryIdCol: String = "query_id", termCol: String = "term",
+             k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = docs.select(col(idCol).as("_doc"),
+      explode(TextFns.words(col(textCol))).as("w"))
+    val tf = toks.groupBy("_doc", "w").agg(count(lit(1)).as("tf"))
+    val len = toks.groupBy("_doc").agg(count(lit(1)).as("len"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(termCol).as("w")).distinct()
+    val scored = tf.join(broadcast(q), "w")
+      .join(len, "_doc")
+      .groupBy("query_id", "_doc")
+      .agg(sum(expr("(1000000L * tf) div len")).as("score_ppm"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_ppm").desc, col("_doc"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("_doc").as(idCol), col("score_ppm"),
+        col("n_terms_hit"), col("rank"))
+  }
+
   /** Character-trigram rank-profile language ID (Cavnar–Trenkle '94) —
     * the corpus-TRAINED complement of the inlined-wordlist heuristic
     * ([[LangWordlists]]): per language, the top-`profileSize` char

@@ -5248,6 +5248,98 @@ object Extensions {
         t(s, dir, "embeddings"), "label", "embedding", scale = 1000)
       .orderBy("label_a", "label_b"))
 
+  private val q226 = Q("q226_rank_fusion",
+    "reciprocal-rank fusion (Cormack-Clarke-Buettcher, k=60) of two " +
+      "retrieval voices over the same queries — BM25 top-20 and the idf-" +
+      "free length-normalized TF top-20 — fused purely through RANKS " +
+      "(1e9 div (60+rank) per list, exact integers, so incomparable " +
+      "score scales never calibrate); fusion is query-sized work, the " +
+      "corpus-heavy passes live in the upstream rankers",
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+      len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+      dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      tot AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT)
+                AS total_len FROM len),
+      q(query_id, w) AS (VALUES (1, 'join'), (1, 'hash'), (2, 'vector'),
+                                (2, 'stream'), (2, 'slow'), (3, 'customer')),
+      m AS (SELECT q.query_id, tf.doc_id, tf.tf, len.len, dfq.df,
+                   tot.n_docs, tot.total_len,
+              (1000000 * (2 * (tot.n_docs - dfq.df) + 1)) // (2 * dfq.df + 1)
+                AS idf_ppm
+            FROM tf JOIN q USING (w) JOIN len USING (doc_id)
+                 JOIN dfq USING (w) CROSS JOIN tot),
+      abm AS (SELECT query_id, doc_id,
+                CAST(sum((idf_ppm * 44 * tf * total_len) //
+                  (20 * tf * total_len + 6 * total_len + 18 * len * n_docs))
+                  AS BIGINT) AS s
+              FROM m GROUP BY 1, 2),
+      ark AS (SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+              FROM abm),
+      btf AS (SELECT q.query_id, tf.doc_id,
+                CAST(sum((1000000 * tf.tf) // len.len) AS BIGINT) AS s
+              FROM tf JOIN q USING (w) JOIN len USING (doc_id)
+              GROUP BY 1, 2),
+      brk AS (SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+              FROM btf),
+      contrib AS (
+        SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c
+        FROM ark WHERE rank <= 20
+        UNION ALL
+        SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c
+        FROM brk WHERE rank <= 20),
+      fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_ppb,
+                  CAST(count(*) AS BIGINT) AS n_lists
+                FROM contrib GROUP BY 1, 2),
+      out AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_ppb DESC, doc_id) AS rank FROM fused)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_ppb,
+             n_lists, CAST(rank AS BIGINT) AS rank
+      FROM out WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Ranking
+      val queries = Seq((1L, "join"), (1L, "hash"), (2L, "vector"),
+        (2L, "stream"), (2L, "slow"), (3L, "customer"))
+        .toDF("query_id", "term")
+      val docs = t(s, dir, "documents")
+      val a = TextAnalysis.bm25TopK(docs, queries, k = 20)
+      val b = TextAnalysis.tfTopK(docs, queries, k = 20)
+      Ranking.reciprocalRankFusion(Seq(a, b), topK = 10)
+        .orderBy("query_id", "rank")
+    })
+
+  private val q227 = Q("q227_pareto_frontier",
+    "2-D Pareto frontier over part (minimize price cents, maximize " +
+      "size): the multi-objective curation primitive — 'cheapest part " +
+      "at every size level' — via two window passes, NEVER a quadratic " +
+      "self-join: dominated iff max(y | x strictly lower) >= y (RANGE " +
+      "frame to -1) or max(y | same x) > y; pass 1 per hash bucket " +
+      "(parallel — domination is transitive so frontier(S) = frontier " +
+      "of bucket-frontier union, exactly), pass 2 on survivors only",
+    Some("""
+      WITH p AS (SELECT p_partkey AS id,
+          CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+          CAST(p_size AS BIGINT) AS y
+        FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+      w AS (SELECT *,
+          max(y) OVER (ORDER BY x
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS myl,
+          max(y) OVER (PARTITION BY x) AS mys
+        FROM p)
+      SELECT id, x, y FROM w
+      WHERE (myl IS NULL OR myl < y) AND mys = y
+      ORDER BY x, y, id"""),
+    (s, dir) => graft.ops.Skyline.paretoFrontier2D(t(s, dir, "part"),
+        "p_partkey",
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        col("p_size"))
+      .orderBy("x", "y", "id"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5260,5 +5352,6 @@ object Extensions {
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
-    q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
+    q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
+    q226, q227)
 }

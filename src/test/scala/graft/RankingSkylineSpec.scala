@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ranking, Skyline, TextAnalysis}
+
+/** Round-10 retrieval composition: reciprocal-rank fusion, the idf-free
+  * TF ranker, and the windowed 2-D Pareto frontier (incl. equivalence of
+  * the bucketed two-pass path vs the quadratic NOT EXISTS definition). */
+class RankingSkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reciprocalRankFusion: exact ppb terms, missing items score " +
+    "only their lists, ties break on id") {
+    // list A: d1@1, d2@2 ; list B: d2@1, d3@2
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Ranking.reciprocalRankFusion(Seq(a, b), topK = 10)
+      .select("doc_id", "rrf_ppb", "n_lists", "rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    val r1 = 1000000000L / 61   // 16393442
+    val r2 = 1000000000L / 62   // 16129032
+    // d2 in both lists at ranks 2 and 1; d1 only A@1; d3 only B@2
+    assert(got == Seq((20L, r1 + r2, 2L, 1L), (10L, r1, 1L, 2L),
+      (30L, r2, 1L, 3L)))
+    val ex = intercept[IllegalArgumentException] {
+      Ranking.reciprocalRankFusion(Seq(a))
+    }
+    assert(ex.getMessage.contains(">= 2"))
+  }
+
+  test("tfTopK: idf-free score 1e6*tf div len, per-term floors sum") {
+    val docs = Seq((1L, "a a b"), (2L, "a c c c")).toDF("doc_id", "text")
+    val q = Seq((7L, "a"), (7L, "c")).toDF("query_id", "term")
+    val got = TextAnalysis.tfTopK(docs, q, k = 5)
+      .select("doc_id", "score_ppm", "n_terms_hit", "rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    // doc1: a→2/3 = 666666 ; doc2: a→1/4=250000, c→3/4=750000 → 1000000
+    assert(got == Seq((2L, 1000000L, 2L, 1L), (1L, 666666L, 1L, 2L)))
+  }
+
+  test("paretoFrontier2D: domination edges — equal x, equal y, exact " +
+    "duplicates, single point") {
+    // minimize x, maximize y
+    val pts = Seq(
+      (1L, 10L, 5L),  // frontier
+      (2L, 10L, 7L),  // frontier (same x, higher y dominates id 1)
+      (3L, 20L, 7L),  // dominated by 2 (higher x, same y)
+      (4L, 20L, 9L),  // frontier
+      (5L, 30L, 9L),  // dominated by 4
+      (6L, 5L, 1L),   // frontier (cheapest)
+      (7L, 5L, 1L)    // exact duplicate of 6 — both survive
+    ).toDF("id", "x", "y")
+    val got = Skyline.paretoFrontier2D(pts, "id", col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(got == Seq(2L, 4L, 6L, 7L))
+  }
+
+  test("paretoFrontier2D: bucketed two-pass equals the NOT EXISTS " +
+    "definition on pseudo-random data, any bucket count") {
+    val pts = (1 to 400).map { i =>
+      val h = TestHash.mix(i)
+      (i.toLong, (h % 97).toLong, ((h / 97) % 89).toLong)
+    }.toDF("id", "x", "y")
+    pts.createOrReplaceTempView("sky_pts")
+    val brute = spark.sql("""
+      SELECT a.id FROM sky_pts a WHERE NOT EXISTS (
+        SELECT 1 FROM sky_pts b
+        WHERE (b.x < a.x AND b.y >= a.y) OR (b.x = a.x AND b.y > a.y))
+    """).as[Long].collect().sorted.toSeq
+    for (nb <- Seq(1, 3, 16)) {
+      val fast = Skyline.paretoFrontier2D(pts, "id", col("x"), col("y"),
+        buckets = nb).select("id").as[Long].collect().sorted.toSeq
+      assert(fast == brute, s"buckets=$nb")
+    }
+  }
+}
+
+private object TestHash {
+  /** Deterministic spread for spec data (no RNG in tests). */
+  def mix(i: Int): Int = {
+    var h = i * 0x9e3775cd
+    h ^= h >>> 13; h *= 0x5bd1e995; h ^= h >>> 15
+    math.abs(h)
+  }
+}
