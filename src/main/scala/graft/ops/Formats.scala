@@ -60,6 +60,35 @@ object Formats {
       .json(path)
   }
 
+  /** RFC-4180 CSV round trip — the lowest-common-denominator interchange
+    * seam, and the one where fidelity actually goes to die: this pins
+    * the four classic mangles. Quote-escaping is `""` (RFC 4180), NOT
+    * backslash — Spark's csv default escape is `\`, which silently
+    * mis-reads files written by standards-following producers, so both
+    * sides set `escape` to the quote char. NULL is written as `\N` and
+    * the empty string as a quoted empty field, so the two survive the
+    * trip DISTINCT (the default collapses both to empty). Embedded
+    * newlines ride quoted fields and need `multiLine=true` on read —
+    * which makes files NON-SPLITTABLE (one task per file); at 100 TB
+    * either normalize newlines out before export or keep files small —
+    * a documented trade, not a surprise.
+    */
+  def csvRoundTrip(df: DataFrame, path: String,
+                   multiLine: Boolean = false): DataFrame = {
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("nullValue", "\\N")
+      .csv(path)
+    df.sparkSession.read
+      .schema(df.schema)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("nullValue", "\\N")
+      .option("multiLine", multiLine.toString)
+      .csv(path)
+  }
+
   /** Avro Object Container File interchange — the row-oriented exchange
     * format of Kafka/stream-adjacent pipelines. This build carries the
     * core `org.apache.avro` library but NOT the `spark-avro` datasource

@@ -791,4 +791,60 @@ object Similarity {
             "(_n2a * _n2b) AS BIGINT)"))
           .as("cos2_ppm"))
   }
+
+  /** Contrastive triplet mining — the training-data op of metric/embedding
+    * learning: per anchor, the hardest positive candidate (most-similar
+    * SAME-label vector) and the hardest negative (most-similar
+    * DIFFERENT-label vector — the informative one precisely because it is
+    * close), mined inside random-hyperplane LSH buckets so candidate
+    * generation is bucket-quadratic, never corpus-quadratic (the
+    * [[lshTopK]] recall/latency trade: anchors whose bucket lacks a
+    * same-label or different-label neighbor yield no triplet — at corpus
+    * scale buckets are dense and the misses are the sparse tail).
+    *
+    * Output: (anchor_id, label, pos_id, pos_cosine, neg_id, neg_cosine)
+    * for anchors with both halves; cosines via the scaled-integer kernels
+    * (deterministic, oracle-reproducible), ties on (cosine DESC, id).
+    *
+    * Scale: one signature pass, one bucket self-join repartitioned by
+    * bucket key with an explicit count ([[graft.ops.Expansion]] rule —
+    * quadratic OUTPUT from small input, AQE must not fold it), two rank
+    * windows partitioned by anchor.
+    */
+  def tripletMining(embs: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, numPlanes: Int = 4): DataFrame = {
+    val sig = planeSignature(embs, idCol, vecCol, numPlanes)
+    val base = withNorm2(embs, idCol, vecCol)
+      .select(col(idCol).as("_id"), col("dvec").as("_vec"),
+        col("n2s").as("_n2s"))
+      .join(embs.select(col(idCol).as("_id"), col(labelCol).as("_lbl"))
+        .filter(col("_lbl").isNotNull), "_id")
+      .join(sig.withColumnRenamed(idCol, "_id"), "_id")
+    val nParts = Expansion.parts(embs.sparkSession)
+    val b = base.repartition(nParts, col("sig"))
+    val pairs = b.select(col("sig"), col("_id").as("a_id"),
+        col("_lbl").as("a_lbl"), col("_vec").as("a_vec"),
+        col("_n2s").as("a_n2s"))
+      .join(b.select(col("sig"), col("_id").as("b_id"),
+        col("_lbl").as("b_lbl"), col("_vec").as("b_vec"),
+        col("_n2s").as("b_n2s")), "sig")
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine", VectorFns.cosineScaled(
+        VectorFns.dotScaled(col("a_vec"), col("b_vec")),
+        col("a_n2s"), col("b_n2s")))
+      .select("a_id", "a_lbl", "b_id", "b_lbl", "cosine")
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    def top1(half: DataFrame, prefix: String) = half
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("a_id"), col("a_lbl"),
+        col("b_id").as(s"${prefix}_id"),
+        col("cosine").as(s"${prefix}_cosine"))
+    top1(pairs.filter(col("a_lbl") === col("b_lbl")), "pos")
+      .join(top1(pairs.filter(col("a_lbl") =!= col("b_lbl")), "neg")
+        .drop("a_lbl"), "a_id")
+      .select(col("a_id").as("anchor_id"), col("a_lbl").as("label"),
+        col("pos_id"), col("pos_cosine"), col("neg_id"), col("neg_cosine"))
+  }
 }

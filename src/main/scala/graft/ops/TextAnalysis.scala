@@ -59,6 +59,52 @@ object TextAnalysis {
     scrubbed.withColumnRenamed("__pii_work", "text_redacted")
   }
 
+  /** Luhn mod-10 checksum over a digits-only string column — the
+    * validation half of payment-card detection ([[redactPii]]'s digit-run
+    * regex is the RECALL half; most 13–19 digit runs are order ids and
+    * timestamps, and shipping them all to a human review queue is how
+    * PII triage drowns). Pure integer HOF fold (doubling alternate
+    * digits from the right, −9 on overflow), no UDF; mirrored term by
+    * term in the oracle's list_transform, so validity is engine-portable.
+    */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val sum = aggregate(
+      sequence(lit(0), n - 1),
+      lit(0L),
+      (acc, i) => {
+        val d = substring(digits, n - i, lit(1)).cast("long")
+        acc + when(i % 2 === 0, d)
+          .otherwise(d * 2 - when(d * 2 > 9, 9L).otherwise(0L))
+      })
+    n >= 1 && sum % 10 === 0
+  }
+
+  /** Validated-PII census: card-shaped digit runs (len 13–19, the regex
+    * recall pass) split by Luhn validity, per group — the triage metric
+    * a scrubbing pipeline alarms on (valid_ppm spiking = real card data
+    * in the corpus; candidates without validity spiking = numeric noise).
+    * Row-local extract + fold, ONE map-side-combined aggregate; the
+    * greedy 13–19 quantifier is leftmost-longest in both Java regex and
+    * RE2, so candidate sets agree engine to engine.
+    */
+  def luhnCensus(docs: DataFrame, groupCol: String,
+                 textCol: String = "text"): DataFrame = {
+    val cands = docs.select(col(groupCol),
+      explode_outer(regexp_extract_all(col(textCol),
+        lit("[0-9]{13,19}"), lit(0))).as("_num"))
+    cands
+      .select(col(groupCol),
+        when(col("_num").isNotNull, 1L).otherwise(0L).as("_c"),
+        when(col("_num").isNotNull && luhnValid(col("_num")), 1L)
+          .otherwise(0L).as("_v"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("n_candidates"), sum(col("_v")).as("n_valid"))
+      .select(col(groupCol), col("n_candidates"), col("n_valid"),
+        expr("CASE WHEN n_candidates > 0 THEN " +
+          "(1000000 * n_valid) div n_candidates END").as("valid_ppm"))
+  }
+
   /** Language-ID: score = wordlist hits per language; argmax with
     * lexicographic tiebreak (deterministic for zero-evidence docs).
     * Output: doc_id, pred_lang, score + the labelled lang for comparison.

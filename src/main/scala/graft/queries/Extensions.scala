@@ -5340,6 +5340,171 @@ object Extensions {
         col("p_size"))
       .orderBy("x", "y", "id"))
 
+  private val q228 = Q("q228_csv_roundtrip",
+    "RFC-4180 CSV round trip through the four classic mangles: commas " +
+      "and \"\"-escaped quotes in fields, embedded newlines (multiLine " +
+      "read — non-splittable files, the documented trade), NULL written " +
+      "as \\N vs empty string as a quoted empty field (the default " +
+      "collapses both); per-lang census with null/empty counts and a " +
+      "payload hash XOR proves the distinctions survive the trip",
+    Some("""
+      WITH g AS (SELECT doc_id, lang,
+          CASE WHEN doc_id % 4 = 0 THEN 'a,"b" ' || text
+               WHEN doc_id % 4 = 1 THEN text || chr(10) || 'nextline'
+               WHEN doc_id % 4 = 2 THEN ''
+               ELSE NULL END AS payload
+        FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN payload IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nulls,
+        CAST(sum(CASE WHEN payload = '' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_empty,
+        bit_xor(CAST('0x' || substr(sha256(coalesce(payload, '<NULL>')),
+          1, 15) AS BIGINT)) AS payload_xor,
+        CAST(sum(length(payload)) AS BIGINT) AS sum_len
+      FROM g GROUP BY 1 ORDER BY lang"""),
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q228")
+        .toString + "/docs_csv"
+      val payload = when(col("doc_id") % 4 === 0,
+          concat(lit("a,\"b\" "), col("text")))
+        .when(col("doc_id") % 4 === 1, concat(col("text"), lit("\nnextline")))
+        .when(col("doc_id") % 4 === 2, lit(""))
+        .otherwise(lit(null).cast("string"))
+      Formats.csvRoundTrip(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            payload.as("payload")),
+          path, multiLine = true)
+        .withColumn("_h", graft.functions.TextFns.hash64(
+          coalesce(col("payload"), lit("<NULL>"))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("payload").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          sum(when(col("payload") === "", 1L).otherwise(0L)).as("n_empty"),
+          expr("bit_xor(_h)").as("payload_xor"),
+          sum(length(col("payload"))).as("sum_len"))
+        .orderBy("lang")
+    })
+
+  private val q229 = Q("q229_triplet_mining",
+    "contrastive triplet mining inside LSH buckets (5 hyperplanes): per " +
+      "anchor the hardest positive (most-similar SAME label) and " +
+      "hardest negative (most-similar DIFFERENT label — informative " +
+      "because it is close), candidates bucket-quadratic never corpus-" +
+      "quadratic, expansion-join repartition pinned; scaled-integer " +
+      "cosine kernels keep every tie and every value engine-portable",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+            unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings WHERE label IS NOT NULL),
+      lbl AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
+      planes AS (SELECT vec_id, b,
+          SUM(CAST(floor((CAST('0x' || substr(sha256(CAST(b AS VARCHAR)
+            || ',' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)
+            * CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS pdot
+        FROM el CROSS JOIN generate_series(0, 4) t(b) GROUP BY vec_id, b),
+      sig AS (SELECT vec_id,
+          SUM(CASE WHEN pdot >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+            AS sig
+        FROM planes GROUP BY vec_id),
+      nrm AS (SELECT vec_id, CAST(SUM(CAST(floor(CAST(v AS DOUBLE)
+          * CAST(v AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS n2s
+        FROM el GROUP BY 1),
+      cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+      dots AS (SELECT cand.a_id, cand.b_id,
+          CAST(SUM(CAST(floor(CAST(x.v AS DOUBLE) * CAST(y.v AS DOUBLE)
+            * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+        FROM cand JOIN el x ON x.vec_id = cand.a_id
+                  JOIN el y ON y.vec_id = cand.b_id AND x.i = y.i
+        GROUP BY 1, 2),
+      cosv AS (SELECT d.a_id, d.b_id, la.label AS a_lbl, lb.label AS b_lbl,
+          CAST(d.dot_s AS DOUBLE) / (sqrt(CAST(na.n2s AS DOUBLE))
+            * sqrt(CAST(nb.n2s AS DOUBLE))) AS cosine
+        FROM dots d JOIN nrm na ON na.vec_id = d.a_id
+             JOIN nrm nb ON nb.vec_id = d.b_id
+             JOIN lbl la ON la.vec_id = d.a_id
+             JOIN lbl lb ON lb.vec_id = d.b_id),
+      pos AS (SELECT a_id, b_id, cosine FROM (SELECT *, row_number()
+          OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+          FROM cosv WHERE a_lbl = b_lbl) WHERE rn = 1),
+      neg AS (SELECT a_id, b_id, cosine FROM (SELECT *, row_number()
+          OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+          FROM cosv WHERE a_lbl <> b_lbl) WHERE rn = 1)
+      SELECT p.a_id AS anchor_id, l.label AS label, p.b_id AS pos_id,
+             p.cosine AS pos_cosine, n.b_id AS neg_id,
+             n.cosine AS neg_cosine
+      FROM pos p JOIN neg n ON p.a_id = n.a_id
+           JOIN lbl l ON l.vec_id = p.a_id
+      ORDER BY anchor_id"""),
+    (s, dir) => Similarity.tripletMining(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", numPlanes = 5)
+      .orderBy("anchor_id"))
+
+  private val q230 = Q("q230_luhn_pii",
+    "Luhn-VALIDATED payment-card census per event type: 13-19 digit " +
+      "runs (the q86 recall regex) split by mod-10 checksum validity — " +
+      "valid_ppm spiking means real card data, candidates spiking alone " +
+      "means numeric noise; checksum is a pure integer HOF fold " +
+      "mirrored term-for-term in both engines, one row-local extract + " +
+      "one map-side-combined aggregate",
+    Some("""
+      WITH g AS (SELECT event_type,
+          CASE WHEN event_id % 3 = 0 THEN 'ref ' ||
+                 lpad(CAST((event_id * 48271 + coalesce(user_id, 0))
+                   % 10000000000000000 AS VARCHAR), 16, '0') || ' ok'
+               WHEN event_id % 3 = 1 THEN 'no digits here'
+               ELSE 'twice ' ||
+                 lpad(CAST((event_id * 48271 + coalesce(user_id, 0))
+                   % 10000000000000000 AS VARCHAR), 16, '0') || ' and ' ||
+                 lpad(CAST((event_id * 13) % 100000000000000 AS VARCHAR),
+                   14, '0')
+          END AS txt
+        FROM events WHERE event_type IS NOT NULL),
+      cand AS (SELECT event_type,
+          unnest(regexp_extract_all(txt, '[0-9]{13,19}')) AS num FROM g),
+      v AS (SELECT event_type, num,
+          list_sum(list_transform(range(0, length(num)), i ->
+            CASE WHEN i % 2 = 0
+              THEN CAST(substr(num, length(num) - CAST(i AS INT), 1)
+                AS BIGINT)
+              ELSE 2 * CAST(substr(num, length(num) - CAST(i AS INT), 1)
+                AS BIGINT)
+                - CASE WHEN 2 * CAST(substr(num,
+                    length(num) - CAST(i AS INT), 1) AS BIGINT) > 9
+                  THEN 9 ELSE 0 END
+            END)) AS s
+        FROM cand),
+      agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_candidates,
+          CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_valid
+        FROM v GROUP BY 1),
+      base AS (SELECT DISTINCT event_type FROM g)
+      SELECT b.event_type,
+        CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+        CAST(coalesce(n_valid, 0) AS BIGINT) AS n_valid,
+        CASE WHEN coalesce(n_candidates, 0) > 0
+          THEN CAST((1000000 * n_valid) // n_candidates AS BIGINT) END
+          AS valid_ppm
+      FROM base b LEFT JOIN agg USING (event_type)
+      ORDER BY event_type"""),
+    (s, dir) => {
+      val num16 = lpad(((col("event_id") * 48271L +
+          coalesce(col("user_id"), lit(0L))) % 10000000000000000L)
+        .cast("string"), 16, "0")
+      val num14 = lpad(((col("event_id") * 13L) % 100000000000000L)
+        .cast("string"), 14, "0")
+      val txt = when(col("event_id") % 3 === 0,
+          concat(lit("ref "), num16, lit(" ok")))
+        .when(col("event_id") % 3 === 1, lit("no digits here"))
+        .otherwise(concat(lit("twice "), num16, lit(" and "), num14))
+      TextAnalysis.luhnCensus(
+          t(s, dir, "events").filter(col("event_type").isNotNull)
+            .select(col("event_type"), txt.as("text")),
+          "event_type")
+        .orderBy("event_type")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5353,5 +5518,5 @@ object Extensions {
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
-    q226, q227)
+    q226, q227, q228, q229, q230)
 }

@@ -108,4 +108,32 @@ class FormatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Formats.writeAvro(odd,
       java.nio.file.Files.createTempDirectory("graft-avro-bad2").toString))
   }
+
+  test("csvRoundTrip: commas, RFC quotes, embedded newline, and the " +
+    "NULL vs empty-string distinction all survive") {
+    val rows = Seq(
+      (1L, "a,b"),                  // comma
+      (2L, "say \"hi\" now"),       // quotes → "" escaping on disk
+      (3L, "line1\nline2"),         // embedded newline (multiLine read)
+      (4L, ""),                     // empty string — NOT null
+      (5L, null.asInstanceOf[String]),
+      (6L, "\\N")                   // literal backslash-N text ≠ null
+    ).toDF("id", "v")
+    val path = java.nio.file.Files.createTempDirectory("graft-csv")
+      .toString + "/t"
+    val back = Formats.csvRoundTrip(rows, path, multiLine = true)
+      .as[(Long, String)].collect().toMap
+    assert(back(1L) == "a,b")
+    assert(back(2L) == "say \"hi\" now")
+    assert(back(3L) == "line1\nline2")
+    assert(back(4L) == "")
+    assert(back(5L) == null)
+    // Spark csv writes the literal text \N identically to its null token;
+    // the round trip canonicalizes it to null — the ONE documented lossy
+    // cell shape of the seam (the quoted-empty trick distinguishes ''
+    // but csv has no way to quote a null token). Pin it so it is a
+    // contract, not a surprise.
+    assert(back(6L) == null)
+    assert(back.size == 6)
+  }
 }

@@ -74,6 +74,61 @@ class RankingSkylineSpec extends SparkSpec {
       assert(fast == brute, s"buckets=$nb")
     }
   }
+
+  test("luhnValid: known-good cards pass, off-by-one fails, odd lengths " +
+    "double the right digits") {
+    val cases = Seq(
+      ("4111111111111111", true),   // classic Visa test number
+      ("4111111111111112", false),
+      ("79927398713", true),        // the canonical Luhn example (11 digits)
+      ("79927398714", false),
+      ("0", true),                  // single zero: sum 0
+      ("059", true)                 // odd length: 9 + 2*5=10→1 + 0 = 10
+    ).toDF("num", "want")
+    val got = cases.select(col("num"),
+        TextAnalysis.luhnValid(col("num")).as("got"), col("want"))
+      .as[(String, Boolean, Boolean)].collect()
+    for ((n, g, w) <- got) assert(g == w, s"luhn($n)")
+  }
+
+  test("luhnCensus: extraction bounds (13-19), group with no candidates " +
+    "keeps its row with NULL ppm") {
+    val docs = Seq(
+      ("a", "pay 4111111111111111 now"),        // 16, valid
+      ("a", "ref 4111111111111112 bad"),        // 16, invalid
+      ("a", "short 123456789012 run"),          // 12 digits — NOT a candidate
+      ("b", "no digits at all")
+    ).toDF("g", "text")
+    val got = TextAnalysis.luhnCensus(docs, "g")
+      .select("g", "n_candidates", "n_valid", "valid_ppm")
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 1L, Some(500000L)), ("b", 0L, 0L, None)))
+  }
+
+  test("tripletMining: hardest positive and hardest negative per anchor, " +
+    "anchors missing a half yield no row") {
+    import graft.ops.Similarity
+    // all vectors in ONE bucket direction-wise: x-dominant positives,
+    // a slightly rotated negative; labels 1/1/1 and 2; vector (9,1) is
+    // label 2 so anchor (10,0) has pos (8,0) [cos 1] over (0,10).
+    val vecs = Seq(
+      (1L, 1, Seq(10.0f, 1.0f)),
+      (2L, 1, Seq(8.0f, 0.8f)),    // same direction as 1 → pos for 1
+      (3L, 2, Seq(9.0f, 1.2f)),    // close but label 2 → neg for 1
+      (4L, 1, Seq(10.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.tripletMining(vecs, "vec_id", "embedding",
+        "label", numPlanes = 2)
+      .select("anchor_id", "pos_id", "neg_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // every anchor sharing a bucket with both labels gets exactly one row
+    assert(got.nonEmpty)
+    val a1 = got.find(_._1 == 1L)
+    assert(a1.exists(t => t._2 == 2L && t._3 == 3L),
+      s"anchor 1 wants pos=2 (same direction, same label) neg=3: $got")
+    // label-2 singleton can never have a positive half
+    assert(!got.exists(_._1 == 3L))
+  }
 }
 
 private object TestHash {
