@@ -89,6 +89,21 @@ object Formats {
       .csv(path)
   }
 
+  /** Schema-evolution read over a directory of parquet batches whose
+    * schemas DIFFER (columns added over the corpus's life — the normal
+    * state of a long-lived 100 TB table): `mergeSchema=true` unions the
+    * footer schemas, and rows from pre-evolution batches surface the
+    * added columns as NULL — never a read error, never silent column
+    * loss. Cost note, and why this is an explicit seam instead of a
+    * default: merging reads EVERY file's footer up front (at millions of
+    * files that is the slow step) — production tables should evolve
+    * through a catalog/declared schema and use this path for
+    * catalog-less raw drops only.
+    */
+  def evolvedParquetRead(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** Avro Object Container File interchange — the row-oriented exchange
     * format of Kafka/stream-adjacent pipelines. This build carries the
     * core `org.apache.avro` library but NOT the `spark-avro` datasource

@@ -5505,6 +5505,106 @@ object Extensions {
         .orderBy("event_type")
     })
 
+  /** Unrolled Hilbert xy→d transform for the DuckDB oracle: `bits` steps
+    * of the standard rotate/reflect recurrence (each CTE referenced once
+    * → linear inlining, unlike q223's thrice-referenced peel rounds).
+    * Mirrors HilbertUtil.index bit for bit. */
+  private def hilbertSql(bits: Int, bucketShift: Int): String = {
+    val scale = (1L << bits) - 1
+    val sb = new StringBuilder(
+      s"""
+      WITH src AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+      mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                    min(y) AS ymin, max(y) AS ymax FROM src),
+      h0 AS (SELECT x, y,
+        CASE WHEN xmax = xmin THEN 0 ELSE
+          CAST(floor((CAST(x AS DOUBLE) - xmin) / (xmax - xmin) * $scale)
+               AS BIGINT) END AS hx,
+        CASE WHEN ymax = ymin THEN 0 ELSE
+          CAST(floor((CAST(y AS DOUBLE) - ymin) / (ymax - ymin) * $scale)
+               AS BIGINT) END AS hy,
+        CAST(0 AS BIGINT) AS d
+        FROM src, mm)""")
+    for (i <- 0 until bits) {
+      val s = 1L << (bits - 1 - i)
+      sb.append(s""",
+      a$i AS (SELECT x, y, hx, hy, d,
+        CASE WHEN (hx & $s) <> 0 THEN 1 ELSE 0 END AS rx,
+        CASE WHEN (hy & $s) <> 0 THEN 1 ELSE 0 END AS ry FROM h$i),
+      h${i + 1} AS (SELECT x, y,
+        CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - hy
+          ELSE hy END ELSE hx END AS hx,
+        CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - hx
+          ELSE hx END ELSE hy END AS hy,
+        d + CAST(${s * s} AS BIGINT) * xor(3 * rx, ry) AS d FROM a$i)""")
+    }
+    sb.append(s"""
+      SELECT CAST(d >> $bucketShift AS BIGINT) AS hbucket,
+             count(*) AS n_rows,
+             min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max
+      FROM h$bits GROUP BY 1 ORDER BY 1""")
+    sb.toString
+  }
+
+  private val q231 = Q("q231_hilbert_layout",
+    "Hilbert-curve two-dimensional clustering — q131's Morton layout " +
+      "with better locality (every unit curve step is a unit grid step, " +
+      "so curve-range buckets are contiguous regions and BOTH dims' " +
+      "min/max footers tighten beyond Z-order's quadrant jumps): " +
+      "16-bit quantized (l_partkey, l_suppkey) through the native " +
+      "graft_hilbert_index codegen kernel, top-6-bit buckets, per-" +
+      "bucket counts + min/max audited bit-for-bit against the 16-step " +
+      "rotate/reflect recurrence unrolled in SQL",
+    Some(hilbertSql(bits = 16, bucketShift = 26)),
+    (s, dir) => graft.ops.Output.hilbertBuckets(
+        t(s, dir, "lineitem").select(
+          col("l_partkey").as("x"), col("l_suppkey").as("y")),
+        "x", "y", bits = 16, nBuckets = 64)
+      .groupBy("hbucket").agg(
+        count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("hbucket"))
+
+  private val q232 = Q("q232_schema_evolution",
+    "schema-evolution read across parquet batches with DIFFERENT " +
+      "schemas (columns added mid-corpus — the normal state of a long-" +
+      "lived table): batch 1 ships (doc_id, lang, n_chars), batch 2 " +
+      "adds source and n_tokens; mergeSchema unions the footers, pre-" +
+      "evolution rows surface added columns as NULL (never a read " +
+      "error, never silent loss), batch directories double as a " +
+      "partition column; per-lang census proves both batches' rows and " +
+      "the null-vs-present split survive",
+    Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_with_source,
+        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 2 * n_chars END) AS BIGINT)
+          AS sum_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1 ORDER BY lang"""),
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q232")
+        .toString + "/docs_evolved"
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$root/batch=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("source"), (col("n_chars") * 2).as("n_tokens"))
+        .write.mode("overwrite").parquet(s"$root/batch=2")
+      Formats.evolvedParquetRead(s, root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("source").isNotNull, 1L).otherwise(0L))
+            .as("n_with_source"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5518,5 +5618,5 @@ object Extensions {
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
-    q226, q227, q228, q229, q230)
+    q226, q227, q228, q229, q230, q231, q232)
 }

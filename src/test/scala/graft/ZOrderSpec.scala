@@ -56,4 +56,45 @@ class ZOrderSpec extends SparkSpec {
       .select("zbucket").as[Long].collect().toSet
     assert(out.nonEmpty && out.forall(b => b >= 0 && b < 4))
   }
+
+  test("hilbert: bijection over the grid and UNIT-STEP continuity — the " +
+    "property Morton lacks") {
+    import graft.expressions.HilbertUtil
+    val bits = 3
+    val n = 1 << bits // 8x8 grid
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (HilbertUtil.index(x.toLong, y.toLong, bits), (x, y))
+    // bijection: every d in [0, 64) exactly once
+    assert(cells.map(_._1).sorted == (0L until 64L))
+    // continuity: consecutive curve positions are Manhattan-adjacent
+    val byD = cells.sortBy(_._1).map(_._2)
+    for (Seq((x1, y1), (x2, y2)) <- byD.sliding(2)) {
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump between ($x1,$y1) and ($x2,$y2)")
+    }
+    // first cell of the canonical orientation is the origin
+    assert(HilbertUtil.index(0L, 0L, bits) == 0L)
+    // Morton, for contrast, jumps: d=3→4 crosses the quadrant seam
+    val mByD = (for (x <- 0 until n; y <- 0 until n)
+      yield (ZOrderUtil.interleave(x.toLong, y.toLong, bits), (x, y)))
+      .sortBy(_._1).map(_._2)
+    val jumps = mByD.sliding(2).count {
+      case Seq((x1, y1), (x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+      case _ => false
+    }
+    assert(jumps > 0)
+  }
+
+  test("hilbert column expression matches the static kernel; buckets " +
+    "bounded") {
+    import graft.expressions.HilbertIndex
+    val viaCol = Seq((5L, 6L)).toDF("x", "y")
+      .select(HilbertIndex(col("x"), col("y"), 3)).head().getLong(0)
+    assert(viaCol == graft.expressions.HilbertUtil.index(5L, 6L, 3))
+    val pts = Seq((1, 7), (2, 7), (3, 7), (60, 60)).toDF("x", "y")
+    val out = Output.hilbertBuckets(pts, "x", "y", bits = 16, nBuckets = 4)
+      .select("hbucket").as[Long].collect().toSet
+    assert(out.nonEmpty && out.forall(b => b >= 0 && b < 4))
+  }
 }
