@@ -279,4 +279,61 @@ object EventAnalytics {
             " AS BIGINT)"))
           .as("twa_cents"))
   }
+
+  /** Token-bucket admission over a per-key event sequence — quota
+    * enforcement / crawl politeness / API rate limiting as a BATCH
+    * replay (audit yesterday's traffic against a policy before turning
+    * it on): bucket of `capacity` tokens per key, refilled
+    * `refillNum` tokens per elapsed `refillDenMs` ms (integer floor per
+    * GAP — memoryless between events, a documented exact-integer
+    * variant: fractional credit does not carry), one token per admitted
+    * event, rejects when empty.
+    *
+    * Shape at 100 TB — the classic secondary-sort scan: ONE shuffle on
+    * the key, partition-local (external, spillable) sort on (key, ts,
+    * id), then a single mapPartitions pass with O(1) state per row —
+    * per-key event counts never materialize in memory, hot keys cost
+    * time not space. The recurrence (min/cap + conditional decrement)
+    * is non-associative, so no window/aggregate expresses it; the
+    * sorted scan is the honest primitive (same family as the streaming
+    * twins' transformWithState, which replays this logic per key with
+    * state-store persistence).
+    *
+    * Output: (key, ts_ms, id, admitted, tokens_after), one row per event.
+    */
+  def tokenBucketAdmit(events: DataFrame, keyCol: String,
+                       tsMsCol: org.apache.spark.sql.Column, idCol: String,
+                       capacity: Long, refillNum: Long,
+                       refillDenMs: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1: $capacity")
+    require(refillNum >= 0, s"refillNum must be >= 0: $refillNum")
+    require(refillDenMs >= 1, s"refillDenMs must be >= 1: $refillDenMs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events
+      .select(col(keyCol).cast("long").as("_k"),
+        tsMsCol.cast("long").as("_ts"), col(idCol).cast("long").as("_id"))
+      .filter(col("_k").isNotNull && col("_ts").isNotNull)
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k"), col("_ts"), col("_id"))
+      .as[(Long, Long, Long)]
+    base.mapPartitions { it =>
+      var curKey = 0L
+      var started = false
+      var tokens = 0L
+      var lastTs = 0L
+      it.map { case (k, ts, id) =>
+        if (!started || k != curKey) {
+          curKey = k; started = true; tokens = capacity
+        } else {
+          tokens = math.min(capacity,
+            tokens + (ts - lastTs) * refillNum / refillDenMs)
+        }
+        lastTs = ts
+        val admitted = tokens >= 1L
+        if (admitted) tokens -= 1L
+        (k, ts, id, admitted, tokens)
+      }
+    }.toDF(keyCol, "ts_ms", idCol, "admitted", "tokens_after")
+  }
 }

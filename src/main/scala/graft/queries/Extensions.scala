@@ -5605,6 +5605,49 @@ object Extensions {
         .orderBy("lang")
     })
 
+  private val q233 = Q("q233_token_bucket",
+    "token-bucket admission replay per user (capacity 5, 1 token per " +
+      "12h, integer floor per gap): quota/politeness policy audited " +
+      "against yesterday's traffic BEFORE enforcement — the recurrence " +
+      "(cap + conditional decrement) is non-associative, so the honest " +
+      "primitive is the secondary-sort scan: ONE shuffle on user, " +
+      "spillable partition-local sort, single pass with O(1) state per " +
+      "row (hot keys cost time, never memory); oracle walks the same " +
+      "recurrence as a recursive CTE",
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      scan AS (
+        SELECT user_id, rn, ts_ms, CAST(4 AS BIGINT) AS tokens,
+               TRUE AS admitted
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.ts_ms,
+          least(5, s.tokens + (e.ts_ms - s.ts_ms) // 43200000)
+            - CASE WHEN least(5, s.tokens +
+                (e.ts_ms - s.ts_ms) // 43200000) >= 1 THEN 1 ELSE 0 END,
+          least(5, s.tokens + (e.ts_ms - s.ts_ms) // 43200000) >= 1
+        FROM scan s JOIN ev e
+          ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_admitted,
+        CAST(sum(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_rejected
+      FROM scan GROUP BY 1 ORDER BY user_id"""),
+    (s, dir) => EventAnalytics.tokenBucketAdmit(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "user_id", unix_millis(col("ts")), "event_id",
+        capacity = 5L, refillNum = 1L, refillDenMs = 43200000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), 0L).otherwise(1L)).as("n_rejected"))
+      .orderBy("user_id"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5618,5 +5661,5 @@ object Extensions {
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
-    q226, q227, q228, q229, q230, q231, q232)
+    q226, q227, q228, q229, q230, q231, q232, q233)
 }

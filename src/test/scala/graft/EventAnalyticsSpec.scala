@@ -147,4 +147,32 @@ class EventAnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((7L, 2L, 800L, 500L)))
   }
+
+  test("tokenBucketAdmit: cap, rejection when empty, per-gap floor " +
+    "(fractional credit does not carry), independent keys") {
+    import org.apache.spark.sql.functions.col
+    // cap 2, 1 token / 1000 ms
+    val ev = Seq(
+      (1L, 0L, 10L),     // fresh bucket: 2 → admit, 1 left
+      (1L, 100L, 11L),   // admit, 0 left
+      (1L, 200L, 12L),   // REJECT (gap 100ms floors to 0 tokens)
+      (1L, 800L, 13L),   // REJECT (600ms more — floors to 0 AGAIN:
+                         //   two sub-1000 gaps never sum to a token)
+      (1L, 1900L, 14L),  // gap 1100 → +1 token, admit, 0 left
+      (1L, 9900L, 15L),  // gap 8000 → +8 clamped to cap 2, admit, 1 left
+      (2L, 50L, 20L)     // other key: fresh bucket, admit
+    ).toDF("k", "ts", "id")
+    val got = EventAnalytics.tokenBucketAdmit(ev, "k", col("ts"), "id",
+        capacity = 2L, refillNum = 1L, refillDenMs = 1000L)
+      .select("id", "admitted", "tokens_after")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (10L, true, 1L), (11L, true, 0L), (12L, false, 0L),
+      (13L, false, 0L), (14L, true, 0L), (15L, true, 1L),
+      (20L, true, 1L)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.tokenBucketAdmit(ev, "k", col("ts"), "id",
+        capacity = 0L, refillNum = 1L, refillDenMs = 1000L)
+    }
+  }
 }
