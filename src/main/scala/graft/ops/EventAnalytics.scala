@@ -310,9 +310,19 @@ object EventAnalytics {
     require(refillDenMs >= 1, s"refillDenMs must be >= 1: $refillDenMs")
     val spark = events.sparkSession
     import spark.implicits._
+    // the long casts are part of the scan-state contract (O(1) primitive
+    // state per row); a key/id that does NOT cast (non-numeric string)
+    // must fail loudly, not silently drop its rows from the policy audit
+    def checkedCast(c: org.apache.spark.sql.Column, what: String) =
+      when(c.isNotNull && c.cast("long").isNull,
+        raise_error(concat(
+          lit(s"tokenBucketAdmit: $what must cast to long, got "),
+          c.cast("string"))))
+        .otherwise(c.cast("long"))
     val base = events
-      .select(col(keyCol).cast("long").as("_k"),
-        tsMsCol.cast("long").as("_ts"), col(idCol).cast("long").as("_id"))
+      .select(checkedCast(col(keyCol), keyCol).as("_k"),
+        tsMsCol.cast("long").as("_ts"),
+        checkedCast(col(idCol), idCol).as("_id"))
       .filter(col("_k").isNotNull && col("_ts").isNotNull)
       .repartition(col("_k"))
       .sortWithinPartitions(col("_k"), col("_ts"), col("_id"))

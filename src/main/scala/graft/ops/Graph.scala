@@ -253,15 +253,16 @@ object Graph {
     * k-core cost, bounded here by `maxRounds` with an explicit error
     * rather than a silent partial answer.
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100,
+            aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
     var e = edges
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
       .localCheckpoint(true)

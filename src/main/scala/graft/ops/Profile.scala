@@ -1063,6 +1063,7 @@ object Profile {
                rsd: Double = 0.05, boundPpmOpt: Option[Long] = None): DataFrame = {
     require(rsd > 0 && rsd < 0.3, s"rsd out of (0, 0.3): $rsd")
     val boundPpm = boundPpmOpt.getOrElse((3e6 * rsd).toLong)
+    require(boundPpm >= 0, s"boundPpm must be >= 0: $boundPpm")
     df.groupBy(col(groupCol))
       .agg(countDistinct(valueCol).as("exact_n"),
         approx_count_distinct(valueCol, rsd).as("_est"))

@@ -20,6 +20,11 @@ object Ranking {
     * rank), top `topK` per query under the (rrf_ppb DESC, id) total
     * order — deterministic under ties.
     *
+    * The rank contract (>= 1, the row_number convention) is enforced
+    * IN-PLAN (the bootstrapDraws posture): a null or sub-1 rank would
+    * silently corrupt a contribution — rank = −kConst even divides by
+    * zero to NULL — instead of surfacing the upstream bug.
+    *
     * Shape at 100 TB: inputs are already top-k-per-query relations
     * (bounded: |queries|·k rows each), so the union + one aggregate +
     * one bounded rank window is query-sized, never corpus-sized — the
@@ -34,13 +39,21 @@ object Ranking {
       s"fusion needs >= 2 rankings, got ${rankings.size}")
     require(kConst >= 1, s"kConst must be >= 1: $kConst")
     require(topK >= 1, s"topK must be >= 1: $topK")
-    val contribs = rankings.map { r =>
+    val unioned = rankings.map { r =>
+      val rk = col(rankCol).cast("long")
+      val checked = when(rk.isNull || rk < 1L,
+          raise_error(concat(
+            lit("reciprocalRankFusion: rank must be >= 1, got "),
+            rk.cast("string"))))
+        .otherwise(rk)
       r.select(col(queryCol).as("_q"), col(idCol).as("_id"),
-        expr(s"1000000000L div (${kConst}L + `$rankCol`)").as("_c"))
+        checked.as("_rk"))
+        .select(col("_q"), col("_id"),
+          expr(s"1000000000L div (${kConst}L + _rk)").as("_c"))
     }.reduce(_ unionByName _)
-    val fused = contribs.groupBy("_q", "_id")
+    val fused = unioned.groupBy("_q", "_id")
       .agg(sum(col("_c")).as("rrf_ppb"), count(lit(1)).as("n_lists"))
-    val w = Window.partitionBy("_q")
+    val w = Window.partitionBy(col("_q"))
       .orderBy(col("rrf_ppb").desc, col("_id"))
     fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)

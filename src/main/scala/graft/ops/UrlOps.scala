@@ -93,6 +93,11 @@ object UrlOps {
     require(blocklist.columns.sameElements(Array("suffix")),
       s"blocklist must have exactly one column 'suffix', got: " +
         blocklist.columns.mkString(", "))
+    val clash = df.columns.toSet
+      .intersect(Set("_host", "_blocked", "blocked"))
+    require(clash.isEmpty,
+      s"input already has reserved column(s) ${clash.mkString(", ")} — " +
+        "rename before blocklistJoin (output adds `blocked`)")
     val withId = df.withColumn("_host", lower(hostCol))
     val hits = withId
       .select(col("_host"))
