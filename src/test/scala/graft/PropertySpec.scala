@@ -628,6 +628,114 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("url law: canonicalizeUrl is IDEMPOTENT over generated messy urls " +
+    "(canon(canon(u)) = canon(u)) and never re-grows a tracking param") {
+    import graft.ops.UrlOps
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      host <- Gen.oneOf("Ex.COM", "a.b.ex.com", "WWW.Ex.Com")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/p", "/p/q/", "/p//")
+      qs <- Gen.someOf(Seq("a=1", "b=2", "utm_source=x", "gclid=9", "z="))
+      frag <- Gen.oneOf("", "#f")
+    } yield s"$scheme://$host$port$path" +
+      (if (qs.isEmpty) "" else qs.mkString("?", "&", "")) + frag
+    for (seed <- 1L to 3L) {
+      val urls = gen(Gen.listOfN(200, urlGen), seed)
+      val once = urls.toDF("u")
+        .select(UrlOps.canonicalizeUrl(col("u")).as("c1"))
+        .select(col("c1"), UrlOps.canonicalizeUrl(col("c1")).as("c2"))
+        .as[(String, String)].collect()
+      for ((c1, c2) <- once) {
+        assert(c1 == c2, s"not idempotent: $c1 -> $c2")
+        assert(!c1.contains("utm_") && !c1.contains("gclid"),
+          s"tracking param survived: $c1")
+      }
+    }
+  }
+
+  test("skyline law: the frontier is IDEMPOTENT (frontier(frontier(S)) = " +
+    "frontier(S)) and every non-frontier point is dominated by a " +
+    "frontier point") {
+    import graft.ops.Skyline
+    for (seed <- 4L to 5L) {
+      val pts = gen(Gen.listOfN(300,
+        Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L))), seed)
+        .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val df = pts.toDF("id", "x", "y")
+      val f1 = Skyline.paretoFrontier2D(df, "id", col("x"), col("y"))
+        .as[(Long, Long, Long)].collect().toSet
+      val f2 = Skyline.paretoFrontier2D(
+          f1.toSeq.toDF("id", "x", "y"), "id", col("x"), col("y"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(f1 == f2, s"seed=$seed idempotence broke")
+      val front = f1.map { case (_, x, y) => (x, y) }
+      for ((id, x, y) <- pts if !f1.exists(_._1 == id)) {
+        assert(front.exists { case (fx, fy) =>
+          (fx < x && fy >= y) || (fx <= x && fy > y) },
+          s"seed=$seed dropped point ($id,$x,$y) not dominated")
+      }
+    }
+  }
+
+  test("kcore law: the k-core is a FIXPOINT (kCore of the core's edge " +
+    "set = the core) and is contained in the (k-1)-core") {
+    import graft.ops.Graph
+    for (seed <- 6L to 7L) {
+      val edges = gen(Gen.listOfN(250,
+        Gen.zip(Gen.choose(1L, 40L), Gen.choose(1L, 40L))), seed)
+        .toDF("a", "b")
+      val core3 = Graph.kCore(edges, k = 3)
+        .as[(Long, Long)].collect().toMap
+      val core2 = Graph.kCore(edges, k = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(core3.keySet.subsetOf(core2.keySet), s"seed=$seed nesting")
+      // rebuild the core subgraph's edges and re-peel: nothing changes
+      val nodes = core3.keySet
+      val coreEdges = edges.as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b && nodes(a) && nodes(b) }
+        .distinct
+      if (coreEdges.nonEmpty) {
+        val again = Graph.kCore(coreEdges.toSeq.toDF("a", "b"), k = 3)
+          .as[(Long, Long)].collect().toMap
+        assert(again == core3, s"seed=$seed fixpoint broke")
+      } else assert(core3.isEmpty)
+    }
+  }
+
+  test("luhn law: for ANY digit string there is exactly ONE check digit " +
+    "that makes it valid (the append-check-digit construction)") {
+    import graft.ops.TextAnalysis
+    val digitsGen = Gen.listOfN(15, Gen.choose(0, 9)).map(_.mkString)
+    val bodies = gen(Gen.listOfN(60, digitsGen), 8L)
+    val rows = for (b <- bodies; d <- 0 to 9) yield (b, d, s"$b$d")
+    val got = rows.toDF("body", "d", "num")
+      .select(col("body"), TextAnalysis.luhnValid(col("num")).as("ok"))
+      .as[(String, Boolean)].collect()
+      .groupBy(_._1).view.mapValues(_.count(_._2)).toMap
+    for (b <- bodies) assert(got(b) == 1, s"body $b had ${got(b)} valid")
+  }
+
+  test("rrf law: fusing a ranking with ITSELF preserves its order (rank " +
+    "transform is monotone), and contributions are order-invariant " +
+    "across the input list") {
+    import graft.ops.Ranking
+    val r = (1 to 30).map(i => (1L, i.toLong * 7 % 31, i.toLong))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Ranking.reciprocalRankFusion(Seq(r, r), topK = 30)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    val orig = r.orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(fused == orig)
+    val ab = Ranking.reciprocalRankFusion(Seq(r,
+        r.withColumn("rank", col("rank"))), topK = 30)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val ba = Ranking.reciprocalRankFusion(Seq(
+        r.withColumn("rank", col("rank")), r), topK = 30)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(ab == ba)
+  }
 }
 
 /** Thin forwarding (keeps the spec readable). */
