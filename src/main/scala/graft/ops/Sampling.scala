@@ -486,4 +486,71 @@ object Sampling {
         expr(s"CAST((CAST(1000000 AS $dec38) * _sw * _sw) div " +
           s"(CAST(n AS $dec38) * _sw2) AS BIGINT)").as("ess_ppm"))
   }
+
+  /** Water-filling budget allocation — `mixtureRebalance`'s complement:
+    * that op keeps the target mixture EXACT and shrinks the total; this
+    * one keeps the TOTAL (spend the whole token budget) and bends the
+    * mixture minimally — a saturated source (availability below its
+    * proportional share) contributes everything it has, and its unmet
+    * share redistributes across the unsaturated sources in target
+    * proportion. The fixpoint is found by simultaneous (Jacobi) rounds:
+    * λ = (B − Σ_sat avail) / Σ_unsat weight; source i saturates when
+    * avail_i ≤ λ·w_i (compared as exact integer cross-products — no
+    * rational ever materializes); unsaturated allocation is
+    * ⌊λ·w_i⌋, so Σ alloc ≤ B with < |unsat| floor slack. Converges in
+    * ≤ |sources| rounds (each round saturates ≥ 1 source or stops).
+    *
+    * Shape at 100 TB: the AVAILABILITY census is the distributed half
+    * (one map-side-combined aggregate over the corpus); the fill itself
+    * runs on the collected ≤|targets| rows with BigInt products — the
+    * target list is caller-provided and model-sized BY CONSTRUCTION, so
+    * driver math here is the honest call, not a scale hole (the
+    * kmeans-centroids / MMR-k-rows precedent).
+    *
+    * Output: (source, avail, weight_ppm, allocation, saturated),
+    * sources missing from the corpus carry avail = 0 (saturated at 0).
+    */
+  def budgetWaterFill(df: DataFrame, sourceCol: String, availCol: Column,
+                      targetsPpm: Seq[(String, Long)],
+                      budget: Long): DataFrame = {
+    require(targetsPpm.nonEmpty, "targetsPpm must be non-empty")
+    require(targetsPpm.map(_._2).sum == 1000000L,
+      s"target ppm must total 1e6: ${targetsPpm.map(_._2).sum}")
+    require(targetsPpm.forall(_._2 > 0),
+      s"each target ppm must be positive: $targetsPpm")
+    require(targetsPpm.map(_._1).distinct.size == targetsPpm.size,
+      "duplicate sources in targetsPpm")
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val spark = df.sparkSession
+    val availRows = df
+      .groupBy(col(sourceCol).cast("string").as("_s"))
+      .agg(sum(availCol.cast("long")).as("_a"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    val rows = targetsPpm.map { case (s, w) =>
+      (s, math.max(0L, availRows.getOrElse(s, 0L)), w)
+    }
+    var sat = Set.empty[String]
+    var num = BigInt(budget)
+    var den = BigInt(rows.map(_._3).sum)
+    var changed = true
+    while (changed && sat.size < rows.size) {
+      num = BigInt(budget) - BigInt(rows.filter(r => sat(r._1)).map(_._2).sum)
+      den = BigInt(rows.filterNot(r => sat(r._1)).map(_._3).sum)
+      val newly = rows.filter { case (s, a, w) =>
+        !sat(s) && BigInt(a) * den <= num * BigInt(w)
+      }.map(_._1)
+      changed = newly.nonEmpty
+      sat = sat ++ newly
+    }
+    val out = rows.map { case (s, a, w) =>
+      val alloc =
+        if (sat(s)) a
+        else (num * BigInt(w) / den).toLong // den > 0: unsat set non-empty
+      (s, a, w, alloc, sat(s))
+    }
+    import spark.implicits._
+    out.toDF("source", "avail", "weight_ppm", "allocation", "saturated")
+  }
 }

@@ -5648,6 +5648,79 @@ object Extensions {
         sum(when(col("admitted"), 0L).otherwise(1L)).as("n_rejected"))
       .orderBy("user_id"))
 
+  private val q234 = Q("q234_budget_waterfill",
+    "water-filling budget allocation at 95% of corpus chars — q205's " +
+      "complement: keep the TOTAL (spend the budget), bend the mixture " +
+      "minimally (a saturated language gives everything it has, its " +
+      "unmet share redistributes in target proportion over the rest); " +
+      "Jacobi saturation rounds with exact integer cross-product tests " +
+      "(3 rounds at sf0.01, 2 at sf0.1 — bounded by |sources|); the " +
+      "distributed half is ONE availability aggregate, the fill runs on " +
+      "the model-sized target list",
+    Some("""
+      WITH t(lang, ppm) AS (VALUES ('en', 400000), ('de', 150000),
+             ('es', 150000), ('fr', 150000), ('zh', 150000)),
+      a AS MATERIALIZED (SELECT t.lang, t.ppm,
+             CAST(coalesce(sum(d.n_chars), 0) AS BIGINT) AS avail
+           FROM t LEFT JOIN documents d ON d.lang = t.lang GROUP BY 1, 2),
+      b AS (SELECT CAST(sum(avail) * 95 // 100 AS BIGINT) AS budget FROM a),
+      s0 AS (SELECT lang, ppm, avail, FALSE AS sat FROM a),
+      n0 AS (SELECT CAST((SELECT budget FROM b)
+               - coalesce(sum(CASE WHEN sat THEN avail END), 0) AS HUGEINT)
+               AS num,
+             CAST(coalesce(sum(CASE WHEN NOT sat THEN ppm END), 0)
+               AS HUGEINT) AS den FROM s0),
+      s1 AS MATERIALIZED (SELECT lang, ppm, avail,
+             sat OR (NOT sat AND den > 0
+               AND CAST(avail AS HUGEINT) * den <= num * ppm) AS sat
+           FROM s0, n0),
+      n1 AS (SELECT CAST((SELECT budget FROM b)
+               - coalesce(sum(CASE WHEN sat THEN avail END), 0) AS HUGEINT)
+               AS num,
+             CAST(coalesce(sum(CASE WHEN NOT sat THEN ppm END), 0)
+               AS HUGEINT) AS den FROM s1),
+      s2 AS MATERIALIZED (SELECT lang, ppm, avail,
+             sat OR (NOT sat AND den > 0
+               AND CAST(avail AS HUGEINT) * den <= num * ppm) AS sat
+           FROM s1, n1),
+      n2 AS (SELECT CAST((SELECT budget FROM b)
+               - coalesce(sum(CASE WHEN sat THEN avail END), 0) AS HUGEINT)
+               AS num,
+             CAST(coalesce(sum(CASE WHEN NOT sat THEN ppm END), 0)
+               AS HUGEINT) AS den FROM s2),
+      s3 AS MATERIALIZED (SELECT lang, ppm, avail,
+             sat OR (NOT sat AND den > 0
+               AND CAST(avail AS HUGEINT) * den <= num * ppm) AS sat
+           FROM s2, n2),
+      n3 AS (SELECT CAST((SELECT budget FROM b)
+               - coalesce(sum(CASE WHEN sat THEN avail END), 0) AS HUGEINT)
+               AS num,
+             CAST(coalesce(sum(CASE WHEN NOT sat THEN ppm END), 0)
+               AS HUGEINT) AS den FROM s3),
+      s4 AS MATERIALIZED (SELECT lang, ppm, avail,
+             sat OR (NOT sat AND den > 0
+               AND CAST(avail AS HUGEINT) * den <= num * ppm) AS sat
+           FROM s3, n3),
+      n4 AS (SELECT CAST((SELECT budget FROM b)
+               - coalesce(sum(CASE WHEN sat THEN avail END), 0) AS HUGEINT)
+               AS num,
+             CAST(coalesce(sum(CASE WHEN NOT sat THEN ppm END), 0)
+               AS HUGEINT) AS den FROM s4)
+      SELECT lang AS source, avail, CAST(ppm AS BIGINT) AS weight_ppm,
+        CAST(CASE WHEN sat THEN avail
+             ELSE (num * ppm) // den END AS BIGINT) AS allocation,
+        sat AS saturated
+      FROM s4, n4 ORDER BY source"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(sum(col("n_chars"))).head().getLong(0)
+      Sampling.budgetWaterFill(docs, "lang", col("n_chars"),
+          Seq("en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+            "fr" -> 150000L, "zh" -> 150000L),
+          budget = total * 95L / 100L)
+        .orderBy("source")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5661,5 +5734,5 @@ object Extensions {
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
-    q226, q227, q228, q229, q230, q231, q232, q233)
+    q226, q227, q228, q229, q230, q231, q232, q233, q234)
 }

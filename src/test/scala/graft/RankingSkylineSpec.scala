@@ -105,6 +105,38 @@ class RankingSkylineSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 1L, Some(500000L)), ("b", 0L, 0L, None)))
   }
 
+  test("budgetWaterFill: saturation cascade, surplus redistribution, " +
+    "missing source = avail 0, budget conservation") {
+    import graft.ops.Sampling
+    val corpus = Seq(("en", 100L), ("en", 100L), ("de", 10L), ("es", 300L))
+      .toDF("src", "n")
+    // targets: en 50%, de 25%, es 25%; budget 400.
+    // round 1: λ=400/1e6 per ppm → de demand 100 > avail 10 → de saturates
+    // round 2: num=390, den=750000 → en demand 260 > avail 200 → en sat
+    // round 3: num=190, den=250000 → es alloc 190 ≤ 300 → done
+    val got = Sampling.budgetWaterFill(corpus, "src", col("n"),
+        Seq("en" -> 500000L, "de" -> 250000L, "es" -> 250000L),
+        budget = 400L)
+      .select("source", "avail", "allocation", "saturated")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("de") == (("de", 10L, 10L, true)))
+    assert(got("en") == (("en", 200L, 200L, true)))
+    assert(got("es") == (("es", 300L, 190L, false)))
+    // a target absent from the corpus: avail 0, saturated at 0
+    val got2 = Sampling.budgetWaterFill(corpus, "src", col("n"),
+        Seq("en" -> 500000L, "xx" -> 500000L), budget = 100L)
+      .select("source", "avail", "allocation", "saturated")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got2("xx") == (("xx", 0L, 0L, true)))
+    assert(got2("en")._3 == 100L) // xx's share redistributes fully
+    intercept[IllegalArgumentException] {
+      Sampling.budgetWaterFill(corpus, "src", col("n"),
+        Seq("en" -> 999999L), budget = 1L) // ppm doesn't total 1e6
+    }
+  }
+
   test("tripletMining: hardest positive and hardest negative per anchor, " +
     "anchors missing a half yield no row") {
     import graft.ops.Similarity
