@@ -694,6 +694,66 @@ object Pipeline {
         .orderBy("event_type")
     })
 
+  private val q235 = Q("q235_streaming_token_bucket",
+    "§2.9: token-bucket rate limiting as a LIVE stream — " +
+      "transformWithState ValueState carries (tokens, lastTs) per user " +
+      "across batches with the SAME integer recurrence as the batch " +
+      "replay (q233), so enforcement and audit are bit-equal on the " +
+      "same input order (StreamingSpec pins stream == batch row for " +
+      "row); RocksDB provider, AvailableNow drain, per-user admission " +
+      "census",
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      scan AS (
+        SELECT user_id, rn, ts_ms, CAST(4 AS BIGINT) AS tokens,
+               TRUE AS admitted
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.ts_ms,
+          least(5, s.tokens + (e.ts_ms - s.ts_ms) // 43200000)
+            - CASE WHEN least(5, s.tokens +
+                (e.ts_ms - s.ts_ms) // 43200000) >= 1 THEN 1 ELSE 0 END,
+          least(5, s.tokens + (e.ts_ms - s.ts_ms) // 43200000) >= 1
+        FROM scan s JOIN ev e
+          ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_admitted
+      FROM scan GROUP BY 1 ORDER BY user_id"""),
+    (s, dir) => {
+      val cp = java.nio.file.Files.createTempDirectory("graft-q235-cp")
+        .toString
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").cast("string").as("k"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+        .as[(String, Long, Long)]
+      val admissions = graft.streaming.StatefulTracking
+        .tokenBucketTws(s, stream, capacity = 5L, refillNum = 1L,
+          refillDenMs = 43200000L)
+      val name = "q235_out_" + math.abs(cp.hashCode).toString
+      graft.streaming.StateStores.withProvider(s, "rocksdb") {
+        withStreamStatePartitions(s, 8) {
+          val q = admissions.toDF().writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.table(name)
+        .groupBy(col("user_id").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"))
+        .orderBy("user_id")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130, q134, q157, q166, q174)
+    q129, q130, q134, q157, q166, q174, q235)
 }

@@ -168,4 +168,61 @@ object StatefulTracking {
       .transformWithState(new SessionCloseProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  final case class Admission(user_id: String, event_id: Long,
+                             admitted: Boolean)
+
+  private[streaming] final case class BucketState(tokens: Long, lastTs: Long)
+
+  /** Token-bucket admission as a LIVE stream — the enforcement twin of
+    * `EventAnalytics.tokenBucketAdmit` (that one replays yesterday's
+    * traffic; this one gates today's): per key one ValueState carries
+    * (tokens, lastTs) across batches, refill floors per gap with the
+    * SAME integer recurrence, so the stream's decisions are bit-equal to
+    * the batch replay on identical input order (pinned by StreamingSpec).
+    * Rows within a batch sort on (ts, id) before the scan — the same
+    * total order the batch twin's secondary sort establishes.
+    */
+  private class TokenBucketProcessor(capacity: Long, refillNum: Long,
+                                     refillDenMs: Long)
+      extends StatefulProcessor[String, (String, Long, Long), Admission] {
+    @transient private var st: ValueState[BucketState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("bucket", Encoders.product[BucketState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long, Long)],
+                                 tv: TimerValues): Iterator[Admission] = {
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      var (tokens, lastTs, started) =
+        if (st.exists()) { val s = st.get(); (s.tokens, s.lastTs, true) }
+        else (0L, 0L, false)
+      val out = sorted.map { case (_, ts, id) =>
+        if (!started) { tokens = capacity; started = true }
+        else tokens = math.min(capacity,
+          tokens + (ts - lastTs) * refillNum / refillDenMs)
+        lastTs = ts
+        val admitted = tokens >= 1L
+        if (admitted) tokens -= 1L
+        Admission(key, id, admitted)
+      }
+      st.update(BucketState(tokens, lastTs))
+      out.iterator
+    }
+  }
+
+  /** See [[TokenBucketProcessor]]. Input rows: (key, ts_ms, event_id). */
+  def tokenBucketTws(spark: SparkSession,
+                     events: Dataset[(String, Long, Long)],
+                     capacity: Long, refillNum: Long,
+                     refillDenMs: Long): Dataset[Admission] = {
+    import spark.implicits._
+    require(capacity >= 1 && refillNum >= 0 && refillDenMs >= 1,
+      s"bad bucket params: cap=$capacity num=$refillNum den=$refillDenMs")
+    events.groupByKey(_._1)
+      .transformWithState(new TokenBucketProcessor(capacity, refillNum,
+        refillDenMs), TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -416,4 +416,55 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((10L, 20L), (10L, 21L)))
   }
+
+  test("tokenBucketTws: state carries ACROSS runs and every admission " +
+    "equals the batch replay row for row") {
+    val base = Files.createTempDirectory("graft-bucket").toString
+    def writeBatch(rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("k", "ts_ms", "event_id")
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+    def runOnce(): Map[Long, Boolean] = {
+      val stream = spark.readStream.schema(
+        StructType(Seq(StructField("k", StringType),
+          StructField("ts_ms", LongType), StructField("event_id", LongType))))
+        .parquet(s"$base/src")
+        .as[(String, Long, Long)]
+      val adm = graft.streaming.StatefulTracking.tokenBucketTws(
+        spark, stream, capacity = 2L, refillNum = 1L, refillDenMs = 1000L)
+      val emitted = scala.collection.mutable.Map.empty[Long, Boolean]
+      graft.streaming.StateStores.withProvider(spark, "rocksdb") {
+        val q = adm.toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.collect().foreach(r => emitted.synchronized {
+              emitted(r.getLong(1)) = r.getBoolean(2)
+            })
+            ()
+          }
+          .option("checkpointLocation", s"$base/cp")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
+      emitted.toMap
+    }
+    // run 1: the q233 unit sequence for key A (cap 2, 1 token/sec)
+    val batch1 = Seq(("A", 0L, 10L), ("A", 100L, 11L), ("A", 200L, 12L))
+    writeBatch(batch1)
+    val r1 = runOnce()
+    assert(r1 == Map(10L -> true, 11L -> true, 12L -> false))
+    // run 2 resumes bucket state (0 tokens, lastTs 200) from checkpoint:
+    // 800 → floor(600/1000)=0, reject; 1900 → +1, admit
+    val batch2 = Seq(("A", 800L, 13L), ("A", 1900L, 14L))
+    writeBatch(batch2)
+    val r2 = runOnce()
+    assert(r2.view.filterKeys(Set(13L, 14L)).toMap ==
+      Map(13L -> false, 14L -> true))
+    // the batch replay over ALL five events decides identically
+    val all = (batch1 ++ batch2).toDF("k", "ts_ms", "event_id")
+    val batch = graft.ops.EventAnalytics.tokenBucketAdmit(
+        all.withColumn("k", lit(1L)), "k", $"ts_ms", "event_id",
+        capacity = 2L, refillNum = 1L, refillDenMs = 1000L)
+      .select("event_id", "admitted").as[(Long, Boolean)].collect().toMap
+    assert(batch == (r1 ++ r2))
+  }
 }
