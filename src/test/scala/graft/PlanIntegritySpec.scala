@@ -578,4 +578,33 @@ class PlanIntegritySpec extends SparkSpec {
     val scanned = read.select("event_type").distinct().collect().map(_.getString(0)).sorted
     assert(scanned.sameElements(Array("click", "purchase")))
   }
+
+  test("q222: suffix blocklist plans as EQUI joins — a LIKE/endswith " +
+    "formulation would appear as BroadcastNestedLoopJoin") {
+    val p = plan("q222_blocklist_suffix")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"suffix match must be an equi-join on exploded label-suffixes:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    assert(p.contains("Generate explode"),
+      s"label-suffix explode missing — the equi-key source:\n$p")
+  }
+
+  test("q229: triplet candidates ride an explicit-count repartition on " +
+    "the bucket key (the expansion-join rule), never AQE-coalesced") {
+    val p = plan("q229_triplet_mining")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"expansion repartition pin missing from the bucket self-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the sig equi-join only:\n$p")
+  }
+
+  test("q233: the token-bucket scan is ONE key exchange + ONE " +
+    "partition-local sort — no global sort, no second shuffle") {
+    val p = plan("q233_token_bucket")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // key repartition + the final orderBy range exchange on the summary
+    assert(exchanges <= 3, s"unexpected extra shuffles:\n$p")
+    assert(p.contains("Sort") && !p.contains("Exchange SinglePartition"),
+      s"sort must stay partition-local after the key exchange:\n$p")
+  }
 }
