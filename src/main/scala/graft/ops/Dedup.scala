@@ -751,4 +751,48 @@ object Dedup {
         when(col("n_exact") > 0,
           expr("(1000000 * n_hit) div n_exact")).as("recall_ppm"))
   }
+
+  /** Cross-source contamination matrix at the PASSAGE level: for every
+    * source pair, the count of shared distinct word n-gram shingles and
+    * the containment ppm in BOTH directions — "which crawls copied from
+    * which" when exact doc-level dedup (q20) reads clean but passages
+    * still leak across sources (boilerplate, syndication, mirrored
+    * sections). Zero-overlap pairs are INCLUDED via the counts grid — a
+    * pair that shares nothing is the answer, not a missing row.
+    *
+    * Shape at 100 TB: one native shingle-hash pass (ShingleHashes — no
+    * per-shingle string materializes) collapses the corpus to the
+    * DISTINCT (source, shingle) relation; the pair join is keyed on the
+    * shingle hash with per-shingle fan-out bounded by |sources|² — the
+    * output is |sources|²-sized no matter the corpus. The counts grid is
+    * a |sources|×|sources| cross join of a category-sized relation.
+    */
+  def sourceShingleOverlap(docs: DataFrame, sourceCol: String,
+                           textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val sh = docs
+      .select(col(sourceCol).as("_src"),
+        explode(graft.functions.TextFns.shingleHashes(col(textCol), n))
+          .as("_h"))
+      .distinct()
+      .persist()
+    val counts = sh.groupBy("_src").agg(count(lit(1)).as("_n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a._h") === col("b._h") && col("a._src") < col("b._src"))
+      .groupBy(col("a._src").as("source_a"), col("b._src").as("source_b"))
+      .agg(count(lit(1)).as("_shared"))
+    val grid = counts.select(col("_src").as("source_a"), col("_n").as("n_a"))
+      .crossJoin(counts.select(col("_src").as("source_b"),
+        col("_n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    grid.join(pairs, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("_shared"), lit(0L)).as("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("(1000000 * coalesce(_shared, 0)) div n_a")
+          .as("contain_a_ppm"),
+        expr("(1000000 * coalesce(_shared, 0)) div n_b")
+          .as("contain_b_ppm"))
+  }
 }

@@ -5721,6 +5721,44 @@ object Extensions {
         .orderBy("source")
     })
 
+  private val q236 = Q("q236_source_overlap",
+    "cross-source passage-contamination matrix: shared distinct 3-gram " +
+      "shingles per source pair with containment ppm BOTH directions — " +
+      "'which crawls copied from which' when doc-level dedup (q20) " +
+      "reads clean but passages still leak; zero-overlap pairs included " +
+      "via the counts grid (a pair sharing nothing is the answer, not a " +
+      "missing row); output |sources|^2-sized no matter the corpus",
+    Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') AS ws
+                 FROM documents),
+      j AS (SELECT source, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w),
+      sh AS (SELECT DISTINCT source,
+               CAST('0x' || substr(sha256(
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)
+                 AS BIGINT) AS h
+             FROM j),
+      c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(count(*) AS BIGINT) AS shared
+            FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2),
+      g AS (SELECT ca.source AS source_a, cb.source AS source_b,
+              ca.n AS n_a, cb.n AS n_b
+            FROM c ca CROSS JOIN c cb WHERE ca.source < cb.source)
+      SELECT g.source_a AS source_a, g.source_b AS source_b,
+             CAST(coalesce(shared, 0) AS BIGINT) AS n_shared, n_a, n_b,
+             CAST((1000000 * coalesce(shared, 0)) // n_a AS BIGINT)
+               AS contain_a_ppm,
+             CAST((1000000 * coalesce(shared, 0)) // n_b AS BIGINT)
+               AS contain_b_ppm
+      FROM g LEFT JOIN p ON g.source_a = p.source_a
+                        AND g.source_b = p.source_b
+      ORDER BY g.source_a, g.source_b"""),
+    (s, dir) => Dedup.sourceShingleOverlap(t(s, dir, "documents"),
+        "source", "text", n = 3)
+      .orderBy("source_a", "source_b"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5734,5 +5772,5 @@ object Extensions {
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
-    q226, q227, q228, q229, q230, q231, q232, q233, q234)
+    q226, q227, q228, q229, q230, q231, q232, q233, q234, q236)
 }

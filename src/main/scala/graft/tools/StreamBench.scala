@@ -304,6 +304,27 @@ object StreamBench {
         redeliver("tws", "events", "batch_001.parquet")
         results(s"tws_sessions/$provider/warm") = drainToFiles(q, out, cp)
       }
+
+      // q235 shape: transformWithState token-bucket admission —
+      // RocksDB-only, same reason as the timer sessions above
+      if (provider == "rocksdb") locally {
+        val dir = stage("bucket", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_bucket").toString
+        import spark.implicits._
+        def q = graft.streaming.StatefulTracking.tokenBucketTws(spark,
+          graft.Tables.dirStream(spark, dir)
+            .filter(col("user_id").isNotNull && col("ts").isNotNull)
+            .select(col("user_id").cast("string").as("k"),
+              org.apache.spark.sql.functions.unix_millis(col("ts"))
+                .as("ts_ms"),
+              col("event_id"))
+            .as[(String, Long, Long)],
+          capacity = 5L, refillNum = 1L, refillDenMs = 43200000L).toDF()
+        val out = work.resolve("bucket-out").toString
+        results(s"token_bucket/$provider/cold") = drainToFiles(q, out, cp)
+        redeliver("bucket", "events", "batch_001.parquet")
+        results(s"token_bucket/$provider/warm") = drainToFiles(q, out, cp)
+      }
     }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)

@@ -757,6 +757,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("sourceShingleOverlap: shared shingles counted once per source, " +
+    "zero-overlap pairs included, containment both directions") {
+    val docs = Seq(
+      ("A", "x y z w"),        // shingles: "x y z", "y z w"
+      ("A", "x y z"),          // duplicate shingle within A → distinct
+      ("B", "x y z q"),        // shares "x y z" with A
+      ("C", "p q r s")         // disjoint
+    ).toDF("source", "text")
+    val got = graft.ops.Dedup.sourceShingleOverlap(docs, "source", "text")
+      .select("source_a", "source_b", "n_shared", "n_a", "n_b",
+        "contain_a_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // A has {xyz, yzw} = 2; B has {xyz, yzq} = 2; C has {pqr, qrs} = 2
+    assert(got(("A", "B")) == (("A", "B", 1L, 2L, 2L, 500000L)))
+    assert(got(("A", "C"))._3 == 0L)    // zero pair present
+    assert(got(("B", "C"))._3 == 0L)
+    assert(got.size == 3)
+  }
+
   test("centroidCosineMatrix: orthogonal 0, parallel 1e6, sign on dot, " +
     "centroid division cancels (different group sizes agree)") {
     val vecs = Seq(
