@@ -1101,6 +1101,46 @@ object Profile {
           .as("at_risk_ppm"))
   }
 
+  /** Filter-chain ATTRITION census — [[constraintAudit]]'s sequential
+    * sibling: that op counts each rule's violations independently; this
+    * one attributes every row to the FIRST rule it fails in the declared
+    * order (or 'kept'), which is what a curation funnel actually reports
+    * ("we lost 40% to language-ID before quality ever saw them" — the
+    * independent counts can't say that, overlapping failures double-
+    * count). Output: one row per rule plus 'kept', in chain order
+    * (rule_idx; kept last), with n_rows and share in exact ppm of the
+    * input. Rules evaluate row-locally into ONE map-side-combined
+    * aggregate — a 40-rule funnel costs one scan. NULL predicate results
+    * count as failures (the constraintAudit posture: an unevaluable rule
+    * must not silently pass a row).
+    */
+  def filterAttrition(df: DataFrame,
+                      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    val unsafe = rules.map(_._1).filterNot(SafeName.matches)
+    require(unsafe.isEmpty,
+      s"rule names must be simple identifiers, got: ${unsafe.mkString(", ")}")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "duplicate rule names")
+    require(!rules.exists(_._1 == "kept"), "'kept' is the reserved label")
+    val label = rules.foldRight(lit("kept"): Column) {
+      case ((n, p), rest) => when(!coalesce(p, lit(false)), lit(n))
+        .otherwise(rest)
+    }
+    val idx = rules.map(_._1).zipWithIndex.toMap + ("kept" -> rules.size)
+    val idxExpr = rules.foldRight(lit(rules.size): Column) {
+      case ((n, _), rest) => when(col("reason") === n, lit(idx(n)))
+        .otherwise(rest)
+    }
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    df.select(label.as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n_rows"))
+      .withColumn("_total", sum(col("n_rows")).over(wAll))
+      .select(idxExpr.cast("long").as("rule_idx"), col("reason"),
+        col("n_rows"),
+        expr("(1000000 * n_rows) div _total").as("share_ppm"))
+  }
+
   /** Cramér's V² association strength from [[chiSquareSummary]] — the
     * normalized (0..1) version of the chi-square statistic, comparable
     * ACROSS tables of different size and shape, which the raw statistic

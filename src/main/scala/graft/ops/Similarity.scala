@@ -792,6 +792,51 @@ object Similarity {
           .as("cos2_ppm"))
   }
 
+  /** Matryoshka truncation audit: how much top-k recall survives keeping
+    * only the first `d` of the embedding's dimensions? For each d, exact
+    * brute-force top-k over the TRUNCATED vectors measured against the
+    * full-dimension top-k, overlap in ppm per query — the
+    * store-a-prefix-at-¼-the-bytes decision (Kusupati et al.'s
+    * matryoshka setting; even for embeddings not trained that way, the
+    * audit IS the answer) made the q190/q211 way: sketch-vs-exact at
+    * sample scale before trusting the cheaper index at 100 TB.
+    *
+    * Output: (query_id, dim, k, n_overlap, recall_ppm), one row per
+    * (query, d); d = full width reads 10⁶ by construction (the sanity
+    * row). All comparisons ride the scaled-integer cosine kernels.
+    */
+  def truncationRecallAudit(embs: DataFrame, idCol: String, vecCol: String,
+                            queryIds: Seq[Long], dims: Seq[Int],
+                            k: Int): DataFrame = {
+    require(queryIds.nonEmpty && dims.nonEmpty && k >= 1,
+      s"bad args: $queryIds $dims $k")
+    require(dims.forall(_ >= 1), s"dims must be >= 1: $dims")
+    val queries = embs.filter(col(idCol).isin(queryIds: _*))
+    def topk(d: Option[Int]): DataFrame = {
+      def cut(df: DataFrame) = d match {
+        case Some(n) => df.select(col(idCol),
+          slice(col(vecCol), 1, n).as(vecCol))
+        case None => df.select(col(idCol), col(vecCol))
+      }
+      bruteForceTopK(cut(queries), cut(embs), idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = topk(None).persist()
+    full.count()
+    val perDim = dims.map { d =>
+      val ov = topk(Some(d)).join(full, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      full.select(col("query_id")).distinct()
+        .join(ov, Seq("query_id"), "left")
+        .select(col("query_id"), lit(d.toLong).as("dim"),
+          lit(k.toLong).as("k"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr(s"(1000000 * coalesce(n_overlap, 0)) div ${k}L")
+            .as("recall_ppm"))
+    }
+    perDim.reduce(_ unionByName _)
+  }
+
   /** Contrastive triplet mining — the training-data op of metric/embedding
     * learning: per anchor, the hardest positive candidate (most-similar
     * SAME-label vector) and the hardest negative (most-similar

@@ -5759,6 +5759,95 @@ object Extensions {
         "source", "text", n = 3)
       .orderBy("source_a", "source_b"))
 
+  private val q237 = Q("q237_filter_attrition",
+    "curation-funnel attrition: every document attributed to the FIRST " +
+      "rule it fails in chain order (too_short -> unsupported_lang -> " +
+      "low_word_count) or 'kept' — the report q194's independent per-" +
+      "rule counts cannot give (overlapping failures double-count " +
+      "there); one row-local CASE chain into ONE map-side-combined " +
+      "aggregate, shares in exact ppm",
+    Some("""
+      WITH lab AS (SELECT
+          CASE WHEN NOT coalesce(n_chars >= 200, FALSE) THEN 'too_short'
+               WHEN NOT coalesce(lang IN ('en','de','es','fr'), FALSE)
+                 THEN 'unsupported_lang'
+               WHEN NOT coalesce(len(string_split(text, ' ')) >= 60, FALSE)
+                 THEN 'low_word_count'
+               ELSE 'kept' END AS reason
+        FROM documents),
+      c AS (SELECT reason, CAST(count(*) AS BIGINT) AS n_rows FROM lab
+            GROUP BY 1),
+      t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+      SELECT CAST(CASE reason WHEN 'too_short' THEN 0
+               WHEN 'unsupported_lang' THEN 1
+               WHEN 'low_word_count' THEN 2 ELSE 3 END AS BIGINT)
+               AS rule_idx,
+             reason, n_rows,
+             CAST((1000000 * n_rows) // total AS BIGINT) AS share_ppm
+      FROM c, t ORDER BY rule_idx"""),
+    (s, dir) => Profile.filterAttrition(t(s, dir, "documents"), Seq(
+        "too_short" -> (col("n_chars") >= 200),
+        "unsupported_lang" ->
+          col("lang").isin("en", "de", "es", "fr"),
+        "low_word_count" ->
+          (size(split(col("text"), " ")) >= 60)))
+      .orderBy("rule_idx"))
+
+  /** Per-dim truncated-cosine top-k blocks for the q238 oracle —
+    * the q26 exact-kernel CTE pattern with an `i <= d` cut. */
+  private def truncRecallSql(dims: Seq[Int], k: Int): String = {
+    def block(tag: String, cut: String) = s"""
+      nrm_$tag AS MATERIALIZED (SELECT vec_id,
+          CAST(SUM(CAST(floor(v * v * 1e12) AS BIGINT)) AS BIGINT) AS n2s
+        FROM el WHERE $cut GROUP BY 1),
+      top_$tag AS MATERIALIZED (SELECT q_id, n_id FROM (
+        SELECT d.q_id, d.n_id, ROW_NUMBER() OVER (PARTITION BY d.q_id
+          ORDER BY CAST(d.dot AS DOUBLE) /
+            (sqrt(CAST(nq.n2s AS DOUBLE)) * sqrt(CAST(nc.n2s AS DOUBLE)))
+            DESC, d.n_id) AS r
+        FROM (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                CAST(SUM(CAST(floor(a.v * b.v * 1e12) AS BIGINT))
+                  AS BIGINT) AS dot
+              FROM el a JOIN el b ON a.i = b.i
+              WHERE a.vec_id IN (0, 1, 2) AND a.$cut
+              GROUP BY 1, 2) d
+          JOIN nrm_$tag nq ON nq.vec_id = d.q_id
+          JOIN nrm_$tag nc ON nc.vec_id = d.n_id)
+        WHERE r <= $k)"""
+    val blocks = block("full", "i >= 1") +: dims.map(d =>
+      "," + block(s"d$d", s"i <= $d"))
+    val sels = dims.map { d =>
+      s"""
+      SELECT g.q_id AS query_id, CAST($d AS BIGINT) AS dim,
+        CAST($k AS BIGINT) AS k,
+        CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap,
+        CAST((1000000 * coalesce(o.n, 0)) // $k AS BIGINT) AS recall_ppm
+      FROM (SELECT DISTINCT q_id FROM top_full) g
+      LEFT JOIN (SELECT q_id, count(*) AS n FROM top_d$d
+                 JOIN top_full USING (q_id, n_id) GROUP BY 1) o
+        USING (q_id)"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH el AS MATERIALIZED (SELECT vec_id,
+          CAST(unnest(embedding) AS DOUBLE) AS v,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings),${blocks.mkString}
+      $sels ORDER BY dim, query_id"""
+  }
+
+  private val q238 = Q("q238_truncation_recall",
+    "matryoshka truncation audit: exact top-5 over the FIRST d of 64 " +
+      "embedding dims (d = 8/16/32/64) measured against the full-width " +
+      "top-5, overlap in ppm per query — the store-a-prefix-at-a-" +
+      "quarter-the-bytes decision made the q190/q211 sketch-vs-exact " +
+      "way; d=64 reads 1e6 by construction (the sanity row); scaled-" +
+      "integer cosine kernels keep every rank engine-portable",
+    Some(truncRecallSql(dims = Seq(8, 16, 32, 64), k = 5)),
+    (s, dir) => Similarity.truncationRecallAudit(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L),
+        dims = Seq(8, 16, 32, 64), k = 5)
+      .orderBy("dim", "query_id"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5772,5 +5861,5 @@ object Extensions {
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
-    q226, q227, q228, q229, q230, q231, q232, q233, q234, q236)
+    q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238)
 }

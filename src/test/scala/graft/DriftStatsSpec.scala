@@ -511,6 +511,27 @@ class DriftStatsSpec extends SparkSpec {
     assert(ex.getMessage.contains("k must be"))
   }
 
+  test("filterAttrition: FIRST failing rule wins, NULL predicate " +
+    "fails the row, reserved label rejected") {
+    val df = Seq(
+      (1L, Some(10L), "en"), // fails r1 (len < 20) AND r2 — counts as r1
+      (2L, Some(30L), "xx"), // passes r1, fails r2
+      (3L, Some(30L), "en"), // kept
+      (4L, None: Option[Long], "en") // NULL r1 → too_short
+    ).toDF("id", "len", "lang")
+    val got = Profile.filterAttrition(df, Seq(
+        "too_short" -> (col("len") >= 20),
+        "bad_lang" -> (col("lang") === "en")))
+      .select("rule_idx", "reason", "n_rows", "share_ppm")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, "too_short", 2L, 500000L),
+      (1L, "bad_lang", 1L, 250000L), (2L, "kept", 1L, 250000L)))
+    val ex = intercept[IllegalArgumentException] {
+      Profile.filterAttrition(df, Seq("kept" -> (col("len") >= 0)))
+    }
+    assert(ex.getMessage.contains("reserved"))
+  }
+
   test("cramersV2: independence reads 0; a diagonal 2x2 reads 1e6 ppm " +
     "(V^2 = 1 at perfect association)") {
     val indep = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 5 }
