@@ -749,6 +749,45 @@ object Profile {
           "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("ks_ppm"))
   }
 
+  /** Per-GROUP two-sample KS — [[ksTwoSample]] with the rank window
+    * PARTITIONED by `groupCol` (one statistic per group in one plan, and
+    * the better scale posture: the single-partition window the global
+    * form needs becomes a keyed window over per-group distinct-value
+    * relations). The embedding-drift use: group = dimension index, value
+    * = quantized component — 64 KS statistics from one pass, catching
+    * per-dim SHAPE drift that a centroid (first-moment) comparison
+    * cannot see. Output per group: (group, n_a, n_b, ks_num, ks_ppm).
+    */
+  def ksTwoSampleByGroup(df: DataFrame, groupCol: String, valueCol: Column,
+                         isA: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    val perValue = df
+      .select(col(groupCol).as("__g"), valueCol.as("__v"),
+        when(isA, 1L).otherwise(0L).as("__a"),
+        when(isA, 0L).otherwise(1L).as("__b"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__g", "__v")
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    perValue
+      .withColumn("n_a", sum(col("__ca")).over(wAll))
+      .withColumn("n_b", sum(col("__cb")).over(wAll))
+      .withColumn("__cuma", sum(col("__ca")).over(wCum))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum))
+      .withColumn("__num",
+        abs(col("__cuma").cast(dec) * col("n_b").cast(dec)
+          - col("__cumb").cast(dec) * col("n_a").cast(dec)))
+      .groupBy(col("__g").as(groupCol), col("n_a"), col("n_b"))
+      .agg(max(col("__num")).cast("long").as("ks_num"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("ks_num"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * ks_num) DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("ks_ppm"))
+  }
+
   /** Mann–Whitney U rank-sum test between two samples — [[ksTwoSample]]'s
     * rank-based sibling (sensitive to stochastic dominance rather than
     * max CDF gap), in EXACT integers: ties take midranks, and since a tie

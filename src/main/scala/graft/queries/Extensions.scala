@@ -5848,6 +5848,47 @@ object Extensions {
         dims = Seq(8, 16, 32, 64), k = 5)
       .orderBy("dim", "query_id"))
 
+  private val q239 = Q("q239_embedding_dim_drift",
+    "per-DIMENSION two-sample KS over quantized embedding components " +
+      "(labels 0-4 vs 5-9): 64 exact-integer KS statistics from ONE " +
+      "pass, rank windows PARTITIONED by dim — per-dim SHAPE drift the " +
+      "centroid matrix (q225, first moment) cannot see, and the keyed-" +
+      "window scale posture the global KS (q169) lacks; the embedding-" +
+      "space monitoring column a feature-drift dashboard plots per dim",
+    Some("""
+      WITH d AS (SELECT label,
+            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0)
+              AS BIGINT) AS v,
+            unnest(range(1, len(embedding) + 1)) AS dim
+          FROM embeddings WHERE label IS NOT NULL),
+      s AS (SELECT CAST(dim AS BIGINT) AS g, v,
+              CASE WHEN label < 5 THEN 1 ELSE 0 END AS a FROM d),
+      c AS (SELECT g, v, CAST(sum(a) AS BIGINT) AS ca,
+              CAST(sum(1 - a) AS BIGINT) AS cb FROM s GROUP BY 1, 2),
+      w AS (SELECT g, v, ca, cb,
+              CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS n_a,
+              CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS n_b,
+              sum(ca) OVER (PARTITION BY g ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS cuma,
+              sum(cb) OVER (PARTITION BY g ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS cumb
+            FROM c)
+      SELECT g AS dim, n_a, n_b,
+        CAST(max(abs(CAST(cuma AS HUGEINT) * n_b
+          - CAST(cumb AS HUGEINT) * n_a)) AS BIGINT) AS ks_num,
+        CAST((1000000 * max(abs(CAST(cuma AS HUGEINT) * n_b
+          - CAST(cumb AS HUGEINT) * n_a)))
+          // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm
+      FROM w GROUP BY 1, 2, 3 ORDER BY dim"""),
+    (s, dir) => Profile.ksTwoSampleByGroup(
+        t(s, dir, "embeddings").filter(col("label").isNotNull)
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+            floor(col("col").cast("double") * 1000.0).cast("long")
+              .as("q")),
+        "dim", col("q"), col("label") < 5)
+      .orderBy("dim"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5861,5 +5902,5 @@ object Extensions {
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
-    q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238)
+    q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239)
 }

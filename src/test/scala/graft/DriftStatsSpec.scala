@@ -511,6 +511,27 @@ class DriftStatsSpec extends SparkSpec {
     assert(ex.getMessage.contains("k must be"))
   }
 
+  test("ksTwoSampleByGroup: per-group statistics in one plan — " +
+    "identical distributions read 0, disjoint supports read 1e6") {
+    val rows =
+      // group g1: A = {1,2}, B = {1,2} → identical → ks 0
+      Seq(("g1", 1L, true), ("g1", 2L, true),
+        ("g1", 1L, false), ("g1", 2L, false),
+      // group g2: A = {1,2}, B = {3,4} → disjoint → ks 1e6
+        ("g2", 1L, true), ("g2", 2L, true),
+        ("g2", 3L, false), ("g2", 4L, false),
+      // group g3: A = {1,1,3}, B = {1,3,3}: max |cuma*nb - cumb*na|
+      //   at v=1: |2*3-1*3| = 3 → ks_ppm = 1e6*3 div 9 = 333333
+        ("g3", 1L, true), ("g3", 1L, true), ("g3", 3L, true),
+        ("g3", 1L, false), ("g3", 3L, false), ("g3", 3L, false))
+        .toDF("g", "v", "isa")
+    val got = Profile.ksTwoSampleByGroup(rows, "g", col("v"), col("isa"))
+      .select("g", "n_a", "n_b", "ks_ppm")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("g1", 2L, 2L, 0L), ("g2", 2L, 2L, 1000000L),
+      ("g3", 3L, 3L, 333333L)))
+  }
+
   test("filterAttrition: FIRST failing rule wins, NULL predicate " +
     "fails the row, reserved label rejected") {
     val df = Seq(
