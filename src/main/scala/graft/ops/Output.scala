@@ -169,6 +169,54 @@ object Output {
       .drop("__xmin", "__xmax", "__ymin", "__ymax", "__qx", "__qy")
   }
 
+  /** Footprint metric for a bucketed layout — the file-skipping audit
+    * that closes the layout family the way the recall audits close ANN:
+    * per bucket the (x, y) bounding-box area, rolled up to
+    * footprint_ppm = 10⁶·Σ area / (buckets · total area) — the expected
+    * fraction of the key space a bucket's min/max footer admits. Lower =
+    * tighter footers = more row groups skipped by a 2-D predicate.
+    * A single-column sort reads ~10⁶/buckets on its own dim but ~10⁶ on
+    * the other; space-filling curves trade a little of x for a lot of y
+    * (and Hilbert beats Morton — its curve ranges are contiguous).
+    * Exact integers end to end; one aggregate over the bucketed relation
+    * plus a one-row total.
+    */
+  def layoutFootprint(df: DataFrame, bucketCol: String, xCol: String,
+                      yCol: String, layout: String): DataFrame = {
+    val per = df.groupBy(col(bucketCol))
+      .agg((max(col(xCol)) - min(col(xCol)) + 1L).as("_bxs"),
+        (max(col(yCol)) - min(col(yCol)) + 1L).as("_bys"))
+    val tot = df.agg(
+      (max(col(xCol)) - min(col(xCol)) + 1L).as("_xs"),
+      (max(col(yCol)) - min(col(yCol)) + 1L).as("_ys"))
+    // Per-DIMENSION footprints are the discriminating numbers: a point/
+    // range predicate on x touches a bucket iff the bucket's x footer
+    // admits it, so the expected touched fraction is the mean bucket
+    // x-span over the domain — and likewise for y. A single-column sort
+    // reads ~10⁶/buckets on its own dim and ~10⁶ on the blind one; the
+    // curves split the loss. The joint area is a sanity column: on
+    // uniform data every space-tiling layout reads 10⁶/buckets there
+    // (equal tilings are indistinguishable by area — only the per-dim
+    // SHAPE of the tiles differs).
+    per.agg(count(lit(1)).as("n_buckets"),
+        sum(col("_bxs").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("_sx"),
+        sum(col("_bys").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("_sy"),
+        sum(expr("CAST(_bxs AS DECIMAL(38,0)) * _bys")).as("_area"))
+      .crossJoin(broadcast(tot))
+      .select(lit(layout).as("layout"), col("n_buckets"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * _sx) div " +
+          "(CAST(n_buckets AS DECIMAL(38,0)) * _xs) AS BIGINT)")
+          .as("x_footprint_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * _sy) div " +
+          "(CAST(n_buckets AS DECIMAL(38,0)) * _ys) AS BIGINT)")
+          .as("y_footprint_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * _area) div " +
+          "(CAST(n_buckets AS DECIMAL(38,0)) * _xs * _ys) AS BIGINT)")
+          .as("area_ppm"))
+  }
+
   /** Hive-style partitioned layout: one directory per distinct value of
     * `partitionCols` (`col=value/...`), the physical contract that lets a
     * reader with a predicate on those columns SKIP whole directories —

@@ -5889,6 +5889,103 @@ object Extensions {
         "dim", col("q"), col("label") < 5)
       .orderBy("dim"))
 
+  /** Three-layout footprint comparison for the q240 oracle: range-on-x,
+    * Morton (q131's expression), Hilbert (q231's unrolled chain, `hh`/
+    * `ha` names so it can sit beside the others). */
+  private def layoutFootprintSql: String = {
+    val steps = new StringBuilder
+    for (i <- 0 until 16) {
+      val s = 1L << (15 - i)
+      steps.append(s""",
+      ha$i AS (SELECT x, y, hx, hy, hd,
+        CASE WHEN (hx & $s) <> 0 THEN 1 ELSE 0 END AS rx,
+        CASE WHEN (hy & $s) <> 0 THEN 1 ELSE 0 END AS ry FROM hh$i),
+      hh${i + 1} AS (SELECT x, y,
+        CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - hy
+          ELSE hy END ELSE hx END AS hx,
+        CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - hx
+          ELSE hx END ELSE hy END AS hy,
+        hd + CAST(${s * s} AS BIGINT) * xor(3 * rx, ry) AS hd
+        FROM ha$i)""")
+    }
+    s"""
+      WITH src AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+      mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                    min(y) AS ymin, max(y) AS ymax FROM src),
+      q AS (SELECT x, y,
+            CASE WHEN xmax = xmin THEN 0 ELSE
+              CAST(floor((CAST(x AS DOUBLE) - xmin) / (xmax - xmin)
+                * 65535) AS BIGINT) END AS qx,
+            CASE WHEN ymax = ymin THEN 0 ELSE
+              CAST(floor((CAST(y AS DOUBLE) - ymin) / (ymax - ymin)
+                * 65535) AS BIGINT) END AS qy
+            FROM src, mm),
+      z AS (SELECT x, y,
+            (SELECT SUM((((qx >> i) & 1) << (2*i))
+                      + (((qy >> i) & 1) << (2*i+1)))
+             FROM generate_series(0, 15) AS t(i)) >> 26 AS bucket
+            FROM q),
+      hh0 AS (SELECT x, y, qx AS hx, qy AS hy, CAST(0 AS BIGINT) AS hd
+              FROM q)$steps,
+      h AS (SELECT x, y, hd >> 26 AS bucket FROM hh16),
+      r AS (SELECT x, y, qx >> 10 AS bucket FROM q),
+      tot AS (SELECT CAST(max(x) - min(x) + 1 AS HUGEINT) AS xs,
+                     CAST(max(y) - min(y) + 1 AS HUGEINT) AS ys FROM src),
+      f AS (
+        SELECT 'hilbert' AS layout, bucket,
+          CAST(max(x) - min(x) + 1 AS HUGEINT) AS bxs,
+          CAST(max(y) - min(y) + 1 AS HUGEINT) AS bys
+        FROM h GROUP BY 1, 2
+        UNION ALL
+        SELECT 'range_x', bucket, CAST(max(x) - min(x) + 1 AS HUGEINT),
+          CAST(max(y) - min(y) + 1 AS HUGEINT) FROM r GROUP BY 1, 2
+        UNION ALL
+        SELECT 'zorder', bucket, CAST(max(x) - min(x) + 1 AS HUGEINT),
+          CAST(max(y) - min(y) + 1 AS HUGEINT) FROM z GROUP BY 1, 2)
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+        CAST((1000000 * sum(bxs)) // (CAST(count(*) AS HUGEINT)
+          * (SELECT xs FROM tot)) AS BIGINT) AS x_footprint_ppm,
+        CAST((1000000 * sum(bys)) // (CAST(count(*) AS HUGEINT)
+          * (SELECT ys FROM tot)) AS BIGINT) AS y_footprint_ppm,
+        CAST((1000000 * sum(bxs * bys)) // (CAST(count(*) AS HUGEINT)
+          * (SELECT xs FROM tot) * (SELECT ys FROM tot)) AS BIGINT)
+          AS area_ppm
+      FROM f GROUP BY 1 ORDER BY layout"""
+  }
+
+  private val q240 = Q("q240_layout_footprint",
+    "file-skipping audit across THREE physical layouts of the same " +
+      "(partkey, suppkey) relation — range-on-x (single-column sort), " +
+      "Morton (q131), Hilbert (q231): footprint_ppm = expected fraction " +
+      "of the key space a bucket's min/max footer admits, PER DIM (the " +
+      "joint area is a sanity column — equal tilings are area-" +
+      "indistinguishable): the range layout reads ~1e6/64 on x but " +
+      "~1e6 on its blind y; the curves split the loss ~1e6/8 each — " +
+      "the audit that turns the layout choice into a measured number " +
+      "instead of folklore",
+    Some(layoutFootprintSql),
+    (s, dir) => {
+      import graft.ops.Output
+      val src = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      val mm = broadcast(src.agg(
+        min(col("x")).as("__xmin"), max(col("x")).as("__xmax")))
+      val rangeB = src.crossJoin(mm)
+        .withColumn("bucket", shiftright(
+          when(col("__xmax") === col("__xmin"), lit(0L))
+            .otherwise(floor((col("x").cast("double") - col("__xmin"))
+              / (col("__xmax") - col("__xmin")) * 65535).cast("long")),
+          10))
+      val zb = Output.zorderBuckets(src, "x", "y", bits = 16, nBuckets = 64)
+      val hb = Output.hilbertBuckets(src, "x", "y", bits = 16, nBuckets = 64)
+      Output.layoutFootprint(hb, "hbucket", "x", "y", "hilbert")
+        .unionByName(Output.layoutFootprint(rangeB, "bucket", "x", "y",
+          "range_x"))
+        .unionByName(Output.layoutFootprint(zb, "zbucket", "x", "y",
+          "zorder"))
+        .orderBy("layout")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -5902,5 +5999,5 @@ object Extensions {
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
-    q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239)
+    q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240)
 }

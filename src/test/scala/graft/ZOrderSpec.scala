@@ -86,6 +86,24 @@ class ZOrderSpec extends SparkSpec {
     assert(jumps > 0)
   }
 
+  test("layoutFootprint: a single-column layout is blind on the other " +
+    "dim; a curve layout splits the loss") {
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    // range-on-x with 4 buckets: x footprint 1/4, y footprint FULL
+    val ranged = grid.withColumn("bucket", col("x") / 16 cast "long")
+    val r = Output.layoutFootprint(ranged, "bucket", "x", "y", "range")
+      .select("n_buckets", "x_footprint_ppm", "y_footprint_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((4L, 250000L, 1000000L)))
+    val zb = Output.zorderBuckets(grid, "x", "y", bits = 6, nBuckets = 4)
+    val z = Output.layoutFootprint(zb, "zbucket", "x", "y", "zorder")
+      .select("x_footprint_ppm", "y_footprint_ppm")
+      .as[(Long, Long)].head()
+    // 4 buckets = 1 x-bit + 1 y-bit → half the domain on EACH dim
+    assert(z == ((500000L, 500000L)))
+  }
+
   test("hilbert column expression matches the static kernel; buckets " +
     "bounded") {
     import graft.expressions.HilbertIndex
