@@ -313,15 +313,23 @@ object EventAnalytics {
     // the long casts are part of the scan-state contract (O(1) primitive
     // state per row); a key/id that does NOT cast (non-numeric string)
     // must fail loudly, not silently drop its rows from the policy audit
+    // try_cast (not cast): under ANSI a malformed value would throw a
+    // generic CAST_INVALID_INPUT before the guard runs; try_cast yields
+    // NULL so the raise_error below owns the message in BOTH ANSI modes
     def checkedCast(c: org.apache.spark.sql.Column, what: String) =
-      when(c.isNotNull && c.cast("long").isNull,
+      when(c.isNotNull && c.try_cast("long").isNull,
         raise_error(concat(
           lit(s"tokenBucketAdmit: $what must cast to long, got "),
           c.cast("string"))))
-        .otherwise(c.cast("long"))
+        .otherwise(c.try_cast("long"))
+    // ts goes through the same checked cast: a NON-CASTABLE timestamp
+    // raises (same loud-failure contract as key/id); a NULL timestamp
+    // is intentionally excluded below — an event with no time cannot be
+    // placed in the refill order, and dropping it is a documented
+    // policy, not a silent cast artifact
     val base = events
       .select(checkedCast(col(keyCol), keyCol).as("_k"),
-        tsMsCol.cast("long").as("_ts"),
+        checkedCast(tsMsCol, "ts").as("_ts"),
         checkedCast(col(idCol), idCol).as("_id"))
       .filter(col("_k").isNotNull && col("_ts").isNotNull)
       .repartition(col("_k"))

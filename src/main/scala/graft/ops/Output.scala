@@ -236,8 +236,10 @@ object Output {
   /** Read-back of [[writeHivePartitioned]]. The caller's filter on the
     * partition columns becomes `PartitionFilters` in the scan (pinned by
     * PlanIntegritySpec) — directories outside the predicate are never
-    * opened. Partition values come back as strings (hive path encoding);
-    * cast as needed. */
+    * opened. Partition values are TYPE-INFERRED from the hive path
+    * encoding (numeric/date keys come back int/date, not string —
+    * `spark.sql.sources.partitionColumnTypeInference.enabled` is on by
+    * default); set that conf to false if raw strings are needed. */
   def readHivePartitioned(spark: org.apache.spark.sql.SparkSession,
                           path: String): DataFrame =
     spark.read.parquet(path)

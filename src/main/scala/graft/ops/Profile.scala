@@ -1146,12 +1146,16 @@ object Profile {
     * order (or 'kept'), which is what a curation funnel actually reports
     * ("we lost 40% to language-ID before quality ever saw them" — the
     * independent counts can't say that, overlapping failures double-
-    * count). Output: one row per rule plus 'kept', in chain order
-    * (rule_idx; kept last), with n_rows and share in exact ppm of the
-    * input. Rules evaluate row-locally into ONE map-side-combined
-    * aggregate — a 40-rule funnel costs one scan. NULL predicate results
-    * count as failures (the constraintAudit posture: an unevaluable rule
-    * must not silently pass a row).
+    * count). Output: one row per DECLARED rule plus 'kept', in chain
+    * order (rule_idx; kept last), with n_rows and share in exact ppm of
+    * the input — a rule that attributes ZERO rows still appears with
+    * n_rows = 0 (the sourceShingleOverlap/luhnCensus posture: "this
+    * filter did nothing" is an answer, and consumers keying on row
+    * presence must not miss rules). Rules evaluate row-locally into ONE
+    * map-side-combined aggregate — a 40-rule funnel costs one scan; the
+    * declared-rule grid is model-sized and broadcast. NULL predicate
+    * results count as failures (the constraintAudit posture: an
+    * unevaluable rule must not silently pass a row).
     */
   def filterAttrition(df: DataFrame,
                       rules: Seq[(String, Column)]): DataFrame = {
@@ -1166,18 +1170,22 @@ object Profile {
       case ((n, p), rest) => when(!coalesce(p, lit(false)), lit(n))
         .otherwise(rest)
     }
-    val idx = rules.map(_._1).zipWithIndex.toMap + ("kept" -> rules.size)
-    val idxExpr = rules.foldRight(lit(rules.size): Column) {
-      case ((n, _), rest) => when(col("reason") === n, lit(idx(n)))
-        .otherwise(rest)
-    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val declared = (rules.map(_._1) :+ "kept").zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }
+      .toDF("rule_idx", "reason")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    df.select(label.as("reason"))
-      .groupBy("reason").agg(count(lit(1)).as("n_rows"))
+    declared
+      .join(df.select(label.as("reason"))
+        .groupBy("reason").agg(count(lit(1)).as("_n")),
+        Seq("reason"), "left")
+      .select(col("rule_idx"), col("reason"),
+        coalesce(col("_n"), lit(0L)).as("n_rows"))
       .withColumn("_total", sum(col("n_rows")).over(wAll))
-      .select(idxExpr.cast("long").as("rule_idx"), col("reason"),
-        col("n_rows"),
-        expr("(1000000 * n_rows) div _total").as("share_ppm"))
+      .select(col("rule_idx"), col("reason"), col("n_rows"),
+        expr("CASE WHEN _total > 0 THEN (1000000 * n_rows) div _total " +
+          "ELSE 0 END").as("share_ppm"))
   }
 
   /** Cramér's V² association strength from [[chiSquareSummary]] — the

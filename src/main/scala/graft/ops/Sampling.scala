@@ -513,6 +513,38 @@ object Sampling {
   def budgetWaterFill(df: DataFrame, sourceCol: String, availCol: Column,
                       targetsPpm: Seq[(String, Long)],
                       budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val rows = availabilityCensus(df, sourceCol, availCol, targetsPpm)
+    waterFillFromCensus(df.sparkSession, rows, budget)
+  }
+
+  /** [[budgetWaterFill]] with the budget expressed as a FRACTION of the
+    * targets' own availability (e.g. "spend 95% of what the target
+    * languages actually have"): budget = ⌊Σ_targets avail · num / den⌋.
+    * Derived from the SAME one-aggregate availability census the fill
+    * uses — one scan total, and the budget basis is by construction the
+    * census the allocator sees (a corpus row outside the target list
+    * can never skew the budget, which a separate whole-corpus total
+    * silently would). */
+  def budgetWaterFillShare(df: DataFrame, sourceCol: String,
+                           availCol: Column,
+                           targetsPpm: Seq[(String, Long)],
+                           shareNum: Long, shareDen: Long): DataFrame = {
+    require(shareDen >= 1, s"shareDen must be >= 1: $shareDen")
+    require(shareNum >= 0 && shareNum <= shareDen,
+      s"share must be in [0, 1]: $shareNum/$shareDen")
+    val rows = availabilityCensus(df, sourceCol, availCol, targetsPpm)
+    val budget =
+      (rows.map(r => BigInt(r._2)).sum * shareNum / shareDen).toLong
+    waterFillFromCensus(df.sparkSession, rows, budget)
+  }
+
+  /** One map-side-combined aggregate over the corpus → (source, avail,
+    * weight_ppm) for exactly the declared targets (missing → 0). */
+  private def availabilityCensus(df: DataFrame, sourceCol: String,
+                                 availCol: Column,
+                                 targetsPpm: Seq[(String, Long)])
+      : Seq[(String, Long, Long)] = {
     require(targetsPpm.nonEmpty, "targetsPpm must be non-empty")
     require(targetsPpm.map(_._2).sum == 1000000L,
       s"target ppm must total 1e6: ${targetsPpm.map(_._2).sum}")
@@ -520,17 +552,24 @@ object Sampling {
       s"each target ppm must be positive: $targetsPpm")
     require(targetsPpm.map(_._1).distinct.size == targetsPpm.size,
       "duplicate sources in targetsPpm")
-    require(budget >= 0, s"budget must be >= 0: $budget")
-    val spark = df.sparkSession
     val availRows = df
+      .filter(col(sourceCol).cast("string")
+        .isin(targetsPpm.map(_._1): _*))
       .groupBy(col(sourceCol).cast("string").as("_s"))
       .agg(sum(availCol.cast("long")).as("_a"))
       .collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap
-    val rows = targetsPpm.map { case (s, w) =>
+    targetsPpm.map { case (s, w) =>
       (s, math.max(0L, availRows.getOrElse(s, 0L)), w)
     }
+  }
+
+  /** Jacobi saturation rounds over the model-sized census (see
+    * [[budgetWaterFill]] Scaladoc for the fixpoint argument). */
+  private def waterFillFromCensus(spark: org.apache.spark.sql.SparkSession,
+                                  rows: Seq[(String, Long, Long)],
+                                  budget: Long): DataFrame = {
     var sat = Set.empty[String]
     var num = BigInt(budget)
     var den = BigInt(rows.map(_._3).sum)

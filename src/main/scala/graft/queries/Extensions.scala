@@ -5578,8 +5578,8 @@ object Extensions {
       "the null-vs-present split survive",
     Some("""
       SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
-        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-          AS n_with_source,
+        CAST(sum(CASE WHEN doc_id % 2 = 1 AND source IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 2 * n_chars END) AS BIGINT)
           AS sum_tokens,
         CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -5711,15 +5711,17 @@ object Extensions {
              ELSE (num * ppm) // den END AS BIGINT) AS allocation,
         sat AS saturated
       FROM s4, n4 ORDER BY source"""),
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val total = docs.agg(sum(col("n_chars"))).head().getLong(0)
-      Sampling.budgetWaterFill(docs, "lang", col("n_chars"),
+    (s, dir) =>
+      // budget = 95% of the TARGET langs' availability, derived from the
+      // same census the fill uses (one scan; a doc in a non-target or
+      // NULL lang cannot skew the budget — matches the oracle's
+      // sum(avail) over the target list, not the whole corpus)
+      Sampling.budgetWaterFillShare(t(s, dir, "documents"), "lang",
+          col("n_chars"),
           Seq("en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
             "fr" -> 150000L, "zh" -> 150000L),
-          budget = total * 95L / 100L)
-        .orderBy("source")
-    })
+          shareNum = 95L, shareDen = 100L)
+        .orderBy("source"))
 
   private val q236 = Q("q236_source_overlap",
     "cross-source passage-contamination matrix: shared distinct 3-gram " +
@@ -5775,16 +5777,18 @@ object Extensions {
                  THEN 'low_word_count'
                ELSE 'kept' END AS reason
         FROM documents),
-      c AS (SELECT reason, CAST(count(*) AS BIGINT) AS n_rows FROM lab
+      c AS (SELECT reason, CAST(count(*) AS BIGINT) AS n FROM lab
             GROUP BY 1),
-      t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
-      SELECT CAST(CASE reason WHEN 'too_short' THEN 0
-               WHEN 'unsupported_lang' THEN 1
-               WHEN 'low_word_count' THEN 2 ELSE 3 END AS BIGINT)
-               AS rule_idx,
-             reason, n_rows,
-             CAST((1000000 * n_rows) // total AS BIGINT) AS share_ppm
-      FROM c, t ORDER BY rule_idx"""),
+      t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM c),
+      r(rule_idx, reason) AS (VALUES (0, 'too_short'),
+        (1, 'unsupported_lang'), (2, 'low_word_count'), (3, 'kept'))
+      SELECT CAST(r.rule_idx AS BIGINT) AS rule_idx, r.reason,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows,
+             CAST(CASE WHEN t.total > 0
+               THEN (1000000 * coalesce(c.n, 0)) // t.total
+               ELSE 0 END AS BIGINT) AS share_ppm
+      FROM r LEFT JOIN c ON c.reason = r.reason CROSS JOIN t
+      ORDER BY rule_idx"""),
     (s, dir) => Profile.filterAttrition(t(s, dir, "documents"), Seq(
         "too_short" -> (col("n_chars") >= 200),
         "unsupported_lang" ->

@@ -553,6 +553,29 @@ class DriftStatsSpec extends SparkSpec {
     assert(ex.getMessage.contains("reserved"))
   }
 
+  test("filterAttrition: a rule that attributes ZERO rows still emits " +
+    "its row (n_rows 0), incl. on empty input") {
+    val df = Seq(
+      (1L, Some(10L), "en"),
+      (2L, Some(30L), "en")
+    ).toDF("id", "len", "lang")
+    val got = Profile.filterAttrition(df, Seq(
+        "too_short" -> (col("len") >= 20),
+        "never_fires" -> lit(true), // nothing can fail this rule
+        "bad_lang" -> (col("lang") === "en")))
+      .select("rule_idx", "reason", "n_rows", "share_ppm")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, "too_short", 1L, 500000L),
+      (1L, "never_fires", 0L, 0L), (2L, "bad_lang", 0L, 0L),
+      (3L, "kept", 1L, 500000L)))
+    // empty input: every declared rule plus kept at 0, no div-by-zero
+    val empty = Profile.filterAttrition(df.filter(lit(false)), Seq(
+        "too_short" -> (col("len") >= 20)))
+      .select("rule_idx", "reason", "n_rows", "share_ppm")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(empty == Seq((0L, "too_short", 0L, 0L), (1L, "kept", 0L, 0L)))
+  }
+
   test("cramersV2: independence reads 0; a diagonal 2x2 reads 1e6 ppm " +
     "(V^2 = 1 at perfect association)") {
     val indep = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 5 }

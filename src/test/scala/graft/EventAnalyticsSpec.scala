@@ -174,5 +174,14 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.tokenBucketAdmit(ev, "k", col("ts"), "id",
         capacity = 0L, refillNum = 1L, refillDenMs = 1000L)
     }
+    // a NON-CASTABLE timestamp fails loudly (same contract as key/id);
+    // NULL ts rows are the documented exclusion, not bad-data ones
+    val badTs = Seq((1L, "not-a-ts", 10L)).toDF("k", "ts", "id")
+    val ex = intercept[Exception] {
+      EventAnalytics.tokenBucketAdmit(badTs, "k", col("ts"), "id",
+        capacity = 2L, refillNum = 1L, refillDenMs = 1000L).collect()
+    }
+    assert(ex.getMessage.contains("must cast to long") ||
+      Option(ex.getCause).exists(_.getMessage.contains("must cast to long")))
   }
 }

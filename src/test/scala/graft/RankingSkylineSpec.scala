@@ -137,6 +137,31 @@ class RankingSkylineSpec extends SparkSpec {
     }
   }
 
+  test("budgetWaterFillShare: budget basis is the TARGETS' availability " +
+    "only — non-target and NULL sources cannot inflate it") {
+    import graft.ops.Sampling
+    val corpus = Seq(Some("en") -> 200L, Some("de") -> 10L,
+        Some("es") -> 300L,
+        Some("xx") -> 1000L, // non-target: must not count toward budget
+        (None: Option[String]) -> 500L) // NULL source: ditto
+      .toDF("src", "n")
+    // target avail = 510 → budget = 510·95//100 = 484
+    // round 1: de 121>10 sat, en 242>200 sat; round 2: es ← 274
+    val got = Sampling.budgetWaterFillShare(corpus, "src", col("n"),
+        Seq("en" -> 500000L, "de" -> 250000L, "es" -> 250000L),
+        shareNum = 95L, shareDen = 100L)
+      .select("source", "avail", "allocation", "saturated")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 200L, 200L, true)))
+    assert(got("de") == (("de", 10L, 10L, true)))
+    assert(got("es") == (("es", 300L, 274L, false)))
+    intercept[IllegalArgumentException] {
+      Sampling.budgetWaterFillShare(corpus, "src", col("n"),
+        Seq("en" -> 1000000L), shareNum = 101L, shareDen = 100L)
+    }
+  }
+
   test("tripletMining: hardest positive and hardest negative per anchor, " +
     "anchors missing a half yield no row") {
     import graft.ops.Similarity
