@@ -118,6 +118,40 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** [[shingleHashes]] with row-local term-frequency aggregation fused in:
+    * map(term -> tf) instead of one array slot per occurrence. Feeds
+    * posting-list builds (sparseCosinePairs) where the downstream
+    * relation is keyed (doc, term) — counting inside the row removes the
+    * (doc, term) groupBy SHUFFLE from the plan entirely (the map explodes
+    * straight into posting rows already unique per doc).
+    */
+  def shingleTermCounts(text: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.MapData = {
+    val arr = shingleHashes(text, n)
+    val m = new java.util.LinkedHashMap[java.lang.Long, Long]()
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      val t = arr.getLong(i)
+      val prev = m.get(t)
+      m.put(t, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val keys = new Array[Long](m.size)
+    val vals = new Array[Long](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+
   /** SimHash signature in one pass over the text bytes: for every word
     * (single-space split, like shingleRanges), hash64 votes ±1 on each of
     * `bits` signature bits (term frequency = vote weight); bit b is set
@@ -270,6 +304,38 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
   def apply(c: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c.cast("string")), n))
+}
+
+/** map<long,long> of hash64(shingle) -> term frequency for every
+  * word-`n`-gram — [[ShingleHashes]] with the per-row tf count fused in
+  * (HashUtil.shingleTermCounts). `explode` of the map yields (term, tf)
+  * posting rows that are unique per document BY CONSTRUCTION, so the
+  * posting build needs no (doc, term) aggregation exchange.
+  */
+case class ShingleTermCounts(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(LongType, LongType,
+      valueContainsNull = false)
+  override def prettyName: String = "graft_shingle_term_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.shingleTermCounts(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.HashUtil.shingleTermCounts($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleTermCounts =
+    copy(child = newChild)
+}
+
+object ShingleTermCounts {
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(ShingleTermCounts(Bridge.expression(c.cast("string")), n))
 }
 
 /** array<array<long>> — the four 60-bit sha256 parts of every word-n-gram

@@ -691,6 +691,22 @@ class TextOpsSpec extends SparkSpec {
       "df=2 terms must be pruned at maxDf=1, leaving no candidate pairs")
   }
 
+  test("sparseCosinePairs: prefixFilter=true is answer-identical to the " +
+    "direct join (exact candidate superset + same verification math)") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "a b c x y z"),
+      (4L, "p q r s t u"), (5L, "p q r s t u"), (6L, "m n o p q r")
+    ).toDF("doc_id", "text")
+    def run(pf: Boolean) =
+      TextAnalysis.sparseCosinePairs(docs, minCosine = 0.3,
+          prefixFilter = pf)
+        .orderBy("doc_a", "doc_b")
+        .as[(Long, Long, Long, Double)].collect().toList
+    val direct = run(false)
+    assert(direct.nonEmpty, "fixture must produce pairs")
+    assert(run(true) == direct)
+  }
+
   test("bpePairStats: pair counts weight by word frequency; ties break on pair") {
     val docs = Seq((1L, "low low lower"), (2L, "lower low"))
       .toDF("doc_id", "text")
