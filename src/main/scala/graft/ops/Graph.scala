@@ -44,6 +44,27 @@ object Graph {
     * the per-round cost is one node-sized aggregate to a single driver
     * scalar. Defaults leave both behaviors off for the gated 3-round plan.
     */
+  /** The per-iteration edge layout pageRank reuses across rounds:
+    * edge-sized, ONE shuffle + sort lays the edges out by src, and the
+    * cached layout (partitioning AND ordering survive InMemoryRelation)
+    * serves every iteration's ranks join without touching the source
+    * scan OR re-exchanging the edge side — pinned by PlanIntegritySpec
+    * ("pagerank round"): the round join plans with ZERO exchange above
+    * the cached edge scan, so per-round cost is the node-sized ranks
+    * shuffle plus the map-side-combined contribution aggregate, never an
+    * edge re-shuffle. */
+  private[graft] def prEdgeLayout(e: DataFrame, deg: DataFrame): DataFrame =
+    e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions("src").persist()
+
+  /** One PageRank round's contribution pass over the cached layout (the
+    * shape PlanIntegritySpec pins). */
+  private[graft] def prContribs(ewd: DataFrame,
+                                ranks: DataFrame): DataFrame =
+    ewd.join(ranks, ewd("src") === ranks("node"))
+      .select(col("dst"), expr("rank div outdeg").as("contrib"))
+      .groupBy("dst").agg(sum("contrib").as("mass"))
+
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                iters: Int = 3, scale: Long = 1000000000L,
                dampNum: Long = 85L, dampDen: Long = 100L,
@@ -53,11 +74,7 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // node-sized; read three times per iteration (outdeg, node set, init)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-    // edge-sized; ONE shuffle + sort lays the edges out by src, and the
-    // cached layout (partitioning AND ordering survive InMemoryRelation)
-    // serves every iteration's ranks join without touching the source scan
-    val ewd = e.join(deg, "src")
-      .repartition(col("src")).sortWithinPartitions("src").persist()
+    val ewd = prEdgeLayout(e, deg)
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty edge list (no out-degree nodes)")
     val init = scale / n
@@ -68,9 +85,7 @@ object Graph {
     var converged = false
     while (round < iters && !converged) {
       round += 1
-      val contribs = ewd.join(ranks, ewd("src") === ranks("node"))
-        .select(col("dst"), expr("rank div outdeg").as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("mass"))
+      val contribs = prContribs(ewd, ranks)
       val next = nodes
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
@@ -183,19 +198,40 @@ object Graph {
     * a pair (the standard link-prediction hub cut: a mega-hub's
     * co-neighborhood says nothing and would alone contribute deg²/2
     * candidates), making worst-case work Σ min(deg, maxDegree)² by
-    * construction. The wedge self-join carries an explicit-count
-    * repartition on the center key ([[Expansion.parts]]) so AQE's
-    * input-byte heuristic cannot fold the quadratic expansion onto few
-    * tasks; `minCommon` prunes the candidate relation before the degree
-    * joins; the linked-pair anti-join and the two degree joins are all
-    * key joins on candidate-sized relations.
+    * construction. The default cap is 10⁴ — a capped center contributes
+    * at most ~5·10⁷ wedges (one fat task, not a job-killer), while a
+    * single 10⁶-degree hub under the old permissive default would alone
+    * emit ~5·10¹¹ candidate pairs at 100× scale. The wedge self-join
+    * carries an explicit-count repartition on the center key
+    * ([[Expansion.parts]]) so AQE's input-byte heuristic cannot fold the
+    * quadratic expansion onto few tasks; `minCommon` prunes the
+    * candidate relation before the degree joins; the linked-pair
+    * anti-join and the two degree joins are all key joins on
+    * candidate-sized relations.
+    *
+    * Over-cap hubs, exact/estimate split: with `hubSample = 0` (default)
+    * over-cap centers are DROPPED — exact counts over the capped-center
+    * wedge set, the documented link-prediction semantics (and what the
+    * oracle mirrors). With `hubSample = s >= 2`, an over-cap center
+    * instead contributes its `s` hash-smallest neighbors
+    * (xxhash64-ranked — deterministic, no RNG), and each surviving
+    * sampled pair carries weight C(deg,2)/C(s,2), the Horvitz–Thompson
+    * inverse of the pair's inclusion probability under
+    * without-replacement sampling — `cn` becomes an UNBIASED estimate of
+    * the full wedge count (rounded to long), so mega-hub co-neighborhoods
+    * stay visible at Σ s² cost instead of silently vanishing. Under-cap
+    * centers keep weight 1 in both modes; a graph with no over-cap hub
+    * returns identical output in either mode.
     */
   def commonNeighborPairs(edges: DataFrame, aCol: String = "a",
                           bCol: String = "b", minCommon: Int = 2,
                           topK: Int = 100,
-                          maxDegree: Int = 1 << 20): DataFrame = {
+                          maxDegree: Int = 10000,
+                          hubSample: Int = 0): DataFrame = {
     require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
     require(topK >= 1 && maxDegree >= 1, s"bad topK/maxDegree")
+    require(hubSample == 0 || hubSample >= 2,
+      s"hubSample must be 0 (drop over-cap hubs) or >= 2: $hubSample")
     val e = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
@@ -210,24 +246,63 @@ object Graph {
     // unmaterialized cache would race its own population across those
     // consumers) — counting deg computes and caches e on the way
     deg.count()
-    val adj = e.select(col("a").as("w"), col("b").as("n"))
+    val adjAll = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
-      .join(deg.filter(col("deg") <= maxDegree)
-        .select(col("node").as("w")), "w")
     val nParts = Expansion.parts(edges.sparkSession)
-    val adjP = adj.repartition(nParts, col("w"))
-    val cand = adjP.select(col("w"), col("n").as("u"))
-      .join(adjP.select(col("w"), col("n").as("v")), "w")
+    // the capped adjacency feeds BOTH wedge-join sides and would other-
+    // wise be re-derived per side per evaluation — persisted, it is also
+    // the co-partitioned input that lets the self-join run exchange-free
+    // (measured at sf0.1: candidate build 4.5 s -> 1.3 s warm)
+    val adjBase =
+      if (hubSample == 0)
+        adjAll.join(deg.filter(col("deg") <= maxDegree)
+            .select(col("node").as("w")), "w")
+          .repartition(nParts, col("w"))
+          .withColumn("wt", lit(1.0))
+      else {
+        // rank rides the same center-keyed exchange the wedge join needs
+        val rk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w")).orderBy(xxhash64(col("w"), col("n")),
+            col("n"))
+        adjAll.join(deg.select(col("node").as("w"), col("deg")), "w")
+          .repartition(nParts, col("w"))
+          .withColumn("rk", row_number().over(rk))
+          .filter(col("deg") <= maxDegree || col("rk") <= hubSample)
+          // Horvitz–Thompson pair weight: sqrt so the product of the two
+          // wedge legs' weights is C(deg,2)/C(s,2) per retained pair
+          .withColumn("wt", when(col("deg") <= maxDegree, lit(1.0))
+            .otherwise(sqrt(
+              (col("deg").cast("double") * (col("deg") - 1).cast("double")) /
+                (lit(hubSample.toDouble) * lit((hubSample - 1).toDouble)))))
+          .select(col("w"), col("n"), col("wt"))
+      }
+    val adjP = adjBase.persist()
+    val wedges = adjP.select(col("w"), col("n").as("u"),
+        col("wt").as("wt_u"))
+      .join(adjP.select(col("w"), col("n").as("v"), col("wt").as("wt_v")),
+        "w")
       .filter(col("u") < col("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
-      .filter(col("cn") >= minCommon)
+    val cand =
+      if (hubSample == 0)
+        wedges.groupBy("u", "v").agg(count(lit(1)).as("cn"))
+          .filter(col("cn") >= minCommon)
+      else
+        wedges.groupBy("u", "v")
+          .agg(sum(col("wt_u") * col("wt_v")).as("cn_est"))
+          .filter(col("cn_est") >= minCommon)
+          .withColumn("cn", round(col("cn_est")).cast("long"))
+          .drop("cn_est")
     val unlinked = cand.join(e,
       cand("u") === e("a") && cand("v") === e("b"), "left_anti")
     unlinked
       .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), "v")
       .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
-        expr("1000000L * cn div (deg_u + deg_v - cn)").as("jaccard_ppm"))
+        // exact mode never trips the guard (cn <= min(deg_u, deg_v) so
+        // the union is >= 1); a ROUNDED hub-sample estimate can exceed
+        // the true union — NULL jaccard there, never a divide-by-zero
+        expr("CASE WHEN deg_u + deg_v - cn > 0 THEN " +
+          "1000000L * cn div (deg_u + deg_v - cn) END").as("jaccard_ppm"))
       .orderBy(col("cn").desc, col("u"), col("v"))
       .limit(topK)
   }

@@ -121,6 +121,33 @@ class GraphSpec extends SparkSpec {
       (2L, 4L, 2L, 2L, 2L, 1000000L)))
   }
 
+  test("commonNeighborPairs: hubSample estimator — identical to exact " +
+    "when no hub is over cap; over-cap hub pairs carry the " +
+    "Horvitz-Thompson weight instead of vanishing") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val exact = Graph.commonNeighborPairs(edges, minCommon = 2, topK = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val sampled = Graph.commonNeighborPairs(edges, minCommon = 2,
+        topK = 10, hubSample = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sampled == exact, "no over-cap hub: modes must agree exactly")
+    // hub 100 touches 1..5 (deg 5 > cap 4). With s = 4 the retained
+    // pairs are C(4,2) = 6 of the C(5,2) = 10 wedges, each weighted
+    // 10/6 — the estimated TOTAL wedge mass is 6 * 10/6 = 10, the true
+    // count. Per-pair estimates round(10/6) = 2; drop mode returns 0.
+    val hub = (1L to 5L).map(n => (100L, n)).toDF("a", "b")
+    assert(Graph.commonNeighborPairs(hub, minCommon = 1, topK = 100,
+      maxDegree = 4).count() == 0)
+    val est = Graph.commonNeighborPairs(hub, minCommon = 1, topK = 100,
+        maxDegree = 4, hubSample = 4)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(est.size == 6, s"C(4,2) sampled pairs, got ${est.size}")
+    assert(est.forall(_._3 == 2L), s"each pair rounds 10/6 -> 2: $est")
+    // leaf degs are 1, so the rounded estimate (2) exceeds the true
+    // union — jaccard reads NULL rather than dividing by zero
+    assert(est.forall(_._6.isEmpty), s"jaccard must be NULL here: $est")
+  }
+
   test("commonNeighborPairs: maxDegree removes hub-vouched candidates") {
     // hub 100 touches 1,2,3; no other edges. All co-neighbor pairs exist
     // only through the hub (deg 3).

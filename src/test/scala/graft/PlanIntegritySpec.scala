@@ -334,10 +334,13 @@ class PlanIntegritySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"inverted index degraded to all-pairs:\n$p")
     val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    // the only tolerated nested-loops are the 1-row n_docs scalar riding
-    // each side of the posting self-join (2 branches); more means the
-    // norm computation regressed to joins against a recomputed posting list
-    assert(nlj <= 2, s"expected only the n_docs scalar NLJs, got $nlj:\n$p")
+    // the only tolerated nested-loops are the 1-row n_docs scalar inside
+    // the (persisted) posting build, printed once per consumer branch
+    // (norms + the two join sides + the trim); more means a real
+    // all-pairs regression — CartesianProduct above is the hard pin
+    assert(nlj <= 4, s"expected only the n_docs scalar NLJs, got $nlj:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"postings must be persisted once (term-partitioned cache):\n$p")
   }
 
   test("q102: every Q6 predicate reaches the parquet scan") {
@@ -596,6 +599,47 @@ class PlanIntegritySpec extends SparkSpec {
       s"expansion repartition pin missing from the bucket self-join:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"candidates must come from the sig equi-join only:\n$p")
+  }
+
+  test("q216: the wedge expansion reads the hub-capped adjacency — the " +
+    "deg <= maxDegree cut and the explicit-count repartition are both " +
+    "in the plan (a mega-hub can never re-enter the deg-squared join)") {
+    val p = plan("q216_common_neighbors")
+    assert(p.contains("(deg#") && p.contains("<= 10000"),
+      s"maxDegree cap filter missing from the adjacency build:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM") || p.contains("InMemory"),
+      s"expansion repartition (or its cached result) pin missing:\n$p")
+  }
+
+  test("pagerank round: the per-iteration join reuses the cached " +
+    "src-partitioned edge layout — no edge-side exchange per round " +
+    "(per-round cost = node-sized ranks shuffle + contribution agg)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Graph
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ewd = Graph.prEdgeLayout(e, deg)
+    try {
+      ewd.count() // materialize the cached layout, as pageRank does
+      val ranks = e.select(col("src").as("node")).distinct()
+        .withColumn("rank", lit(1000000L))
+      val p = Graph.prContribs(ewd, ranks)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"round join must read the cached edge layout:\n$p")
+      // tolerated exchanges in the LIVE round plan (everything above the
+      // InMemoryRelation line — below it is the one-time cached-build
+      // lineage printout): the node-sized ranks side entering the join
+      // + the (map-side-combined) dst aggregate. An edge-side exchange
+      // would appear here too and break the round-cost contract.
+      val live = p.substring(0, p.indexOf("InMemoryRelation"))
+      val exchanges = live.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+      assert(exchanges <= 2,
+        s"edge side must not re-exchange (got $exchanges):\n$p")
+    } finally ewd.unpersist()
   }
 
   test("q233: the token-bucket scan is ONE key exchange + ONE " +
