@@ -222,6 +222,14 @@ object Graph {
     * stay visible at Σ s² cost instead of silently vanishing. Under-cap
     * centers keep weight 1 in both modes; a graph with no over-cap hub
     * returns identical output in either mode.
+    *
+    * CACHE CONTRACT: the distinct edge set, the degree relation and the
+    * capped adjacency are persisted (each feeds 2-3 consumers of the
+    * returned lazy plan) and deliberately NOT unpersisted — the result
+    * is lazy, so there is no post-execution hook, and MEMORY_AND_DISK
+    * eviction merely recomputes. Long-lived sessions calling this
+    * across many graphs should `spark.catalog.clearCache()` between
+    * corpora (the [[graft.ops.Dedup.prefixJaccardPairs]] contract).
     */
   def commonNeighborPairs(edges: DataFrame, aCol: String = "a",
                           bCol: String = "b", minCommon: Int = 2,
@@ -232,6 +240,14 @@ object Graph {
     require(topK >= 1 && maxDegree >= 1, s"bad topK/maxDegree")
     require(hubSample == 0 || hubSample >= 2,
       s"hubSample must be 0 (drop over-cap hubs) or >= 2: $hubSample")
+    // the HT inverse C(deg,2)/C(s,2) assumes deg > s for every SAMPLED
+    // center; deg > maxDegree >= hubSample guarantees it. With s >
+    // maxDegree an over-cap hub of degree in (maxDegree, s] would keep
+    // ALL its pairs (inclusion probability 1) yet still down-weight them
+    // — a biased-low estimate, so the combination is rejected outright.
+    require(hubSample <= maxDegree,
+      s"hubSample ($hubSample) must be <= maxDegree ($maxDegree): a " +
+        "sample wider than the cap would under-weight hubs it fully keeps")
     val e = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
@@ -287,10 +303,14 @@ object Graph {
         wedges.groupBy("u", "v").agg(count(lit(1)).as("cn"))
           .filter(col("cn") >= minCommon)
       else
+        // round FIRST, threshold the rounded value: the emitted cn and
+        // the minCommon cut must agree at the boundary (an unrounded
+        // filter would drop cn_est=1.6 yet keep 2.4 while both report
+        // cn=2)
         wedges.groupBy("u", "v")
           .agg(sum(col("wt_u") * col("wt_v")).as("cn_est"))
-          .filter(col("cn_est") >= minCommon)
           .withColumn("cn", round(col("cn_est")).cast("long"))
+          .filter(col("cn") >= minCommon)
           .drop("cn_est")
     val unlinked = cand.join(e,
       cand("u") === e("a") && cand("v") === e("b"), "left_anti")

@@ -705,6 +705,16 @@ object TextAnalysis {
     * cap, with this switch for corpora whose per-doc mass concentrates
     * in few terms (bag-of-words tf-idf, learned sparse vectors).
     *
+    * CACHE CONTRACT: the term-partitioned posting relation is persisted
+    * (it feeds both self-join sides AND the norm side-table — three
+    * consumers of one lazy plan) and deliberately NOT unpersisted: the
+    * result is lazy, so there is no post-execution hook, and
+    * MEMORY_AND_DISK eviction merely recomputes. Long-lived sessions
+    * calling this across many corpora should
+    * `spark.catalog.clearCache()` between corpora — the same contract as
+    * [[graft.ops.Graph.commonNeighborPairs]] and
+    * [[graft.ops.Dedup.prefixJaccardPairs]].
+    *
     * Output: (doc_a, doc_b, n_common, cosine), doc_a < doc_b, cosine >=
     * `minCosine`.
     */

@@ -4857,14 +4857,21 @@ object Extensions {
     (s, dir) => Profile.mannWhitney(t(s, dir, "documents"),
       col("n_chars"), col("lang") === "en"))
 
+  // q216's hub cap, pinned ONCE for both sides: the engine call passes it
+  // explicitly and the oracle SQL interpolates the same value, so the
+  // oracle mirrors the drop-mode semantics STRUCTURALLY (a graph with an
+  // over-cap hub at a larger sf agrees by construction, not by luck).
+  private val Q216MaxDegree = 10000
+
   private val q216 = Q("q216_common_neighbors",
     "common-neighbors link prediction over the part co-purchase graph: " +
       "top-100 UNLINKED part pairs by shared-neighbor count plus " +
       "neighborhood-Jaccard in exact ppm — candidates only from wedge " +
-      "enumeration at shared neighbors (never node x node), hub-capped, " +
+      "enumeration at shared neighbors (never node x node), hub-capped " +
+      s"(deg <= $Q216MaxDegree on BOTH sides, one pinned constant), " +
       "expansion-join repartition pinned; (cn DESC, u, v) total order " +
       "makes the top-k cut deterministic under ties",
-    Some("""
+    Some(s"""
       WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         FROM lineitem a JOIN lineitem b
@@ -4875,8 +4882,11 @@ object Extensions {
               GROUP BY 1),
       adj AS (SELECT a AS w, b AS n FROM pairs
               UNION ALL SELECT b, a FROM pairs),
+      adjc AS (SELECT adj.w, adj.n FROM adj
+               JOIN deg ON deg.node = adj.w
+               WHERE deg.deg <= $Q216MaxDegree),
       cand AS (SELECT x.n AS u, y.n AS v, CAST(count(*) AS BIGINT) AS cn
-               FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+               FROM adjc x JOIN adjc y ON x.w = y.w AND x.n < y.n
                GROUP BY 1, 2 HAVING count(*) >= 2),
       unl AS (SELECT c.* FROM cand c
               LEFT JOIN pairs p ON p.a = c.u AND p.b = c.v
@@ -4893,7 +4903,8 @@ object Extensions {
         .join(li.as("y"),
           col("x.k") === col("y.k") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b"))
-      Graph.commonNeighborPairs(pairs, minCommon = 2, topK = 100)
+      Graph.commonNeighborPairs(pairs, minCommon = 2, topK = 100,
+        maxDegree = Q216MaxDegree)
     })
 
   private val q217 = Q("q217_effective_sample_size",

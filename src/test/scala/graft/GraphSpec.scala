@@ -148,6 +148,40 @@ class GraphSpec extends SparkSpec {
     assert(est.forall(_._6.isEmpty), s"jaccard must be NULL here: $est")
   }
 
+  test("commonNeighborPairs: hubSample HT weights preserve total wedge " +
+    "mass (unbiasedness under the fixed hash order); threshold applies " +
+    "to the ROUNDED estimate; hubSample > maxDegree is rejected") {
+    // hub 100 touches 1..6 (deg 6 > cap 3). s = 3 keeps C(3,2) = 3
+    // pairs, each weighted C(6,2)/C(3,2) = 15/3 = 5 — total estimated
+    // wedge mass 3*5 = 15 = C(6,2), the TRUE wedge count: the HT
+    // inverse is mass-preserving whichever 3 neighbors the (fixed,
+    // deterministic) hash ranking retains.
+    val hub6 = (1L to 6L).map(n => (100L, n)).toDF("a", "b")
+    val est = Graph.commonNeighborPairs(hub6, minCommon = 1, topK = 100,
+        maxDegree = 3, hubSample = 3)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(est.size == 3, s"C(3,2) sampled pairs, got ${est.size}")
+    assert(est.map(_._3).sum == 15L,
+      s"sum of estimates must equal the true wedge count C(6,2)=15: $est")
+    // rounding-boundary contract: deg 5 hub, s = 4 -> cn_est = 10/6 =
+    // 1.67 per pair, which ROUNDS to 2. minCommon = 2 must keep those
+    // pairs (threshold and reported cn agree); filtering the raw
+    // estimate would drop rows that REPORT cn = 2.
+    val hub5 = (1L to 5L).map(n => (100L, n)).toDF("a", "b")
+    val boundary = Graph.commonNeighborPairs(hub5, minCommon = 2,
+        topK = 100, maxDegree = 4, hubSample = 4)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(boundary.size == 6 && boundary.forall(_._3 == 2L),
+      s"round-then-filter must keep the cn=2 boundary pairs: $boundary")
+    // a sample wider than the cap would keep ALL pairs of a hub with
+    // maxDegree < deg <= hubSample yet still down-weight them (biased
+    // low) — rejected at the door
+    val ex = intercept[IllegalArgumentException] {
+      Graph.commonNeighborPairs(hub6, maxDegree = 3, hubSample = 4)
+    }
+    assert(ex.getMessage.contains("maxDegree"))
+  }
+
   test("commonNeighborPairs: maxDegree removes hub-vouched candidates") {
     // hub 100 touches 1,2,3; no other edges. All co-neighbor pairs exist
     // only through the hub (deg 3).
