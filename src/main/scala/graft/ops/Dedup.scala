@@ -665,7 +665,9 @@ object Dedup {
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          tauNum: Int, tauDen: Int,
-                         shingleSize: Int = 3): DataFrame = {
+                         shingleSize: Int = 3,
+                         probeFilter: Option[Column => Column] = None)
+      : DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0,1]: $tauNum/$tauDen")
     val sh = docs.select(col(idCol).as("_id"),
@@ -696,14 +698,39 @@ object Dedup {
       .persist()
     val prefix = byDoc.select(col("_id"), col("n"),
       explode(slice(col("arr"), lit(1), col("plen"))).as("sh"))
-    val cands = prefix.select(col("_id").as("doc_a"), col("sh"),
-        col("n").as("n_a"))
-      .join(prefix.select(col("_id").as("doc_b"), col("sh"),
-        col("n").as("n_b")), "sh")
-      .filter(col("doc_a") < col("doc_b") &&
-        lit(tauDen) * least(col("n_a"), col("n_b")) >=
-          lit(tauNum) * greatest(col("n_a"), col("n_b")))
-      .select("doc_a", "doc_b").distinct()
+    // PROBE MODE (probeFilter = Some(p)): candidate generation joins the
+    // prefix postings of the PROBE slice against the prefix postings of
+    // the FULL corpus — the output universe is every qualifying pair with
+    // >= 1 probe endpoint. Completeness is the same prefix theorem: a
+    // qualifying pair's prefixes intersect, and the probe endpoint's
+    // prefix is on the probe side by construction. Join work scales with
+    // the probe fraction; df, the sorted sets and the verify arrays stay
+    // corpus-global (linear passes), so the exact Jaccard per pair is
+    // IDENTICAL to full mode — only the pair universe shrinks.
+    val cands = probeFilter match {
+      case None =>
+        prefix.select(col("_id").as("doc_a"), col("sh"),
+            col("n").as("n_a"))
+          .join(prefix.select(col("_id").as("doc_b"), col("sh"),
+            col("n").as("n_b")), "sh")
+          .filter(col("doc_a") < col("doc_b") &&
+            lit(tauDen) * least(col("n_a"), col("n_b")) >=
+              lit(tauNum) * greatest(col("n_a"), col("n_b")))
+          .select("doc_a", "doc_b").distinct()
+      case Some(p) =>
+        // both-probed pairs generate twice (once per orientation); the
+        // least/greatest normalization + distinct collapses them
+        prefix.filter(p(col("_id")))
+          .select(col("_id").as("_pa"), col("sh"), col("n").as("n_a"))
+          .join(prefix.select(col("_id").as("_pb"), col("sh"),
+            col("n").as("n_b")), "sh")
+          .filter(col("_pa") =!= col("_pb") &&
+            lit(tauDen) * least(col("n_a"), col("n_b")) >=
+              lit(tauNum) * greatest(col("n_a"), col("n_b")))
+          .select(least(col("_pa"), col("_pb")).as("doc_a"),
+            greatest(col("_pa"), col("_pb")).as("doc_b"))
+          .distinct()
+    }
     // verify is ROW-LOCAL: both sorted distinct sets ride the candidate
     // row, the intersection is one array_intersect — no per-pair shuffle
     cands
@@ -732,17 +759,55 @@ object Dedup {
     *
     * One row: n_exact, n_candidates, n_hit (exact pairs the sketch
     * found), recall_ppm — exact floor division, null when the exact set
-    * is empty. Cost = one run of each family + a pair-keyed semi-join;
-    * the audit is meant for a SLICE, not the full corpus.
+    * is empty.
+    *
+    * SAMPLED MODE (`sampleDen` > 1) — the scale path: the exact side of
+    * an audit is inherently pair-output-bound (the full-corpus exact set
+    * grew 51x on the 10x replica), so the default audit restricts BOTH
+    * families to the pair universe with at least one endpoint in a
+    * deterministic hash slice (`hash64('lshaudit:' || id) % sampleDen =
+    * 0` — the q53/q127 shared-hash order: stable across runs AND
+    * engines, no RNG). Probe-side postings/bands join against the FULL
+    * corpus, so a sampled query's partners are never missed; recall_ppm
+    * is then the exact recall ON that universe — an unbiased estimate of
+    * corpus recall, because the slice is chosen by an id hash
+    * independent of anything the sketch sees. Audit cost scales with
+    * 1/sampleDen instead of with the full pair count (the q216
+    * `hubSample` posture applied to audits). `sampleDen = 1` is the
+    * exact full-corpus audit, unchanged and still available.
     */
   def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
                      tauNum: Int, tauDen: Int, numHashes: Int = 16,
-                     rowsPerBand: Int = 2, shingleSize: Int = 3): DataFrame = {
+                     rowsPerBand: Int = 2, shingleSize: Int = 3,
+                     sampleDen: Int = 1): DataFrame = {
+    require(sampleDen >= 1, s"sampleDen must be >= 1: $sampleDen")
+    val probe: Option[Column => Column] =
+      if (sampleDen == 1) None
+      else Some(id => pmod(TextFns.hash64(
+        concat(lit("lshaudit:"), id.cast("string"))),
+        lit(sampleDen.toLong)) === 0)
     val exact = prefixJaccardPairs(docs, idCol, textCol, tauNum, tauDen,
-      shingleSize).select("doc_a", "doc_b")
-    val cands = minHashLshCandidates(
+      shingleSize, probe).select("doc_a", "doc_b")
+    val bands = lshBands(
       minHashSignatures(docs, idCol, textCol, numHashes, shingleSize),
-      idCol, rowsPerBand).select("doc_a", "doc_b")
+      idCol, rowsPerBand)
+    val cands = probe match {
+      case None =>
+        bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
+          .join(bands.select(col(idCol).as("doc_b"), col("band"),
+            col("band_sig")), Seq("band", "band_sig"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+      case Some(p) =>
+        bands.filter(p(col(idCol)))
+          .select(col(idCol).as("_ba"), col("band"), col("band_sig"))
+          .join(bands.select(col(idCol).as("_bb"), col("band"),
+            col("band_sig")), Seq("band", "band_sig"))
+          .filter(col("_ba") =!= col("_bb"))
+          .select(least(col("_ba"), col("_bb")).as("doc_a"),
+            greatest(col("_ba"), col("_bb")).as("doc_b"))
+          .distinct()
+    }
     val hit = exact.join(cands, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))

@@ -3793,13 +3793,28 @@ object Extensions {
         .orderBy("cluster")
     })
 
+  // q190's deterministic query-slice denominator, pinned ONCE for both
+  // sides: the engine passes it explicitly and the oracle SQL
+  // interpolates the same value into the same sha256-based hash — the
+  // sampled-pair universe agrees by construction at any sf.
+  private val Q190SampleDen = 10
+
   private val q190 = Q("q190_lsh_recall_audit",
     "sketch-recall audit: MinHash(16)x(8 bands of 2) candidates vs the " +
-      "EXACT Jaccard >= 1/2 pair set (prefix-filtered join) — the " +
-      "measurement that justifies a band configuration before 100 TB; " +
-      "one row: exact pairs, candidates, hits, exact recall ppm",
-    Some("""
+      "EXACT Jaccard >= 1/2 pair set (prefix-filtered join), both " +
+      s"restricted to pairs touching a deterministic 1/$Q190SampleDen " +
+      "hash-sampled query slice (probe postings/bands join the FULL " +
+      "corpus, so no partner is missed) — the measurement that " +
+      "justifies a band configuration before 100 TB at audit cost " +
+      "~1/sampleDen of the pair-output-bound full audit (sampleDen=1 " +
+      "keeps the exact full mode); one row: exact pairs, candidates, " +
+      "hits, exact recall ppm",
+    Some(s"""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      smp AS (SELECT doc_id FROM documents
+              WHERE CAST('0x' || substr(sha256('lshaudit:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % $Q190SampleDen = 0),
       jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
       shs AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
       shp AS (SELECT doc_id,
@@ -3810,8 +3825,11 @@ object Extensions {
              FROM shs),
       sh0 AS (SELECT DISTINCT doc_id, p0 FROM shp),
       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1),
-      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-                FROM sh0 a JOIN sh0 b ON a.p0 = b.p0 AND a.doc_id < b.doc_id
+      inter AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                       greatest(a.doc_id, b.doc_id) AS doc_b,
+                       count(DISTINCT a.p0) AS n_inter
+                FROM sh0 a JOIN smp ON a.doc_id = smp.doc_id
+                     JOIN sh0 b ON a.p0 = b.p0 AND a.doc_id <> b.doc_id
                 GROUP BY 1, 2),
       ex AS (SELECT doc_a, doc_b
              FROM inter JOIN sizes sa ON doc_a = sa.doc_id
@@ -3828,10 +3846,12 @@ object Extensions {
       bands AS (SELECT doc_id, h // 2 AS band,
                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS band_sig
                 FROM mh GROUP BY doc_id, h // 2),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b
+      cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+               FROM bands a JOIN smp ON a.doc_id = smp.doc_id
+                    JOIN bands b
                  ON a.band = b.band AND a.band_sig = b.band_sig
-                AND a.doc_id < b.doc_id),
+                AND a.doc_id <> b.doc_id),
       hits AS (SELECT * FROM ex WHERE EXISTS
                (SELECT 1 FROM cand WHERE cand.doc_a = ex.doc_a
                   AND cand.doc_b = ex.doc_b))
@@ -3842,7 +3862,7 @@ object Extensions {
                    (SELECT count(*) FROM cand) AS n_candidates,
                    (SELECT count(*) FROM hits) AS n_hit)"""),
     (s, dir) => Dedup.lshRecallAudit(t(s, dir, "documents"), "doc_id",
-      "text", tauNum = 1, tauDen = 2))
+      "text", tauNum = 1, tauDen = 2, sampleDen = Q190SampleDen))
 
   private val q191 = Q("q191_char_ngram_langid",
     "Cavnar-Trenkle character-trigram rank-profile language ID: " +

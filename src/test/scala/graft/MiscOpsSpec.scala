@@ -436,6 +436,60 @@ class MiscOpsSpec extends SparkSpec {
     assert(none == ((0L, None)))
   }
 
+  test("lshRecallAudit sampled mode == full mode restricted to the " +
+    "sampled-endpoint pair universe; probe prefixJaccardPairs keeps " +
+    "exact jaccard values") {
+    import org.apache.spark.sql.functions._
+    // three near-dup families spread over ids so a mod-2 hash slice
+    // splits them: (1,2) and (3,4) exact copies, (5,6) high-overlap,
+    // 7/8 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten eleven"),
+      (4L, "one two three four five six seven eight nine ten eleven"),
+      (5L, "red orange yellow green blue indigo violet white black grey"),
+      (6L, "red orange yellow green blue indigo violet white black brown"),
+      (7L, "totally disjoint vocabulary lives inside this document body"),
+      (8L, "yet more unrelated words that match nothing else at all"))
+      .toDF("doc_id", "text")
+    val den = 2
+    val sampled = docs.select($"doc_id",
+        pmod(graft.functions.TextFns.hash64(
+          concat(lit("lshaudit:"), $"doc_id".cast("string"))),
+          lit(den.toLong)).as("m"))
+      .filter($"m" === 0).select("doc_id").as[Long].collect().toSet
+    // the slice must be a proper split for the test to mean anything
+    assert(sampled.nonEmpty && sampled.size < 8, s"degenerate slice: $sampled")
+    val fullExact = graft.ops.Dedup.prefixJaccardPairs(
+        docs, "doc_id", "text", 1, 2)
+      .select("doc_a", "doc_b", "jaccard_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    val fullCand = graft.ops.Dedup.minHashLshCandidates(
+        graft.ops.Dedup.minHashSignatures(docs, "doc_id", "text", 16),
+        "doc_id", 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expExact = fullExact.filter(p => sampled(p._1) || sampled(p._2))
+    val expCand = fullCand.filter(p => sampled(p._1) || sampled(p._2))
+    val expHit = expExact.map(p => (p._1, p._2)).intersect(expCand)
+    // probe prefixJaccardPairs: same pairs AND same jaccard values
+    val probed = graft.ops.Dedup.prefixJaccardPairs(docs, "doc_id",
+        "text", 1, 2, probeFilter = Some(id => pmod(
+          graft.functions.TextFns.hash64(
+            concat(lit("lshaudit:"), id.cast("string"))),
+          lit(den.toLong)) === 0))
+      .select("doc_a", "doc_b", "jaccard_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed == expExact, s"probe=$probed exp=$expExact")
+    val r = graft.ops.Dedup.lshRecallAudit(docs, "doc_id", "text", 1, 2,
+        sampleDen = den)
+      .select("n_exact", "n_candidates", "n_hit")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((expExact.size.toLong, expCand.size.toLong,
+      expHit.size.toLong)), s"got $r, expected " +
+      s"(${expExact.size}, ${expCand.size}, ${expHit.size})")
+  }
+
   test("writeSharded: non-overlapping ranges, sorted shards, bounded files") {
     import org.apache.spark.sql.functions.input_file_name
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
