@@ -662,11 +662,29 @@ object Dedup {
     * corpus makes even prefixes hot), and a candidate-bounded verify join
     * back to the full sets — the sketch-then-verify cost model with a
     * guarantee instead of a recall gamble.
+    *
+    * OUTPUT-BOUND BY NATURE — posture at 100×: every exact pairwise
+    * operator's ANSWER grows with corpus pair density (measured 15× time
+    * for 10× data on the densified replica, ~45× true pairs — SCALING.md),
+    * and no plan shape changes that; the knobs do. In preference order:
+    * (1) raise τ — the qualifying set shrinks superlinearly in the
+    * threshold; (2) `probeFilter` — audit/spot-check a deterministic hash
+    * slice against the full corpus at 1/sampleDen cost (the q190 posture);
+    * (3) `maxPairs` > 0 — keep only the top `maxPairs` pairs by
+    * (jaccard_ppm DESC, doc_a, doc_b) via a distributed top-k
+    * (TakeOrderedAndProject: full generation cost, but only k rows
+    * materialize/shuffle), with truncation reported LOUDLY in-band: the
+    * capped mode appends a `truncated` boolean column (true on every row
+    * iff qualifying pairs exceeded the cap — computed from a k+1-row
+    * internal top-k, so it costs one extra row, not a second pass). The
+    * scale-flat alternative for pipeline stages remains the LSH family
+    * (q21, scale-flat at 10×), gated separately.
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          tauNum: Int, tauDen: Int,
                          shingleSize: Int = 3,
-                         probeFilter: Option[Column => Column] = None)
+                         probeFilter: Option[Column => Column] = None,
+                         maxPairs: Int = 0)
       : DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0,1]: $tauNum/$tauDen")
@@ -733,7 +751,7 @@ object Dedup {
     }
     // verify is ROW-LOCAL: both sorted distinct sets ride the candidate
     // row, the intersection is one array_intersect — no per-pair shuffle
-    cands
+    val verified = cands
       .join(byDoc.select(col("_id").as("doc_a"), col("arr").as("_aa"),
         col("n").as("n_a")), "doc_a")
       .join(byDoc.select(col("_id").as("doc_b"), col("arr").as("_ab"),
@@ -745,6 +763,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
         col("n_b"),
         expr("(1000000 * n_inter) div n_union").as("jaccard_ppm"))
+    if (maxPairs <= 0) verified
+    else {
+      // distributed top-(k+1): per-partition top-k then one merge of k+1
+      // rows — only the kept rows ever shuffle. The +1 row is the
+      // truncation sentinel; the window below runs over <= maxPairs + 1
+      // rows (bounded by the CALLER's cap, not the corpus), so the
+      // single-partition frame is safe by construction.
+      val ord = Seq(col("jaccard_ppm").desc, col("doc_a"), col("doc_b"))
+      val top = verified.orderBy(ord: _*).limit(maxPairs + 1)
+      top
+        .withColumn("_rn", row_number().over(Window.orderBy(ord: _*)))
+        .withColumn("truncated",
+          max(col("_rn")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)) > maxPairs)
+        .filter(col("_rn") <= maxPairs)
+        .drop("_rn")
+    }
   }
 
   /** Sketch-recall audit: how much of the EXACT Jaccard-≥-τ pair set do

@@ -6021,6 +6021,41 @@ object Extensions {
         .orderBy("layout")
     })
 
+  private val q241 = Q("q241_capped_exact_pairs",
+    "q178's exact prefix-Jaccard join under the maxPairs output cap " +
+      "(top-50 by jaccard_ppm DESC, doc_a, doc_b — a distributed top-k, " +
+      "so only the kept rows materialize) with the LOUD in-band " +
+      "truncation flag: every emitted row carries truncated = whether " +
+      "the qualifying pair set exceeded the cap — the guard a 100x " +
+      "corpus needs because exact pairwise output grows with pair " +
+      "density no matter the plan (SCALING.md q178 row)",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      sh AS (SELECT DISTINCT doc_id,
+             CAST('0x' || substr(sha256(w[j] || ' ' || w[j+1] || ' ' || w[j+2]), 1, 15) AS BIGINT) AS sh
+             FROM jx),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                 CAST((1000000 * n_inter) // (sa.n_sh + sb.n_sh - n_inter)
+                   AS BIGINT) AS jaccard_ppm
+                FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE 2 * n_inter >= sa.n_sh + sb.n_sh - n_inter),
+      ranked AS (SELECT *,
+                 row_number() OVER (ORDER BY jaccard_ppm DESC, doc_a, doc_b) AS rn,
+                 count(*) OVER () AS n_tot
+                 FROM pairs)
+      SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard_ppm,
+             n_tot > 50 AS truncated
+      FROM ranked WHERE rn <= 50 ORDER BY doc_a, doc_b"""),
+    (s, dir) => Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id",
+      "text", tauNum = 1, tauDen = 2, maxPairs = 50)
+      .orderBy("doc_a", "doc_b"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6034,5 +6069,6 @@ object Extensions {
     q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
-    q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240)
+    q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
+    q241)
 }

@@ -69,9 +69,40 @@ object Release {
     s"docker push $DockerRegistry:$version",
     s"docker push $DockerRegistry:latest")
 
+  /** CLI arg vector → command plan (the whole main minus env and I/O —
+    * what the execute-mode spec drives against stub binaries). */
+  def plan(args: Seq[String], current: Version,
+           versionFile: String): Seq[String] = args match {
+    case Seq("bump", bumpType) =>
+      bumpPlan(current, bumpType, pushTag = false, versionFile)._2
+    case Seq("bump", bumpType, "--push") =>
+      bumpPlan(current, bumpType, pushTag = true, versionFile)._2
+    case Seq("build") => buildPlan(current)
+    case Seq("publish") => publishPlan(current)
+    case other => throw new IllegalArgumentException(
+      s"usage: bump <patch|minor|major> [--push] | build | publish (got: $other)")
+  }
+
+  /** The execute-mode runner: each plan line through `sh -c`, failing
+    * loudly on the FIRST non-zero rc (a half-executed release must stop,
+    * not keep tagging). `cwd`/`pathPrepend` exist so the spec can point
+    * the run at a temp repo with stub `git`/`docker`/`sbt` on PATH; main
+    * passes neither. */
+  def shellRunner(cwd: Option[java.nio.file.Path] = None,
+                  pathPrepend: Option[String] = None): String => Unit =
+    cmd => {
+      val pb = new ProcessBuilder("sh", "-c", cmd)
+      cwd.foreach(d => pb.directory(d.toFile))
+      pathPrepend.foreach(p => pb.environment().put("PATH",
+        p + ":" + Option(pb.environment().get("PATH")).getOrElse("")))
+      pb.inheritIO()
+      val rc = pb.start().waitFor()
+      require(rc == 0, s"command failed ($rc): $cmd")
+    }
+
   /** Entry point: `runMain graft.tools.Release <bump|build|publish> [args]`.
-    * `runner` executes one command; dry-run by default (prints the plan)
-    * unless GRAFT_RELEASE_EXECUTE=1 — the auditable-before-it-runs stance.
+    * Dry-run by default (prints the plan) unless GRAFT_RELEASE_EXECUTE=1 —
+    * the auditable-before-it-runs stance.
     */
   def main(args: Array[String]): Unit = {
     val versionFile = java.nio.file.Paths.get(
@@ -82,21 +113,8 @@ object Release {
       else Version(0, 0, 0)
     val execute = sys.env.get("GRAFT_RELEASE_EXECUTE").contains("1")
     val runner: String => Unit =
-      if (execute) cmd => {
-        val rc = new ProcessBuilder("sh", "-c", cmd).inheritIO().start().waitFor()
-        require(rc == 0, s"command failed ($rc): $cmd")
-      }
+      if (execute) shellRunner()
       else cmd => println(s"[dry-run] $cmd")
-    val plan = args.toSeq match {
-      case Seq("bump", bumpType) =>
-        bumpPlan(current, bumpType, pushTag = false, versionFile.toString)._2
-      case Seq("bump", bumpType, "--push") =>
-        bumpPlan(current, bumpType, pushTag = true, versionFile.toString)._2
-      case Seq("build") => buildPlan(current)
-      case Seq("publish") => publishPlan(current)
-      case other => throw new IllegalArgumentException(
-        s"usage: bump <patch|minor|major> [--push] | build | publish (got: $other)")
-    }
-    plan.foreach(runner)
+    plan(args.toSeq, current, versionFile.toString).foreach(runner)
   }
 }

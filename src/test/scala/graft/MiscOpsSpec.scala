@@ -490,6 +490,34 @@ class MiscOpsSpec extends SparkSpec {
       s"(${expExact.size}, ${expCand.size}, ${expHit.size})")
   }
 
+  test("prefixJaccardPairs maxPairs: deterministic top-k with an in-band " +
+    "loud truncation flag; cap above the pair count reports untruncated") {
+    // four exact copies -> C(4,2) = 6 qualifying pairs, all ppm 1000000,
+    // so the (jaccard DESC, doc_a, doc_b) tiebreak decides the kept set
+    val docs = (1L to 4L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val full = graft.ops.Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        1, 2).select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+      .sorted
+    assert(full.size == 6)
+    val capped = graft.ops.Dedup.prefixJaccardPairs(docs, "doc_id",
+        "text", 1, 2, maxPairs = 4)
+      .select("doc_a", "doc_b", "truncated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(capped.size == 4, s"cap must hold: $capped")
+    assert(capped.forall(_._3), s"6 pairs > cap 4 must read truncated: $capped")
+    // the kept set is the FIRST 4 in the total order, not an arbitrary 4
+    assert(capped.map(p => (p._1, p._2)).sorted == full.take(4),
+      s"kept ${capped.map(p => (p._1, p._2)).sorted} vs ${full.take(4)}")
+    val roomy = graft.ops.Dedup.prefixJaccardPairs(docs, "doc_id",
+        "text", 1, 2, maxPairs = 10)
+      .select("doc_a", "doc_b", "truncated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(roomy.size == 6 && roomy.forall(!_._3),
+      s"under-cap result must be complete and untruncated: $roomy")
+  }
+
   test("writeSharded: non-overlapping ranges, sorted shards, bounded files") {
     import org.apache.spark.sql.functions.input_file_name
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
@@ -617,6 +645,64 @@ class ReleaseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(build.exists(_.contains(s"${Release.DockerRegistry}:0.5.0")))
     assert(build.exists(_.contains(s"${Release.DockerRegistry}:latest")))
     assert(Release.publishPlan(next).forall(_.startsWith("docker push")))
+  }
+
+  test("execute-mode smoke: the full bump->build->publish plan RUNS " +
+    "against stub git/docker/sbt on PATH, in order, stopping on failure") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-release")
+    val bin = Files.createDirectory(dir.resolve("bin"))
+    val log = dir.resolve("cmdlog")
+    for (tool <- Seq("git", "docker", "sbt")) {
+      val p = bin.resolve(tool)
+      Files.writeString(p,
+        s"#!/bin/sh\necho \"$tool $$@\" >> ${log.toAbsolutePath}\n")
+      p.toFile.setExecutable(true)
+    }
+    Files.writeString(dir.resolve("VERSION"), "1.2.10\n")
+    val current = Release.parse(Files.readString(dir.resolve("VERSION")))
+    val run = Release.shellRunner(cwd = Some(dir),
+      pathPrepend = Some(bin.toAbsolutePath.toString))
+    // bump minor from 1.2.10 -> 1.3.0: the version the reference's
+    // digit-concat compare (cli.py:99-101) would rank BELOW the one it
+    // replaces (130 < 1210) — semver ranks it above, and the executed
+    // tag must carry the semver winner
+    val quirkMax = Seq("1.2.10", "1.3.0").maxBy(_.replace(".", "").toInt)
+    assert(quirkMax == "1.2.10") // the reference quirk, pinned
+    assert(Seq("1.2.10", "1.3.0").map(Release.parse)
+      .max(Release.versionOrdering) == Version(1, 3, 0))
+    (Release.plan(Seq("bump", "minor", "--push"), current, "VERSION") ++
+      Release.plan(Seq("build"), Release.parse("1.3.0"), "VERSION") ++
+      Release.plan(Seq("publish"), Release.parse("1.3.0"), "VERSION"))
+      .foreach(run)
+    // side effect: the version file really moved
+    assert(Files.readString(dir.resolve("VERSION")).trim == "1.3.0")
+    val lines = Files.readAllLines(log).asScala.toList
+    val expected = List(
+      "git add VERSION",              // commit before tag
+      "git tag 1.3.0",                // tag before push
+      "git push origin 1.3.0",
+      "sbt assembly",                 // build after bump
+      "docker build",
+      s"docker push ${Release.DockerRegistry}:1.3.0", // version then latest
+      s"docker push ${Release.DockerRegistry}:latest")
+    val hits = expected.map(e => lines.indexWhere(_.startsWith(e)))
+    assert(hits.forall(_ >= 0), s"missing plan steps; log=$lines")
+    assert(hits == hits.sorted, s"out of order: $hits log=$lines")
+    // `git add VERSION && git commit` is ONE sh -c line: the stub sees
+    // both halves, commit strictly between add and tag
+    val commitIdx = lines.indexWhere(_.startsWith("git commit"))
+    assert(commitIdx > hits.head && commitIdx < hits(1), s"log=$lines")
+    // loud stop: a failing binary aborts the remaining plan
+    val badGit = bin.resolve("git")
+    Files.writeString(badGit, "#!/bin/sh\nexit 3\n")
+    badGit.toFile.setExecutable(true)
+    val ex = intercept[IllegalArgumentException] {
+      Release.plan(Seq("bump", "patch"), Release.parse("1.3.0"), "VERSION")
+        .foreach(run)
+    }
+    assert(ex.getMessage.contains("command failed (3)"))
   }
 }
 
