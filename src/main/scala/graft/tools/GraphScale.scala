@@ -17,6 +17,7 @@ import graft.ops.Graph
   */
 object GraphScale {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) { skewDemo(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val maxDeg = if (args.length > 1) args(1).toInt else 10000
     val hub = if (args.length > 2) args(2).toInt else 1000
@@ -62,6 +63,57 @@ object GraphScale {
     if (runUncapped)
       time("uncapped(maxDegree=1<<20)")(Graph.commonNeighborPairs(
         pairs, minCommon = 2, topK = 100, maxDegree = 1 << 20))
+    spark.stop()
+  }
+
+  /** The over-cap demonstration the natural co-purchase graph cannot
+    * supply (its DISTINCT edge set is replica-invariant: ScaleUp shifts
+    * orderkeys while partkeys stay, so every replica re-derives the same
+    * edges — max degree 61 at every factor): a deterministic skewed graph
+    * with `nHubs` hubs of degree `hubDeg` over a light background ring.
+    * Uncapped wedge mass is nHubs·C(hubDeg,2) (quoted, not run — at
+    * hubDeg 5·10⁴ that is 1.25·10⁹ wedges per hub, the unrunnable case
+    * the cap exists for); drop mode does ZERO hub wedges; `hubSample` s
+    * does nHubs·C(s,2) weighted ones. Usage:
+    *   runMain graft.tools.GraphScale skew [hubDeg] [nHubs] [maxDeg] [s]
+    */
+  private def skewDemo(args: Array[String]): Unit = {
+    val hubDeg = args.headOption.map(_.toInt).getOrElse(50000)
+    val nHubs = if (args.length > 1) args(1).toInt else 2
+    val maxDeg = if (args.length > 2) args(2).toInt else 10000
+    val s = if (args.length > 3) args(3).toInt else 1000
+    val spark = Tables.session("graft-graphscale-skew",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    val base = 1000000L
+    // hubs 1..nHubs each touch a DISJOINT neighbor block (hub wedges only);
+    // background: ring i -> i+1..i+3 over 100k nodes (deg ~6, wedge-light)
+    val hubs = spark.range(nHubs.toLong * hubDeg).select(
+      (col("id") / hubDeg + 1).cast("long").as("a"),
+      (col("id") + base).as("b"))
+    val bg = spark.range(100000).flatMap { i =>
+      (1L to 3L).map(d => (base * 2 + i, base * 2 + i + d))
+    }.toDF("a", "b")
+    val edges = hubs.unionByName(bg)
+    val trueHubMass = nHubs.toLong * hubDeg.toLong * (hubDeg - 1) / 2
+    println(s"[graphscale] skew hubDeg=$hubDeg nHubs=$nHubs " +
+      s"uncappedHubWedges=$trueHubMass (not run) " +
+      s"dropHubWedges=0 hubSampleWedges=${nHubs.toLong * s * (s - 1) / 2}")
+    def time(label: String)(mode: => DataFrame): Unit = {
+      val walls = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        mode.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[graphscale] $label min2=${walls.min}%.2f s " +
+        s"runs=${walls.map(w => f"$w%.2f").mkString(",")}")
+    }
+    time(s"drop(maxDegree=$maxDeg)")(Graph.commonNeighborPairs(
+      edges, minCommon = 2, topK = 100, maxDegree = maxDeg))
+    time(s"hubSample(maxDegree=$maxDeg,s=$s)")(Graph.commonNeighborPairs(
+      edges, minCommon = 2, topK = 100, maxDegree = maxDeg, hubSample = s))
     spark.stop()
   }
 }
