@@ -651,4 +651,20 @@ class PlanIntegritySpec extends SparkSpec {
     assert(p.contains("Sort") && !p.contains("Exchange SinglePartition"),
       s"sort must stay partition-local after the key exchange:\n$p")
   }
+
+  test("q241: the maxPairs cap plans as TakeOrderedAndProject (per-" +
+    "partition top-k, only kept rows shuffle) — never a global Sort of " +
+    "the full pair output; the truncation window rides the k+1-row " +
+    "result, not the pair relation") {
+    val p = plan("q241_capped_exact_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy(...).limit(k+1) must compile to a distributed top-k:\n$p")
+    // a range-partitioned global sort of the VERIFIED pair relation
+    // (before the top-k) would re-introduce the output-sized shuffle the
+    // cap exists to avoid; the only rangepartitioning allowed is the
+    // gate's final tiny orderBy over <= 50 rows ABOVE the window
+    val belowTopK = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!belowTopK.contains("rangepartitioning"),
+      s"global sort below the top-k (output-sized shuffle):\n$p")
+  }
 }
