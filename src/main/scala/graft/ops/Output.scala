@@ -233,6 +233,91 @@ object Output {
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent-placement rule a 100 TB corpus wants when the shard count
+    * will CHANGE over its lifetime: growing N→N+1 moves only ~1/(N+1) of
+    * keys (vs ~(N)/(N+1) for `hash(key) % N`), so an incremental
+    * re-shard touches one new shard's worth of data, not the whole lake.
+    *
+    * Entirely ROW-LOCAL: each row scores every shard with the
+    * engine-portable [[graft.functions.TextFns.hash64]] of `key:shard`
+    * and takes the arg-max — one `transform` over a literal shard
+    * sequence, no explode, no shuffle, no driver state. The 60-bit
+    * sha256-prefix scores make ties a hash collision (never observed;
+    * both engines would then disagree only on collided keys), and make
+    * the assignment bit-reproducible in the DuckDB oracle
+    * (`arg_max(shard, score)` over `generate_series`). Compose with
+    * [[writeShardedBy]] to materialize.
+    */
+  def rendezvousAssign(df: DataFrame, keyCol: String, shards: Int,
+                       outCol: String = "shard_id"): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val scores = hrwScores(col(keyCol), shards)
+    df.withColumn("__hrw", scores)
+      .withColumn(outCol,
+        (array_position(col("__hrw"), array_max(col("__hrw"))) - 1)
+          .cast("int"))
+      .drop("__hrw")
+  }
+
+  /** One score per shard id 0..shards-1: hash64(key ++ ":" ++ shard). */
+  private def hrwScores(key: Column, shards: Int): Column =
+    transform(sequence(lit(0), lit(shards - 1)),
+      s => graft.functions.TextFns.hash64(
+        concat(key.cast("string"), lit(":"), s.cast("string"))))
+
+  /** Rebalance audit for [[rendezvousAssign]]: how many keys move when the
+    * shard count grows `shardsBefore` → `shardsAfter`? Because rendezvous
+    * scores are per-(key, shard) and independent of N, both assignments
+    * come from ONE score array (the first `shardsBefore` entries vs all of
+    * them) — still row-local; the only aggregate is the group-sized census
+    * at the end (map-side combined). Expected move fraction for N→N+1 is
+    * 1/(N+1) ≈ 111111 ppm for 8→9 — the q242 gate pins the measured ppm
+    * against the DuckDB oracle, which replays the same sha256 scores.
+    * `moved_ppm` is exact integer arithmetic (floor), no IEEE rounding.
+    */
+  def rendezvousMoveCensus(df: DataFrame, keyCol: String, groupCol: String,
+                           shardsBefore: Int, shardsAfter: Int): DataFrame = {
+    require(shardsBefore >= 1 && shardsAfter > shardsBefore,
+      s"need 1 <= shardsBefore < shardsAfter, got $shardsBefore/$shardsAfter")
+    val scores = hrwScores(col(keyCol), shardsAfter)
+    def argmax(arr: Column): Column =
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    df.withColumn("__hrw", scores)
+      .withColumn("__before", argmax(slice(col("__hrw"), 1, shardsBefore)))
+      .withColumn("__after", argmax(col("__hrw")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"),
+        sum((col("__before") =!= col("__after")).cast("long")).as("n_moved"))
+      .withColumn("moved_ppm",
+        expr("CAST(1000000 * n_moved div n_keys AS BIGINT)"))
+  }
+
+  /** Cumulative-size compaction grouping — the planner step of a
+    * small-file compactor (Delta OPTIMIZE / Iceberg rewrite_data_files do
+    * the same binning as a table service): within each partition, walk the
+    * manifest in its stable order and cut a new group every `targetBytes`
+    * of cumulative input. Group id = floor(preceding-bytes / target) — one
+    * window over the MANIFEST (metadata-sized: ~800k rows for 100 TB of
+    * 128 MB files), never over the data; exact integer division, so the
+    * plan is reproducible across runs and engines (q243 oracle). Groups
+    * can overshoot the target by at most one file — the standard greedy
+    * contract; a group holding one over-target file is left alone rather
+    * than split (compaction never rewrites a big-enough file).
+    */
+  def compactionGroups(files: DataFrame, partCol: String, orderCol: String,
+                       bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("__prev", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .withColumn("compaction_group",
+        expr(s"CAST(__prev div ${targetBytes}L AS BIGINT)"))
+      .drop("__prev")
+  }
+
   /** Read-back of [[writeHivePartitioned]]. The caller's filter on the
     * partition columns becomes `PartitionFilters` in the scan (pinned by
     * PlanIntegritySpec) — directories outside the predicate are never

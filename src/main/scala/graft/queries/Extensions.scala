@@ -6056,6 +6056,65 @@ object Extensions {
       "text", tauNum = 1, tauDen = 2, maxPairs = 50)
       .orderBy("doc_a", "doc_b"))
 
+  private val q242 = Q("q242_rendezvous_moves",
+    "rendezvous (HRW) re-shard audit: per-source census of keys that move " +
+      "when the shard count grows 8 -> 9 — row-local arg-max over " +
+      "sha256 per-(key,shard) scores (no explode, no key shuffle; the only " +
+      "exchange is the source-sized census), expected move mass 1/9 " +
+      "~= 111111 ppm; the consistent-placement contract a lake relies on " +
+      "when it re-shards incrementally instead of rewriting everything",
+    Some("""
+      WITH s AS (
+        SELECT d.doc_id, d.source, g.s AS shard,
+               CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || ':' ||
+                 CAST(g.s AS VARCHAR)), 1, 15) AS BIGINT) AS score
+        FROM documents d CROSS JOIN generate_series(0, 8) g(s)),
+      a AS (SELECT doc_id, any_value(source) AS source,
+                   arg_max(shard, score) FILTER (WHERE shard < 8)
+                     AS shard_before,
+                   arg_max(shard, score) AS shard_after
+            FROM s GROUP BY doc_id)
+      SELECT source, count(*) AS n_keys,
+             sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)
+               AS n_moved,
+             CAST((1000000 * sum(CASE WHEN shard_before <> shard_after
+                 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS moved_ppm
+      FROM a GROUP BY source ORDER BY source"""),
+    (s, dir) => Output.rendezvousMoveCensus(t(s, dir, "documents"),
+      "doc_id", "source", shardsBefore = 8, shardsAfter = 9)
+      .orderBy("source"))
+
+  private val q243 = Q("q243_compaction_plan",
+    "small-file compaction planner: cumulative-size binning of a file " +
+      "manifest into ~2000-byte rewrite groups per source (Delta " +
+      "OPTIMIZE / Iceberg rewrite_data_files' planning step) — ONE window " +
+      "over the metadata-sized manifest, exact integer division, groups " +
+      "overshoot by at most one file (the greedy contract)",
+    Some("""
+      WITH f AS (SELECT source, doc_id % 50 AS file_id,
+                        sum(strlen(text)) AS bytes, count(*) AS n_docs
+                 FROM documents GROUP BY 1, 2),
+      c AS (SELECT source, file_id, bytes, n_docs,
+            COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+            FROM f)
+      SELECT source, CAST(prev // 2000 AS BIGINT) AS compaction_group,
+             count(*) AS n_files, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(bytes) AS BIGINT) AS bytes
+      FROM c GROUP BY 1, 2 ORDER BY source, compaction_group"""),
+    (s, dir) => {
+      val files = t(s, dir, "documents")
+        .groupBy(col("source"), (col("doc_id") % 50).as("file_id"))
+        .agg(sum(octet_length(col("text"))).as("bytes"),
+          count(lit(1)).as("n_docs"))
+      Output.compactionGroups(files, "source", "file_id", "bytes",
+        targetBytes = 2000L)
+        .groupBy("source", "compaction_group")
+        .agg(count(lit(1)).as("n_files"), sum("n_docs").as("n_docs"),
+          sum("bytes").as("bytes"))
+        .orderBy("source", "compaction_group")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6070,5 +6129,5 @@ object Extensions {
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
-    q241)
+    q241, q242, q243)
 }

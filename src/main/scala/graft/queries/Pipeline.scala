@@ -754,6 +754,63 @@ object Pipeline {
         .orderBy("user_id")
     })
 
+  private val q244 = Q("q244_streaming_drift_monitor",
+    "§2.9: streaming drift MONITOR — per-day categorical TVD vs a " +
+      "reference profile, emitted push-based by an event-time timer the " +
+      "moment the watermark closes the day (transformWithState MapState: " +
+      "state is O(categories) per open day, never O(rows)); the streaming " +
+      "twin of the batch drift census (q136), sharing its exact " +
+      "rational-TVD law; oracle rebuilds closed days + TVD in SQL",
+    Some("""
+      WITH g AS (SELECT event_type, count(*) AS c_t FROM events GROUP BY 1),
+      n AS (SELECT count(*) AS n_total FROM events),
+      d AS (SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+                   event_type, count(*) AS c_dt
+            FROM events GROUP BY 1, 2),
+      t AS (SELECT day_ms, sum(c_dt) AS n_d FROM d GROUP BY 1),
+      wm AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) - 3600000 AS w
+             FROM events),
+      j AS (SELECT d.day_ms, t.n_d, n.n_total, count(*) AS n_types,
+                   sum(abs(d.c_dt * n.n_total - g.c_t * t.n_d)) AS a_d,
+                   sum(g.c_t) AS cov
+            FROM d JOIN g USING (event_type) JOIN t USING (day_ms)
+                 CROSS JOIN n
+            GROUP BY 1, 2, 3)
+      SELECT day_ms, CAST(n_d AS BIGINT) AS n_events,
+             CAST(n_types AS BIGINT) AS n_types,
+             CAST(a_d + (n_total - cov) * n_d AS DOUBLE)
+               / CAST(2 * n_d * n_total AS DOUBLE) AS tvd
+      FROM j CROSS JOIN wm WHERE day_ms + 86400000 <= wm.w
+      ORDER BY day_ms"""),
+    (s, dir) => {
+      val cp = java.nio.file.Files.createTempDirectory("graft-q244-cp")
+        .toString
+      import s.implicits._
+      // Reference profile: the category census — bounded by event_type
+      // cardinality (an enum), not by data size; broadcast-shaped.
+      val ref = Tables.table(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val stream = eventsStream(s, dir)
+        .withColumn("day_key",
+          unix_millis(date_trunc("DAY", col("ts"))).cast("string"))
+        .select(col("day_key"), col("ts"), col("event_type"))
+        .withWatermark("ts", "1 hour")
+        .as[(String, java.sql.Timestamp, String)]
+      val drift = graft.streaming.StatefulTracking.dayDriftTws(s, stream, ref)
+      val name = "q244_out_" + math.abs(cp.hashCode).toString
+      graft.streaming.StateStores.withProvider(s, "rocksdb") {
+        withStreamStatePartitions(s, 8) {
+          val q = drift.toDF().writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.table(name).orderBy("day_ms")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130, q134, q157, q166, q174, q235)
+    q129, q130, q134, q157, q166, q174, q235, q244)
 }

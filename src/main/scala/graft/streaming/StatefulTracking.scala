@@ -4,8 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState` —
   * the per-key state machine the reference keeps in its Mongo ledger rows
@@ -211,6 +211,94 @@ object StatefulTracking {
       st.update(BucketState(tokens, lastTs))
       out.iterator
     }
+  }
+
+  /** One closed day's drift verdict. `tvd` is the exact total-variation
+    * distance between the day's categorical distribution and the reference
+    * profile — integer arithmetic to one final IEEE division (q136's
+    * rational-TVD law, applied incrementally). */
+  final case class DayDrift(day_ms: Long, n_events: Long, n_types: Long,
+                            tvd: Double)
+
+  /** Streaming drift MONITOR — the production twin of the batch drift
+    * census (`TextAnalysis.sourceDriftTvd`, q136): instead of re-scanning
+    * yesterday's corpus, each day bucket accumulates a categorical count
+    * MAP in state (the third transformWithState primitive after q166's
+    * ValueState+timers and q235's ValueState recurrence: per-key
+    * `MapState`, one entry per category — state is O(categories), never
+    * O(rows)), and an EVENT-TIME TIMER at the day's end emits the day's
+    * TVD against the broadcast reference profile exactly once, when the
+    * watermark proves the day can no longer change. Push-based alerting —
+    * the consumer sees a drift row the moment a day closes, not at the
+    * next batch re-scan. Days the watermark never passes stay open
+    * (unemitted), mirroring q129/q166's closure law; the q244 oracle
+    * applies the same `day_end <= max(ts) - delay` predicate in SQL.
+    *
+    * The inner-join posture matches the oracle: categories absent from
+    * the reference contribute to `n_events` but not to `a`/`cov`/`n_types`
+    * (with a same-corpus reference the case is vacuous; with a stale
+    * reference it drops unknown categories from the distance, as the SQL
+    * `JOIN ... USING (event_type)` does).
+    */
+  private class DriftCloseProcessor(refCounts: Map[String, Long],
+                                    refTotal: Long, dayLenMs: Long)
+      extends StatefulProcessor[String, (String, Timestamp, String), DayDrift] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Timestamp, String)],
+                                 tv: TimerValues): Iterator[DayDrift] = {
+      rows.foreach { case (_, _, cat) =>
+        val cur = if (counts.containsKey(cat)) counts.getValue(cat) else 0L
+        counts.updateValue(cat, cur + 1L)
+      }
+      // one closure timer per day bucket, at the day's end
+      if (getHandle.listTimers().isEmpty)
+        getHandle.registerTimer(key.toLong + dayLenMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[DayDrift] = {
+      val entries = counts.iterator().toArray
+      if (entries.isEmpty) Iterator.empty
+      else {
+        val nD = entries.map(_._2).sum
+        var aD = 0L; var cov = 0L; var nTypes = 0L
+        entries.foreach { case (cat, cDt) =>
+          refCounts.get(cat).foreach { cT =>
+            aD += math.abs(cDt * refTotal - cT * nD)
+            cov += cT
+            nTypes += 1
+          }
+        }
+        counts.clear()
+        val tvd = (aD + (refTotal - cov) * nD).toDouble /
+          (2L * nD * refTotal).toDouble
+        Iterator.single(DayDrift(key.toLong, nD, nTypes, tvd))
+      }
+    }
+  }
+
+  /** See [[DriftCloseProcessor]]. Input rows: (dayStartMs-as-string key,
+    * event time, category); `records` must already be watermarked on the
+    * timestamp. `refCounts` is the reference category profile — bounded by
+    * category cardinality (an enum, not data-sized), so shipping it inside
+    * the processor is broadcast-shaped, not driver-state. */
+  def dayDriftTws(spark: SparkSession,
+                  records: Dataset[(String, Timestamp, String)],
+                  refCounts: Map[String, Long],
+                  dayLenMs: Long = 86400000L): Dataset[DayDrift] = {
+    import spark.implicits._
+    val refTotal = refCounts.values.sum
+    require(refTotal > 0, "reference profile must be non-empty")
+    records.groupByKey(_._1)
+      .transformWithState(new DriftCloseProcessor(refCounts, refTotal,
+        dayLenMs), TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** See [[TokenBucketProcessor]]. Input rows: (key, ts_ms, event_id). */

@@ -667,4 +667,28 @@ class PlanIntegritySpec extends SparkSpec {
     assert(!belowTopK.contains("rangepartitioning"),
       s"global sort below the top-k (output-sized shuffle):\n$p")
   }
+
+  test("q242: rendezvous scoring is ROW-LOCAL — no explode over shards, " +
+    "no join, and the only hash exchange is the source-sized census") {
+    val p = plan("q242_rendezvous_moves")
+    assert(!p.contains("Generate"),
+      s"HRW must score via transform(), not explode:\n$p")
+    assert(!p.contains("Join"), s"HRW must not join a shard relation:\n$p")
+    val hashExchanges =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected ONE census exchange, got $hashExchanges:\n$p")
+  }
+
+  test("q243: the compaction planner is manifest-sized — file census + " +
+    "source window share two hash exchanges; the final group aggregate " +
+    "reuses the window's source partitioning (subset rule), no join") {
+    val p = plan("q243_compaction_plan")
+    assert(!p.contains("Join"), s"planner must not join:\n$p")
+    val hashExchanges =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 2,
+      s"expected <=2 hash exchanges (census + window), got $hashExchanges:\n$p")
+    assert(p.contains("Window"), s"cumulative size must be ONE window:\n$p")
+  }
 }

@@ -266,6 +266,62 @@ class StreamingSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("trackEwma")))
   }
 
+  test("dayDriftTws: MapState drift monitor emits a day exactly once, " +
+    "when the watermark closes it, with the exact rational TVD") {
+    val base = Files.createTempDirectory("graft-drift").toString
+    val ref = Map("A" -> 6L, "B" -> 2L) // reference profile, N = 8
+    def writeBatch(rows: Seq[(String, String)]): Unit =
+      rows.toDF("cat", "s")
+        .withColumn("ts", $"s".cast("timestamp")).drop("s")
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+    def runOnce(): Seq[(Long, Long, Long, Double)] = {
+      val emitted =
+        scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Double)]
+      graft.streaming.StateStores.withProvider(spark, "rocksdb") {
+        val stream = spark.readStream.schema(
+          StructType(Seq(StructField("cat", StringType),
+            StructField("ts", TimestampType)))).parquet(s"$base/src")
+          .withColumn("day_key",
+            unix_millis(date_trunc("DAY", col("ts"))).cast("string"))
+          .select(col("day_key"), col("ts"), col("cat"))
+          .withWatermark("ts", "1 second")
+          .as[(String, java.sql.Timestamp, String)]
+        val drift = graft.streaming.StatefulTracking
+          .dayDriftTws(spark, stream, ref)
+        val q = drift.toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.collect().foreach(r => emitted.synchronized {
+              emitted += ((r.getLong(0), r.getLong(1), r.getLong(2),
+                r.getDouble(3)))
+            })
+            ()
+          }
+          .option("checkpointLocation", s"$base/cp")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
+      emitted.toList.sortBy(_._1)
+    }
+    val day1 = 1704067200000L // 2024-01-01 UTC
+    val day2 = day1 + 86400000L
+    // run 1: day1 = {A:2, B:1}, day2 = {A:1}; the batch's own watermark
+    // (max ts - 1s = Jan-02 08:59:59) already passes day1's end, so day1
+    // closes IN THIS DRAIN; day2 stays open.
+    writeBatch(Seq(("A", "2024-01-01 10:00:00"), ("A", "2024-01-01 11:00:00"),
+      ("B", "2024-01-01 12:00:00"), ("A", "2024-01-02 09:00:00")))
+    val r1 = runOnce()
+    // day1 TVD: (|2*8-6*3| + |1*8-2*3|) / (2*3*8) = 4/48 = 1/12
+    assert(r1 == List((day1, 3L, 2L, 4.0 / 48.0)), s"got $r1")
+    // run 2: a far-future event closes day2; day1 must NOT re-emit
+    writeBatch(Seq(("A", "2024-01-05 00:00:00")))
+    val r2 = runOnce()
+    // day2 TVD: (|1*8-6*1| + (8-6)*1) / (2*1*8) = 4/16 = 0.25
+    assert(r2 == List((day2, 1L, 1L, 0.25)), s"got $r2")
+    // run 3: no new data — nothing closes, nothing re-emits
+    assert(runOnce().isEmpty)
+  }
+
   test("closedSessionsTws: event-time timers close sessions as the watermark passes") {
     val base = Files.createTempDirectory("graft-tws").toString
     def writeBatch(rows: Seq[(String, String)]): Unit =
