@@ -110,8 +110,10 @@ object Bench {
     // (b) end stdout with a COMPACT summary line (aggregates only — no
     // per-query keys, so bench_oracle's `"qNN":sec` scan can't double-
     // match) that fits whole inside any sane tail window.
+    // subset runs (SPARK_GRAFT_ONLY) must not clobber the full-suite
+    // artifact of record — they land in BENCH_SUBSET.json instead
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL.json")
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

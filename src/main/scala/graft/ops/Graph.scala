@@ -111,6 +111,45 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own label; each round every node adopts the MODE of
+    * its neighbors' labels, ties to the smallest label — the classic
+    * sync-LPA step made fully deterministic (async LPA's order-dependence
+    * would be ungateable). Labels must be LONG node ids: the tie-break
+    * rides `max_by(label, struct(c, -label))` — one lexicographic argmax,
+    * no rank window — which needs a negatable key.
+    *
+    * Fixed `rounds` (not convergence) keeps the result deterministic and
+    * the oracle unrollable; sync LPA can oscillate on bipartite-ish
+    * graphs, so callers pick a round budget, exactly as they pick
+    * PageRank iterations. Per-round cost: the node-sized label relation
+    * re-keys to src to meet the CACHED src-partitioned edge layout
+    * (pageRank's reuse posture — the edge side never re-exchanges), then
+    * a map-side-combined (dst, label) count and a node-sized argmax. At
+    * 100 TB that is O(rounds · E) shuffle of COUNTS, never of edges.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst", rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).sortWithinPartitions("src").persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("t")))
+          .as("label"))
+        .select(col("dst").as("node"), col("label"))
+    }
+    // materialize node-sized result, then free the edge-sized cache
+    val out = labels.persist()
+    out.count()
+    e.unpersist()
+    out
+  }
+
   /** Global triangle census over an undirected graph: one row with
     * (nodes, edges, wedges, triangles, global_cc_ppm) where
     * `global_cc_ppm` = 3·triangles·1e6 div wedges (the global clustering

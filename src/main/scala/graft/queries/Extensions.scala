@@ -6115,6 +6115,44 @@ object Extensions {
         .orderBy("source", "compaction_group")
     })
 
+  private val q245 = Q("q245_label_propagation",
+    "community detection: 2 rounds of SYNCHRONOUS label propagation over " +
+      "the symmetrized customer-supplier trade graph (long node ids: " +
+      "custkey*2 / suppkey*2+1) — mode-of-neighbor-labels, ties to the " +
+      "smallest label, so the async order-dependence of classic LPA is " +
+      "gone and the oracle unrolls both rounds; per-community size census",
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      c1 AS (SELECT e.dst, l.label, count(*) AS c
+             FROM edges e JOIN lab0 l ON e.src = l.node GROUP BY 1, 2),
+      lab1 AS (SELECT dst AS node, label FROM (
+               SELECT dst, label, row_number() OVER (PARTITION BY dst
+                 ORDER BY c DESC, label) AS rn FROM c1) WHERE rn = 1),
+      c2 AS (SELECT e.dst, l.label, count(*) AS c
+             FROM edges e JOIN lab1 l ON e.src = l.node GROUP BY 1, 2),
+      lab2 AS (SELECT dst AS node, label FROM (
+               SELECT dst, label, row_number() OVER (PARTITION BY dst
+                 ORDER BY c DESC, label) AS rn FROM c2) WHERE rn = 1)
+      SELECT label, count(*) AS n_nodes
+      FROM lab2 GROUP BY 1 ORDER BY label"""),
+    (s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+        .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("label")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6129,5 +6167,5 @@ object Extensions {
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
-    q241, q242, q243)
+    q241, q242, q243, q245)
 }

@@ -221,4 +221,24 @@ class GraphSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("converge"))
   }
+
+  test("labelPropagation: hand-unrolled 2 rounds on two bridged triangles " +
+    "— mode of neighbor labels, ties to the SMALLEST label") {
+    // triangles {1,2,3} and {10,11,12}, bridge 3-10 (undirected)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // round 1 (all self-labels, every count 1 -> min neighbor id):
+    //   l(1)=2 l(2)=1 l(3)=1 l(10)=3 l(11)=10 l(12)=10
+    val r1 = Graph.labelPropagation(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 10L,
+      12L -> 10L), s"round-1 labels: $r1")
+    // round 2 over those: node 1 sees {1,1} -> 1 (true mode, not a tie);
+    // node 10 sees {1,10,10} -> 10; ties at 2/3/11/12 break to the min
+    val r2 = Graph.labelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 3L,
+      12L -> 3L), s"round-2 labels: $r2")
+  }
 }
