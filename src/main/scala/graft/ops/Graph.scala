@@ -128,6 +128,18 @@ object Graph {
     * a map-side-combined (dst, label) count and a node-sized argmax. At
     * 100 TB that is O(rounds · E) shuffle of COUNTS, never of edges.
     */
+  /** One sync-LPA round over the cached src-partitioned edge layout (the
+    * shape PlanIntegritySpec pins: zero exchange above the cached edge
+    * scan — only the node-sized label relation and the map-side-combined
+    * (dst, label) counts shuffle). */
+  private[graft] def lpRound(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels, e("src") === labels("node"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("t")))
+        .as("label"))
+      .select(col("dst").as("node"), col("label"))
+
   def labelPropagation(edges: DataFrame, srcCol: String = "src",
                        dstCol: String = "dst", rounds: Int = 2): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
@@ -135,14 +147,7 @@ object Graph {
       .repartition(col("src")).sortWithinPartitions("src").persist()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
-      labels = e.join(labels, e("src") === labels("node"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-        .groupBy(col("dst"))
-        .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("t")))
-          .as("label"))
-        .select(col("dst").as("node"), col("label"))
-    }
+    for (_ <- 1 to rounds) labels = lpRound(e, labels)
     // materialize node-sized result, then free the edge-sized cache
     val out = labels.persist()
     out.count()

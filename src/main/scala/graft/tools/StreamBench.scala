@@ -325,6 +325,30 @@ object StreamBench {
         redeliver("bucket", "events", "batch_001.parquet")
         results(s"token_bucket/$provider/warm") = drainToFiles(q, out, cp)
       }
+
+      // q244 shape: transformWithState MapState drift monitor (per-day
+      // categorical TVD, closed by event-time timers) — RocksDB-only
+      if (provider == "rocksdb") locally {
+        val dir = stage("drift", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_drift").toString
+        import spark.implicits._
+        val ref = graft.Tables.table(spark, sfDir, "events")
+          .groupBy("event_type").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        def q = graft.streaming.StatefulTracking.dayDriftTws(spark,
+          graft.Tables.dirStream(spark, dir)
+            .withColumn("day_key",
+              org.apache.spark.sql.functions.unix_millis(
+                org.apache.spark.sql.functions.date_trunc("DAY", col("ts")))
+                .cast("string"))
+            .select(col("day_key"), col("ts"), col("event_type"))
+            .withWatermark("ts", "1 hour")
+            .as[(String, java.sql.Timestamp, String)], ref).toDF()
+        val out = work.resolve("drift-out").toString
+        results(s"drift_monitor/$provider/cold") = drainToFiles(q, out, cp)
+        redeliver("drift", "events", "batch_001.parquet")
+        results(s"drift_monitor/$provider/warm") = drainToFiles(q, out, cp)
+      }
     }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)

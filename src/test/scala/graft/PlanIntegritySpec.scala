@@ -668,6 +668,32 @@ class PlanIntegritySpec extends SparkSpec {
       s"global sort below the top-k (output-sized shuffle):\n$p")
   }
 
+  test("label-propagation round: the join reads the cached src-" +
+    "partitioned edge layout — no edge-side exchange per round (per-" +
+    "round shuffle = node-sized labels + map-side-combined counts)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Graph
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+      .repartition(col("src")).sortWithinPartitions("src").persist()
+    try {
+      e.count() // materialize, as labelPropagation does
+      val labels = e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      val p = Graph.lpRound(e, labels)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"round join must read the cached edge layout:\n$p")
+      // live plan above the cached-build lineage: labels entering the
+      // join + (dst,label) count agg + dst argmax agg — never the edges
+      val live = p.substring(0, p.indexOf("InMemoryRelation"))
+      val exchanges = live.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+      assert(exchanges <= 3,
+        s"edge side must not re-exchange (got $exchanges):\n$p")
+    } finally e.unpersist()
+  }
+
   test("q242: rendezvous scoring is ROW-LOCAL — no explode over shards, " +
     "no join, and the only hash exchange is the source-sized census") {
     val p = plan("q242_rendezvous_moves")

@@ -49,8 +49,7 @@ STREAMING_GATES = {
     # RocksDB-only shape (transformWithState requires that provider)
     "q166_tws_closed_sessions": "tws_sessions",
     "q174_streaming_dedup_watermark": "dedup_watermark",
-    # no StreamBench shape (drift monitor drains once; no warm twin yet)
-    "q244_streaming_drift_monitor": "",
+    "q244_streaming_drift_monitor": "drift_monitor",
 }
 
 # Gates whose oracle PREDICTS the synthesized round-trip arithmetically
