@@ -122,7 +122,9 @@ object Graph {
     * Fixed `rounds` (not convergence) keeps the result deterministic and
     * the oracle unrollable; sync LPA can oscillate on bipartite-ish
     * graphs, so callers pick a round budget, exactly as they pick
-    * PageRank iterations. Per-round cost: the node-sized label relation
+    * PageRank iterations. Self-loops count as neighbors (filter first if
+    * undesired); node ids must be NON-NEGATIVE longs (the tie-break
+    * negates the label). Per-round cost: the node-sized label relation
     * re-keys to src to meet the CACHED src-partitioned edge layout
     * (pageRank's reuse posture — the edge side never re-exchanges), then
     * a map-side-combined (dst, label) count and a node-sized argmax. At

@@ -267,25 +267,29 @@ object Output {
         concat(key.cast("string"), lit(":"), s.cast("string"))))
 
   /** Rebalance audit for [[rendezvousAssign]]: how many keys move when the
-    * shard count grows `shardsBefore` → `shardsAfter`? Because rendezvous
+    * shard count changes `shardsBefore` → `shardsAfter`? Because rendezvous
     * scores are per-(key, shard) and independent of N, both assignments
-    * come from ONE score array (the first `shardsBefore` entries vs all of
-    * them) — still row-local; the only aggregate is the group-sized census
-    * at the end (map-side combined). Expected move fraction for N→N+1 is
-    * 1/(N+1) ≈ 111111 ppm for 8→9 — the q242 gate pins the measured ppm
-    * against the DuckDB oracle, which replays the same sha256 scores.
-    * `moved_ppm` is exact integer arithmetic (floor), no IEEE rounding.
+    * come from ONE score array (prefix slices of length N) — still
+    * row-local; the only aggregate is the group-sized census at the end
+    * (map-side combined). GROWING N→N+1 moves an expected 1/(N+1) of keys,
+    * all TO the new shard (q242 pins 8→9 ≈ 111111 ppm against the DuckDB
+    * oracle, which replays the same sha256 scores); SHRINKING moves
+    * exactly the removed shards' keys, scattered over the survivors by
+    * their next-best score. `moved_ppm` is exact integer arithmetic
+    * (floor), no IEEE rounding.
     */
   def rendezvousMoveCensus(df: DataFrame, keyCol: String, groupCol: String,
                            shardsBefore: Int, shardsAfter: Int): DataFrame = {
-    require(shardsBefore >= 1 && shardsAfter > shardsBefore,
-      s"need 1 <= shardsBefore < shardsAfter, got $shardsBefore/$shardsAfter")
-    val scores = hrwScores(col(keyCol), shardsAfter)
+    require(shardsBefore >= 1 && shardsAfter >= 1 &&
+      shardsBefore != shardsAfter,
+      s"need two distinct shard counts >= 1, got $shardsBefore/$shardsAfter")
+    val scores = hrwScores(col(keyCol),
+      math.max(shardsBefore, shardsAfter))
     def argmax(arr: Column): Column =
       (array_position(arr, array_max(arr)) - 1).cast("int")
     df.withColumn("__hrw", scores)
       .withColumn("__before", argmax(slice(col("__hrw"), 1, shardsBefore)))
-      .withColumn("__after", argmax(col("__hrw")))
+      .withColumn("__after", argmax(slice(col("__hrw"), 1, shardsAfter)))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_keys"),
         sum((col("__before") =!= col("__after")).cast("long")).as("n_moved"))

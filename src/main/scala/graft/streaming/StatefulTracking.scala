@@ -256,9 +256,18 @@ object StatefulTracking {
         val cur = if (counts.containsKey(cat)) counts.getValue(cat) else 0L
         counts.updateValue(cat, cur + 1L)
       }
-      // one closure timer per day bucket, at the day's end
+      // one closure timer per day bucket, at the day's end. Fail loudly
+      // on a malformed key (the q233/q235 checked-cast posture): a
+      // NumberFormatException here would surface as an opaque executor
+      // stack with no operator attribution.
+      val dayStart =
+        try key.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"dayDriftTws: day key must be an epoch-ms long, got '$key'")
+        }
       if (getHandle.listTimers().isEmpty)
-        getHandle.registerTimer(key.toLong + dayLenMs)
+        getHandle.registerTimer(dayStart + dayLenMs)
       Iterator.empty
     }
 

@@ -45,6 +45,25 @@ class OutputPlannerSpec extends SparkSpec {
     assert(again == counts)
   }
 
+  test("rendezvous: shrinking 9 -> 8 moves exactly the removed shard's " +
+    "keys, scattered over the survivors") {
+    val df = keys(2000)
+    val a9 = Output.rendezvousAssign(df, "k", 9, "s9")
+    val a8 = Output.rendezvousAssign(df, "k", 8, "s8").select("k", "s8")
+    val joined = a9.join(a8, "k").cache()
+    // every mover came FROM the removed shard 8...
+    assert(joined.filter(col("s9") =!= col("s8"))
+      .filter(col("s9") =!= 8).count() == 0)
+    // ...and every shard-8 key moved (its winner no longer exists)
+    assert(joined.filter(col("s9") === 8)
+      .filter(col("s9") === col("s8")).count() == 0)
+    // census supports the shrink direction with the same numbers
+    val census = Output.rendezvousMoveCensus(df, "k", "grp", 9, 8)
+      .agg(sum("n_moved")).head().getLong(0)
+    assert(census == joined.filter(col("s9") =!= col("s8")).count())
+    joined.unpersist()
+  }
+
   test("rendezvousMoveCensus agrees with the two direct assignments") {
     val df = keys(2000)
     val census = Output.rendezvousMoveCensus(df, "k", "grp", 8, 9)

@@ -320,6 +320,31 @@ class StreamingSpec extends SparkSpec {
     assert(r2 == List((day2, 1L, 1L, 0.25)), s"got $r2")
     // run 3: no new data — nothing closes, nothing re-emits
     assert(runOnce().isEmpty)
+    // malformed day key fails LOUDLY with operator attribution (the
+    // q233/q235 checked-cast posture), not an opaque NumberFormatException
+    val base2 = Files.createTempDirectory("graft-drift-bad").toString
+    Seq(("A", "2024-01-01 10:00:00")).toDF("cat", "s")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+      .coalesce(1).write.mode("append").parquet(s"$base2/src")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.StateStores.withProvider(spark, "rocksdb") {
+        val bad = spark.readStream.schema(
+          StructType(Seq(StructField("cat", StringType),
+            StructField("ts", TimestampType)))).parquet(s"$base2/src")
+          .select(lit("not-a-day").as("day_key"), col("ts"), col("cat"))
+          .withWatermark("ts", "1 second")
+          .as[(String, java.sql.Timestamp, String)]
+        val q = graft.streaming.StatefulTracking.dayDriftTws(spark, bad, ref)
+          .toDF().writeStream.format("noop")
+          .option("checkpointLocation", s"$base2/cp")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("dayDriftTws")))
   }
 
   test("closedSessionsTws: event-time timers close sessions as the watermark passes") {
