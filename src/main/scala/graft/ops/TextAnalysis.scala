@@ -715,14 +715,24 @@ object TextAnalysis {
     * [[graft.ops.Graph.commonNeighborPairs]] and
     * [[graft.ops.Dedup.prefixJaccardPairs]].
     *
+    * OUTPUT-BOUND BY NATURE — the same 100× posture as
+    * [[graft.ops.Dedup.prefixJaccardPairs]]: the qualifying-pair ANSWER
+    * grows with corpus pair density and no plan changes that; the knobs
+    * do. In preference order: (1) raise `minCosine`; (2) `maxPairs` > 0 —
+    * keep only the top `maxPairs` pairs by (cosine DESC, doc_a, doc_b)
+    * via a distributed top-k, truncation reported LOUDLY in-band as a
+    * `truncated` boolean on every row (q246 gates it; q241's contract).
+    * The scale-flat pipeline alternative remains the LSH/ANN family.
+    *
     * Output: (doc_a, doc_b, n_common, cosine), doc_a < doc_b, cosine >=
-    * `minCosine`.
+    * `minCosine`; plus `truncated` when `maxPairs` > 0.
     */
   def sparseCosinePairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleSize: Int = 3,
                         minCosine: Double = 0.5,
                         maxDf: Long = Long.MaxValue,
-                        prefixFilter: Boolean = false): DataFrame = {
+                        prefixFilter: Boolean = false,
+                        maxPairs: Int = 0): DataFrame = {
     // explicit-count partitioning on the posting key: the join INPUT is
     // a few MB of postings but its OUTPUT is the candidate-pair
     // expansion — the expansion-join rule, [[graft.ops.Expansion.parts]].
@@ -759,16 +769,39 @@ object TextAnalysis {
     // shared tail: (doc_a, doc_b, dot, n_common) -> norms -> threshold.
     // The norm joins run on the AGGREGATED pair set (threshold-bounded,
     // orders of magnitude below the expansion), never on postings.
-    def finish(pairs: DataFrame): DataFrame = pairs
-      .join(norms.select(col(idCol).as("doc_a"), col("n2").as("n2_a")),
-        Seq("doc_a"))
-      .join(norms.select(col(idCol).as("doc_b"), col("n2").as("n2_b")),
-        Seq("doc_b"))
-      .withColumn("cosine", col("dot").cast("double") /
-        (sqrt(col("n2_a").cast("double")) *
-          sqrt(col("n2_b").cast("double"))))
-      .filter(col("cosine") >= minCosine)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("cosine"))
+    def finish(pairs: DataFrame): DataFrame = {
+      val scored = pairs
+        .join(norms.select(col(idCol).as("doc_a"), col("n2").as("n2_a")),
+          Seq("doc_a"))
+        .join(norms.select(col(idCol).as("doc_b"), col("n2").as("n2_b")),
+          Seq("doc_b"))
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("n2_a").cast("double")) *
+            sqrt(col("n2_b").cast("double"))))
+        .filter(col("cosine") >= minCosine)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("cosine"))
+      if (maxPairs <= 0) scored
+      else {
+        // `maxPairs` > 0 — the family-wide loud-cap contract
+        // (Dedup.prefixJaccardPairs / q241): distributed top-(k+1) by
+        // (cosine DESC, doc_a, doc_b) — TakeOrderedAndProject, so only
+        // kept rows materialize/shuffle even though generation stays
+        // exact; the +1 row is the truncation sentinel and the window
+        // below runs over <= maxPairs + 1 rows (bounded by the caller's
+        // cap, not the corpus). Cosine doubles are bit-equal across
+        // engines (q92's hash gate), so the order is oracle-stable.
+        val ord = Seq(col("cosine").desc, col("doc_a"), col("doc_b"))
+        val top = scored.orderBy(ord: _*).limit(maxPairs + 1)
+        top
+          .withColumn("_rn", row_number().over(Window.orderBy(ord: _*)))
+          .withColumn("truncated",
+            max(col("_rn")).over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)) > maxPairs)
+          .filter(col("_rn") <= maxPairs)
+          .drop("_rn")
+      }
+    }
     if (!prefixFilter) {
       // direct posting self-join: one expansion join, dot accumulated
       // in-place (the right shape when prefixes would cover most terms);

@@ -6153,6 +6153,43 @@ object Extensions {
         .orderBy("label")
     })
 
+  private val q246 = Q("q246_capped_cosine_pairs",
+    "q92's exact TF-IDF cosine pairs under the family-wide loud-cap " +
+      "contract (q241's): top-10 by (cosine DESC, doc_a, doc_b) via " +
+      "distributed top-k — generation stays exact, only kept rows " +
+      "materialize, truncation reported in-band on every row; completes " +
+      "the bounded-output modes across the exact-pair family (jaccard " +
+      "q241, recall-audit slice q190, cosine here)",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      tf AS (SELECT doc_id,
+             CAST('0x' || substr(sha256(w[j] || ' ' || w[j+1] || ' ' || w[j+2]), 1, 15) AS BIGINT) AS term,
+             count(*) AS tf
+             FROM jx GROUP BY 1, 2),
+      dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      wt AS (SELECT doc_id, term, (tf * n_docs) // df AS wi FROM tf JOIN dfr USING (term) CROSS JOIN n),
+      norms AS (SELECT doc_id, CAST(SUM(wi * wi) AS BIGINT) AS n2 FROM wt GROUP BY 1),
+      dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.wi * b.wi) AS BIGINT) AS dot, count(*) AS n_common
+               FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      cosv AS (SELECT doc_a, doc_b, n_common,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+               FROM dots JOIN norms na ON doc_a = na.doc_id
+                         JOIN norms nb ON doc_b = nb.doc_id
+               WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5),
+      ranked AS (SELECT *,
+                 row_number() OVER (ORDER BY cosine DESC, doc_a, doc_b) AS rn,
+                 count(*) OVER () AS n_tot
+                 FROM cosv)
+      SELECT doc_a, doc_b, n_common, cosine, n_tot > 10 AS truncated
+      FROM ranked WHERE rn <= 10 ORDER BY doc_a, doc_b"""),
+    (s, dir) => TextAnalysis.sparseCosinePairs(t(s, dir, "documents"),
+      minCosine = 0.5, maxDf = 100, maxPairs = 10)
+      .orderBy("doc_a", "doc_b"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6167,5 +6204,5 @@ object Extensions {
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
-    q241, q242, q243, q245)
+    q241, q242, q243, q245, q246)
 }

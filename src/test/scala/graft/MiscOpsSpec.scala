@@ -518,6 +518,32 @@ class MiscOpsSpec extends SparkSpec {
       s"under-cap result must be complete and untruncated: $roomy")
   }
 
+  test("sparseCosinePairs maxPairs: same loud-cap contract as the " +
+    "jaccard family — deterministic top-k, in-band flag, under-cap " +
+    "complete and untruncated") {
+    // four exact copies -> 6 pairs at cosine 1.0; tiebreak decides
+    val docs = (1L to 4L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val full = graft.ops.TextAnalysis.sparseCosinePairs(docs,
+        minCosine = 0.5).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(full.size == 6)
+    val capped = graft.ops.TextAnalysis.sparseCosinePairs(docs,
+        minCosine = 0.5, maxPairs = 4)
+      .select("doc_a", "doc_b", "truncated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(capped.size == 4 && capped.forall(_._3), s"cap must hold: $capped")
+    assert(capped.map(p => (p._1, p._2)).sorted == full.take(4),
+      s"kept ${capped.map(p => (p._1, p._2)).sorted} vs ${full.take(4)}")
+    val roomy = graft.ops.TextAnalysis.sparseCosinePairs(docs,
+        minCosine = 0.5, maxPairs = 10)
+      .select("doc_a", "doc_b", "truncated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(roomy.size == 6 && roomy.forall(!_._3),
+      s"under-cap result must be complete and untruncated: $roomy")
+  }
+
   test("writeSharded: non-overlapping ranges, sorted shards, bounded files") {
     import org.apache.spark.sql.functions.input_file_name
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"

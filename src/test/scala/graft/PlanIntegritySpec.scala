@@ -694,6 +694,16 @@ class PlanIntegritySpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("q246: the cosine cap plans as TakeOrderedAndProject — only kept " +
+    "rows shuffle; no global sort of the pair relation below the top-k") {
+    val p = plan("q246_capped_cosine_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy(...).limit(k+1) must compile to a distributed top-k:\n$p")
+    val belowTopK = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!belowTopK.contains("rangepartitioning"),
+      s"global sort below the top-k (output-sized shuffle):\n$p")
+  }
+
   test("q242: rendezvous scoring is ROW-LOCAL — no explode over shards, " +
     "no join, and the only hash exchange is the source-sized census") {
     val p = plan("q242_rendezvous_moves")
