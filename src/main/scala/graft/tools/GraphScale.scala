@@ -18,6 +18,7 @@ import graft.ops.Graph
 object GraphScale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) { skewDemo(args.drop(1)); return }
+    if (args.headOption.contains("lp")) { lpDemo(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val maxDeg = if (args.length > 1) args(1).toInt else 10000
     val hub = if (args.length > 2) args(2).toInt else 1000
@@ -77,6 +78,44 @@ object GraphScale {
     * does nHubs·C(s,2) weighted ones. Usage:
     *   runMain graft.tools.GraphScale skew [hubDeg] [nHubs] [maxDeg] [s]
     */
+  /** q245 evidence on a graph that actually GROWS (the trade-graph 10×
+    * replica re-derives the same distinct edge set, so the gate reads
+    * flat): ring-of-communities — blocks of 100 nodes chained (i→i+1,
+    * i→i+2) with one bridge per block, deg ≈ 6 — timed at N and 10N
+    * nodes. Per-round LP cost is O(E) shuffle of (dst, label) counts;
+    * the demo prints the measured growth. Usage:
+    *   sbt "runMain graft.tools.GraphScale lp [nNodes] [rounds]"
+    */
+  private def lpDemo(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val rounds = if (args.length > 1) args(1).toInt else 2
+    val spark = Tables.session("graft-lpscale",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    def edgesFor(m: Long): DataFrame = {
+      val ids = spark.range(m).toDF("i")
+      val e1 = ids.filter(col("i") % 100 =!= 99)
+        .select(col("i").as("src"), (col("i") + 1).as("dst"))
+      val e2 = ids.filter(col("i") % 100 < 98)
+        .select(col("i").as("src"), (col("i") + 2).as("dst"))
+      val bridge = ids.filter(col("i") % 100 === 99)
+        .select(col("i").as("src"), ((col("i") + 1) % m).as("dst"))
+      val und = e1.unionAll(e2).unionAll(bridge)
+      und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    for (m <- Seq(n.toLong, n.toLong * 10)) {
+      val walls = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        Graph.labelPropagation(edgesFor(m), rounds = rounds)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[lpscale] n=$m rounds=$rounds min2=${walls.min}%.2f s " +
+        s"runs=${walls.map(w => f"$w%.2f").mkString(",")}")
+    }
+  }
+
   private def skewDemo(args: Array[String]): Unit = {
     val hubDeg = args.headOption.map(_.toInt).getOrElse(50000)
     val nHubs = if (args.length > 1) args(1).toInt else 2
