@@ -124,7 +124,12 @@ object Graph {
     * graphs, so callers pick a round budget, exactly as they pick
     * PageRank iterations. Self-loops count as neighbors (filter first if
     * undesired); node ids must be NON-NEGATIVE longs (the tie-break
-    * negates the label). Per-round cost: the node-sized label relation
+    * negates the label). CACHE CONTRACT: the returned label relation is
+    * persisted and materialized (the edge-sized working cache is freed
+    * before returning); callers running many graphs in one session
+    * should `spark.catalog.clearCache()` between them — the same
+    * contract as [[commonNeighborPairs]] and the posting caches.
+    * Per-round cost: the node-sized label relation
     * re-keys to src to meet the CACHED src-partitioned edge layout
     * (pageRank's reuse posture — the edge side never re-exchanges), then
     * a map-side-combined (dst, label) count and a node-sized argmax. At

@@ -307,7 +307,10 @@ object Output {
     * plan is reproducible across runs and engines (q243 oracle). Groups
     * can overshoot the target by at most one file — the standard greedy
     * contract; a group holding one over-target file is left alone rather
-    * than split (compaction never rewrites a big-enough file).
+    * than split (compaction never rewrites a big-enough file). `bytesCol`
+    * must be non-negative and non-null (a manifest invariant — window
+    * `sum` would silently skip NULLs and negative sizes would walk the
+    * cumulative sum backwards; garbage manifests yield garbage plans).
     */
   def compactionGroups(files: DataFrame, partCol: String, orderCol: String,
                        bytesCol: String, targetBytes: Long): DataFrame = {
