@@ -736,6 +736,34 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(ab == ba)
   }
+
+  test("rendezvous law over arbitrary N < M: growing moves keys ONLY " +
+    "into the new shards [N, M); prefix-consistency makes assignments " +
+    "nested across every count in between") {
+    // The law the (8,9) gate pins, generalized: a key's winner among
+    // shards 0..N-1 stays its winner among 0..M-1 unless one of the NEW
+    // shards outscores it — HRW scores are per-(key, shard), independent
+    // of N, so assignments under growing counts form a chain.
+    val df = spark.range(600).select(col("id").as("k"), lit(0L).as("g"))
+    for ((n, m) <- Seq((2, 3), (3, 7), (5, 8), (7, 12))) {
+      val a = graft.ops.Output.rendezvousAssign(df, "k", n, "sa")
+      val b = graft.ops.Output.rendezvousAssign(df, "k", m, "sb")
+        .select("k", "sb")
+      val j = a.join(b, "k")
+      val badMovers = j.filter(col("sa") =!= col("sb"))
+        .filter(col("sb") < n).count()
+      assert(badMovers == 0,
+        s"$n->$m: a mover landed on a pre-existing shard")
+      // census agrees with the direct count in BOTH directions
+      val grow = graft.ops.Output.rendezvousMoveCensus(df, "k", "g", n, m)
+        .head().getLong(2)
+      val shrink = graft.ops.Output.rendezvousMoveCensus(df, "k", "g", m, n)
+        .head().getLong(2)
+      val direct = j.filter(col("sa") =!= col("sb")).count()
+      assert(grow == direct && shrink == direct,
+        s"$n<->$m: census $grow/$shrink vs direct $direct")
+    }
+  }
 }
 
 /** Thin forwarding (keeps the spec readable). */
