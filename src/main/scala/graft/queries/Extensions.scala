@@ -90,7 +90,7 @@ object Extensions {
               SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
               FROM votes GROUP BY doc_id)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             bit_count(xor(a.simhash, b.simhash)) AS hamming
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
       ORDER BY doc_a, doc_b"""),
@@ -407,7 +407,7 @@ object Extensions {
   private val q41 = Q("q41_salted_join",
     "skew-salted join equals the plain join (hot key spread across salt buckets)",
     Some("""
-      SELECT event_id, CAST(user_id % 5 AS INT) AS hot, r_name
+      SELECT event_id, CAST(user_id % 5 AS BIGINT) AS hot, r_name
       FROM events JOIN region ON user_id % 5 = r_regionkey
       ORDER BY event_id"""),
     (s, dir) => {
@@ -469,7 +469,7 @@ object Extensions {
               CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
               FROM votes GROUP BY doc_id)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             bit_count(xor(a.simhash, b.simhash)) AS hamming
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       FROM sig a JOIN sig b
         ON (a.simhash >> 28) = (b.simhash >> 28) AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
@@ -1096,7 +1096,7 @@ object Extensions {
                ROW_NUMBER() OVER (PARTITION BY label
                  ORDER BY (n_dims <> mx) DESC, dist2 DESC, vec_id) AS rank
              FROM f)
-      SELECT label, vec_id, dist2, n_dims, rank FROM rk WHERE rank <= 5
+      SELECT CAST(label AS BIGINT) AS label, vec_id, dist2, n_dims, rank FROM rk WHERE rank <= 5
       ORDER BY label, rank"""),
     (s, dir) => Similarity.centroidOutliers(t(s, dir, "embeddings"),
       "label", "vec_id", "embedding", k = 5)
@@ -1154,8 +1154,8 @@ object Extensions {
              CASE WHEN doc_id % 2 = 0 THEN 1000 + (doc_id * 7) % 100000
                   ELSE (33333 * (100 + doc_id % 1000)) // 1000
              END AS duration_ms,
-             CAST(doc_id % 640 + 1 AS INT) AS width,
-             CAST(doc_id % 480 + 1 AS INT) AS height,
+             CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+             CAST(doc_id % 480 + 1 AS BIGINT) AS height,
              CASE WHEN doc_id % 2 = 0
                   THEN ['avc1','hev1','av01'][CAST(doc_id % 3 AS INT) + 1]
                   ELSE ['XVID','MJPG','H264'][CAST(doc_id % 3 AS INT) + 1]
@@ -1189,8 +1189,8 @@ object Extensions {
       "or wrong raster breaks the round-trip",
     Some("""
       SELECT doc_id, doc_id % 5 + 1 AS n_frames,
-             CAST(doc_id % 64 + 16 AS INT) AS width,
-             CAST(doc_id % 48 + 16 AS INT) AS height
+             CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+             CAST(doc_id % 48 + 16 AS BIGINT) AS height
       FROM documents ORDER BY doc_id"""),
     (s, dir) => {
       import s.implicits._
@@ -1218,10 +1218,10 @@ object Extensions {
       "predicts arithmetically)",
     Some("""
       SELECT doc_id,
-             CAST(doc_id % 40 + 8 AS INT) AS width_in,
-             CAST(doc_id % 30 + 8 AS INT) AS height_in,
-             CAST((doc_id % 40 + 8) // 2 AS INT) AS width_out,
-             CAST((doc_id % 30 + 8) // 2 AS INT) AS height_out,
+             CAST(doc_id % 40 + 8 AS BIGINT) AS width_in,
+             CAST(doc_id % 30 + 8 AS BIGINT) AS height_in,
+             CAST((doc_id % 40 + 8) // 2 AS BIGINT) AS width_out,
+             CAST((doc_id % 30 + 8) // 2 AS BIGINT) AS height_out,
              (doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256
                + (doc_id * 13) % 256 AS rgb_out
       FROM documents ORDER BY doc_id"""),
@@ -1260,12 +1260,12 @@ object Extensions {
              CAST(CASE WHEN doc_id % 2 = 0
                   THEN [8000,16000,22050,24000,32000,44100,48000][CAST(doc_id % 7 AS INT) + 1]
                   ELSE [44100,48000,32000][CAST(doc_id % 3 AS INT) + 1]
-             END AS INT) AS sample_rate,
+             END AS BIGINT) AS sample_rate,
              CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 2 + 1
-                  WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS INT) AS channels,
+                  WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT) AS channels,
              CAST(CASE WHEN doc_id % 2 = 0 THEN 0
                   ELSE [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(doc_id % 14 AS INT) + 1]
-             END AS INT) AS bitrate_kbps
+             END AS BIGINT) AS bitrate_kbps
       FROM documents ORDER BY doc_id"""),
     (s, dir) => {
       import s.implicits._
@@ -1525,7 +1525,7 @@ object Extensions {
       r AS (SELECT c.col_name, key_value, cnt, (cnt * 1000000) // n_rows AS share_ppm,
             ROW_NUMBER() OVER (PARTITION BY c.col_name ORDER BY cnt DESC, key_value) AS rk
             FROM c JOIN tot USING (col_name) WHERE key_value IS NOT NULL)
-      SELECT col_name, key_value, cnt, share_ppm, CAST(rk AS INT) AS rank
+      SELECT col_name, key_value, cnt, share_ppm, CAST(rk AS BIGINT) AS rank
       FROM r WHERE rk <= 5
       ORDER BY col_name, rank"""),
     (s, dir) => Profile.keySkew(t(s, dir, "documents"),
@@ -1650,7 +1650,7 @@ object Extensions {
              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
                AND e.ts <= s2.t2 + INTERVAL 24 HOUR
              GROUP BY e.user_id)
-      SELECT 1 AS step, 'click' AS step_type, count(*) AS users_reached FROM s1
+      SELECT CAST(1 AS BIGINT) AS step, 'click' AS step_type, count(*) AS users_reached FROM s1
       UNION ALL SELECT 2, 'view', count(*) FROM s2
       UNION ALL SELECT 3, 'purchase', count(*) FROM s3
       ORDER BY step"""),
@@ -2356,7 +2356,7 @@ object Extensions {
             CAST(SUM(CAST(v AS BIGINT) << bit) AS BIGINT) AS sig
             FROM bits GROUP BY 1)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             bit_count(xor(a.sig, b.sig)) AS hamming
+             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
       FROM h a JOIN h b ON (a.sig >> 59) = (b.sig >> 59)
                        AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 4
@@ -3128,9 +3128,9 @@ object Extensions {
       law(digit, benford_ppm) AS (VALUES
         (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
         (6, 66947), (7, 57992), (8, 51153), (9, 45757))
-      SELECT g.digit, g.n,
+      SELECT CAST(g.digit AS BIGINT) AS digit, g.n,
              CAST(1000000 * g.n // t.total AS BIGINT) AS observed_ppm,
-             law.benford_ppm,
+             CAST(law.benford_ppm AS BIGINT) AS benford_ppm,
              CAST(abs(1000000 * g.n // t.total - law.benford_ppm)
                   AS BIGINT) AS abs_dev_ppm
       FROM g CROSS JOIN t JOIN law ON law.digit = g.digit
@@ -3190,7 +3190,7 @@ object Extensions {
               lead(r, 2) OVER w AS r2,
               lead(r, 3) OVER w AS r3
             FROM r WINDOW w AS (PARTITION BY event_type ORDER BY day))
-      SELECT event_type, lag, count(*) AS n_days,
+      SELECT event_type, CAST(lag AS BIGINT) AS lag, count(*) AS n_days,
              CAST(coalesce(sum(r * CASE lag WHEN 1 THEN r1 WHEN 2 THEN r2
                                    ELSE r3 END), 0) AS BIGINT) AS num,
              CAST(sum(r * r) AS BIGINT) AS den
@@ -3464,7 +3464,7 @@ object Extensions {
       ag AS (SELECT doc_id, max(n) AS n, max(rate) AS rate,
                     max(abs(v)) AS peak, sum(v * v) AS ssq
              FROM s GROUP BY 1)
-      SELECT ag.doc_id, CAST(rate AS INT) AS sample_rate, n AS n_samples,
+      SELECT ag.doc_id, CAST(rate AS BIGINT) AS sample_rate, n AS n_samples,
              peak AS peak_abs, CAST(ssq // n AS BIGINT) AS rms_sq,
              CAST(1000000 * n_silent // n_frames AS BIGINT) AS silence_ppm
       FROM ag JOIN sil USING (doc_id)
@@ -4073,7 +4073,7 @@ object Extensions {
       "interior silence is preserved by design (transcript alignment)",
     Some("""
       SELECT doc_id,
-             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
              700 + (doc_id % 3) * 200 AS n_in,
              700 + (doc_id % 3) * 200
                - (doc_id % 3) * 100 - (doc_id % 4) * 100 AS n_out
@@ -5265,7 +5265,8 @@ object Extensions {
                FROM sums a JOIN sums b
                  ON a.dim = b.dim AND a.label < b.label
                GROUP BY 1, 2)
-      SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
+      SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+             ca.n AS n_a, cb.n AS n_b,
              CAST(dot AS BIGINT) AS dot,
              CAST((1000000 * dot * dot) // (na.n2 * nb.n2) AS BIGINT)
                AS cos2_ppm
@@ -5462,7 +5463,7 @@ object Extensions {
       neg AS (SELECT a_id, b_id, cosine FROM (SELECT *, row_number()
           OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
           FROM cosv WHERE a_lbl <> b_lbl) WHERE rn = 1)
-      SELECT p.a_id AS anchor_id, l.label AS label, p.b_id AS pos_id,
+      SELECT p.a_id AS anchor_id, CAST(l.label AS BIGINT) AS label, p.b_id AS pos_id,
              p.cosine AS pos_cosine, n.b_id AS neg_id,
              n.cosine AS neg_cosine
       FROM pos p JOIN neg n ON p.a_id = n.a_id
@@ -6075,8 +6076,8 @@ object Extensions {
                    arg_max(shard, score) AS shard_after
             FROM s GROUP BY doc_id)
       SELECT source, count(*) AS n_keys,
-             sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)
-               AS n_moved,
+             CAST(sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved,
              CAST((1000000 * sum(CASE WHEN shard_before <> shard_after
                  THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS moved_ppm
       FROM a GROUP BY source ORDER BY source"""),

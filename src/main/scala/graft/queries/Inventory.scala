@@ -117,7 +117,8 @@ object Inventory {
   private val q04 = Q("q04_lookup_join",
     "J2/J3: broadcast equi-join enrichment (uid→serial→device-id pattern)",
     Some("""
-      SELECT l_orderkey, l_linenumber, p_name, p_brand, s_name, l_extendedprice
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             p_name, p_brand, s_name, l_extendedprice
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -623,7 +624,7 @@ object Inventory {
       "per-year revenue (self-joined dimension, non-equi pair filter)",
     Some("""
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -1550,7 +1551,8 @@ object Inventory {
       "NOT IN exclusion subquery — anti join + count(DISTINCT) under a " +
       "grouped sort",
     Some("""
-      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
       FROM part JOIN lineitem ON p_partkey = l_partkey
       WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
         AND p_size IN (1, 9, 19, 29, 49)

@@ -6,6 +6,12 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over <sfDir>/*.parquet, sorts
 columns by name + rows, and compares values exactly (floats bit-for-bit).
+
+Also runs the oracle result-TYPE lint (tools/oracle_types.py) over every
+oracle in oracle_sql.json — the value compare below goes through pandas,
+which erases DuckDB result dtypes, so a HUGEINT/TINYINT oracle column can
+pass here yet fail the driver's type-sensitive hash (round-12 q242). A
+lint hit counts as a FAIL even when the values match.
 """
 import json, sys, math
 import duckdb
@@ -89,7 +95,11 @@ def main(sf_dir, out_dir):
             n_pass += 1
     skip = f" / {n_skip} not dumped" if n_skip else ""
     print(f"== {n_pass} pass / {n_fail} fail{skip}")
-    return 1 if n_fail else 0
+    # dtype lint over ALL oracles (even ones not dumped this run): the
+    # pandas value-compare above is type-blind, the driver's hash is not.
+    import oracle_types
+    lint = oracle_types.main(sf_dir, f"{out_dir}/oracle_sql.json")
+    return 1 if (n_fail or lint) else 0
 
 
 if __name__ == "__main__":
