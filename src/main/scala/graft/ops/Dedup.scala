@@ -688,6 +688,10 @@ object Dedup {
       : DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0,1]: $tauNum/$tauDen")
+    // same sentinel-overflow guard as TextAnalysis.sparseCosinePairs: the
+    // capped path runs limit(maxPairs + 1)
+    require(maxPairs < Int.MaxValue,
+      s"maxPairs must be < Int.MaxValue (sentinel is maxPairs + 1): $maxPairs")
     val sh = docs.select(col(idCol).as("_id"),
         explode(TextFns.shingleHashes(col(textCol), shingleSize)).as("sh"))
       .distinct()

@@ -18,4 +18,17 @@ import org.apache.spark.sql.SparkSession
 object Expansion {
   def parts(spark: SparkSession): Int =
     math.max(spark.sessionState.conf.numShufflePartitions * 3, 32)
+
+  /** The bounded-cell variant: when the per-key join fan-out is capped BY
+    * CONSTRUCTION (e.g. a posting self-join behind a `df <= maxDf` prune —
+    * every key's output is at most maxDf², so per-partition imbalance is
+    * bounded by the cap, not by data skew), the ×3 slack buys nothing and
+    * only multiplies task waves at the floor-dominated small end (q92 at
+    * sf0.1: 96-task stages on 2 700-row partitions, 3 waves on 32 cores —
+    * measured 2.8 s → 1.3 s moving to the session's own parallelism). The
+    * explicit count still pins the exchange against AQE's input-bytes
+    * coalescing — that exemption, not the multiplier, is the q173 lesson.
+    * Joins whose per-cell output is NOT capped must keep [[parts]]. */
+  def boundedCellParts(spark: SparkSession): Int =
+    math.max(spark.sessionState.conf.numShufflePartitions, 32)
 }

@@ -119,21 +119,45 @@ object Graph {
     * rides `max_by(label, struct(c, -label))` — one lexicographic argmax,
     * no rank window — which needs a negatable key.
     *
-    * Fixed `rounds` (not convergence) keeps the result deterministic and
-    * the oracle unrollable; sync LPA can oscillate on bipartite-ish
-    * graphs, so callers pick a round budget, exactly as they pick
-    * PageRank iterations. Self-loops count as neighbors (filter first if
-    * undesired); node ids must be NON-NEGATIVE longs (the tie-break
-    * negates the label). CACHE CONTRACT: the returned label relation is
-    * persisted and materialized (the edge-sized working cache is freed
-    * before returning); callers running many graphs in one session
-    * should `spark.catalog.clearCache()` between them — the same
-    * contract as [[commonNeighborPairs]] and the posting caches.
-    * Per-round cost: the node-sized label relation
-    * re-keys to src to meet the CACHED src-partitioned edge layout
-    * (pageRank's reuse posture — the edge side never re-exchanges), then
-    * a map-side-combined (dst, label) count and a node-sized argmax. At
-    * 100 TB that is O(rounds · E) shuffle of COUNTS, never of edges.
+    * EDGE DIRECTION: a round propagates labels src → dst, so community
+    * semantics assume a SYMMETRIZED edge list (each undirected edge
+    * present in both orientations — what q245 and `GraphScale lp` feed).
+    * Directed input is still total (r13): labels seed from src ∪ dst and
+    * nodes with no in-edges keep their current label instead of silently
+    * vanishing from the output — but what that computes is directed
+    * label flow, not undirected communities; symmetrize first for LPA
+    * proper.
+    *
+    * Fixed `rounds` (the default) keeps the result deterministic and the
+    * oracle unrollable; sync LPA can OSCILLATE on bipartite-ish graphs,
+    * so the convergence mode (`converge = true`) treats `rounds` as a
+    * budget, stops as soon as a round changes ZERO labels (one extra
+    * node-sized count per round, computed on the same join that applies
+    * the round), and THROWS if the budget exhausts unconverged — a loud
+    * failure, never a silent partial answer (kCore's posture). In
+    * converge mode every round's labels are eagerly localCheckpointed so
+    * the lineage stays one round deep no matter the depth (the per-round
+    * action would otherwise replay the whole chain); in fixed-rounds
+    * mode `checkpointEvery` (default 3, 0 = never) cuts the growing
+    * lineage the same way. The cadence matters more than it looks: the
+    * keep-label join references the labels subtree TWICE per round, so
+    * an uncut plan TREE doubles per round — Catalyst traverses trees,
+    * not DAGs, and an uncut 12-round plan burns optimizer/codegen CPU
+    * for minutes on a 6-node graph (measured) while 4 uncut rounds run
+    * in seconds. Every-3 keeps the per-segment tree ≤ 8 label copies.
+    *
+    * Self-loops count as neighbors (filter first if undesired); node ids
+    * must be NON-NEGATIVE longs (the tie-break negates the label).
+    * CACHE CONTRACT: the returned label relation is persisted and
+    * materialized (the edge-sized working cache is freed before
+    * returning); callers running many graphs in one session should
+    * `spark.catalog.clearCache()` between them — the same contract as
+    * [[commonNeighborPairs]]. Per-round cost: the node-sized label
+    * relation re-keys to src to meet the CACHED src-partitioned edge
+    * layout (pageRank's reuse posture — the edge side never
+    * re-exchanges), then a map-side-combined (dst, label) count, a
+    * node-sized argmax, and a node-sized keep-label join. At 100 TB that
+    * is O(rounds · E) shuffle of COUNTS, never of edges.
     */
   /** One sync-LPA round over the cached src-partitioned edge layout (the
     * shape PlanIntegritySpec pins: zero exchange above the cached edge
@@ -148,13 +172,53 @@ object Graph {
       .select(col("dst").as("node"), col("label"))
 
   def labelPropagation(edges: DataFrame, srcCol: String = "src",
-                       dstCol: String = "dst", rounds: Int = 2): DataFrame = {
+                       dstCol: String = "dst", rounds: Int = 2,
+                       converge: Boolean = false,
+                       checkpointEvery: Int = 3): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).sortWithinPartitions("src").persist()
-    var labels = e.select(col("src").as("node")).distinct()
+    // seed from src ∪ dst: on directed input a dst-only node would
+    // otherwise never receive a label and a src-only node would vanish
+    // from the output after round 1 (for symmetrized input src = dst =
+    // the node set, so this is the old seed exactly)
+    var labels = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to rounds) labels = lpRound(e, labels)
+      .localCheckpoint(true)
+    var r = 0
+    var stable = false
+    while (r < rounds && !(converge && stable)) {
+      r += 1
+      val adopted = lpRound(e, labels)
+        .select(col("node"), col("label").as("_adopted"))
+      // keep-label join: nodes with no in-edges carry their label forward
+      val step = labels.join(adopted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_adopted"), col("label")).as("label"),
+          (col("_adopted").isNotNull && col("_adopted") =!= col("label"))
+            .cast("long").as("_chg"))
+      if (converge) {
+        // eager node-sized materialization: the changed-count action
+        // below must not replay the round chain, and lineage stays one
+        // round deep (kCore's localCheckpoint posture)
+        val mat = step.localCheckpoint(true)
+        stable = mat.agg(sum(col("_chg"))).head().getLong(0) == 0L
+        labels = mat.drop("_chg")
+      } else {
+        val cut = checkpointEvery > 0 &&
+          (r % checkpointEvery == 0 || r == rounds)
+        val next = step.drop("_chg")
+        labels = if (cut) next.localCheckpoint(true) else next
+      }
+    }
+    if (converge && !stable)
+      throw new IllegalStateException(
+        s"labelPropagation did not converge in $rounds rounds " +
+          "(sync LPA oscillates on bipartite-ish graphs — use fixed " +
+          "rounds there)")
     // materialize node-sized result, then free the edge-sized cache
     val out = labels.persist()
     out.count()

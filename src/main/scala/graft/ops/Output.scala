@@ -297,6 +297,43 @@ object Output {
         expr("CAST(1000000 * n_moved div n_keys AS BIGINT)"))
   }
 
+  /** The SHRINK-direction audit of [[rendezvousMoveCensus]], with the
+    * direction's defining contract reported IN-BAND: when the shard count
+    * drops `shardsBefore` → `shardsAfter` (< before), the keys that move
+    * are EXACTLY the keys whose winner was a removed shard
+    * (id >= shardsAfter) — survivors keep their winner (its score didn't
+    * change), and each orphaned key scatters to its next-best surviving
+    * score. Emits per group: `n_keys`, `n_moved`, `n_from_removed`
+    * (movers whose before-shard was removed) and
+    * `moves_only_from_removed` = (n_moved = n_from_removed) — a gate
+    * hash-verifies the equality as data, not as a code comment (q247
+    * pins 9→8 against the DuckDB oracle; the PropertySpec law covers
+    * arbitrary pairs). Same row-local prefix-slice scoring as the grow
+    * census: one score array, zero key-side shuffle, group-sized census.
+    */
+  def rendezvousShrinkAudit(df: DataFrame, keyCol: String, groupCol: String,
+                            shardsBefore: Int, shardsAfter: Int): DataFrame = {
+    require(shardsAfter >= 1 && shardsAfter < shardsBefore,
+      s"shrink audit needs shardsAfter < shardsBefore, " +
+        s"got $shardsBefore -> $shardsAfter")
+    val scores = hrwScores(col(keyCol), shardsBefore)
+    def argmax(arr: Column): Column =
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    df.withColumn("__hrw", scores)
+      .withColumn("__before", argmax(col("__hrw")))
+      .withColumn("__after", argmax(slice(col("__hrw"), 1, shardsAfter)))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"),
+        sum((col("__before") =!= col("__after")).cast("long"))
+          .as("n_moved"),
+        sum((col("__before") >= shardsAfter).cast("long"))
+          .as("n_from_removed"))
+      .withColumn("moves_only_from_removed",
+        col("n_moved") === col("n_from_removed"))
+      .withColumn("moved_ppm",
+        expr("CAST(1000000 * n_moved div n_keys AS BIGINT)"))
+  }
+
   /** Cumulative-size compaction grouping — the planner step of a
     * small-file compactor (Delta OPTIMIZE / Iceberg rewrite_data_files do
     * the same binning as a table service): within each partition, walk the

@@ -705,15 +705,21 @@ object TextAnalysis {
     * cap, with this switch for corpora whose per-doc mass concentrates
     * in few terms (bag-of-words tf-idf, learned sparse vectors).
     *
-    * CACHE CONTRACT: the term-partitioned posting relation is persisted
-    * (it feeds both self-join sides AND the norm side-table — three
-    * consumers of one lazy plan) and deliberately NOT unpersisted: the
-    * result is lazy, so there is no post-execution hook, and
-    * MEMORY_AND_DISK eviction merely recomputes. Long-lived sessions
-    * calling this across many corpora should
-    * `spark.catalog.clearCache()` between corpora — the same contract as
-    * [[graft.ops.Graph.commonNeighborPairs]] and
-    * [[graft.ops.Dedup.prefixJaccardPairs]].
+    * SHARED-BUILD CONTRACT (round-13, replaces the r12 persist): the
+    * term-partitioned posting relation feeds both self-join sides AND
+    * the norm side-table — three consumers of one lazy plan. It is NOT
+    * persisted: all three consumers sit above the SAME canonical
+    * `repartition(n, term)` exchange, and AQE's runtime stage cache
+    * dedupes identical shuffle stages, so the scan + shingle-hash +
+    * shuffle-write run ONCE and each consumer re-reads the shuffle files
+    * (the final adaptive plan shows `ReusedExchange` on the
+    * REPARTITION_BY_NUM exchange — PlanIntegritySpec pins it). Vs the
+    * old persist this drops the cache write + InMemoryTableScan overhead
+    * (measured 2.7 → 2.1 s warm at sf0.1 before the partition-count fix)
+    * AND the leaked-cache contract; at 100 TB it trades a corpus-sized
+    * executor cache for shuffle-file re-reads, which spill-safe shuffle
+    * storage is built for. The window above the exchange recomputes per
+    * consumer — map-side, no extra exchange.
     *
     * OUTPUT-BOUND BY NATURE — the same 100× posture as
     * [[graft.ops.Dedup.prefixJaccardPairs]]: the qualifying-pair ANSWER
@@ -723,6 +729,15 @@ object TextAnalysis {
     * via a distributed top-k, truncation reported LOUDLY in-band as a
     * `truncated` boolean on every row (q246 gates it; q241's contract).
     * The scale-flat pipeline alternative remains the LSH/ANN family.
+    * (3) `sampleDen` > 1 — the q190 audit posture: restrict the pair
+    * UNIVERSE to pairs with >= 1 endpoint in a deterministic hash slice
+    * (`sha256-prefix('cospairs:' || id) % sampleDen = 0` — the q53/q127
+    * shared-hash order: stable across runs AND engines, no RNG) while
+    * the partner side stays the FULL corpus, so a sampled doc's
+    * qualifying partners are never missed and every emitted cosine is
+    * the exact full-corpus value. Expansion-join and pair-aggregate
+    * work scale with 1/sampleDen; the posting build stays corpus-global
+    * (linear passes). `sampleDen = 1` is the exact full universe.
     *
     * Output: (doc_a, doc_b, n_common, cosine), doc_a < doc_b, cosine >=
     * `minCosine`; plus `truncated` when `maxPairs` > 0.
@@ -732,11 +747,28 @@ object TextAnalysis {
                         minCosine: Double = 0.5,
                         maxDf: Long = Long.MaxValue,
                         prefixFilter: Boolean = false,
-                        maxPairs: Int = 0): DataFrame = {
+                        maxPairs: Int = 0,
+                        sampleDen: Int = 1): DataFrame = {
+    require(sampleDen >= 1, s"sampleDen must be >= 1: $sampleDen")
+    require(sampleDen == 1 || !prefixFilter,
+      "sampleDen > 1 is implemented for the direct-join path only " +
+        "(prefixFilter = false) — the prefix-bound path's per-doc " +
+        "prefixes assume the full posting universe")
+    // the capped path computes a limit(maxPairs + 1) truncation sentinel —
+    // Int.MaxValue would overflow it to a negative limit and die inside
+    // Spark with an opaque AnalysisException instead of a loud contract
+    require(maxPairs < Int.MaxValue,
+      s"maxPairs must be < Int.MaxValue (sentinel is maxPairs + 1): $maxPairs")
     // explicit-count partitioning on the posting key: the join INPUT is
     // a few MB of postings but its OUTPUT is the candidate-pair
-    // expansion — the expansion-join rule, [[graft.ops.Expansion.parts]].
-    val nParts = graft.ops.Expansion.parts(docs.sparkSession)
+    // expansion — the expansion-join rule. With a finite `maxDf` the
+    // per-term fan-out is capped by construction, so the bounded-cell
+    // count applies (no ×3 slack, one task wave per stage at the floor-
+    // dominated end); an unpruned corpus keeps the full slack.
+    val nParts =
+      if (maxDf != Long.MaxValue)
+        graft.ops.Expansion.boundedCellParts(docs.sparkSession)
+      else graft.ops.Expansion.parts(docs.sparkSession)
     // tf counts fused INTO the shingle-hash expression (one map per row)
     // — the (doc, term) relation is unique per doc by construction, so
     // the posting build has NO doc-keyed aggregation exchange; df comes
@@ -750,6 +782,9 @@ object TextAnalysis {
           shingleSize)))
       .toDF(idCol, "term", "tf")
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // no persist — the SHARED-BUILD CONTRACT above: the three consumers'
+    // identical canonical exchange is deduped by AQE's stage cache, so
+    // the build runs once and the window recomputes map-side per consumer
     val post = tf.repartition(nParts, col("term"))
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("term"))))
@@ -757,7 +792,6 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .withColumn("wi", expr("(tf * n_docs) div df"))
       .select(col(idCol), col("term"), col("wi"), col("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // norms live in a SIDE table joined onto the (few) aggregated pairs,
     // not as a per-doc window inside the posting lineage — a window
     // there costs a doc-keyed shuffle+sort in both join copies; norms
@@ -807,15 +841,42 @@ object TextAnalysis {
       // in-place (the right shape when prefixes would cover most terms);
       // both sides read the SAME persisted term-partitioned postings, so
       // the join itself adds no exchange
-      val a = w.select(col(idCol).as("doc_a"), col("term"),
-        col("wi").as("w_a"))
-      val b = w.select(col(idCol).as("doc_b"), col("term"),
-        col("wi").as("w_b"))
-      finish(a.join(b.hint("shuffle_hash"), Seq("term"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(sum(col("w_a") * col("w_b")).as("dot"),
-          count(lit(1)).as("n_common")))
+      if (sampleDen == 1) {
+        val a = w.select(col(idCol).as("doc_a"), col("term"),
+          col("wi").as("w_a"))
+        val b = w.select(col(idCol).as("doc_b"), col("term"),
+          col("wi").as("w_b"))
+        finish(a.join(b.hint("shuffle_hash"), Seq("term"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("w_a") * col("w_b")).as("dot"),
+            count(lit(1)).as("n_common")))
+      } else {
+        // SAMPLED UNIVERSE: the probe side is the hash slice, the
+        // partner side the full postings — both map-side filters on the
+        // SAME persisted term-partitioned relation, so the join still
+        // adds no exchange. Each qualifying (pair, term) row must
+        // survive exactly once or the dot doubles: keep a row iff
+        // probe_id < partner_id OR the partner is NOT itself sampled
+        // (both-sampled pairs generate in both orientations; exactly the
+        // probe<partner one survives), then canonicalize to
+        // doc_a < doc_b. Row-local sha256 predicate, no extra shuffle.
+        def sampled(id: Column): Column =
+          pmod(graft.functions.TextFns.hash64(
+            concat(lit("cospairs:"), id.cast("string"))),
+            lit(sampleDen.toLong)) === 0
+        val a = w.filter(sampled(col(idCol)))
+          .select(col(idCol).as("_pa"), col("term"), col("wi").as("w_a"))
+        val b = w.select(col(idCol).as("_pb"), col("term"),
+          col("wi").as("w_b"))
+        finish(a.join(b.hint("shuffle_hash"), Seq("term"))
+          .filter(col("_pa") =!= col("_pb") &&
+            (col("_pa") < col("_pb") || !sampled(col("_pb"))))
+          .groupBy(least(col("_pa"), col("_pb")).as("doc_a"),
+            greatest(col("_pa"), col("_pb")).as("doc_b"))
+          .agg(sum(col("w_a") * col("w_b")).as("dot"),
+            count(lit(1)).as("n_common")))
+      }
     } else {
       // normalized weights for the bound: postings joined once to the
       // doc-keyed norm table (this optional path accepts the shuffle)

@@ -1401,12 +1401,28 @@ object Extensions {
       "vec_id", "embedding", k = 10, iters = 2)
       .orderBy("vec_id"))
 
+  /** q92's registered cap. 500 is certification-sized: ABOVE the
+    * qualifying-pair count at every test scale (25 at sf0.01, 201 at
+    * sf0.1), so the gate still hash-verifies the COMPLETE exact pair
+    * relation (`truncated` = false pins that completeness in-band), yet
+    * the materialization is bounded at 100 TB where the uncapped
+    * relation grows with corpus pair density (~45x on the 10x densified
+    * replica — the argument that retired q190's full mode in r12). The
+    * uncapped mode stays available as `maxPairs = 0`; q246 (cap 10)
+    * pins the truncated=true branch of the same contract. ONE constant
+    * feeds description, oracle and Spark call — the Q216MaxDegree
+    * pinning pattern. */
+  private val Q92MaxPairs = 500
+
   private val q92 = Q("q92_sparse_cosine_pairs",
     "TF-IDF sparse cosine pairs via inverted index: docs pair only through " +
       "shared hashed 3-gram terms (posting-list self-join, df<=100 pruning " +
       "bounds the quadratic term); integer idf weights, BIGINT dot/norms, " +
-      "one final IEEE division",
-    Some("""
+      "one final IEEE division; registered under the family-wide loud-cap " +
+      s"contract (top-$Q92MaxPairs by cosine DESC — above every test-scale " +
+      "qualifying count, so the full exact relation is certified with " +
+      "truncated=false, while 100 TB materialization stays bounded)",
+    Some(s"""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
       tf AS (SELECT doc_id,
@@ -1424,11 +1440,16 @@ object Extensions {
       cosv AS (SELECT doc_a, doc_b, n_common,
                CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
                FROM dots JOIN norms na ON doc_a = na.doc_id
-                         JOIN norms nb ON doc_b = nb.doc_id)
-      SELECT doc_a, doc_b, n_common, cosine FROM cosv WHERE cosine >= 0.5
-      ORDER BY doc_a, doc_b"""),
+                         JOIN norms nb ON doc_b = nb.doc_id
+               WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5),
+      ranked AS (SELECT *,
+                 row_number() OVER (ORDER BY cosine DESC, doc_a, doc_b) AS rn,
+                 count(*) OVER () AS n_tot
+                 FROM cosv)
+      SELECT doc_a, doc_b, n_common, cosine, n_tot > $Q92MaxPairs AS truncated
+      FROM ranked WHERE rn <= $Q92MaxPairs ORDER BY doc_a, doc_b"""),
     (s, dir) => TextAnalysis.sparseCosinePairs(t(s, dir, "documents"),
-      minCosine = 0.5, maxDf = 100)
+      minCosine = 0.5, maxDf = 100, maxPairs = Q92MaxPairs)
       .orderBy("doc_a", "doc_b"))
 
   private val q93 = Q("q93_bpe_pair_stats",
@@ -6191,6 +6212,41 @@ object Extensions {
       minCosine = 0.5, maxDf = 100, maxPairs = 10)
       .orderBy("doc_a", "doc_b"))
 
+  private val q247 = Q("q247_rendezvous_shrink",
+    "rendezvous (HRW) re-shard audit, SHRINK direction 9 -> 8: the moved " +
+      "keys are EXACTLY the keys whose winner was the removed shard " +
+      "(survivors keep their unchanged best score; orphans scatter to " +
+      "their next-best surviving score) — the contract is hash-verified " +
+      "IN-BAND as moves_only_from_removed = (n_moved = n_from_removed), " +
+      "not argued in prose; same row-local prefix-slice scoring as q242, " +
+      "expected move mass 1/9 ~= 111111 ppm",
+    Some("""
+      WITH s AS (
+        SELECT d.doc_id, d.source, g.s AS shard,
+               CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || ':' ||
+                 CAST(g.s AS VARCHAR)), 1, 15) AS BIGINT) AS score
+        FROM documents d CROSS JOIN generate_series(0, 8) g(s)),
+      a AS (SELECT doc_id, any_value(source) AS source,
+                   arg_max(shard, score) AS shard_before,
+                   arg_max(shard, score) FILTER (WHERE shard < 8)
+                     AS shard_after
+            FROM s GROUP BY doc_id)
+      SELECT source, count(*) AS n_keys,
+             CAST(sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0
+               END) AS BIGINT) AS n_moved,
+             CAST(sum(CASE WHEN shard_before >= 8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_from_removed,
+             CAST(sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0
+                 END) AS BIGINT)
+               = CAST(sum(CASE WHEN shard_before >= 8 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS moves_only_from_removed,
+             CAST((1000000 * sum(CASE WHEN shard_before <> shard_after
+                 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS moved_ppm
+      FROM a GROUP BY source ORDER BY source"""),
+    (s, dir) => Output.rendezvousShrinkAudit(t(s, dir, "documents"),
+      "doc_id", "source", shardsBefore = 9, shardsAfter = 8)
+      .orderBy("source"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6205,5 +6261,5 @@ object Extensions {
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
-    q241, q242, q243, q245, q246)
+    q241, q242, q243, q245, q246, q247)
 }

@@ -239,6 +239,17 @@ object StatefulTracking {
     * (with a same-corpus reference the case is vacuous; with a stale
     * reference it drops unknown categories from the distance, as the SQL
     * `JOIN ... USING (event_type)` does).
+    *
+    * OVERFLOW BOUND: the TVD numerator/denominator accumulate in Long —
+    * `|c_day·refTotal − c_ref·n_day|` terms and `2·n_day·refTotal` —
+    * which is exact while `n_day · refTotal < 2⁶² (~4.6e18)`, i.e. a
+    * per-day event count times the reference total below ~2e9 each
+    * (balanced case). That is the same int64 envelope as the batch q136
+    * law; past it, adopt the batch path's documented DECIMAL(38,0)
+    * escape hatch (see `simpsonDiversity`): accumulate the per-category
+    * sum in BigInt inside `handleExpiredTimer` before the single final
+    * IEEE division — the loop is driver-free state-local Scala, so the
+    * swap is mechanical.
     */
   private class DriftCloseProcessor(refCounts: Map[String, Long],
                                     refTotal: Long, dayLenMs: Long)

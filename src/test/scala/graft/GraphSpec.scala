@@ -241,4 +241,76 @@ class GraphSpec extends SparkSpec {
     assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 3L,
       12L -> 3L), s"round-2 labels: $r2")
   }
+
+  test("labelPropagation converge mode: settles where 2 fixed rounds " +
+    "haven't, stops at the fixpoint, and matches the fixed-round unroll") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // hand-unroll: r2 = {1:1,2:1,3:1,10:10,11:3,12:3} (test above),
+    // r3 = {1:1,2:1,3:1,10:3,11:3,12:3}, r4 = r3 -> fixpoint at round 4
+    val r2 = Graph.labelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val r3 = Graph.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 != r3, "premise: 2 rounds must NOT be converged here")
+    val settled = Graph.labelPropagation(edges, rounds = 10, converge = true)
+      .as[(Long, Long)].collect().toMap
+    assert(settled == r3, s"converge mode must land on the fixpoint: $settled")
+    assert(settled == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L,
+      11L -> 3L, 12L -> 3L))
+    // one more round changes nothing — it IS the fixpoint
+    val r5 = Graph.labelPropagation(edges, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r5 == settled)
+  }
+
+  test("labelPropagation converge mode: a bipartite 2-cycle oscillates " +
+    "and throws loudly instead of returning a silent partial answer") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.labelPropagation(edges, rounds = 6, converge = true)
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
+  test("labelPropagation on DIRECTED input: dst-only nodes seed a label " +
+    "and src-only nodes keep theirs instead of vanishing (r13 totality)") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // NOT symmetrized
+    val r1 = Graph.labelPropagation(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // node 1 has no in-edges: keeps its seed; 2 adopts 1's label; 3 (a
+    // dst-only node the old seed missed entirely) adopts 2's seed label
+    assert(r1 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"directed r1: $r1")
+    val r2 = Graph.labelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"directed r2: $r2")
+  }
+
+  test("labelPropagation: checkpointing changes no value — uncut 4-round " +
+    "run matches cut runs at every cadence, and a cut 12-round run still " +
+    "sits on the fixpoint") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // value-equality of the lineage cut, at a depth the UNCUT plan can
+    // still execute: 4 rounds (this graph's fixpoint depth). An uncut
+    // 12-round run is exactly the pathological deep-plan case the
+    // checkpointing exists to prevent — the optimizer/codegen cost of
+    // the nested tree blows past minutes — so the deep comparison runs
+    // cut-vs-cut and pins the VALUE via the known fixpoint instead.
+    val flat4 = Graph.labelPropagation(edges, rounds = 4, checkpointEvery = 0)
+      .as[(Long, Long)].collect().toMap
+    for (every <- Seq(1, 3)) {
+      val cut4 = Graph.labelPropagation(edges, rounds = 4,
+        checkpointEvery = every).as[(Long, Long)].collect().toMap
+      assert(cut4 == flat4, s"checkpointEvery=$every diverged at 4 rounds")
+    }
+    val fixpoint = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L,
+      11L -> 3L, 12L -> 3L)
+    assert(flat4 == fixpoint)
+    val cut12 = Graph.labelPropagation(edges, rounds = 12, checkpointEvery = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(cut12 == fixpoint, s"12 cut rounds left the fixpoint: $cut12")
+  }
 }

@@ -857,6 +857,39 @@ class TextOpsSpec extends SparkSpec {
       "df=2 terms must be pruned at maxDf=1, leaving no candidate pairs")
   }
 
+  test("sparseCosinePairs sampleDen: the sampled universe is EXACTLY the " +
+    "full-mode pairs with >= 1 hash-sampled endpoint, values identical " +
+    "(full-corpus partners, no resampling of the math)") {
+    // enough docs that both sampled and unsampled ids occur at den=2
+    val docs = (1L to 12L).map { i =>
+      val fam = if (i <= 6) "a b c d e f" else "p q r s t u"
+      (i, fam + s" t$i")
+    }.toDF("doc_id", "text")
+    // shared mass: 4 shingles at wi=2; the unique t$i shingle carries
+    // wi=12, so same-family cosine is 16/160 = 0.1 — threshold below it
+    val full = TextAnalysis.sparseCosinePairs(docs, minCosine = 0.05)
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(p => (p._1, p._2))
+    assert(full.nonEmpty, "fixture must produce pairs")
+    val den = 2
+    def sampled(id: Long): Boolean = {
+      val probe = spark.range(1).select(org.apache.spark.sql.functions.pmod(
+        graft.functions.TextFns.hash64(org.apache.spark.sql.functions
+          .concat(org.apache.spark.sql.functions.lit("cospairs:"),
+            org.apache.spark.sql.functions.lit(id.toString))),
+        org.apache.spark.sql.functions.lit(den.toLong)))
+      probe.head().getLong(0) == 0L
+    }
+    val inSlice = (1L to 12L).filter(sampled).toSet
+    assert(inSlice.nonEmpty && inSlice.size < 12,
+      s"fixture must mix sampled and unsampled ids, got $inSlice")
+    val got = TextAnalysis.sparseCosinePairs(docs, minCosine = 0.05,
+        sampleDen = den)
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(p => (p._1, p._2))
+    val expected = full.filter(p => inSlice(p._1) || inSlice(p._2))
+    assert(got == expected,
+      s"sampled universe mismatch:\n got $got\n exp $expected")
+  }
+
   test("sparseCosinePairs: prefixFilter=true is answer-identical to the " +
     "direct join (exact candidate superset + same verification math)") {
     val docs = Seq(

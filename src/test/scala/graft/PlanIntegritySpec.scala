@@ -10,6 +10,16 @@ class PlanIntegritySpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Slice of the plan string ABOVE the first cache-definition marker —
+    * asserting the marker exists first, so a Spark version that changes
+    * the InMemoryRelation print fails with the plan in the message
+    * instead of a bare StringIndexOutOfBoundsException. */
+  private def aboveCache(p: String): String = {
+    val i = p.indexOf("InMemoryRelation")
+    assert(i >= 0, s"expected an InMemoryRelation cache marker in:\n$p")
+    p.substring(0, i)
+  }
+
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
@@ -329,18 +339,37 @@ class PlanIntegritySpec extends SparkSpec {
       s"the corpus must never shuffle into the assignment:\n$p")
   }
 
-  test("q92: posting-list self-join is an equi join on term, never all-pairs") {
-    val p = plan("q92_sparse_cosine_pairs")
+  test("q92: posting-list self-join is an equi join on term, never all-" +
+    "pairs; the posting build runs ONCE via AQE stage reuse (shared-" +
+    "build contract — no persist, no duplicate scan+shingle)") {
+    val df = SparkEntry.queries("q92_sparse_cosine_pairs")(spark, sf)
+    df.collect() // finalize THIS queryExecution's adaptive plan
+    val pFull = df.queryExecution.executedPlan.toString
+    assert(pFull.contains("isFinalPlan=true"))
+    // the adaptive print appends the pre-execution tree under an
+    // "== Initial Plan ==" header — every pin below reads the FINAL
+    // section only, or reused stages would double-count
+    val p = pFull.indexOf("== Initial Plan ==") match {
+      case -1 => pFull
+      case i  => pFull.substring(0, i)
+    }
     assert(!p.contains("CartesianProduct"),
       s"inverted index degraded to all-pairs:\n$p")
     val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     // the only tolerated nested-loops are the 1-row n_docs scalar inside
-    // the (persisted) posting build, printed once per consumer branch
-    // (norms + the two join sides + the trim); more means a real
-    // all-pairs regression — CartesianProduct above is the hard pin
+    // the posting build, printed once per consumer branch (norms + the
+    // two join sides + the trim); more means a real all-pairs
+    // regression — CartesianProduct above is the hard pin
     assert(nlj <= 4, s"expected only the n_docs scalar NLJs, got $nlj:\n$p")
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      s"postings must be persisted once (term-partitioned cache):\n$p")
+    // the term exchange under the three posting consumers must be the
+    // SAME runtime stage: the final adaptive plan prints the second and
+    // third consumers as ReusedExchange over the REPARTITION_BY_NUM
+    // exchange — if this disappears, the corpus scan + shingle kernel
+    // run once per consumer (the cost the r12 persist used to absorb)
+    assert(p.contains("ReusedExchange"),
+      s"posting-build exchange must be stage-reused across consumers:\n$p")
+    assert(!p.contains("InMemoryRelation"),
+      s"shared-build contract: no persisted postings expected:\n$p")
   }
 
   test("q102: every Q6 predicate reaches the parquet scan") {
@@ -373,7 +402,7 @@ class PlanIntegritySpec extends SparkSpec {
     // the text below the first InMemoryRelation is the cache's DEFINITION
     // (it legitimately shows the source scans); everything above it is what
     // actually executes downstream — no file scan may appear there
-    val executedAboveCache = p.substring(0, p.indexOf("InMemoryRelation"))
+    val executedAboveCache = aboveCache(p)
     assert(!executedAboveCache.contains("FileScan"),
       s"downstream actions must not re-run the iteration lineage:\n$p")
     assert(!executedAboveCache.contains("CartesianProduct"),
@@ -634,7 +663,7 @@ class PlanIntegritySpec extends SparkSpec {
       // lineage printout): the node-sized ranks side entering the join
       // + the (map-side-combined) dst aggregate. An edge-side exchange
       // would appear here too and break the round-cost contract.
-      val live = p.substring(0, p.indexOf("InMemoryRelation"))
+      val live = aboveCache(p)
       val exchanges = live.linesIterator
         .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
       assert(exchanges <= 2,
@@ -686,7 +715,7 @@ class PlanIntegritySpec extends SparkSpec {
         s"round join must read the cached edge layout:\n$p")
       // live plan above the cached-build lineage: labels entering the
       // join + (dst,label) count agg + dst argmax agg — never the edges
-      val live = p.substring(0, p.indexOf("InMemoryRelation"))
+      val live = aboveCache(p)
       val exchanges = live.linesIterator
         .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
       assert(exchanges <= 3,

@@ -762,6 +762,16 @@ class PropertySpec extends SparkSpec {
       val direct = j.filter(col("sa") =!= col("sb")).count()
       assert(grow == direct && shrink == direct,
         s"$n<->$m: census $grow/$shrink vs direct $direct")
+      // SHRINK law m -> n: movers are EXACTLY the keys whose winner was
+      // removed (id >= n) — the q247 in-band contract over arbitrary
+      // pairs, not just the gate's 9 -> 8
+      val audit = graft.ops.Output.rendezvousShrinkAudit(df, "k", "g", m, n)
+        .head()
+      assert(audit.getAs[Boolean]("moves_only_from_removed"),
+        s"$m->$n: a mover's before-shard survived the shrink")
+      assert(audit.getAs[Long]("n_moved") == direct,
+        s"$m->$n: shrink audit n_moved ${audit.getAs[Long]("n_moved")} " +
+          s"vs direct $direct")
     }
   }
 }
