@@ -101,6 +101,53 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Document-level duplicated-line policy (the Gopher/C4 repetition
+    * filter, cross-document form — CCNet's "fraction of lines seen
+    * elsewhere"): for each document, the share of its line occurrences
+    * whose line (split on `sep`) appears in at least `minDocs` DISTINCT
+    * documents, as exact ppm; `keep` applies the curation threshold. Where
+    * [[boilerplateSpans]] reports the repeated spans themselves and
+    * [[dedupSpans]] rewrites documents, this is the ADMISSION rule — drop
+    * documents that are mostly corpus boilerplate, keep the rest intact.
+    *
+    * Output: (idCol, n_lines, n_dup_lines, dup_ppm, keep) — one row per
+    * document, including line-free documents (n_lines counts the empty
+    * split token, so it is never 0; no division guard needed).
+    *
+    * Shape at 100 TB: explode → ONE aggregate keyed by (line hash, doc)
+    * — the corpus collapses to the distinct (line, doc) relation here,
+    * map-side combined, tokenizing exactly once (a census + join-back
+    * formulation re-scans and re-splits the whole corpus: the q68/
+    * dedupSpans double-tokenize trap) → a window COUNT over the line
+    * hash rides that same exchange (partitions are duplicate-groups,
+    * typically tiny) → one doc-keyed rollup. No self-join, no driver
+    * state.
+    */
+  def dupLineDocShare(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n", minDocs: Int = 2,
+                      maxDupPpm: Long = 300000L): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(maxDupPpm >= 0L && maxDupPpm <= 1000000L,
+      s"maxDupPpm must be a ppm value in [0, 1000000], got $maxDupPpm")
+    val perDocLine = docs
+      .select(col(idCol),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as("span"))
+      .withColumn("sh", TextFns.hash64(col("span")))
+      .groupBy(col("sh"), col(idCol))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("sh"))
+    perDocLine
+      .withColumn("_n_docs", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_c")).as("n_lines"),
+        sum(when(col("_n_docs") >= minDocs, col("_c")).otherwise(0L))
+          .as("n_dup_lines"))
+      .withColumn("dup_ppm", expr("(n_dup_lines * 1000000) div n_lines"))
+      .withColumn("keep", col("dup_ppm") <= maxDupPpm)
+  }
+
   /** Quality-aware near-dup removal: given a candidate-pair graph (from
     * [[simHashPairs]], [[minHashLshCandidates]], or any blocked pair
     * source), cluster it with [[connectedComponents]] and keep the
@@ -201,13 +248,40 @@ object Dedup {
     */
   def dedupAgainstIndex(incoming: DataFrame, index: DataFrame,
                         idCol: String, textCol: String, numHashes: Int,
+                        rowsPerBand: Int, shingleSize: Int = 3): DataFrame =
+    dedupAgainstBands(incoming,
+      lshBands(
+        minHashSignatures(index, idCol, textCol, numHashes, shingleSize),
+        idCol, rowsPerBand),
+      idCol, textCol, numHashes, rowsPerBand, shingleSize)
+
+  /** [[dedupAgainstIndex]] against a PREBUILT band relation — the form a
+    * standing pipeline actually runs. `indexBands` is the persisted
+    * (idCol, band, band_sig) output of [[lshBands]] over the corpus,
+    * maintained incrementally as batches are admitted; each call then pays
+    * ONLY the incoming batch's signature pass plus one keyed join against
+    * the stored relation, never a re-signature of the corpus (which
+    * [[dedupAgainstIndex]], taking raw index documents, must do every
+    * call). Same output contract and same sub-shingle caveat as
+    * [[dedupAgainstIndex]].
+    *
+    * The MinHash parameters (`numHashes`, `rowsPerBand`, `shingleSize`)
+    * MUST match the ones the index was built with — band signatures from
+    * mismatched parameters never collide, silently admitting everything;
+    * callers should persist the parameters alongside the band relation.
+    *
+    * Shape at 100 TB: the (band, band_sig) join's buckets are
+    * near-dup-cluster-sized; bucketing the stored relation BY (band,
+    * band_sig) makes the per-batch join shuffle-free on the index side —
+    * only the batch-sized incoming bands move.
+    */
+  def dedupAgainstBands(incoming: DataFrame, indexBands: DataFrame,
+                        idCol: String, textCol: String, numHashes: Int,
                         rowsPerBand: Int, shingleSize: Int = 3): DataFrame = {
     val inc = lshBands(
       minHashSignatures(incoming, idCol, textCol, numHashes, shingleSize),
       idCol, rowsPerBand)
-    val idx = lshBands(
-      minHashSignatures(index, idCol, textCol, numHashes, shingleSize),
-      idCol, rowsPerBand)
+    val idx = indexBands
       .select(col(idCol).as("_idx_id"), col("band"), col("band_sig"))
     val matches = inc.join(idx, Seq("band", "band_sig"))
       .groupBy(col(idCol))

@@ -188,4 +188,98 @@ object Diff {
       .agg(count(lit(1)).as("n_rows"),
         sum((col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
           .as("sum_cents"))
+
+  /** The MIN/MAX base aggregate [[incrementalMinMax]] maintains (exact
+    * integer cents, one base scan paid ONCE).
+    */
+  def minMaxCents(base: DataFrame, keyCols: Seq[String],
+                  valueCol: String): DataFrame =
+    base.groupBy(keyCols.map(col): _*)
+      .agg(min((col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+          .as("min_cents"),
+        max((col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+          .as("max_cents"))
+
+  /** Delete-aware incremental MIN/MAX — the aggregate [[incrementalAgg]]'s
+    * doc scopes OUT, done the only honest way: partial recompute.
+    * COUNT/SUM absorb deletes algebraically; MIN/MAX cannot (deleting the
+    * current min says nothing about the runner-up), so the standing rule
+    * of IVM practice is: keys touched only by INSERTS merge in O(delta)
+    * (least/greatest against the stored aggregate — never reading base);
+    * keys with ≥ 1 DELETE are re-aggregated from base ∪ delta, and ONLY
+    * those. The split is reported IN-BAND (`rescanned` BOOLEAN) so a
+    * pipeline can audit how much of its maintenance ran on the cheap path.
+    *
+    * Multiset-exact: each D row removes ONE occurrence of its (key,
+    * value); duplicate values survive until their count drops to zero; a
+    * delete with no surviving occurrence to remove raises (loud, not
+    * silent drift — the [[incrementalAgg]] op-validation posture). Keys
+    * whose rows are all deleted leave the relation; `op` ∈ {I, D}
+    * enforced the same way.
+    *
+    * Output: (keyCols*, min_cents, max_cents, rescanned BOOLEAN) —
+    * identical to recomputing [[minMaxCents]] over the post-delta state,
+    * bit-for-bit (the gate).
+    *
+    * Shape at 100 TB: base is touched through ONE semi-join on the
+    * delete-affected key set (delta-sized; with key-partitioned base
+    * storage this prunes to the affected partitions), everything else is
+    * delta-sized or aggregate-sized: the insert-merge join is keyed on
+    * the STORED AGGREGATE relation (|keys|, not |base|), and the rescan's
+    * (key, value) count collapse is map-side combined.
+    */
+  def incrementalMinMax(base: DataFrame, baseAgg: DataFrame,
+                        delta: DataFrame, keyCols: Seq[String],
+                        valueCol: String, opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val sign = when(col(opCol) === "D", lit(-1L))
+      .when(col(opCol) === "I", lit(1L))
+      .otherwise(raise_error(concat(
+        lit("incrementalMinMax: op must be 'I' or 'D', got "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast("decimal(18,2)") * 100).cast("long")
+    val d = delta.select(
+      keyCols.map(col) :+ sign.as("_sgn") :+ cents(col(valueCol)).as("_c"): _*)
+    val affected = d.filter(col("_sgn") === -1L)
+      .select(keyCols.map(col): _*).distinct()
+
+    // Cheap path: insert-only keys merge against the stored aggregate.
+    val insAgg = d.filter(col("_sgn") === 1L)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("_c")).as("_imin"), max(col("_c")).as("_imax"))
+      .toDF(keyCols.map("_i_" + _) ++ Seq("_imin", "_imax"): _*)
+    val b = baseAgg.toDF(
+      keyCols.map("_b_" + _) ++ Seq("_bmin", "_bmax"): _*)
+    val joinCond = keyCols.map(k => col("_b_" + k) === col("_i_" + k))
+      .reduce(_ && _)
+    val mergedKeys = keyCols.map(k =>
+      coalesce(col("_i_" + k), col("_b_" + k)).as(k))
+    val merged = b.join(insAgg, joinCond, "full_outer")
+      .select(mergedKeys :+
+        least(col("_bmin"), col("_imin")).as("min_cents") :+
+        greatest(col("_bmax"), col("_imax")).as("max_cents"): _*)
+      .join(affected, keyCols, "left_anti")
+      .withColumn("rescanned", lit(false))
+
+    // Rescan path: base ∪ delta for the affected keys only, multiset-exact.
+    val baseAff = base
+      .select(keyCols.map(col) :+ lit(1L).as("_sgn") :+
+        cents(col(valueCol)).as("_c"): _*)
+      .join(affected, keyCols, "left_semi")
+    val survivors = baseAff.unionByName(d.join(affected, keyCols, "left_semi"))
+      .groupBy((keyCols :+ "_c").map(col): _*)
+      .agg(sum(col("_sgn")).as("_n"))
+      .withColumn("_n", when(col("_n") >= 0L, col("_n"))
+        .otherwise(raise_error(concat(
+          lit("incrementalMinMax: delete with no surviving occurrence "),
+          lit("for value_cents="), col("_c").cast("string")))))
+      .filter(col("_n") > 0L)
+    val rescanned = survivors
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("_c")).as("min_cents"), max(col("_c")).as("max_cents"))
+      .withColumn("rescanned", lit(true))
+
+    merged.unionByName(rescanned)
+  }
 }

@@ -247,6 +247,50 @@ object EventAnalytics {
     * Shape at 100 TB: ONE key exchange — the lead() window and the
     * aggregate share it; no collect, state bounded per key partition.
     */
+  /** EXACT trailing-window distinct actives per day: for each day, the
+    * number of DISTINCT `keyCol` values with at least one event in the
+    * `windowDays`-day window ending that day (inclusive) — the rolling
+    * DAU/WAU/MAU family, computed exactly.
+    *
+    * Why not a window function: distinct state is not
+    * mergeable-subtractable, so no sliding frame can carry it; and
+    * re-scanning the corpus once per window-end is windowDays× the IO.
+    * The contribution trick instead: collapse the corpus to the
+    * per-(key, day) DISTINCT relation FIRST (one map-side-combined
+    * aggregate — this is where 100 TB becomes |distinct (key, day)|),
+    * then each (key, day) row serves every window-end it can reach (a
+    * bounded sequence explode of ≤ windowDays day offsets, capped at the
+    * corpus's last day so no phantom future windows appear), and ONE
+    * two-phase count-distinct keyed by window end finishes it. Every
+    * shuffle is bounded by |distinct (key, day)| × windowDays, never by
+    * rows.
+    *
+    * Output: (day_ms BIGINT window end, n_active BIGINT). A window end
+    * appears iff SOME key was active in its trailing window; zero-active
+    * calendar days are unobservable by construction — gap-fill with
+    * [[Intervals]]' LOCF (q167) when a dense calendar is needed.
+    */
+  def rollingDistinct(events: DataFrame, keyCol: String, tsCol: String,
+                      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dayMs = 86400000L
+    val kd = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("_g_k"),
+        unix_millis(date_trunc("DAY", col(tsCol).cast("timestamp")))
+          .as("_g_day"))
+      .distinct()
+    val mx = kd.agg(max(col("_g_day")).as("_g_max"))
+    kd.crossJoin(broadcast(mx))
+      .select(col("_g_k"),
+        explode(sequence(col("_g_day"),
+          least(col("_g_day") + lit(dayMs * (windowDays - 1)),
+            col("_g_max")),
+          lit(dayMs))).as("day_ms"))
+      .groupBy("day_ms")
+      .agg(countDistinct(col("_g_k")).as("n_active"))
+  }
+
   def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
                       tieCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

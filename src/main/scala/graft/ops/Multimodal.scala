@@ -971,6 +971,77 @@ object Multimodal {
     }
   }
 
+  final case class AudioFp(doc_id: Long, n_frames: Long, fp: String)
+
+  /** Audio content fingerprint (the Haitsma–Kalker / Shazam family's
+    * energy-delta core, mono-band form): decode the PCM WAV, sum |sample|
+    * per `frame`-sample frame, and emit one bit per consecutive frame
+    * PAIR — '1' when energy rose, '0' otherwise — capped at `maxBits`
+    * bits. Loudness-profile shape, not raw bytes: two encodings of the
+    * same material fingerprint identically as long as their frame
+    * energies rank the same way, which is why this (and not sha256) is
+    * the audio near-dup key. Sub-two-frame audio fingerprints to the
+    * empty string.
+    *
+    * Row-local mapPartitions (the q122/q180 shape): decode cost is
+    * embarrassingly parallel, nothing shuffles, only the ≤`maxBits`-char
+    * fingerprint leaves the partition.
+    */
+  def audioFingerprint(spark: SparkSession, withPayload: DataFrame,
+                       frame: Int = 200, maxBits: Int = 63):
+      Dataset[AudioFp] = {
+    import spark.implicits._
+    require(frame > 0, s"frame must be positive: $frame")
+    require(maxBits > 0, s"maxBits must be positive: $maxBits")
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWavPcm(bytes).map { case (_, s) =>
+          val nFrames = (s.length + frame - 1) / frame
+          val energies = Array.tabulate(nFrames) { f =>
+            var e = 0L
+            var i = f * frame
+            val end = math.min(s.length, (f + 1) * frame)
+            while (i < end) { e += math.abs(s(i).toLong); i += 1 }
+            e
+          }
+          val bits = new StringBuilder
+          var f = 1
+          while (f < nFrames && bits.length < maxBits) {
+            bits += (if (energies(f) > energies(f - 1)) '1' else '0')
+            f += 1
+          }
+          AudioFp(id, nFrames.toLong, bits.result())
+        }
+      })
+  }
+
+  /** Audio near-dup groups: payloads sharing an energy-delta fingerprint
+    * ([[audioFingerprint]]) form a duplicate family — group_id is the
+    * family's smallest doc id (the corpus canonical-member convention),
+    * group_size its population. Non-decodable payloads are absent (the
+    * quarantine path owns them); a fingerprint-less (sub-two-frame)
+    * decodable payload still groups — with the other sub-two-frame ones,
+    * the honest answer for content too short to profile.
+    *
+    * Shape at 100 TB: decode is row-local; the only shuffle is ONE
+    * aggregate keyed by the ≤63-char fingerprint (map-side combined)
+    * plus the join back, same key. The group census (distinct
+    * fingerprints) is corpus-sized at worst, duplicate-family-sized in
+    * practice; no pair relation ever materializes — exactly the
+    * [[dHash]]-groups posture, audio modality.
+    */
+  def audioNearDupGroups(spark: SparkSession, withPayload: DataFrame,
+                         frame: Int = 200, maxBits: Int = 63): DataFrame = {
+    val fps = audioFingerprint(spark, withPayload, frame, maxBits).toDF()
+    val groups = fps.groupBy("fp")
+      .agg(min(col("doc_id")).as("group_id"),
+        count(lit(1)).as("group_size"))
+    fps.join(groups, Seq("fp"))
+      .select(col("doc_id"), col("n_frames"), col("fp"),
+        col("group_id"), col("group_size"))
+  }
+
   def sceneCuts(frames: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0, s"threshold must be positive: $threshold")
     val w = org.apache.spark.sql.expressions.Window

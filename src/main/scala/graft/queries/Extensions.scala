@@ -6247,6 +6247,157 @@ object Extensions {
       "doc_id", "source", shardsBefore = 9, shardsAfter = 8)
       .orderBy("source"))
 
+  private val q249 = Q("q249_dup_line_doc_filter",
+    "document-level duplicated-line admission (the Gopher/C4 repetition " +
+      "rule, cross-document form — CCNet's 'share of lines seen " +
+      "elsewhere'): per doc, the exact-ppm share of its line occurrences " +
+      "(q87's synthesized 5-word lines) whose line appears in >= 2 " +
+      "distinct docs, keep = dup_ppm <= 300000; where q87 REWRITES " +
+      "documents and q145 lists the boilerplate, this is the drop/keep " +
+      "policy — one line-hash census (filtered to repeated lines before " +
+      "it joins back) + one doc rollup, no window, no self-join",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      ln AS (SELECT doc_id,
+               list_transform(generate_series(0, CAST(ceil(len(ws) / 5.0) AS INT) - 1),
+                 i -> array_to_string(ws[(i*5+1):(i*5+5)], ' ')) AS lines
+             FROM w),
+      sp AS (SELECT doc_id, unnest(lines) AS span FROM ln),
+      cen AS (SELECT span FROM sp GROUP BY span
+              HAVING count(DISTINCT doc_id) >= 2),
+      agg AS (SELECT sp.doc_id, count(*) AS n_lines,
+                sum(CASE WHEN cen.span IS NOT NULL THEN 1 ELSE 0 END)
+                  AS n_dup_lines
+              FROM sp LEFT JOIN cen ON sp.span = cen.span
+              GROUP BY 1)
+      SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+             CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+             CAST((n_dup_lines * 1000000) // n_lines AS BIGINT) AS dup_ppm,
+             (n_dup_lines * 1000000) // n_lines <= 300000 AS keep
+      FROM agg ORDER BY doc_id"""),
+    (s, dir) => {
+      val ws = split(col("text"), " ")
+      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), k - 1),
+            i => array_join(slice(ws, i * 5 + 1, lit(5)), " ")),
+          "\n").as("text"))
+      Dedup.dupLineDocShare(lined, "doc_id", "text",
+        minDocs = 2, maxDupPpm = 300000L)
+        .orderBy("doc_id")
+    })
+
+  private val q250 = Q("q250_audio_neardup_groups",
+    "audio near-dup by content fingerprint (q141's discipline, audio " +
+      "modality): 16-bit PCM WAVs synthesized per doc_id with a shared " +
+      "envelope for doc_id % 7, RIFF-parsed back, fingerprinted as the " +
+      "per-200-sample-frame energy-delta sign bits (the Haitsma-Kalker " +
+      "core), and grouped by fingerprint — group_id = family min id, " +
+      "group_size its population; the only shuffle is one fp-keyed " +
+      "aggregate + the join back, no pair relation; the oracle predicts " +
+      "every sample, frame energy, and bit arithmetically",
+    Some("""
+      WITH par AS (SELECT doc_id, doc_id % 7 AS g FROM documents),
+      p2 AS (SELECT doc_id, g, 600 + (g % 3) * 200 AS n FROM par),
+      ix AS (SELECT doc_id, g, n,
+                    unnest(generate_series(0, n - 1)) AS i
+             FROM p2),
+      s AS (SELECT doc_id, i // 200 AS f,
+              abs(((17 * i * i + 5 * i + g * 1000) % 65536) - 32768) AS a
+            FROM ix),
+      fe AS (SELECT doc_id, f, CAST(sum(a) AS BIGINT) AS e
+             FROM s GROUP BY 1, 2),
+      dl AS (SELECT doc_id, f, e,
+               lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+             FROM fe),
+      fpx AS (SELECT doc_id, count(*) AS n_frames,
+               coalesce(string_agg(CASE WHEN f > 0 THEN
+                   (CASE WHEN e > pe THEN '1' ELSE '0' END) END, ''
+                 ORDER BY f), '') AS fp
+              FROM dl GROUP BY doc_id),
+      gr AS (SELECT fp, min(doc_id) AS group_id, count(*) AS group_size
+             FROM fpx GROUP BY fp)
+      SELECT f.doc_id, CAST(f.n_frames AS BIGINT) AS n_frames, f.fp,
+             gr.group_id, CAST(gr.group_size AS BIGINT) AS group_size
+      FROM fpx f JOIN gr USING (fp)
+      ORDER BY f.doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val g = id % 7
+          val n = (600 + (g % 3) * 200).toInt
+          val samples = Array.tabulate(n) { i =>
+            (((17L * i * i + 5L * i + g * 1000L) % 65536L) - 32768L).toShort
+          }
+          (id, Multimodal.buildWav(8000, samples))
+        }).toDF("doc_id", "payload")
+      Multimodal.audioNearDupGroups(s, payloads, frame = 200, maxBits = 63)
+        .orderBy("doc_id")
+    })
+
+  private val q251 = Q("q251_rolling_distinct_users",
+    "EXACT trailing-7-day distinct active users per day (the rolling " +
+      "DAU/WAU family): distinct state is not mergeable-subtractable, so " +
+      "no sliding frame can carry it — instead the corpus collapses to " +
+      "the distinct (user, day) relation ONCE, each row serves the <= 7 " +
+      "window-ends it can reach (bounded explode, capped at the corpus's " +
+      "last day), and one two-phase count-distinct keyed by window end " +
+      "finishes it; every shuffle is |distinct (user, day)| x 7, never " +
+      "rows",
+    Some("""
+      WITH kd AS (SELECT DISTINCT user_id,
+                    CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      mx AS (SELECT max(day_ms) AS m FROM kd),
+      w AS (SELECT user_id, day_ms + 86400000 * o AS end_ms
+            FROM kd CROSS JOIN mx
+                 CROSS JOIN generate_series(0, 6) t(o)
+            WHERE day_ms + 86400000 * o <= mx.m)
+      SELECT end_ms AS day_ms, count(DISTINCT user_id) AS n_active
+      FROM w GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => EventAnalytics.rollingDistinct(
+      graft.Tables.table(s, dir, "events"), "user_id", "ts", windowDays = 7)
+      .orderBy("day_ms"))
+
+  private val q252 = Q("q252_incremental_minmax",
+    "delete-aware incremental MIN/MAX view maintenance — the aggregate " +
+      "q181's COUNT/SUM algebra can't do (deleting the current min says " +
+      "nothing about the runner-up): keys touched only by inserts merge " +
+      "in O(delta) against the stored aggregate (never reading base); " +
+      "keys with >= 1 delete re-aggregate from base UNION delta via ONE " +
+      "affected-key semi-join, multiset-exact; the split is reported " +
+      "in-band (rescanned BOOLEAN) and the oracle recomputes from " +
+      "scratch — incremental == recompute bit-for-bit",
+    Some("""
+      WITH cur AS (SELECT event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events
+            WHERE event_id % 2 = 1 OR event_id % 10 <> 0),
+      del AS (SELECT DISTINCT event_type FROM events
+              WHERE event_id % 10 = 0)
+      SELECT cur.event_type,
+             CAST(min(c) AS BIGINT) AS min_cents,
+             CAST(max(c) AS BIGINT) AS max_cents,
+             max(CASE WHEN del.event_type IS NULL THEN 0 ELSE 1 END) = 1
+               AS rescanned
+      FROM cur LEFT JOIN del ON cur.event_type = del.event_type
+      GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val ev = graft.Tables.table(s, dir, "events")
+      val base = ev.filter(col("event_id") % 2 === 0)
+      val baseAgg = Diff.minMaxCents(base, Seq("event_type"), "value")
+      val delta = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("op", lit("I"))
+        .unionByName(ev.filter(col("event_id") % 10 === 0)
+          .withColumn("op", lit("D")))
+      Diff.incrementalMinMax(base, baseAgg, delta,
+        Seq("event_type"), "value")
+        .orderBy("event_type")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6261,5 +6412,5 @@ object Extensions {
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
-    q241, q242, q243, q245, q246, q247)
+    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252)
 }

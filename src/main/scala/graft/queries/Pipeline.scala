@@ -811,6 +811,86 @@ object Pipeline {
       s.table(name).orderBy("day_ms")
     })
 
+  private val q248 = Q("q248_streaming_index_admission",
+    "§2.9 × near-dup: q138's incremental admission run the way a standing " +
+      "pipeline runs it — the corpus index (even-id docs) is signed ONCE " +
+      "and persisted as its lshBands relation; odd-id docs arrive as a " +
+      "4-file stream (maxFilesPerTrigger=1, AvailableNow) and every " +
+      "micro-batch pays one signature pass + one bucket-sized keyed join " +
+      "via foreachBatch(dedupAgainstBands), never a corpus re-signature; " +
+      "a doc's annotation never reads other incoming docs, so the drained " +
+      "result is batch-boundary invariant and equals the batch gate " +
+      "bit-for-bit (the foreachBatch parquet append is at-least-once on " +
+      "retry — a production sink pairs it with the q134 ledger discipline; " +
+      "the single AvailableNow drain here has no retry window)",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
+      shs AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
+      sh AS (SELECT doc_id,
+             CAST('0x' || substr(sha256(sh), 1, 15) AS BIGINT) AS p0,
+             CAST('0x' || substr(sha256(sh), 16, 15) AS BIGINT) AS p1,
+             CAST('0x' || substr(sha256(sh), 31, 15) AS BIGINT) AS p2,
+             CAST('0x' || substr(sha256(sh), 46, 15) AS BIGINT) AS p3
+             FROM shs),
+      mh AS (SELECT doc_id, h,
+             min(xor(
+               CASE WHEN h % 4 = 0 THEN p0 WHEN h % 4 = 1 THEN p1
+                    WHEN h % 4 = 2 THEN p2 ELSE p3 END,
+               (CASE WHEN (h + 1) % 4 = 0 THEN p0 WHEN (h + 1) % 4 = 1 THEN p1
+                     WHEN (h + 1) % 4 = 2 THEN p2 ELSE p3 END)
+                 >> ((h * 7) % 29))) AS minh
+             FROM sh CROSS JOIN generate_series(0, 15) t(h) GROUP BY doc_id, h),
+      bands AS (SELECT doc_id, h // 2 AS band,
+                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS band_sig
+                FROM mh GROUP BY doc_id, h // 2),
+      m AS (SELECT inc.doc_id, min(idx.doc_id) AS dup_of,
+                   count(DISTINCT idx.doc_id) AS n_matches
+            FROM bands inc JOIN bands idx
+              ON inc.band = idx.band AND inc.band_sig = idx.band_sig
+            WHERE inc.doc_id % 2 = 1 AND idx.doc_id % 2 = 0
+            GROUP BY 1)
+      SELECT d.doc_id, m.dup_of, coalesce(m.n_matches, 0) AS n_matches
+      FROM documents d LEFT JOIN m USING (doc_id)
+      WHERE d.doc_id % 2 = 1
+      ORDER BY d.doc_id"""),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val idxBands = graft.ops.Dedup.lshBands(
+        graft.ops.Dedup.minHashSignatures(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          numHashes = 16, shingleSize = 3),
+        "doc_id", rowsPerBand = 2).persist()
+      // Materialize the index ONCE, before the first micro-batch would
+      // otherwise charge the build to itself.
+      idxBands.count()
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q248-stage").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q248-out").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-q248-cp").toString
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      withStreamStatePartitions(s, 8) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.ops.Dedup.dedupAgainstBands(batch, idxBands,
+              "doc_id", "text", numHashes = 16, rowsPerBand = 2)
+              .write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      idxBands.unpersist()
+      s.read.parquet(out).orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130, q134, q157, q166, q174, q235, q244)
+    q129, q130, q134, q157, q166, q174, q235, q244, q248)
 }

@@ -58,6 +58,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.size == 4)                     // annotation is total over incoming
   }
 
+  test("dedupAgainstBands: prebuilt index band relation gives the same " +
+    "annotation as dedupAgainstIndex over the raw index docs") {
+    val index = docs.filter($"doc_id".isin(1L, 4L))
+    val incoming = Seq(
+      (2L, base),
+      (3L, base.replace("stone", "brick")),
+      (5L, "entirely novel content that resembles nothing in the index at all today"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(
+      Dedup.minHashSignatures(index, "doc_id", "text",
+        numHashes = 16, shingleSize = 3), "doc_id", rowsPerBand = 2)
+    val viaBands = Dedup.dedupAgainstBands(incoming, bands, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2)
+      .as[(Long, Option[Long], Long)].collect().toSet
+    val viaDocs = Dedup.dedupAgainstIndex(incoming, index, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2)
+      .as[(Long, Option[Long], Long)].collect().toSet
+    assert(viaBands == viaDocs)
+    assert(viaBands.contains((2L, Some(1L), 1L)))
+  }
+
+  test("dupLineDocShare: corpus-repeated lines counted per doc, exact ppm, " +
+    "keep threshold inclusive") {
+    // line L is in docs 1, 2, 3 (repeated); lines u1..u4 are unique.
+    // doc 1: L,u1     → 1/2 dup → 500000 ppm
+    // doc 2: L,u2,u3  → 1/3 dup → 333333 ppm
+    // doc 3: L,L,u4   → 2/3 dup → 666666 ppm (intra-doc occurrences both
+    //                   count: the line IS corpus-repeated)
+    // doc 4: u5       → 0 ppm
+    val lineDocs = Seq(
+      (1L, "shared line\nunique one"),
+      (2L, "shared line\nunique two\nunique three"),
+      (3L, "shared line\nshared line\nunique four"),
+      (4L, "unique five"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupLineDocShare(lineDocs, "doc_id", "text",
+      minDocs = 2, maxDupPpm = 500000L)
+      .select($"doc_id", $"n_lines", $"n_dup_lines", $"dup_ppm", $"keep")
+      .as[(Long, Long, Long, Long, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 500000L, true)))   // boundary: <= keeps
+    assert(got(2L) == ((2L, 3L, 1L, 333333L, true)))
+    assert(got(3L) == ((3L, 3L, 2L, 666666L, false)))
+    assert(got(4L) == ((4L, 1L, 0L, 0L, true)))
+  }
+
   test("budgetSelect: greedy prefix under the budget, deterministic tiebreak") {
     import graft.ops.Sampling
     // source A scores/weights: (id1,w5)(id2,w5)(id3,w4)(id4,w9)

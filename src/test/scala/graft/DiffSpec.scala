@@ -110,4 +110,55 @@ class DiffSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == full)
   }
+
+  test("incrementalMinMax: insert-only keys merge WITHOUT rescan; a delete " +
+    "of the current min recovers the runner-up; duplicates survive one " +
+    "delete; fully-deleted keys leave") {
+    val baseRows = Seq(
+      ("a", 1.00), ("a", 5.00),            // a: delete-free → cheap path
+      ("b", 2.00), ("b", 2.00), ("b", 9.00), // b: min 2.00 twice
+      ("c", 7.00))                          // c: all rows deleted
+      .toDF("k", "value")
+    val baseAgg = Diff.minMaxCents(baseRows, Seq("k"), "value")
+    val delta = Seq(
+      ("a", "I", 0.50),   // new min for a, merge path
+      ("b", "D", 2.00),   // one of b's two 2.00s — min must SURVIVE
+      ("b", "D", 9.00),   // b's max — runner-up (the other 2.00) takes over
+      ("c", "D", 7.00),   // c leaves the relation
+      ("d", "I", 3.00))   // brand-new key, merge path
+      .toDF("k", "op", "value")
+    val got = Diff.incrementalMinMax(baseRows, baseAgg, delta,
+      Seq("k"), "value")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 50L, 500L, false),
+      ("b", 200L, 200L, true),
+      ("d", 300L, 300L, false)))
+    // incremental ≡ recompute over the effective row set
+    val effective = Seq(("a", 0.50), ("a", 1.00), ("a", 5.00),
+      ("b", 2.00), ("d", 3.00)).toDF("k", "value")
+    val full = Diff.minMaxCents(effective, Seq("k"), "value")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == full)
+  }
+
+  test("incrementalMinMax: a delete with no surviving occurrence raises; " +
+    "so does an unknown op") {
+    val baseRows = Seq(("a", 1.00)).toDF("k", "value")
+    val baseAgg = Diff.minMaxCents(baseRows, Seq("k"), "value")
+    val phantom = Seq(("a", "D", 9.99)).toDF("k", "op", "value")
+    val e1 = intercept[Exception] {
+      Diff.incrementalMinMax(baseRows, baseAgg, phantom, Seq("k"), "value")
+        .collect()
+    }
+    assert(e1.getMessage.contains("no surviving occurrence") ||
+      Option(e1.getCause).exists(_.getMessage.contains("no surviving occurrence")))
+    val badOp = Seq(("a", "U", 1.00)).toDF("k", "op", "value")
+    val e2 = intercept[Exception] {
+      Diff.incrementalMinMax(baseRows, baseAgg, badOp, Seq("k"), "value")
+        .collect()
+    }
+    assert(e2.getMessage.contains("op must be") ||
+      Option(e2.getCause).exists(_.getMessage.contains("op must be")))
+  }
 }

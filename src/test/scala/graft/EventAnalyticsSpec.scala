@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
+
 import graft.ops.EventAnalytics
 
 /** Funnel/retention (q115/q116 operators): the sequence edge cases the
@@ -183,5 +185,39 @@ class EventAnalyticsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("must cast to long") ||
       Option(ex.getCause).exists(_.getMessage.contains("must cast to long")))
+  }
+
+  test("rollingDistinct: trailing window, intra-day dups collapse, " +
+    "no phantom windows past the last day, nulls dropped") {
+    // A active days 1 and 3 (twice on day 1), B active day 3; window = 2.
+    // ends: (A,d1)→{d1,d2}; (A,d3)→{d3} (d4 > max day — capped);
+    //       (B,d3)→{d3}  ⇒  d1:1, d2:1 (trailing!), d3:2
+    val d1 = "2024-01-01"; val d3 = "2024-01-03"
+    val e = ev(
+      (1L, s"$d1 08:00:00", "x"), (1L, s"$d1 22:00:00", "x"),
+      (1L, s"$d3 10:00:00", "x"), (2L, s"$d3 11:00:00", "x"))
+      .unionByName(Seq((Option.empty[Long], s"$d1 09:00:00"))
+        .toDF("user_id", "s")
+        .withColumn("ts", $"s".cast("timestamp")).drop("s")
+        .withColumn("event_type", lit("x")))
+    val got = EventAnalytics.rollingDistinct(e, "user_id", "ts",
+      windowDays = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val day1 = java.sql.Timestamp.valueOf(s"$d1 00:00:00").getTime
+    val dms = 86400000L
+    assert(got == Seq((day1, 1L), (day1 + dms, 1L), (day1 + 2 * dms, 2L)))
+  }
+
+  test("rollingDistinct: windowDays = 1 is plain daily distinct; bad window throws") {
+    val e = ev((1L, "2024-01-01 08:00:00", "x"),
+      (2L, "2024-01-01 09:00:00", "x"),
+      (1L, "2024-01-02 09:00:00", "x"))
+    val got = EventAnalytics.rollingDistinct(e, "user_id", "ts", 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val day1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    assert(got == Seq((day1, 2L), (day1 + 86400000L, 1L)))
+    assertThrows[IllegalArgumentException] {
+      EventAnalytics.rollingDistinct(e, "user_id", "ts", 0)
+    }
   }
 }

@@ -309,4 +309,47 @@ class MultimodalSpec extends SparkSpec {
     // silent → 1 of 3
     assert(f.silence_ppm == 333333L)
   }
+
+  test("audioFingerprint: energy-delta bits, maxBits cap, scale invariance") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    // frame=2 → energies: |10|+|20|=30, |5|+|5|=10, |40|+|0|=40, tail |8|=8
+    // deltas: 10<30 → '0', 40>10 → '1', 8<40 → '0'
+    val s = Array[Short](10, -20, 5, 5, 40, 0, 8)
+    val half = s.map(v => (v / 2).toShort) // same energy ORDER, half loudness
+    val df = Seq(
+      (1L, Multimodal.buildWav(8000, s)),
+      (2L, Multimodal.buildWav(8000, half)),
+      (3L, Array[Byte](1, 2, 3)),           // undecodable → quarantined
+      (4L, Multimodal.buildWav(8000, Array[Short](7)))) // 1 frame → "" fp
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioFingerprint(spark, df, frame = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(got(1L).fp == "010" && got(1L).n_frames == 4L)
+    assert(got(2L).fp == "010")               // loudness-invariant shape
+    assert(!got.contains(3L))                 // decode failure is absent
+    assert(got(4L).fp == "" && got(4L).n_frames == 1L)
+    val capped = Multimodal.audioFingerprint(spark, df, frame = 2,
+      maxBits = 2).collect().map(f => f.doc_id -> f.fp).toMap
+    assert(capped(1L) == "01")
+  }
+
+  test("audioNearDupGroups: same fingerprint → one family, min-id canonical") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val a = Array[Short](10, -20, 5, 5, 40, 0, 8)   // fp 010
+    val b = a.map(v => (v / 2).toShort)              // fp 010 (near dup of a)
+    // energies 10, 40, 30, 8 → deltas '1', '0', '0'
+    val c = Array[Short](5, 5, 40, 0, 10, -20, 8)
+    val df = Seq((5L, Multimodal.buildWav(8000, a)),
+      (2L, Multimodal.buildWav(8000, b)),
+      (9L, Multimodal.buildWav(8000, c)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioNearDupGroups(spark, df, frame = 2)
+      .select($"doc_id", $"group_id", $"group_size")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(5L) == ((2L, 2L)))   // family canonical = min id (2)
+    assert(got(2L) == ((2L, 2L)))
+    assert(got(9L) == ((9L, 1L)))   // different shape is its own family
+  }
 }

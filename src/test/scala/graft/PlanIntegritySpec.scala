@@ -756,4 +756,33 @@ class PlanIntegritySpec extends SparkSpec {
       s"expected <=2 hash exchanges (census + window), got $hashExchanges:\n$p")
     assert(p.contains("Window"), s"cumulative size must be ONE window:\n$p")
   }
+
+  test("q249: dup-line filter tokenizes ONCE — one explode, no join, the " +
+    "line-hash window rides the (sh, doc) aggregate's exchange") {
+    val p = plan("q249_dup_line_doc_filter")
+    val explodes = p.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes == 1,
+      s"census+join-back re-tokenization crept back in ($explodes explodes):\n$p")
+    assert(!p.contains("Join"), s"no self-join in the single-pass shape:\n$p")
+    assert(p.contains("Window"), s"per-line doc count must be a window:\n$p")
+  }
+
+  test("q251: rolling distinct collapses to the (key, day) relation FIRST " +
+    "(partial distinct before the explode) and broadcasts the max-day " +
+    "scalar — no sort-merge join, one bounded explode") {
+    val p = plan("q251_rolling_distinct_users")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row max-day side must broadcast:\n$p")
+    val explodes = p.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes == 1, s"expected the one window-end explode:\n$p")
+    // the distinct (key, day) aggregate must sit BELOW the explode: the
+    // first HashAggregate pair appears before any Generate in the
+    // bottom-up plan string (executedPlan prints top-down, so the
+    // aggregate line index is GREATER than the explode's)
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    val aggBelow = lines.drop(genIdx + 1).exists(_.contains("HashAggregate"))
+    assert(genIdx >= 0 && aggBelow,
+      s"corpus must collapse to distinct (key, day) BEFORE exploding:\n$p")
+  }
 }
