@@ -65,4 +65,70 @@ object Sessionize {
         min(col("_tms")).as("start_ms"),
         max(col("_tms")).as("end_ms"))
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+
+  /** Hard-cap sessionization — the GA4/telemetry variant the two-window
+    * trick above CANNOT express: a session closes at an inactivity gap >
+    * `gapMs` (as [[sessionize]]) OR when the next event would stretch the
+    * session past `capMs` measured from its START. The cap makes the
+    * recurrence non-associative (every split MOVES the start the next
+    * comparison measures from — a steady sub-gap drip under plain gap
+    * splitting is one endless session; under the cap it re-anchors every
+    * capMs), so no window/aggregate computes it; the honest primitive is
+    * the secondary-sort scan (the [[graft.ops.EventAnalytics.tokenBucketAdmit]]
+    * family): ONE shuffle on the key, partition-local spillable sort,
+    * O(1) state per row — hot keys cost time, not memory. The summary
+    * aggregate reuses the scan's key partitioning (key is a grouping
+    * prefix), so the whole operator is one exchange.
+    *
+    * Same numeric-key contract as tokenBucketAdmit: key/id must cast to
+    * long (loud raise on a non-castable value — a silently dropped row
+    * would shift every later session index); NULL key/ts rows are
+    * excluded by documented policy (an event with no time cannot be
+    * placed; NULL keys don't belong to anyone).
+    *
+    * Output: (keyCol, session_idx 1-based, n_events, start_ms, end_ms,
+    * duration_ms ≤ capMs by construction).
+    */
+  def sessionizeCapped(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, gapMs: Long, capMs: Long): DataFrame = {
+    require(gapMs >= 1, s"gapMs must be >= 1: $gapMs")
+    require(capMs >= 1, s"capMs must be >= 1: $capMs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def checkedCast(c: Column, what: String) =
+      when(c.isNotNull && c.try_cast("long").isNull,
+        raise_error(concat(
+          lit(s"sessionizeCapped: $what must cast to long, got "),
+          c.cast("string"))))
+        .otherwise(c.try_cast("long"))
+    val base = events
+      .select(checkedCast(col(keyCol), keyCol).as("_k"),
+        unix_millis(col(tsCol)).as("_ts"),
+        checkedCast(col(idCol), idCol).as("_id"))
+      .filter(col("_k").isNotNull && col("_ts").isNotNull)
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k"), col("_ts"), col("_id"))
+      .as[(Long, Long, Long)]
+    base.mapPartitions { it =>
+      var curKey = 0L
+      var started = false
+      var sid = 0L
+      var startMs = 0L
+      var lastTs = 0L
+      it.map { case (k, ts, _) =>
+        if (!started || k != curKey) {
+          curKey = k; started = true; sid = 1L; startMs = ts
+        } else if (ts - lastTs > gapMs || ts - startMs > capMs) {
+          sid += 1L; startMs = ts
+        }
+        lastTs = ts
+        (k, sid, ts)
+      }
+    }.toDF(keyCol, "session_idx", "_tms")
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("_tms")).as("start_ms"),
+        max(col("_tms")).as("end_ms"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -6398,6 +6399,89 @@ object Extensions {
         .orderBy("event_type")
     })
 
+  private val q253 = Q("q253_window_rank_family",
+    "§2.5 completion — the distribution/navigation window functions q10 " +
+      "left out: ntile(4), percent_rank, cume_dist (both ppm-floored: the " +
+      "(rank-1)/(n-1) IEEE division is bit-identical across engines on a " +
+      "tie-free (cents, event_id) order), and first/last/nth_value over " +
+      "an explicit full frame (default frames differ in subtle ways — " +
+      "pinned UNBOUNDED..UNBOUNDED so navigation is frame-unambiguous); " +
+      "one window exchange serves all six functions",
+    Some("""
+      WITH e AS (SELECT event_id, event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events WHERE event_id % 7 = 0)
+      SELECT event_id, event_type, cents,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm,
+        CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm,
+        first_value(cents) OVER wf AS min_cents_in_type,
+        last_value(cents) OVER wf AS max_cents_in_type,
+        nth_value(cents, 2) OVER wf AS second_cents
+      FROM e
+      WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id),
+        wf AS (PARTITION BY event_type ORDER BY cents, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      e.select(col("event_id"), col("event_type"), col("cents"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        floor(percent_rank().over(w) * lit(1000000)).cast("long")
+          .as("pr_ppm"),
+        floor(cume_dist().over(w) * lit(1000000)).cast("long").as("cd_ppm"),
+        first(col("cents")).over(wf).as("min_cents_in_type"),
+        last(col("cents")).over(wf).as("max_cents_in_type"),
+        nth_value(col("cents"), 2).over(wf).as("second_cents"))
+        .orderBy("event_id")
+    })
+
+  private val q254 = Q("q254_sessionize_capped",
+    "hard-cap sessionization (the GA4/telemetry rule): close at a 30-min " +
+      "idle gap OR when an event would stretch the session past 15 min " +
+      "from its START (cap < gap — the sub-gap drip case the cap exists " +
+      "for; 224 gap-only sessions split under it at sf0.01) — the cap " +
+      "re-anchors the start at every split, making " +
+      "the recurrence non-associative (q65's two-window trick can't " +
+      "express it), so the op is the q233-family secondary-sort scan: " +
+      "one key shuffle, partition-local sort, O(1) state per row; the " +
+      "oracle replays the same recurrence as a recursive CTE",
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id AS k, epoch_ms(ts) AS ts_ms,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      scan AS (
+        SELECT k, rn, ts_ms, CAST(1 AS BIGINT) AS sid, ts_ms AS start_ms
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.k, e.rn, e.ts_ms,
+          CASE WHEN e.ts_ms - s.ts_ms > 1800000
+                 OR e.ts_ms - s.start_ms > 900000
+               THEN s.sid + 1 ELSE s.sid END,
+          CASE WHEN e.ts_ms - s.ts_ms > 1800000
+                 OR e.ts_ms - s.start_ms > 900000
+               THEN e.ts_ms ELSE s.start_ms END
+        FROM ev e JOIN scan s ON e.k = s.k AND e.rn = s.rn + 1)
+      SELECT k AS user_id, sid AS session_idx,
+        count(*) AS n_events,
+        CAST(min(ts_ms) AS BIGINT) AS start_ms,
+        CAST(max(ts_ms) AS BIGINT) AS end_ms,
+        CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS duration_ms
+      FROM scan GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => Sessionize.sessionizeCapped(
+      graft.Tables.table(s, dir, "events"), "user_id", "ts", "event_id",
+      gapMs = 1800000L, capMs = 900000L)
+      .orderBy("user_id", "session_idx"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6412,5 +6496,5 @@ object Extensions {
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
-    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252)
+    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254)
 }

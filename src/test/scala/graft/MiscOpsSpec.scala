@@ -1142,6 +1142,59 @@ class SessionizeSpec extends SparkSpec {
       .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
     assert(assigned == Map(2L -> 1L, 9L -> 1L, 5L -> 2L))
   }
+
+  test("sessionizeCapped: the cap re-anchors at each split — a steady " +
+    "sub-gap drip splits every capMs where plain gap splitting never does") {
+    // drip: events every 40s (gap 60s never fires), cap 100s.
+    // t=0 starts s1 (start 0); t=40,80 stay (<=100 from start);
+    // t=120 > 100 from 0 -> s2 (start 120); t=160,200 stay; t=240 -> s3.
+    val ev = (0L to 240000L by 40000L).zipWithIndex.map { case (ms, i) =>
+      (i.toLong + 1L, 1L, ms)
+    }.toDF("event_id", "user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val got = Sessionize.sessionizeCapped(ev, "user_id", "ts", "event_id",
+      gapMs = 60000L, capMs = 100000L)
+      .orderBy("session_idx")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 1L, 3L, 0L, 80000L, 80000L),
+      (1L, 2L, 3L, 120000L, 200000L, 80000L),
+      (1L, 3L, 1L, 240000L, 240000L, 0L)))
+    // the gap-only twin keeps the drip as ONE session
+    val plain = Sessionize.sessionize(ev, "user_id", "ts", "event_id", 60000L)
+    assert(plain.count() == 1L)
+  }
+
+  test("sessionizeCapped: boundary (exactly capMs from start stays), gap " +
+    "still splits independently, null key/ts rows excluded") {
+    val ev = Seq(
+      (1L, Some(1L), Some(0L)),
+      (2L, Some(1L), Some(50000L)),    // gap 50s, 50s from start -> stays
+      (3L, Some(1L), Some(100000L)),   // gap 50s, EXACTLY cap from start -> stays
+      (4L, Some(1L), Some(170000L)),   // gap 70s > 60s -> splits (session 2)
+      (5L, None, Some(5000L)),         // null key -> excluded
+      (6L, Some(2L), None))            // null ts -> excluded
+      .toDF("event_id", "user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val got = Sessionize.sessionizeCapped(ev, "user_id", "ts", "event_id",
+      gapMs = 60000L, capMs = 100000L)
+      .orderBy("user_id", "session_idx")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 1L, 3L, 0L, 100000L, 100000L),
+      (1L, 2L, 1L, 170000L, 170000L, 0L)))
+  }
+
+  test("sessionizeCapped: non-castable key raises instead of dropping rows") {
+    val ev = Seq(("not-a-number", 1L, 0L))
+      .toDF("user_id", "event_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val e = intercept[Exception](
+      Sessionize.sessionizeCapped(ev, "user_id", "ts", "event_id",
+        60000L, 100000L).collect())
+    assert(e.getMessage.contains("must cast to long") ||
+      Option(e.getCause).exists(_.getMessage.contains("must cast to long")))
+  }
 }
 
 /** Table profiler: exact stats on a hand-built frame with nulls, and the
