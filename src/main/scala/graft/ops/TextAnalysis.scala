@@ -59,6 +59,43 @@ object TextAnalysis {
     scrubbed.withColumnRenamed("__pii_work", "text_redacted")
   }
 
+  /** Markup → text extraction — the web-corpus ingestion stage (the
+    * trafilatura/jusText core, regex tier): strip <script> and <style>
+    * ELEMENTS whole (their body is code, not prose — and code may contain
+    * bare `<` that is not markup, so element removal must happen BEFORE
+    * tag stripping), then strip remaining tags, collapse whitespace runs,
+    * trim. Counts ride along for corpus hygiene metrics: n_scripts
+    * (removed script elements), n_links (anchor openings), n_tags
+    * (markup tags REMAINING after element removal — tags inside script
+    * bodies are code, not document structure, and don't count).
+    *
+    * Row-local column expressions (one scan, zero exchanges, no UDF);
+    * every pattern is shared verbatim with the DuckDB oracle — inline
+    * (?is) flags, non-greedy element bodies, and `\s` all mean the same
+    * thing in java.util.regex and RE2 for this pattern set (no \x0B in
+    * play — the one `\s` divergence between the engines).
+    *
+    * Output: idCol, n_scripts, n_links, n_tags, text_clean.
+    */
+  def stripMarkup(docs: DataFrame, idCol: String = "doc_id",
+                  htmlCol: String = "html"): DataFrame = {
+    val scriptPat = "(?is)<script[^>]*>.*?</script>"
+    val stylePat = "(?is)<style[^>]*>.*?</style>"
+    val tagPat = "<[^>]+>"
+    val noElems = regexp_replace(
+      regexp_replace(col(htmlCol), scriptPat, " "), stylePat, " ")
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(htmlCol), lit(scriptPat), lit(0)))
+        .cast("long").as("n_scripts"),
+      size(regexp_extract_all(col(htmlCol), lit("(?i)<a[\\s>]"), lit(0)))
+        .cast("long").as("n_links"),
+      size(regexp_extract_all(noElems, lit(tagPat), lit(0)))
+        .cast("long").as("n_tags"),
+      trim(regexp_replace(regexp_replace(noElems, tagPat, " "), "\\s+", " "))
+        .as("text_clean"))
+  }
+
   /** Luhn mod-10 checksum over a digits-only string column — the
     * validation half of payment-card detection ([[redactPii]]'s digit-run
     * regex is the RECALL half; most 13–19 digit runs are order ids and

@@ -6482,6 +6482,55 @@ object Extensions {
       gapMs = 1800000L, capMs = 900000L)
       .orderBy("user_id", "session_idx"))
 
+  private val q255 = Q("q255_markup_extraction",
+    "web-corpus text extraction (the trafilatura/jusText core, regex " +
+      "tier): documents wrapped in synthesized HTML — head/style/script " +
+      "(whose body holds a bare '<' that is NOT markup), nav links, " +
+      "inline <b> around ' and ' — then script/style ELEMENTS stripped " +
+      "whole BEFORE tag stripping, whitespace collapsed; n_scripts/" +
+      "n_links/n_tags ride along for hygiene metrics; row-local column " +
+      "expressions, every regex shared verbatim with the oracle",
+    Some("""
+      WITH h AS (SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        '</title><style>body{margin:0;font:12px arial}</style><script>var a=' ||
+        CAST(doc_id AS VARCHAR) ||
+        ';if(a<9){a=9}</script></head><body><nav><a href="/">home</a> <a href="/docs">docs</a></nav><h1>Doc ' ||
+        CAST(doc_id AS VARCHAR) ||
+        '</h1><p>' || regexp_replace(text, ' and ', ' <b>and</b> ', 'g') ||
+        '</p><footer>(c) example</footer></body></html>' AS html
+        FROM documents),
+      st AS (SELECT doc_id, html,
+        regexp_replace(regexp_replace(html,
+          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS no_elems
+        FROM h)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(html,
+          '(?is)<script[^>]*>.*?</script>')) AS BIGINT) AS n_scripts,
+        CAST(len(regexp_extract_all(html, '(?i)<a[\s>]')) AS BIGINT)
+          AS n_links,
+        CAST(len(regexp_extract_all(no_elems, '<[^>]+>')) AS BIGINT)
+          AS n_tags,
+        trim(regexp_replace(regexp_replace(no_elems, '<[^>]+>', ' ', 'g'),
+          '\s+', ' ', 'g')) AS text_clean
+      FROM st ORDER BY doc_id"""),
+    (s, dir) => {
+      val idS = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), idS,
+        lit("</title><style>body{margin:0;font:12px arial}</style>" +
+          "<script>var a="), idS,
+        lit(";if(a<9){a=9}</script></head><body><nav><a href=\"/\">home" +
+          "</a> <a href=\"/docs\">docs</a></nav><h1>Doc "), idS,
+        lit("</h1><p>"),
+        regexp_replace(col("text"), " and ", " <b>and</b> "),
+        lit("</p><footer>(c) example</footer></body></html>"))
+      TextAnalysis.stripMarkup(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")))
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6496,5 +6545,5 @@ object Extensions {
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
-    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254)
+    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255)
 }

@@ -31,6 +31,24 @@ class MiscOpsSpec extends SparkSpec {
     assert(got(4L) == ((4L, 1L, 1L, 0L, "<EMAIL> then <IPV4>")))
   }
 
+  test("stripMarkup: script body's bare '<' is code not markup; tags " +
+    "inside script don't count; case-insensitive elements; ws collapse") {
+    val docs = Seq(
+      (1L, "<html><SCRIPT>if(a<9){b=\"<i>\"}</SCRIPT><p>hello   " +
+        "<b>world</b></p><a href=\"/x\">link</a></html>"),
+      (2L, "<style>p{color:red}</style>plain  text"),
+      (3L, "no markup at all"))
+      .toDF("doc_id", "html")
+    val got = graft.ops.TextAnalysis.stripMarkup(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    // doc 1: 1 script (removed whole, incl. its '<i>' and bare '<');
+    // 1 link; remaining tags: html, p, b, /b, /p, a, /a, /html = 8
+    assert(got(1L) == ((1L, 1L, 1L, 8L, "hello world link")))
+    assert(got(2L) == ((2L, 0L, 0L, 0L, "plain text")))
+    assert(got(3L) == ((3L, 0L, 0L, 0L, "no markup at all")))
+  }
+
   test("dedupSpans keeps the corpus-wide FIRST occurrence of each span") {
     val docs = Seq(
       (1L, "alpha\nshared\nbeta"),
