@@ -208,8 +208,12 @@ object Graph {
         stable = mat.agg(sum(col("_chg"))).head().getLong(0) == 0L
         labels = mat.drop("_chg")
       } else {
-        val cut = checkpointEvery > 0 &&
-          (r % checkpointEvery == 0 || r == rounds)
+        // no cut on the FINAL round even when the cadence lands there:
+        // the persist+count on the way out materializes the same
+        // node-sized relation eagerly anyway, and a final-round
+        // localCheckpoint(true) would run that job twice
+        val cut = checkpointEvery > 0 && r % checkpointEvery == 0 &&
+          r != rounds
         val next = step.drop("_chg")
         labels = if (cut) next.localCheckpoint(true) else next
       }

@@ -1024,20 +1024,19 @@ object Multimodal {
     * decodable payload still groups — with the other sub-two-frame ones,
     * the honest answer for content too short to profile.
     *
-    * Shape at 100 TB: decode is row-local; the only shuffle is ONE
-    * aggregate keyed by the ≤63-char fingerprint (map-side combined)
-    * plus the join back, same key. The group census (distinct
-    * fingerprints) is corpus-sized at worst, duplicate-family-sized in
-    * practice; no pair relation ever materializes — exactly the
-    * [[dHash]]-groups posture, audio modality.
+    * Shape at 100 TB: decode is row-local and runs ONCE — the family
+    * stats are windows over the fingerprint, riding a single fp-keyed
+    * exchange (a groupBy + join-back would feed the decode lineage to
+    * BOTH sides and decode every payload twice — the census-join-back
+    * trap, decode flavor). No pair relation ever materializes — exactly
+    * the [[dHash]]-groups posture, audio modality.
     */
   def audioNearDupGroups(spark: SparkSession, withPayload: DataFrame,
                          frame: Int = 200, maxBits: Int = 63): DataFrame = {
-    val fps = audioFingerprint(spark, withPayload, frame, maxBits).toDF()
-    val groups = fps.groupBy("fp")
-      .agg(min(col("doc_id")).as("group_id"),
-        count(lit(1)).as("group_size"))
-    fps.join(groups, Seq("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    audioFingerprint(spark, withPayload, frame, maxBits).toDF()
+      .withColumn("group_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("n_frames"), col("fp"),
         col("group_id"), col("group_size"))
   }

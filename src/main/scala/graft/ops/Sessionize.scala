@@ -84,7 +84,10 @@ object Sessionize {
     * long (loud raise on a non-castable value — a silently dropped row
     * would shift every later session index); NULL key/ts rows are
     * excluded by documented policy (an event with no time cannot be
-    * placed; NULL keys don't belong to anyone).
+    * placed; NULL keys don't belong to anyone). A NULL id raises — even
+    * on rows the key/ts policy would exclude: the tie column is an
+    * integrity requirement, not a filter, and letting it through would
+    * die as an opaque encoder error instead of a named one.
     *
     * Output: (keyCol, session_idx 1-based, n_events, start_ms, end_ms,
     * duration_ms ≤ capMs by construction).
@@ -101,10 +104,19 @@ object Sessionize {
           lit(s"sessionizeCapped: $what must cast to long, got "),
           c.cast("string"))))
         .otherwise(c.try_cast("long"))
+    // the tie column is a data-integrity REQUIREMENT (a null id cannot be
+    // ordered): raise, don't exclude — exclusion is only for key/ts, and a
+    // null id slipping past it would die as an opaque encoder error at
+    // the Dataset[(Long, Long, Long)] boundary instead of this message
+    val checkedId =
+      when(col(idCol).isNull,
+        raise_error(lit(s"sessionizeCapped: $idCol (the tie column) " +
+          "must be non-null")))
+        .otherwise(checkedCast(col(idCol), idCol))
     val base = events
       .select(checkedCast(col(keyCol), keyCol).as("_k"),
         unix_millis(col(tsCol)).as("_ts"),
-        checkedCast(col(idCol), idCol).as("_id"))
+        checkedId.as("_id"))
       .filter(col("_k").isNotNull && col("_ts").isNotNull)
       .repartition(col("_k"))
       .sortWithinPartitions(col("_k"), col("_ts"), col("_id"))

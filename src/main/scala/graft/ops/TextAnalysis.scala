@@ -65,9 +65,10 @@ object TextAnalysis {
     * bare `<` that is not markup, so element removal must happen BEFORE
     * tag stripping), then strip remaining tags, collapse whitespace runs,
     * trim. Counts ride along for corpus hygiene metrics: n_scripts
-    * (removed script elements), n_links (anchor openings), n_tags
-    * (markup tags REMAINING after element removal — tags inside script
-    * bodies are code, not document structure, and don't count).
+    * (removed script elements), and n_links/n_tags — both measured on
+    * the element-STRIPPED document, consistently: markup inside script
+    * bodies (document.write('<a …')) is code, not document structure,
+    * and counts toward neither.
     *
     * Row-local column expressions (one scan, zero exchanges, no UDF);
     * every pattern is shared verbatim with the DuckDB oracle — inline
@@ -88,7 +89,7 @@ object TextAnalysis {
       col(idCol),
       size(regexp_extract_all(col(htmlCol), lit(scriptPat), lit(0)))
         .cast("long").as("n_scripts"),
-      size(regexp_extract_all(col(htmlCol), lit("(?i)<a[\\s>]"), lit(0)))
+      size(regexp_extract_all(noElems, lit("(?i)<a[\\s>]"), lit(0)))
         .cast("long").as("n_links"),
       size(regexp_extract_all(noElems, lit(tagPat), lit(0)))
         .cast("long").as("n_tags"),

@@ -2227,15 +2227,13 @@ object Extensions {
     (s, dir) => Profile.winsorize(t(s, dir, "documents"), "lang", "n_chars")
       .orderBy("lang"))
 
-  private val q138 = Q("q138_dedup_against_index",
-    "incremental near-dup admission: odd-id docs (the incoming batch) " +
-      "annotated with their MinHash(16)/LSH(8x2) match against even-id " +
-      "docs (the standing corpus index) — dup_of = smallest colliding " +
-      "index id (NULL = novel), n_matches = distinct colliding index " +
-      "docs; production persists the index band relation, so each batch " +
-      "costs one signature pass + one bucket-sized keyed join, never " +
-      "batch x corpus",
-    Some("""
+  /** The odd-vs-even MinHash(16)/LSH(8×2) admission oracle, shared by the
+    * batch gate (q138) and its streaming twin (q248 — whose whole point
+    * is that the drained result equals the batch answer bit-for-bit, so
+    * the oracles MUST be one text: a recipe tweak that touched only one
+    * copy would silently desynchronize two gates pinning one operator).
+    */
+  private[queries] val minHashAdmissionOracle: String = """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
       shs AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
@@ -2265,7 +2263,17 @@ object Extensions {
       SELECT d.doc_id, m.dup_of, coalesce(m.n_matches, 0) AS n_matches
       FROM documents d LEFT JOIN m USING (doc_id)
       WHERE d.doc_id % 2 = 1
-      ORDER BY d.doc_id"""),
+      ORDER BY d.doc_id"""
+
+  private val q138 = Q("q138_dedup_against_index",
+    "incremental near-dup admission: odd-id docs (the incoming batch) " +
+      "annotated with their MinHash(16)/LSH(8x2) match against even-id " +
+      "docs (the standing corpus index) — dup_of = smallest colliding " +
+      "index id (NULL = novel), n_matches = distinct colliding index " +
+      "docs; production persists the index band relation, so each batch " +
+      "costs one signature pass + one bucket-sized keyed join, never " +
+      "batch x corpus",
+    Some(minHashAdmissionOracle),
     (s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.dedupAgainstIndex(
@@ -6508,7 +6516,7 @@ object Extensions {
       SELECT doc_id,
         CAST(len(regexp_extract_all(html,
           '(?is)<script[^>]*>.*?</script>')) AS BIGINT) AS n_scripts,
-        CAST(len(regexp_extract_all(html, '(?i)<a[\s>]')) AS BIGINT)
+        CAST(len(regexp_extract_all(no_elems, '(?i)<a[\s>]')) AS BIGINT)
           AS n_links,
         CAST(len(regexp_extract_all(no_elems, '<[^>]+>')) AS BIGINT)
           AS n_tags,

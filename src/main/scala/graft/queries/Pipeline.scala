@@ -823,37 +823,7 @@ object Pipeline {
       "bit-for-bit (the foreachBatch parquet append is at-least-once on " +
       "retry — a production sink pairs it with the q134 ledger discipline; " +
       "the single AvailableNow drain here has no retry window)",
-    Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
-      shs AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
-      sh AS (SELECT doc_id,
-             CAST('0x' || substr(sha256(sh), 1, 15) AS BIGINT) AS p0,
-             CAST('0x' || substr(sha256(sh), 16, 15) AS BIGINT) AS p1,
-             CAST('0x' || substr(sha256(sh), 31, 15) AS BIGINT) AS p2,
-             CAST('0x' || substr(sha256(sh), 46, 15) AS BIGINT) AS p3
-             FROM shs),
-      mh AS (SELECT doc_id, h,
-             min(xor(
-               CASE WHEN h % 4 = 0 THEN p0 WHEN h % 4 = 1 THEN p1
-                    WHEN h % 4 = 2 THEN p2 ELSE p3 END,
-               (CASE WHEN (h + 1) % 4 = 0 THEN p0 WHEN (h + 1) % 4 = 1 THEN p1
-                     WHEN (h + 1) % 4 = 2 THEN p2 ELSE p3 END)
-                 >> ((h * 7) % 29))) AS minh
-             FROM sh CROSS JOIN generate_series(0, 15) t(h) GROUP BY doc_id, h),
-      bands AS (SELECT doc_id, h // 2 AS band,
-                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS band_sig
-                FROM mh GROUP BY doc_id, h // 2),
-      m AS (SELECT inc.doc_id, min(idx.doc_id) AS dup_of,
-                   count(DISTINCT idx.doc_id) AS n_matches
-            FROM bands inc JOIN bands idx
-              ON inc.band = idx.band AND inc.band_sig = idx.band_sig
-            WHERE inc.doc_id % 2 = 1 AND idx.doc_id % 2 = 0
-            GROUP BY 1)
-      SELECT d.doc_id, m.dup_of, coalesce(m.n_matches, 0) AS n_matches
-      FROM documents d LEFT JOIN m USING (doc_id)
-      WHERE d.doc_id % 2 = 1
-      ORDER BY d.doc_id"""),
+    Some(Extensions.minHashAdmissionOracle),
     (s, dir) => {
       val docs = Tables.table(s, dir, "documents")
       val idxBands = graft.ops.Dedup.lshBands(

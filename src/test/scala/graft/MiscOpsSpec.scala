@@ -34,7 +34,7 @@ class MiscOpsSpec extends SparkSpec {
   test("stripMarkup: script body's bare '<' is code not markup; tags " +
     "inside script don't count; case-insensitive elements; ws collapse") {
     val docs = Seq(
-      (1L, "<html><SCRIPT>if(a<9){b=\"<i>\"}</SCRIPT><p>hello   " +
+      (1L, "<html><SCRIPT>if(a<9){b=\"<i><a href=x>\"}</SCRIPT><p>hello   " +
         "<b>world</b></p><a href=\"/x\">link</a></html>"),
       (2L, "<style>p{color:red}</style>plain  text"),
       (3L, "no markup at all"))
@@ -42,8 +42,9 @@ class MiscOpsSpec extends SparkSpec {
     val got = graft.ops.TextAnalysis.stripMarkup(docs)
       .as[(Long, Long, Long, Long, String)].collect()
       .map(t => t._1 -> t).toMap
-    // doc 1: 1 script (removed whole, incl. its '<i>' and bare '<');
-    // 1 link; remaining tags: html, p, b, /b, /p, a, /a, /html = 8
+    // doc 1: 1 script (removed whole, incl. its '<i>', '<a href=x>' and
+    // bare '<'); 1 link — the script-body anchor is code, not structure;
+    // remaining tags: html, p, b, /b, /p, a, /a, /html = 8
     assert(got(1L) == ((1L, 1L, 1L, 8L, "hello world link")))
     assert(got(2L) == ((2L, 0L, 0L, 0L, "plain text")))
     assert(got(3L) == ((3L, 0L, 0L, 0L, "no markup at all")))

@@ -19,8 +19,10 @@ import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 import pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+# canonical table list lives in oracle_types (compare.py already imports
+# it for the dtype lint); one copy means a new base table can't be added
+# to one tool and silently break the other
+from oracle_types import TABLES
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
