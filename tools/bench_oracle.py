@@ -32,8 +32,7 @@ import time
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+from oracle_types import TABLES
 
 # gate -> StreamBench shape key (timings are per provider: hdfs/rocksdb;
 # steady-state = the default hdfs provider's warm drain)
@@ -50,6 +49,7 @@ STREAMING_GATES = {
     "q166_tws_closed_sessions": "tws_sessions",
     "q174_streaming_dedup_watermark": "dedup_watermark",
     "q244_streaming_drift_monitor": "drift_monitor",
+    "q248_streaming_index_admission": "index_admission",
 }
 
 # Gates whose oracle PREDICTS the synthesized round-trip arithmetically
