@@ -2227,13 +2227,13 @@ object Extensions {
     (s, dir) => Profile.winsorize(t(s, dir, "documents"), "lang", "n_chars")
       .orderBy("lang"))
 
-  /** The odd-vs-even MinHash(16)/LSH(8×2) admission oracle, shared by the
-    * batch gate (q138) and its streaming twin (q248 — whose whole point
-    * is that the drained result equals the batch answer bit-for-bit, so
-    * the oracles MUST be one text: a recipe tweak that touched only one
-    * copy would silently desynchronize two gates pinning one operator).
+  /** The MinHash(16)/LSH(8×2) band-relation CTE chain over `documents` —
+    * ONE copy of the recipe, composed into every oracle that joins bands
+    * (q138, q248 via [[minHashAdmissionOracle]], q256's two-batch tail):
+    * a recipe tweak that touched only one copy would silently
+    * desynchronize gates pinning the same operator family.
     */
-  private[queries] val minHashAdmissionOracle: String = """
+  private[queries] val minHashBandsCte: String = """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       jx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS j FROM w),
       shs AS (SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh FROM jx),
@@ -2253,7 +2253,9 @@ object Extensions {
              FROM sh CROSS JOIN generate_series(0, 15) t(h) GROUP BY doc_id, h),
       bands AS (SELECT doc_id, h // 2 AS band,
                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS band_sig
-                FROM mh GROUP BY doc_id, h // 2),
+                FROM mh GROUP BY doc_id, h // 2)"""
+
+  private[queries] val minHashAdmissionOracle: String = minHashBandsCte + """,
       m AS (SELECT inc.doc_id, min(idx.doc_id) AS dup_of,
                    count(DISTINCT idx.doc_id) AS n_matches
             FROM bands inc JOIN bands idx
@@ -6539,6 +6541,68 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q256 = Q("q256_sequential_admission",
+    "index MAINTENANCE across sequential batches — the q248 follow-through " +
+      "(its index was static): batch 1 (ids % 4 = 1) is admitted against " +
+      "the even-id corpus bands, its NOVEL survivors' bands are APPENDED " +
+      "(the lshBands relation is append-only under admission), and batch " +
+      "2 (ids % 4 = 3) is admitted against the extended index — so a " +
+      "batch-2 doc can be annotated dup_of an ADMITTED batch-1 doc, " +
+      "pinning that the maintenance actually happened; both index band " +
+      "relations are cached (signed once), batches pay only their own " +
+      "signature pass + bucket-sized joins",
+    Some(minHashBandsCte + """,
+      m1 AS (SELECT inc.doc_id, min(idx.doc_id) AS dup_of,
+                    count(DISTINCT idx.doc_id) AS n_matches
+             FROM bands inc JOIN bands idx
+               ON inc.band = idx.band AND inc.band_sig = idx.band_sig
+             WHERE inc.doc_id % 4 = 1 AND idx.doc_id % 2 = 0
+             GROUP BY 1),
+      nov AS (SELECT doc_id FROM documents
+              WHERE doc_id % 4 = 1
+                AND doc_id NOT IN (SELECT doc_id FROM m1)),
+      m2 AS (SELECT inc.doc_id, min(idx.doc_id) AS dup_of,
+                    count(DISTINCT idx.doc_id) AS n_matches
+             FROM bands inc JOIN bands idx
+               ON inc.band = idx.band AND inc.band_sig = idx.band_sig
+             WHERE inc.doc_id % 4 = 3
+               AND (idx.doc_id % 2 = 0
+                    OR idx.doc_id IN (SELECT doc_id FROM nov))
+             GROUP BY 1)
+      SELECT d.doc_id, CAST(1 AS BIGINT) AS batch, m1.dup_of,
+             coalesce(m1.n_matches, 0) AS n_matches
+      FROM documents d LEFT JOIN m1 USING (doc_id) WHERE d.doc_id % 4 = 1
+      UNION ALL
+      SELECT d.doc_id, CAST(2 AS BIGINT) AS batch, m2.dup_of,
+             coalesce(m2.n_matches, 0) AS n_matches
+      FROM documents d LEFT JOIN m2 USING (doc_id) WHERE d.doc_id % 4 = 3
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def bandsFor(df: org.apache.spark.sql.DataFrame) = Dedup.lshBands(
+        Dedup.minHashSignatures(df, "doc_id", "text",
+          numHashes = 16, shingleSize = 3), "doc_id", rowsPerBand = 2)
+      val batch1 = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+      val batch2 = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+      // signed ONCE each: bands0 serves batch 1's join AND the extended
+      // index; ann1 serves the output AND the novel-survivor filter
+      // (Bench/Verify clearCache between gates reclaims these)
+      val bands0 = bandsFor(docs.filter(col("doc_id") % 2 === 0)).cache()
+      val ann1 = Dedup.dedupAgainstBands(batch1, bands0,
+        "doc_id", "text", numHashes = 16, rowsPerBand = 2).cache()
+      val novel1 = batch1.join(
+        ann1.filter(col("n_matches") === 0).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val bands1 = bands0.unionByName(bandsFor(novel1))
+      val ann2 = Dedup.dedupAgainstBands(batch2, bands1,
+        "doc_id", "text", numHashes = 16, rowsPerBand = 2)
+      ann1.withColumn("batch", lit(1L))
+        .unionByName(ann2.withColumn("batch", lit(2L)))
+        .select(col("doc_id"), col("batch"), col("dup_of"),
+          col("n_matches"))
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6553,5 +6617,5 @@ object Extensions {
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
-    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255)
+    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256)
 }

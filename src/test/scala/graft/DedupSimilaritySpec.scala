@@ -79,6 +79,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaBands.contains((2L, Some(1L), 1L)))
   }
 
+  test("sequential admission: a later batch matches an EARLIER batch's " +
+    "admitted novel doc through the appended band relation") {
+    def bandsFor(df: org.apache.spark.sql.DataFrame) = Dedup.lshBands(
+      Dedup.minHashSignatures(df, "doc_id", "text",
+        numHashes = 16, shingleSize = 3), "doc_id", rowsPerBand = 2)
+    val index = docs.filter($"doc_id" === 4L)          // unrelated corpus
+    val batch1 = docs.filter($"doc_id" === 1L)          // novel vs index
+    val batch2 = docs.filter($"doc_id" === 2L)          // copy of doc 1
+    val bands0 = bandsFor(index)
+    val ann1 = Dedup.dedupAgainstBands(batch1, bands0, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2)
+      .as[(Long, Option[Long], Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(ann1(1L) == ((1L, None, 0L)))               // admitted novel
+    val bands1 = bands0.unionByName(bandsFor(batch1))  // append-only growth
+    val ann2 = Dedup.dedupAgainstBands(batch2, bands1, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2)
+      .as[(Long, Option[Long], Long)].collect().head
+    assert(ann2 == ((2L, Some(1L), 1L)))  // matched the batch-1 admission
+  }
+
   test("dupLineDocShare: corpus-repeated lines counted per doc, exact ppm, " +
     "keep threshold inclusive") {
     // line L is in docs 1, 2, 3 (repeated); lines u1..u4 are unique.
