@@ -774,6 +774,76 @@ class PropertySpec extends SparkSpec {
           s"vs direct $direct")
     }
   }
+
+  test("incrementalMinMax law: incremental ≡ full recompute over the " +
+    "effective multiset, for random bases and random valid deltas") {
+    import graft.ops.Diff
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(0, 50) // small domain → plenty of duplicate values
+    } yield (k, v / 10.0)
+    for (seed <- 1L to 5L) {
+      val baseRows = gen(Gen.listOfN(60, rowGen), seed)
+      // valid deletes: drawn FROM the base multiset (each base row used
+      // at most once); inserts unrestricted
+      val nDel = gen(Gen.choose(0, baseRows.size), seed + 100)
+      val dels = gen(Gen.pick(nDel, baseRows.indices), seed + 200)
+        .map(baseRows).map { case (k, v) => (k, "D", v) }
+      val inss = gen(Gen.listOfN(15, rowGen), seed + 300)
+        .map { case (k, v) => (k, "I", v) }
+      val base = baseRows.toDF("k", "value")
+      val delta = (dels ++ inss).toList.toDF("k", "op", "value")
+      val got = Diff.incrementalMinMax(base,
+        Diff.minMaxCents(base, Seq("k"), "value"), delta, Seq("k"), "value")
+        .select($"k", $"min_cents", $"max_cents")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      // effective multiset: base minus one occurrence per delete, plus inserts
+      val remaining = scala.collection.mutable.ArrayBuffer(baseRows: _*)
+      dels.foreach { case (k, _, v) =>
+        remaining.remove(remaining.indexOf((k, v))) }
+      val effective = (remaining.toSeq ++ inss.map(t => (t._1, t._3)))
+      val full = Diff.minMaxCents(effective.toDF("k", "value"),
+        Seq("k"), "value")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == full, s"seed=$seed")
+    }
+  }
+
+  test("sessionizeCapped law: equals a per-key sequential fold of the " +
+    "gap-or-cap rule, for random timelines") {
+    import graft.ops.Sessionize
+    val evGen = for {
+      k <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 500L) // seconds; dense → gaps and caps both fire
+    } yield (k, t * 1000L)
+    val (gapMs, capMs) = (30000L, 70000L)
+    for (seed <- 1L to 5L) {
+      val rows = gen(Gen.listOfN(120, evGen), seed).zipWithIndex
+        .map { case ((k, ms), i) => (i.toLong + 1L, k, ms) }
+      val df = rows.toDF("event_id", "user_id", "ms")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      val got = Sessionize.sessionizeCapped(df, "user_id", "ts",
+        "event_id", gapMs, capMs)
+        .select($"user_id", $"session_idx", $"n_events", $"start_ms", $"end_ms")
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      // reference: sequential fold per key over (ts, id)-sorted events
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (k, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._1)).map(_._3)
+        val sessions = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        var start = -1L; var last = -1L
+        sorted.foreach { ts =>
+          if (sessions.isEmpty || ts - last > gapMs || ts - start > capMs) {
+            sessions += scala.collection.mutable.ArrayBuffer(ts); start = ts
+          } else sessions.last += ts
+          last = ts
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          (k, i.toLong + 1L, s.size.toLong, s.head, s.last) }
+      }.sorted
+      assert(got == expected, s"seed=$seed")
+    }
+  }
 }
 
 /** Thin forwarding (keeps the spec readable). */
