@@ -861,6 +861,70 @@ object Pipeline {
       s.read.parquet(out).orderBy("doc_id")
     })
 
+  private val q257 = Q("q257_tws_capped_sessions",
+    "§2.9: q254's hard-cap sessionization as a LIVE stream — " +
+      "CappedSessionProcessor extends the q166 timer machinery with the " +
+      "cap rule: a session closes inline when the arriving event sits " +
+      "past the 30-min gap OR would stretch it past 15 min from its " +
+      "START (the closing event re-anchors the start — the same " +
+      "non-associative recurrence as the batch twin); final sessions " +
+      "close when the watermark (max ts − 1 h) passes last + gap; the " +
+      "oracle replays the capped recurrence as a recursive CTE and " +
+      "applies the q166 closure predicate",
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id AS k, epoch_ms(ts) AS ts_ms,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      scan AS (
+        SELECT k, rn, ts_ms, CAST(1 AS BIGINT) AS sid, ts_ms AS start_ms
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.k, e.rn, e.ts_ms,
+          CASE WHEN e.ts_ms - s.ts_ms > 1800000
+                 OR e.ts_ms - s.start_ms > 900000
+               THEN s.sid + 1 ELSE s.sid END,
+          CASE WHEN e.ts_ms - s.ts_ms > 1800000
+                 OR e.ts_ms - s.start_ms > 900000
+               THEN e.ts_ms ELSE s.start_ms END
+        FROM ev e JOIN scan s ON e.k = s.k AND e.rn = s.rn + 1),
+      g AS (SELECT k, sid, CAST(min(ts_ms) AS BIGINT) AS start_ms,
+              CAST(max(ts_ms) AS BIGINT) AS end_ms, count(*) AS n_events
+            FROM scan GROUP BY 1, 2),
+      m AS (SELECT k, max(sid) AS max_sid FROM g GROUP BY 1),
+      wm AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) - 3600000 AS w
+             FROM events)
+      SELECT g.k AS user_id, start_ms, end_ms, n_events
+      FROM g JOIN m ON g.k = m.k CROSS JOIN wm
+      WHERE g.sid < m.max_sid OR g.end_ms + 1800000 <= wm.w
+      ORDER BY user_id, start_ms"""),
+    (s, dir) => {
+      val cp = java.nio.file.Files.createTempDirectory("graft-q257-cp")
+        .toString
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .select(col("user_id").cast("string").as("k"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .as[(String, java.sql.Timestamp)]
+      val closed = graft.streaming.StatefulTracking
+        .cappedSessionsTws(s, stream, gapMs = 1800000L, capMs = 900000L)
+      val name = "q257_out_" + math.abs(cp.hashCode).toString
+      graft.streaming.StateStores.withProvider(s, "rocksdb") {
+        withStreamStatePartitions(s, 8) {
+          val q = closed.toDF().writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.table(name)
+        .select(col("device_id").cast("long").as("user_id"),
+          col("start_ms"), col("end_ms"), col("n_events"))
+        .orderBy("user_id", "start_ms")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130, q134, q157, q166, q174, q235, q244, q248)
+    q129, q130, q134, q157, q166, q174, q235, q244, q248, q257)
 }

@@ -169,6 +169,74 @@ object StatefulTracking {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** [[SessionCloseProcessor]] with the HARD CAP (q254's rule, streamed):
+    * a session ALSO closes when a new event would stretch it past `capMs`
+    * from its START — that closure is inline (the closing event is what
+    * proves the cap is exceeded), and the start re-anchors to the closing
+    * event, the same non-associative recurrence as the batch twin. The
+    * gap timer still owns FINAL-session closure: a session that simply
+    * stops receiving events can only close by gap — the cap needs a next
+    * event to measure against, exactly as in `Sessionize.sessionizeCapped`
+    * (where the last session's duration is simply ≤ capMs). Same
+    * single-ValueState + slide-the-timer posture as the gap-only form.
+    */
+  private class CappedSessionProcessor(gapMs: Long, capMs: Long)
+      extends StatefulProcessor[String, (String, Timestamp), ClosedSession] {
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("csess", Encoders.product[SessState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Timestamp)],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val times = rows.map(_._2.getTime).toArray.sorted
+      val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+      var cur: Option[SessState] = if (st.exists()) Some(st.get()) else None
+      times.foreach { t =>
+        cur match {
+          case Some(s) if t - s.lastMs <= gapMs && t - s.startMs <= capMs =>
+            cur = Some(SessState(s.startMs, math.max(s.lastMs, t), s.n + 1))
+          case Some(s) =>
+            closed += ClosedSession(key, s.startMs, s.lastMs, s.n)
+            cur = Some(SessState(t, t, 1L))
+          case None =>
+            cur = Some(SessState(t, t, 1L))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        getHandle.listTimers().foreach(ts =>
+          getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(s.lastMs + gapMs)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (st.exists()) {
+        val s = st.get()
+        if (info.getExpiryTimeInMs >= s.lastMs + gapMs) {
+          st.clear()
+          Iterator.single(ClosedSession(key, s.startMs, s.lastMs, s.n))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** See [[CappedSessionProcessor]]. `records` must already be
+    * watermarked on its timestamp column. */
+  def cappedSessionsTws(spark: SparkSession,
+                        records: Dataset[(String, Timestamp)],
+                        gapMs: Long, capMs: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+    records.groupByKey(_._1)
+      .transformWithState(new CappedSessionProcessor(gapMs, capMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   final case class Admission(user_id: String, event_id: Long,
                              admitted: Boolean)
 

@@ -305,6 +305,24 @@ object StreamBench {
         results(s"tws_sessions/$provider/warm") = drainToFiles(q, out, cp)
       }
 
+      // q257 shape: capped timer sessions (q254's hard-cap rule live) —
+      // RocksDB-only, same reason as the timer sessions above
+      if (provider == "rocksdb") locally {
+        val dir = stage("ctws", "events", "batch_000.parquet")
+        val cp = work.resolve("cp_ctws").toString
+        import spark.implicits._
+        def q = graft.streaming.StatefulTracking.cappedSessionsTws(spark,
+          graft.Tables.dirStream(spark, dir)
+            .select(col("user_id").cast("string").as("k"), col("ts"))
+            .withWatermark("ts", "1 hour")
+            .as[(String, java.sql.Timestamp)],
+          gapMs = 1800000L, capMs = 900000L).toDF()
+        val out = work.resolve("ctws-out").toString
+        results(s"capped_sessions/$provider/cold") = drainToFiles(q, out, cp)
+        redeliver("ctws", "events", "batch_001.parquet")
+        results(s"capped_sessions/$provider/warm") = drainToFiles(q, out, cp)
+      }
+
       // q235 shape: transformWithState token-bucket admission —
       // RocksDB-only, same reason as the timer sessions above
       if (provider == "rocksdb") locally {

@@ -392,6 +392,56 @@ class StreamingSpec extends SparkSpec {
     assert(r3 == List(("D2", 1L)), s"expected D2's first burst closed, got $r3")
   }
 
+  test("cappedSessionsTws: the CAP closes a session inline on a sub-gap " +
+    "drip; the gap timer still owns final closure") {
+    val base = Files.createTempDirectory("graft-ctws").toString
+    def writeBatch(rows: Seq[(String, String)]): Unit =
+      rows.toDF("device_id", "s")
+        .withColumn("event_time", $"s".cast("timestamp")).drop("s")
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+    def runOnce(): Seq[(String, Long, Long)] = {
+      val emitted = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+      graft.streaming.StateStores.withProvider(spark, "rocksdb") {
+        val stream = spark.readStream.schema(
+          StructType(Seq(StructField("device_id", StringType),
+            StructField("event_time", TimestampType)))).parquet(s"$base/src")
+          .withWatermark("event_time", "1 second")
+          .as[(String, java.sql.Timestamp)]
+        val closed = graft.streaming.StatefulTracking
+          .cappedSessionsTws(spark, stream,
+            gapMs = 30 * 60 * 1000L, capMs = 40 * 60 * 1000L)
+        val q = closed.toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.collect().foreach(r => emitted.synchronized {
+              emitted += ((r.getString(0), r.getLong(1), r.getLong(3)))
+            })
+            ()
+          }
+          .option("checkpointLocation", s"$base/cp")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
+      emitted.toList
+    }
+    // sub-gap drip every 25 min: gap (30 min) never fires, cap (40 min)
+    // closes {10:00, 10:25} inline when 10:50 arrives (50 min from start);
+    // the new session {10:50, 11:15} stays open — nothing else may emit
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    writeBatch(Seq(
+      ("D1", "2024-01-01 10:00:00"), ("D1", "2024-01-01 10:25:00"),
+      ("D1", "2024-01-01 10:50:00"), ("D1", "2024-01-01 11:15:00")))
+    val r1 = runOnce()
+    assert(r1 == List(("D1", t0, 2L)),
+      s"expected the capped first burst only, got $r1")
+    // a far-future event advances the watermark past 11:45 → the second
+    // session closes via its gap timer
+    writeBatch(Seq(("D2", "2024-01-02 00:00:00")))
+    val r2 = runOnce()
+    assert(r2 == List(("D1", t0 + 50 * 60 * 1000L, 2L)),
+      s"expected the second session timer-closed, got $r2")
+  }
+
   test("session windows group activity by gap per device") {
     val base = Files.createTempDirectory("graft-sess").toString
     Seq(("DEV-1", "2021-11-29 08:00:00"), ("DEV-1", "2021-11-29 08:20:00"),

@@ -50,6 +50,7 @@ STREAMING_GATES = {
     "q174_streaming_dedup_watermark": "dedup_watermark",
     "q244_streaming_drift_monitor": "drift_monitor",
     "q248_streaming_index_admission": "index_admission",
+    "q257_tws_capped_sessions": "capped_sessions",
 }
 
 # Gates whose oracle PREDICTS the synthesized round-trip arithmetically
