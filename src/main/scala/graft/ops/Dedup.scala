@@ -277,17 +277,29 @@ object Dedup {
     */
   def dedupAgainstBands(incoming: DataFrame, indexBands: DataFrame,
                         idCol: String, textCol: String, numHashes: Int,
-                        rowsPerBand: Int, shingleSize: Int = 3): DataFrame = {
-    val inc = lshBands(
-      minHashSignatures(incoming, idCol, textCol, numHashes, shingleSize),
-      idCol, rowsPerBand)
+                        rowsPerBand: Int, shingleSize: Int = 3): DataFrame =
+    annotateAgainstBands(incoming.select(col(idCol)),
+      lshBands(
+        minHashSignatures(incoming, idCol, textCol, numHashes, shingleSize),
+        idCol, rowsPerBand),
+      indexBands, idCol)
+
+  /** The join half of [[dedupAgainstBands]], for callers that already
+    * hold the incoming batch's band relation (e.g. a sequential-admission
+    * loop that will also APPEND those bands to the index — signing the
+    * batch once for both uses, q256's shape). `incomingIds` must be the
+    * one-column id relation of the batch (annotation is total over it:
+    * band-less docs come back novel).
+    */
+  def annotateAgainstBands(incomingIds: DataFrame, incomingBands: DataFrame,
+                           indexBands: DataFrame, idCol: String): DataFrame = {
     val idx = indexBands
       .select(col(idCol).as("_idx_id"), col("band"), col("band_sig"))
-    val matches = inc.join(idx, Seq("band", "band_sig"))
+    val matches = incomingBands.join(idx, Seq("band", "band_sig"))
       .groupBy(col(idCol))
       .agg(min(col("_idx_id")).as("dup_of"),
         countDistinct(col("_idx_id")).as("n_matches"))
-    incoming.select(col(idCol))
+    incomingIds
       .join(matches, Seq(idCol), "left")
       .na.fill(0L, Seq("n_matches"))
   }

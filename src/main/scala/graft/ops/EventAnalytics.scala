@@ -270,12 +270,13 @@ object EventAnalytics {
     * calendar days are unobservable by construction — gap-fill with
     * [[Intervals]]' LOCF (q167) when a dense calendar is needed.
     *
-    * Days are EPOCH days (UTC, truncating division — the
-    * [[graft.ops.Anomaly.dailyCounts]] bucket), NOT session-timezone
-    * `date_trunc`: the fixed 86 400 000-ms window stepping below must
-    * land exactly on other keys' day buckets, and a DST timezone's
-    * 23 h/25 h local days would scatter contributions onto phantom
-    * window ends.
+    * Days are EPOCH days (UTC, FLOOR division — agrees with
+    * `date_trunc('day', …)` in UTC on both sides of the epoch, where a
+    * truncating division would shift pre-1970 timestamps up a day), NOT
+    * session-timezone `date_trunc`: the fixed 86 400 000-ms window
+    * stepping below must land exactly on other keys' day buckets, and a
+    * DST timezone's 23 h/25 h local days would scatter contributions
+    * onto phantom window ends.
     */
   def rollingDistinct(events: DataFrame, keyCol: String, tsCol: String,
                       windowDays: Int = 7): DataFrame = {
@@ -284,7 +285,7 @@ object EventAnalytics {
     val kd = events
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("_g_k"),
-        ((unix_millis(col(tsCol).cast("timestamp")) / lit(dayMs))
+        (floor(unix_millis(col(tsCol).cast("timestamp")) / lit(dayMs))
           .cast("long") * dayMs).as("_g_day"))
       .distinct()
     val mx = kd.agg(max(col("_g_day")).as("_g_max"))
@@ -378,19 +379,22 @@ object EventAnalytics {
     // is intentionally excluded below — an event with no time cannot be
     // placed in the refill order, and dropping it is a documented
     // policy, not a silent cast artifact
-    // same integrity posture as sessionizeCapped: a NULL id cannot be
-    // ordered and would die as an opaque encoder error at the
-    // Dataset[(Long, Long, Long)] boundary — raise with a name instead
-    val checkedId =
-      when(col(idCol).isNull,
+    // same integrity posture as sessionizeCapped: a NULL id on a row
+    // that SURVIVES the key/ts exclusion cannot be ordered and would die
+    // as an opaque encoder error at the Dataset[(Long, Long, Long)]
+    // boundary — raise with a name instead. Two-step select so the
+    // exclusion filter provably evaluates first (see sessionizeCapped).
+    def checkedId(c: org.apache.spark.sql.Column) =
+      when(c.isNull,
         raise_error(lit(s"tokenBucketAdmit: $idCol (the tie column) " +
           "must be non-null")))
-        .otherwise(checkedCast(col(idCol), idCol))
+        .otherwise(checkedCast(c, idCol))
     val base = events
       .select(checkedCast(col(keyCol), keyCol).as("_k"),
         checkedCast(tsMsCol, "ts").as("_ts"),
-        checkedId.as("_id"))
+        col(idCol).as("_rawid"))
       .filter(col("_k").isNotNull && col("_ts").isNotNull)
+      .select(col("_k"), col("_ts"), checkedId(col("_rawid")).as("_id"))
       .repartition(col("_k"))
       .sortWithinPartitions(col("_k"), col("_ts"), col("_id"))
       .as[(Long, Long, Long)]

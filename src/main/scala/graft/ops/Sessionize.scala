@@ -84,10 +84,13 @@ object Sessionize {
     * long (loud raise on a non-castable value — a silently dropped row
     * would shift every later session index); NULL key/ts rows are
     * excluded by documented policy (an event with no time cannot be
-    * placed; NULL keys don't belong to anyone). A NULL id raises — even
-    * on rows the key/ts policy would exclude: the tie column is an
-    * integrity requirement, not a filter, and letting it through would
-    * die as an opaque encoder error instead of a named one.
+    * placed; NULL keys don't belong to anyone); the exclusion applies
+    * FIRST. A NULL id on a SURVIVING row raises: the tie column is an
+    * integrity requirement on rows that participate, and letting one
+    * through would die as an opaque encoder error instead of a named
+    * one. (The order is structural — the id check sits in a projection
+    * ABOVE the exclusion filter, so it cannot be optimizer-reordered
+    * onto excluded rows.)
     *
     * Output: (keyCol, session_idx 1-based, n_events, start_ms, end_ms,
     * duration_ms ≤ capMs by construction).
@@ -105,19 +108,24 @@ object Sessionize {
           c.cast("string"))))
         .otherwise(c.try_cast("long"))
     // the tie column is a data-integrity REQUIREMENT (a null id cannot be
-    // ordered): raise, don't exclude — exclusion is only for key/ts, and a
-    // null id slipping past it would die as an opaque encoder error at
-    // the Dataset[(Long, Long, Long)] boundary instead of this message
-    val checkedId =
-      when(col(idCol).isNull,
+    // ordered): raise, don't exclude — a null id slipping through would
+    // die as an opaque encoder error at the Dataset[(Long, Long, Long)]
+    // boundary instead of this message. The check lives in a SECOND
+    // projection above the key/ts exclusion filter: pushdown substitutes
+    // the filter below both projects, so excluded rows provably never
+    // reach the raise (one combined select would leave the firing order
+    // to the optimizer).
+    def checkedId(c: Column) =
+      when(c.isNull,
         raise_error(lit(s"sessionizeCapped: $idCol (the tie column) " +
           "must be non-null")))
-        .otherwise(checkedCast(col(idCol), idCol))
+        .otherwise(checkedCast(c, idCol))
     val base = events
       .select(checkedCast(col(keyCol), keyCol).as("_k"),
         unix_millis(col(tsCol)).as("_ts"),
-        checkedId.as("_id"))
+        col(idCol).as("_rawid"))
       .filter(col("_k").isNotNull && col("_ts").isNotNull)
+      .select(col("_k"), col("_ts"), checkedId(col("_rawid")).as("_id"))
       .repartition(col("_k"))
       .sortWithinPartitions(col("_k"), col("_ts"), col("_id"))
       .as[(Long, Long, Long)]

@@ -96,6 +96,16 @@ object StatefulTracking {
   private[streaming] final case class SessState(startMs: Long, lastMs: Long,
                                                 n: Long)
 
+  /** Gap-only session closure — [[CappedSessionProcessor]] with an
+    * infinite cap (one processor, one copy of the fold/timer/guard
+    * logic; `t - start <= Long.MaxValue` is vacuously true for real
+    * timestamps). `records` must already be watermarked on its
+    * timestamp column. */
+  def closedSessionsTws(spark: SparkSession,
+                        records: Dataset[(String, Timestamp)],
+                        gapMs: Long): Dataset[ClosedSession] =
+    cappedSessionsTws(spark, records, gapMs, capMs = Long.MaxValue)
+
   /** Session CLOSURE via `transformWithState` event-time TIMERS (Spark 4's
     * successor to mapGroupsWithState): each key keeps one open-session
     * ValueState and one timer at `last + gap`; when the watermark passes
@@ -105,80 +115,23 @@ object StatefulTracking {
     * timers at all (only processing-time timeouts, which misfire on
     * replay). Batch-internal gaps close inline as rows arrive.
     *
+    * The HARD CAP (q254's rule, streamed): a session ALSO closes when a
+    * new event would stretch it past `capMs` from its START — that
+    * closure is inline (the closing event is what proves the cap is
+    * exceeded), and the start re-anchors to the closing event, the same
+    * non-associative recurrence as the batch twin. The gap timer still
+    * owns FINAL-session closure: a session that simply stops receiving
+    * events can only close by gap — the cap needs a next event to
+    * measure against, exactly as in `Sessionize.sessionizeCapped` (where
+    * the last session's duration is simply ≤ capMs). The gap-only form
+    * ([[closedSessionsTws]]) is this processor with capMs = ∞ — ONE copy
+    * of the fold/timer/guard logic.
+    *
     * Requirements (Spark's, not ours): the input must carry a watermark
     * BEFORE groupByKey, and the query must run on the RocksDB state
     * store provider (`StateStores.rocksdb`).
     *
     * Input rows: (key, event time). Output: [[ClosedSession]], append.
-    */
-  private class SessionCloseProcessor(gapMs: Long)
-      extends StatefulProcessor[String, (String, Timestamp), ClosedSession] {
-    @transient private var st: ValueState[SessState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState("sess", Encoders.product[SessState],
-        TTLConfig.NONE)
-
-    override def handleInputRows(key: String,
-                                 rows: Iterator[(String, Timestamp)],
-                                 tv: TimerValues): Iterator[ClosedSession] = {
-      val times = rows.map(_._2.getTime).toArray.sorted
-      val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
-      var cur: Option[SessState] = if (st.exists()) Some(st.get()) else None
-      times.foreach { t =>
-        cur match {
-          case Some(s) if t - s.lastMs <= gapMs =>
-            cur = Some(SessState(s.startMs, math.max(s.lastMs, t), s.n + 1))
-          case Some(s) =>
-            closed += ClosedSession(key, s.startMs, s.lastMs, s.n)
-            cur = Some(SessState(t, t, 1L))
-          case None =>
-            cur = Some(SessState(t, t, 1L))
-        }
-      }
-      cur.foreach { s =>
-        st.update(s)
-        // slide the closure timer to the new deadline
-        getHandle.listTimers().foreach(ts =>
-          getHandle.deleteTimer(ts.asInstanceOf[Long]))
-        getHandle.registerTimer(s.lastMs + gapMs)
-      }
-      closed.iterator
-    }
-
-    override def handleExpiredTimer(key: String, tv: TimerValues,
-                                    info: ExpiredTimerInfo): Iterator[ClosedSession] = {
-      if (st.exists()) {
-        val s = st.get()
-        if (info.getExpiryTimeInMs >= s.lastMs + gapMs) {
-          st.clear()
-          Iterator.single(ClosedSession(key, s.startMs, s.lastMs, s.n))
-        } else Iterator.empty
-      } else Iterator.empty
-    }
-  }
-
-  /** See [[SessionCloseProcessor]]. `records` must already be
-    * watermarked on its timestamp column. */
-  def closedSessionsTws(spark: SparkSession,
-                        records: Dataset[(String, Timestamp)],
-                        gapMs: Long): Dataset[ClosedSession] = {
-    import spark.implicits._
-    records.groupByKey(_._1)
-      .transformWithState(new SessionCloseProcessor(gapMs),
-        TimeMode.EventTime(), OutputMode.Append())
-  }
-
-  /** [[SessionCloseProcessor]] with the HARD CAP (q254's rule, streamed):
-    * a session ALSO closes when a new event would stretch it past `capMs`
-    * from its START — that closure is inline (the closing event is what
-    * proves the cap is exceeded), and the start re-anchors to the closing
-    * event, the same non-associative recurrence as the batch twin. The
-    * gap timer still owns FINAL-session closure: a session that simply
-    * stops receiving events can only close by gap — the cap needs a next
-    * event to measure against, exactly as in `Sessionize.sessionizeCapped`
-    * (where the last session's duration is simply ≤ capMs). Same
-    * single-ValueState + slide-the-timer posture as the gap-only form.
     */
   private class CappedSessionProcessor(gapMs: Long, capMs: Long)
       extends StatefulProcessor[String, (String, Timestamp), ClosedSession] {
