@@ -6610,6 +6610,65 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q258 = Q("q258_gopher_battery",
+    "the Gopher/C4 document-quality rule battery with FIRST-FAIL " +
+      "attribution — the text instantiation of the q237 funnel: exact-" +
+      "integer signals (word count, mean word length ×100, symbol ppm, " +
+      "stopword presence) feed filterAttrition's chain in declared " +
+      "order, so every doc attributes to the first rule it fails and " +
+      "the census shows where the corpus is actually lost (independent " +
+      "per-rule counts double-count overlapping failures); the symbol " +
+      "rule attributes ZERO docs on this corpus and must still appear — " +
+      "'this filter did nothing' is an answer",
+    Some("""
+      WITH sig AS (SELECT doc_id,
+              len(string_split(text, ' ')) AS n_words,
+              length(text) AS n_chars,
+              length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym,
+              len(list_intersect(string_split(text, ' '),
+                ['the', 'and', 'of', 'to', 'a'])) > 0 AS has_stop
+            FROM documents),
+      lab AS (SELECT CASE
+                WHEN NOT (n_words BETWEEN 25 AND 100000)
+                  THEN 'word_count'
+                WHEN NOT ((100 * (n_chars - n_words + 1)) // n_words
+                          BETWEEN 400 AND 1000)
+                  THEN 'mean_word_len'
+                WHEN NOT ((1000000 * n_sym) // n_chars <= 100000)
+                  THEN 'symbol_ratio'
+                WHEN NOT has_stop THEN 'stopword'
+                ELSE 'kept' END AS reason
+              FROM sig),
+      decl(rule_idx, reason) AS (VALUES
+        (CAST(0 AS BIGINT), 'word_count'), (1, 'mean_word_len'),
+        (2, 'symbol_ratio'), (3, 'stopword'), (4, 'kept')),
+      cnt AS (SELECT reason, count(*) AS n FROM lab GROUP BY 1),
+      tot AS (SELECT count(*) AS t FROM lab)
+      SELECT d.rule_idx, d.reason,
+             CAST(coalesce(n, 0) AS BIGINT) AS n_rows,
+             CAST((1000000 * coalesce(n, 0)) // t AS BIGINT) AS share_ppm
+      FROM decl d LEFT JOIN cnt USING (reason) CROSS JOIN tot
+      ORDER BY d.rule_idx"""),
+    (s, dir) => {
+      val ws = split(col("text"), " ")
+      val stops = array(Seq("the", "and", "of", "to", "a").map(lit): _*)
+      val sig = t(s, dir, "documents").select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+          .cast("long").as("n_sym"),
+        (size(array_intersect(ws, stops)) > 0).as("has_stop"))
+        .withColumn("mean_cl",
+          expr("(100 * (n_chars - n_words + 1)) div n_words"))
+        .withColumn("sym_ppm", expr("(1000000 * n_sym) div n_chars"))
+      Profile.filterAttrition(sig, Seq(
+        "word_count" -> col("n_words").between(25L, 100000L),
+        "mean_word_len" -> col("mean_cl").between(400L, 1000L),
+        "symbol_ratio" -> (col("sym_ppm") <= 100000L),
+        "stopword" -> col("has_stop")))
+        .orderBy("rule_idx")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6624,5 +6683,5 @@ object Extensions {
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
-    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256)
+    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258)
 }
