@@ -110,6 +110,16 @@ object Dedup {
     * [[dedupSpans]] rewrites documents, this is the ADMISSION rule — drop
     * documents that are mostly corpus boilerplate, keep the rest intact.
     *
+    * COLLISION POSTURE (the family's, stated): the census keys on the
+    * 60-bit `hash64` of the line, not the line string — a cross-document
+    * hash collision counts a unique line as duplicated. Same tolerance
+    * as [[boilerplateSpans]]/[[dedupSpans]]: with 2^60 buckets the
+    * expected corpus-wide collision count is ~L²/2^61 for L distinct
+    * lines (≪1 below ~10^8 lines), and a collision only perturbs one
+    * doc's ppm by one line — it never deletes content. Use the exact
+    * string as the key if bit-exactness is required and the wider
+    * shuffle is acceptable.
+    *
     * Output: (idCol, n_lines, n_dup_lines, dup_ppm, keep) — one row per
     * document, including line-free documents (n_lines counts the empty
     * split token, so it is never 0; no division guard needed).

@@ -128,16 +128,36 @@ object Graph {
     * label flow, not undirected communities; symmetrize first for LPA
     * proper.
     *
+    * `assumeTotal = true` declares that EVERY node has at least one
+    * in-edge (true by construction for symmetrized input, where
+    * src-set = dst-set = node-set). The directed-totality machinery is
+    * then skipped: the seed reads src only (no union+distinct over both
+    * sides) and fixed-rounds mode applies each round's adoption
+    * DIRECTLY — no keep-label left join, so the labels subtree appears
+    * ONCE per round and a shallow run is a single cut-free job (the r13
+    * keep-label join on a 2-round gate cost 6.6× wall — the r14 fix).
+    * The flag is a caller promise, not checked: on input that is NOT
+    * total, src-only seeding drops dst-only nodes and skipping the
+    * keep-label join drops no-in-edge nodes after round 1 — exactly the
+    * r12 silent-vanish bug. Set it only when the input is symmetrized
+    * (or provably total). Converge mode ignores the join-skip half (its
+    * per-round input is always a checkpoint leaf, so the keep-label
+    * join never doubles a deep subtree — a leaf stability join measured
+    * identical) but still takes the src-only seed.
+    *
     * Fixed `rounds` (the default) keeps the result deterministic and the
     * oracle unrollable; sync LPA can OSCILLATE on bipartite-ish graphs,
     * so the convergence mode (`converge = true`) treats `rounds` as a
-    * budget, stops as soon as a round changes ZERO labels (one extra
-    * node-sized count per round, computed on the same join that applies
-    * the round), and THROWS if the budget exhausts unconverged — a loud
-    * failure, never a silent partial answer (kCore's posture). In
-    * converge mode every round's labels are eagerly localCheckpointed so
-    * the lineage stays one round deep no matter the depth (the per-round
-    * action would otherwise replay the whole chain); in fixed-rounds
+    * budget, stops as soon as a transition changes ZERO labels, and
+    * THROWS if the budget exhausts unconverged — a loud failure, never a
+    * silent partial answer (kCore's posture). The check runs every 2
+    * rounds (one blocking action per segment, counting only the LAST
+    * transition's changes — sound because fixpoints are absorbing and
+    * oscillation never shows a zero transition; the action is the
+    * dominant converge cost, ~1.3 s each at local[32] regardless of
+    * graph size); each segment's labels are lazily localCheckpointed so
+    * the counting action also cuts lineage to ≤2 rounds deep (the
+    * action would otherwise replay the whole chain). In fixed-rounds
     * mode `checkpointEvery` (default 3, 0 = never) cuts the growing
     * lineage the same way. The cadence matters more than it looks: the
     * keep-label join references the labels subtree TWICE per round, so
@@ -174,55 +194,93 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String = "src",
                        dstCol: String = "dst", rounds: Int = 2,
                        converge: Boolean = false,
-                       checkpointEvery: Int = 3): DataFrame = {
+                       checkpointEvery: Int = 3,
+                       assumeTotal: Boolean = false): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).sortWithinPartitions("src").persist()
-    // seed from src ∪ dst: on directed input a dst-only node would
-    // otherwise never receive a label and a src-only node would vanish
-    // from the output after round 1 (for symmetrized input src = dst =
-    // the node set, so this is the old seed exactly)
-    var labels = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node")))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var r = 0
-    var stable = false
-    while (r < rounds && !(converge && stable)) {
-      r += 1
-      val adopted = lpRound(e, labels)
+    // seed: on declared-total input src alone covers the node set — and
+    // no eager cut: lineage starts at the persisted edge cache, the
+    // total path references the seed ONCE per round, and a fixed
+    // shallow run then materializes exactly once on the way out (the
+    // r13 unconditional seed localCheckpoint cost q245 a wasted job).
+    // On possibly-directed input seed from src ∪ dst (a dst-only node
+    // would otherwise never receive a label and a src-only node would
+    // vanish from the output after round 1) and DO cut eagerly: the
+    // guarded path's keep-label join references the labels subtree
+    // twice per round, so an uncut union+distinct seed doubles per
+    // round inside the first segment's tree (measured +30% on the
+    // 6M-edge rounds=8 run without this).
+    var labels =
+      if (assumeTotal)
+        e.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+      else
+        e.select(col("src").as("node"))
+          .unionAll(e.select(col("dst").as("node"))).distinct()
+          .withColumn("label", col("node"))
+          .localCheckpoint(true)
+    // one guarded LPA step: adoption + keep-label left join; withChg
+    // additionally carries the changed-flag column for converge checks
+    def guardedStep(cur: DataFrame, withChg: Boolean): DataFrame = {
+      val adopted = lpRound(e, cur)
         .select(col("node"), col("label").as("_adopted"))
-      // keep-label join: nodes with no in-edges carry their label forward
-      val step = labels.join(adopted, Seq("node"), "left")
-        .select(col("node"),
+      val base = cur.join(adopted, Seq("node"), "left")
+      if (withChg)
+        base.select(col("node"),
           coalesce(col("_adopted"), col("label")).as("label"),
           (col("_adopted").isNotNull && col("_adopted") =!= col("label"))
             .cast("long").as("_chg"))
-      if (converge) {
-        // eager node-sized materialization: the changed-count action
-        // below must not replay the round chain, and lineage stays one
-        // round deep (kCore's localCheckpoint posture)
-        val mat = step.localCheckpoint(true)
+      else
+        base.select(col("node"),
+          coalesce(col("_adopted"), col("label")).as("label"))
+    }
+    if (converge) {
+      // converge mode: one blocking action per round observes that
+      // round's change count (checking less often is unsound for the
+      // oscillation guard — sync LPA oscillates with period 2, so
+      // labels_r == labels_{r-2} does NOT imply a fixpoint). Each
+      // round's input is the previous round's CHECKPOINT — a leaf — so
+      // the keep-label join here never doubles a deep subtree (a
+      // leaf-vs-leaf stability join under assumeTotal measured
+      // identical, 4.0 s either way on a 90k-node graph, so converge
+      // keeps ONE code path); the LAZY localCheckpoint makes the
+      // counting action also materialize + cut lineage in one job
+      // (eager + agg paid two jobs per round in r13).
+      var r = 0
+      var stable = false
+      while (r < rounds && !stable) {
+        r += 1
+        val mat = guardedStep(labels, withChg = true)
+          .localCheckpoint(false)
         stable = mat.agg(sum(col("_chg"))).head().getLong(0) == 0L
         labels = mat.drop("_chg")
-      } else {
+      }
+      if (!stable)
+        throw new IllegalStateException(
+          s"labelPropagation did not converge in $rounds rounds " +
+            "(sync LPA oscillates on bipartite-ish graphs — use fixed " +
+            "rounds there)")
+    } else {
+      var r = 0
+      while (r < rounds) {
+        r += 1
+        // total input: every node has in-edges, so the round's adoption
+        // IS the next label relation — no keep-label join, the labels
+        // subtree appears once, and a shallow run stays one cut-free job
+        val next =
+          if (assumeTotal) lpRound(e, labels)
+          else guardedStep(labels, withChg = false)
         // no cut on the FINAL round even when the cadence lands there:
         // the persist+count on the way out materializes the same
         // node-sized relation eagerly anyway, and a final-round
         // localCheckpoint(true) would run that job twice
         val cut = checkpointEvery > 0 && r % checkpointEvery == 0 &&
           r != rounds
-        val next = step.drop("_chg")
         labels = if (cut) next.localCheckpoint(true) else next
       }
     }
-    if (converge && !stable)
-      throw new IllegalStateException(
-        s"labelPropagation did not converge in $rounds rounds " +
-          "(sync LPA oscillates on bipartite-ish graphs — use fixed " +
-          "rounds there)")
     // materialize node-sized result, then free the edge-sized cache
     val out = labels.persist()
     out.count()

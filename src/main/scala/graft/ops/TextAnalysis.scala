@@ -60,41 +60,62 @@ object TextAnalysis {
   }
 
   /** Markup → text extraction — the web-corpus ingestion stage (the
-    * trafilatura/jusText core, regex tier): strip <script> and <style>
-    * ELEMENTS whole (their body is code, not prose — and code may contain
-    * bare `<` that is not markup, so element removal must happen BEFORE
-    * tag stripping), then strip remaining tags, collapse whitespace runs,
-    * trim. Counts ride along for corpus hygiene metrics: n_scripts
-    * (removed script elements), and n_links/n_tags — both measured on
-    * the element-STRIPPED document, consistently: markup inside script
-    * bodies (document.write('<a …')) is code, not document structure,
-    * and counts toward neither.
+    * trafilatura/jusText core, regex tier): strip `<!-- … -->` COMMENTS
+    * whole first (a commented-out `<script>` is not a script, and a
+    * multi-line comment body containing `>` would otherwise leak text
+    * past the tag pattern), then strip <script> and <style> ELEMENTS
+    * whole (their body is code, not prose — and code may contain bare
+    * `<` that is not markup, so element removal must happen BEFORE tag
+    * stripping), then strip remaining tags, decode the portable HTML
+    * entity set, collapse whitespace runs, trim. Counts ride along for
+    * corpus hygiene metrics: n_comments (on the raw document),
+    * n_scripts (on the comment-stripped document), and n_links/n_tags —
+    * both measured on the element-STRIPPED document, consistently:
+    * markup inside script bodies (document.write('<a …')) is code, not
+    * document structure, and counts toward neither.
+    *
+    * Entity decode runs AFTER tag stripping (an escaped `&lt;` is text
+    * content, never markup) with `&amp;` decoded LAST — so the chain is
+    * single-decode: `&amp;lt;` yields the literal text `&lt;`, not `<`
+    * (`&` followed by `a` can't match any earlier pattern). The set is
+    * the named/numeric entities both regex engines express identically:
+    * `&lt; &gt; &quot; &#34; &#39; &nbsp; &amp;`; `&nbsp;` becomes a
+    * plain space and rides the whitespace collapse.
     *
     * Row-local column expressions (one scan, zero exchanges, no UDF);
     * every pattern is shared verbatim with the DuckDB oracle — inline
-    * (?is) flags, non-greedy element bodies, and `\s` all mean the same
+    * (?is)/(?s) flags, non-greedy bodies, and `\s` all mean the same
     * thing in java.util.regex and RE2 for this pattern set (no \x0B in
     * play — the one `\s` divergence between the engines).
     *
-    * Output: idCol, n_scripts, n_links, n_tags, text_clean.
+    * Output: idCol, n_comments, n_scripts, n_links, n_tags, text_clean.
     */
   def stripMarkup(docs: DataFrame, idCol: String = "doc_id",
                   htmlCol: String = "html"): DataFrame = {
+    val commentPat = "(?s)<!--.*?-->"
     val scriptPat = "(?is)<script[^>]*>.*?</script>"
     val stylePat = "(?is)<style[^>]*>.*?</style>"
     val tagPat = "<[^>]+>"
+    val noComments = regexp_replace(col(htmlCol), commentPat, " ")
     val noElems = regexp_replace(
-      regexp_replace(col(htmlCol), scriptPat, " "), stylePat, " ")
+      regexp_replace(noComments, scriptPat, " "), stylePat, " ")
+    // order is load-bearing: &amp; LAST keeps the chain single-decode
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#34;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(regexp_replace(noElems, tagPat, " ")) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
     docs.select(
       col(idCol),
-      size(regexp_extract_all(col(htmlCol), lit(scriptPat), lit(0)))
+      size(regexp_extract_all(col(htmlCol), lit(commentPat), lit(0)))
+        .cast("long").as("n_comments"),
+      size(regexp_extract_all(noComments, lit(scriptPat), lit(0)))
         .cast("long").as("n_scripts"),
       size(regexp_extract_all(noElems, lit("(?i)<a[\\s>]"), lit(0)))
         .cast("long").as("n_links"),
       size(regexp_extract_all(noElems, lit(tagPat), lit(0)))
         .cast("long").as("n_tags"),
-      trim(regexp_replace(regexp_replace(noElems, tagPat, " "), "\\s+", " "))
-        .as("text_clean"))
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
   }
 
   /** Luhn mod-10 checksum over a digits-only string column — the

@@ -6181,7 +6181,12 @@ object Extensions {
         .distinct()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+      // symmetrized input is total by construction → skip the
+      // directed-totality seed union and keep-label join (the r13
+      // shallow-path regression: 0.61 → 4.01 s; r14 restores the
+      // single cut-free job)
+      Graph.labelPropagation(edges, "src", "dst", rounds = 2,
+        assumeTotal = true)
         .groupBy("label").agg(count(lit(1)).as("n_nodes"))
         .orderBy("label")
     })
@@ -6495,47 +6500,67 @@ object Extensions {
   private val q255 = Q("q255_markup_extraction",
     "web-corpus text extraction (the trafilatura/jusText core, regex " +
       "tier): documents wrapped in synthesized HTML — head/style/script " +
-      "(whose body holds a bare '<' that is NOT markup), nav links, " +
-      "inline <b> around ' and ' — then script/style ELEMENTS stripped " +
-      "whole BEFORE tag stripping, whitespace collapsed; n_scripts/" +
-      "n_links/n_tags ride along for hygiene metrics; row-local column " +
+      "(whose body holds a bare '<' that is NOT markup), a MULTI-LINE " +
+      "comment whose body holds '>' and a commented-out <script> (both " +
+      "must vanish whole, and the dead script must NOT count), nav " +
+      "links, inline <b> around ' and ', an entity-laden Q&A snippet " +
+      "incl. the double-escape &amp;lt; (must decode ONCE to the literal " +
+      "text '&lt;') — comments stripped first, then script/style " +
+      "ELEMENTS whole BEFORE tag stripping, entities decoded after " +
+      "(&amp; last), whitespace collapsed; n_comments/n_scripts/n_links/" +
+      "n_tags ride along for hygiene metrics; row-local column " +
       "expressions, every regex shared verbatim with the oracle",
     Some("""
       WITH h AS (SELECT doc_id,
         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
         '</title><style>body{margin:0;font:12px arial}</style><script>var a=' ||
         CAST(doc_id AS VARCHAR) ||
-        ';if(a<9){a=9}</script></head><body><nav><a href="/">home</a> <a href="/docs">docs</a></nav><h1>Doc ' ||
+        ';if(a<9){a=9}</script></head><body><!-- draft v2' || chr(10) ||
+        '<script>alert(1)</script> x > y --><nav><a href="/">home</a> <a href="/docs">docs</a></nav><h1>Doc ' ||
         CAST(doc_id AS VARCHAR) ||
         '</h1><p>' || regexp_replace(text, ' and ', ' <b>and</b> ', 'g') ||
-        '</p><footer>(c) example</footer></body></html>' AS html
+        '</p><p>Q&amp;A: 1 &lt; 2, &quot;x&quot;, it&#39;s&nbsp;escaped as &amp;lt;</p><footer>(c) example</footer></body></html>' AS html
         FROM documents),
       st AS (SELECT doc_id, html,
-        regexp_replace(regexp_replace(html,
+        regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS no_comments
+        FROM h),
+      se AS (SELECT doc_id, html, no_comments,
+        regexp_replace(regexp_replace(no_comments,
           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS no_elems
-        FROM h)
+        FROM st)
       SELECT doc_id,
-        CAST(len(regexp_extract_all(html,
+        CAST(len(regexp_extract_all(html, '(?s)<!--.*?-->')) AS BIGINT)
+          AS n_comments,
+        CAST(len(regexp_extract_all(no_comments,
           '(?is)<script[^>]*>.*?</script>')) AS BIGINT) AS n_scripts,
         CAST(len(regexp_extract_all(no_elems, '(?i)<a[\s>]')) AS BIGINT)
           AS n_links,
         CAST(len(regexp_extract_all(no_elems, '<[^>]+>')) AS BIGINT)
           AS n_tags,
-        trim(regexp_replace(regexp_replace(no_elems, '<[^>]+>', ' ', 'g'),
+        trim(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(no_elems, '<[^>]+>', ' ', 'g'),
+            '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+            '&#34;', '"', 'g'), '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'),
+            '&amp;', '&', 'g'),
           '\s+', ' ', 'g')) AS text_clean
-      FROM st ORDER BY doc_id"""),
+      FROM se ORDER BY doc_id"""),
     (s, dir) => {
       val idS = col("doc_id").cast("string")
       val html = concat(
         lit("<html><head><title>Doc "), idS,
         lit("</title><style>body{margin:0;font:12px arial}</style>" +
           "<script>var a="), idS,
-        lit(";if(a<9){a=9}</script></head><body><nav><a href=\"/\">home" +
+        lit(";if(a<9){a=9}</script></head><body><!-- draft v2\n" +
+          "<script>alert(1)</script> x > y --><nav><a href=\"/\">home" +
           "</a> <a href=\"/docs\">docs</a></nav><h1>Doc "), idS,
         lit("</h1><p>"),
         regexp_replace(col("text"), " and ", " <b>and</b> "),
-        lit("</p><footer>(c) example</footer></body></html>"))
+        lit("</p><p>Q&amp;A: 1 &lt; 2, &quot;x&quot;, it&#39;s&nbsp;" +
+          "escaped as &amp;lt;</p><footer>(c) example</footer>" +
+          "</body></html>"))
       TextAnalysis.stripMarkup(
         t(s, dir, "documents").select(col("doc_id"), html.as("html")))
         .orderBy("doc_id")
@@ -6612,22 +6637,49 @@ object Extensions {
 
   private val q258 = Q("q258_gopher_battery",
     "the Gopher/C4 document-quality rule battery with FIRST-FAIL " +
-      "attribution — the text instantiation of the q237 funnel: exact-" +
-      "integer signals (word count, mean word length ×100, symbol ppm, " +
-      "stopword presence) feed filterAttrition's chain in declared " +
-      "order, so every doc attributes to the first rule it fails and " +
-      "the census shows where the corpus is actually lost (independent " +
-      "per-rule counts double-count overlapping failures); the symbol " +
-      "rule attributes ZERO docs on this corpus and must still appear — " +
-      "'this filter did nothing' is an answer",
+      "attribution — the text instantiation of the q237 funnel, r14-" +
+      "extended toward the published ~10-rule set: exact-integer " +
+      "signals (word count, mean word length ×100, symbol ppm, bullet-" +
+      "line ppm, ellipsis-line ppm, alphabetic-word ppm, q249's cross-" +
+      "doc duplicated-line ppm, stopword presence) feed " +
+      "filterAttrition's chain in declared order, so every doc " +
+      "attributes to the first rule it fails and the census shows where " +
+      "the corpus is actually lost (independent per-rule counts double-" +
+      "count overlapping failures); bullet/ellipsis/alpha attribute " +
+      "ZERO docs on this corpus and must still appear — 'this filter " +
+      "did nothing' is an answer — while dup_line attributes for real " +
+      "(the q249 signal, composed instead of re-derived); row-local " +
+      "rules stay one scan, dup_line adds q249's single line-hash " +
+      "census + one doc-keyed join — no new shape",
     Some("""
-      WITH sig AS (SELECT doc_id,
-              len(string_split(text, ' ')) AS n_words,
+      WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                 FROM documents),
+      ln AS (SELECT doc_id, text, ws,
+               list_transform(generate_series(0, CAST(ceil(len(ws) / 5.0) AS INT) - 1),
+                 i -> array_to_string(ws[(i*5+1):(i*5+5)], ' ')) AS lines
+             FROM w),
+      sp AS (SELECT doc_id, unnest(lines) AS span FROM ln),
+      cen AS (SELECT span FROM sp GROUP BY span
+              HAVING count(DISTINCT doc_id) >= 2),
+      dup AS (SELECT sp.doc_id,
+                (sum(CASE WHEN cen.span IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000000) // count(*) AS dup_ppm
+              FROM sp LEFT JOIN cen ON sp.span = cen.span
+              GROUP BY 1),
+      sig AS (SELECT ln.doc_id,
+              len(ws) AS n_words,
               length(text) AS n_chars,
               length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym,
-              len(list_intersect(string_split(text, ' '),
+              (len(list_filter(lines, l -> l LIKE '- %')) * 1000000)
+                // len(lines) AS bullet_ppm,
+              (len(list_filter(lines, l -> l LIKE '%...')) * 1000000)
+                // len(lines) AS ellipsis_ppm,
+              (len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+                * 1000000) // len(ws) AS alpha_ppm,
+              dup.dup_ppm AS dup_ppm,
+              len(list_intersect(ws,
                 ['the', 'and', 'of', 'to', 'a'])) > 0 AS has_stop
-            FROM documents),
+            FROM ln JOIN dup ON ln.doc_id = dup.doc_id),
       lab AS (SELECT CASE
                 WHEN NOT (n_words BETWEEN 25 AND 100000)
                   THEN 'word_count'
@@ -6636,12 +6688,18 @@ object Extensions {
                   THEN 'mean_word_len'
                 WHEN NOT ((1000000 * n_sym) // n_chars <= 100000)
                   THEN 'symbol_ratio'
+                WHEN NOT (bullet_ppm <= 900000) THEN 'bullet_ratio'
+                WHEN NOT (ellipsis_ppm <= 300000) THEN 'ellipsis_ratio'
+                WHEN NOT (alpha_ppm >= 800000) THEN 'alpha_word_ratio'
+                WHEN NOT (dup_ppm <= 300000) THEN 'dup_line'
                 WHEN NOT has_stop THEN 'stopword'
                 ELSE 'kept' END AS reason
               FROM sig),
       decl(rule_idx, reason) AS (VALUES
         (CAST(0 AS BIGINT), 'word_count'), (1, 'mean_word_len'),
-        (2, 'symbol_ratio'), (3, 'stopword'), (4, 'kept')),
+        (2, 'symbol_ratio'), (3, 'bullet_ratio'), (4, 'ellipsis_ratio'),
+        (5, 'alpha_word_ratio'), (6, 'dup_line'), (7, 'stopword'),
+        (8, 'kept')),
       cnt AS (SELECT reason, count(*) AS n FROM lab GROUP BY 1),
       tot AS (SELECT count(*) AS t FROM lab)
       SELECT d.rule_idx, d.reason,
@@ -6652,21 +6710,101 @@ object Extensions {
     (s, dir) => {
       val ws = split(col("text"), " ")
       val stops = array(Seq("the", "and", "of", "to", "a").map(lit): _*)
+      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
+      val lines = transform(sequence(lit(0), k - 1),
+        i => array_join(slice(ws, i * 5 + 1, lit(5)), " "))
+      // q249's signal, composed: the same synthesized 5-word lines feed
+      // the cross-doc duplicated-line census (one line-hash aggregate +
+      // window + doc rollup — dupLineDocShare's shape, unchanged)
+      val dup = Dedup.dupLineDocShare(
+        t(s, dir, "documents").select(col("doc_id"),
+          array_join(lines, "\n").as("text")),
+        "doc_id", "text", minDocs = 2, maxDupPpm = 300000L)
+        .select(col("doc_id"), col("dup_ppm"))
       val sig = t(s, dir, "documents").select(col("doc_id"),
         size(ws).cast("long").as("n_words"),
         length(col("text")).cast("long").as("n_chars"),
         length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
           .cast("long").as("n_sym"),
+        size(filter(lines, l => l.startsWith("- "))).cast("long")
+          .as("n_bullet"),
+        size(filter(lines, l => l.endsWith("..."))).cast("long")
+          .as("n_ellipsis"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(ws, x => x.rlike("[a-zA-Z]"))).cast("long")
+          .as("n_alpha"),
         (size(array_intersect(ws, stops)) > 0).as("has_stop"))
         .withColumn("mean_cl",
           expr("(100 * (n_chars - n_words + 1)) div n_words"))
         .withColumn("sym_ppm", expr("(1000000 * n_sym) div n_chars"))
+        .withColumn("bullet_ppm", expr("(1000000 * n_bullet) div n_lines"))
+        .withColumn("ellipsis_ppm",
+          expr("(1000000 * n_ellipsis) div n_lines"))
+        .withColumn("alpha_ppm", expr("(1000000 * n_alpha) div n_words"))
+        .join(dup, Seq("doc_id"))
       Profile.filterAttrition(sig, Seq(
         "word_count" -> col("n_words").between(25L, 100000L),
         "mean_word_len" -> col("mean_cl").between(400L, 1000L),
         "symbol_ratio" -> (col("sym_ppm") <= 100000L),
+        "bullet_ratio" -> (col("bullet_ppm") <= 900000L),
+        "ellipsis_ratio" -> (col("ellipsis_ppm") <= 300000L),
+        "alpha_word_ratio" -> (col("alpha_ppm") >= 800000L),
+        "dup_line" -> (col("dup_ppm") <= 300000L),
         "stopword" -> col("has_stop")))
         .orderBy("rule_idx")
+    })
+
+  private val q259 = Q("q259_lp_converge",
+    "label propagation CONVERGE mode gated as VALUES (q245 pins fixed " +
+      "rounds only; GraphSpec pins the stop mechanics — this pins the " +
+      "fixpoint labels against an unrolled oracle): one bridged-two-" +
+      "triangle motif per customer (nodes 6c..6c+5, triangles " +
+      "{0,1,2}/{3,4,5}, bridge 2-3), a graph that is provably NOT " +
+      "converged at 2 rounds and reaches its fixpoint at round 3 for " +
+      "EVERY motif regardless of scale — so the oracle unrolls exactly " +
+      "3 rounds while the engine runs converge=true under a budget of " +
+      "10 and must stop on the same labels (round 4 observes zero " +
+      "changes); per-community size census",
+    Some("""
+      WITH m(da, db) AS (VALUES (0, 1), (1, 2), (0, 2), (3, 4), (4, 5),
+        (3, 5), (2, 3)),
+      und AS (SELECT c_custkey * 6 + da AS a, c_custkey * 6 + db AS b
+              FROM customer CROSS JOIN m),
+      edges AS (SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b, a FROM und),
+      lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      c1 AS (SELECT e.dst, l.label, count(*) AS c
+             FROM edges e JOIN lab0 l ON e.src = l.node GROUP BY 1, 2),
+      lab1 AS (SELECT dst AS node, label FROM (
+               SELECT dst, label, row_number() OVER (PARTITION BY dst
+                 ORDER BY c DESC, label) AS rn FROM c1) WHERE rn = 1),
+      c2 AS (SELECT e.dst, l.label, count(*) AS c
+             FROM edges e JOIN lab1 l ON e.src = l.node GROUP BY 1, 2),
+      lab2 AS (SELECT dst AS node, label FROM (
+               SELECT dst, label, row_number() OVER (PARTITION BY dst
+                 ORDER BY c DESC, label) AS rn FROM c2) WHERE rn = 1),
+      c3 AS (SELECT e.dst, l.label, count(*) AS c
+             FROM edges e JOIN lab2 l ON e.src = l.node GROUP BY 1, 2),
+      lab3 AS (SELECT dst AS node, label FROM (
+               SELECT dst, label, row_number() OVER (PARTITION BY dst
+                 ORDER BY c DESC, label) AS rn FROM c3) WHERE rn = 1)
+      SELECT label, count(*) AS n_nodes
+      FROM lab3 GROUP BY 1 ORDER BY label"""),
+    (s, dir) => {
+      val motif = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+        (3L, 5L), (2L, 3L))
+      val und = t(s, dir, "customer")
+        .select((col("c_custkey") * 6).as("base"))
+        .select(col("base"), explode(array(motif.map { case (x, y) =>
+          struct(lit(x).as("da"), lit(y).as("db")) }: _*)).as("e"))
+        .select((col("base") + col("e.da")).as("a"),
+          (col("base") + col("e.db")).as("b"))
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      Graph.labelPropagation(edges, "src", "dst", rounds = 10,
+        converge = true, assumeTotal = true)
+        .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("label")
     })
 
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
@@ -6683,5 +6821,6 @@ object Extensions {
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
-    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258)
+    q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
+    q259)
 }

@@ -623,7 +623,7 @@ object Pipeline {
             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000
                  THEN 0 ELSE 1 END AS new_s
-            FROM events),
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       s AS (SELECT user_id, ts,
             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
@@ -635,7 +635,7 @@ object Pipeline {
             FROM s GROUP BY 1, 2),
       m AS (SELECT user_id, max(sid) AS max_sid FROM g GROUP BY 1),
       wm AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) - 3600000 AS w
-             FROM events)
+             FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
       SELECT g.user_id AS user_id, start_ms, last_ms, n_events
       FROM g JOIN m ON g.user_id = m.user_id CROSS JOIN wm
       WHERE g.sid < m.max_sid OR g.last_ms + 1800000 <= wm.w
@@ -643,7 +643,10 @@ object Pipeline {
     (s, dir) => {
       val cp = java.nio.file.Files.createTempDirectory("graft-q166-cp").toString
       import s.implicits._
+      // null key/ts rows excluded before keying/watermarking (q257's
+      // policy, applied here too — the shared latent gap from r13 advice)
       val stream = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id").cast("string").as("k"), col("ts"))
         .withWatermark("ts", "1 hour")
         .as[(String, java.sql.Timestamp)]
@@ -894,7 +897,7 @@ object Pipeline {
             FROM scan GROUP BY 1, 2),
       m AS (SELECT k, max(sid) AS max_sid FROM g GROUP BY 1),
       wm AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) - 3600000 AS w
-             FROM events)
+             FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
       SELECT g.k AS user_id, start_ms, end_ms, n_events
       FROM g JOIN m ON g.k = m.k CROSS JOIN wm
       WHERE g.sid < m.max_sid OR g.end_ms + 1800000 <= wm.w
@@ -903,7 +906,12 @@ object Pipeline {
       val cp = java.nio.file.Files.createTempDirectory("graft-q257-cp")
         .toString
       import s.implicits._
+      // null key/ts rows are excluded BEFORE keying and watermarking —
+      // the batch twin sessionizeCapped's documented policy and the
+      // oracle's WHERE; without this a null-bearing corpus would push a
+      // "null" string key through the processor (r13 advice)
       val stream = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id").cast("string").as("k"), col("ts"))
         .withWatermark("ts", "1 hour")
         .as[(String, java.sql.Timestamp)]

@@ -144,6 +144,15 @@ object StatefulTracking {
     override def handleInputRows(key: String,
                                  rows: Iterator[(String, Timestamp)],
                                  tv: TimerValues): Iterator[ClosedSession] = {
+      // Spark does NOT guarantee event-time order within a group's
+      // micro-batch iterator, and the cap recurrence is non-associative
+      // — sort the batch's timestamps before folding. The residual
+      // assumption is CROSS-batch: a row later than the watermark but
+      // earlier than state's lastMs (out-of-order ACROSS batch
+      // boundaries, within the allowed lateness) folds where it lands,
+      // not where a global sort would put it — the inherent limit of
+      // any O(1)-state streaming recurrence; the batch twin
+      // (Sessionize.sessionizeCapped) is the replayable ground truth.
       val times = rows.map(_._2.getTime).toArray.sorted
       val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
       var cur: Option[SessState] = if (st.exists()) Some(st.get()) else None

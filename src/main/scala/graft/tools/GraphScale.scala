@@ -114,6 +114,36 @@ object GraphScale {
       println(f"[lpscale] n=$m rounds=$rounds min2=${walls.min}%.2f s " +
         s"runs=${walls.map(w => f"$w%.2f").mkString(",")}")
     }
+    // converge mode on q259's bridged-triangle motif graph: every motif
+    // settles at round 3 and the zero-change transition is observed at
+    // round 4, INDEPENDENT of motif count — so rounds-to-settle is a
+    // construction constant and the walls below isolate the per-round
+    // action floor (plan+codegen+job submit) from data growth
+    def motifEdges(nMotifs: Long): DataFrame = {
+      val motif = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+        (3L, 5L), (2L, 3L))
+      val und = spark.range(nMotifs).select((col("id") * 6).as("base"))
+        .select(col("base"), explode(array(motif.map { case (x, y) =>
+          struct(lit(x).as("da"), lit(y).as("db")) }: _*)).as("e"))
+        .select((col("base") + col("e.da")).as("a"),
+          (col("base") + col("e.db")).as("b"))
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    }
+    for (m <- Seq(15000L, 150000L)) {
+      val walls = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        Graph.labelPropagation(motifEdges(m), rounds = 10, converge = true,
+          assumeTotal = true)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[lpscale] converge motifs=$m settle=3 detect=4 " +
+        f"min2=${walls.min}%.2f s " +
+        s"runs=${walls.map(w => f"$w%.2f").mkString(",")}")
+    }
   }
 
   private def skewDemo(args: Array[String]): Unit = {

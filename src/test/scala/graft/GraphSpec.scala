@@ -313,4 +313,41 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cut12 == fixpoint, s"12 cut rounds left the fixpoint: $cut12")
   }
+
+  test("labelPropagation assumeTotal: identical labels to the default " +
+    "path on symmetrized input, at every depth and cadence") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // the fast path drops the seed union and the keep-label join — on
+    // total input those are identities, so every (rounds, cadence) pair
+    // must agree with the guarded path bit-for-bit
+    for (r <- Seq(1, 2, 4); every <- Seq(0, 3)) {
+      val guarded = Graph.labelPropagation(edges, rounds = r,
+        checkpointEvery = every).as[(Long, Long)].collect().toMap
+      val fast = Graph.labelPropagation(edges, rounds = r,
+        checkpointEvery = every, assumeTotal = true)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == guarded,
+        s"assumeTotal diverged at rounds=$r every=$every: $fast")
+    }
+    // converge mode swaps the keep-label join for the leaf stability
+    // join under the flag — must land on the same fixpoint, at the same
+    // detection round (budget-4 still converges: settle 3, detect 4)
+    val settled = Graph.labelPropagation(edges, rounds = 10,
+      converge = true, assumeTotal = true).as[(Long, Long)].collect().toMap
+    assert(settled == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L,
+      11L -> 3L, 12L -> 3L), s"assumeTotal+converge: $settled")
+    val tight = Graph.labelPropagation(edges, rounds = 4,
+      converge = true, assumeTotal = true).as[(Long, Long)].collect().toMap
+    assert(tight == settled, s"budget-4 assumeTotal converge: $tight")
+    // oscillation still throws under the flag (per-round check is the
+    // period-2 guard)
+    val bip = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val ex2 = intercept[IllegalStateException] {
+      Graph.labelPropagation(bip, rounds = 6, converge = true,
+        assumeTotal = true)
+    }
+    assert(ex2.getMessage.contains("converge"))
+  }
 }
