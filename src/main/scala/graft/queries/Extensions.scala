@@ -6614,7 +6614,10 @@ object Extensions {
       // AND the novel-band append (the whole point of the
       // annotateAgainstBands split — dedupAgainstBands would re-sign the
       // novel docs); ann1 serves the output and the survivor filter
-      val bands0 = bandsFor(docs.filter(col("doc_id") % 2 === 0)).cache()
+      // index cache pre-partitioned by the join key (the q248 bucketed-
+      // index shape) — both admission joins read it in place
+      val bands0 = bandsFor(docs.filter(col("doc_id") % 2 === 0))
+        .repartition(col("band"), col("band_sig")).cache()
       val b1bands = bandsFor(batch1).cache()
       val ann1 = Dedup.annotateAgainstBands(batch1.select("doc_id"),
         b1bands, bands0, "doc_id").cache()

@@ -829,11 +829,17 @@ object Pipeline {
     Some(Extensions.minHashAdmissionOracle),
     (s, dir) => {
       val docs = Tables.table(s, dir, "documents")
+      // persisted PRE-PARTITIONED by the join key — the bucketed-index
+      // shape dedupAgainstBands' scaladoc prescribes: the per-batch join
+      // reads index partitions in place (batch bands broadcast), and the
+      // cached layout is the one the join wants (r14: warm batch
+      // 0.54 -> 0.37 s)
       val idxBands = graft.ops.Dedup.lshBands(
         graft.ops.Dedup.minHashSignatures(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
           numHashes = 16, shingleSize = 3),
-        "doc_id", rowsPerBand = 2).persist()
+        "doc_id", rowsPerBand = 2)
+        .repartition(col("band"), col("band_sig")).persist()
       // Materialize the index ONCE, before the first micro-batch would
       // otherwise charge the build to itself.
       idxBands.count()

@@ -382,7 +382,8 @@ object StreamBench {
             graft.Tables.table(spark, sfDir, "documents")
               .filter(col("doc_id") % 2 === 0),
             "doc_id", "text", numHashes = 16, shingleSize = 3),
-          "doc_id", rowsPerBand = 2).persist()
+          "doc_id", rowsPerBand = 2)
+          .repartition(col("band"), col("band_sig")).persist()
         idxBands.count()
         val out = work.resolve("admission-out").toString
         def run(): Double = {

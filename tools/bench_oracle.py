@@ -199,8 +199,23 @@ def main() -> None:
     if overhead is not None:
         summary["overhead_s"] = overhead
     import os
+    # the artifact carries its own denominator caveat (r13 verdict task 6:
+    # README alone held it): DuckDB's heaviest oracles are run-to-run
+    # bimodal, so a single draw's ratio is one sample from an envelope.
+    # This draw's values for the known-bimodal gates are quoted inline so
+    # a reader can place the draw without the README; ORACLE_BENCH_NOTE
+    # appends the round's measured multi-draw envelope.
+    bimodal = {k: result[k]["duckdb_s"]
+               for k in ("q18_pipeline_e2e", "q198_mmr_diverse_select")
+               if k in result and result[k].get("duckdb_s")}
+    note = ("DuckDB denominator is run-to-run bimodal on its heaviest "
+            "oracles (q18 measured 133/350/565 s same-day at sf0.1): read "
+            "ratio_total_batch as one draw from an envelope and quote "
+            "multi-draw ranges, never a single value."
+            + ("".join(f" This draw: {k}={v} s." for k, v in sorted(bimodal.items()))))
     if os.environ.get("ORACLE_BENCH_NOTE"):
-        summary["note"] = os.environ["ORACLE_BENCH_NOTE"]
+        note += " " + os.environ["ORACLE_BENCH_NOTE"]
+    summary["note"] = note
     if batch:
         bs = round(sum(v["spark_s"] for _, v in batch), 3)
         bd = round(sum(v["duckdb_s"] for _, v in batch), 3)
