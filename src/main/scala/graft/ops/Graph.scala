@@ -140,26 +140,27 @@ object Graph {
     * total, src-only seeding drops dst-only nodes and skipping the
     * keep-label join drops no-in-edge nodes after round 1 — exactly the
     * r12 silent-vanish bug. Set it only when the input is symmetrized
-    * (or provably total). Converge mode ignores the join-skip half (its
-    * per-round input is always a checkpoint leaf, so the keep-label
-    * join never doubles a deep subtree — a leaf stability join measured
-    * identical) but still takes the src-only seed.
+    * (or provably total). Converge mode ignores the join-skip half —
+    * its per-round input is always a checkpoint leaf (the seed is cut
+    * eagerly under converge, later rounds are the previous round's
+    * checkpoint), so the keep-label join never doubles a deep subtree;
+    * a leaf stability join measured identical — but still takes the
+    * src-only seed.
     *
     * Fixed `rounds` (the default) keeps the result deterministic and the
     * oracle unrollable; sync LPA can OSCILLATE on bipartite-ish graphs,
     * so the convergence mode (`converge = true`) treats `rounds` as a
     * budget, stops as soon as a transition changes ZERO labels, and
     * THROWS if the budget exhausts unconverged — a loud failure, never a
-    * silent partial answer (kCore's posture). The check runs every 2
-    * rounds (one blocking action per segment, counting only the LAST
-    * transition's changes — sound because fixpoints are absorbing and
-    * oscillation never shows a zero transition; the action is the
-    * dominant converge cost, ~1.3 s each at local[32] regardless of
-    * graph size); each segment's labels are lazily localCheckpointed so
-    * the counting action also cuts lineage to ≤2 rounds deep (the
-    * action would otherwise replay the whole chain). In fixed-rounds
-    * mode `checkpointEvery` (default 3, 0 = never) cuts the growing
-    * lineage the same way. The cadence matters more than it looks: the
+    * silent partial answer (kCore's posture). The check runs EVERY round
+    * (checking less often is unsound: sync LPA oscillates with period 2,
+    * so labels_r == labels_{r-2} does not imply a fixpoint); each
+    * round's labels are LAZILY localCheckpointed so the one counting
+    * action per round also materializes the round and cuts lineage to
+    * one round deep (the action would otherwise replay the whole
+    * chain; the r13 eager-checkpoint-then-count shape paid two jobs per
+    * round). In fixed-rounds mode `checkpointEvery` (default 3,
+    * 0 = never) cuts the growing lineage the same way. The cadence matters more than it looks: the
     * keep-label join references the labels subtree TWICE per round, so
     * an uncut plan TREE doubles per round — Catalyst traverses trees,
     * not DAGs, and an uncut 12-round plan burns optimizer/codegen CPU
@@ -200,27 +201,26 @@ object Graph {
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).sortWithinPartitions("src").persist()
-    // seed: on declared-total input src alone covers the node set — and
-    // no eager cut: lineage starts at the persisted edge cache, the
-    // total path references the seed ONCE per round, and a fixed
-    // shallow run then materializes exactly once on the way out (the
-    // r13 unconditional seed localCheckpoint cost q245 a wasted job).
-    // On possibly-directed input seed from src ∪ dst (a dst-only node
+    // seed: on declared-total input src alone covers the node set; on
+    // possibly-directed input seed from src ∪ dst (a dst-only node
     // would otherwise never receive a label and a src-only node would
-    // vanish from the output after round 1) and DO cut eagerly: the
-    // guarded path's keep-label join references the labels subtree
-    // twice per round, so an uncut union+distinct seed doubles per
-    // round inside the first segment's tree (measured +30% on the
-    // 6M-edge rounds=8 run without this).
-    var labels =
-      if (assumeTotal)
-        e.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node"))
-      else
-        e.select(col("src").as("node"))
+    // vanish from the output after round 1). Cut the seed eagerly
+    // whenever the keep-label join will reference it twice — every
+    // guarded path, and round 1 of EVERY converge run (converge always
+    // joins): an uncut union+distinct seed doubles per round inside the
+    // first segment's tree (measured +30% on the 6M-edge rounds=8 run).
+    // Only the total FIXED path skips the cut — it references the seed
+    // once per round and a shallow run is then a single cut-free job
+    // (the r13 unconditional seed localCheckpoint cost q245 a wasted
+    // job).
+    var labels = {
+      val nodes =
+        if (assumeTotal) e.select(col("src").as("node")).distinct()
+        else e.select(col("src").as("node"))
           .unionAll(e.select(col("dst").as("node"))).distinct()
-          .withColumn("label", col("node"))
-          .localCheckpoint(true)
+      val seed = nodes.withColumn("label", col("node"))
+      if (assumeTotal && !converge) seed else seed.localCheckpoint(true)
+    }
     // one guarded LPA step: adoption + keep-label left join; withChg
     // additionally carries the changed-flag column for converge checks
     def guardedStep(cur: DataFrame, withChg: Boolean): DataFrame = {
@@ -254,7 +254,10 @@ object Graph {
         r += 1
         val mat = guardedStep(labels, withChg = true)
           .localCheckpoint(false)
-        stable = mat.agg(sum(col("_chg"))).head().getLong(0) == 0L
+        // coalesce: sum over ZERO rows is NULL (empty edge input) — an
+        // empty graph is vacuously converged, not an NPE
+        stable = mat.agg(coalesce(sum(col("_chg")), lit(0L)))
+          .head().getLong(0) == 0L
         labels = mat.drop("_chg")
       }
       if (!stable)

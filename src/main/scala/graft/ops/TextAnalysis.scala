@@ -60,19 +60,27 @@ object TextAnalysis {
   }
 
   /** Markup → text extraction — the web-corpus ingestion stage (the
-    * trafilatura/jusText core, regex tier): strip `<!-- … -->` COMMENTS
-    * whole first (a commented-out `<script>` is not a script, and a
-    * multi-line comment body containing `>` would otherwise leak text
-    * past the tag pattern), then strip <script> and <style> ELEMENTS
-    * whole (their body is code, not prose — and code may contain bare
-    * `<` that is not markup, so element removal must happen BEFORE tag
-    * stripping), then strip remaining tags, decode the portable HTML
-    * entity set, collapse whitespace runs, trim. Counts ride along for
-    * corpus hygiene metrics: n_comments (on the raw document),
-    * n_scripts (on the comment-stripped document), and n_links/n_tags —
-    * both measured on the element-STRIPPED document, consistently:
-    * markup inside script bodies (document.write('<a …')) is code, not
-    * document structure, and counts toward neither.
+    * trafilatura/jusText core, regex tier): strip <script> and <style>
+    * ELEMENTS whole first (their body is code, not prose — and code may
+    * contain bare `<`, or an UNMATCHED `<!--` as in the old-school
+    * `document.write("<!--")` idiom, which a comments-first pass would
+    * splice with a later prose comment's `-->`, deleting real document
+    * text — content correctness is the ordering priority), then strip
+    * `<!-- … -->` COMMENTS whole (a multi-line comment body containing
+    * `>` would otherwise leak text past the tag pattern), then strip
+    * remaining tags, decode the portable HTML entity set, collapse
+    * whitespace runs, trim. The ordering's documented imprecision: a
+    * commented-out `<script>…</script>` is removed (and counted) by the
+    * ELEMENT pass — a hygiene-count blemish, accepted because the dual
+    * ordering corrupts prose; the remaining regex-tier residual is a
+    * bare `<script>` OPENING inside a comment, which can splice to a
+    * later real `</script>` (a full parser's job, out of tier). Counts
+    * ride along for corpus hygiene metrics: n_scripts (on the raw
+    * document), n_comments (on the element-stripped document), and
+    * n_links/n_tags — both measured on the element-AND-comment-stripped
+    * document, consistently: markup inside script bodies
+    * (document.write('<a …')) is code and commented-out markup is dead,
+    * so neither counts toward document structure.
     *
     * Entity decode runs AFTER tag stripping (an escaped `&lt;` is text
     * content, never markup) with `&amp;` decoded LAST — so the chain is
@@ -96,24 +104,24 @@ object TextAnalysis {
     val scriptPat = "(?is)<script[^>]*>.*?</script>"
     val stylePat = "(?is)<style[^>]*>.*?</style>"
     val tagPat = "<[^>]+>"
-    val noComments = regexp_replace(col(htmlCol), commentPat, " ")
     val noElems = regexp_replace(
-      regexp_replace(noComments, scriptPat, " "), stylePat, " ")
+      regexp_replace(col(htmlCol), scriptPat, " "), stylePat, " ")
+    val noComments = regexp_replace(noElems, commentPat, " ")
     // order is load-bearing: &amp; LAST keeps the chain single-decode
     val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#34;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    val decoded = entities.foldLeft(regexp_replace(noElems, tagPat, " ")) {
+    val decoded = entities.foldLeft(regexp_replace(noComments, tagPat, " ")) {
       case (c, (pat, repl)) => regexp_replace(c, pat, repl)
     }
     docs.select(
       col(idCol),
-      size(regexp_extract_all(col(htmlCol), lit(commentPat), lit(0)))
-        .cast("long").as("n_comments"),
-      size(regexp_extract_all(noComments, lit(scriptPat), lit(0)))
+      size(regexp_extract_all(col(htmlCol), lit(scriptPat), lit(0)))
         .cast("long").as("n_scripts"),
-      size(regexp_extract_all(noElems, lit("(?i)<a[\\s>]"), lit(0)))
+      size(regexp_extract_all(noElems, lit(commentPat), lit(0)))
+        .cast("long").as("n_comments"),
+      size(regexp_extract_all(noComments, lit("(?i)<a[\\s>]"), lit(0)))
         .cast("long").as("n_links"),
-      size(regexp_extract_all(noElems, lit(tagPat), lit(0)))
+      size(regexp_extract_all(noComments, lit(tagPat), lit(0)))
         .cast("long").as("n_tags"),
       trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
   }

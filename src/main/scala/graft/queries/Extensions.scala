@@ -6501,15 +6501,18 @@ object Extensions {
     "web-corpus text extraction (the trafilatura/jusText core, regex " +
       "tier): documents wrapped in synthesized HTML — head/style/script " +
       "(whose body holds a bare '<' that is NOT markup), a MULTI-LINE " +
-      "comment whose body holds '>' and a commented-out <script> (both " +
-      "must vanish whole, and the dead script must NOT count), nav " +
+      "comment whose body holds '>' and a commented-out <script> (the " +
+      "comment vanishes whole; the dead script counts toward n_scripts " +
+      "— the ordering's documented imprecision, accepted because the " +
+      "dual comments-first order splices an unmatched '<!--' in script " +
+      "code with a later prose comment and DELETES real text), nav " +
       "links, inline <b> around ' and ', an entity-laden Q&A snippet " +
       "incl. the double-escape &amp;lt; (must decode ONCE to the literal " +
-      "text '&lt;') — comments stripped first, then script/style " +
-      "ELEMENTS whole BEFORE tag stripping, entities decoded after " +
-      "(&amp; last), whitespace collapsed; n_comments/n_scripts/n_links/" +
-      "n_tags ride along for hygiene metrics; row-local column " +
-      "expressions, every regex shared verbatim with the oracle",
+      "text '&lt;') — script/style ELEMENTS stripped whole first, then " +
+      "comments, then tags, entities decoded after (&amp; last), " +
+      "whitespace collapsed; n_scripts/n_comments/n_links/n_tags ride " +
+      "along for hygiene metrics; row-local column expressions, every " +
+      "regex shared verbatim with the oracle",
     Some("""
       WITH h AS (SELECT doc_id,
         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
@@ -6521,32 +6524,32 @@ object Extensions {
         '</h1><p>' || regexp_replace(text, ' and ', ' <b>and</b> ', 'g') ||
         '</p><p>Q&amp;A: 1 &lt; 2, &quot;x&quot;, it&#39;s&nbsp;escaped as &amp;lt;</p><footer>(c) example</footer></body></html>' AS html
         FROM documents),
-      st AS (SELECT doc_id, html,
-        regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS no_comments
-        FROM h),
-      se AS (SELECT doc_id, html, no_comments,
-        regexp_replace(regexp_replace(no_comments,
+      se AS (SELECT doc_id, html,
+        regexp_replace(regexp_replace(html,
           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS no_elems
-        FROM st)
+        FROM h),
+      st AS (SELECT doc_id, html, no_elems,
+        regexp_replace(no_elems, '(?s)<!--.*?-->', ' ', 'g') AS no_comments
+        FROM se)
       SELECT doc_id,
-        CAST(len(regexp_extract_all(html, '(?s)<!--.*?-->')) AS BIGINT)
-          AS n_comments,
-        CAST(len(regexp_extract_all(no_comments,
+        CAST(len(regexp_extract_all(html,
           '(?is)<script[^>]*>.*?</script>')) AS BIGINT) AS n_scripts,
-        CAST(len(regexp_extract_all(no_elems, '(?i)<a[\s>]')) AS BIGINT)
+        CAST(len(regexp_extract_all(no_elems, '(?s)<!--.*?-->')) AS BIGINT)
+          AS n_comments,
+        CAST(len(regexp_extract_all(no_comments, '(?i)<a[\s>]')) AS BIGINT)
           AS n_links,
-        CAST(len(regexp_extract_all(no_elems, '<[^>]+>')) AS BIGINT)
+        CAST(len(regexp_extract_all(no_comments, '<[^>]+>')) AS BIGINT)
           AS n_tags,
         trim(regexp_replace(
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
           regexp_replace(regexp_replace(regexp_replace(
-            regexp_replace(no_elems, '<[^>]+>', ' ', 'g'),
+            regexp_replace(no_comments, '<[^>]+>', ' ', 'g'),
             '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
             '&#34;', '"', 'g'), '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'),
             '&amp;', '&', 'g'),
           '\s+', ' ', 'g')) AS text_clean
-      FROM se ORDER BY doc_id"""),
+      FROM st ORDER BY doc_id"""),
     (s, dir) => {
       val idS = col("doc_id").cast("string")
       val html = concat(

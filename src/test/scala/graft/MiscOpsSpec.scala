@@ -45,31 +45,37 @@ class MiscOpsSpec extends SparkSpec {
     // doc 1: 1 script (removed whole, incl. its '<i>', '<a href=x>' and
     // bare '<'); 1 link — the script-body anchor is code, not structure;
     // remaining tags: html, p, b, /b, /p, a, /a, /html = 8
-    assert(got(1L) == ((1L, 0L, 1L, 1L, 8L, "hello world link")))
+    assert(got(1L) == ((1L, 1L, 0L, 1L, 8L, "hello world link")))
     assert(got(2L) == ((2L, 0L, 0L, 0L, 0L, "plain text")))
     assert(got(3L) == ((3L, 0L, 0L, 0L, 0L, "no markup at all")))
   }
 
-  test("stripMarkup: multi-line comments vanish whole (commented-out " +
-    "script does NOT count, '>' in a comment body doesn't leak); " +
-    "entities decode once, &amp; last") {
+  test("stripMarkup: comments vanish whole AFTER elements ('>' in a " +
+    "comment body doesn't leak; a dead script inside a comment counts — " +
+    "the documented imprecision); an unmatched '<!--' in script code " +
+    "cannot splice prose away; entities decode once, &amp; last") {
     val docs = Seq(
       // a comment spanning lines, holding a dead script and a bare '>'
       (1L, "<p>keep</p><!-- v2\n<script>alert(1)</script> x > y --><p>tail</p>"),
       // the double-escape: &amp;lt; must come out as the TEXT '&lt;'
       (2L, "<p>Q&amp;A: 1 &lt; 2 &gt; 0, &quot;x&quot;, it&#39;s" +
         "&nbsp;ok, raw: &amp;lt;</p>"),
-      // a live script NEXT TO a comment: comment goes first, script still
-      // counts (it is not inside the comment)
-      (3L, "<!-- note --><script>var a=1</script>body"))
+      // a live script NEXT TO a comment: both counted, both removed
+      (3L, "<!-- note --><script>var a=1</script>body"),
+      // the r14 review case: an UNMATCHED '<!--' inside script code must
+      // not splice with the prose comment's '-->' and eat 'hello' — the
+      // element pass removes the script (and its stray '<!--') first
+      (4L, "<script>document.write(\"<!--\")</script><p>hello</p>" +
+        "<!-- note -->"))
       .toDF("doc_id", "html")
     val got = graft.ops.TextAnalysis.stripMarkup(docs)
       .as[(Long, Long, Long, Long, Long, String)].collect()
       .map(t => t._1 -> t).toMap
-    assert(got(1L) == ((1L, 1L, 0L, 0L, 4L, "keep tail")))
+    assert(got(1L) == ((1L, 1L, 1L, 0L, 4L, "keep tail")))
     assert(got(2L) == ((2L, 0L, 0L, 0L, 2L,
       "Q&A: 1 < 2 > 0, \"x\", it's ok, raw: &lt;")))
     assert(got(3L) == ((3L, 1L, 1L, 0L, 0L, "body")))
+    assert(got(4L) == ((4L, 1L, 1L, 0L, 2L, "hello")))
   }
 
   test("dedupSpans keeps the corpus-wide FIRST occurrence of each span") {
