@@ -126,6 +126,104 @@ object TextAnalysis {
       trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
   }
 
+  /** WITHIN-document repetition signals — the Gopher internal-redundancy
+    * rule family ([[graft.ops.Dedup.dupLineDocShare]] is the CROSS-doc
+    * cousin; this one needs no census at all): per document, the share of
+    * line occurrences that are repeats of an earlier line in the SAME
+    * doc, the share of line CHARACTERS sitting in those repeats (the
+    * published pair — a doc can have few duplicate lines that carry most
+    * of its bytes), and the word-level repeat share (the complement of
+    * type-token ratio, the lexical-diversity quality signal). `keep`
+    * applies the Gopher duplicate-line threshold.
+    *
+    * Everything is ROW-LOCAL higher-order-function arithmetic on the
+    * split arrays (array_distinct + length sums) — one scan, zero
+    * exchanges, no sort even (duplicate counting is size − distinct
+    * size, order-free). Exact integer ppm throughout. Words split on
+    * `\s+` so a `sep`-lined document tokenizes the same as its flat
+    * form.
+    *
+    * Output: idCol, n_lines, n_words, dup_line_ppm, dup_char_ppm,
+    * dup_word_ppm, keep.
+    */
+  def withinDocRepetition(docs: DataFrame, idCol: String, textCol: String,
+                          sep: String = "\n",
+                          maxDupLinePpm: Long = 300000L): DataFrame = {
+    require(maxDupLinePpm >= 0L && maxDupLinePpm <= 1000000L,
+      s"maxDupLinePpm must be a ppm value in [0, 1000000], got $maxDupLinePpm")
+    val charsOf: Column => Column = arr =>
+      aggregate(transform(arr, l => length(l).cast("long")),
+        lit(0L), (a, x) => a + x)
+    docs
+      .select(col(idCol),
+        split(col(textCol), java.util.regex.Pattern.quote(sep)).as("_ls"),
+        split(col(textCol), "\\s+").as("_ws"))
+      .select(col(idCol),
+        size(col("_ls")).cast("long").as("n_lines"),
+        size(col("_ws")).cast("long").as("n_words"),
+        (size(col("_ls")) - size(array_distinct(col("_ls"))))
+          .cast("long").as("_dl"),
+        charsOf(col("_ls")).as("_lc"),
+        charsOf(array_distinct(col("_ls"))).as("_dc"),
+        (size(col("_ws")) - size(array_distinct(col("_ws"))))
+          .cast("long").as("_dw"))
+      .withColumn("dup_line_ppm", expr("(1000000 * _dl) div n_lines"))
+      .withColumn("dup_char_ppm",
+        expr("(1000000 * (_lc - _dc)) div greatest(_lc, 1L)"))
+      .withColumn("dup_word_ppm", expr("(1000000 * _dw) div n_words"))
+      .withColumn("keep", col("dup_line_ppm") <= maxDupLinePpm)
+      .select(col(idCol), col("n_lines"), col("n_words"),
+        col("dup_line_ppm"), col("dup_char_ppm"), col("dup_word_ppm"),
+        col("keep"))
+  }
+
+  /** Unigram surprisal quality score — the CCNet "LM perplexity" curation
+    * signal at the unigram tier, made engine-portable: each word type's
+    * surprisal is floor(log2(N div c)) BITS (N = corpus token count, c =
+    * the type's corpus frequency; integer division first, then an exact
+    * floor-log2), a document scores the k-weighted sum over its tokens,
+    * and mean_bits_ppm = (10^6 · total_bits) div n_words is the
+    * per-token average — HIGH means the doc leans on corpus-rare words
+    * (gibberish/OCR noise score high, boilerplate scores low; both tails
+    * are curation targets, exactly how CCNet buckets by perplexity
+    * terciles).
+    *
+    * PORTABILITY BOUND: floor(log2(x)) on an INTEGER x is exact in both
+    * engines while x < 2^45-ish (log2's 1-ulp rounding can only cross
+    * the floor boundary within ~2^-52 of an exact power, and for
+    * integer x the nearest non-power distance is 2^-x·ln2 ≫ that until
+    * x approaches 2^45); corpora past ~10^13 tokens should switch the
+    * expression to an integer bit-length. Documented, not guarded — the
+    * gate scale is 10 orders below the bound.
+    *
+    * Shape at 100 TB: ONE tokenize feeding a (doc, word) count (map-side
+    * combined — the corpus collapses to its distinct doc-word relation
+    * immediately); the census, the 1-row total, and the per-type bits
+    * all derive from that relation (vocab-sized); the rollup joins
+    * doc-word counts to vocab bits (broadcast at gate scale, keyed
+    * shuffle at corpus scale) and aggregates by doc. No second scan of
+    * the corpus, no driver state.
+    *
+    * Output: idCol, n_words, total_bits, mean_bits_ppm.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val dw = docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
+    val census = dw.groupBy(col("w")).agg(sum(col("k")).as("c"))
+    val total = census.agg(sum(col("c")).as("n"))
+    val bits = census.crossJoin(total)
+      .select(col("w"),
+        floor(log2(expr("n div c"))).cast("long").as("bits"))
+    dw.join(bits, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("bits")).as("total_bits"))
+      .withColumn("mean_bits_ppm",
+        expr("(1000000 * total_bits) div n_words"))
+  }
+
   /** Luhn mod-10 checksum over a digits-only string column — the
     * validation half of payment-card detection ([[redactPii]]'s digit-run
     * regex is the RECALL half; most 13–19 digit runs are order ids and

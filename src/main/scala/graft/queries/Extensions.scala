@@ -6813,6 +6813,79 @@ object Extensions {
         .orderBy("label")
     })
 
+  private val q260 = Q("q260_within_doc_repetition",
+    "WITHIN-document repetition signals (the Gopher internal-redundancy " +
+      "rule family — q249 is the cross-doc cousin and needs a corpus " +
+      "census; this needs NONE): per doc over q249's synthesized 5-word " +
+      "lines, the repeated-line occurrence share, the repeated-line " +
+      "CHARACTER share (the published pair — few duplicate lines can " +
+      "carry most bytes), and the word-level repeat share (complement " +
+      "of type-token ratio); keep = Gopher's 30% duplicate-line rule; " +
+      "all row-local array arithmetic (size - distinct size, order-" +
+      "free), one scan, zero exchanges",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      ln AS (SELECT doc_id, ws,
+               list_transform(generate_series(0, CAST(ceil(len(ws) / 5.0) AS INT) - 1),
+                 i -> array_to_string(ws[(i*5+1):(i*5+5)], ' ')) AS lines
+             FROM w),
+      sig AS (SELECT doc_id,
+              len(lines) AS n_lines, len(ws) AS n_words,
+              len(lines) - len(list_distinct(lines)) AS dl,
+              CAST(list_sum(list_transform(lines, x -> strlen(x)))
+                AS BIGINT) AS lc,
+              CAST(list_sum(list_transform(list_distinct(lines),
+                x -> strlen(x))) AS BIGINT) AS dc,
+              len(ws) - len(list_distinct(ws)) AS dw
+            FROM ln)
+      SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST((1000000 * dl) // n_lines AS BIGINT) AS dup_line_ppm,
+             CAST((1000000 * (lc - dc)) // greatest(lc, 1) AS BIGINT)
+               AS dup_char_ppm,
+             CAST((1000000 * dw) // n_words AS BIGINT) AS dup_word_ppm,
+             (1000000 * dl) // n_lines <= 300000 AS keep
+      FROM sig ORDER BY doc_id"""),
+    (s, dir) => {
+      val ws = split(col("text"), " ")
+      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), k - 1),
+            i => array_join(slice(ws, i * 5 + 1, lit(5)), " ")),
+          "\n").as("text"))
+      TextAnalysis.withinDocRepetition(lined, "doc_id", "text",
+        maxDupLinePpm = 300000L)
+        .orderBy("doc_id")
+    })
+
+  private val q261 = Q("q261_unigram_surprisal",
+    "unigram surprisal quality score (CCNet's LM-perplexity curation " +
+      "signal at the unigram tier, engine-portable): each word type " +
+      "costs floor(log2(N div c)) BITS, docs score the token-weighted " +
+      "sum and its per-token ppm mean — high = corpus-rare vocabulary " +
+      "(gibberish tail), low = boilerplate tail, the two CCNet buckets; " +
+      "floor-log2 on integer ratios is exact in both engines below " +
+      "~2^45 (documented bound); ONE tokenize into a (doc, word) count, " +
+      "census/total/bits all derive from it — no second corpus scan",
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+      dw AS (SELECT doc_id, w, count(*) AS k FROM w GROUP BY 1, 2),
+      c AS (SELECT w, sum(k) AS c FROM dw GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      b AS (SELECT w, CAST(floor(log2(n // c)) AS BIGINT) AS bits
+            FROM c CROSS JOIN n)
+      SELECT dw.doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+             CAST(sum(k * bits) AS BIGINT) AS total_bits,
+             CAST((1000000 * sum(k * bits)) // sum(k) AS BIGINT)
+               AS mean_bits_ppm
+      FROM dw JOIN b USING (w) GROUP BY 1 ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.unigramSurprisal(
+      t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6828,5 +6901,5 @@ object Extensions {
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
-    q259)
+    q259, q260, q261)
 }

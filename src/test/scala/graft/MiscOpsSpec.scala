@@ -78,6 +78,52 @@ class MiscOpsSpec extends SparkSpec {
     assert(got(4L) == ((4L, 1L, 1L, 0L, 2L, "hello")))
   }
 
+  test("withinDocRepetition: hand-computed line/char/word repeat shares; " +
+    "no census, no cross-doc influence") {
+    val docs = Seq(
+      // 4 lines, 'aa bb' repeated twice -> 1 dup occurrence of 5 chars
+      // out of 4 lines / 19 line chars; words: aa bb cc aa bb dd dd x ->
+      // 8 words, distinct {aa,bb,cc,dd,x}=5 -> 3 repeats
+      (1L, "aa bb\ncc\naa bb\ndd dd x"),
+      // all-distinct doc: every ppm 0
+      (2L, "one two\nthree"),
+      // fully repeated: 3 lines 1 distinct -> 2/3 dup lines; chars 6
+      // total, 2 chars distinct -> 4/6 dup chars; keep = false at 30%
+      (3L, "zz\nzz\nzz"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .withinDocRepetition(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 4L, 8L, 250000L, 263157L, 375000L, true)))
+    assert(got(2L) == ((2L, 2L, 3L, 0L, 0L, 0L, true)))
+    assert(got(3L) == ((3L, 3L, 3L, 666666L, 666666L, 666666L, false)))
+    // cross-doc independence: doc 2's values are identical with doc 3
+    // absent (q249 would differ — that is the point of the pair)
+    val alone = graft.ops.TextAnalysis
+      .withinDocRepetition(docs.filter($"doc_id" === 2L), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(alone.head == got(2L))
+  }
+
+  test("unigramSurprisal: hand-computed floor-log2 bits; rare words " +
+    "score high, the corpus-dominant word scores zero") {
+    // corpus: 'a' x8, 'b' x4, 'rare' x1, 'c' x3 -> N = 16
+    // bits: a -> log2(16 div 8)=1, b -> log2(4)=2, c -> log2(16 div 3
+    // = 5)=2, rare -> log2(16)=4
+    val docs = Seq(
+      (1L, "a a a a b b c"),     // 4*1 + 2*2 + 1*2 = 10 bits / 7 words
+      (2L, "a a a a b b c c"),   // 4 + 4 + 4 = 12 bits / 8 words
+      (3L, "rare"))              // 4 bits / 1 word
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 7L, 10L, 1428571L)))
+    assert(got(2L) == ((2L, 8L, 12L, 1500000L)))
+    assert(got(3L) == ((3L, 1L, 4L, 4000000L)))
+  }
+
   test("dedupSpans keeps the corpus-wide FIRST occurrence of each span") {
     val docs = Seq(
       (1L, "alpha\nshared\nbeta"),
