@@ -139,9 +139,11 @@ object TextAnalysis {
     * Everything is ROW-LOCAL higher-order-function arithmetic on the
     * split arrays (array_distinct + length sums) — one scan, zero
     * exchanges, no sort even (duplicate counting is size − distinct
-    * size, order-free). Exact integer ppm throughout. Words split on
-    * `\s+` so a `sep`-lined document tokenizes the same as its flat
-    * form.
+    * size, order-free). Exact integer ppm throughout. Words are each
+    * line split on single spaces, flattened — so a `sep`-lined document
+    * tokenizes exactly like its flat space-joined form (empty tokens
+    * from doubled spaces preserved, matching the oracle's string_split;
+    * a non-whitespace `sep` never fuses words across line boundaries).
     *
     * Output: idCol, n_lines, n_words, dup_line_ppm, dup_char_ppm,
     * dup_word_ppm, keep.
@@ -154,10 +156,10 @@ object TextAnalysis {
     val charsOf: Column => Column = arr =>
       aggregate(transform(arr, l => length(l).cast("long")),
         lit(0L), (a, x) => a + x)
+    val ls = split(col(textCol), java.util.regex.Pattern.quote(sep))
     docs
-      .select(col(idCol),
-        split(col(textCol), java.util.regex.Pattern.quote(sep)).as("_ls"),
-        split(col(textCol), "\\s+").as("_ws"))
+      .select(col(idCol), ls.as("_ls"),
+        flatten(transform(ls, l => split(l, " "))).as("_ws"))
       .select(col(idCol),
         size(col("_ls")).cast("long").as("n_lines"),
         size(col("_ws")).cast("long").as("n_words"),
@@ -209,7 +211,7 @@ object TextAnalysis {
   def unigramSurprisal(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val dw = docs
-      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("w"))
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
     val census = dw.groupBy(col("w")).agg(sum(col("k")).as("c"))
     val total = census.agg(sum(col("c")).as("n"))

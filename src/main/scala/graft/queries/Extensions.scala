@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +18,23 @@ object Extensions {
 
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.table(s, dir, n)
+
+  /** The shared 5-word line synthesis (documents.text carries no
+    * newlines, so span/line gates manufacture them the same way their
+    * oracles' list_transform CTE does): doc_id + the text re-joined as
+    * ceil(|words|/5) newline-separated 5-word lines. One definition —
+    * q87/q145/q249/q258/q260 all compose it, and the oracle CTE is the
+    * single thing it must stay in lockstep with. */
+  private def fiveWordLines(ws: Column): Column = {
+    val k = ceil(size(ws).cast("double") / 5.0).cast("int")
+    transform(sequence(lit(0), k - 1),
+      i => array_join(slice(ws, i * 5 + 1, lit(5)), " "))
+  }
+
+  private def fiveWordLined(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      array_join(fiveWordLines(split(col("text"), " ")), "\n").as("text"))
 
   private val q20 = Q("q20_dedup_exact",
     "exact dedup: sha256(text) group, canonical id, copy count",
@@ -1359,13 +1377,7 @@ object Extensions {
              coalesce(text_deduped, '') AS text_deduped
       FROM agg ORDER BY doc_id"""),
     (s, dir) => {
-      val ws = split(col("text"), " ")
-      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
-      val lined = t(s, dir, "documents").select(col("doc_id"),
-        array_join(
-          transform(sequence(lit(0), k - 1),
-            i => array_join(slice(ws, i * 5 + 1, lit(5)), " ")),
-          "\n").as("text"))
+      val lined = fiveWordLined(s, dir)
       Dedup.dedupSpans(lined, "doc_id", "text")
         .orderBy("doc_id")
     })
@@ -2493,13 +2505,7 @@ object Extensions {
              min(doc_id) AS first_doc, min(span) AS span
       FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3 ORDER BY sh"""),
     (s, dir) => {
-      val ws = split(col("text"), " ")
-      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
-      val lined = t(s, dir, "documents").select(col("doc_id"),
-        array_join(
-          transform(sequence(lit(0), k - 1),
-            i => array_join(slice(ws, i * 5 + 1, lit(5)), " ")),
-          "\n").as("text"))
+      val lined = fiveWordLined(s, dir)
       Dedup.boilerplateSpans(lined, "doc_id", "text", minDocs = 3)
         .orderBy("sh")
     })
@@ -6292,13 +6298,7 @@ object Extensions {
              (n_dup_lines * 1000000) // n_lines <= 300000 AS keep
       FROM agg ORDER BY doc_id"""),
     (s, dir) => {
-      val ws = split(col("text"), " ")
-      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
-      val lined = t(s, dir, "documents").select(col("doc_id"),
-        array_join(
-          transform(sequence(lit(0), k - 1),
-            i => array_join(slice(ws, i * 5 + 1, lit(5)), " ")),
-          "\n").as("text"))
+      val lined = fiveWordLined(s, dir)
       Dedup.dupLineDocShare(lined, "doc_id", "text",
         minDocs = 2, maxDupPpm = 300000L)
         .orderBy("doc_id")
@@ -6716,15 +6716,11 @@ object Extensions {
     (s, dir) => {
       val ws = split(col("text"), " ")
       val stops = array(Seq("the", "and", "of", "to", "a").map(lit): _*)
-      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
-      val lines = transform(sequence(lit(0), k - 1),
-        i => array_join(slice(ws, i * 5 + 1, lit(5)), " "))
+      val lines = fiveWordLines(ws)
       // q249's signal, composed: the same synthesized 5-word lines feed
       // the cross-doc duplicated-line census (one line-hash aggregate +
       // window + doc rollup — dupLineDocShare's shape, unchanged)
-      val dup = Dedup.dupLineDocShare(
-        t(s, dir, "documents").select(col("doc_id"),
-          array_join(lines, "\n").as("text")),
+      val dup = Dedup.dupLineDocShare(fiveWordLined(s, dir),
         "doc_id", "text", minDocs = 2, maxDupPpm = 300000L)
         .select(col("doc_id"), col("dup_ppm"))
       val sig = t(s, dir, "documents").select(col("doc_id"),
@@ -6833,10 +6829,10 @@ object Extensions {
       sig AS (SELECT doc_id,
               len(lines) AS n_lines, len(ws) AS n_words,
               len(lines) - len(list_distinct(lines)) AS dl,
-              CAST(list_sum(list_transform(lines, x -> strlen(x)))
+              CAST(list_sum(list_transform(lines, x -> length(x)))
                 AS BIGINT) AS lc,
               CAST(list_sum(list_transform(list_distinct(lines),
-                x -> strlen(x))) AS BIGINT) AS dc,
+                x -> length(x))) AS BIGINT) AS dc,
               len(ws) - len(list_distinct(ws)) AS dw
             FROM ln)
       SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
@@ -6848,13 +6844,7 @@ object Extensions {
              (1000000 * dl) // n_lines <= 300000 AS keep
       FROM sig ORDER BY doc_id"""),
     (s, dir) => {
-      val ws = split(col("text"), " ")
-      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
-      val lined = t(s, dir, "documents").select(col("doc_id"),
-        array_join(
-          transform(sequence(lit(0), k - 1),
-            i => array_join(slice(ws, i * 5 + 1, lit(5)), " ")),
-          "\n").as("text"))
+      val lined = fiveWordLined(s, dir)
       TextAnalysis.withinDocRepetition(lined, "doc_id", "text",
         maxDupLinePpm = 300000L)
         .orderBy("doc_id")

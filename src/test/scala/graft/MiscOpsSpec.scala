@@ -104,6 +104,13 @@ class MiscOpsSpec extends SparkSpec {
       .withinDocRepetition(docs.filter($"doc_id" === 2L), "doc_id", "text")
       .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
     assert(alone.head == got(2L))
+    // a non-whitespace sep must NOT fuse words across line boundaries
+    // (r14 review case): 'aa|aa bb' -> words [aa, aa, bb], repeat seen
+    val piped = graft.ops.TextAnalysis.withinDocRepetition(
+      Seq((9L, "aa|aa bb")).toDF("doc_id", "text"), "doc_id", "text",
+      sep = "|")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(piped == ((9L, 2L, 3L, 0L, 0L, 333333L, true)), s"$piped")
   }
 
   test("unigramSurprisal: hand-computed floor-log2 bits; rare words " +
