@@ -356,6 +356,71 @@ object Similarity {
       .select(col("cluster"), col("id_a"), col("id_b"), col("dist2"))
   }
 
+  /** SemDeDup — semantic near-duplicate PRUNING (Abbas et al. 2023), the
+    * selection stage on top of [[kmeansNearDupPairs]]'s blocking: cluster
+    * with the deterministic [[kmeansFit]] codebook, call two same-cluster
+    * vectors near-duplicates when their exact scaled-BIGINT squared
+    * distance is ≤ maxDist2, and KEEP, within every near-dup
+    * neighborhood, the vector FARTHEST from its centroid — the paper's
+    * keep-lowest-centroid-similarity rule, which preserves cluster-edge
+    * diversity; ties break on the lower id. The rule is LOCAL (x drops
+    * iff some near-dup neighbor precedes it in (dist2 DESC, id ASC)
+    * order), not a transitive closure: a chain a~b~c with a≁c keeps a
+    * and drops b and c — deliberately matching the paper's ε-ball
+    * pruning; [[graft.ops.Dedup]]'s connected-component
+    * canonicalization (q55) exists for the closure semantics.
+    *
+    * Shape at 100 TB: the quadratic runs INSIDE cells only (raise k
+    * like n/targetCellSize — the IVF knob); the dominator pass is one
+    * aggregate over the pair relation plus one left join back to the
+    * assignment. No iteration beyond kmeansFit's fixed rounds, no
+    * driver state. Ragged rows are excluded by [[kmeansFit]]'s
+    * contract — screen them with [[centroidOutliers]].
+    *
+    * Output: (idCol, cluster, dist2, keep, dup_of) — one row per
+    * clustered vector; dup_of = the deterministically-chosen dominating
+    * neighbor (highest centroid-dist2, then lowest id), NULL when kept.
+    */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, maxDist2: Long,
+               scale: Double = 1e6): DataFrame = {
+    require(maxDist2 >= 0L, s"maxDist2 must be >= 0, got $maxDist2")
+    val fin = kmeansFit(embs, idCol, vecCol, k, iters, scale)
+    val probe = embs.select(max(size(col(vecCol))).as("d")).head()
+    if (probe.isNullAt(0))
+      return fin.select(col(idCol), col("cluster"), col("dist2"),
+        lit(true).as("keep"), lit(null).cast("long").as("dup_of"))
+        .limit(0)
+    val d = probe.getInt(0)
+    val sv = embs.filter(size(col(vecCol)) === d)
+      .select(col(idCol).as("_svid"),
+        transform(col(vecCol),
+          v => floor(v.cast("double") * scale).cast("long")).as("_svec"))
+    val m = fin.join(sv, fin(idCol) === sv("_svid"))
+      .select(col(idCol), col("cluster"), col("dist2"), col("_svec"))
+    val a = m.select(col("cluster"), col(idCol).as("_ia"),
+      col("dist2").as("_da"), col("_svec").as("_va"))
+    val b = m.select(col("cluster").as("_cb"), col(idCol).as("_ib"),
+      col("dist2").as("_db"), col("_svec").as("_vb"))
+    // a dominates b: a precedes b in the keep order (farther from the
+    // centroid first, lower id on ties) and the pair is a near-dup
+    val dominators = a
+      .join(b, col("cluster") === col("_cb") &&
+        (col("_da") > col("_db") ||
+          (col("_da") === col("_db") && col("_ia") < col("_ib"))))
+      .withColumn("_pd2", aggregate(
+        zip_with(col("_va"), col("_vb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("_pd2") <= maxDist2)
+      .groupBy(col("_ib"))
+      .agg(min(struct((-col("_da")).as("_nd"), col("_ia").as("_ia")))
+        .as("_m"))
+      .select(col("_ib").as("_domid"), col("_m._ia").as("dup_of"))
+    fin.join(dominators, fin(idCol) === col("_domid"), "left")
+      .select(col(idCol), col("cluster"), col("dist2"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
   /** Embedding-space outliers per group — the SemDeDup-style semantic
     * screen: vectors farthest from their group's centroid are the
     * mislabeled / off-topic / junk candidates a curation pass reviews or

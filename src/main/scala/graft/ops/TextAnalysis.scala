@@ -1779,4 +1779,219 @@ object TextAnalysis {
         col("n_dup_passages"),
         expr("(1000000 * n_dup_passages) div n_passages").as("dup_ppm"))
   }
+
+  /** Sliding word-window chunking — the RAG / context-packing passage
+    * splitter (fixed-size splitter semantics of the LangChain family):
+    * chunk i covers words [i·stride, i·stride + window); starts run 0,
+    * stride, 2·stride, … and the LAST start is the smallest one whose
+    * window reaches the document's end — n_chunks = 1 + max(0,
+    * ceil((n_words − window) / stride)) — so every chunk but possibly
+    * the last is exactly `window` words, the last is never empty, no
+    * chunk is fully contained in its predecessor, and stride ≤ window
+    * means every word lands in ≥ 1 chunk. ([[passageCensus]]'s
+    * `_pos div window` chunks are the stride = window special case,
+    * built there for hashing rather than materialization.) The
+    * (n − window + stride − 1) div stride count divides NEGATIVE
+    * dividends differently across engines (Spark `div` truncates,
+    * DuckDB `//` floors) — both land ≤ 0 there and the greatest(0, ·)
+    * clamp absorbs the difference; documented so nobody "simplifies"
+    * the expression into divergence.
+    *
+    * Shape at 100 TB: row-local — one split, one ≤ ⌈n/stride⌉-long
+    * sequence per doc, one explode; zero exchanges. Output is
+    * ~n_words/stride rows per doc (the op's purpose, not a blowup) and
+    * chunk_text is a slice of the already-split array — never a second
+    * tokenize.
+    *
+    * Output: (idCol, chunk_id, start_word, n_words, chunk_text), one
+    * row per chunk, chunk_id 0-based.
+    */
+  def chunkWords(docs: DataFrame, idCol: String, textCol: String,
+                 window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(col(idCol), col("_ws"),
+        explode(sequence(lit(0L), greatest(lit(0L),
+          expr(s"(size(_ws) - $window + $stride - 1) div $stride"))))
+          .as("_i"))
+      .select(col(idCol), col("_i").as("chunk_id"),
+        (col("_i") * stride).as("start_word"),
+        slice(col("_ws"), (col("_i") * stride + 1).cast("int"),
+          lit(window)).as("_chunk"))
+      .select(col(idCol), col("chunk_id"), col("start_word"),
+        size(col("_chunk")).cast("long").as("n_words"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
+  /** CCNet-style perplexity bucketing: tercile the corpus by
+    * [[unigramSurprisal]]'s mean_bits_ppm into head (lowest surprisal —
+    * common-vocabulary, boilerplate-leaning), middle, and tail (rarest
+    * vocabulary — gibberish-leaning), the split CCNet stages curation
+    * on. Cuts are EXACT order statistics computed from the score
+    * CENSUS, never a global doc sort: t1 = the smallest score with
+    * 3·cum ≥ n, t2 = the smallest with 3·cum ≥ 2n; a doc with score
+    * ≤ t1 is head, ≤ t2 middle, else tail. Score ties share a bucket,
+    * so bucket sizes are ⌈n/3⌉-ish rather than exact thirds — CCNet's
+    * own behavior at ties.
+    *
+    * Shape at 100 TB: the one unpartitioned cum-sum window runs over
+    * the DISTINCT-SCORE census — a relation bounded by the ppm value
+    * range (≲ 6·10⁷ rows ever; far fewer in practice), never over the
+    * docs; the two cuts come back as ONE broadcast row. No ntile over
+    * the corpus, no global sort.
+    *
+    * Output: (idCol, n_words, mean_bits_ppm, bucket).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val scored = unigramSurprisal(docs, idCol, textCol)
+    val census = scored.groupBy(col("mean_bits_ppm"))
+      .agg(count(lit(1)).as("_c"))
+    // bounded unpartitioned window: rides the distinct-score census
+    val cum = census.select(col("mean_bits_ppm"),
+      sum(col("_c")).over(Window.orderBy(col("mean_bits_ppm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("_cum"))
+    val n = scored.agg(count(lit(1)).as("_n"))
+    val cuts = cum.crossJoin(n).agg(
+      min(when(col("_cum") * 3 >= col("_n"), col("mean_bits_ppm")))
+        .as("_t1"),
+      min(when(col("_cum") * 3 >= col("_n") * 2, col("mean_bits_ppm")))
+        .as("_t2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_words"), col("mean_bits_ppm"),
+        when(col("mean_bits_ppm") <= col("_t1"), lit("head"))
+          .when(col("mean_bits_ppm") <= col("_t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Frozen unigram census — the persistable artifact behind
+    * [[scoreAgainstCensus]]: the (word, count) relation of a REFERENCE
+    * corpus. Counts, not derived bits, are the stored form: counts
+    * merge across census builds (and across a census-maintenance
+    * stream), and the smoothing denominator needs the census's own N
+    * and V at scoring time. One tokenize, one map-side-combined
+    * aggregate. Persist it pre-partitioned by `w` for the q248
+    * bucketed-index discipline: scoring batches then shuffle only
+    * themselves.
+    */
+  def unigramCensus(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Score documents against a FROZEN census — the production CCNet
+    * shape: the reference census is built once from a trusted corpus
+    * and every new crawl batch is scored against it without touching
+    * the reference again ([[unigramSurprisal]] is the self-census
+    * special case). Smoothing makes out-of-vocabulary words defined and
+    * maximal-cost: bits(w) = floor(log2((N + V) div (c_w + 1))) with
+    * c_w = 0 for OOV (N = census token total, V = census vocab size;
+    * same exact floor-log2 portability bound as [[unigramSurprisal]]).
+    * `keep` brackets mean_bits_ppm inside [keepLoPpm, keepHiPpm] —
+    * BOTH CCNet tails are curation targets (boilerplate scores low,
+    * gibberish high).
+    *
+    * Shape at 100 TB: the doc side collapses to its (doc, word) count
+    * relation before the join; the join keys on `w` against the
+    * census (broadcast at gate scale, keyed shuffle at corpus scale —
+    * against a persisted pre-partitioned census only the batch side
+    * moves); N and V derive from the census itself in one tiny
+    * aggregate, never a second corpus scan. Scoring is row-local per
+    * doc GIVEN the census, so streaming admission over micro-batches
+    * is batch-boundary invariant by construction (the q248 argument,
+    * without even a bucket join's cross-doc visibility).
+    *
+    * Output: (idCol, n_words, total_bits, mean_bits_ppm, keep).
+    */
+  def scoreAgainstCensus(docs: DataFrame, census: DataFrame,
+                         idCol: String, textCol: String,
+                         keepLoPpm: Long, keepHiPpm: Long): DataFrame = {
+    require(keepLoPpm <= keepHiPpm,
+      s"keep band is empty: [$keepLoPpm, $keepHiPpm]")
+    val nv = census.agg(sum(col("c")).as("_n"), count(lit(1)).as("_v"))
+    val dw = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
+    dw.join(census, Seq("w"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col(idCol), col("k"),
+        floor(log2(expr("(_n + _v) div (coalesce(c, 0L) + 1L)")))
+          .cast("long").as("_bits"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("_bits")).as("total_bits"))
+      .withColumn("mean_bits_ppm",
+        expr("(1000000 * total_bits) div n_words"))
+      .withColumn("keep",
+        col("mean_bits_ppm").between(keepLoPpm, keepHiPpm))
+  }
+
+  /** Naive-Bayes bit-score classifier — the engine-portable analog of
+    * the fastText quality classifier the GPT-3/CCNet pipelines train
+    * ("wiki-like vs crawl"): multinomial NB scored in integer BITS
+    * (minimum-description-length form — all-integer, so both engines
+    * agree bit for bit; same floor-log2 bound as
+    * [[unigramSurprisal]]). Train: per-class word counts k_cw, class
+    * token totals T_c, the GLOBAL train vocab size V, class doc counts
+    * D_c. A doc's score for class c is
+    *   prior_c + Σ_tokens cost(c, w)
+    *   prior_c   = floor(log2(D div D_c))
+    *   cost(c,w) = floor(log2((T_c + V) div (k_cw + 1)))
+    * — add-1 smoothed, OOV words (k_cw = 0) cost the class maximum.
+    * Prediction = argmin (score, class); the class-name tiebreak makes
+    * zero-evidence docs deterministic (the langIdent posture).
+    *
+    * Shape at 100 TB: train collapses to its (class, word) count
+    * relation in one map-side-combined pass — the model is
+    * (V·|classes|)-bounded and needs no gradient loop; test docs
+    * collapse to (doc, word) counts, inflate by |classes| (a small
+    * constant — the op's only fan-out), left-join the model keyed by
+    * (class, word) (broadcast at gate scale), and the argmin rides a
+    * (doc·|classes|)-sized window. No corpus re-scan, no driver state.
+    *
+    * Output: (idCol, label, pred, bits, correct) — label = the test
+    * doc's own labelCol, bits = the winning class's score.
+    */
+  def nbBitScore(train: DataFrame, test: DataFrame, idCol: String,
+                 textCol: String, labelCol: String): DataFrame = {
+    val tw = train
+      .select(col(labelCol).as("_cls"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("_cls"), col("w")).agg(count(lit(1)).as("_k"))
+    val totals = tw.groupBy(col("_cls")).agg(sum(col("_k")).as("_t"))
+    val vocab = tw.agg(countDistinct(col("w")).as("_v"))
+    val priors = train.groupBy(col(labelCol).as("_cls"))
+      .agg(count(lit(1)).as("_d"))
+      .crossJoin(train.agg(count(lit(1)).as("_dt")))
+      .select(col("_cls"),
+        floor(log2(expr("_dt div _d"))).cast("long").as("_prior"))
+    val classes = totals.crossJoin(broadcast(vocab))
+      .join(priors, Seq("_cls"))
+    val dw = test
+      .select(col(idCol), col(labelCol).as("label"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col(idCol), col("label"), col("w"))
+      .agg(count(lit(1)).as("_tk"))
+    val scored = dw
+      .crossJoin(broadcast(classes))
+      .join(tw, Seq("_cls", "w"), "left")
+      .select(col(idCol), col("label"), col("_cls"), col("_prior"),
+        (col("_tk") * floor(log2(
+          expr("(_t + _v) div (coalesce(_k, 0L) + 1L)"))).cast("long"))
+          .as("_cost"))
+      .groupBy(col(idCol), col("label"), col("_cls"), col("_prior"))
+      .agg(sum(col("_cost")).as("_sum"))
+      .select(col(idCol), col("label"), col("_cls"),
+        (col("_prior") + col("_sum")).as("bits"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("bits"), col("_cls"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("label"), col("_cls").as("pred"),
+        col("bits"), (col("label") === col("_cls")).as("correct"))
+  }
 }

@@ -6876,6 +6876,215 @@ object Extensions {
       t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id"))
 
+  private val q262 = Q("q262_rag_chunking",
+    "sliding word-window chunking (the RAG / context-packing passage " +
+      "splitter, LangChain-family fixed-size semantics): window 20, " +
+      "stride 15 — chunk i covers words [15i, 15i+20), the last start " +
+      "is the smallest whose window reaches the doc's end (n_chunks = " +
+      "1 + max(0, ceil((n-20)/15)); docs shorter than a window yield " +
+      "exactly one short chunk), so no chunk is empty or fully " +
+      "contained in its predecessor and every word lands in >=1 chunk; " +
+      "row-local: one split, one bounded sequence, one explode, the " +
+      "chunk text sliced from the already-split array — zero exchanges",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      x AS (SELECT doc_id, ws,
+            unnest(generate_series(0,
+              greatest(0, (len(ws) - 20 + 15 - 1) // 15))) AS i
+            FROM w)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             CAST(i * 15 AS BIGINT) AS start_word,
+             CAST(len(ws[(i*15+1):(i*15+20)]) AS BIGINT) AS n_words,
+             array_to_string(ws[(i*15+1):(i*15+20)], ' ') AS chunk_text
+      FROM x ORDER BY doc_id, chunk_id"""),
+    (s, dir) => TextAnalysis.chunkWords(t(s, dir, "documents"),
+      "doc_id", "text", window = 20, stride = 15)
+      .orderBy("doc_id", "chunk_id"))
+
+  private val q263 = Q("q263_perplexity_terciles",
+    "CCNet head/middle/tail bucketing over q261's unigram surprisal: " +
+      "cut scores are EXACT order statistics (t1 = smallest score with " +
+      "3*cum >= n, t2 = smallest with 3*cum >= 2n) computed from the " +
+      "DISTINCT-SCORE census — the one unpartitioned window rides that " +
+      "bounded relation (<= the ppm value range, never the docs) and " +
+      "the two cuts broadcast back as one row; score ties share a " +
+      "bucket (CCNet's own tie behavior), so sizes are ceil(n/3)-ish",
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+      dw AS (SELECT doc_id, w, count(*) AS k FROM w GROUP BY 1, 2),
+      c AS (SELECT w, sum(k) AS c FROM dw GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      b AS (SELECT w, CAST(floor(log2(n // c)) AS BIGINT) AS bits
+            FROM c CROSS JOIN n),
+      s AS (SELECT dw.doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+            CAST((1000000 * sum(k * bits)) // sum(k) AS BIGINT)
+              AS mean_bits_ppm
+            FROM dw JOIN b USING (w) GROUP BY 1),
+      cen AS (SELECT mean_bits_ppm AS v, count(*) AS cnt
+              FROM s GROUP BY 1),
+      cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM cen),
+      nd AS (SELECT count(*) AS nd FROM s),
+      cuts AS (SELECT min(CASE WHEN cum * 3 >= nd THEN v END) AS t1,
+                      min(CASE WHEN cum * 3 >= nd * 2 THEN v END) AS t2
+               FROM cum CROSS JOIN nd)
+      SELECT doc_id, n_words, mean_bits_ppm,
+             CASE WHEN mean_bits_ppm <= t1 THEN 'head'
+                  WHEN mean_bits_ppm <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM s CROSS JOIN cuts ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.perplexityBuckets(
+      t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"))
+
+  private val q264 = Q("q264_nb_quality_classifier",
+    "naive-Bayes bit-score classifier (the engine-portable fastText-" +
+      "quality-classifier analog the GPT-3/CCNet pipelines train): " +
+      "multinomial NB in integer BITS — add-1 smoothed word costs " +
+      "floor(log2((T_c+V) div (k_cw+1))), class priors floor(log2(D " +
+      "div D_c)), OOV costs the class max; trained on the doc_id%5!=0 " +
+      "split, scored on the held-out %5=0 docs, argmin (bits, class); " +
+      "the model is the (class, word) count relation — one map-side-" +
+      "combined pass, no gradient loop, |classes| is the only fan-out",
+    Some("""
+      WITH tr AS (SELECT doc_id, lang, text FROM documents
+                  WHERE doc_id % 5 <> 0),
+      te AS (SELECT doc_id, lang, text FROM documents
+             WHERE doc_id % 5 = 0),
+      tw AS (SELECT lang AS cls, w, count(*) AS k FROM
+             (SELECT lang, unnest(string_split(text, ' ')) AS w FROM tr)
+             GROUP BY 1, 2),
+      tc AS (SELECT cls, CAST(sum(k) AS BIGINT) AS t FROM tw GROUP BY 1),
+      v AS (SELECT count(DISTINCT w) AS v FROM tw),
+      pri AS (SELECT lang AS cls,
+              CAST(floor(log2(dt // d)) AS BIGINT) AS prior
+              FROM (SELECT lang, count(*) AS d FROM tr GROUP BY 1)
+              CROSS JOIN (SELECT count(*) AS dt FROM tr)),
+      tdw AS (SELECT doc_id, lang AS label, w, count(*) AS tk FROM
+              (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+               FROM te) GROUP BY 1, 2, 3),
+      sc AS (SELECT tdw.doc_id, tdw.label, tc.cls,
+             CAST(pri.prior + sum(tk * CAST(floor(log2(
+               (tc.t + v.v) // (coalesce(tw.k, 0) + 1))) AS BIGINT))
+               AS BIGINT) AS bits
+             FROM tdw CROSS JOIN tc CROSS JOIN v
+             JOIN pri ON pri.cls = tc.cls
+             LEFT JOIN tw ON tw.cls = tc.cls AND tw.w = tdw.w
+             GROUP BY 1, 2, 3, pri.prior),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY bits, cls) AS rn FROM sc)
+      SELECT doc_id, label, cls AS pred, bits, label = cls AS correct
+      FROM rk WHERE rn = 1 ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.nbBitScore(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    })
+
+  private val q265 = Q("q265_semdedup",
+    "SemDeDup semantic pruning (Abbas et al. 2023) — the SELECTION " +
+      "stage on q100's within-cell blocking: q91's deterministic " +
+      "codebook (k=10, 2 rounds), same-cluster pairs within exact " +
+      "BIGINT dist2 <= 1.2e12 are near-dups, and each neighborhood " +
+      "KEEPS the vector farthest from its centroid (the paper's keep-" +
+      "lowest-centroid-similarity rule; ties to the lower id) — a " +
+      "LOCAL dominance rule, not a transitive closure (q55 exists for " +
+      "that); output is per-vector keep/dup_of, the admission verdict",
+    Some("""
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings
+                  WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)),
+      sc AS (SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS s FROM el),
+      seed AS (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS cluster
+               FROM (SELECT DISTINCT vec_id FROM sc)),
+      c0 AS (SELECT cluster, i, s AS c FROM seed JOIN sc USING (vec_id) WHERE cluster < 10),
+      a1 AS (SELECT sc.vec_id, c0.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS d2
+             FROM sc JOIN c0 USING (i) GROUP BY 1, 2),
+      w1 AS (SELECT vec_id, cluster FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS r FROM a1)
+             WHERE r = 1),
+      c1 AS (SELECT w1.cluster, sc.i,
+             CAST(floor(CAST(CAST(SUM(sc.s) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
+             FROM w1 JOIN sc USING (vec_id) GROUP BY 1, 2),
+      a2 AS (SELECT sc.vec_id, c1.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS dist2
+             FROM sc JOIN c1 USING (i) GROUP BY 1, 2),
+      fin AS (SELECT vec_id, cluster, dist2 FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS r FROM a2)
+              WHERE r = 1),
+      doms AS (SELECT b.vec_id AS vid, a.vec_id AS dup_of,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY a.dist2 DESC, a.vec_id) AS rn
+               FROM fin a JOIN fin b ON a.cluster = b.cluster
+                 AND (a.dist2 > b.dist2
+                      OR (a.dist2 = b.dist2 AND a.vec_id < b.vec_id))
+               JOIN sc sa ON sa.vec_id = a.vec_id
+               JOIN sc sb ON sb.vec_id = b.vec_id AND sa.i = sb.i
+               GROUP BY b.vec_id, a.vec_id, a.dist2
+               HAVING CAST(SUM((sa.s - sb.s) * (sa.s - sb.s)) AS BIGINT)
+                 <= 1200000000000)
+      SELECT f.vec_id, f.cluster, f.dist2,
+             d.dup_of IS NULL AS keep, d.dup_of
+      FROM fin f LEFT JOIN (SELECT vid, dup_of FROM doms WHERE rn = 1) d
+        ON f.vec_id = d.vid
+      ORDER BY f.vec_id"""),
+    (s, dir) => Similarity.semDedup(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 10, iters = 2,
+      maxDist2 = 1200000000000L)
+      .orderBy("vec_id"))
+
+  /** Shared oracle for q266 (batch) and q267 (streaming admission) —
+    * frozen-census quality scoring: the census is the even-id docs'
+    * unigram counts, scored docs are the odd ids, smoothing is add-1
+    * over (N + V). One string so the batch gate and its streaming twin
+    * certify against the SAME relation (the q248/minHashAdmissionOracle
+    * discipline). */
+  private[queries] val censusScoringOracle: String = """
+      WITH cw AS (SELECT w, count(*) AS c FROM
+             (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+      nv AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cw),
+      dw AS (SELECT doc_id, w, count(*) AS k FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+      sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+             CAST(sum(k * CAST(floor(log2(
+               (n + v) // (coalesce(c, 0) + 1))) AS BIGINT)) AS BIGINT)
+               AS total_bits
+             FROM dw CROSS JOIN nv LEFT JOIN cw USING (w) GROUP BY 1)
+      SELECT doc_id, n_words, total_bits,
+             CAST((1000000 * total_bits) // n_words AS BIGINT)
+               AS mean_bits_ppm,
+             (1000000 * total_bits) // n_words
+               BETWEEN 4010000 AND 10000000 AS keep
+      FROM sc ORDER BY doc_id"""
+
+  private val q266 = Q("q266_census_scoring",
+    "quality scoring against a FROZEN unigram census (the production " +
+      "CCNet shape — the reference census is built once from a trusted " +
+      "corpus, every new batch scores against it without touching the " +
+      "reference again): census = even-id docs' (word, count) relation, " +
+      "scored docs = odd ids, add-1 smoothing over (N + V) so OOV words " +
+      "cost the maximum; keep brackets mean_bits_ppm in [4e6, 10e6] — " +
+      "both CCNet tails (boilerplate low, gibberish high) are curation " +
+      "targets; q267 runs the SAME relation as a stream against the " +
+      "persisted census",
+    Some(censusScoringOracle),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val census = TextAnalysis.unigramCensus(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      TextAnalysis.scoreAgainstCensus(
+        docs.filter(col("doc_id") % 2 === 1), census,
+        "doc_id", "text", keepLoPpm = 4010000L, keepHiPpm = 10000000L)
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -6891,5 +7100,5 @@ object Extensions {
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
-    q259, q260, q261)
+    q259, q260, q261, q262, q263, q264, q265, q266)
 }

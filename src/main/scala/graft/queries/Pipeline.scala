@@ -939,6 +939,52 @@ object Pipeline {
         .orderBy("user_id", "start_ms")
     })
 
+  private val q267 = Q("q267_streaming_census_admission",
+    "§2.9 × quality: q266's frozen-census scoring run the way a standing " +
+      "pipeline runs it — the census (even-id docs' unigram counts) is " +
+      "built ONCE and persisted pre-partitioned by its join key `w` (the " +
+      "q248 bucketed-index discipline); odd-id docs arrive as a 4-file " +
+      "stream (maxFilesPerTrigger=1, AvailableNow) and every micro-batch " +
+      "pays one tokenize + one word-keyed join against the in-place " +
+      "census via foreachBatch(scoreAgainstCensus) — never a census " +
+      "rebuild; scoring is row-local per doc GIVEN the census, so the " +
+      "drained result is batch-boundary invariant and equals the q266 " +
+      "batch gate bit-for-bit",
+    Some(Extensions.censusScoringOracle),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val census = graft.ops.TextAnalysis.unigramCensus(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+        .repartition(col("w")).persist()
+      // materialize ONCE, before the first micro-batch would otherwise
+      // charge the census build to itself (the q248 index discipline)
+      census.count()
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q267-stage").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q267-out").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-q267-cp").toString
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.TextAnalysis.scoreAgainstCensus(batch, census,
+            "doc_id", "text", keepLoPpm = 4010000L,
+            keepHiPpm = 10000000L)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      census.unpersist()
+      s.read.parquet(out).orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130, q134, q157, q166, q174, q235, q244, q248, q257)
+    q129, q130, q134, q157, q166, q174, q235, q244, q248, q257, q267)
 }
