@@ -6987,13 +6987,15 @@ object Extensions {
 
   private val q265 = Q("q265_semdedup",
     "SemDeDup semantic pruning (Abbas et al. 2023) — the SELECTION " +
-      "stage on q100's within-cell blocking: q91's deterministic " +
-      "codebook (k=10, 2 rounds), same-cluster pairs within exact " +
-      "BIGINT dist2 <= 1.2e12 are near-dups, and each neighborhood " +
-      "KEEPS the vector farthest from its centroid (the paper's keep-" +
-      "lowest-centroid-similarity rule; ties to the lower id) — a " +
-      "LOCAL dominance rule, not a transitive closure (q55 exists for " +
-      "that); output is per-vector keep/dup_of, the admission verdict",
+      "stage on q100's within-cell blocking: the deterministic q91 " +
+      "codebook at k = ceil(sqrt(n)) (the paper's k-grows-with-n knob, " +
+      "q100's setting — cell size and per-cell pair volume stay scale-" +
+      "stable), same-cluster pairs within exact BIGINT dist2 <= 1.2e12 " +
+      "are near-dups, and each neighborhood KEEPS the vector farthest " +
+      "from its centroid (the paper's keep-lowest-centroid-similarity " +
+      "rule; ties to the lower id) — a LOCAL dominance rule, not a " +
+      "transitive closure (q55 exists for that); output is per-vector " +
+      "keep/dup_of, the admission verdict",
     Some("""
       WITH el AS (SELECT vec_id, unnest(embedding) AS v,
                   unnest(generate_series(1, len(embedding))) AS i
@@ -7003,7 +7005,9 @@ object Extensions {
       seed AS (SELECT vec_id,
                ROW_NUMBER() OVER (ORDER BY CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS cluster
                FROM (SELECT DISTINCT vec_id FROM sc)),
-      c0 AS (SELECT cluster, i, s AS c FROM seed JOIN sc USING (vec_id) WHERE cluster < 10),
+      kk AS (SELECT CAST(ceil(sqrt(count(DISTINCT vec_id))) AS BIGINT) AS k FROM sc),
+      c0 AS (SELECT cluster, i, s AS c FROM seed JOIN sc USING (vec_id)
+             WHERE cluster < (SELECT k FROM kk)),
       a1 AS (SELECT sc.vec_id, c0.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS d2
              FROM sc JOIN c0 USING (i) GROUP BY 1, 2),
       w1 AS (SELECT vec_id, cluster FROM
@@ -7033,10 +7037,24 @@ object Extensions {
       FROM fin f LEFT JOIN (SELECT vid, dup_of FROM doms WHERE rn = 1) d
         ON f.vec_id = d.vid
       ORDER BY f.vec_id"""),
-    (s, dir) => Similarity.semDedup(t(s, dir, "embeddings"),
-      "vec_id", "embedding", k = 10, iters = 2,
-      maxDist2 = 1200000000000L)
-      .orderBy("vec_id"))
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // same empty-table guard + k = ceil(sqrt(n)) prelude as q100
+      val probe = e.select(max(size(col("embedding")))).head()
+      if (probe.isNullAt(0))
+        e.select(col("vec_id"), lit(0L).as("cluster"), lit(0L).as("dist2"),
+          lit(true).as("keep"), lit(null).cast("long").as("dup_of"))
+          .limit(0)
+      else {
+        val d = probe.getInt(0)
+        val n = e.filter(size(col("embedding")) === d)
+          .select(countDistinct(col("vec_id"))).head().getLong(0)
+        val k = math.ceil(math.sqrt(n.toDouble)).toInt
+        Similarity.semDedup(e, "vec_id", "embedding", k = k, iters = 2,
+          maxDist2 = 1200000000000L)
+          .orderBy("vec_id")
+      }
+    })
 
   /** Shared oracle for q266 (batch) and q267 (streaming admission) —
     * frozen-census quality scoring: the census is the even-id docs'
