@@ -592,4 +592,48 @@ object Sampling {
     import spark.implicits._
     out.toDF("source", "avail", "weight_ppm", "allocation", "saturated")
   }
+
+  /** Exact integer square root as a column expression: the double `sqrt`
+    * rounds to 1 ulp, which can land floor() one off an exact boundary —
+    * the two CASE corrections pull it back, so isqrt(c)² ≤ c <
+    * (isqrt(c)+1)² holds EXACTLY for any c in [0, 2^52] (above that the
+    * double can be >1 off and the single-step correction no longer
+    * covers; the callers' counts are far below). Engine-portable: the
+    * oracle mirrors the same three steps, so both engines agree even
+    * when their sqrt implementations round differently.
+    */
+  def isqrt(c: Column): Column = {
+    val s0 = floor(sqrt(c.cast("double"))).cast("long")
+    val s1 = s0 - when(s0 * s0 > c, 1L).otherwise(0L)
+    s1 + when((s1 + 1L) * (s1 + 1L) <= c, 1L).otherwise(0L)
+  }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling rule of the mBERT/XLM-R family: sample source s with
+    * probability ∝ c_s^α, α < 1 flattening the head so low-resource
+    * sources are not drowned (α is 0.7 in mBERT, 0.3 in XLM-R). This op
+    * pins α = 1/2 — the one exponent expressible EXACTLY in integer
+    * arithmetic in both engines ([[isqrt]]); other α need floats whose
+    * rounding the two engines disagree on (the same portability line
+    * unigramSurprisal draws at floor-log2). Input is the PRE-AGGREGATED
+    * (group, count) relation — counts of tokens, docs, or bytes, the
+    * caller's notion of size.
+    *
+    * Shape at 100 TB: the input is group-sized (languages, sources) —
+    * model-sized by construction; the total is one aggregate crossed
+    * back. The corpus-sized work (counting) happens upstream where the
+    * caller's one scan already is.
+    *
+    * Output: (groupCol, n (the input count), w = isqrt(n),
+    * weight_ppm = (10⁶·w) div Σw).
+    */
+  def temperatureWeights(counts: DataFrame, groupCol: String,
+                         countCol: String): DataFrame = {
+    val withW = counts.select(col(groupCol), col(countCol).as("n"),
+      isqrt(col(countCol)).as("w"))
+    val tot = withW.agg(sum(col("w")).as("_tot"))
+    withW.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"), col("w"),
+        expr("(1000000 * w) div _tot").as("weight_ppm"))
+  }
 }

@@ -1882,6 +1882,17 @@ object TextAnalysis {
     ref.select(explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
 
+  /** Merge two censuses — the maintenance half of the frozen-census
+    * contract ([[unigramCensus]] stores counts PRECISELY so this is
+    * union + sum): a standing pipeline admits a batch, folds the
+    * admitted docs' counts in, and scores the next batch against the
+    * grown census (q270 pins the sequence; the LSH twin is q256's
+    * band-index growth). Census-sized work only — the corpus is never
+    * re-read.
+    */
+  def mergeCensus(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("w")).agg(sum(col("c")).as("c"))
+
   /** Score documents against a FROZEN census — the production CCNet
     * shape: the reference census is built once from a trusted corpus
     * and every new crawl batch is scored against it without touching

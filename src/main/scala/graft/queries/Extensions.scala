@@ -7103,6 +7103,161 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q268 = Q("q268_temperature_mixture",
+    "temperature-scaled mixture weights (the mBERT/XLM-R multilingual " +
+      "sampling rule, p_s ~ c_s^alpha): per-language TOKEN counts raised " +
+      "to alpha = 1/2 — the one exponent exact in integer arithmetic in " +
+      "both engines, via a double-sqrt floor corrected back onto the " +
+      "true integer square root (isqrt(c)^2 <= c < (isqrt(c)+1)^2, " +
+      "exact below 2^52); weights normalized to ppm; the input relation " +
+      "is language-sized — all corpus-sized work is the one upstream " +
+      "token count",
+    Some("""
+      WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM
+             (SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents) GROUP BY 1),
+      s0 AS (SELECT lang, c,
+             CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS s0 FROM g),
+      s1 AS (SELECT lang, c,
+             s0 - CASE WHEN s0 * s0 > c THEN 1 ELSE 0 END AS s FROM s0),
+      s2 AS (SELECT lang, c, CAST(s + CASE WHEN (s + 1) * (s + 1) <= c
+             THEN 1 ELSE 0 END AS BIGINT) AS w FROM s1),
+      t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM s2)
+      SELECT lang, c AS n, w,
+             CAST((1000000 * w) // tot AS BIGINT) AS weight_ppm
+      FROM s2 CROSS JOIN t ORDER BY lang"""),
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang").agg(count(lit(1)).as("c"))
+      Sampling.temperatureWeights(tok, "lang", "c").orderBy("lang")
+    })
+
+  private val q269 = Q("q269_tercile_admission",
+    "CCNet's staged admission composed from gated pieces: keep the head " +
+      "and middle perplexity terciles whole (q263's exact census cuts), " +
+      "hash-SAMPLE the tail at 1/8 (the deterministic hash64 bucket — " +
+      "no RNG, engine-reproducible, row-local) — the production shape " +
+      "that keeps a sliver of the gibberish tail for contrast sets " +
+      "instead of dropping it blind",
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+      dw AS (SELECT doc_id, w, count(*) AS k FROM w GROUP BY 1, 2),
+      c AS (SELECT w, sum(k) AS c FROM dw GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      b AS (SELECT w, CAST(floor(log2(n // c)) AS BIGINT) AS bits
+            FROM c CROSS JOIN n),
+      s AS (SELECT dw.doc_id,
+            CAST((1000000 * sum(k * bits)) // sum(k) AS BIGINT)
+              AS mean_bits_ppm
+            FROM dw JOIN b USING (w) GROUP BY 1),
+      cen AS (SELECT mean_bits_ppm AS v, count(*) AS cnt
+              FROM s GROUP BY 1),
+      cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM cen),
+      nd AS (SELECT count(*) AS nd FROM s),
+      cuts AS (SELECT min(CASE WHEN cum * 3 >= nd THEN v END) AS t1,
+                      min(CASE WHEN cum * 3 >= nd * 2 THEN v END) AS t2
+               FROM cum CROSS JOIN nd),
+      bk AS (SELECT doc_id,
+             CASE WHEN mean_bits_ppm <= t1 THEN 'head'
+                  WHEN mean_bits_ppm <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+             FROM s CROSS JOIN cuts)
+      SELECT doc_id, bucket,
+             (bucket <> 'tail' OR
+              CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 8 = 0) AS admitted
+      FROM bk ORDER BY doc_id"""),
+    (s, dir) => {
+      val b = TextAnalysis.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text")
+      b.select(col("doc_id"), col("bucket"),
+        (col("bucket") =!= "tail" ||
+          Sampling.hashBucket(col("doc_id"), 8) === 0).as("admitted"))
+        .orderBy("doc_id")
+    })
+
+  private val q270 = Q("q270_census_growth",
+    "sequential-batch census maintenance — q256's index-growth pattern " +
+      "for quality scoring: batch 1 (doc_id%4=1) scores against the " +
+      "frozen census C0 (%4=0 docs); the ADMITTED batch-1 docs' counts " +
+      "merge into C1 = C0 + census(admitted) (counts are the stored " +
+      "form precisely so maintenance is union+sum — census-sized, no " +
+      "corpus re-read); batch 2 (%4=2) scores against the grown C1, so " +
+      "its keep verdicts can differ from a frozen-C0 replay — the " +
+      "growth is observable in the gate's own values",
+    Some("""
+      WITH c0 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+             (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id % 4 = 0) GROUP BY 1),
+      nv0 AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM c0),
+      d1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+      dw1 AS (SELECT doc_id, w, count(*) AS k FROM
+              (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM d1) GROUP BY 1, 2),
+      r1 AS (SELECT doc_id, n_words, total_bits,
+             CAST((1000000 * total_bits) // n_words AS BIGINT)
+               AS mean_bits_ppm,
+             (1000000 * total_bits) // n_words
+               BETWEEN 4010000 AND 10000000 AS keep FROM
+             (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+              CAST(sum(k * CAST(floor(log2(
+                (n + v) // (coalesce(c, 0) + 1))) AS BIGINT)) AS BIGINT)
+                AS total_bits
+              FROM dw1 CROSS JOIN nv0 LEFT JOIN c0 USING (w)
+              GROUP BY 1)),
+      adm AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+              (SELECT unnest(string_split(d1.text, ' ')) AS w
+               FROM d1 JOIN r1 USING (doc_id) WHERE r1.keep) GROUP BY 1),
+      c1 AS (SELECT w, CAST(sum(c) AS BIGINT) AS c FROM
+             (SELECT * FROM c0 UNION ALL SELECT * FROM adm) GROUP BY 1),
+      nv1 AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM c1),
+      dw2 AS (SELECT doc_id, w, count(*) AS k FROM
+              (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents WHERE doc_id % 4 = 2) GROUP BY 1, 2),
+      r2 AS (SELECT doc_id, n_words, total_bits,
+             CAST((1000000 * total_bits) // n_words AS BIGINT)
+               AS mean_bits_ppm,
+             (1000000 * total_bits) // n_words
+               BETWEEN 4010000 AND 10000000 AS keep FROM
+             (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+              CAST(sum(k * CAST(floor(log2(
+                (n + v) // (coalesce(c, 0) + 1))) AS BIGINT)) AS BIGINT)
+                AS total_bits
+              FROM dw2 CROSS JOIN nv1 LEFT JOIN c1 USING (w)
+              GROUP BY 1))
+      SELECT doc_id, CAST(1 AS BIGINT) AS batch, n_words, total_bits,
+             mean_bits_ppm, keep FROM r1
+      UNION ALL
+      SELECT doc_id, CAST(2 AS BIGINT), n_words, total_bits,
+             mean_bits_ppm, keep FROM r2
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // cache lifetime: released by Bench's per-gate clearCache (the
+      // q256 note) — census-sized relations; a production loop persists
+      // the census as STORAGE between batches
+      val c0 = TextAnalysis.unigramCensus(
+        docs.filter(col("doc_id") % 4 === 0), "text")
+        .repartition(col("w")).cache()
+      val b1 = docs.filter(col("doc_id") % 4 === 1)
+      val r1 = TextAnalysis.scoreAgainstCensus(b1, c0, "doc_id", "text",
+        keepLoPpm = 4010000L, keepHiPpm = 10000000L).cache()
+      val adm = TextAnalysis.unigramCensus(
+        b1.join(r1.filter(col("keep")).select("doc_id"), Seq("doc_id"),
+          "left_semi"), "text")
+      val c1 = TextAnalysis.mergeCensus(c0, adm)
+      val r2 = TextAnalysis.scoreAgainstCensus(
+        docs.filter(col("doc_id") % 4 === 2), c1, "doc_id", "text",
+        keepLoPpm = 4010000L, keepHiPpm = 10000000L)
+      r1.withColumn("batch", lit(1L))
+        .unionByName(r2.withColumn("batch", lit(2L)))
+        .select(col("doc_id"), col("batch"), col("n_words"),
+          col("total_bits"), col("mean_bits_ppm"), col("keep"))
+        .orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -7118,5 +7273,5 @@ object Extensions {
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
-    q259, q260, q261, q262, q263, q264, q265, q266)
+    q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270)
 }

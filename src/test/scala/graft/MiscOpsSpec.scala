@@ -1927,6 +1927,39 @@ class SourceDriftSpec extends SparkSpec {
     assert(got(2)._3 == "X" && !got(2)._5)
   }
 
+  test("temperatureWeights: alpha=1/2 flattens the head — hand-checked " +
+    "isqrt weights and ppm normalization") {
+    val counts = Seq(("big", 10000L), ("mid", 100L), ("tiny", 4L))
+      .toDF("src", "c")
+    val got = graft.ops.Sampling.temperatureWeights(counts, "src", "c")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // isqrt: 100, 10, 2; total 112
+    assert(got.toSeq == Seq(
+      ("big", 10000L, 100L, 1000000L * 100 / 112),
+      ("mid", 100L, 10L, 1000000L * 10 / 112),
+      ("tiny", 4L, 2L, 1000000L * 2 / 112)))
+    // the flattening property itself: weight share strictly exceeds the
+    // count share for the small sources, strictly trails for the big one
+    val tot = got.map(_._2).sum
+    assert(got.find(_._1 == "big").get._4 < 1000000L * 10000 / tot)
+    assert(got.find(_._1 == "tiny").get._4 > 1000000L * 4 / tot)
+  }
+
+  test("mergeCensus: union+sum equals the census of the concatenated " +
+    "corpus (counts are the mergeable form)") {
+    val a = Seq((1L, "x y x")).toDF("doc_id", "text")
+    val b = Seq((2L, "y z")).toDF("doc_id", "text")
+    val merged = graft.ops.TextAnalysis.mergeCensus(
+        graft.ops.TextAnalysis.unigramCensus(a, "text"),
+        graft.ops.TextAnalysis.unigramCensus(b, "text"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val whole = graft.ops.TextAnalysis.unigramCensus(
+        a.unionByName(b), "text")
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(merged.toSeq == whole.toSeq)
+    assert(merged.toSeq == Seq(("x", 2L), ("y", 2L), ("z", 1L)))
+  }
+
   test("semDedup: identical vectors land in one cluster, exactly one of " +
     "each pair is kept, dup_of points to the (dist2 DESC, id) keeper; " +
     "isolated vectors always keep") {

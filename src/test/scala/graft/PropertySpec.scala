@@ -844,6 +844,24 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"seed=$seed")
     }
   }
+
+  test("isqrt law: isqrt(c)^2 <= c < (isqrt(c)+1)^2 for arbitrary " +
+    "counts, including perfect squares and their +-1 neighbors " +
+    "(the double-rounding boundary cases)") {
+    val rand = gen(Gen.listOfN(400,
+      Gen.choose(0L, (1L << 52) - 1)), 7L)
+    // adversarial: perfect squares straddle the floor(sqrt(double))
+    // rounding boundary — exactly where the uncorrected form breaks
+    val squares = gen(Gen.listOfN(200, Gen.choose(0L, (1L << 26) - 1)), 8L)
+      .flatMap(s => Seq(s * s, s * s - 1, s * s + 1).filter(_ >= 0))
+    val got = (rand ++ squares).toDF("c")
+      .select(col("c"), graft.ops.Sampling.isqrt(col("c")).as("s"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (c, s) =>
+      assert(s >= 0 && s * s <= c && (s + 1) * (s + 1) > c,
+        s"isqrt($c) = $s")
+    }
+  }
 }
 
 /** Thin forwarding (keeps the spec readable). */
