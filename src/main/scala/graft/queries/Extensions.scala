@@ -7178,16 +7178,12 @@ object Extensions {
         .orderBy("doc_id")
     })
 
-  private val q270 = Q("q270_census_growth",
-    "sequential-batch census maintenance — q256's index-growth pattern " +
-      "for quality scoring: batch 1 (doc_id%4=1) scores against the " +
-      "frozen census C0 (%4=0 docs); the ADMITTED batch-1 docs' counts " +
-      "merge into C1 = C0 + census(admitted) (counts are the stored " +
-      "form precisely so maintenance is union+sum — census-sized, no " +
-      "corpus re-read); batch 2 (%4=2) scores against the grown C1, so " +
-      "its keep verdicts can differ from a frozen-C0 replay — the " +
-      "growth is observable in the gate's own values",
-    Some("""
+  /** Shared oracle for q270 (batch) and q271 (two sequential AvailableNow
+    * drains) — census growth: batch 1 scores against C0, admitted batch-1
+    * counts merge into C1, batch 2 scores against C1. One string so the
+    * batch gate and its live twin certify the SAME relation (the
+    * q266/q267 and q248/minHashAdmissionOracle discipline). */
+  private[queries] val censusGrowthOracle: String = """
       WITH c0 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
              (SELECT unnest(string_split(text, ' ')) AS w
               FROM documents WHERE doc_id % 4 = 0) GROUP BY 1),
@@ -7232,7 +7228,18 @@ object Extensions {
       UNION ALL
       SELECT doc_id, CAST(2 AS BIGINT), n_words, total_bits,
              mean_bits_ppm, keep FROM r2
-      ORDER BY doc_id"""),
+      ORDER BY doc_id"""
+
+  private val q270 = Q("q270_census_growth",
+    "sequential-batch census maintenance — q256's index-growth pattern " +
+      "for quality scoring: batch 1 (doc_id%4=1) scores against the " +
+      "frozen census C0 (%4=0 docs); the ADMITTED batch-1 docs' counts " +
+      "merge into C1 = C0 + census(admitted) (counts are the stored " +
+      "form precisely so maintenance is union+sum — census-sized, no " +
+      "corpus re-read); batch 2 (%4=2) scores against the grown C1, so " +
+      "its keep verdicts can differ from a frozen-C0 replay — the " +
+      "growth is observable in the gate's own values",
+    Some(censusGrowthOracle),
     (s, dir) => {
       val docs = t(s, dir, "documents")
       // cache lifetime: released by Bench's per-gate clearCache (the

@@ -985,6 +985,66 @@ object Pipeline {
       s.read.parquet(out).orderBy("doc_id")
     })
 
+  private val q271 = Q("q271_streaming_census_growth",
+    "§2.9 × quality: q270's census maintenance run the way a standing " +
+      "pipeline actually runs it — ONE checkpoint, one AvailableNow " +
+      "drain PER BATCH ARRIVAL (the restart-per-arrival operational " +
+      "pattern; q248 is the single-drain frozen-index cousin): drain 1 " +
+      "scores staged batch 1 against the persisted C0 and appends " +
+      "verdicts; BETWEEN drains the driver merges the admitted docs' " +
+      "counts into C1 (census-sized union+sum, never a corpus re-read) " +
+      "and re-persists it pre-partitioned by `w`; batch 2 then lands in " +
+      "the stage dir and drain 2 — same checkpoint, so the source " +
+      "offset log skips batch 1's already-processed file — scores only " +
+      "it against C1; equals the q270 batch gate bit-for-bit",
+    Some(Extensions.censusGrowthOracle),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      def census(df: DataFrame) =
+        graft.ops.TextAnalysis.unigramCensus(df, "text")
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q271-stage").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q271-out").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-q271-cp").toString
+      var cur = census(docs.filter(col("doc_id") % 4 === 0))
+        .repartition(col("w")).persist()
+      cur.count() // materialize before the drain would charge it to itself
+      docs.filter(col("doc_id") % 4 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def drain(batchNo: Long): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.ops.TextAnalysis.scoreAgainstCensus(batch, cur,
+              "doc_id", "text", keepLoPpm = 4010000L,
+              keepHiPpm = 10000000L)
+              .withColumn("batch", lit(batchNo))
+              .write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain(1L)
+      val admitted = docs.filter(col("doc_id") % 4 === 1)
+        .join(s.read.parquet(out).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      val grown = graft.ops.TextAnalysis.mergeCensus(cur, census(admitted))
+        .repartition(col("w")).persist()
+      grown.count()
+      cur.unpersist()
+      cur = grown
+      docs.filter(col("doc_id") % 4 === 2).coalesce(1)
+        .write.mode("append").parquet(stage)
+      drain(2L)
+      cur.unpersist()
+      s.read.parquet(out).orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130, q134, q157, q166, q174, q235, q244, q248, q257, q267)
+    q129, q130, q134, q157, q166, q174, q235, q244, q248, q257, q267, q271)
 }
