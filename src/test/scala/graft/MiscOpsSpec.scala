@@ -1705,6 +1705,163 @@ class WinsorizeSpec extends SparkSpec {
       .as[(String, Long, Double, Double, Long, Long, Double)].head()
     assert(r == (("g", 3L, 7.0, 7.0, 0L, 0L, 7.0)))
   }
+
+  test("chunkWords boundary laws: every chunk but the last is exactly " +
+    "`window` words, the last reaches the document's end, starts are " +
+    "stride-multiples, every word is covered — swept over n=1..60") {
+    val docs = (1 to 60)
+      .map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .chunkWords(docs, "doc_id", "text", window = 7, stride = 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byDoc = got.groupBy(_._1)
+    for (n <- 1 to 60) {
+      val cs = byDoc(n.toLong).sortBy(_._2)
+      val expected = 1 + math.max(0, math.ceil((n - 7).toDouble / 4).toInt)
+      assert(cs.length == expected, s"n=$n chunk count")
+      assert(cs.map(_._2).toSeq == (0 until expected).map(_.toLong), s"n=$n ids")
+      cs.foreach { case (_, cid, start, nw, text) =>
+        assert(start == cid * 4, s"n=$n start")
+        val words = text.split(" ", -1)
+        assert(words.length == nw, s"n=$n text/word-count parity")
+        assert(words.head == s"w${start + 1}", s"n=$n slice alignment")
+      }
+      cs.init.foreach(c => assert(c._4 == 7L, s"n=$n non-last width"))
+      assert(cs.last._3 + cs.last._4 == n.toLong, s"n=$n last reaches end")
+      assert(cs.last._4 >= 1L, s"n=$n last non-empty")
+      val covered = cs.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (0L until n.toLong).toSet, s"n=$n coverage")
+    }
+  }
+
+  test("chunkWords stride=window: chunks partition the document exactly") {
+    val docs = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .chunkWords(docs, "doc_id", "text", window = 4, stride = 4)
+      .orderBy("chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.map(_._5).mkString(" ") == (1 to 11).map(i => s"t$i").mkString(" "))
+    assert(got.map(_._4).toSeq == Seq(4L, 4L, 3L))
+  }
+
+  test("perplexityBuckets: monotone in score, head holds the min-score " +
+    "doc, tail the max, ties share a bucket, counts sum to n") {
+    // three frequency tiers: 'c' everywhere (cheap), per-pair words, and
+    // unique-per-doc rare words (expensive)
+    val docs = Seq(
+      (1L, "c c c c"), (2L, "c c c c"),
+      (3L, "c c m3 m3"), (4L, "c c m4 m4"),
+      (5L, "r5a r5b r5c r5d"), (6L, "r6a r6b r6c r6d"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .perplexityBuckets(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val ord = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    assert(got.map(_._2).forall(_ == 4L))
+    // monotone: higher score never lands in an earlier bucket
+    for (a <- got; b <- got if a._3 < b._3)
+      assert(ord(a._4) <= ord(b._4), s"monotone: $a vs $b")
+    val byScore = got.sortBy(_._3)
+    assert(byScore.head._4 == "head" && byScore.last._4 == "tail")
+    // identical scores share a bucket
+    for (a <- got; b <- got if a._3 == b._3) assert(a._4 == b._4)
+    assert(got.length == 6)
+  }
+
+  test("scoreAgainstCensus: hand-computed smoothing — census 'a a a b' " +
+    "gives N=4 V=2; doc 'a b z' costs 0+1+2 bits, OOV is the max") {
+    val ref = Seq((0L, "a a a b")).toDF("doc_id", "text")
+    val census = graft.ops.TextAnalysis.unigramCensus(ref, "text")
+    // bits(w) = floor(log2((N+V) div (c+1))): a -> (6 div 4)=1 -> 0;
+    // b -> (6 div 2)=3 -> 1; OOV z -> (6 div 1)=6 -> 2
+    val docs = Seq((1L, "a b z"), (2L, "a a a")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.scoreAgainstCensus(
+        docs, census, "doc_id", "text",
+        keepLoPpm = 0L, keepHiPpm = 999999L)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 3L, 1000000L, false)))
+    assert(got(1) == ((2L, 3L, 0L, 0L, true)))
+  }
+
+  test("nbBitScore: disjoint-vocab classes predict perfectly; an all-OOV " +
+    "doc falls to the deterministic class-name tiebreak") {
+    val train = Seq(
+      (10L, "X", "x1 x2 x1"),
+      (11L, "Y", "y1 y2"))
+      .toDF("doc_id", "lang", "text")
+    val test = Seq(
+      (1L, "X", "x1 x1"), (2L, "Y", "y2"), (3L, "Y", "z"))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.ops.TextAnalysis
+      .nbBitScore(train, test, "doc_id", "text", "lang")
+      .as[(Long, String, String, Long, Boolean)].collect().sortBy(_._1)
+    // V=4 global; X: T=3, cost(x1)=floor(log2(7 div 3))=1; prior=1
+    assert(got(0) == ((1L, "X", "X", 3L, true)))
+    assert(got(1) == ((2L, "Y", "Y", 2L, true)))
+    // OOV both ways: X costs floor(log2(7 div 1))=2, Y floor(log2(6
+    // div 1))=2, priors equal -> tie -> 'X' < 'Y' wins; the doc's own
+    // label is Y, so the tiebreak pick is visibly NOT correct
+    assert(got(2)._3 == "X" && !got(2)._5)
+  }
+
+  test("temperatureWeights: alpha=1/2 flattens the head — hand-checked " +
+    "isqrt weights and ppm normalization") {
+    val counts = Seq(("big", 10000L), ("mid", 100L), ("tiny", 4L))
+      .toDF("src", "c")
+    val got = graft.ops.Sampling.temperatureWeights(counts, "src", "c")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // isqrt: 100, 10, 2; total 112
+    assert(got.toSeq == Seq(
+      ("big", 10000L, 100L, 1000000L * 100 / 112),
+      ("mid", 100L, 10L, 1000000L * 10 / 112),
+      ("tiny", 4L, 2L, 1000000L * 2 / 112)))
+    // the flattening property itself: weight share strictly exceeds the
+    // count share for the small sources, strictly trails for the big one
+    val tot = got.map(_._2).sum
+    assert(got.find(_._1 == "big").get._4 < 1000000L * 10000 / tot)
+    assert(got.find(_._1 == "tiny").get._4 > 1000000L * 4 / tot)
+  }
+
+  test("mergeCensus: union+sum equals the census of the concatenated " +
+    "corpus (counts are the mergeable form)") {
+    val a = Seq((1L, "x y x")).toDF("doc_id", "text")
+    val b = Seq((2L, "y z")).toDF("doc_id", "text")
+    val merged = graft.ops.TextAnalysis.mergeCensus(
+        graft.ops.TextAnalysis.unigramCensus(a, "text"),
+        graft.ops.TextAnalysis.unigramCensus(b, "text"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val whole = graft.ops.TextAnalysis.unigramCensus(
+        a.unionByName(b), "text")
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(merged.toSeq == whole.toSeq)
+    assert(merged.toSeq == Seq(("x", 2L), ("y", 2L), ("z", 1L)))
+  }
+
+  test("semDedup: identical vectors land in one cluster, exactly one of " +
+    "each pair is kept, dup_of points to the (dist2 DESC, id) keeper; " +
+    "isolated vectors always keep") {
+    val embs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(0f, 1f)),
+      (5L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity
+      .semDedup(embs, "vec_id", "embedding", k = 2, iters = 2,
+        maxDist2 = 100L)
+      .as[(Long, Long, Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // identical pairs: equal dist2 -> the LOWER id dominates the tie
+    assert(got(1L)._4 && got(1L)._5.isEmpty)
+    assert(!got(2L)._4 && got(2L)._5.contains(1L))
+    assert(got(3L)._4 && got(3L)._5.isEmpty)
+    assert(!got(4L)._4 && got(4L)._5.contains(3L))
+    // 5 is nobody's near-dup at maxDist2=100
+    assert(got(5L)._4 && got(5L)._5.isEmpty)
+    // identical vectors must share a cluster (tie-broken identically)
+    assert(got(1L)._2 == got(2L)._2 && got(3L)._2 == got(4L)._2)
+  }
 }
 
 class SourceDriftSpec extends SparkSpec {
@@ -1828,159 +1985,4 @@ class SourceDriftSpec extends SparkSpec {
     assert(got == ((500000L, 10L, true)))
   }
 
-  test("chunkWords boundary laws: every chunk but the last is exactly " +
-    "`window` words, the last reaches the document's end, starts are " +
-    "stride-multiples, every word is covered — swept over n=1..60") {
-    val docs = (1 to 60)
-      .map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
-      .toDF("doc_id", "text")
-    val got = graft.ops.TextAnalysis
-      .chunkWords(docs, "doc_id", "text", window = 7, stride = 4)
-      .as[(Long, Long, Long, Long, String)].collect()
-    val byDoc = got.groupBy(_._1)
-    for (n <- 1 to 60) {
-      val cs = byDoc(n.toLong).sortBy(_._2)
-      val expected = 1 + math.max(0, math.ceil((n - 7).toDouble / 4).toInt)
-      assert(cs.length == expected, s"n=$n chunk count")
-      assert(cs.map(_._2).toSeq == (0 until expected).map(_.toLong), s"n=$n ids")
-      cs.foreach { case (_, cid, start, nw, text) =>
-        assert(start == cid * 4, s"n=$n start")
-        val words = text.split(" ", -1)
-        assert(words.length == nw, s"n=$n text/word-count parity")
-        assert(words.head == s"w${start + 1}", s"n=$n slice alignment")
-      }
-      cs.init.foreach(c => assert(c._4 == 7L, s"n=$n non-last width"))
-      assert(cs.last._3 + cs.last._4 == n.toLong, s"n=$n last reaches end")
-      assert(cs.last._4 >= 1L, s"n=$n last non-empty")
-      val covered = cs.flatMap(c => c._3 until (c._3 + c._4)).toSet
-      assert(covered == (0L until n.toLong).toSet, s"n=$n coverage")
-    }
-  }
-
-  test("chunkWords stride=window: chunks partition the document exactly") {
-    val docs = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" ")))
-      .toDF("doc_id", "text")
-    val got = graft.ops.TextAnalysis
-      .chunkWords(docs, "doc_id", "text", window = 4, stride = 4)
-      .orderBy("chunk_id")
-      .as[(Long, Long, Long, Long, String)].collect()
-    assert(got.map(_._5).mkString(" ") == (1 to 11).map(i => s"t$i").mkString(" "))
-    assert(got.map(_._4).toSeq == Seq(4L, 4L, 3L))
-  }
-
-  test("perplexityBuckets: monotone in score, head holds the min-score " +
-    "doc, tail the max, ties share a bucket, counts sum to n") {
-    // three frequency tiers: 'c' everywhere (cheap), per-pair words, and
-    // unique-per-doc rare words (expensive)
-    val docs = Seq(
-      (1L, "c c c c"), (2L, "c c c c"),
-      (3L, "c c m3 m3"), (4L, "c c m4 m4"),
-      (5L, "r5a r5b r5c r5d"), (6L, "r6a r6b r6c r6d"))
-      .toDF("doc_id", "text")
-    val got = graft.ops.TextAnalysis
-      .perplexityBuckets(docs, "doc_id", "text")
-      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
-    val ord = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
-    assert(got.map(_._2).forall(_ == 4L))
-    // monotone: higher score never lands in an earlier bucket
-    for (a <- got; b <- got if a._3 < b._3)
-      assert(ord(a._4) <= ord(b._4), s"monotone: $a vs $b")
-    val byScore = got.sortBy(_._3)
-    assert(byScore.head._4 == "head" && byScore.last._4 == "tail")
-    // identical scores share a bucket
-    for (a <- got; b <- got if a._3 == b._3) assert(a._4 == b._4)
-    assert(got.length == 6)
-  }
-
-  test("scoreAgainstCensus: hand-computed smoothing — census 'a a a b' " +
-    "gives N=4 V=2; doc 'a b z' costs 0+1+2 bits, OOV is the max") {
-    val ref = Seq((0L, "a a a b")).toDF("doc_id", "text")
-    val census = graft.ops.TextAnalysis.unigramCensus(ref, "text")
-    // bits(w) = floor(log2((N+V) div (c+1))): a -> (6 div 4)=1 -> 0;
-    // b -> (6 div 2)=3 -> 1; OOV z -> (6 div 1)=6 -> 2
-    val docs = Seq((1L, "a b z"), (2L, "a a a")).toDF("doc_id", "text")
-    val got = graft.ops.TextAnalysis.scoreAgainstCensus(
-        docs, census, "doc_id", "text",
-        keepLoPpm = 0L, keepHiPpm = 999999L)
-      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
-    assert(got(0) == ((1L, 3L, 3L, 1000000L, false)))
-    assert(got(1) == ((2L, 3L, 0L, 0L, true)))
-  }
-
-  test("nbBitScore: disjoint-vocab classes predict perfectly; an all-OOV " +
-    "doc falls to the deterministic class-name tiebreak") {
-    val train = Seq(
-      (10L, "X", "x1 x2 x1"),
-      (11L, "Y", "y1 y2"))
-      .toDF("doc_id", "lang", "text")
-    val test = Seq(
-      (1L, "X", "x1 x1"), (2L, "Y", "y2"), (3L, "X", "z"))
-      .toDF("doc_id", "lang", "text")
-    val got = graft.ops.TextAnalysis
-      .nbBitScore(train, test, "doc_id", "text", "lang")
-      .as[(Long, String, String, Long, Boolean)].collect().sortBy(_._1)
-    // V=4 global; X: T=3, cost(x1)=floor(log2(7 div 3))=1; prior=1
-    assert(got(0) == ((1L, "X", "X", 3L, true)))
-    assert(got(1) == ((2L, "Y", "Y", 2L, true)))
-    // OOV both ways: X costs floor(log2(7 div 1))=2, Y floor(log2(6
-    // div 1))=2, priors equal -> tie -> 'X' < 'Y' wins
-    assert(got(2)._3 == "X" && !got(2)._5)
-  }
-
-  test("temperatureWeights: alpha=1/2 flattens the head — hand-checked " +
-    "isqrt weights and ppm normalization") {
-    val counts = Seq(("big", 10000L), ("mid", 100L), ("tiny", 4L))
-      .toDF("src", "c")
-    val got = graft.ops.Sampling.temperatureWeights(counts, "src", "c")
-      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
-    // isqrt: 100, 10, 2; total 112
-    assert(got.toSeq == Seq(
-      ("big", 10000L, 100L, 1000000L * 100 / 112),
-      ("mid", 100L, 10L, 1000000L * 10 / 112),
-      ("tiny", 4L, 2L, 1000000L * 2 / 112)))
-    // the flattening property itself: weight share strictly exceeds the
-    // count share for the small sources, strictly trails for the big one
-    val tot = got.map(_._2).sum
-    assert(got.find(_._1 == "big").get._4 < 1000000L * 10000 / tot)
-    assert(got.find(_._1 == "tiny").get._4 > 1000000L * 4 / tot)
-  }
-
-  test("mergeCensus: union+sum equals the census of the concatenated " +
-    "corpus (counts are the mergeable form)") {
-    val a = Seq((1L, "x y x")).toDF("doc_id", "text")
-    val b = Seq((2L, "y z")).toDF("doc_id", "text")
-    val merged = graft.ops.TextAnalysis.mergeCensus(
-        graft.ops.TextAnalysis.unigramCensus(a, "text"),
-        graft.ops.TextAnalysis.unigramCensus(b, "text"))
-      .as[(String, Long)].collect().sortBy(_._1)
-    val whole = graft.ops.TextAnalysis.unigramCensus(
-        a.unionByName(b), "text")
-      .as[(String, Long)].collect().sortBy(_._1)
-    assert(merged.toSeq == whole.toSeq)
-    assert(merged.toSeq == Seq(("x", 2L), ("y", 2L), ("z", 1L)))
-  }
-
-  test("semDedup: identical vectors land in one cluster, exactly one of " +
-    "each pair is kept, dup_of points to the (dist2 DESC, id) keeper; " +
-    "isolated vectors always keep") {
-    val embs = Seq(
-      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
-      (3L, Seq(0f, 1f)), (4L, Seq(0f, 1f)),
-      (5L, Seq(0.5f, 0.5f)))
-      .toDF("vec_id", "embedding")
-    val got = graft.ops.Similarity
-      .semDedup(embs, "vec_id", "embedding", k = 2, iters = 2,
-        maxDist2 = 100L)
-      .as[(Long, Long, Long, Boolean, Option[Long])].collect()
-      .map(r => r._1 -> r).toMap
-    // identical pairs: equal dist2 -> the LOWER id dominates the tie
-    assert(got(1L)._4 && got(1L)._5.isEmpty)
-    assert(!got(2L)._4 && got(2L)._5.contains(1L))
-    assert(got(3L)._4 && got(3L)._5.isEmpty)
-    assert(!got(4L)._4 && got(4L)._5.contains(3L))
-    // 5 is nobody's near-dup at maxDist2=100
-    assert(got(5L)._4 && got(5L)._5.isEmpty)
-    // identical vectors must share a cluster (tie-broken identically)
-    assert(got(1L)._2 == got(2L)._2 && got(3L)._2 == got(4L)._2)
-  }
 }
