@@ -405,6 +405,42 @@ object StreamBench {
         idxBands.unpersist()
         ()
       }
+
+      // q267/q271 shape: frozen-census quality scoring, foreachBatch →
+      // parquet. Stateless like index_admission (no state store —
+      // provider-irrelevant, measured once); the census build is OUTSIDE
+      // the drains — the operator's amortization claim: a standing
+      // pipeline pays the reference tokenize never per batch. Warm means
+      // "the next batch file lands on a live checkpoint".
+      if (provider == "rocksdb") locally {
+        val dir = stage("census", "documents", "batch_000.parquet")
+        val cp = work.resolve("cp_census").toString
+        val census = graft.ops.TextAnalysis.unigramCensus(
+          graft.Tables.table(spark, sfDir, "documents")
+            .filter(col("doc_id") % 2 === 0), "text")
+          .repartition(col("w")).persist()
+        census.count()
+        val out = work.resolve("census-out").toString
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          val q = graft.Tables.dirStream(spark, dir).writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              graft.ops.TextAnalysis.scoreAgainstCensus(batch, census,
+                "doc_id", "text", keepLoPpm = 4010000L,
+                keepHiPpm = 10000000L)
+                .write.mode("append").parquet(out)
+            }
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        results(s"census_admission/$provider/cold") = run()
+        redeliver("census", "documents", "batch_001.parquet")
+        results(s"census_admission/$provider/warm") = run()
+        census.unpersist()
+        ()
+      }
     }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)

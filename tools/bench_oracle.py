@@ -51,6 +51,10 @@ STREAMING_GATES = {
     "q244_streaming_drift_monitor": "drift_monitor",
     "q248_streaming_index_admission": "index_admission",
     "q257_tws_capped_sessions": "capped_sessions",
+    # stateless foreachBatch against a frozen/growing census (q267's warm
+    # drain is the shared shape; q271 adds the between-drain census merge)
+    "q267_streaming_census_admission": "census_admission",
+    "q271_streaming_census_growth": "census_admission",
 }
 
 # Gates whose oracle PREDICTS the synthesized round-trip arithmetically
