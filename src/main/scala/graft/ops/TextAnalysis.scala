@@ -1940,6 +1940,57 @@ object TextAnalysis {
         col("mean_bits_ppm").between(keepLoPpm, keepHiPpm))
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken — the
+    * MOSS core): hash every `shingleSize`-word gram, slide a window of
+    * `window` consecutive gram hashes, keep each window's MINIMUM — the
+    * position-robust LOCAL fingerprint set. The winnowing guarantee: any
+    * shared run of ≥ window + shingleSize − 1 words between two
+    * documents shares at least one selected fingerprint, while only
+    * ~1/window of the grams are kept — the recall floor LSH can't give
+    * and the whole-doc [[fingerprints]] key can't localize. Hash ties
+    * inside a window select the same fp VALUE either way, and the output
+    * is the distinct (doc, fp) SET, so no positional tiebreak is needed
+    * (the classic rightmost rule matters only when positions are
+    * emitted).
+    *
+    * Documents shorter than `shingleSize` words have no grams and are
+    * ABSENT from the output (screen them separately — the kmeansFit
+    * ragged-row posture); documents with fewer grams than `window` keep
+    * one fingerprint, the min over all their grams (the pos-0 frame
+    * clamps to the short tail).
+    *
+    * Shape at 100 TB: one tokenize, row-local gram hashing, ONE window
+    * partitioned BY DOCUMENT over (pos) — partitions are doc-sized,
+    * never global — then a map-side-combinable distinct. Output is
+    * ~n_grams/window rows per doc.
+    *
+    * Output: the distinct (idCol, fp) relation.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, window: Int = 4): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ws = split(col(textCol), " ")
+    val grams = docs
+      .select(col(idCol), ws.as("_ws"))
+      .filter(size(col("_ws")) >= shingleSize)
+      .select(col(idCol), size(col("_ws")).as("_n"),
+        posexplode(transform(
+          sequence(lit(0), size(col("_ws")) - shingleSize),
+          i => TextFns.hash64(
+            array_join(slice(col("_ws"), i + 1, lit(shingleSize)), " ")))))
+      .toDF(idCol, "_n", "pos", "h")
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      // full windows only: start pos <= n_grams - window (n_grams =
+      // _n - shingleSize + 1); short docs keep the clamped pos-0 frame
+      .filter(col("pos") <=
+        greatest(col("_n") - lit(shingleSize + window - 1), lit(0)))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
   /** Naive-Bayes bit-score classifier — the engine-portable analog of
     * the fastText quality classifier the GPT-3/CCNet pipelines train
     * ("wiki-like vs crawl"): multinomial NB scored in integer BITS

@@ -7265,6 +7265,68 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  /** Shared winnowing CTE (q272 relation, q273 matcher) — k = 3-word
+    * grams, window = 4 gram hashes, full windows only (start pos ≤
+    * n_words − 6); documents shorter than k words have no grams and are
+    * absent, shorter than k+w−1 keep the clamped pos-0 window. */
+  private val winnowCte: String = """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      jx AS (SELECT doc_id, ws, len(ws) AS n,
+             unnest(generate_series(1, len(ws) - 2)) AS j FROM w),
+      h AS (SELECT doc_id, n, j - 1 AS pos,
+            CAST('0x' || substr(sha256(ws[j] || ' ' || ws[j+1] || ' ' ||
+              ws[j+2]), 1, 15) AS BIGINT) AS h
+            FROM jx),
+      m AS (SELECT doc_id, pos, n,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM h),
+      fps AS (SELECT DISTINCT doc_id, fp FROM m
+              WHERE pos <= greatest(n - 6, 0))"""
+
+  private val q272 = Q("q272_winnowing",
+    "winnowing fingerprint selection (Schleimer/Wilkerson/Aiken — the " +
+      "MOSS core): hash each 3-word gram, slide a 4-hash window, keep " +
+      "each window's MIN — the position-robust local fingerprint set " +
+      "with the published guarantee (any shared run of >= w+k-1 = 6 " +
+      "words shares >= 1 fingerprint) at ~1/w the gram volume; ONE " +
+      "window PARTITIONED BY DOC (doc-sized partitions, never global), " +
+      "one distinct; sub-k docs absent by contract",
+    Some(winnowCte + """
+      SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"""),
+    (s, dir) => TextAnalysis.winnowFingerprints(
+      t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, window = 4)
+      .orderBy("doc_id", "fp"))
+
+  private val q273 = Q("q273_moss_matcher",
+    "MOSS-style near-dup matching on q272's winnowed fingerprints: " +
+      "pairs joined ONLY through shared fp buckets (the LSH-band " +
+      "posture — never all-pairs; winnowing keeps ~1/w of grams so " +
+      "buckets are duplicate-text groups), scored by shared-fingerprint " +
+      "count, reported at n_shared >= 2 (one shared fp is the " +
+      "guarantee floor for a single 6-word run; two pins a longer or " +
+      "repeated overlap)",
+    Some(winnowCte + """
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val fps = TextAnalysis.winnowFingerprints(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, window = 4)
+      val a = fps.toDF("doc_a", "fp")
+      val b = fps.toDF("doc_b", "fp")
+      a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -7280,5 +7342,6 @@ object Extensions {
     q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225,
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
-    q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270)
+    q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270,
+    q272, q273)
 }

@@ -1706,6 +1706,137 @@ class WinsorizeSpec extends SparkSpec {
     assert(r == (("g", 3L, 7.0, 7.0, 0L, 0L, 7.0)))
   }
 
+}
+
+class SourceDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sourceDriftTvd: two-source hand computation, absent-token mass") {
+    // source A: "x x y" (x:2, y:1, N_A=3); source B: "x z" (x:1, z:1, N_B=2)
+    // corpus: x:3, y:1, z:1, N=5.
+    // TVD(A) = ½(|2/3−3/5| + |1/3−1/5| + |0−1/5|) = ½(1/15+2/15+3/15) = 0.2
+    // TVD(B) = ½(|1/2−3/5| + |1/2−1/5| + |0−1/5|) = ½(0.1+0.3+0.2) = 0.3
+    val docs = Seq(("A", "x x y"), ("B", "x z")).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.sourceDriftTvd(docs)
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got.map(r => (r._1, r._2, r._3)) == List(("A", 3L, 2L), ("B", 2L, 2L)))
+    assert(math.abs(got(0)._4 - 0.2) < 1e-15)
+    assert(math.abs(got(1)._4 - 0.3) < 1e-15)
+  }
+
+  test("vocabOverlap: hand-computed pairwise vocabulary Jaccard") {
+    // A: {x,y,z}  B: {x,y,w}  C: {q}
+    // A-B: shared 2, union 4 -> 500000 ppm; A-C and B-C: no overlap -> absent
+    val docs = Seq(("A", "x y z x"), ("B", "x y w"), ("C", "q"))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.vocabOverlap(docs)
+      .as[(String, String, Long, Long)].collect().toList
+    assert(got == List(("A", "B", 2L, 500000L)))
+  }
+
+  test("sourceDriftTvd: a single source has zero drift by definition") {
+    val docs = Seq(("only", "a b c a")).toDF("source", "text")
+    val r = graft.ops.TextAnalysis.sourceDriftTvd(docs)
+      .as[(String, Long, Long, Double)].head()
+    assert(r == (("only", 4L, 3L, 0.0)))
+  }
+
+  test("pmiPairs: df cap excludes stopwords, pairs count once per doc") {
+    // df: x=4 (capped out at maxDf=3), y=3, q=2, z=1; only (q,y) co-occurs
+    // (twice); z repeats WITHIN d4 but distinct-per-doc keeps c_w(z)=1
+    val docs = Seq(
+      (1L, "x y q"), (2L, "x y q"), (3L, "x y"), (4L, "z z x"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.pmiPairs(docs, maxDf = 3L, minPair = 2L)
+      .select("w_a", "w_b", "c_ab", "c_a", "c_b", "lift_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    // lift_ppm = 1e6 * 2 * 4 div (2 * 3) = 1333333
+    assert(got == List(("q", "y", 2L, 2L, 3L, 1333333L)))
+  }
+
+  test("bm25TopK: rarer term scores higher; tf saturates sublinearly") {
+    val docs = Seq((1L, "a a b"), (2L, "a c c"), (3L, "b b b"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "b")).toDF("query_id", "term")
+    val got = graft.ops.TextAnalysis.bm25TopK(docs, queries, k = 5)
+      .select("query_id", "doc_id", "score_ppm", "n_terms_hit", "rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // N=3, total_len=9, df(b)=2 → idf_ppm = 3_000_000 div 5 = 600_000;
+    // tf=1,len=3 → tfnorm = 1 exactly → 600_000;
+    // tf=3 → (600000*44*3*9) div (540+54+162) = 712_800_000 div 756 = 942_857
+    assert(got == List(
+      (1L, 3L, 942857L, 1L, 1L),
+      (1L, 1L, 600000L, 1L, 2L)))
+    // tf tripled but score rose only 1.57x — the saturation BM25 exists for
+  }
+
+  test("passageCensus: shared 3-word passage counts in both docs, tail passage kept") {
+    // window=3: doc 1 = [a b c][d e f][g] ; doc 2 = [a b c][x y z]
+    // "a b c" appears in 2 distinct docs → duplicated in both; the 1-word
+    // tail [g] is a passage of its own (unique)
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c x y z")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.passageCensus(docs, window = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 3L, 1L, 333333L),
+      (2L, 2L, 1L, 500000L)))
+  }
+
+  test("passageCensus: within-doc repetition alone is NOT cross-doc duplication") {
+    // doc 1 repeats its own passage twice; no other doc has it
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "c d e f")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.passageCensus(docs, window = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toList
+    // doc 1: passages [a b],[a b] — 2 passages, 0 cross-doc dups
+    assert(got == List((1L, 2L, 0L, 0L), (2L, 2L, 0L, 0L)))
+  }
+
+  test("charNgramLangId: zero trained profiles (all langs null) yields ZERO rows, not null labels") {
+    val docs = Seq((1L, null.asInstanceOf[String], "hello world text"),
+      (2L, null.asInstanceOf[String], "more text here"))
+      .toDF("doc_id", "lang", "text")
+    assert(graft.ops.TextAnalysis.charNgramLangId(docs, docs).count() == 0)
+  }
+
+  test("approxQuantileAudit: contract certified on a known distribution") {
+    val df = spark.range(1, 100001).toDF("v") // 1..100000, exact quantiles known
+    val got = graft.ops.Profile.approxQuantileAudit(
+        df, col("v"), Seq(10000L, 500000L, 990000L), accuracy = 1000)
+      .as[(Long, Long, Boolean)].collect().toList
+    assert(got == List(
+      (10000L, 100000L, true),
+      (500000L, 100000L, true),
+      (990000L, 100000L, true)))
+  }
+
+  test("approxQuantileAudit: the exact check really can fail (forged bound)") {
+    // sanity that within_eps is a computation, not a constant: audit a
+    // degenerate accuracy where eps is huge → still true; then assert the
+    // rank arithmetic by probing the internal contract on a tiny frame
+    // where we can enumerate ranks by hand: values 1..10, phi=0.5,
+    // eps=10% → estimate must have a rank in [4, 6]
+    val df = spark.range(1, 11).toDF("v")
+    val got = graft.ops.Profile.approxQuantileAudit(
+        df, col("v"), Seq(500000L), accuracy = 10)
+      .as[(Long, Long, Boolean)].collect().head
+    assert(got == ((500000L, 10L, true)))
+  }
+
+}
+
+/** Round-14 curation operators: chunking, perplexity buckets, census
+  * scoring, NB classifier, SemDeDup, mixture weights, winnowing.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
   test("chunkWords boundary laws: every chunk but the last is exactly " +
     "`window` words, the last reaches the document's end, starts are " +
     "stride-multiples, every word is covered — swept over n=1..60") {
@@ -1862,127 +1993,40 @@ class WinsorizeSpec extends SparkSpec {
     // identical vectors must share a cluster (tie-broken identically)
     assert(got(1L)._2 == got(2L)._2 && got(3L)._2 == got(4L)._2)
   }
-}
 
-class SourceDriftSpec extends SparkSpec {
-  import spark.implicits._
-
-  test("sourceDriftTvd: two-source hand computation, absent-token mass") {
-    // source A: "x x y" (x:2, y:1, N_A=3); source B: "x z" (x:1, z:1, N_B=2)
-    // corpus: x:3, y:1, z:1, N=5.
-    // TVD(A) = ½(|2/3−3/5| + |1/3−1/5| + |0−1/5|) = ½(1/15+2/15+3/15) = 0.2
-    // TVD(B) = ½(|1/2−3/5| + |1/2−1/5| + |0−1/5|) = ½(0.1+0.3+0.2) = 0.3
-    val docs = Seq(("A", "x x y"), ("B", "x z")).toDF("source", "text")
-    val got = graft.ops.TextAnalysis.sourceDriftTvd(docs)
-      .orderBy("source")
-      .as[(String, Long, Long, Double)].collect().toList
-    assert(got.map(r => (r._1, r._2, r._3)) == List(("A", 3L, 2L), ("B", 2L, 2L)))
-    assert(math.abs(got(0)._4 - 0.2) < 1e-15)
-    assert(math.abs(got(1)._4 - 0.3) < 1e-15)
-  }
-
-  test("vocabOverlap: hand-computed pairwise vocabulary Jaccard") {
-    // A: {x,y,z}  B: {x,y,w}  C: {q}
-    // A-B: shared 2, union 4 -> 500000 ppm; A-C and B-C: no overlap -> absent
-    val docs = Seq(("A", "x y z x"), ("B", "x y w"), ("C", "q"))
-      .toDF("source", "text")
-    val got = graft.ops.TextAnalysis.vocabOverlap(docs)
-      .as[(String, String, Long, Long)].collect().toList
-    assert(got == List(("A", "B", 2L, 500000L)))
-  }
-
-  test("sourceDriftTvd: a single source has zero drift by definition") {
-    val docs = Seq(("only", "a b c a")).toDF("source", "text")
-    val r = graft.ops.TextAnalysis.sourceDriftTvd(docs)
-      .as[(String, Long, Long, Double)].head()
-    assert(r == (("only", 4L, 3L, 0.0)))
-  }
-
-  test("pmiPairs: df cap excludes stopwords, pairs count once per doc") {
-    // df: x=4 (capped out at maxDf=3), y=3, q=2, z=1; only (q,y) co-occurs
-    // (twice); z repeats WITHIN d4 but distinct-per-doc keeps c_w(z)=1
+  test("winnowFingerprints: the winnowing guarantee — a shared run of " +
+    "w+k-1 = 6 words yields >= 1 shared fingerprint regardless of " +
+    "position; disjoint-vocabulary docs share none") {
+    val shared = "s1 s2 s3 s4 s5 s6"
     val docs = Seq(
-      (1L, "x y q"), (2L, "x y q"), (3L, "x y"), (4L, "z z x"))
+      (1L, s"a1 a2 a3 $shared b1 b2"), // run at words 3..8
+      (2L, s"c1 $shared d1 d2 d3 d4"), // same run, shifted to words 1..6
+      (3L, "e1 e2 e3 e4 e5 e6 e7 e8"))
       .toDF("doc_id", "text")
-    val got = graft.ops.TextAnalysis.pmiPairs(docs, maxDf = 3L, minPair = 2L)
-      .select("w_a", "w_b", "c_ab", "c_a", "c_b", "lift_ppm")
-      .as[(String, String, Long, Long, Long, Long)].collect().toList
-    // lift_ppm = 1e6 * 2 * 4 div (2 * 3) = 1333333
-    assert(got == List(("q", "y", 2L, 2L, 3L, 1333333L)))
+    val got = graft.ops.TextAnalysis
+      .winnowFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val byDoc = got.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "shared 6-word run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert((byDoc(2L) & byDoc(3L)).isEmpty)
   }
 
-  test("bm25TopK: rarer term scores higher; tf saturates sublinearly") {
-    val docs = Seq((1L, "a a b"), (2L, "a c c"), (3L, "b b b"))
+  test("winnowFingerprints: n=k docs keep exactly one fp, n<k docs are " +
+    "absent, and the selected volume sits in [windows/w, windows]") {
+    val docs = Seq((1L, "x y z"), (2L, "x y"),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")))
       .toDF("doc_id", "text")
-    val queries = Seq((1L, "b")).toDF("query_id", "term")
-    val got = graft.ops.TextAnalysis.bm25TopK(docs, queries, k = 5)
-      .select("query_id", "doc_id", "score_ppm", "n_terms_hit", "rank")
-      .as[(Long, Long, Long, Long, Long)].collect().toList
-    // N=3, total_len=9, df(b)=2 → idf_ppm = 3_000_000 div 5 = 600_000;
-    // tf=1,len=3 → tfnorm = 1 exactly → 600_000;
-    // tf=3 → (600000*44*3*9) div (540+54+162) = 712_800_000 div 756 = 942_857
-    assert(got == List(
-      (1L, 3L, 942857L, 1L, 1L),
-      (1L, 1L, 600000L, 1L, 2L)))
-    // tf tripled but score rose only 1.57x — the saturation BM25 exists for
+    val got = graft.ops.TextAnalysis
+      .winnowFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(!got.exists(_._1 == 2L))
+    assert(got.count(_._1 == 1L) == 1)
+    // doc 3: 38 grams, 35 full windows; a gram can be min of at most w
+    // consecutive windows, so distinct fps >= ceil(35/4)
+    val d3 = got.count(_._1 == 3L)
+    assert(d3 >= 9 && d3 <= 35, s"density: $d3")
   }
-
-  test("passageCensus: shared 3-word passage counts in both docs, tail passage kept") {
-    // window=3: doc 1 = [a b c][d e f][g] ; doc 2 = [a b c][x y z]
-    // "a b c" appears in 2 distinct docs → duplicated in both; the 1-word
-    // tail [g] is a passage of its own (unique)
-    val docs = Seq(
-      (1L, "a b c d e f g"),
-      (2L, "a b c x y z")).toDF("doc_id", "text")
-    val got = graft.ops.TextAnalysis.passageCensus(docs, window = 3)
-      .orderBy("doc_id")
-      .as[(Long, Long, Long, Long)].collect().toList
-    assert(got == List(
-      (1L, 3L, 1L, 333333L),
-      (2L, 2L, 1L, 500000L)))
-  }
-
-  test("passageCensus: within-doc repetition alone is NOT cross-doc duplication") {
-    // doc 1 repeats its own passage twice; no other doc has it
-    val docs = Seq(
-      (1L, "a b a b"),
-      (2L, "c d e f")).toDF("doc_id", "text")
-    val got = graft.ops.TextAnalysis.passageCensus(docs, window = 2)
-      .orderBy("doc_id")
-      .as[(Long, Long, Long, Long)].collect().toList
-    // doc 1: passages [a b],[a b] — 2 passages, 0 cross-doc dups
-    assert(got == List((1L, 2L, 0L, 0L), (2L, 2L, 0L, 0L)))
-  }
-
-  test("charNgramLangId: zero trained profiles (all langs null) yields ZERO rows, not null labels") {
-    val docs = Seq((1L, null.asInstanceOf[String], "hello world text"),
-      (2L, null.asInstanceOf[String], "more text here"))
-      .toDF("doc_id", "lang", "text")
-    assert(graft.ops.TextAnalysis.charNgramLangId(docs, docs).count() == 0)
-  }
-
-  test("approxQuantileAudit: contract certified on a known distribution") {
-    val df = spark.range(1, 100001).toDF("v") // 1..100000, exact quantiles known
-    val got = graft.ops.Profile.approxQuantileAudit(
-        df, col("v"), Seq(10000L, 500000L, 990000L), accuracy = 1000)
-      .as[(Long, Long, Boolean)].collect().toList
-    assert(got == List(
-      (10000L, 100000L, true),
-      (500000L, 100000L, true),
-      (990000L, 100000L, true)))
-  }
-
-  test("approxQuantileAudit: the exact check really can fail (forged bound)") {
-    // sanity that within_eps is a computation, not a constant: audit a
-    // degenerate accuracy where eps is huge → still true; then assert the
-    // rank arithmetic by probing the internal contract on a tiny frame
-    // where we can enumerate ranks by hand: values 1..10, phi=0.5,
-    // eps=10% → estimate must have a rank in [4, 6]
-    val df = spark.range(1, 11).toDF("v")
-    val got = graft.ops.Profile.approxQuantileAudit(
-        df, col("v"), Seq(500000L), accuracy = 10)
-      .as[(Long, Long, Boolean)].collect().head
-    assert(got == ((500000L, 10L, true)))
-  }
-
 }
