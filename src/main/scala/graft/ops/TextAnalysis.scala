@@ -1991,6 +1991,52 @@ object TextAnalysis {
       .select(col(idCol), col("fp")).distinct()
   }
 
+  /** MOSS-style matching on [[winnowFingerprints]]: candidate pairs form
+    * ONLY through shared fingerprint buckets (the LSH-band posture —
+    * never all-pairs), scored by shared-fingerprint count, reported at
+    * `minShared` and above. One shared fp is the winnowing guarantee's
+    * floor for a single (window+shingleSize−1)-word run; 2+ pins a
+    * longer or repeated overlap.
+    *
+    * `maxPairs > 0` registers the family-wide loud-cap contract
+    * (q92/q241/q246): generation stays exact, materialization bounds at
+    * the top maxPairs by (n_shared DESC, doc_a, doc_b) via the
+    * distributed top-(k+1), and every emitted row carries `truncated` —
+    * the in-band sentinel that the relation was cut. Fingerprint-bucket
+    * density is the scale knob that matters BEFORE the cap: buckets are
+    * duplicate-text groups, so pair volume grows with corpus dup
+    * density (the 10× text-identical replica measured ~100× pair
+    * growth) — the cap is what makes pointing this at 100 TB safe.
+    *
+    * Output: (doc_a, doc_b, n_shared[, truncated]), doc_a < doc_b.
+    */
+  def winnowMatches(docs: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3, window: Int = 4,
+                    minShared: Long = 2L, maxPairs: Int = 0): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    val fps = winnowFingerprints(docs, idCol, textCol, shingleSize, window)
+    val a = fps.toDF("doc_a", "fp")
+    val b = fps.toDF("doc_b", "fp")
+    val pairs = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    if (maxPairs <= 0) pairs
+    else {
+      // distributed top-(k+1); the sentinel row makes truncation loud
+      // and the window below runs over <= maxPairs + 1 rows (bounded by
+      // the caller's cap, not the corpus — the Dedup.scala:866 pattern)
+      val ord = Seq(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      pairs.orderBy(ord: _*).limit(maxPairs + 1)
+        .withColumn("_rn", row_number().over(Window.orderBy(ord: _*)))
+        .withColumn("truncated",
+          max(col("_rn")).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+            > maxPairs)
+        .filter(col("_rn") <= maxPairs)
+        .drop("_rn")
+    }
+  }
+
   /** Naive-Bayes bit-score classifier — the engine-portable analog of
     * the fastText quality classifier the GPT-3/CCNet pipelines train
     * ("wiki-like vs crawl"): multinomial NB scored in integer BITS

@@ -7301,31 +7301,40 @@ object Extensions {
       shingleSize = 3, window = 4)
       .orderBy("doc_id", "fp"))
 
+  /** q273's registered cap — certification-sized like Q92MaxPairs:
+    * above the qualifying-pair count at every test scale (105 at
+    * sf0.01, 8090 at sf0.1), so the gate hash-verifies the COMPLETE
+    * relation with truncated=false in-band, while the 100 TB
+    * materialization stays bounded (the 10× text-identical replica
+    * measured ~100× pair growth — fp buckets are duplicate-text
+    * groups). */
+  private val Q273MaxPairs = 10000
+
   private val q273 = Q("q273_moss_matcher",
     "MOSS-style near-dup matching on q272's winnowed fingerprints: " +
       "pairs joined ONLY through shared fp buckets (the LSH-band " +
       "posture — never all-pairs; winnowing keeps ~1/w of grams so " +
       "buckets are duplicate-text groups), scored by shared-fingerprint " +
-      "count, reported at n_shared >= 2 (one shared fp is the " +
-      "guarantee floor for a single 6-word run; two pins a longer or " +
-      "repeated overlap)",
-    Some(winnowCte + """
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      "count at n_shared >= 2 (one shared fp is the guarantee floor " +
+      "for a single 6-word run); registered under the family-wide " +
+      s"loud-cap contract (top-$Q273MaxPairs by n_shared DESC — above " +
+      "every test-scale qualifying count, so the full exact relation " +
+      "is certified with truncated=false while 100 TB materialization " +
+      "stays bounded)",
+    Some(winnowCte + s""",
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS BIGINT) AS n_shared
-      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING count(*) >= 2
+             FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      n AS (SELECT count(*) AS n_tot FROM pr)
+      SELECT doc_a, doc_b, n_shared, n_tot > $Q273MaxPairs AS truncated
+      FROM pr CROSS JOIN n
       ORDER BY doc_a, doc_b"""),
-    (s, dir) => {
-      val fps = TextAnalysis.winnowFingerprints(
-        t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, window = 4)
-      val a = fps.toDF("doc_a", "fp")
-      val b = fps.toDF("doc_b", "fp")
-      a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .orderBy("doc_a", "doc_b")
-    })
+    (s, dir) => TextAnalysis.winnowMatches(
+      t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, window = 4, minShared = 2L,
+      maxPairs = Q273MaxPairs)
+      .orderBy("doc_a", "doc_b"))
 
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,

@@ -2029,4 +2029,24 @@ class CurationOpsSpec extends SparkSpec {
     val d3 = got.count(_._1 == 3L)
     assert(d3 >= 9 && d3 <= 35, s"density: $d3")
   }
+
+  test("winnowMatches: loud-cap contract — maxPairs=1 on a corpus with " +
+    "two qualifying pairs keeps the top pair by (n_shared DESC, ids) " +
+    "and flags truncated; uncapped mode has no truncated column") {
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8" // long shared run -> several fps
+    val docs = Seq(
+      (1L, s"$run a1 a2"), (2L, s"$run b1 b2"), (3L, s"c1 c2 $run"))
+      .toDF("doc_id", "text")
+    val full = graft.ops.TextAnalysis
+      .winnowMatches(docs, "doc_id", "text", minShared = 1L)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(full.length == 3) // all three share the run pairwise
+    val capped = graft.ops.TextAnalysis
+      .winnowMatches(docs, "doc_id", "text", minShared = 1L, maxPairs = 1)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(capped.length == 1 && capped.head._4, "one row, truncated")
+    val best = full.maxBy(t => (t._3, -t._1, -t._2))
+    assert((capped.head._1, capped.head._2, capped.head._3) ==
+      ((best._1, best._2, best._3)))
+  }
 }
