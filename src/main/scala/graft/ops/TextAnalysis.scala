@@ -1868,6 +1868,44 @@ object TextAnalysis {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** STRATIFIED perplexity bucketing — [[perplexityBuckets]] with the
+    * cuts computed PER GROUP (CCNet's actual shape: it buckets each
+    * LANGUAGE by its own perplexity thirds — a global cut would dump
+    * whole low-resource languages into one bucket because surprisal
+    * distributions differ by language). Surprisal stays corpus-global
+    * (one census, one N); only the cut statistics stratify. Bonus over
+    * the global form: the cum-sum window is now PARTITIONED by the
+    * group — no unpartitioned window at all — and the per-group cuts
+    * join back group-keyed (broadcast-sized: 2 values per group).
+    *
+    * Output: (idCol, groupCol, n_words, mean_bits_ppm, bucket).
+    */
+  def perplexityBucketsBy(docs: DataFrame, idCol: String, textCol: String,
+                          groupCol: String): DataFrame = {
+    val scored = unigramSurprisal(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    val census = scored.groupBy(col(groupCol), col("mean_bits_ppm"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = census.select(col(groupCol), col("mean_bits_ppm"),
+      sum(col("_c")).over(Window.partitionBy(col(groupCol))
+        .orderBy(col("mean_bits_ppm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("_cum"))
+    val n = scored.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val cuts = cum.join(n, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("_cum") * 3 >= col("_n"), col("mean_bits_ppm")))
+        .as("_t1"),
+        min(when(col("_cum") * 3 >= col("_n") * 2, col("mean_bits_ppm")))
+          .as("_t2"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("n_words"),
+        col("mean_bits_ppm"),
+        when(col("mean_bits_ppm") <= col("_t1"), lit("head"))
+          .when(col("mean_bits_ppm") <= col("_t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Frozen unigram census — the persistable artifact behind
     * [[scoreAgainstCensus]]: the (word, count) relation of a REFERENCE
     * corpus. Counts, not derived bits, are the stored form: counts

@@ -7336,6 +7336,46 @@ object Extensions {
       maxPairs = Q273MaxPairs)
       .orderBy("doc_a", "doc_b"))
 
+  private val q274 = Q("q274_stratified_terciles",
+    "PER-LANGUAGE perplexity terciles (CCNet's actual shape — it cuts " +
+      "each language by its OWN thirds; a global cut dumps whole low-" +
+      "resource languages into one bucket because surprisal " +
+      "distributions differ by language): surprisal stays corpus-" +
+      "global, cut statistics stratify; the cum-sum window is now " +
+      "PARTITIONED by lang (no unpartitioned window at all) and the " +
+      "per-lang cuts broadcast back as 2 values per group",
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+      dw AS (SELECT doc_id, w, count(*) AS k FROM w GROUP BY 1, 2),
+      c AS (SELECT w, sum(k) AS c FROM dw GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      b AS (SELECT w, CAST(floor(log2(n // c)) AS BIGINT) AS bits
+            FROM c CROSS JOIN n),
+      s AS (SELECT dw.doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+            CAST((1000000 * sum(k * bits)) // sum(k) AS BIGINT)
+              AS mean_bits_ppm
+            FROM dw JOIN b USING (w) GROUP BY 1),
+      sl AS (SELECT s.*, d.lang FROM s JOIN documents d USING (doc_id)),
+      cen AS (SELECT lang, mean_bits_ppm AS v, count(*) AS cnt
+              FROM sl GROUP BY 1, 2),
+      cum AS (SELECT lang, v,
+              sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum
+              FROM cen),
+      nd AS (SELECT lang, count(*) AS nd FROM sl GROUP BY 1),
+      cuts AS (SELECT lang,
+               min(CASE WHEN cum * 3 >= nd THEN v END) AS t1,
+               min(CASE WHEN cum * 3 >= nd * 2 THEN v END) AS t2
+               FROM cum JOIN nd USING (lang) GROUP BY 1)
+      SELECT doc_id, lang, n_words, mean_bits_ppm,
+             CASE WHEN mean_bits_ppm <= t1 THEN 'head'
+                  WHEN mean_bits_ppm <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sl JOIN cuts USING (lang) ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.perplexityBucketsBy(
+      t(s, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy("doc_id"))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q36, q37, q40, q41, q50, q51, q52, q53, q54, q55, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q71, q72, q73, q74, q77, q78, q79,
@@ -7352,5 +7392,5 @@ object Extensions {
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
     q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270,
-    q272, q273)
+    q272, q273, q274)
 }

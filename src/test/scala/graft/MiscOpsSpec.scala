@@ -2049,4 +2049,31 @@ class CurationOpsSpec extends SparkSpec {
     assert((capped.head._1, capped.head._2, capped.head._3) ==
       ((best._1, best._2, best._3)))
   }
+
+  test("perplexityBucketsBy: cuts stratify per group — a language whose " +
+    "scores all trail another's still gets its own head/middle/tail") {
+    // lang A: common words (low surprisal); lang B: unique words (high).
+    // A global cut would put ALL of B in tail; stratified cuts must not.
+    // B doc i carries i rare words and 6-i common ones: distinct means
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "A", "c c c c")) ++ // identical low scores
+      (1 to 6).map { i =>
+        val words = (1 to i).map(j => s"r${i}x$j") ++ Seq.fill(6 - i)("c")
+        (6L + i, "B", words.mkString(" "))
+      })
+      .toDF("doc_id", "lang", "text")
+    val got = graft.ops.TextAnalysis
+      .perplexityBucketsBy(docs, "doc_id", "text", "lang")
+      .as[(Long, String, Long, Long, String)].collect()
+    val byLang = got.groupBy(_._2)
+    // B's scores are distinct per doc -> all three buckets appear
+    assert(byLang("B").map(_._5).toSet == Set("head", "middle", "tail"))
+    // A's scores are all identical -> ties share ONE bucket, and it is
+    // head (the smallest score reaches the n/3 cum first)
+    assert(byLang("A").map(_._5).toSet == Set("head"))
+    // within each lang, bucket order follows score order
+    val ord = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    for ((_, rows) <- byLang; a <- rows; b <- rows if a._4 < b._4)
+      assert(ord(a._5) <= ord(b._5))
+  }
 }
