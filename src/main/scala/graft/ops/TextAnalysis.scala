@@ -1803,6 +1803,13 @@ object TextAnalysis {
     * chunk_text is a slice of the already-split array — never a second
     * tokenize.
     *
+    * NULL-text docs are ABSENT from the output (the winnowFingerprints
+    * sub-k posture: unchunkable input gets no invented chunk — and the
+    * two engines disagree on greatest(0, NULL), so emitting anything
+    * would be engine-divergent). Empty-string docs chunk normally: one
+    * chunk holding the one empty token, split's behavior in both
+    * engines.
+    *
     * Output: (idCol, chunk_id, start_word, n_words, chunk_text), one
     * row per chunk, chunk_id 0-based.
     */
@@ -1812,6 +1819,7 @@ object TextAnalysis {
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window], got $stride (window $window)")
     docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("_ws"))
       .select(col(idCol), col("_ws"),
         explode(sequence(lit(0L), greatest(lit(0L),

@@ -1840,13 +1840,15 @@ class CurationOpsSpec extends SparkSpec {
   test("chunkWords boundary laws: every chunk but the last is exactly " +
     "`window` words, the last reaches the document's end, starts are " +
     "stride-multiples, every word is covered — swept over n=1..60") {
-    val docs = (1 to 60)
+    val docs = ((1 to 60)
       .map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      :+ (100L -> null.asInstanceOf[String])) // null text: absent by contract
       .toDF("doc_id", "text")
     val got = graft.ops.TextAnalysis
       .chunkWords(docs, "doc_id", "text", window = 7, stride = 4)
       .as[(Long, Long, Long, Long, String)].collect()
     val byDoc = got.groupBy(_._1)
+    assert(!byDoc.contains(100L), "null-text doc must be absent")
     for (n <- 1 to 60) {
       val cs = byDoc(n.toLong).sortBy(_._2)
       val expected = 1 + math.max(0, math.ceil((n - 7).toDouble / 4).toInt)
