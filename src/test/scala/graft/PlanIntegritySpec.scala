@@ -785,4 +785,27 @@ class PlanIntegritySpec extends SparkSpec {
     assert(genIdx >= 0 && aggBelow,
       s"corpus must collapse to distinct (key, day) BEFORE exploding:\n$p")
   }
+
+  test("q262: chunking is row-local — the ONLY exchange is the gate's " +
+    "final ORDER BY (a range partition), no hash shuffle, no join") {
+    val p = plan("q262_rag_chunking")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"chunking must not join:\n$p")
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"row-local op must not hash-shuffle:\n$p")
+    val rangeEx = p.linesIterator
+      .count(l => l.contains("Exchange rangepartitioning"))
+    assert(rangeEx == 1, s"exactly the ORDER BY exchange:\n$p")
+  }
+
+  test("q272: winnowing's window partitions BY DOCUMENT — no " +
+    "unpartitioned window anywhere in the plan") {
+    val p = plan("q272_winnowing")
+    // an unpartitioned window plans as 'Window [...] ORDER BY' with an
+    // Exchange SinglePartition feeding it
+    assert(!p.contains("SinglePartition"),
+      s"winnowing must never collapse to one partition:\n$p")
+    assert(p.contains("Window"), s"expected the per-doc min window:\n$p")
+  }
 }
