@@ -389,7 +389,8 @@ object Similarity {
     val probe = embs.select(max(size(col(vecCol))).as("d")).head()
     if (probe.isNullAt(0))
       return fin.select(col(idCol), col("cluster"), col("dist2"),
-        lit(true).as("keep"), lit(null).cast("long").as("dup_of"))
+        lit(true).as("keep"),
+        lit(null).cast(embs.schema(idCol).dataType).as("dup_of"))
         .limit(0)
     val d = probe.getInt(0)
     val sv = embs.filter(size(col(vecCol)) === d)

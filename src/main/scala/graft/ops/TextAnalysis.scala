@@ -1863,7 +1863,9 @@ object TextAnalysis {
       sum(col("_c")).over(Window.orderBy(col("mean_bits_ppm"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .as("_cum"))
-    val n = scored.agg(count(lit(1)).as("_n"))
+    // n from the census, NOT a second scan of `scored` — the surprisal
+    // subtree is the whole corpus tokenize and must not re-evaluate
+    val n = census.agg(sum(col("_c")).as("_n"))
     val cuts = cum.crossJoin(n).agg(
       min(when(col("_cum") * 3 >= col("_n"), col("mean_bits_ppm")))
         .as("_t1"),
@@ -1899,7 +1901,8 @@ object TextAnalysis {
         .orderBy(col("mean_bits_ppm"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .as("_cum"))
-    val n = scored.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    // per-group n from the census, not a second corpus scan
+    val n = census.groupBy(col(groupCol)).agg(sum(col("_c")).as("_n"))
     val cuts = cum.join(n, Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(min(when(col("_cum") * 3 >= col("_n"), col("mean_bits_ppm")))

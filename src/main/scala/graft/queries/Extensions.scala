@@ -6850,6 +6850,25 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  /** Shared unigram-surprisal CTE (q261's relation): tokenize once into
+    * the (doc, word) count, census, total, floor-log2 bits, per-doc
+    * n_words / total_bits / mean_bits_ppm as `s`. One definition — the
+    * q261/q263/q269/q274 oracles all compose it (the censusScoringOracle
+    * / winnowCte discipline: a surprisal-math fix lands once). */
+  private val surprisalCte: String = """
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+      dw AS (SELECT doc_id, w, count(*) AS k FROM w GROUP BY 1, 2),
+      c AS (SELECT w, sum(k) AS c FROM dw GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      b AS (SELECT w, CAST(floor(log2(n // c)) AS BIGINT) AS bits
+            FROM c CROSS JOIN n),
+      s AS (SELECT dw.doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+            CAST(sum(k * bits) AS BIGINT) AS total_bits,
+            CAST((1000000 * sum(k * bits)) // sum(k) AS BIGINT)
+              AS mean_bits_ppm
+            FROM dw JOIN b USING (w) GROUP BY 1)"""
+
   private val q261 = Q("q261_unigram_surprisal",
     "unigram surprisal quality score (CCNet's LM-perplexity curation " +
       "signal at the unigram tier, engine-portable): each word type " +
@@ -6859,19 +6878,9 @@ object Extensions {
       "floor-log2 on integer ratios is exact in both engines below " +
       "~2^45 (documented bound); ONE tokenize into a (doc, word) count, " +
       "census/total/bits all derive from it — no second corpus scan",
-    Some("""
-      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                 FROM documents),
-      dw AS (SELECT doc_id, w, count(*) AS k FROM w GROUP BY 1, 2),
-      c AS (SELECT w, sum(k) AS c FROM dw GROUP BY 1),
-      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
-      b AS (SELECT w, CAST(floor(log2(n // c)) AS BIGINT) AS bits
-            FROM c CROSS JOIN n)
-      SELECT dw.doc_id, CAST(sum(k) AS BIGINT) AS n_words,
-             CAST(sum(k * bits) AS BIGINT) AS total_bits,
-             CAST((1000000 * sum(k * bits)) // sum(k) AS BIGINT)
-               AS mean_bits_ppm
-      FROM dw JOIN b USING (w) GROUP BY 1 ORDER BY doc_id"""),
+    Some(surprisalCte + """
+      SELECT doc_id, n_words, total_bits, mean_bits_ppm
+      FROM s ORDER BY doc_id"""),
     (s, dir) => TextAnalysis.unigramSurprisal(
       t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id"))
@@ -6888,7 +6897,7 @@ object Extensions {
       "chunk text sliced from the already-split array — zero exchanges",
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-                 FROM documents),
+                 FROM documents WHERE text IS NOT NULL),
       x AS (SELECT doc_id, ws,
             unnest(generate_series(0,
               greatest(0, (len(ws) - 20 + 15 - 1) // 15))) AS i
@@ -6910,18 +6919,7 @@ object Extensions {
       "bounded relation (<= the ppm value range, never the docs) and " +
       "the two cuts broadcast back as one row; score ties share a " +
       "bucket (CCNet's own tie behavior), so sizes are ceil(n/3)-ish",
-    Some("""
-      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                 FROM documents),
-      dw AS (SELECT doc_id, w, count(*) AS k FROM w GROUP BY 1, 2),
-      c AS (SELECT w, sum(k) AS c FROM dw GROUP BY 1),
-      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
-      b AS (SELECT w, CAST(floor(log2(n // c)) AS BIGINT) AS bits
-            FROM c CROSS JOIN n),
-      s AS (SELECT dw.doc_id, CAST(sum(k) AS BIGINT) AS n_words,
-            CAST((1000000 * sum(k * bits)) // sum(k) AS BIGINT)
-              AS mean_bits_ppm
-            FROM dw JOIN b USING (w) GROUP BY 1),
+    Some(surprisalCte + """,
       cen AS (SELECT mean_bits_ppm AS v, count(*) AS cnt
               FROM s GROUP BY 1),
       cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM cen),
@@ -7140,18 +7138,7 @@ object Extensions {
       "no RNG, engine-reproducible, row-local) — the production shape " +
       "that keeps a sliver of the gibberish tail for contrast sets " +
       "instead of dropping it blind",
-    Some("""
-      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                 FROM documents),
-      dw AS (SELECT doc_id, w, count(*) AS k FROM w GROUP BY 1, 2),
-      c AS (SELECT w, sum(k) AS c FROM dw GROUP BY 1),
-      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
-      b AS (SELECT w, CAST(floor(log2(n // c)) AS BIGINT) AS bits
-            FROM c CROSS JOIN n),
-      s AS (SELECT dw.doc_id,
-            CAST((1000000 * sum(k * bits)) // sum(k) AS BIGINT)
-              AS mean_bits_ppm
-            FROM dw JOIN b USING (w) GROUP BY 1),
+    Some(surprisalCte + """,
       cen AS (SELECT mean_bits_ppm AS v, count(*) AS cnt
               FROM s GROUP BY 1),
       cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM cen),
@@ -7326,9 +7313,11 @@ object Extensions {
              CAST(count(*) AS BIGINT) AS n_shared
              FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
              GROUP BY 1, 2 HAVING count(*) >= 2),
+      rk AS (SELECT *, ROW_NUMBER() OVER
+               (ORDER BY n_shared DESC, doc_a, doc_b) AS rn FROM pr),
       n AS (SELECT count(*) AS n_tot FROM pr)
       SELECT doc_a, doc_b, n_shared, n_tot > $Q273MaxPairs AS truncated
-      FROM pr CROSS JOIN n
+      FROM rk CROSS JOIN n WHERE rn <= $Q273MaxPairs
       ORDER BY doc_a, doc_b"""),
     (s, dir) => TextAnalysis.winnowMatches(
       t(s, dir, "documents"), "doc_id", "text",
@@ -7344,18 +7333,7 @@ object Extensions {
       "global, cut statistics stratify; the cum-sum window is now " +
       "PARTITIONED by lang (no unpartitioned window at all) and the " +
       "per-lang cuts broadcast back as 2 values per group",
-    Some("""
-      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                 FROM documents),
-      dw AS (SELECT doc_id, w, count(*) AS k FROM w GROUP BY 1, 2),
-      c AS (SELECT w, sum(k) AS c FROM dw GROUP BY 1),
-      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
-      b AS (SELECT w, CAST(floor(log2(n // c)) AS BIGINT) AS bits
-            FROM c CROSS JOIN n),
-      s AS (SELECT dw.doc_id, CAST(sum(k) AS BIGINT) AS n_words,
-            CAST((1000000 * sum(k * bits)) // sum(k) AS BIGINT)
-              AS mean_bits_ppm
-            FROM dw JOIN b USING (w) GROUP BY 1),
+    Some(surprisalCte + """,
       sl AS (SELECT s.*, d.lang FROM s JOIN documents d USING (doc_id)),
       cen AS (SELECT lang, mean_bits_ppm AS v, count(*) AS cnt
               FROM sl GROUP BY 1, 2),
