@@ -140,3 +140,211 @@ object UnicodeNorm {
   def apply(c: Column, form: String): Column =
     Bridge.column(UnicodeNorm(Bridge.expression(c.cast("string")), mode(form)))
 }
+
+/** Codegen helper for [[TopGramCov]] — static forwarder callable from
+  * generated Java.
+  */
+object TopGramCovUtil {
+
+  /** Max over the text's distinct space-delimited word n-grams of
+    * occurrences × gram character length — the characters the heaviest
+    * repeated n-gram covers (Gopher's top-n-gram char-fraction numerator,
+    * Rae et al. '21 Table A1). Count ties resolve by the larger covered-
+    * char product, so the value is deterministic where "the most frequent
+    * n-gram" alone is not. Texts with < n words cover 0 chars.
+    *
+    * Splitting matches `split(text, ' ', -1)` (literal-space regex,
+    * trailing empties kept); lengths are code points, matching Spark's
+    * and DuckDB's `length` on the joined gram string (words + n−1
+    * separator spaces).
+    */
+  def topGramCov(s: UTF8String, n: Int): Long =
+    topGramCovWords(s.toString.split(" ", -1), n)
+
+  def topGramCovWords(words: Array[String], n: Int): Long = {
+    if (words.length < n) return 0L
+    val counts = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1L, (a, b) => a + b)
+      i += 1
+    }
+    var best = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey
+      val cov = e.getValue * g.codePointCount(0, g.length).toLong
+      if (cov > best) best = cov
+    }
+    best
+  }
+}
+
+/** Native top-n-gram char cover (see [[TopGramCovUtil.topGramCov]]):
+  * row-local, zero shuffles, one HashMap pass per doc — replaces the
+  * interpreted transform+array_sort+aggregate fold chain, which measured
+  * ~1.2 ms/doc (87 s serial at sf0.1 before the projection fix, still
+  * multi-second after) vs ~µs here. The q126/q132 native-expression
+  * precedent applied to the Gopher battery's repetition rules.
+  */
+case class TopGramCov(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_top_gram_cov"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TopGramCovUtil.topGramCov(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TopGramCovUtil.topGramCov($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopGramCov =
+    copy(child = newChild)
+}
+
+object TopGramCov {
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(TopGramCov(Bridge.expression(c.cast("string")), n))
+}
+
+/** Codegen helper for [[GopherSignals]] — static forwarder callable from
+  * generated Java.
+  */
+object GopherSignalsUtil {
+  private val STOPS: java.util.Set[String] =
+    new java.util.HashSet[String](java.util.Arrays.asList(
+      "the", "and", "of", "to", "a"))
+
+  /** All row-local Gopher-battery signals in ONE pass over the text —
+    * the q258 gate's per-doc column block. Semantics are pinned to the
+    * composed-builtin forms the oracle mirrors:
+    *   - n_words  = size(split(text, ' ', -1)) (trailing empties kept)
+    *   - n_chars  = length(text) in code points
+    *   - n_sym    = code points outside [a-z0-9 ] (lowercase class, as
+    *                the oracle's regexp_replace)
+    *   - lines    = the shared 5-word line synthesis (ceil(n/5) lines,
+    *                tail line short) — returned for the dup-line explode
+    *   - n_bullet / n_ellipsis = lines starting '- ' / ending '...'
+    *   - n_alpha  = words containing an ASCII letter
+    *   - has_stop = any word in {the,and,of,to,a}
+    *   - cov2/3/4 = [[TopGramCovUtil.topGramCov]] over the same words
+    * The interpreted HOF-chain form of this block measured ~0.4 ms/doc
+    * (a 1.9 s single-task stage at sf0.1 — the corpus is one parquet row
+    * group, so scan-stage parallelism is 1 and per-doc CPU is the whole
+    * wall); this pass is ~µs/doc.
+    */
+  def signals(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = s.toString
+    val words = text.split(" ", -1)
+    val nWords = words.length.toLong
+    val nChars = text.codePointCount(0, text.length).toLong
+    var nSym = 0L
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (!((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') ||
+          cp == ' ')) nSym += 1
+      i += Character.charCount(cp)
+    }
+    var nAlpha = 0L
+    var hasStop = false
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      var j = 0
+      var alpha = false
+      while (!alpha && j < word.length) {
+        val c = word.charAt(j)
+        alpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        j += 1
+      }
+      if (alpha) nAlpha += 1
+      if (!hasStop && STOPS.contains(word)) hasStop = true
+      w += 1
+    }
+    val nLines = (words.length + 4) / 5
+    val lines = new Array[Any](nLines)
+    var nBullet = 0L
+    var nEllipsis = 0L
+    val sb = new java.lang.StringBuilder()
+    var li = 0
+    while (li < nLines) {
+      sb.setLength(0)
+      var k = li * 5
+      val end = math.min(k + 5, words.length)
+      while (k < end) {
+        if (k > li * 5) sb.append(' ')
+        sb.append(words(k))
+        k += 1
+      }
+      val line = sb.toString
+      if (line.startsWith("- ")) nBullet += 1
+      if (line.endsWith("...")) nEllipsis += 1
+      lines(li) = UTF8String.fromString(line)
+      li += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, nChars, nSym, nBullet, nEllipsis, nLines.toLong,
+        nAlpha, hasStop,
+        TopGramCovUtil.topGramCovWords(words, 2),
+        TopGramCovUtil.topGramCovWords(words, 3),
+        TopGramCovUtil.topGramCovWords(words, 4),
+        new GenericArrayData(lines)))
+  }
+}
+
+/** Native single-pass Gopher-battery signal block (see
+  * [[GopherSignalsUtil.signals]]): struct of the 11 row-local signals +
+  * the synthesized 5-word lines array, computed once per doc. Referenced
+  * from its own projection (the repetition/vocabulary materialization
+  * discipline), so CollapseProject never inlines it per consumer.
+  */
+case class GopherSignals(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = GopherSignals.schema
+  override def prettyName: String = "graft_gopher_signals"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherSignalsUtil.signals(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.GopherSignalsUtil.signals($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherSignals =
+    copy(child = newChild)
+}
+
+object GopherSignals {
+  import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_sym", LongType, nullable = false),
+    StructField("n_bullet", LongType, nullable = false),
+    StructField("n_ellipsis", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("has_stop", BooleanType, nullable = false),
+    StructField("cov2", LongType, nullable = false),
+    StructField("cov3", LongType, nullable = false),
+    StructField("cov4", LongType, nullable = false),
+    StructField("lines", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+
+  def apply(c: Column): Column =
+    Bridge.column(GopherSignals(Bridge.expression(c.cast("string"))))
+}

@@ -2063,7 +2063,15 @@ object TextAnalysis {
                     shingleSize: Int = 3, window: Int = 4,
                     minShared: Long = 2L, maxPairs: Int = 0): DataFrame = {
     require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    // the self-join's two sides re-alias to doc_a/doc_b BEFORE the fp
+    // shuffle, so Catalyst plans two independent exchanges and the whole
+    // tokenize+window+distinct fingerprint subtree evaluates TWICE (the
+    // r14 Explain audit showed two documents scans, no ReusedExchange).
+    // A lazy localCheckpoint computes it once and feeds both sides from
+    // the materialized (doc, fp) relation — which is ~1/window of gram
+    // volume, the cheapest thing in this operator to hold.
     val fps = winnowFingerprints(docs, idCol, textCol, shingleSize, window)
+      .localCheckpoint(false)
     val a = fps.toDF("doc_a", "fp")
     val b = fps.toDF("doc_b", "fp")
     val pairs = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))

@@ -36,6 +36,19 @@ object Extensions {
     t(s, dir, "documents").select(col("doc_id"),
       array_join(fiveWordLines(split(col("text"), " ")), "\n").as("text"))
 
+  /** Row-local top-n-gram char cover (Gopher's duplicate-n-gram family):
+    * max over the doc's distinct word n-grams of occurrences × gram char
+    * length — the characters the heaviest repeated n-gram accounts for.
+    * Deterministic where "the most frequent n-gram" is not: count ties
+    * resolve by taking the larger covered-char product, so no arbitrary
+    * tiebreak leaks into the ppm. ZERO shuffles (the q64/repetition
+    * posture), native expression (the interpreted
+    * transform+sort+aggregate fold measured ~1.2 ms/doc — see
+    * [[graft.expressions.TopGramCovUtil]]). Docs with < n words cover
+    * 0 chars. */
+  private def topGramCov(text: Column, n: Int): Column =
+    graft.expressions.TopGramCov(text, n)
+
   private val q20 = Q("q20_dedup_exact",
     "exact dedup: sha256(text) group, canonical id, copy count",
     Some("""
@@ -6643,20 +6656,19 @@ object Extensions {
 
   private val q258 = Q("q258_gopher_battery",
     "the Gopher/C4 document-quality rule battery with FIRST-FAIL " +
-      "attribution — the text instantiation of the q237 funnel, r14-" +
-      "extended toward the published ~10-rule set: exact-integer " +
-      "signals (word count, mean word length ×100, symbol ppm, bullet-" +
-      "line ppm, ellipsis-line ppm, alphabetic-word ppm, q249's cross-" +
-      "doc duplicated-line ppm, stopword presence) feed " +
-      "filterAttrition's chain in declared order, so every doc " +
-      "attributes to the first rule it fails and the census shows where " +
-      "the corpus is actually lost (independent per-rule counts double-" +
-      "count overlapping failures); bullet/ellipsis/alpha attribute " +
-      "ZERO docs on this corpus and must still appear — 'this filter " +
-      "did nothing' is an answer — while dup_line attributes for real " +
-      "(the q249 signal, composed instead of re-derived); row-local " +
-      "rules stay one scan, dup_line adds q249's single line-hash " +
-      "census + one doc-keyed join — no new shape",
+      "attribution — the text instantiation of the q237 funnel, r15-" +
+      "extended to the published 11-rule shape: exact-integer signals " +
+      "(word count, mean word length ×100, symbol ppm, bullet-line ppm, " +
+      "ellipsis-line ppm, alphabetic-word ppm, top-2/3/4-gram char-" +
+      "cover ppm at Gopher's 0.20/0.18/0.16 cuts, q249's cross-doc " +
+      "duplicated-line ppm, stopword presence) feed filterAttrition's " +
+      "chain in declared order, so every doc attributes to the first " +
+      "rule it fails and the census shows where the corpus is actually " +
+      "lost; zero-attribution rules must still appear — 'this filter " +
+      "did nothing' is an answer. r15 shape fix: ONE documents scan — " +
+      "the row-local signals ride the dup-line census aggregation as " +
+      "per-doc constants (max over the doc's line rows) instead of a " +
+      "second scan + doc-keyed join (the q261 one-tokenize discipline)",
     Some("""
       WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
                  FROM documents),
@@ -6672,6 +6684,24 @@ object Extensions {
                   * 1000000) // count(*) AS dup_ppm
               FROM sp LEFT JOIN cen ON sp.span = cen.span
               GROUP BY 1),
+      g2 AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(ws)-1),
+               i -> array_to_string(ws[i:i+1], ' '))) AS g FROM w),
+      c2 AS (SELECT doc_id, max(c * length(g)) AS cov FROM
+             (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2)
+             GROUP BY 1),
+      g3 AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(ws)-2),
+               i -> array_to_string(ws[i:i+2], ' '))) AS g FROM w),
+      c3 AS (SELECT doc_id, max(c * length(g)) AS cov FROM
+             (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1,2)
+             GROUP BY 1),
+      g4 AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(ws)-3),
+               i -> array_to_string(ws[i:i+3], ' '))) AS g FROM w),
+      c4 AS (SELECT doc_id, max(c * length(g)) AS cov FROM
+             (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1,2)
+             GROUP BY 1),
       sig AS (SELECT ln.doc_id,
               len(ws) AS n_words,
               length(text) AS n_chars,
@@ -6682,10 +6712,16 @@ object Extensions {
                 // len(lines) AS ellipsis_ppm,
               (len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
                 * 1000000) // len(ws) AS alpha_ppm,
+              (1000000 * coalesce(c2.cov, 0)) // length(text) AS top2_ppm,
+              (1000000 * coalesce(c3.cov, 0)) // length(text) AS top3_ppm,
+              (1000000 * coalesce(c4.cov, 0)) // length(text) AS top4_ppm,
               dup.dup_ppm AS dup_ppm,
               len(list_intersect(ws,
                 ['the', 'and', 'of', 'to', 'a'])) > 0 AS has_stop
-            FROM ln JOIN dup ON ln.doc_id = dup.doc_id),
+            FROM ln JOIN dup ON ln.doc_id = dup.doc_id
+                 LEFT JOIN c2 ON ln.doc_id = c2.doc_id
+                 LEFT JOIN c3 ON ln.doc_id = c3.doc_id
+                 LEFT JOIN c4 ON ln.doc_id = c4.doc_id),
       lab AS (SELECT CASE
                 WHEN NOT (n_words BETWEEN 25 AND 100000)
                   THEN 'word_count'
@@ -6697,6 +6733,9 @@ object Extensions {
                 WHEN NOT (bullet_ppm <= 900000) THEN 'bullet_ratio'
                 WHEN NOT (ellipsis_ppm <= 300000) THEN 'ellipsis_ratio'
                 WHEN NOT (alpha_ppm >= 800000) THEN 'alpha_word_ratio'
+                WHEN NOT (top2_ppm <= 200000) THEN 'top_2gram_chars'
+                WHEN NOT (top3_ppm <= 180000) THEN 'top_3gram_chars'
+                WHEN NOT (top4_ppm <= 160000) THEN 'top_4gram_chars'
                 WHEN NOT (dup_ppm <= 300000) THEN 'dup_line'
                 WHEN NOT has_stop THEN 'stopword'
                 ELSE 'kept' END AS reason
@@ -6704,8 +6743,9 @@ object Extensions {
       decl(rule_idx, reason) AS (VALUES
         (CAST(0 AS BIGINT), 'word_count'), (1, 'mean_word_len'),
         (2, 'symbol_ratio'), (3, 'bullet_ratio'), (4, 'ellipsis_ratio'),
-        (5, 'alpha_word_ratio'), (6, 'dup_line'), (7, 'stopword'),
-        (8, 'kept')),
+        (5, 'alpha_word_ratio'), (6, 'top_2gram_chars'),
+        (7, 'top_3gram_chars'), (8, 'top_4gram_chars'), (9, 'dup_line'),
+        (10, 'stopword'), (11, 'kept')),
       cnt AS (SELECT reason, count(*) AS n FROM lab GROUP BY 1),
       tot AS (SELECT count(*) AS t FROM lab)
       SELECT d.rule_idx, d.reason,
@@ -6714,28 +6754,49 @@ object Extensions {
       FROM decl d LEFT JOIN cnt USING (reason) CROSS JOIN tot
       ORDER BY d.rule_idx"""),
     (s, dir) => {
-      val ws = split(col("text"), " ")
-      val stops = array(Seq("the", "and", "of", "to", "a").map(lit): _*)
-      val lines = fiveWordLines(ws)
-      // q249's signal, composed: the same synthesized 5-word lines feed
-      // the cross-doc duplicated-line census (one line-hash aggregate +
-      // window + doc rollup — dupLineDocShare's shape, unchanged)
-      val dup = Dedup.dupLineDocShare(fiveWordLined(s, dir),
-        "doc_id", "text", minDocs = 2, maxDupPpm = 300000L)
-        .select(col("doc_id"), col("dup_ppm"))
-      val sig = t(s, dir, "documents").select(col("doc_id"),
-        size(ws).cast("long").as("n_words"),
-        length(col("text")).cast("long").as("n_chars"),
-        length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-          .cast("long").as("n_sym"),
-        size(filter(lines, l => l.startsWith("- "))).cast("long")
-          .as("n_bullet"),
-        size(filter(lines, l => l.endsWith("..."))).cast("long")
-          .as("n_ellipsis"),
-        size(lines).cast("long").as("n_lines"),
-        size(filter(ws, x => x.rlike("[a-zA-Z]"))).cast("long")
-          .as("n_alpha"),
-        (size(array_intersect(ws, stops)) > 0).as("has_stop"))
+      // ONE documents scan (the r14 verdict's q258 fix): every row-local
+      // signal AND the synthesized 5-word lines come out of ONE native
+      // single-pass expression (GopherSignals — the interpreted HOF
+      // chains measured ~0.4 ms/doc serialized on the corpus's single
+      // row group); the signals then ride the (line-hash, doc) census
+      // aggregation as max() — each is constant per doc — and collapse
+      // back out at the per-doc rollup. r14's shape scanned documents
+      // twice (signals + dupLineDocShare) and joined; this is q249's
+      // census with the signals carried through it, zero extra exchanges.
+      val sigCols = Seq("n_words", "n_chars", "n_sym", "n_bullet",
+        "n_ellipsis", "n_lines", "n_alpha", "has_stop", "cov2", "cov3",
+        "cov4")
+      // _gs materializes in its own projection (the repetition/vocabulary
+      // discipline): CollapseProject won't inline a non-cheap expression
+      // into its 12 getField consumers, and the explode stays a separate
+      // select so ExtractGenerator can't hoist the signal block above
+      // Generate (which would re-evaluate it once per line row —
+      // measured 87 s vs ~1 s at sf0.1)
+      val base0 = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.expressions.GopherSignals(col("text")).as("_gs"))
+        .select(col("doc_id") +:
+          sigCols.map(c => col("_gs").getField(c).as(c)) :+
+          col("_gs").getField("lines").as("_lines"): _*)
+      val base = base0.select(
+        col("doc_id") +: sigCols.map(col) :+
+          explode(col("_lines")).as("span"): _*)
+      val perDocLine = base
+        .withColumn("sh", graft.functions.TextFns.hash64(col("span")))
+        .groupBy(col("sh"), col("doc_id"))
+        .agg(count(lit(1)).as("_c"),
+          sigCols.map(c => max(col(c)).as(c)): _*)
+      val wSh = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sh"))
+      val rollup = Seq(
+        sum(col("_c")).as("_nl"),
+        sum(when(col("_n_docs") >= 2, col("_c")).otherwise(0L))
+          .as("_nd")) ++ sigCols.map(c => max(col(c)).as(c))
+      val sig = perDocLine
+        .withColumn("_n_docs", count(lit(1)).over(wSh))
+        .groupBy(col("doc_id"))
+        .agg(rollup.head, rollup.tail: _*)
+        .withColumn("dup_ppm", expr("(_nd * 1000000) div _nl"))
         .withColumn("mean_cl",
           expr("(100 * (n_chars - n_words + 1)) div n_words"))
         .withColumn("sym_ppm", expr("(1000000 * n_sym) div n_chars"))
@@ -6743,7 +6804,9 @@ object Extensions {
         .withColumn("ellipsis_ppm",
           expr("(1000000 * n_ellipsis) div n_lines"))
         .withColumn("alpha_ppm", expr("(1000000 * n_alpha) div n_words"))
-        .join(dup, Seq("doc_id"))
+        .withColumn("top2_ppm", expr("(1000000 * cov2) div n_chars"))
+        .withColumn("top3_ppm", expr("(1000000 * cov3) div n_chars"))
+        .withColumn("top4_ppm", expr("(1000000 * cov4) div n_chars"))
       Profile.filterAttrition(sig, Seq(
         "word_count" -> col("n_words").between(25L, 100000L),
         "mean_word_len" -> col("mean_cl").between(400L, 1000L),
@@ -6751,6 +6814,9 @@ object Extensions {
         "bullet_ratio" -> (col("bullet_ppm") <= 900000L),
         "ellipsis_ratio" -> (col("ellipsis_ppm") <= 300000L),
         "alpha_word_ratio" -> (col("alpha_ppm") >= 800000L),
+        "top_2gram_chars" -> (col("top2_ppm") <= 200000L),
+        "top_3gram_chars" -> (col("top3_ppm") <= 180000L),
+        "top_4gram_chars" -> (col("top4_ppm") <= 160000L),
         "dup_line" -> (col("dup_ppm") <= 300000L),
         "stopword" -> col("has_stop")))
         .orderBy("rule_idx")

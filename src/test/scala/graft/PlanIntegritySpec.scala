@@ -808,4 +808,29 @@ class PlanIntegritySpec extends SparkSpec {
       s"winnowing must never collapse to one partition:\n$p")
     assert(p.contains("Window"), s"expected the per-doc min window:\n$p")
   }
+
+  test("q258: the 11-rule battery is ONE documents scan — signals and " +
+    "dup-line census share the native single-pass block") {
+    val p = plan("q258_gopher_battery").split("== Initial Plan ==")(0)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$p")
+    assert(p.contains("graft_gopher_signals"),
+      s"native signal block must be in the plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"signals ride the census aggregation, not a doc-keyed join:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      "signal block must stay codegen, not a scalar UDF")
+  }
+
+  test("q273: the fingerprint relation materializes ONCE — both self-" +
+    "join sides read the checkpointed (doc, fp) RDD, no re-tokenize") {
+    val p = plan("q273_moss_matcher").split("== Initial Plan ==")(0)
+    assert(!p.contains("Scan parquet"),
+      s"both sides must feed from the checkpointed fps, not re-scan:\n$p")
+    val rddScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(rddScans == 2,
+      s"expected both join sides on the one checkpointed relation, " +
+        s"got $rddScans:\n$p")
+  }
 }
