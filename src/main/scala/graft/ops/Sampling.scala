@@ -629,9 +629,23 @@ object Sampling {
     */
   def temperatureWeights(counts: DataFrame, groupCol: String,
                          countCol: String): DataFrame = {
-    val withW = counts.select(col(groupCol), col(countCol).as("n"),
-      isqrt(col(countCol)).as("w"))
-    val tot = withW.agg(sum(col("w")).as("_tot"))
+    // fail fast on engine-divergent edges instead of silently diverging:
+    // a negative count NULLs through isqrt's sqrt in Spark but is a
+    // domain error elsewhere, and an all-zero weight total makes the
+    // final `div` NULL in Spark vs a division-by-zero error in DuckDB's
+    // `//`. Both are caller bugs (counts are sizes), so raise_error —
+    // group-sized input, so the guard costs nothing.
+    val guarded = counts.select(col(groupCol),
+      when(col(countCol) < 0L, raise_error(concat(
+        lit(s"temperatureWeights: negative $countCol for "),
+        col(groupCol).cast("string")))).otherwise(col(countCol)).as("n"))
+    val withW = guarded.select(col(groupCol), col("n"),
+      isqrt(col("n")).as("w"))
+    val tot = withW.agg(
+      when(sum(col("w")) > 0L, sum(col("w")))
+        .otherwise(raise_error(lit(
+          "temperatureWeights: weight total is zero (all counts 0 or input empty)")))
+        .as("_tot"))
     withW.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n"), col("w"),
         expr("(1000000 * w) div _tot").as("weight_ppm"))

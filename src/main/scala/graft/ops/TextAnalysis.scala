@@ -1855,7 +1855,14 @@ object TextAnalysis {
     */
   def perplexityBuckets(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
+    // scored feeds BOTH the cut census and the final bucketed output —
+    // without a materialization the whole corpus tokenize under
+    // unigramSurprisal evaluates twice (exchange reuse does not fire
+    // across the two differently-shaped consumers). The checkpointed
+    // relation is doc-count-sized and 3 columns wide, the cheapest
+    // thing in this operator to hold (the q270 census-cache discipline).
     val scored = unigramSurprisal(docs, idCol, textCol)
+      .localCheckpoint(false)
     val census = scored.groupBy(col("mean_bits_ppm"))
       .agg(count(lit(1)).as("_c"))
     // bounded unpartitioned window: rides the distinct-score census
@@ -1892,8 +1899,11 @@ object TextAnalysis {
     */
   def perplexityBucketsBy(docs: DataFrame, idCol: String, textCol: String,
                           groupCol: String): DataFrame = {
+    // materialized once for the same two-consumer reason as the global
+    // form (cut census + final output); see perplexityBuckets
     val scored = unigramSurprisal(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .localCheckpoint(false)
     val census = scored.groupBy(col(groupCol), col("mean_bits_ppm"))
       .agg(count(lit(1)).as("_c"))
     val cum = census.select(col(groupCol), col("mean_bits_ppm"),

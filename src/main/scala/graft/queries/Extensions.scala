@@ -7152,7 +7152,7 @@ object Extensions {
       "corpus, every new batch scores against it without touching the " +
       "reference again): census = even-id docs' (word, count) relation, " +
       "scored docs = odd ids, add-1 smoothing over (N + V) so OOV words " +
-      "cost the maximum; keep brackets mean_bits_ppm in [4e6, 10e6] — " +
+      "cost the maximum; keep brackets mean_bits_ppm in [4.01e6, 10e6] — " +
       "both CCNet tails (boilerplate low, gibberish high) are curation " +
       "targets; q267 runs the SAME relation as a stream against the " +
       "persisted census",

@@ -1033,9 +1033,15 @@ object Pipeline {
       val admitted = docs.filter(col("doc_id") % 4 === 1)
         .join(s.read.parquet(out).filter(col("keep")).select("doc_id"),
           Seq("doc_id"), "left_semi")
+      // eager localCheckpoint, NOT persist: grown's lineage reads the
+      // `out` parquet dir, which drain(2) appends to — a persist()ed
+      // partition evicted and recomputed after that append would
+      // silently fold batch-2 admissions into the batch-2 scoring
+      // census. Checkpointing truncates the lineage, so the relation is
+      // durable against recompute (and local-mode partitions can't be
+      // lost, only evicted).
       val grown = graft.ops.TextAnalysis.mergeCensus(cur, census(admitted))
-        .repartition(col("w")).persist()
-      grown.count()
+        .repartition(col("w")).localCheckpoint(true)
       cur.unpersist()
       cur = grown
       docs.filter(col("doc_id") % 4 === 2).coalesce(1)

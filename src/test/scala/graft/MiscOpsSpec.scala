@@ -1957,6 +1957,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.find(_._1 == "tiny").get._4 > 1000000L * 4 / tot)
   }
 
+  test("temperatureWeights: negative counts and zero weight totals fail " +
+    "fast instead of diverging between engines") {
+    val neg = Seq(("bad", -1L)).toDF("src", "c")
+    val e1 = intercept[Exception] {
+      graft.ops.Sampling.temperatureWeights(neg, "src", "c").collect()
+    }
+    assert(e1.getMessage.contains("negative") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("negative"))
+    val zero = Seq(("a", 0L), ("b", 0L)).toDF("src", "c")
+    val e2 = intercept[Exception] {
+      graft.ops.Sampling.temperatureWeights(zero, "src", "c").collect()
+    }
+    assert(e2.getMessage.contains("zero") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("zero"))
+  }
+
   test("mergeCensus: union+sum equals the census of the concatenated " +
     "corpus (counts are the mergeable form)") {
     val a = Seq((1L, "x y x")).toDF("doc_id", "text")
