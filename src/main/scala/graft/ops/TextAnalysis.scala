@@ -2029,16 +2029,7 @@ object TextAnalysis {
                          shingleSize: Int = 3, window: Int = 4): DataFrame = {
     require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
     require(window >= 1, s"window must be >= 1, got $window")
-    val ws = split(col(textCol), " ")
-    val grams = docs
-      .select(col(idCol), ws.as("_ws"))
-      .filter(size(col("_ws")) >= shingleSize)
-      .select(col(idCol), size(col("_ws")).as("_n"),
-        posexplode(transform(
-          sequence(lit(0), size(col("_ws")) - shingleSize),
-          i => TextFns.hash64(
-            array_join(slice(col("_ws"), i + 1, lit(shingleSize)), " ")))))
-      .toDF(idCol, "_n", "pos", "h")
+    val grams = winnowGrams(docs, idCol, textCol, shingleSize)
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(0, window - 1)
     grams
@@ -2048,6 +2039,60 @@ object TextAnalysis {
       .filter(col("pos") <=
         greatest(col("_n") - lit(shingleSize + window - 1), lit(0)))
       .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Shared gram relation for the winnowing family: one row per (doc,
+    * gram position), 60-bit gram hash. One tokenize, row-local hashing.
+    */
+  private def winnowGrams(docs: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    docs
+      .select(col(idCol), ws.as("_ws"))
+      .filter(size(col("_ws")) >= shingleSize)
+      .select(col(idCol), size(col("_ws")).as("_n"),
+        posexplode(transform(
+          sequence(lit(0), size(col("_ws")) - shingleSize),
+          i => TextFns.hash64(
+            array_join(slice(col("_ws"), i + 1, lit(shingleSize)), " ")))))
+      .toDF(idCol, "_n", "pos", "h")
+  }
+
+  /** POSITIONAL winnowing — [[winnowFingerprints]] emitting WHERE each
+    * selected fingerprint's gram starts, with the classic RIGHTMOST
+    * tiebreak (Schleimer et al. §4: when a window's minimum hash occurs
+    * more than once — repeated text inside one window — select the
+    * rightmost occurrence; the set form dodges the rule because ties
+    * select the same fp VALUE either way, which is why the cheaper
+    * [[winnowFingerprints]] stays the default). The tiebreak rides the
+    * same per-doc window as the set form: min over struct(h, −pos) is
+    * lexicographic, so minimum hash first, then maximum position.
+    *
+    * Positions are what span-level attribution needs: a selected
+    * fingerprint at `fp_pos` pins the shingleSize-word run starting
+    * there, and [[winnowCoverage]] unions those runs into the matched-
+    * span fraction MOSS actually ranks by.
+    *
+    * Output: the distinct (idCol, fp, fp_pos) relation (a fingerprint
+    * selected from several windows at the same position appears once;
+    * the same fp VALUE may appear at several positions).
+    */
+  def winnowFingerprintsPos(docs: DataFrame, idCol: String,
+                            textCol: String, shingleSize: Int = 3,
+                            window: Int = 4): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val grams = winnowGrams(docs, idCol, textCol, shingleSize)
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    grams
+      .withColumn("_m",
+        min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("pos") <=
+        greatest(col("_n") - lit(shingleSize + window - 1), lit(0)))
+      .select(col(idCol), col("_m").getField("h").as("fp"),
+        (-col("_m").getField("np")).as("fp_pos"))
+      .distinct()
   }
 
   /** MOSS-style matching on [[winnowFingerprints]]: candidate pairs form
@@ -2087,6 +2132,15 @@ object TextAnalysis {
     val pairs = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    capPairs(pairs, maxPairs)
+  }
+
+  /** The family-wide loud-cap contract (q92/q241/q246/q273) on a scored
+    * pair relation: top maxPairs by (n_shared DESC, doc_a, doc_b) via
+    * the distributed top-(k+1), every emitted row carrying `truncated`.
+    * maxPairs <= 0 = uncapped passthrough.
+    */
+  private def capPairs(pairs: DataFrame, maxPairs: Int): DataFrame =
     if (maxPairs <= 0) pairs
     else {
       // distributed top-(k+1); the sentinel row makes truncation loud
@@ -2102,6 +2156,71 @@ object TextAnalysis {
         .filter(col("_rn") <= maxPairs)
         .drop("_rn")
     }
+
+  /** MOSS coverage reporting on [[winnowFingerprintsPos]]: for each
+    * candidate pair, the matched-span fraction PER DOC — the metric MOSS
+    * actually ranks results by ([[winnowMatches]]' shared-fp COUNT is
+    * the cheap screen; coverage says how much of each document the
+    * overlap spans). A shared fingerprint selected at position p pins
+    * the shingleSize-word run [p, p+shingleSize−1]; per (pair, doc) the
+    * runs union exactly via the sorted-positions identity
+    * Σ min(next_pos − pos, k) (+k for the last) — one pair-partitioned
+    * window, no per-word explode.
+    *
+    * Candidate pairs form ONLY through shared fingerprint buckets (the
+    * winnowMatches posture, never all-pairs); n_shared counts DISTINCT
+    * shared fp values, matching winnowMatches on the same inputs.
+    * `maxPairs` applies the family loud-cap contract after scoring.
+    *
+    * Shape at 100 TB: the positional fingerprint relation materializes
+    * once (localCheckpoint — it feeds the pair screen and both coverage
+    * branches), everything downstream is keyed on (doc_a, doc_b) —
+    * pair-bucketed, never corpus-wide; the n_words side relation is a
+    * doc-sized column-pruned pass.
+    *
+    * Output: (doc_a, doc_b, n_shared, cover_a_ppm, cover_b_ppm
+    * [, truncated]), doc_a < doc_b.
+    */
+  def winnowCoverage(docs: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3, window: Int = 4,
+                     minShared: Long = 2L, maxPairs: Int = 0): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    val k = shingleSize.toLong
+    val fpp = winnowFingerprintsPos(docs, idCol, textCol, shingleSize,
+      window).localCheckpoint(false)
+    val a = fpp.toDF("doc_a", "fp", "pa")
+    val b = fpp.toDF("doc_b", "fp", "pb")
+    // jn feeds three consumers (pair screen + both coverage branches):
+    // materialize it once, like fpp above
+    val jn = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("fp"), col("pa"), col("pb"))
+      .localCheckpoint(false)
+    val pairs = jn.select(col("doc_a"), col("doc_b"), col("fp")).distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    def unionLen(posCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("doc_a"), col("doc_b"))
+        .orderBy(col(posCol))
+      jn.select(col("doc_a"), col("doc_b"), col(posCol)).distinct()
+        .withColumn("_nxt", lead(col(posCol), 1).over(w))
+        .withColumn("_ctr", when(col("_nxt").isNull, lit(k))
+          .otherwise(least((col("_nxt") - col(posCol)).cast("long"),
+            lit(k))))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("_ctr")).as(out))
+    }
+    val nw = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("_nw"))
+    val scored = pairs
+      .join(unionLen("pa", "_cova"), Seq("doc_a", "doc_b"))
+      .join(unionLen("pb", "_covb"), Seq("doc_a", "doc_b"))
+      .join(nw.toDF("doc_a", "_nwa"), Seq("doc_a"))
+      .join(nw.toDF("doc_b", "_nwb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("(1000000 * _cova) div _nwa").as("cover_a_ppm"),
+        expr("(1000000 * _covb) div _nwb").as("cover_b_ppm"))
+    capPairs(scored, maxPairs)
   }
 
   /** Naive-Bayes bit-score classifier — the engine-portable analog of

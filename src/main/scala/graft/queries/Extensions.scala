@@ -7391,6 +7391,86 @@ object Extensions {
       maxPairs = Q273MaxPairs)
       .orderBy("doc_a", "doc_b"))
 
+  /** Positional variant of [[winnowCte]] — same grams, same full-window
+    * rule, but each window's min carries its gram POSITION with the
+    * classic rightmost tiebreak (min over struct(h, −pos) is
+    * lexicographic: minimum hash, then maximum position). fpp is the
+    * distinct positioned selection; fps recovers q272's set. */
+  private val winnowPosCte: String = """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      jx AS (SELECT doc_id, ws, len(ws) AS n,
+             unnest(generate_series(1, len(ws) - 2)) AS j FROM w),
+      h AS (SELECT doc_id, n, j - 1 AS pos,
+            CAST('0x' || substr(sha256(ws[j] || ' ' || ws[j+1] || ' ' ||
+              ws[j+2]), 1, 15) AS BIGINT) AS h
+            FROM jx),
+      m AS (SELECT doc_id, pos, n,
+            min(struct_pack(h := h, np := -pos)) OVER
+              (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+            FROM h),
+      fpp AS (SELECT DISTINCT doc_id, struct_extract(m, 'h') AS fp,
+              -struct_extract(m, 'np') AS fpos
+              FROM m WHERE pos <= greatest(n - 6, 0)),
+      fps AS (SELECT DISTINCT doc_id, fp FROM fpp)"""
+
+  private val Q275MaxPairs = 10000
+
+  private val q275 = Q("q275_moss_coverage",
+    "MOSS span-coverage reporting — the metric MOSS actually ranks by, " +
+      "completing q273's count-screen: positional winnowing (q272's " +
+      "selection with the classic RIGHTMOST tiebreak, via one struct-" +
+      "min over the same per-doc window) pins each shared fingerprint " +
+      "to its 3-word run; per (pair, doc) the runs union EXACTLY via " +
+      "the sorted-positions identity sum(min(next-pos, k)) on a pair-" +
+      "partitioned window — no per-word explode — and report " +
+      "cover ppm of each side's words; pairs form only through shared-" +
+      "fp buckets (never all-pairs), n_shared counts distinct shared " +
+      s"fps (= q273 on the same input), family loud-cap at $Q275MaxPairs",
+    Some(winnowPosCte + s""",
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+             FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      jn AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fpos AS pa, b.fpos AS pb
+             FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      pa1 AS (SELECT doc_a, doc_b, pa, lead(pa) OVER
+                (PARTITION BY doc_a, doc_b ORDER BY pa) AS nxt
+              FROM (SELECT DISTINCT doc_a, doc_b, pa FROM jn)),
+      ca AS (SELECT doc_a, doc_b, sum(CASE WHEN nxt IS NULL THEN 3
+               ELSE least(nxt - pa, 3) END) AS cov
+             FROM pa1 GROUP BY 1, 2),
+      pb1 AS (SELECT doc_a, doc_b, pb, lead(pb) OVER
+                (PARTITION BY doc_a, doc_b ORDER BY pb) AS nxt
+              FROM (SELECT DISTINCT doc_a, doc_b, pb FROM jn)),
+      cb AS (SELECT doc_a, doc_b, sum(CASE WHEN nxt IS NULL THEN 3
+               ELSE least(nxt - pb, 3) END) AS cov
+             FROM pb1 GROUP BY 1, 2),
+      nw AS (SELECT doc_id, len(string_split(text, ' ')) AS nw
+             FROM documents),
+      sc AS (SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+             CAST((1000000 * ca.cov) // na.nw AS BIGINT) AS cover_a_ppm,
+             CAST((1000000 * cb.cov) // nb.nw AS BIGINT) AS cover_b_ppm
+             FROM pr JOIN ca USING (doc_a, doc_b)
+                  JOIN cb USING (doc_a, doc_b)
+                  JOIN nw na ON pr.doc_a = na.doc_id
+                  JOIN nw nb ON pr.doc_b = nb.doc_id),
+      rk AS (SELECT *, ROW_NUMBER() OVER
+               (ORDER BY n_shared DESC, doc_a, doc_b) AS rn FROM sc),
+      n AS (SELECT count(*) AS n_tot FROM sc)
+      SELECT doc_a, doc_b, n_shared, cover_a_ppm, cover_b_ppm,
+             n_tot > $Q275MaxPairs AS truncated
+      FROM rk CROSS JOIN n WHERE rn <= $Q275MaxPairs
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => TextAnalysis.winnowCoverage(
+      t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, window = 4, minShared = 2L,
+      maxPairs = Q275MaxPairs)
+      .orderBy("doc_a", "doc_b"))
+
   private val q274 = Q("q274_stratified_terciles",
     "PER-LANGUAGE perplexity terciles (CCNet's actual shape — it cuts " +
       "each language by its OWN thirds; a global cut dumps whole low-" +
@@ -7436,5 +7516,5 @@ object Extensions {
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
     q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270,
-    q272, q273, q274)
+    q272, q273, q274, q275)
 }

@@ -2068,6 +2068,58 @@ class CurationOpsSpec extends SparkSpec {
       ((best._1, best._2, best._3)))
   }
 
+  test("winnowFingerprintsPos: same fp SET as winnowFingerprints, and a " +
+    "repeated gram inside one window selects the RIGHTMOST occurrence") {
+    val docs = Seq(
+      // "r1 r2 r3" appears at gram positions 0 and 3 — both inside the
+      // pos-0..3 window, equal hashes, so the window must select pos 3
+      (1L, "r1 r2 r3 r1 r2 r3 z1 z2 z3 z4"),
+      (2L, (1 to 25).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pos = graft.ops.TextAnalysis
+      .winnowFingerprintsPos(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    val set = graft.ops.TextAnalysis
+      .winnowFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pos.map(t => (t._1, t._2)).toSet == set,
+      "positional selection must project to the set form")
+    // the repeated gram's hash: whichever fp doc 1 selected from the
+    // pos-0 window, a pos-0 selection of the duplicated min would
+    // violate the rightmost rule. Compute the duplicated gram's fp by
+    // intersecting doc 1's selections at pos 0 vs pos 3: pos 3 must be
+    // selected whenever that gram's hash won any window covering both.
+    val d1 = pos.filter(_._1 == 1L)
+    val dupFpPos = d1.filter(t => t._3 == 0 || t._3 == 3)
+    // if the duplicated gram won the pos-0..3 window, it must be
+    // recorded at pos 3, never pos 0 (pos 0 can only appear if the
+    // gram at 0 is NOT the duplicated min — impossible here: grams at
+    // 0 and 3 are identical, so any win by one is a tie won by 3)
+    assert(dupFpPos.forall(_._3 == 3),
+      s"rightmost tiebreak violated: ${d1.mkString(",")}")
+  }
+
+  test("winnowCoverage: hand-checked span union — overlapping and " +
+    "disjoint matched runs, n_shared equal to winnowMatches") {
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"$run a1 a2 a3 a4"), (2L, s"b1 b2 $run"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+      .toDF("doc_id", "text")
+    val cov = graft.ops.TextAnalysis
+      .winnowCoverage(docs, "doc_id", "text", minShared = 1L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(cov.length == 1 && cov.head._1 == 1L && cov.head._2 == 2L)
+    val m = graft.ops.TextAnalysis
+      .winnowMatches(docs, "doc_id", "text", minShared = 1L)
+      .as[(Long, Long, Long)].collect()
+    assert(cov.head._3 == m.head._3, "n_shared must match the matcher")
+    // covered words are within the shared 8-word run: cover ppm is
+    // bounded by 8/12 and 8/10, and positive on both sides
+    assert(cov.head._4 > 0L && cov.head._4 <= 1000000L * 8 / 12)
+    assert(cov.head._5 > 0L && cov.head._5 <= 1000000L * 8 / 10)
+  }
+
   test("perplexityBucketsBy: cuts stratify per group — a language whose " +
     "scores all trail another's still gets its own head/middle/tail") {
     // lang A: common words (low surprisal); lang B: unique words (high).
