@@ -348,3 +348,112 @@ object GopherSignals {
   def apply(c: Column): Column =
     Bridge.column(GopherSignals(Bridge.expression(c.cast("string"))))
 }
+
+/** Codegen helper for [[HtmlUnescape]] — static forwarder callable from
+  * generated Java.
+  */
+object HtmlUnescapeUtil {
+  private val NAMED = new java.util.HashMap[String, String]()
+  NAMED.put("lt", "<"); NAMED.put("gt", ">"); NAMED.put("quot", "\"")
+  NAMED.put("nbsp", " "); NAMED.put("amp", "&")
+
+  /** ONE left-to-right entity-decode pass: the reference's 5 named
+    * entities (lt/gt/quot/nbsp/amp — [[TextAnalysis.stripMarkup]]'s
+    * documented subset) plus GENERIC numeric character references,
+    * `&#NN;` decimal and `&#xNN;`/`&#XNN;` hex. Single-decode is
+    * structural, not an ordering convention: the scan continues AFTER
+    * each decoded entity and never rescans produced text, so
+    * `&amp;lt;` yields the literal text `&lt;` and `&#38;amp;` yields
+    * `&amp;` — the chained-regexp form needed "&amp; last" to get the
+    * first case right and still got the second wrong (decoding &#38;
+    * first manufactures an `&amp;` the later pass re-decodes), which is
+    * why the numeric tier forces the one-pass form.
+    *
+    * Malformed or out-of-range references stay literal text: no
+    * terminating `;` within 11 chars, empty digits, non-digits, code
+    * points above U+10FFFF or in the surrogate block. (HTML5's lenient
+    * recovery decodes some of those; this op pins the strict
+    * well-formed subset both engines can express.)
+    */
+  def unescape(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      var next = i + 1
+      if (c != '&') sb.append(c)
+      else {
+        // longest candidate: &#x10FFFF; — ';' at most 10 chars past '&'
+        val lim = math.min(str.length, i + 11)
+        var semi = -1
+        var j = i + 1
+        while (semi < 0 && j < lim) {
+          if (str.charAt(j) == ';') semi = j
+          j += 1
+        }
+        if (semi > i + 1) {
+          val body = str.substring(i + 1, semi)
+          if (body.charAt(0) == '#') {
+            val hex = body.length > 1 &&
+              (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+            val d0 = if (hex) 2 else 1
+            var cp = if (body.length > d0) 0L else -1L
+            var k = d0
+            while (cp >= 0 && k < body.length) {
+              val ch = body.charAt(k)
+              val v =
+                if (ch >= '0' && ch <= '9') ch - '0'
+                else if (hex && ch >= 'a' && ch <= 'f') ch - 'a' + 10
+                else if (hex && ch >= 'A' && ch <= 'F') ch - 'A' + 10
+                else -1
+              cp = if (v < 0) -1L else cp * (if (hex) 16 else 10) + v
+              if (cp > 0x10FFFFL) cp = -1L
+              k += 1
+            }
+            if (cp >= 0 && !(cp >= 0xD800L && cp <= 0xDFFFL)) {
+              sb.appendCodePoint(cp.toInt)
+              next = semi + 1
+            } else sb.append(c)
+          } else {
+            val named = NAMED.get(body)
+            if (named != null) {
+              sb.append(named)
+              next = semi + 1
+            } else sb.append(c)
+          }
+        } else sb.append(c)
+      }
+      i = next
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Native one-pass HTML entity decode (see [[HtmlUnescapeUtil.unescape]]):
+  * the reference's named-entity subset + generic numeric character
+  * references, single-decode by construction. The graft_unicode_norm
+  * precedent applied to entity decoding.
+  */
+case class HtmlUnescape(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_unescape"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUnescapeUtil.unescape(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.HtmlUnescapeUtil.unescape($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlUnescape =
+    copy(child = newChild)
+}
+
+object HtmlUnescape {
+  def apply(c: Column): Column =
+    Bridge.column(HtmlUnescape(Bridge.expression(c.cast("string"))))
+}

@@ -107,12 +107,15 @@ object TextAnalysis {
     val noElems = regexp_replace(
       regexp_replace(col(htmlCol), scriptPat, " "), stylePat, " ")
     val noComments = regexp_replace(noElems, commentPat, " ")
-    // order is load-bearing: &amp; LAST keeps the chain single-decode
-    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#34;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    val decoded = entities.foldLeft(regexp_replace(noComments, tagPat, " ")) {
-      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
-    }
+    // ONE native left-to-right decode pass (graft_html_unescape): the
+    // named subset (lt/gt/quot/nbsp/amp) + generic &#NN;/&#xNN; numeric
+    // character references. Single-decode is structural — the scan never
+    // rescans produced text — where the previous chained-regexp form
+    // needed "&amp; last" as an ordering convention and could not add
+    // numerics safely (&#38;amp; would double-decode). q255 pins the
+    // named/double-escape cases, q276 the numeric tier.
+    val decoded = graft.expressions.HtmlUnescape(
+      regexp_replace(noComments, tagPat, " "))
     docs.select(
       col(idCol),
       size(regexp_extract_all(col(htmlCol), lit(scriptPat), lit(0)))

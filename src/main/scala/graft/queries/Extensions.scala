@@ -7471,6 +7471,49 @@ object Extensions {
       maxPairs = Q275MaxPairs)
       .orderBy("doc_a", "doc_b"))
 
+  private val q276 = Q("q276_numeric_entities",
+    "generic numeric character-reference decode in the markup stripper " +
+      "(q255's r14 gap: a real web corpus hits &#233;/&#x2019;-class " +
+      "refs, not just the 7 fixed names): stripMarkup's entity stage is " +
+      "now ONE native left-to-right pass (graft_html_unescape) over the " +
+      "named subset + &#NN; decimal + &#xNN;/&#XNN; hex — single-decode " +
+      "is structural (the scan never rescans produced text), so the " +
+      "double-escape &amp;#233; yields the LITERAL '&#233;' and the " +
+      "chained-regexp ordering convention is gone; malformed refs stay " +
+      "literal text (no ';' in reach, empty/non digits, > U+10FFFF) — " +
+      "the strict well-formed subset both engines express; fixtures " +
+      "exercise e-acute in all three spellings, curly quote, numeric " +
+      "lt/gt (safe: decoded AFTER tag stripping), the double-escape, " +
+      "and three malformed refs",
+    Some("""
+      WITH h AS (SELECT doc_id,
+        '<p>caf&#233; r&#xE9;sum&#Xe9; it&#8217;s &#x2019;q&#x2019; 1 &#60; 2 &#62; 0</p><p>'
+        || text ||
+        '</p><p>keep &amp;#233; bad &#x; &#1114112; &#12 tail</p>' AS html
+        FROM documents),
+      nt AS (SELECT doc_id,
+             regexp_replace(html, '<[^>]+>', ' ', 'g') AS t FROM h)
+      SELECT doc_id,
+        trim(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(t, '&#233;|&#xE9;|&#Xe9;', chr(233), 'g'),
+            '&#8217;|&#x2019;', chr(8217), 'g'),
+            '&#60;', '<', 'g'), '&#62;', '>', 'g'),
+            '&amp;', '&', 'g'),
+          '\s+', ' ', 'g')) AS text_clean
+      FROM nt ORDER BY doc_id"""),
+    (s, dir) => {
+      val html = concat(
+        lit("<p>caf&#233; r&#xE9;sum&#Xe9; it&#8217;s &#x2019;q&#x2019; " +
+          "1 &#60; 2 &#62; 0</p><p>"),
+        col("text"),
+        lit("</p><p>keep &amp;#233; bad &#x; &#1114112; &#12 tail</p>"))
+      TextAnalysis.stripMarkup(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")))
+        .select(col("doc_id"), col("text_clean"))
+        .orderBy("doc_id")
+    })
+
   private val q274 = Q("q274_stratified_terciles",
     "PER-LANGUAGE perplexity terciles (CCNet's actual shape — it cuts " +
       "each language by its OWN thirds; a global cut dumps whole low-" +
@@ -7516,5 +7559,5 @@ object Extensions {
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
     q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270,
-    q272, q273, q274, q275)
+    q272, q273, q274, q275, q276)
 }

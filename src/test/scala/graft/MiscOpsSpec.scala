@@ -78,6 +78,30 @@ class MiscOpsSpec extends SparkSpec {
     assert(got(4L) == ((4L, 1L, 1L, 0L, 2L, "hello")))
   }
 
+  test("stripMarkup numeric refs: decimal/hex/mixed-case decode, " +
+    "double-escapes stay single-decoded BOTH ways, malformed and " +
+    "out-of-range refs stay literal") {
+    val docs = Seq(
+      (1L, "<p>caf&#233; r&#xE9;sum&#Xe9; it&#8217;s 1 &#60; 2</p>"),
+      // &#38;amp; is ONE decode of &#38; -> the literal text '&amp;'
+      // (the old chained form double-decoded this to '&');
+      // &amp;#233; is ONE decode of &amp; -> the literal '&#233;'
+      (2L, "<p>&#38;amp; and &amp;#233;</p>"),
+      // malformed: empty digits, bad hex digit, overflow, surrogate,
+      // unterminated, bare ampersand, unknown named entity
+      (3L, "<p>&#; &#x; &#xZ9; &#1114112; &#xD800; &#12 a & b &foo;</p>"),
+      // boundary: max valid code point decodes
+      (4L, "<p>&#x10FFFF;</p>"))
+      .toDF("doc_id", "html")
+    val got = graft.ops.TextAnalysis.stripMarkup(docs)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t._6).toMap
+    assert(got(1L) == "café résumé it’s 1 < 2")
+    assert(got(2L) == "&amp; and &#233;")
+    assert(got(3L) == "&#; &#x; &#xZ9; &#1114112; &#xD800; &#12 a & b &foo;")
+    assert(got(4L) == new String(Character.toChars(0x10FFFF)))
+  }
+
   test("withinDocRepetition: hand-computed line/char/word repeat shares; " +
     "no census, no cross-doc influence") {
     val docs = Seq(
