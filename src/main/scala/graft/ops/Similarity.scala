@@ -270,6 +270,32 @@ object Similarity {
     */
   def kmeansFit(embs: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    val probe = embs.select(max(size(col(vecCol))).as("d")).head()
+    if (probe.isNullAt(0)) {
+      require(k > 0, s"k must be positive, got $k")
+      require(iters >= 1, s"iters must be >= 1, got $iters")
+      return embs.select(col(idCol), lit(0L).as("cluster"), lit(0L).as("dist2"))
+        .limit(0)
+    }
+    val d = probe.getInt(0)
+    val sv = embs.filter(size(col(vecCol)) === d)
+      .select(col(idCol), scaleVec(col(vecCol), scale).as("svec"))
+    assignSv(sv, idCol,
+      kmeansCentroids(embs, idCol, vecCol, k, iters, scale))
+      .select(col(idCol), col("cluster"), col("dist2"))
+  }
+
+  /** The FROZEN codebook [[kmeansFit]] trains: the (cluster, cvec)
+    * centroid relation after iters−1 Lloyd updates — exactly the
+    * centroids kmeansFit's final assignment measures dist2 against,
+    * exposed so admission pipelines ([[semDedupAdmit]]) can persist the
+    * codebook once and assign every later batch against it without a
+    * refit (the q270 frozen-artifact discipline, in embedding space).
+    * Deterministic: hash-seeded, integer-exact updates — a refit on the
+    * same input is bit-identical.
+    */
+  def kmeansCentroids(embs: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // same Long-overflow headroom bound as centroidOutliers
@@ -277,13 +303,11 @@ object Similarity {
       s"scale must be in (0, 1e7], got $scale")
     val probe = embs.select(max(size(col(vecCol))).as("d")).head()
     if (probe.isNullAt(0))
-      return embs.select(col(idCol), lit(0L).as("cluster"), lit(0L).as("dist2"))
-        .limit(0)
+      return embs.select(lit(0L).as("cluster"),
+        array().cast("array<long>").as("cvec")).limit(0)
     val d = probe.getInt(0)
     val sv = embs.filter(size(col(vecCol)) === d)
-      .select(col(idCol),
-        transform(col(vecCol),
-          v => floor(v.cast("double") * scale).cast("long")).as("svec"))
+      .select(col(idCol), scaleVec(col(vecCol), scale).as("svec"))
     // k seed rows: distributed top-k by (hash, id), then a k-row window
     // hands out cluster ids — never a global sort of the corpus
     val seedW = Window.orderBy(col("_h"), col(idCol))
@@ -292,28 +316,129 @@ object Similarity {
       .orderBy(col("_h"), col(idCol)).limit(k)
       .withColumn("cluster", (row_number().over(seedW) - 1).cast("long"))
       .select(col("cluster"), col("svec").as("cvec"))
-    var assigned: DataFrame = null
-    for (round <- 1 to iters) {
-      val d2 = aggregate(
-        zip_with(col("svec"), col("cvec"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      assigned = sv.crossJoin(broadcast(cents))
-        .withColumn("_d2", d2)
-        .groupBy(col(idCol), col("svec"))
-        .agg(min(struct(col("_d2"), col("cluster"))).as("_m"))
-        .select(col(idCol), col("svec"),
-          col("_m.cluster").as("cluster"), col("_m._d2").as("dist2"))
-      if (round < iters)
-        cents = assigned
-          .select(col("cluster"), posexplode(col("svec")).as(Seq("i", "s")))
-          .groupBy(col("cluster"), col("i"))
-          .agg(floor(sum(col("s")).cast("double") /
-            count(lit(1)).cast("double")).cast("long").as("c"))
-          .groupBy(col("cluster"))
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-            x => x.getField("c")).as("cvec"))
+    for (round <- 1 until iters) {
+      cents = assignSv(sv, idCol, cents)
+        .select(col("cluster"), posexplode(col("svec")).as(Seq("i", "s")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(floor(sum(col("s")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("c"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          x => x.getField("c")).as("cvec"))
     }
-    assigned.select(col(idCol), col("cluster"), col("dist2"))
+    cents
+  }
+
+  /** floor(v·scale) integer component scaling — the exact-arithmetic
+    * vector form every op in this file hashes/joins on. */
+  private def scaleVec(vecCol: Column, scale: Double): Column =
+    transform(vecCol, v => floor(v.cast("double") * scale).cast("long"))
+
+  /** The (idCol, svec) scaled-vector relation — public so admission
+    * gates can build a persistable per-cell index (kept ids joined with
+    * their scaled vectors) without duplicating the scaling rule. Rows
+    * not at the table's max dimensionality are EXCLUDED (the kmeansFit
+    * ragged-row contract); empty input yields the empty relation.
+    */
+  def scaledVectors(embs: DataFrame, idCol: String, vecCol: String,
+                    scale: Double = 1e6): DataFrame = {
+    require(scale > 0 && scale <= 1e7,
+      s"scale must be in (0, 1e7], got $scale")
+    val probe = embs.select(max(size(col(vecCol))).as("d")).head()
+    if (probe.isNullAt(0))
+      return embs.select(col(idCol),
+        array().cast("array<long>").as("svec")).limit(0)
+    val d = probe.getInt(0)
+    embs.filter(size(col(vecCol)) === d)
+      .select(col(idCol), scaleVec(col(vecCol), scale).as("svec"))
+  }
+
+  /** kmeansFit's loop body: nearest centroid per vector by exact BIGINT
+    * dist2 (ties to the lower cluster id), via a broadcast of the k-row
+    * codebook. */
+  private def assignSv(sv: DataFrame, idCol: String,
+                       cents: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("svec"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    sv.crossJoin(broadcast(cents))
+      .withColumn("_d2", d2)
+      .groupBy(col(idCol), col("svec"))
+      .agg(min(struct(col("_d2"), col("cluster"))).as("_m"))
+      .select(col(idCol), col("svec"),
+        col("_m.cluster").as("cluster"), col("_m._d2").as("dist2"))
+  }
+
+  /** Assign vectors to a FROZEN codebook — [[kmeansFit]]'s final-round
+    * assignment against an externally persisted (cluster, cvec)
+    * relation: nearest centroid by exact scaled-BIGINT dist2, ties to
+    * the lower cluster id. Vectors whose dimensionality differs from
+    * the codebook's are EXCLUDED (the ragged-row contract).
+    *
+    * Output: (idCol, svec, cluster, dist2).
+    */
+  def assignToCodebook(vecs: DataFrame, idCol: String, vecCol: String,
+                       cents: DataFrame,
+                       scale: Double = 1e6): DataFrame = {
+    require(scale > 0 && scale <= 1e7,
+      s"scale must be in (0, 1e7], got $scale")
+    val dprobe = cents.select(max(size(col("cvec")))).head()
+    if (dprobe.isNullAt(0))
+      return vecs.select(col(idCol),
+        array().cast("array<long>").as("svec"),
+        lit(0L).as("cluster"), lit(0L).as("dist2")).limit(0)
+    val d = dprobe.getInt(0)
+    val sv = vecs.filter(size(col(vecCol)) === d)
+      .select(col(idCol), scaleVec(col(vecCol), scale).as("svec"))
+    assignSv(sv, idCol, cents)
+  }
+
+  /** SemDeDup ADMISSION against a frozen codebook + per-cell keep set —
+    * [[semDedup]]'s live form (the q266→q267 census-scoring pattern in
+    * embedding space): incoming vectors assign to their nearest FROZEN
+    * centroid ([[assignToCodebook]]); an index member in the same cell
+    * within maxDist2 rejects the newcomer — keep = no member in range,
+    * dup_of = the in-range member farthest from the centroid (ties to
+    * the lower id). That is semDedup's dominator pick specialized to
+    * the frozen-index order: every indexed vector precedes every
+    * newcomer, so the batch needs no within-batch comparisons and the
+    * verdict is batch-boundary invariant GIVEN the index — the property
+    * the streaming twin certifies bit-for-bit.
+    *
+    * `index`: (idCol, cluster, dist2, svec) — kept vectors with their
+    * frozen-codebook assignment and scaled vectors ([[scaledVectors]]);
+    * grow it between batches by unioning admitted rows (the q270
+    * census-growth pattern). Persist it pre-partitioned by `cluster`
+    * (the q248 bucketed-index discipline) so each batch shuffles only
+    * itself.
+    *
+    * Shape at 100 TB: one broadcast assignment pass over the batch +
+    * one cluster-keyed join against the index — batch-sized work; the
+    * index is the corpus's KEEP set, never re-derived.
+    *
+    * Output: (idCol, cluster, dist2, keep, dup_of, svec) — svec rides
+    * along so admitted rows can join the index without re-scaling.
+    */
+  def semDedupAdmit(newVecs: DataFrame, index: DataFrame,
+                    cents: DataFrame, idCol: String, vecCol: String,
+                    maxDist2: Long, scale: Double = 1e6): DataFrame = {
+    require(maxDist2 >= 0L, s"maxDist2 must be >= 0, got $maxDist2")
+    val asg = assignToCodebook(newVecs, idCol, vecCol, cents, scale)
+    val idx = index.select(col("cluster").as("_ci"), col(idCol).as("_ii"),
+      col("dist2").as("_di"), col("svec").as("_vi"))
+    val pd2 = aggregate(
+      zip_with(col("svec"), col("_vi"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val doms = asg.join(idx, col("cluster") === col("_ci"))
+      .withColumn("_pd2", pd2)
+      .filter(col("_pd2") <= maxDist2)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("_di")).as("_nd"), col("_ii").as("_ii")))
+        .as("_m"))
+      .select(col(idCol).as("_domid"), col("_m._ii").as("dup_of"))
+    asg.join(doms, asg(idCol) === col("_domid"), "left")
+      .select(asg(idCol), col("cluster"), col("dist2"),
+        col("dup_of").isNull.as("keep"), col("dup_of"), col("svec"))
   }
 
   /** Exact near-duplicate pairs within LEARNED k-means cells — SemDeDup's

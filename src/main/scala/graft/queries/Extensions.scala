@@ -7514,6 +7514,156 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  /** Shared oracle for q277 (batch) and q278 (streaming admission) —
+    * SemDeDup admission against a frozen codebook + per-cell keep set:
+    * the codebook is the even-id vectors' 2-iteration k-means (k =
+    * ceil(sqrt(n_evens)), q265's knob), the starting index is the
+    * evens' SemDeDup keep set, batch 1 (ids % 4 = 1) is admitted
+    * against it, batch-1 survivors JOIN the index (the q270 growth
+    * pattern), batch 2 (ids % 4 = 3) is admitted against the grown
+    * index. One string so the batch gate and its live twin certify the
+    * SAME relation (the q266/q267 discipline, in embedding space). */
+  private[queries] val semAdmissionOracle: String = """
+      WITH el AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings
+                  WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)),
+      sc AS (SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS s FROM el),
+      sce AS (SELECT * FROM sc WHERE vec_id % 2 = 0),
+      seed AS (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS cluster
+               FROM (SELECT DISTINCT vec_id FROM sce)),
+      kk AS (SELECT CAST(ceil(sqrt(count(DISTINCT vec_id))) AS BIGINT) AS k FROM sce),
+      c0 AS (SELECT cluster, i, s AS c FROM seed JOIN sce USING (vec_id)
+             WHERE cluster < (SELECT k FROM kk)),
+      a1 AS (SELECT sce.vec_id, c0.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS d2
+             FROM sce JOIN c0 USING (i) GROUP BY 1, 2),
+      w1 AS (SELECT vec_id, cluster FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS r FROM a1)
+             WHERE r = 1),
+      c1 AS (SELECT w1.cluster, sce.i,
+             CAST(floor(CAST(CAST(SUM(sce.s) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
+             FROM w1 JOIN sce USING (vec_id) GROUP BY 1, 2),
+      aE AS (SELECT sce.vec_id, c1.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS dist2
+             FROM sce JOIN c1 USING (i) GROUP BY 1, 2),
+      finE AS (SELECT vec_id, cluster, dist2 FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS r FROM aE)
+              WHERE r = 1),
+      domsE AS (SELECT b.vec_id AS vid
+               FROM finE a JOIN finE b ON a.cluster = b.cluster
+                 AND (a.dist2 > b.dist2
+                      OR (a.dist2 = b.dist2 AND a.vec_id < b.vec_id))
+               JOIN sc sa ON sa.vec_id = a.vec_id
+               JOIN sc sb ON sb.vec_id = b.vec_id AND sa.i = sb.i
+               GROUP BY b.vec_id, a.vec_id
+               HAVING CAST(SUM((sa.s - sb.s) * (sa.s - sb.s)) AS BIGINT)
+                 <= 1200000000000),
+      e0 AS (SELECT * FROM finE
+             WHERE vec_id NOT IN (SELECT vid FROM domsE)),
+      sco AS (SELECT * FROM sc WHERE vec_id % 2 = 1),
+      aO AS (SELECT sco.vec_id, c1.cluster, CAST(SUM((s - c) * (s - c)) AS BIGINT) AS dist2
+             FROM sco JOIN c1 USING (i) GROUP BY 1, 2),
+      finO AS (SELECT vec_id, cluster, dist2 FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS r FROM aO)
+               WHERE r = 1),
+      b1 AS (SELECT * FROM finO WHERE vec_id % 4 = 1),
+      d1 AS (SELECT vid, dup_of FROM
+             (SELECT b.vec_id AS vid, e.vec_id AS dup_of,
+              ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                ORDER BY e.dist2 DESC, e.vec_id) AS rn
+              FROM b1 b JOIN e0 e ON e.cluster = b.cluster
+              JOIN sc sa ON sa.vec_id = e.vec_id
+              JOIN sc sb ON sb.vec_id = b.vec_id AND sa.i = sb.i
+              GROUP BY b.vec_id, e.vec_id, e.dist2
+              HAVING CAST(SUM((sa.s - sb.s) * (sa.s - sb.s)) AS BIGINT)
+                <= 1200000000000)
+             WHERE rn = 1),
+      r1 AS (SELECT b.vec_id, CAST(1 AS BIGINT) AS batch, b.cluster,
+             b.dist2, d.dup_of IS NULL AS keep, d.dup_of
+             FROM b1 b LEFT JOIN d1 d ON b.vec_id = d.vid),
+      e1 AS (SELECT * FROM e0 UNION ALL
+             SELECT vec_id, cluster, dist2 FROM r1 WHERE keep),
+      b2 AS (SELECT * FROM finO WHERE vec_id % 4 = 3),
+      d2 AS (SELECT vid, dup_of FROM
+             (SELECT b.vec_id AS vid, e.vec_id AS dup_of,
+              ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                ORDER BY e.dist2 DESC, e.vec_id) AS rn
+              FROM b2 b JOIN e1 e ON e.cluster = b.cluster
+              JOIN sc sa ON sa.vec_id = e.vec_id
+              JOIN sc sb ON sb.vec_id = b.vec_id AND sa.i = sb.i
+              GROUP BY b.vec_id, e.vec_id, e.dist2
+              HAVING CAST(SUM((sa.s - sb.s) * (sa.s - sb.s)) AS BIGINT)
+                <= 1200000000000)
+             WHERE rn = 1),
+      r2 AS (SELECT b.vec_id, CAST(2 AS BIGINT) AS batch, b.cluster,
+             b.dist2, d.dup_of IS NULL AS keep, d.dup_of
+             FROM b2 b LEFT JOIN d2 d ON b.vec_id = d.vid)
+      SELECT vec_id, batch, cluster, dist2, keep, dup_of FROM r1
+      UNION ALL
+      SELECT vec_id, batch, cluster, dist2, keep, dup_of FROM r2
+      ORDER BY vec_id"""
+
+  private val Q277MaxDist2 = 1200000000000L
+
+  private val q277 = Q("q277_semdedup_admission",
+    "SemDeDup ADMISSION against a frozen codebook + per-cell keep set — " +
+      "q265's production follow-through (its selection was a one-shot " +
+      "batch): the even-id vectors train the 2-iteration codebook at " +
+      "k = ceil(sqrt(n_evens)) and their SemDeDup keep set becomes the " +
+      "index, pre-partitioned by cluster (the q248 bucketed-index " +
+      "discipline); batch 1 (ids % 4 = 1) assigns to the FROZEN " +
+      "centroids and is rejected by any index member within dist2 <= " +
+      "1.2e12 in its cell (dup_of = the in-range member farthest from " +
+      "the centroid, ties lower id — the dominator pick under frozen-" +
+      "index order, so no within-batch comparisons and the verdict is " +
+      "batch-boundary invariant); batch-1 survivors JOIN the index " +
+      "(q270's growth pattern) and batch 2 (ids % 4 = 3) admits " +
+      "against the grown index; q278 runs the SAME relation as a " +
+      "2-drain stream",
+    Some(semAdmissionOracle),
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val evens = e.filter(col("vec_id") % 2 === 0)
+      val probe = evens.select(max(size(col("embedding")))).head()
+      if (probe.isNullAt(0))
+        e.select(col("vec_id"), lit(1L).as("batch"), lit(0L).as("cluster"),
+          lit(0L).as("dist2"), lit(true).as("keep"),
+          lit(null).cast("long").as("dup_of")).limit(0)
+      else {
+        val d = probe.getInt(0)
+        val nE = evens.filter(size(col("embedding")) === d)
+          .select(countDistinct(col("vec_id"))).head().getLong(0)
+        val k = math.ceil(math.sqrt(nE.toDouble)).toInt
+        val cents = Similarity.kmeansCentroids(evens, "vec_id",
+          "embedding", k = k, iters = 2).cache()
+        val kept = Similarity.semDedup(evens, "vec_id", "embedding",
+          k = k, iters = 2, maxDist2 = Q277MaxDist2)
+          .filter(col("keep"))
+          .select(col("vec_id"), col("cluster"), col("dist2"))
+        val index0 = kept
+          .join(Similarity.scaledVectors(evens, "vec_id", "embedding"),
+            Seq("vec_id"))
+          .repartition(col("cluster")).cache()
+        val r1 = Similarity.semDedupAdmit(
+          e.filter(col("vec_id") % 4 === 1), index0, cents,
+          "vec_id", "embedding", maxDist2 = Q277MaxDist2).cache()
+        val grown = index0.unionByName(r1.filter(col("keep"))
+          .select(col("vec_id"), col("cluster"), col("dist2"),
+            col("svec")))
+        val r2 = Similarity.semDedupAdmit(
+          e.filter(col("vec_id") % 4 === 3), grown, cents,
+          "vec_id", "embedding", maxDist2 = Q277MaxDist2)
+        // cache lifetime: released by Bench's per-gate clearCache (the
+        // q256 note); a production admission loop persists the index as
+        // STORAGE between batches, not executor cache
+        r1.withColumn("batch", lit(1L))
+          .unionByName(r2.withColumn("batch", lit(2L)))
+          .select(col("vec_id"), col("batch"), col("cluster"),
+            col("dist2"), col("keep"), col("dup_of"))
+          .orderBy("vec_id")
+      }
+    })
+
   private val q274 = Q("q274_stratified_terciles",
     "PER-LANGUAGE perplexity terciles (CCNet's actual shape — it cuts " +
       "each language by its OWN thirds; a global cut dumps whole low-" +
@@ -7559,5 +7709,5 @@ object Extensions {
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
     q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270,
-    q272, q273, q274, q275, q276)
+    q272, q273, q274, q275, q276, q277)
 }

@@ -1051,6 +1051,92 @@ object Pipeline {
       s.read.parquet(out).orderBy("doc_id")
     })
 
+  private val q278 = Q("q278_streaming_semdedup_admission",
+    "§2.9 × similarity: q277's SemDeDup admission run the way a " +
+      "standing pipeline runs it — the frozen codebook and the per-cell " +
+      "keep-set index are built ONCE and persisted pre-partitioned by " +
+      "cluster (the q248 bucketed-index discipline); odd-id vectors " +
+      "arrive as 2 staged files drained one per AvailableNow restart " +
+      "(q271's restart-per-arrival pattern: ONE checkpoint, so drain " +
+      "2's offset log skips batch 1's file); each micro-batch pays one " +
+      "broadcast codebook assignment + one cluster-keyed join against " +
+      "the in-place index via foreachBatch(semDedupAdmit); BETWEEN " +
+      "drains the admitted vectors union into the index (q270's growth " +
+      "pattern, eagerly localCheckpointed — its lineage reads the out " +
+      "dir drain 2 appends to); equals the q277 batch gate bit-for-bit",
+    Some(Extensions.semAdmissionOracle),
+    (s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      val evens = e.filter(col("vec_id") % 2 === 0)
+      val probe = evens.select(max(size(col("embedding")))).head()
+      if (probe.isNullAt(0))
+        e.select(col("vec_id"), lit(1L).as("batch"), lit(0L).as("cluster"),
+          lit(0L).as("dist2"), lit(true).as("keep"),
+          lit(null).cast("long").as("dup_of")).limit(0)
+      else {
+        val d = probe.getInt(0)
+        val nE = evens.filter(size(col("embedding")) === d)
+          .select(countDistinct(col("vec_id"))).head().getLong(0)
+        val k = math.ceil(math.sqrt(nE.toDouble)).toInt
+        val maxDist2 = 1200000000000L
+        val cents = graft.ops.Similarity.kmeansCentroids(evens, "vec_id",
+          "embedding", k = k, iters = 2).cache()
+        cents.count() // materialize before the first drain (q248/q267)
+        val index0 = graft.ops.Similarity.semDedup(evens, "vec_id",
+          "embedding", k = k, iters = 2, maxDist2 = maxDist2)
+          .filter(col("keep"))
+          .select(col("vec_id"), col("cluster"), col("dist2"))
+          .join(graft.ops.Similarity.scaledVectors(evens, "vec_id",
+            "embedding"), Seq("vec_id"))
+          .repartition(col("cluster")).persist()
+        index0.count()
+        var idx = index0
+        val stage = java.nio.file.Files
+          .createTempDirectory("graft-q278-stage").toString
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q278-out").toString
+        val cp = java.nio.file.Files
+          .createTempDirectory("graft-q278-cp").toString
+        e.filter(col("vec_id") % 4 === 1).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val schema = s.read.parquet(stage).schema
+        def drain(batchNo: Long): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              graft.ops.Similarity.semDedupAdmit(batch, idx, cents,
+                "vec_id", "embedding", maxDist2 = maxDist2)
+                .withColumn("batch", lit(batchNo))
+                .write.mode("append").parquet(out)
+            }
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        drain(1L)
+        // grow the index from the drained verdicts (svec rides along in
+        // semDedupAdmit's output precisely so this union needs no
+        // re-scaling); eager localCheckpoint, NOT persist — the lineage
+        // reads `out`, which drain 2 appends to (the q271 hazard)
+        val grown = index0.unionByName(
+          s.read.parquet(out).filter(col("keep"))
+            .select(col("vec_id"), col("cluster"), col("dist2"),
+              col("svec")))
+          .repartition(col("cluster")).localCheckpoint(true)
+        index0.unpersist()
+        idx = grown
+        e.filter(col("vec_id") % 4 === 3).coalesce(1)
+          .write.mode("append").parquet(stage)
+        drain(2L)
+        s.read.parquet(out)
+          .select(col("vec_id"), col("batch"), col("cluster"),
+            col("dist2"), col("keep"), col("dup_of"))
+          .orderBy("vec_id")
+      }
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
-    q129, q130, q134, q157, q166, q174, q235, q244, q248, q257, q267, q271)
+    q129, q130, q134, q157, q166, q174, q235, q244, q248, q257, q267, q271,
+    q278)
 }

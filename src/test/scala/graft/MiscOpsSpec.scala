@@ -2036,6 +2036,55 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(1L)._2 == got(2L)._2 && got(3L)._2 == got(4L)._2)
   }
 
+  test("semDedupAdmit: frozen-codebook admission — in-range index " +
+    "members reject, dup_of is the farthest-from-centroid member, " +
+    "out-of-range and empty-cell newcomers keep; no within-batch " +
+    "interaction") {
+    val ref = Seq(
+      (2L, Seq(1f, 0f)), (4L, Seq(0f, 1f)), (6L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.ops.Similarity
+      .kmeansCentroids(ref, "vec_id", "embedding", k = 2, iters = 2)
+    val fit = graft.ops.Similarity
+      .kmeansFit(ref, "vec_id", "embedding", k = 2, iters = 2)
+    val index = fit.join(graft.ops.Similarity
+      .scaledVectors(ref, "vec_id", "embedding"), Seq("vec_id"))
+    val batch = Seq(
+      (1L, Seq(1f, 0f)), // exact dup of indexed 2 -> rejected
+      (3L, Seq(0f, 1f)), // exact dup of indexed 4 -> rejected
+      (5L, Seq(1f, 0f)), // ALSO a dup of 2 — and of batch-mate 1, but
+                         // batch mates never interact: dup_of = 2
+      (7L, Seq(-5f, -5f))) // far from everything -> kept
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity
+      .semDedupAdmit(batch, index, cents, "vec_id", "embedding",
+        maxDist2 = 100L)
+      .select("vec_id", "keep", "dup_of")
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got(1L)._2 && got(1L)._3.contains(2L))
+    assert(!got(3L)._2 && got(3L)._3.contains(4L))
+    assert(!got(5L)._2 && got(5L)._3.contains(2L),
+      "batch mates must not interact; the index member rejects")
+    assert(got(7L)._2 && got(7L)._3.isEmpty)
+    // batch-boundary invariance: admitting {1,3,5,7} in one batch
+    // equals admitting {1,3} then {5,7} against the SAME index (no
+    // growth needed — none were admitted)
+    val b1 = Seq((1L, Seq(1f, 0f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val b2 = Seq((5L, Seq(1f, 0f)), (7L, Seq(-5f, -5f)))
+      .toDF("vec_id", "embedding")
+    val split = (graft.ops.Similarity.semDedupAdmit(b1, index, cents,
+      "vec_id", "embedding", maxDist2 = 100L).collect() ++
+      graft.ops.Similarity.semDedupAdmit(b2, index, cents,
+        "vec_id", "embedding", maxDist2 = 100L).collect())
+      .map(_.toString).sorted.toSeq
+    val whole = graft.ops.Similarity.semDedupAdmit(batch, index, cents,
+      "vec_id", "embedding", maxDist2 = 100L).collect()
+      .map(_.toString).sorted.toSeq
+    assert(split == whole, "admission must be batch-boundary invariant")
+  }
+
   test("winnowFingerprints: the winnowing guarantee — a shared run of " +
     "w+k-1 = 6 words yields >= 1 shared fingerprint regardless of " +
     "position; disjoint-vocabulary docs share none") {
