@@ -141,6 +141,27 @@ def main() -> None:
             f"read_parquet('{sf_dir}/{t}.parquet*', hive_partitioning=0)")
     con.execute("SELECT count(*) FROM lineitem").fetchall()  # warm FS cache
 
+    # ambient-drift sentinel (r14 verdict task 7): a fixed subset of
+    # gates that never change round to round, timed FIRST (before the
+    # main sweep can heat caches differently per round) and reported in
+    # the summary. r14's isolated draws ran a uniform ~1.15x above r13's
+    # on unchanged gates — same-machine drift that per-gate deltas can't
+    # be read through without a baseline. Next round: divide per-gate
+    # deltas by (sentinel_now / sentinel_prev) before calling a
+    # regression structural.
+    SENTINELS = ("q01_filter_project", "q12_tpch_q1", "q47_edit_distance")
+    sentinel = {}
+    for name in SENTINELS:
+        if name not in oracle:
+            continue
+        t0 = time.time()
+        try:
+            con.execute(oracle[name]).fetchall()
+            sentinel[name] = {"duckdb_s": round(time.time() - t0, 3),
+                              "spark_s": spark.get(name)}
+        except Exception:  # noqa: BLE001 - sentinel is best-effort
+            pass
+
     result = {}
     for name in sorted(set(oracle) | set(spark)):
         duck_s = None
@@ -220,6 +241,22 @@ def main() -> None:
     if os.environ.get("ORACLE_BENCH_NOTE"):
         note += " " + os.environ["ORACLE_BENCH_NOTE"]
     summary["note"] = note
+    if sentinel:
+        summary["sentinel"] = sentinel
+        sd = sum(v["duckdb_s"] for v in sentinel.values())
+        ss = sum(v["spark_s"] for v in sentinel.values()
+                 if v["spark_s"] is not None)
+        summary["sentinel_duckdb_total_s"] = round(sd, 3)
+        summary["sentinel_spark_total_s"] = round(ss, 3)
+        summary["note"] += (" Sentinel gates (fixed subset, timed before "
+                            "the sweep — normalize same-machine drift "
+                            "against the previous round's values before "
+                            "reading per-gate deltas as structural): "
+                            + ", ".join(f"{k} duckdb={v['duckdb_s']}s"
+                                        + (f" spark={v['spark_s']}s"
+                                           if v["spark_s"] is not None
+                                           else "")
+                                        for k, v in sorted(sentinel.items())))
     if batch:
         bs = round(sum(v["spark_s"] for _, v in batch), 3)
         bd = round(sum(v["duckdb_s"] for _, v in batch), 3)
