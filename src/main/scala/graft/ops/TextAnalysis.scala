@@ -2046,6 +2046,15 @@ object TextAnalysis {
 
   /** Shared gram relation for the winnowing family: one row per (doc,
     * gram position), 60-bit gram hash. One tokenize, row-local hashing.
+    *
+    * The doc-keyed repartition sits BEFORE the gram hashing, not after:
+    * the selection window downstream requires hashpartitioning(doc)
+    * anyway, so the exchange count is unchanged — but placed here it
+    * (a) carries raw text instead of exploded gram rows (~5× smaller
+    * payload: one ~300 B text row vs n_grams × 32 B), and (b) spreads
+    * the sha256 gram hashing across all cores even when the input is a
+    * single parquet row group (the bench corpus is — hashing 260k grams
+    * on the lone scan task was most of q272's wall).
     */
   private def winnowGrams(docs: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int): DataFrame = {
@@ -2053,6 +2062,12 @@ object TextAnalysis {
     docs
       .select(col(idCol), ws.as("_ws"))
       .filter(size(col("_ws")) >= shingleSize)
+      // explicit count: the text relation is small in BYTES (AQE would
+      // coalesce it to 1-2 partitions) but each row fans out into
+      // n_grams sha256 evaluations — the CPU-per-byte exemption
+      // Expansion.boundedCellParts documents (the q173 lesson)
+      .repartition(graft.ops.Expansion.boundedCellParts(docs.sparkSession),
+        col(idCol))
       .select(col(idCol), size(col("_ws")).as("_n"),
         posexplode(transform(
           sequence(lit(0), size(col("_ws")) - shingleSize),
@@ -2127,8 +2142,12 @@ object TextAnalysis {
     // r14 Explain audit showed two documents scans, no ReusedExchange).
     // A lazy localCheckpoint computes it once and feeds both sides from
     // the materialized (doc, fp) relation — which is ~1/window of gram
-    // volume, the cheapest thing in this operator to hold.
+    // volume, the cheapest thing in this operator to hold. Checkpointed
+    // PRE-PARTITIONED by fp: Dataset.localCheckpoint preserves
+    // outputPartitioning, so both join sides arrive co-partitioned and
+    // the equi-join plans with ZERO further exchanges.
     val fps = winnowFingerprints(docs, idCol, textCol, shingleSize, window)
+      .repartition(col("fp"))
       .localCheckpoint(false)
     val a = fps.toDF("doc_a", "fp")
     val b = fps.toDF("doc_b", "fp")
@@ -2189,8 +2208,10 @@ object TextAnalysis {
                      minShared: Long = 2L, maxPairs: Int = 0): DataFrame = {
     require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
     val k = shingleSize.toLong
+    // fp-partitioned checkpoint for the same zero-exchange self-join as
+    // winnowMatches (partitioning survives localCheckpoint)
     val fpp = winnowFingerprintsPos(docs, idCol, textCol, shingleSize,
-      window).localCheckpoint(false)
+      window).repartition(col("fp")).localCheckpoint(false)
     val a = fpp.toDF("doc_a", "fp", "pa")
     val b = fpp.toDF("doc_b", "fp", "pb")
     // jn feeds three consumers (pair screen + both coverage branches):

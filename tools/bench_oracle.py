@@ -55,6 +55,8 @@ STREAMING_GATES = {
     # drain is the shared shape; q271 adds the between-drain census merge)
     "q267_streaming_census_admission": "census_admission",
     "q271_streaming_census_growth": "census_admission",
+    # stateless foreachBatch against a frozen codebook + keep-set index
+    "q278_streaming_semdedup_admission": "sem_admission",
 }
 
 # Gates whose oracle PREDICTS the synthesized round-trip arithmetically
