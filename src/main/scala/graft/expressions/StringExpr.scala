@@ -457,3 +457,96 @@ object HtmlUnescape {
   def apply(c: Column): Column =
     Bridge.column(HtmlUnescape(Bridge.expression(c.cast("string"))))
 }
+
+/** Codegen helper for [[DupGramCov]] — static forwarder callable from
+  * generated Java.
+  */
+object DupGramCovUtil {
+
+  /** Characters covered by DUPLICATED word n-grams — the numerator of
+    * Gopher's duplicate-n-gram char fraction (Rae et al. '21 Table A1,
+    * the n = 5..10 family; [[TopGramCovUtil]] is the top-n-gram 2..4
+    * family): every occurrence of an n-gram that appears ≥ 2 times in
+    * the doc covers its char span (words + internal separator spaces);
+    * spans UNION — overlapping occurrences never double-count. Exact
+    * interval merge over starts in ascending order (occurrence spans
+    * are sorted by construction). Lengths and offsets are code points,
+    * matching both engines' `length`. Texts with < n words cover 0.
+    */
+  def dupGramCov(s: UTF8String, n: Int): Long = {
+    val words = s.toString.split(" ", -1)
+    if (words.length < n) return 0L
+    val lens = new Array[Int](words.length)
+    val starts = new Array[Int](words.length)
+    var off = 0
+    var i = 0
+    while (i < words.length) {
+      lens(i) = words(i).codePointCount(0, words(i).length)
+      starts(i) = off
+      off += lens(i) + 1
+      i += 1
+    }
+    val counts = new java.util.HashMap[String, Int]()
+    val grams = new Array[String](words.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      grams(i) = sb.toString
+      counts.merge(grams(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var covered = 0L
+    var curEnd = -1 // exclusive end of the open merged interval
+    var curStart = -1
+    i = 0
+    while (i < grams.length) {
+      if (counts.get(grams(i)) >= 2) {
+        val st = starts(i)
+        val en = starts(i + n - 1) + lens(i + n - 1) // exclusive
+        if (curStart < 0) { curStart = st; curEnd = en }
+        else if (st <= curEnd) { if (en > curEnd) curEnd = en }
+        else {
+          covered += curEnd - curStart
+          curStart = st
+          curEnd = en
+        }
+      }
+      i += 1
+    }
+    if (curStart >= 0) covered += curEnd - curStart
+    covered
+  }
+}
+
+/** Native duplicate-n-gram char cover (see [[DupGramCovUtil.dupGramCov]]):
+  * row-local, zero shuffles, one pass + one exact interval merge per doc.
+  */
+case class DupGramCov(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_dup_gram_cov"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DupGramCovUtil.dupGramCov(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.DupGramCovUtil.dupGramCov($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): DupGramCov =
+    copy(child = newChild)
+}
+
+object DupGramCov {
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(DupGramCov(Bridge.expression(c.cast("string")), n))
+}

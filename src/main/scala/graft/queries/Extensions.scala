@@ -7664,6 +7664,94 @@ object Extensions {
       }
     })
 
+  private val q279 = Q("q279_dup_gram_chars",
+    "Gopher's duplicate-n-gram char fractions, n = 5..10 (Rae et al. " +
+      "Table A1's other repetition half — q258's top-2/3/4-gram rules " +
+      "are the first): every occurrence of an n-gram appearing >= 2 " +
+      "times covers its char span, spans UNION exactly (overlapping " +
+      "occurrences never double-count — the native kernel merges " +
+      "sorted intervals, the oracle runs the running-max-end window " +
+      "identity), ppm of doc chars, keep at the published " +
+      "0.15/0.14/0.13/0.12/0.11/0.10 cuts; the corpus has ZERO " +
+      "natural within-doc 5-gram repeats (verified both scales), so " +
+      "docs with id % 3 = 0 get their first 12 words appended TWICE — " +
+      "manufactured overlap that exercises the union math and splits " +
+      "keep; row-local native, zero shuffles beyond the ORDER BY",
+    Some("""
+      WITH h AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN text || ' ' ||
+          array_to_string(string_split(text, ' ')[1:12], ' ') || ' ' ||
+          array_to_string(string_split(text, ' ')[1:12], ' ')
+        ELSE text END AS t FROM documents),
+      w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM h),
+      nn AS (SELECT doc_id, ws, unnest([5, 6, 7, 8, 9, 10]) AS n FROM w),
+      g0 AS (SELECT doc_id, n, ws,
+             unnest(generate_series(1, len(ws)-n+1)) AS i FROM nn),
+      gg AS (SELECT doc_id, n, i,
+             array_to_string(ws[i:i+n-1], ' ') AS g,
+             CASE WHEN i = 1 THEN 0
+                  ELSE length(array_to_string(ws[1:i-1], ' ')) + 1
+             END AS st
+             FROM g0),
+      cnt AS (SELECT doc_id, n, g, count(*) AS c FROM gg GROUP BY 1, 2, 3),
+      dup AS (SELECT gg.doc_id, gg.n, gg.st,
+              gg.st + length(gg.g) AS en
+              FROM gg JOIN cnt ON gg.doc_id = cnt.doc_id
+                AND gg.n = cnt.n AND gg.g = cnt.g
+              WHERE cnt.c >= 2),
+      uni AS (SELECT doc_id, n, st, en,
+              max(en) OVER (PARTITION BY doc_id, n ORDER BY st
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM dup),
+      cov AS (SELECT doc_id, n,
+              CAST(sum(greatest(0, en - greatest(st, coalesce(pe, 0))))
+                AS BIGINT) AS cov
+              FROM uni GROUP BY 1, 2),
+      pp AS (SELECT w.doc_id, length(t) AS nc,
+             coalesce(max(CASE WHEN n = 5 THEN cov END), 0) AS c5,
+             coalesce(max(CASE WHEN n = 6 THEN cov END), 0) AS c6,
+             coalesce(max(CASE WHEN n = 7 THEN cov END), 0) AS c7,
+             coalesce(max(CASE WHEN n = 8 THEN cov END), 0) AS c8,
+             coalesce(max(CASE WHEN n = 9 THEN cov END), 0) AS c9,
+             coalesce(max(CASE WHEN n = 10 THEN cov END), 0) AS c10
+             FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+             GROUP BY w.doc_id, w.t)
+      SELECT doc_id,
+        CAST((1000000 * c5) // nc AS BIGINT) AS dup5_ppm,
+        CAST((1000000 * c6) // nc AS BIGINT) AS dup6_ppm,
+        CAST((1000000 * c7) // nc AS BIGINT) AS dup7_ppm,
+        CAST((1000000 * c8) // nc AS BIGINT) AS dup8_ppm,
+        CAST((1000000 * c9) // nc AS BIGINT) AS dup9_ppm,
+        CAST((1000000 * c10) // nc AS BIGINT) AS dup10_ppm,
+        ((1000000 * c5) // nc <= 150000 AND (1000000 * c6) // nc <= 140000
+         AND (1000000 * c7) // nc <= 130000
+         AND (1000000 * c8) // nc <= 120000
+         AND (1000000 * c9) // nc <= 110000
+         AND (1000000 * c10) // nc <= 100000) AS keep
+      FROM pp ORDER BY doc_id"""),
+    (s, dir) => {
+      val rep = array_join(slice(split(col("text"), " "), lit(1), lit(12)), " ")
+      val t2 = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" "), rep, lit(" "), rep))
+        .otherwise(col("text"))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), t2.as("t"))
+        .select(col("doc_id") +:
+          length(col("t")).cast("long").as("nc") +:
+          (5 to 10).map(n =>
+            graft.expressions.DupGramCov(col("t"), n).as(s"c$n")): _*)
+      val cuts = Seq(5 -> 150000L, 6 -> 140000L, 7 -> 130000L,
+        8 -> 120000L, 9 -> 110000L, 10 -> 100000L)
+      val ppm = cuts.foldLeft(base) { case (df, (n, _)) =>
+        df.withColumn(s"dup${n}_ppm", expr(s"(1000000 * c$n) div nc"))
+      }
+      ppm.select(col("doc_id") +:
+        cuts.map { case (n, _) => col(s"dup${n}_ppm") } :+
+        cuts.map { case (n, cut) => col(s"dup${n}_ppm") <= cut }
+          .reduce(_ && _).as("keep"): _*)
+        .orderBy("doc_id")
+    })
+
   private val q274 = Q("q274_stratified_terciles",
     "PER-LANGUAGE perplexity terciles (CCNet's actual shape — it cuts " +
       "each language by its OWN thirds; a global cut dumps whole low-" +
@@ -7709,5 +7797,5 @@ object Extensions {
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
     q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270,
-    q272, q273, q274, q275, q276, q277)
+    q272, q273, q274, q275, q276, q277, q279)
 }

@@ -101,6 +101,28 @@ class GopherSignalsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("DupGramCov hand-checked: overlap merges, disjoint sums, n above " +
+    "the repeat length covers zero") {
+    import graft.expressions.DupGramCov
+    // "a b c d e" repeated twice with a separator word:
+    // text = "a b c d e x a b c d e" (21 chars)
+    // dup 5-grams: "a b c d e" at word pos 0 and 6 -> two disjoint
+    // char spans [0,9) and [12,21) -> 9 + 9 = 18
+    // dup 6-grams: none repeat -> 0
+    val t1 = "a b c d e x a b c d e"
+    // overlapping occurrences: "a a a a a a a" -> dup 5-grams at pos
+    // 0,1,2 (all equal "a a a a a"), spans [0,9),[2,11),[4,13) merge to
+    // [0,13) = 13 chars
+    val t2 = "a a a a a a a"
+    val r = Seq(t1, t2).toDF("text")
+      .select($"text", DupGramCov($"text", 5).as("d5"),
+        DupGramCov($"text", 6).as("d6"))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(r(t1) == ((18L, 0L)))
+    assert(r(t2) == ((13L, 13L))) // 6-grams at pos 0,1 -> [0,11),[2,13)
+  }
+
   test("TopGramCov hand-checked values") {
     // "x y x y x y": 2-grams = x_y ×3, y_x ×2 → best cov = 3×3 = 9
     val r = Seq("x y x y x y").toDF("text")
