@@ -2002,6 +2002,66 @@ object TextAnalysis {
         col("mean_bits_ppm").between(keepLoPpm, keepHiPpm))
   }
 
+  /** DSIR importance scoring (Xie et al. '23, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw-corpus docs
+    * by how much more likely a TARGET-domain unigram model finds them
+    * than the SOURCE (raw) model — log p_t(x) − log p_s(x) =
+    * Σ_w c_w(x) · (log p_t(w) − log p_s(w)). Integer-exact in the
+    * engine-portable bits form this file already pins
+    * ([[unigramSurprisal]]/[[scoreAgainstCensus]]):
+    * bits_e(w) = floor(log2((N_e + V_e) div (c_{e,w} + 1))) add-1
+    * smoothed per census e, and
+    * gain_bits = Σ c_w·bits_source(w) − Σ c_w·bits_target(w) — positive
+    * means the target model describes the doc more cheaply
+    * (target-like). gain_ppm normalizes per word so short docs compare.
+    *
+    * Both censuses are FROZEN (word, count) relations
+    * ([[unigramCensus]]) — the production posture: build the target
+    * census from the trusted corpus once, the source census from a raw
+    * sample once, then score any number of batches (the q266 scoring
+    * discipline with two references instead of one).
+    *
+    * Shape at 100 TB: docs collapse to (doc, word) counts, ONE
+    * word-keyed join against each census (broadcast at gate scale,
+    * keyed shuffle against pre-partitioned censuses at corpus scale),
+    * one per-doc rollup. The paper's Gumbel-noise resampling draw is
+    * deliberately replaced by deterministic top-k selection downstream
+    * — engine-reproducible where noise is not (the q127 A-ES pattern
+    * exists when a seeded weighted DRAW is wanted).
+    *
+    * Output: (idCol, n_words, target_bits, source_bits, gain_bits,
+    * gain_ppm).
+    */
+  def dsirGain(docs: DataFrame, target: DataFrame, source: DataFrame,
+               idCol: String, textCol: String): DataFrame = {
+    val nvT = target.agg(sum(col("c")).as("_nt"), count(lit(1)).as("_vt"))
+    val nvS = source.agg(sum(col("c")).as("_ns"), count(lit(1)).as("_vs"))
+    val dw = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
+    dw.join(target.select(col("w"), col("c").as("_ct")), Seq("w"), "left")
+      .join(source.select(col("w"), col("c").as("_cs")), Seq("w"), "left")
+      .crossJoin(broadcast(nvT)).crossJoin(broadcast(nvS))
+      .select(col(idCol), col("k"),
+        floor(log2(expr("(_nt + _vt) div (coalesce(_ct, 0L) + 1L)")))
+          .cast("long").as("_bt"),
+        floor(log2(expr("(_ns + _vs) div (coalesce(_cs, 0L) + 1L)")))
+          .cast("long").as("_bs"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("_bt")).as("target_bits"),
+        sum(col("k") * col("_bs")).as("source_bits"))
+      .withColumn("gain_bits", col("source_bits") - col("target_bits"))
+      // difference of the two NON-NEGATIVE per-word means, NOT the mean
+      // of the (possibly negative) difference: integer division of a
+      // negative diverges between engines (Spark `div` truncates toward
+      // zero, DuckDB `//` floors), and both terms here are >= 0 where
+      // the two rules agree
+      .withColumn("gain_ppm",
+        expr("(1000000 * source_bits) div n_words" +
+          " - (1000000 * target_bits) div n_words"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken — the
     * MOSS core): hash every `shingleSize`-word gram, slide a window of
     * `window` consecutive gram hashes, keep each window's MINIMUM — the

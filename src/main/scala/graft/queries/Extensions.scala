@@ -7752,6 +7752,71 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q280 = Q("q280_dsir_selection",
+    "DSIR data selection (Xie et al. '23, importance resampling): rank " +
+      "raw docs by how much more cheaply the TARGET-domain unigram " +
+      "model describes them than the SOURCE model — gain = source_bits " +
+      "- target_bits under two FROZEN censuses (target = the en-lang " +
+      "slice, source = the whole corpus; both built once, the q266 " +
+      "frozen-artifact posture with two references), bits in the exact " +
+      "floor-log2 add-1 form the census family pins; gain_ppm is the " +
+      "difference of the two non-negative per-word means (a negative " +
+      "numerator would split Spark's truncating div from DuckDB's " +
+      "flooring //); selection = deterministic top-n/4 by (gain_ppm " +
+      "DESC, doc_id) via the distributed top-k + a semi-join flag — " +
+      "the paper's Gumbel draw replaced by the engine-reproducible " +
+      "rule (q127's A-ES exists when a seeded weighted draw is wanted)",
+    Some("""
+      WITH tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+             (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE lang = 'en') GROUP BY 1),
+      sc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+             (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents) GROUP BY 1),
+      nvt AS (SELECT CAST(sum(c) AS BIGINT) AS nt, count(*) AS vt FROM tc),
+      nvs AS (SELECT CAST(sum(c) AS BIGINT) AS ns, count(*) AS vs FROM sc),
+      dw AS (SELECT doc_id, w, count(*) AS k FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents) GROUP BY 1, 2),
+      g AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+            CAST(sum(k * CAST(floor(log2(
+              (nt + vt) // (coalesce(tc.c, 0) + 1))) AS BIGINT))
+              AS BIGINT) AS target_bits,
+            CAST(sum(k * CAST(floor(log2(
+              (ns + vs) // (coalesce(sc.c, 0) + 1))) AS BIGINT))
+              AS BIGINT) AS source_bits
+            FROM dw CROSS JOIN nvt CROSS JOIN nvs
+            LEFT JOIN tc USING (w) LEFT JOIN sc USING (w) GROUP BY 1),
+      gg AS (SELECT doc_id, n_words, target_bits, source_bits,
+             source_bits - target_bits AS gain_bits,
+             CAST((1000000 * source_bits) // n_words
+               - (1000000 * target_bits) // n_words AS BIGINT) AS gain_ppm
+             FROM g),
+      kk AS (SELECT count(*) // 4 AS k FROM gg),
+      rk AS (SELECT doc_id, ROW_NUMBER() OVER
+               (ORDER BY gain_ppm DESC, doc_id) AS rn FROM gg)
+      SELECT gg.doc_id, n_words, target_bits, source_bits, gain_bits,
+             gain_ppm, rk.rn <= (SELECT k FROM kk) AS selected
+      FROM gg JOIN rk USING (doc_id) ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = TextAnalysis.unigramCensus(
+        docs.filter(col("lang") === "en"), "text")
+      val source = TextAnalysis.unigramCensus(docs, "text")
+      val g = TextAnalysis.dsirGain(docs, target, source,
+        "doc_id", "text").localCheckpoint(false)
+      // n is corpus row count (every doc tokenizes to >= 1 word); the
+      // 1-value probe is the established q265/q277 pattern
+      val k = (docs.count() / 4L).toInt
+      val top = g.orderBy(col("gain_ppm").desc, col("doc_id"))
+        .limit(k).select(col("doc_id"))
+      g.join(top.withColumn("_sel", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("target_bits"),
+          col("source_bits"), col("gain_bits"), col("gain_ppm"),
+          coalesce(col("_sel"), lit(false)).as("selected"))
+        .orderBy("doc_id")
+    })
+
   private val q274 = Q("q274_stratified_terciles",
     "PER-LANGUAGE perplexity terciles (CCNet's actual shape — it cuts " +
       "each language by its OWN thirds; a global cut dumps whole low-" +
@@ -7797,5 +7862,5 @@ object Extensions {
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
     q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270,
-    q272, q273, q274, q275, q276, q277, q279)
+    q272, q273, q274, q275, q276, q277, q279, q280)
 }

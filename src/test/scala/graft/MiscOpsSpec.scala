@@ -1997,6 +1997,32 @@ class CurationOpsSpec extends SparkSpec {
       e2.getCause != null && e2.getCause.getMessage.contains("zero"))
   }
 
+  test("dsirGain: target-like docs earn positive gain, source-typical " +
+    "docs negative; OOV words cost both models their max and cancel " +
+    "toward the prior gap") {
+    // target (wiki-like) and source (crawl-like) with disjoint cores
+    val wiki = Seq((1L, "theorem proof lemma theorem corollary"),
+      (2L, "proof theorem axiom lemma proof")).toDF("doc_id", "text")
+    val crawl = Seq((3L, "click here buy now click"),
+      (4L, "subscribe click buy here now"),
+      (5L, "theorem proof click here")).toDF("doc_id", "text")
+    val tc = graft.ops.TextAnalysis.unigramCensus(wiki, "text")
+    val sc = graft.ops.TextAnalysis.unigramCensus(crawl, "text")
+    val toScore = Seq(
+      (10L, "theorem proof lemma axiom"), // pure target vocab
+      (11L, "click here buy subscribe"), // pure source vocab
+      (12L, "zzz qqq www xxx")) // pure OOV
+      .toDF("doc_id", "text")
+    val g = graft.ops.TextAnalysis
+      .dsirGain(toScore, tc, sc, "doc_id", "text")
+      .select("doc_id", "gain_bits").as[(Long, Long)].collect().toMap
+    assert(g(10L) > 0L, s"target-vocab doc must gain: ${g(10L)}")
+    assert(g(11L) < 0L, s"source-vocab doc must lose: ${g(11L)}")
+    // OOV doc: every word costs each model its own add-1 max — the gap
+    // is the two models' size prior, strictly between the extremes
+    assert(g(12L) > g(11L) && g(12L) < g(10L))
+  }
+
   test("mergeCensus: union+sum equals the census of the concatenated " +
     "corpus (counts are the mergeable form)") {
     val a = Seq((1L, "x y x")).toDF("doc_id", "text")
