@@ -2372,4 +2372,164 @@ object TextAnalysis {
       .select(col(idCol), col("label"), col("_cls").as("pred"),
         col("bits"), (col("label") === col("_cls")).as("correct"))
   }
+
+  /** C4's line-level cleanup rewrite (Raffel et al. '20 §2.2 — the rules
+    * the original C4 build applied BEFORE any statistical filter): a line
+    * survives iff it (1) ends in a terminal punctuation mark, (2) carries
+    * at least five words, and (3) does not mention "javascript"; the PAGE
+    * survives iff it contains neither "lorem ipsum" nor a curly brace and
+    * retains at least three sentences (= kept lines here — every kept
+    * line ends in a terminal mark). Line drops attribute FIRST-FAIL in
+    * declared order (punct → short → javascript), the q258/q237 funnel
+    * discipline at line granularity.
+    *
+    * Takes the lines as an already-built array column so the caller owns
+    * the line synthesis (the corpus is flat text — gates manufacture
+    * lines + rule-exercising fixtures the same way their oracles do).
+    * Everything here is row-local array arithmetic over that column:
+    * ZERO exchanges, flat cost per doc, the multimodal-decoder posture —
+    * at 100 TB this is a map-only stage that rides whatever partitioning
+    * the scan produced.
+    *
+    * Output: (idCol, n_lines, kept_lines, dropped_punct, dropped_short,
+    * dropped_js, has_lorem, has_brace, keep, cleaned, kept_chars_ppm) —
+    * `cleaned` is the kept lines rejoined (the REWRITE — q87's posture,
+    * rule-based instead of dedup), '' when nothing survives;
+    * kept_chars_ppm is exact integer ppm of the synthesized page's chars.
+    */
+  def c4LineFilter(docs: DataFrame, idCol: String,
+                   linesCol: String): DataFrame = {
+    val lines = col(linesCol)
+    def endsPunct(l: Column) = l.endsWith(".") || l.endsWith("!") ||
+      l.endsWith("?") || l.endsWith("\"")
+    def nWords(l: Column) = size(split(l, " "))
+    def hasJs(l: Column) = l.contains("javascript")
+    val keptL = filter(lines,
+      l => endsPunct(l) && nWords(l) >= 5 && !hasJs(l))
+    val full = array_join(lines, "\n")
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(keptL).cast("long").as("kept_lines"),
+      size(filter(lines, l => !endsPunct(l))).cast("long")
+        .as("dropped_punct"),
+      size(filter(lines, l => endsPunct(l) && nWords(l) < 5)).cast("long")
+        .as("dropped_short"),
+      size(filter(lines, l => endsPunct(l) && nWords(l) >= 5 && hasJs(l)))
+        .cast("long").as("dropped_js"),
+      full.contains("lorem ipsum").as("has_lorem"),
+      full.contains("{").as("has_brace"),
+      array_join(keptL, "\n").as("cleaned"),
+      full.as("_full"))
+      .withColumn("keep",
+        !col("has_lorem") && !col("has_brace") && col("kept_lines") >= 3)
+      .withColumn("kept_chars_ppm",
+        // length() is IntegerType — widen BEFORE the ×1e6 (int wraps
+        // silently past ~2147 chars with ANSI off)
+        expr("(1000000 * cast(length(cleaned) as bigint))" +
+          " div cast(length(_full) as bigint)"))
+      .drop("_full")
+  }
+
+  /** Cross-document exact-substring dedup (Lee et al. '22's ExactSubstr,
+    * re-expressed as the distributed gram-census approximation every
+    * cluster implementation uses instead of their single-node suffix
+    * array): every STRIDE-1 window of `n` words is a gram; a gram whose
+    * text occurs more than once in the corpus keeps its FIRST occurrence
+    * (min (doc, offset) — q87's keep-first rule at overlapping-gram
+    * granularity) and every later occurrence marks its char span for
+    * removal; per doc the marked spans UNION exactly (the q279 interval
+    * identity) and the survivors splice back together.
+    *
+    * Shape at 100 TB: gram volume is word volume (stride 1 ⇒ ≤1 gram per
+    * word), so the census exchange — ONE window partitioned by the
+    * 60-bit gram hash ([[Dedup.dedupSpans]]'s key discipline: the hash
+    * rides the shuffle, not the ~6n-char gram text) — carries the same
+    * order of rows the surprisal tokenize always pays. Everything after
+    * the rn filter is dup-occurrence-sized: interval grouping is two
+    * doc-keyed windows + one aggregate, and the splice is a row-local
+    * fold over each doc's (few) merged spans; clean docs bypass it all
+    * through the final left join.
+    *
+    * Output: (idCol, n_grams, dup_spans, removed_chars, removed_ppm,
+    * cleaned) — removed_ppm exact integer ppm of doc chars, cleaned the
+    * spliced text (doc text unchanged when no span is marked).
+    */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    // grams with 0-based char offsets into the original text: gram i
+    // (1-based over words) starts after the i-1 words + separators
+    // before it — the q279 st/en convention
+    val nGrams = greatest(size(ws) - (n - 1), lit(0))
+    val grams = docs.select(col(idCol), col(textCol).as("_t"), ws.as("_ws"),
+      nGrams.as("_ng"))
+      .select(col(idCol), col("_t"),
+        // sequence(1, 0) DESCENDS in Spark — docs shorter than n words
+        // must slice the synthesized array down to empty instead
+        explode(slice(transform(
+          sequence(lit(1), greatest(col("_ng"), lit(1))),
+          i => struct(
+            array_join(slice(col("_ws"), i, lit(n)), " ").as("g"),
+            when(i === 1, lit(0L)).otherwise(
+              length(array_join(slice(col("_ws"), lit(1), i - 1), " "))
+                .cast("long") + 1L).as("st"))),
+          lit(1), col("_ng"))).as("_gr"))
+      .select(col(idCol), col("_gr.g").as("g"), col("_gr.st").as("st"),
+        (col("_gr.st") + length(col("_gr.g"))).as("en"))
+    val wFirst = Window.partitionBy(col("_gh"))
+      .orderBy(col(idCol), col("st"))
+    val marked = grams
+      .withColumn("_gh", TextFns.hash64(col("g")))
+      .withColumn("_rn", row_number().over(wFirst))
+      .filter(col("_rn") >= 2)
+      .select(col(idCol), col("st"), col("en"))
+    // exact interval union: a span opens a new merged group iff it
+    // starts strictly past the running max end of everything before it
+    // (adjacent spans merge); both windows are doc-keyed over the
+    // dup-occurrence rows only
+    val wPe = Window.partitionBy(col(idCol)).orderBy(col("st"), col("en"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGrp = Window.partitionBy(col(idCol)).orderBy(col("st"), col("en"))
+    val mergedIvs = marked
+      .withColumn("_pe", max(col("en")).over(wPe))
+      .withColumn("_new", when(col("st") > coalesce(col("_pe"), lit(-1L)),
+        1L).otherwise(0L))
+      .withColumn("_grp", sum(col("_new")).over(wGrp))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("en") - col("st")).as("removed_chars"),
+        array_sort(collect_list(struct(col("st"), col("en")))).as("_ivs"))
+    // n_grams is stride-1 arithmetic (max(|words| - n + 1, 0)) — row-
+    // local on the output scan, NOT a second evaluation of the gram
+    // explode (the q258/q261 one-heavy-scan discipline: the explode
+    // subtree feeds ONLY the census window)
+    docs.select(col(idCol), col(textCol).as("_t"),
+      greatest(size(split(col(textCol), " ")) - (n - 1), lit(0))
+        .cast("long").as("n_grams"))
+      .join(mergedIvs, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        expr("(1000000 * coalesce(removed_chars, 0L)) div length(_t)")
+          .as("removed_ppm"),
+        when(col("_ivs").isNull, col("_t")).otherwise(
+          // splice: fold the disjoint sorted spans, emitting the kept
+          // gap before each and the tail after the last (0-based
+          // offsets → 1-based substr)
+          aggregate(col("_ivs"),
+            struct(lit(0L).as("p"), lit("").as("acc")),
+            (a, iv) => struct(
+              iv.getField("en").as("p"),
+              concat(a.getField("acc"),
+                col("_t").substr((a.getField("p") + 1L).cast("int"),
+                  (iv.getField("st") - a.getField("p")).cast("int")))
+                .as("acc")),
+            a => concat(a.getField("acc"),
+              col("_t").substr((a.getField("p") + 1L).cast("int"),
+                (length(col("_t")).cast("long") - a.getField("p"))
+                  .cast("int"))))).as("cleaned"))
+  }
 }

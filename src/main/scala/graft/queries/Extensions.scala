@@ -7817,6 +7817,181 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q281 = Q("q281_c4_line_filter",
+    "C4's line-level cleanup REWRITE (Raffel et al. '20 §2.2 — the rules " +
+      "run BEFORE any statistical filter; q258 is the Gopher statistical " +
+      "battery, this is the structural pass that feeds it): a line " +
+      "survives iff it ends in terminal punctuation, carries >= 5 words, " +
+      "and does not mention 'javascript' (line drops attribute FIRST-" +
+      "FAIL: punct -> short -> javascript); the page survives iff it has " +
+      "no 'lorem ipsum', no curly brace, and >= 3 kept sentences; " +
+      "cleaned = the kept lines rejoined (q87's rewrite posture, rule-" +
+      "based). The corpus is flat unpunctuated text, so the gate " +
+      "manufactures the structure the rules need (the q279 fixture " +
+      "discipline): 5-word lines, '.' appended except every (doc+idx) % " +
+      "3 = 2 line, ' javascript' injected on (doc+idx) % 5 = 1 lines, " +
+      "'lorem ipsum.' appended to doc % 13 = 0 pages, a braced line to " +
+      "doc % 17 = 0 pages — every rule fires somewhere AND every rule " +
+      "passes somewhere at both test scales; row-local array arithmetic, " +
+      "ZERO exchanges beyond the ORDER BY",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      b AS (SELECT doc_id,
+              list_transform(generate_series(0, CAST(ceil(len(ws) / 5.0) AS INT) - 1),
+                i -> array_to_string(ws[(i*5+1):(i*5+5)], ' ')) AS bl
+            FROM w),
+      f AS (SELECT doc_id,
+              list_transform(generate_series(1, len(bl)), i ->
+                CASE WHEN (doc_id + i - 1) % 3 != 2 THEN
+                  (CASE WHEN (doc_id + i - 1) % 5 = 1
+                        THEN bl[i] || ' javascript' ELSE bl[i] END) || '.'
+                ELSE
+                  (CASE WHEN (doc_id + i - 1) % 5 = 1
+                        THEN bl[i] || ' javascript' ELSE bl[i] END)
+                END) AS fl
+            FROM b),
+      x AS (SELECT doc_id, fl
+              || (CASE WHEN doc_id % 13 = 0 THEN ['lorem ipsum.'] ELSE [] END)
+              || (CASE WHEN doc_id % 17 = 0 THEN ['config { x }.'] ELSE [] END)
+              AS lines FROM f),
+      e AS (SELECT doc_id, lines, array_to_string(lines, chr(10)) AS pg,
+              list_filter(lines, l ->
+                (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+                AND len(string_split(l, ' ')) >= 5
+                AND NOT contains(l, 'javascript')) AS keptl
+            FROM x),
+      g AS (SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(len(keptl) AS BIGINT) AS kept_lines,
+              CAST(len(list_filter(lines, l -> NOT (l LIKE '%.'
+                OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')))
+                AS BIGINT) AS dropped_punct,
+              CAST(len(list_filter(lines, l -> (l LIKE '%.' OR l LIKE '%!'
+                OR l LIKE '%?' OR l LIKE '%"')
+                AND len(string_split(l, ' ')) < 5))
+                AS BIGINT) AS dropped_short,
+              CAST(len(list_filter(lines, l -> (l LIKE '%.' OR l LIKE '%!'
+                OR l LIKE '%?' OR l LIKE '%"')
+                AND len(string_split(l, ' ')) >= 5
+                AND contains(l, 'javascript'))) AS BIGINT) AS dropped_js,
+              contains(pg, 'lorem ipsum') AS has_lorem,
+              contains(pg, '{') AS has_brace,
+              coalesce(array_to_string(keptl, chr(10)), '') AS cleaned,
+              length(pg) AS nc
+            FROM e)
+      SELECT doc_id, n_lines, kept_lines, dropped_punct, dropped_short,
+             dropped_js, has_lorem, has_brace, cleaned,
+             (NOT has_lorem AND NOT has_brace AND kept_lines >= 3) AS keep,
+             CAST((1000000 * length(cleaned)) // nc AS BIGINT)
+               AS kept_chars_ppm
+      FROM g ORDER BY doc_id"""),
+    (s, dir) => {
+      val ws = split(col("text"), " ")
+      val k = ceil(size(ws).cast("double") / 5.0).cast("int")
+      val baseLines = transform(sequence(lit(0), k - 1),
+        i => array_join(slice(ws, i * 5 + 1, lit(5)), " "))
+      val mut = transform(baseLines, (l, i) => {
+        val js = when((col("doc_id") + i) % 5 === 1,
+          concat(l, lit(" javascript"))).otherwise(l)
+        when((col("doc_id") + i) % 3 =!= 2, concat(js, lit(".")))
+          .otherwise(js)
+      })
+      val none = typedLit(Seq.empty[String])
+      val lines = concat(mut,
+        when(col("doc_id") % 13 === 0, array(lit("lorem ipsum.")))
+          .otherwise(none),
+        when(col("doc_id") % 17 === 0, array(lit("config { x }.")))
+          .otherwise(none))
+      val lined = t(s, dir, "documents")
+        .select(col("doc_id"), lines.as("lines"))
+      TextAnalysis.c4LineFilter(lined, "doc_id", "lines")
+        .orderBy("doc_id")
+    })
+
+  private val q282 = Q("q282_exact_substring_dedup",
+    "cross-document EXACT-SUBSTRING dedup rewrite (Lee et al. '22's " +
+      "ExactSubstr, as the distributed stride-1 gram census — their " +
+      "single-node suffix array doesn't shard; the gram form is what " +
+      "cluster implementations run): every 10-word window is a gram, a " +
+      "gram occurring more than once in the CORPUS keeps its first " +
+      "occurrence (min (doc, offset) — q87's keep-first at overlapping " +
+      "granularity) and later occurrences mark char spans that UNION " +
+      "exactly (q279's identity) and splice out of the text; q87 dedups " +
+      "fixed non-overlapping 5-word spans, this catches duplication at " +
+      "ANY alignment. The ~40-word vocabulary makes natural cross-doc " +
+      "10-gram collisions impossible, so the fixture injects a fixed 12-" +
+      "word phrase after doc % 4 = 0 pages and its 10-word prefix after " +
+      "doc % 6 = 0 pages — overlapping families sharing their prefix " +
+      "gram, doc % 12 = 0 carrying both back-to-back (adjacent-span " +
+      "merge exercised); ONE gram-hash window + two doc-keyed windows " +
+      "over dup occurrences only",
+    Some("""
+      WITH p AS (SELECT 'quark glint moss fjord ember dune crag veld tarn wisp onyx rill' AS p12),
+      h AS (SELECT doc_id,
+              text ||
+              (CASE WHEN doc_id % 4 = 0 THEN ' ' || p12 ELSE '' END) ||
+              (CASE WHEN doc_id % 6 = 0 THEN ' ' ||
+                array_to_string(string_split(p12, ' ')[1:10], ' ')
+               ELSE '' END) AS t
+            FROM documents CROSS JOIN p),
+      w AS (SELECT doc_id, t, string_split(t, ' ') AS ws,
+              greatest(len(ws) - 9, 0) AS n_grams FROM h),
+      g0 AS (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS i
+             FROM w),
+      gg AS (SELECT doc_id,
+               array_to_string(ws[i:i+9], ' ') AS g,
+               CASE WHEN i = 1 THEN 0
+                    ELSE length(array_to_string(ws[1:i-1], ' ')) + 1
+               END AS st
+             FROM g0),
+      mk AS (SELECT doc_id, st, st + length(g) AS en FROM
+             (SELECT doc_id, g, st, ROW_NUMBER() OVER
+                (PARTITION BY g ORDER BY doc_id, st) AS rn FROM gg)
+             WHERE rn >= 2),
+      pe AS (SELECT doc_id, st, en,
+               max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+             FROM mk),
+      gr AS (SELECT doc_id, st, en,
+               sum(CASE WHEN st > coalesce(pe, -1) THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY st, en) AS grp
+             FROM pe),
+      m AS (SELECT doc_id, grp, min(st) AS st, max(en) AS en
+            FROM gr GROUP BY 1, 2),
+      gap AS (SELECT doc_id, st, en,
+                coalesce(lag(en) OVER (PARTITION BY doc_id ORDER BY st),
+                  0) AS prev_en
+              FROM m),
+      cl AS (SELECT g.doc_id,
+               count(*) AS dup_spans,
+               CAST(sum(g.en - g.st) AS BIGINT) AS removed_chars,
+               coalesce(string_agg(substr(w.t, CAST(g.prev_en + 1 AS INT),
+                 CAST(g.st - g.prev_en AS INT)), '' ORDER BY g.st), '')
+                 || substr(w.t, CAST(max(g.en) + 1 AS INT)) AS cleaned
+             FROM gap g JOIN w ON g.doc_id = w.doc_id
+             GROUP BY g.doc_id, w.t)
+      SELECT w.doc_id, CAST(w.n_grams AS BIGINT) AS n_grams,
+             CAST(coalesce(cl.dup_spans, 0) AS BIGINT) AS dup_spans,
+             coalesce(cl.removed_chars, 0) AS removed_chars,
+             CAST((1000000 * coalesce(cl.removed_chars, 0))
+               // length(w.t) AS BIGINT) AS removed_ppm,
+             coalesce(cl.cleaned, w.t) AS cleaned
+      FROM w LEFT JOIN cl ON w.doc_id = cl.doc_id
+      ORDER BY w.doc_id"""),
+    (s, dir) => {
+      val p12 = "quark glint moss fjord ember dune crag veld tarn wisp " +
+        "onyx rill"
+      val p10 = p12.split(" ").take(10).mkString(" ")
+      val fixtured = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" " + p12)).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit(" " + p10)).otherwise(lit("")))
+          .as("t"))
+      TextAnalysis.exactSubstringDedup(fixtured, "doc_id", "t", n = 10)
+        .orderBy("doc_id")
+    })
+
   private val q274 = Q("q274_stratified_terciles",
     "PER-LANGUAGE perplexity terciles (CCNet's actual shape — it cuts " +
       "each language by its OWN thirds; a global cut dumps whole low-" +
@@ -7862,5 +8037,5 @@ object Extensions {
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
     q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270,
-    q272, q273, q274, q275, q276, q277, q279, q280)
+    q272, q273, q274, q275, q276, q277, q279, q280, q281, q282)
 }

@@ -1136,7 +1136,101 @@ object Pipeline {
       }
     })
 
+  private val q283 = Q("q283_streaming_dsir_admission",
+    "§2.9 × selection: q280's DSIR scoring run as a standing admission " +
+      "filter — both frozen censuses (target = the fixture-marked " +
+      "domain slice of even-id docs, source = all even-id docs) are " +
+      "built ONCE and persisted pre-partitioned by `w` (the q267 " +
+      "frozen-artifact discipline, two references); odd-id docs arrive " +
+      "as a 4-file stream (maxFilesPerTrigger=1, AvailableNow) and " +
+      "every micro-batch pays one tokenize + two word-keyed joins, " +
+      "admitting gain_ppm >= -400000 (a pinned CUT replaces q280's " +
+      "global top-quantile — a standing filter can't see the corpus " +
+      "order statistic; the q269 staged-admission rationale; the " +
+      "constant sits between the measured marked/unmarked medians at " +
+      "both test scales, q266's pinned-off-the-distribution precedent). " +
+      "The corpus's single shared 31-word vocabulary makes lang a " +
+      "lexically empty target label, so the target DOMAIN is " +
+      "manufactured (the q282 fixture discipline): an 8-word domain " +
+      "phrase appended to every doc_id % 3 = 0 doc — marked docs score " +
+      "structurally higher gain because the phrase is dense in the " +
+      "target census and diluted in the source. Scoring is row-local " +
+      "per doc GIVEN the censuses, so the drained result is batch-" +
+      "boundary invariant",
+    Some("""
+      WITH h AS (SELECT doc_id, text || (CASE WHEN doc_id % 3 = 0
+               THEN ' flux quill sable umbra vex jade nimb ochre'
+               ELSE '' END) AS t FROM documents),
+      tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+             (SELECT unnest(string_split(t, ' ')) AS w FROM h
+              WHERE doc_id % 2 = 0 AND doc_id % 3 = 0) GROUP BY 1),
+      sc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+             (SELECT unnest(string_split(t, ' ')) AS w FROM h
+              WHERE doc_id % 2 = 0) GROUP BY 1),
+      nvt AS (SELECT CAST(sum(c) AS BIGINT) AS nt, count(*) AS vt FROM tc),
+      nvs AS (SELECT CAST(sum(c) AS BIGINT) AS ns, count(*) AS vs FROM sc),
+      dw AS (SELECT doc_id, w, count(*) AS k FROM
+             (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM h
+              WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+      g AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+            CAST(sum(k * CAST(floor(log2(
+              (nt + vt) // (coalesce(tc.c, 0) + 1))) AS BIGINT))
+              AS BIGINT) AS target_bits,
+            CAST(sum(k * CAST(floor(log2(
+              (ns + vs) // (coalesce(sc.c, 0) + 1))) AS BIGINT))
+              AS BIGINT) AS source_bits
+            FROM dw CROSS JOIN nvt CROSS JOIN nvs
+            LEFT JOIN tc USING (w) LEFT JOIN sc USING (w) GROUP BY 1),
+      gg AS (SELECT doc_id, n_words, target_bits, source_bits,
+             source_bits - target_bits AS gain_bits,
+             CAST((1000000 * source_bits) // n_words
+               - (1000000 * target_bits) // n_words AS BIGINT) AS gain_ppm
+             FROM g)
+      SELECT doc_id, n_words, target_bits, source_bits, gain_bits,
+             gain_ppm, gain_ppm >= -400000 AS admitted
+      FROM gg ORDER BY doc_id"""),
+    (s, dir) => {
+      val phrase = " flux quill sable umbra vex jade nimb ochre"
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), when(col("doc_id") % 3 === 0, lit(phrase))
+            .otherwise(lit(""))).as("t"))
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val target = graft.ops.TextAnalysis.unigramCensus(
+        evens.filter(col("doc_id") % 3 === 0), "t")
+        .repartition(col("w")).persist()
+      val source = graft.ops.TextAnalysis.unigramCensus(evens, "t")
+        .repartition(col("w")).persist()
+      // materialize BOTH before the first micro-batch would otherwise
+      // charge the census builds to itself (the q248/q267 discipline)
+      target.count(); source.count()
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q283-stage").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q283-out").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-q283-cp").toString
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.TextAnalysis.dsirGain(batch, target, source,
+            "doc_id", "t")
+            .withColumn("admitted", col("gain_ppm") >= -400000L)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      target.unpersist(); source.unpersist()
+      s.read.parquet(out).orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
     q129, q130, q134, q157, q166, q174, q235, q244, q248, q257, q267, q271,
-    q278)
+    q278, q283)
 }

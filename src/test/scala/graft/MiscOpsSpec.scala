@@ -2245,4 +2245,78 @@ class CurationOpsSpec extends SparkSpec {
     for ((_, rows) <- byLang; a <- rows; b <- rows if a._4 < b._4)
       assert(ord(a._5) <= ord(b._5))
   }
+
+  test("c4LineFilter: line rules attribute first-fail in declared order, " +
+    "page rules kill independently of surviving lines") {
+    import org.apache.spark.sql.functions.{col, split}
+    val docs = Seq(
+      // 3 good lines -> kept page
+      (1L, Seq("one two three four five.", "a b c d e!",
+        "p q r s t?")),
+      // punct beats short beats js in attribution
+      (2L, Seq("no terminal punct here", "tiny line.",
+        "uses javascript once right here.", "one two three four five.",
+        "a b c d e.", "p q r s t.")),
+      // lorem kills the page even though 3 lines survive
+      (3L, Seq("one two three four five.", "a b c d e.",
+        "p q r s t.", "lorem ipsum")),
+      // only 2 kept lines -> sentence rule kills
+      (4L, Seq("one two three four five.", "a b c d e.")),
+      // brace kills
+      (5L, Seq("one two three four five.", "a b c d e.",
+        "p q r s t.", "x { y")))
+      .toDF("doc_id", "lines")
+    val got = graft.ops.TextAnalysis
+      .c4LineFilter(docs, "doc_id", "lines")
+      .orderBy("doc_id")
+      .select("doc_id", "kept_lines", "dropped_punct", "dropped_short",
+        "dropped_js", "has_lorem", "has_brace", "keep", "cleaned")
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean, Boolean,
+        String)].collect()
+    assert(got(0) == ((1L, 3L, 0L, 0L, 0L, false, false, true,
+      "one two three four five.\na b c d e!\np q r s t?")))
+    assert(got(1) == ((2L, 3L, 1L, 1L, 1L, false, false, true,
+      "one two three four five.\na b c d e.\np q r s t.")))
+    // lorem line itself also fails the short rule; page dies regardless
+    assert(got(2)._6 && !got(2)._8 && got(2)._2 == 3L)
+    assert(!got(3)._8 && got(3)._2 == 2L, "2 sentences must fail the page")
+    assert(got(4)._7 && !got(4)._8, "brace must kill the page")
+    // splitting cleaned re-yields exactly the kept lines
+    assert(got(1)._9.split("\n").length == 3)
+  }
+
+  test("exactSubstringDedup: keep-first at any alignment — later " +
+    "occurrences splice out, overlapping spans union, clean docs pass " +
+    "through byte-identical") {
+    val run10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $run10 gamma"), // first occurrence -> untouched
+      (2L, s"pre $run10 post"), // second occurrence -> spliced
+      // two overlapping dup grams (11-word run shares 10-word grams
+      // with doc 1's run at offsets 0 and 1) -> ONE merged span
+      (3L, s"$run10 w11x head tail"),
+      (4L, "clean doc with no repeated grams at all"))
+      .toDF("doc_id", "t")
+    val got = graft.ops.TextAnalysis
+      .exactSubstringDedup(docs, "doc_id", "t", n = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "dup_spans", "removed_chars", "cleaned")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0)._2 == 0L && got(0)._4 == s"alpha beta $run10 gamma",
+      "first occurrence keeps its text")
+    assert(got(1)._2 == 1L && got(1)._4 == s"pre  post",
+      s"dup span must splice out: '${got(1)._4}'")
+    assert(got(1)._3 == run10.length.toLong)
+    // doc 3: grams [w1..w10] and [w2..w11x]? only [w1..w10] repeats
+    // corpus-wide; its single span is removed
+    assert(got(2)._2 == 1L && got(2)._4.endsWith("head tail"))
+    assert(got(3)._2 == 0L && got(3)._3 == 0L &&
+      got(3)._4 == "clean doc with no repeated grams at all")
+    // within-doc repetition also dedups: one doc, run repeated twice
+    val solo = Seq((9L, s"$run10 mid $run10")).toDF("doc_id", "t")
+    val s2 = graft.ops.TextAnalysis
+      .exactSubstringDedup(solo, "doc_id", "t", n = 10)
+      .select("dup_spans", "cleaned").as[(Long, String)].head()
+    assert(s2._1 == 1L && s2._2 == s"$run10 mid ")
+  }
 }

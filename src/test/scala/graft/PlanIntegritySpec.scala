@@ -833,4 +833,28 @@ class PlanIntegritySpec extends SparkSpec {
       s"expected both join sides on the one checkpointed relation, " +
         s"got $rddScans:\n$p")
   }
+
+  test("q281: the C4 rewrite is ROW-LOCAL — no join, no hash exchange, " +
+    "only the ORDER BY's range partition") {
+    val p = plan("q281_c4_line_filter")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"line filtering must not join:\n$p")
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"row-local op must not hash-shuffle:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$p")
+  }
+
+  test("q282: ONE heavy gram explode — the stride-1 subtree feeds only " +
+    "the census window; n_grams is arithmetic on the output scan") {
+    val p = plan("q282_exact_substring_dedup").split("== Initial Plan ==")(0)
+    val gens = p.linesIterator.count(_.contains("Generate explode"))
+    assert(gens == 1,
+      s"expected exactly one gram explode, got $gens:\n$p")
+    // the census is keyed by the 60-bit gram hash, never one partition
+    assert(!p.contains("SinglePartition"),
+      s"gram census must never collapse to one partition:\n$p")
+  }
 }
