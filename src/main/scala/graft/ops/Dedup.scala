@@ -27,6 +27,36 @@ object Dedup {
       .groupBy("text_sha")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplicate-aware DOWN-WEIGHTING — soft dedup: instead of dropping
+    * copies (the [[exact]] → anti-join path), every document keeps a
+    * sampling weight inversely proportional to its exact-duplicate
+    * multiplicity, so each duplicate family contributes exactly ONE
+    * document's worth of training mass while preserving the family's
+    * natural distribution over shards/sources (the published rationale
+    * for weighting over removal: hard dedup throws away the duplication
+    * SIGNAL a sampler can exploit). weight_ppm = 1e6 ∕ copies exactly;
+    * eff_tokens_ppm = (1e6 · n_words) ∕ copies, so a family of c copies
+    * sums to one document's token mass (minus an integer remainder < c).
+    *
+    * Shape at 100 TB: ONE window partitioned by sha256(text) — the
+    * duplicate groups are the partitions, typically tiny; no join back,
+    * no census relation, no driver state. The near-dup variant composes
+    * by feeding minhash family ids ([[lshBands]]/q55) as the partition
+    * key instead.
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_sha"))
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_words"),
+        sha2(col(textCol), 256).as("_sha"))
+      .withColumn("copies", count(lit(1)).over(w))
+      .select(col(idCol), col("copies"), col("n_words"),
+        expr("1000000L div copies").as("weight_ppm"),
+        expr("(1000000L * n_words) div copies").as("eff_tokens_ppm"))
+  }
+
   /** Span-level corpus dedup (RefinedWeb/Falcon-style): split each document
     * on `sep`, drop every span occurrence except the corpus-wide FIRST
     * (minimum (doc, position) over all documents sharing the span's 60-bit

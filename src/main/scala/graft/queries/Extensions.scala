@@ -7992,6 +7992,45 @@ object Extensions {
         .orderBy("doc_id")
     })
 
+  private val q284 = Q("q284_soft_dedup_weights",
+    "soft dedup — duplicate-aware DOWN-WEIGHTING instead of removal: " +
+      "every doc keeps sampling weight 1e6/copies (exact integer ppm) " +
+      "and effective token mass (1e6*n_words)/copies, so each exact-" +
+      "duplicate family contributes one doc's worth of training mass " +
+      "while keeping the duplication signal a sampler can exploit " +
+      "(where q20 censuses the clusters and q03/q52 REMOVE, this " +
+      "weights — the third dedup posture); ONE window partitioned by " +
+      "sha256(text), no join-back, no census relation. sf0.01 has zero " +
+      "natural exact dups (sf0.1 has 8 rows), so the fixture replaces " +
+      "doc % 7 = 0 texts with one of 4 shared boilerplate strings — " +
+      "family sizes in the hundreds at sf0.1, and the weights split at " +
+      "both scales",
+    Some("""
+      WITH h AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'shared boilerplate passage '
+                      || CAST(doc_id % 28 AS VARCHAR)
+                    ELSE text END AS t
+             FROM documents),
+      c AS (SELECT doc_id,
+              count(*) OVER (PARTITION BY sha256(t)) AS copies,
+              len(string_split(t, ' ')) AS n_words
+            FROM h)
+      SELECT doc_id, CAST(copies AS BIGINT) AS copies,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(1000000 // copies AS BIGINT) AS weight_ppm,
+             CAST((1000000 * n_words) // copies AS BIGINT)
+               AS eff_tokens_ppm
+      FROM c ORDER BY doc_id"""),
+    (s, dir) => {
+      val fixtured = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("shared boilerplate passage "),
+            (col("doc_id") % 28).cast("string")))
+          .otherwise(col("text")).as("t"))
+      Dedup.softDedupWeights(fixtured, "doc_id", "t")
+        .orderBy("doc_id")
+    })
+
   private val q274 = Q("q274_stratified_terciles",
     "PER-LANGUAGE perplexity terciles (CCNet's actual shape — it cuts " +
       "each language by its OWN thirds; a global cut dumps whole low-" +
@@ -8037,5 +8076,5 @@ object Extensions {
     q226, q227, q228, q229, q230, q231, q232, q233, q234, q236, q237, q238, q239, q240,
     q241, q242, q243, q245, q246, q247, q249, q250, q251, q252, q253, q254, q255, q256, q258,
     q259, q260, q261, q262, q263, q264, q265, q266, q268, q269, q270,
-    q272, q273, q274, q275, q276, q277, q279, q280, q281, q282)
+    q272, q273, q274, q275, q276, q277, q279, q280, q281, q282, q284)
 }

@@ -492,6 +492,46 @@ object StreamBench {
         }
         ()
       }
+
+      // q283 shape: DSIR admission against TWO frozen censuses (target +
+      // source), foreachBatch → parquet. Stateless like census_admission
+      // (no state store — provider-irrelevant, measured once); both
+      // census builds are OUTSIDE the drains — the operator's
+      // amortization claim: a standing pipeline pays the reference
+      // tokenizes never per batch. Per drain: one batch tokenize + two
+      // word-keyed joins against the persisted censuses.
+      if (provider == "rocksdb") locally {
+        val dir = stage("dsir", "documents", "batch_000.parquet")
+        val cp = work.resolve("cp_dsir").toString
+        val docs = graft.Tables.table(spark, sfDir, "documents")
+        val evens = docs.filter(col("doc_id") % 2 === 0)
+        val target = graft.ops.TextAnalysis.unigramCensus(
+          evens.filter(col("doc_id") % 3 === 0), "text")
+          .repartition(col("w")).persist()
+        val source = graft.ops.TextAnalysis.unigramCensus(evens, "text")
+          .repartition(col("w")).persist()
+        target.count(); source.count()
+        val out = work.resolve("dsir-out").toString
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          val q = graft.Tables.dirStream(spark, dir).writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              graft.ops.TextAnalysis.dsirGain(batch, target, source,
+                "doc_id", "text")
+                .withColumn("admitted", col("gain_ppm") >= -400000L)
+                .write.mode("append").parquet(out)
+            }
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        results(s"dsir_admission/$provider/cold") = run()
+        redeliver("dsir", "documents", "batch_001.parquet")
+        results(s"dsir_admission/$provider/warm") = run()
+        target.unpersist(); source.unpersist()
+        ()
+      }
     }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)

@@ -2285,6 +2285,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(1)._9.split("\n").length == 3)
   }
 
+  test("softDedupWeights: a family of c copies sums to one doc's token " +
+    "mass (minus an integer remainder < c); unique docs keep full weight") {
+    val docs = Seq(
+      (1L, "same exact text here"), (2L, "same exact text here"),
+      (3L, "same exact text here"),
+      (4L, "a unique document"))
+      .toDF("doc_id", "t")
+    val got = graft.ops.Dedup.softDedupWeights(docs, "doc_id", "t")
+      .orderBy("doc_id")
+      .select("doc_id", "copies", "n_words", "weight_ppm",
+        "eff_tokens_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.take(3).forall(r => r._2 == 3L && r._4 == 333333L))
+    // 4 words × 1e6 / 3 copies each; family sum within c of one doc
+    val famSum = got.take(3).map(_._5).sum
+    assert(famSum <= 4000000L && famSum > 4000000L - 3)
+    assert(got(3) == ((4L, 1L, 3L, 1000000L, 3000000L)))
+  }
+
   test("exactSubstringDedup: keep-first at any alignment — later " +
     "occurrences splice out, overlapping spans union, clean docs pass " +
     "through byte-identical") {

@@ -57,6 +57,8 @@ STREAMING_GATES = {
     "q271_streaming_census_growth": "census_admission",
     # stateless foreachBatch against a frozen codebook + keep-set index
     "q278_streaming_semdedup_admission": "sem_admission",
+    # stateless foreachBatch against two frozen censuses (target + source)
+    "q283_streaming_dsir_admission": "dsir_admission",
 }
 
 # Gates whose oracle PREDICTS the synthesized round-trip arithmetically
