@@ -2033,12 +2033,23 @@ object TextAnalysis {
     * gain_ppm).
     */
   def dsirGain(docs: DataFrame, target: DataFrame, source: DataFrame,
-               idCol: String, textCol: String): DataFrame = {
+               idCol: String, textCol: String): DataFrame =
+    dsirGainFromCounts(docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k")),
+      target, source, idCol)
+
+  /** [[dsirGain]] on an already-tokenized (idCol, w, k) relation — the
+    * one-tokenize composition point (q261 discipline): when the SAME
+    * corpus supplies the censuses AND the docs to score, the caller
+    * tokenizes once, derives both references as census-sized aggregates
+    * of it, and feeds the counts here instead of paying three corpus
+    * tokenizes (measured 6.8 → ~3 s on the 10× replica for q280).
+    */
+  def dsirGainFromCounts(dw: DataFrame, target: DataFrame,
+                         source: DataFrame, idCol: String): DataFrame = {
     val nvT = target.agg(sum(col("c")).as("_nt"), count(lit(1)).as("_vt"))
     val nvS = source.agg(sum(col("c")).as("_ns"), count(lit(1)).as("_vs"))
-    val dw = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
     dw.join(target.select(col("w"), col("c").as("_ct")), Seq("w"), "left")
       .join(source.select(col("w"), col("c").as("_cs")), Seq("w"), "left")
       .crossJoin(broadcast(nvT)).crossJoin(broadcast(nvS))
@@ -2399,28 +2410,42 @@ object TextAnalysis {
     */
   def c4LineFilter(docs: DataFrame, idCol: String,
                    linesCol: String): DataFrame = {
-    val lines = col(linesCol)
+    // ONE pass over the lines array computes every per-line predicate
+    // (the terminal-punct test, the word count's split, the substring
+    // probe) into a flags struct; the five consumers below read struct
+    // fields — comparisons only. The naive form re-ran split() per line
+    // in each of four filters (4.2 s → 1.1 s on the 10× replica). The
+    // flags projection stays its own select so CollapseProject can't
+    // inline the non-cheap transform into its consumers (the q258 _gs
+    // discipline).
     def endsPunct(l: Column) = l.endsWith(".") || l.endsWith("!") ||
       l.endsWith("?") || l.endsWith("\"")
-    def nWords(l: Column) = size(split(l, " "))
-    def hasJs(l: Column) = l.contains("javascript")
-    val keptL = filter(lines,
-      l => endsPunct(l) && nWords(l) >= 5 && !hasJs(l))
-    val full = array_join(lines, "\n")
-    docs.select(
+    val flagged = docs.select(col(idCol),
+      transform(col(linesCol), l => struct(
+        l.as("l"),
+        endsPunct(l).as("p"),
+        (size(split(l, " ")) >= 5).as("w5"),
+        l.contains("javascript").as("js"))).as("_lf"),
+      array_join(col(linesCol), "\n").as("_full"))
+    val lf = col("_lf")
+    def p(f: Column) = f.getField("p")
+    def w5(f: Column) = f.getField("w5")
+    def js(f: Column) = f.getField("js")
+    val keptF = filter(lf, f => p(f) && w5(f) && !js(f))
+    flagged.select(
       col(idCol),
-      size(lines).cast("long").as("n_lines"),
-      size(keptL).cast("long").as("kept_lines"),
-      size(filter(lines, l => !endsPunct(l))).cast("long")
-        .as("dropped_punct"),
-      size(filter(lines, l => endsPunct(l) && nWords(l) < 5)).cast("long")
+      size(lf).cast("long").as("n_lines"),
+      size(keptF).cast("long").as("kept_lines"),
+      size(filter(lf, f => !p(f))).cast("long").as("dropped_punct"),
+      size(filter(lf, f => p(f) && !w5(f))).cast("long")
         .as("dropped_short"),
-      size(filter(lines, l => endsPunct(l) && nWords(l) >= 5 && hasJs(l)))
-        .cast("long").as("dropped_js"),
-      full.contains("lorem ipsum").as("has_lorem"),
-      full.contains("{").as("has_brace"),
-      array_join(keptL, "\n").as("cleaned"),
-      full.as("_full"))
+      size(filter(lf, f => p(f) && w5(f) && js(f))).cast("long")
+        .as("dropped_js"),
+      col("_full").contains("lorem ipsum").as("has_lorem"),
+      col("_full").contains("{").as("has_brace"),
+      array_join(transform(keptF, f => f.getField("l")), "\n")
+        .as("cleaned"),
+      col("_full"))
       .withColumn("keep",
         !col("has_lorem") && !col("has_brace") && col("kept_lines") >= 3)
       .withColumn("kept_chars_ppm",
@@ -2455,28 +2480,111 @@ object TextAnalysis {
     * cleaned) — removed_ppm exact integer ppm of doc chars, cleaned the
     * spliced text (doc text unchanged when no span is marked).
     */
-  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame = {
+  /** Stride-1 word n-grams with 0-based char offsets into the original
+    * text: gram i (1-based over words) starts after the i−1 words +
+    * separators before it — the q279 st/en convention. One row per
+    * gram: (idCol, g, st, en). Shared by [[exactSubstringDedup]] and
+    * the streaming contamination screen.
+    */
+  def strideGramSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
     val ws = split(col(textCol), " ")
-    // grams with 0-based char offsets into the original text: gram i
-    // (1-based over words) starts after the i-1 words + separators
-    // before it — the q279 st/en convention
     val nGrams = greatest(size(ws) - (n - 1), lit(0))
-    val grams = docs.select(col(idCol), col(textCol).as("_t"), ws.as("_ws"),
+    docs.select(col(idCol), ws.as("_ws"),
+      // per-word char stride (len + 1 separator): gram i's 0-based
+      // offset is the prefix sum Σ_{j<i}(len_j + 1) — summing LONGS
+      // instead of materializing the O(words²)-char prefix joins the
+      // first cut paid (length(array_join(ws[1:i-1]))) — measured
+      // 37 → 14 s on the q285 10× cold drain
+      transform(ws, w => (length(w) + 1).cast("long")).as("_wl"),
       nGrams.as("_ng"))
-      .select(col(idCol), col("_t"),
+      .select(col(idCol),
         // sequence(1, 0) DESCENDS in Spark — docs shorter than n words
         // must slice the synthesized array down to empty instead
         explode(slice(transform(
           sequence(lit(1), greatest(col("_ng"), lit(1))),
           i => struct(
             array_join(slice(col("_ws"), i, lit(n)), " ").as("g"),
-            when(i === 1, lit(0L)).otherwise(
-              length(array_join(slice(col("_ws"), lit(1), i - 1), " "))
-                .cast("long") + 1L).as("st"))),
+            aggregate(slice(col("_wl"), lit(1), i - 1), lit(0L),
+              (a, x) => a + x).as("st"))),
           lit(1), col("_ng"))).as("_gr"))
       .select(col(idCol), col("_gr.g").as("g"), col("_gr.st").as("st"),
         (col("_gr.st") + length(col("_gr.g"))).as("en"))
+  }
+
+  /** Exact interval union over (idCol, st, en) span rows: a span opens a
+    * new merged group iff it starts strictly past the running max end of
+    * everything before it (adjacent spans merge); two doc-keyed windows
+    * over only the marked rows (the q279 running-max-end identity in
+    * group-id form). Output: (idCol, dup_spans, removed_chars, _ivs)
+    * with _ivs the sorted disjoint merged intervals.
+    */
+  def unionSpanStats(spans: DataFrame, idCol: String): DataFrame = {
+    val wPe = Window.partitionBy(col(idCol)).orderBy(col("st"), col("en"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGrp = Window.partitionBy(col(idCol)).orderBy(col("st"), col("en"))
+    spans
+      .withColumn("_pe", max(col("en")).over(wPe))
+      .withColumn("_new", when(col("st") > coalesce(col("_pe"), lit(-1L)),
+        1L).otherwise(0L))
+      .withColumn("_grp", sum(col("_new")).over(wGrp))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"),
+        count(lit(1)).as("_occ"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("en") - col("st")).as("removed_chars"),
+        // raw marked-occurrence count rides the same aggregation so a
+        // caller needing it (the contamination screen) doesn't pay a
+        // second evaluation of the spans subtree
+        sum(col("_occ")).as("n_marked"),
+        array_sort(collect_list(struct(col("st"), col("en")))).as("_ivs"))
+  }
+
+  /** Exact-substring CONTAMINATION SCREEN against a frozen gram index —
+    * [[exactSubstringDedup]]'s admission form (the q248 frozen-index
+    * posture at gram granularity): the index is the DISTINCT 60-bit
+    * hashes of the reference corpus's stride-1 n-grams (word-volume
+    * sized — this is what an ingest-time contamination/benchmark screen
+    * actually keeps hot); each incoming doc pays one gram synthesis +
+    * one hash-keyed semi-join, matched occurrences' char spans UNION
+    * exactly, and the doc is admitted iff covered_ppm ≤ maxPpm.
+    *
+    * Verdicts are row-local per doc GIVEN the index (no batch-mate
+    * interaction) ⇒ batch-boundary invariant — the streaming-twin
+    * property. Everything after the semi-join is matched-occurrence-
+    * sized; clean docs ride the left join through untouched.
+    */
+  def substringScreen(batch: DataFrame, index: DataFrame, idCol: String,
+                      textCol: String, n: Int, maxPpm: Long): DataFrame = {
+    val matched = strideGramSpans(batch, idCol, textCol, n)
+      .withColumn("_gh", TextFns.hash64(col("g")))
+      .join(index, Seq("_gh"), "left_semi")
+      .select(col(idCol), col("st"), col("en"))
+    // ONE evaluation of the matched subtree: the raw occurrence count
+    // rides unionSpanStats' aggregation (n_marked) instead of a second
+    // gram-explode + semi-join pass (measured ~10.8 → ~7 s cold at sf0.1)
+    val stats = unionSpanStats(matched, idCol)
+      .withColumnRenamed("dup_spans", "matched_spans")
+      .withColumnRenamed("removed_chars", "covered_chars")
+      .withColumnRenamed("n_marked", "matched_grams")
+      .drop("_ivs")
+    batch.select(col(idCol), col(textCol).as("_t"),
+      greatest(size(split(col(textCol), " ")) - (n - 1), lit(0))
+        .cast("long").as("n_grams"))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+        coalesce(col("matched_spans"), lit(0L)).as("matched_spans"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        expr("(1000000 * coalesce(covered_chars, 0L))" +
+          " div cast(length(_t) as bigint)").as("covered_ppm"))
+      .withColumn("admit", col("covered_ppm") <= maxPpm)
+  }
+
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val grams = strideGramSpans(docs, idCol, textCol, n)
     val wFirst = Window.partitionBy(col("_gh"))
       .orderBy(col(idCol), col("st"))
     val marked = grams
@@ -2484,24 +2592,7 @@ object TextAnalysis {
       .withColumn("_rn", row_number().over(wFirst))
       .filter(col("_rn") >= 2)
       .select(col(idCol), col("st"), col("en"))
-    // exact interval union: a span opens a new merged group iff it
-    // starts strictly past the running max end of everything before it
-    // (adjacent spans merge); both windows are doc-keyed over the
-    // dup-occurrence rows only
-    val wPe = Window.partitionBy(col(idCol)).orderBy(col("st"), col("en"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wGrp = Window.partitionBy(col(idCol)).orderBy(col("st"), col("en"))
-    val mergedIvs = marked
-      .withColumn("_pe", max(col("en")).over(wPe))
-      .withColumn("_new", when(col("st") > coalesce(col("_pe"), lit(-1L)),
-        1L).otherwise(0L))
-      .withColumn("_grp", sum(col("_new")).over(wGrp))
-      .groupBy(col(idCol), col("_grp"))
-      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("dup_spans"),
-        sum(col("en") - col("st")).as("removed_chars"),
-        array_sort(collect_list(struct(col("st"), col("en")))).as("_ivs"))
+    val mergedIvs = unionSpanStats(marked, idCol)
     // n_grams is stride-1 arithmetic (max(|words| - n + 1, 0)) — row-
     // local on the output scan, NOT a second evaluation of the gram
     // explode (the q258/q261 one-heavy-scan discipline: the explode

@@ -7800,21 +7800,36 @@ object Extensions {
       FROM gg JOIN rk USING (doc_id) ORDER BY doc_id"""),
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val target = TextAnalysis.unigramCensus(
-        docs.filter(col("lang") === "en"), "text")
-      val source = TextAnalysis.unigramCensus(docs, "text")
-      val g = TextAnalysis.dsirGain(docs, target, source,
-        "doc_id", "text").localCheckpoint(false)
+      // ONE corpus tokenize (the q261 discipline): the (doc, lang, w, k)
+      // counts persist once and supply BOTH frozen censuses (census-
+      // sized aggregates) and the per-doc scoring relation — the naive
+      // form paid three tokenizes (target census, source census, dw)
+      // and a checkpoint; measured 6.8 → ~3 s at the 10× replica
+      val dw = docs
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("lang"), col("w"))
+        .agg(count(lit(1)).as("k"))
+        .persist()
+      val target = dw.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(sum(col("k")).as("c"))
+      val source = dw.groupBy(col("w")).agg(sum(col("k")).as("c"))
+      val g = TextAnalysis.dsirGainFromCounts(
+        dw.select(col("doc_id"), col("w"), col("k")), target, source,
+        "doc_id").persist()
       // n is corpus row count (every doc tokenizes to >= 1 word); the
       // 1-value probe is the established q265/q277 pattern
       val k = (docs.count() / 4L).toInt
       val top = g.orderBy(col("gain_ppm").desc, col("doc_id"))
         .limit(k).select(col("doc_id"))
-      g.join(top.withColumn("_sel", lit(true)), Seq("doc_id"), "left")
+      val res = g.join(top.withColumn("_sel", lit(true)),
+        Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_words"), col("target_bits"),
           col("source_bits"), col("gain_bits"), col("gain_ppm"),
           coalesce(col("_sel"), lit(false)).as("selected"))
         .orderBy("doc_id")
+      // cache lifetime: released by Bench's per-gate clearCache (q256)
+      res
     })
 
   private val q281 = Q("q281_c4_line_filter",

@@ -1230,7 +1230,112 @@ object Pipeline {
       s.read.parquet(out).orderBy("doc_id")
     })
 
+  private val q285 = Q("q285_streaming_substring_screen",
+    "§2.9 × dedup: q282's exact-substring detection as an INGEST screen " +
+      "— the frozen index is the DISTINCT 60-bit hashes of the even-id " +
+      "corpus's stride-1 10-word grams (word-volume sized, persisted " +
+      "pre-partitioned by hash: the q248 bucketed-index posture at gram " +
+      "granularity — what a benchmark-contamination screen actually " +
+      "keeps hot); odd-id docs arrive as a 4-file stream (AvailableNow) " +
+      "and each micro-batch pays one gram synthesis + one hash-keyed " +
+      "SEMI-join, matched spans union exactly (q282's identity), admit " +
+      "iff covered_ppm <= 25000. The fixture marks doc % 4 = 0 OR doc % " +
+      "3 = 0 pages with the shared 12-word phrase, so odd multiples of " +
+      "3 carry grams the even-side index knows — matched docs split " +
+      "from clean at both scales. Verdicts are row-local per doc GIVEN " +
+      "the index => batch-boundary invariant",
+    Some("""
+      WITH p AS (SELECT 'quark glint moss fjord ember dune crag veld tarn wisp onyx rill' AS p12),
+      h AS (SELECT doc_id,
+              text || (CASE WHEN doc_id % 4 = 0 OR doc_id % 3 = 0
+                THEN ' ' || p12 ELSE '' END) AS t
+            FROM documents CROSS JOIN p),
+      w AS (SELECT doc_id, t, string_split(t, ' ') AS ws,
+              greatest(len(string_split(t, ' ')) - 9, 0) AS n_grams
+            FROM h),
+      ev AS (SELECT DISTINCT array_to_string(ws[i:i+9], ' ') AS g FROM
+             (SELECT ws, unnest(generate_series(1,
+                greatest(len(ws) - 9, 0))) AS i
+              FROM w WHERE doc_id % 2 = 0)),
+      og AS (SELECT doc_id, array_to_string(ws[i:i+9], ' ') AS g,
+               CASE WHEN i = 1 THEN 0
+                    ELSE length(array_to_string(ws[1:i-1], ' ')) + 1
+               END AS st
+             FROM (SELECT doc_id, ws, unnest(generate_series(1,
+                     greatest(len(ws) - 9, 0))) AS i
+                   FROM w WHERE doc_id % 2 = 1)),
+      mt AS (SELECT og.doc_id, og.st, og.st + length(og.g) AS en
+             FROM og JOIN ev ON og.g = ev.g),
+      mg AS (SELECT doc_id, count(*) AS matched_grams FROM mt GROUP BY 1),
+      pe AS (SELECT doc_id, st, en,
+               max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+             FROM mt),
+      gr AS (SELECT doc_id, st, en,
+               sum(CASE WHEN st > coalesce(pe, -1) THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY st, en) AS grp
+             FROM pe),
+      m AS (SELECT doc_id, grp, min(st) AS st, max(en) AS en
+            FROM gr GROUP BY 1, 2),
+      st AS (SELECT doc_id, count(*) AS matched_spans,
+               CAST(sum(en - st) AS BIGINT) AS covered_chars
+             FROM m GROUP BY 1)
+      SELECT w.doc_id, CAST(w.n_grams AS BIGINT) AS n_grams,
+             CAST(coalesce(mg.matched_grams, 0) AS BIGINT)
+               AS matched_grams,
+             CAST(coalesce(st.matched_spans, 0) AS BIGINT)
+               AS matched_spans,
+             coalesce(st.covered_chars, 0) AS covered_chars,
+             CAST((1000000 * coalesce(st.covered_chars, 0))
+               // length(w.t) AS BIGINT) AS covered_ppm,
+             (1000000 * coalesce(st.covered_chars, 0)) // length(w.t)
+               <= 25000 AS admit
+      FROM w LEFT JOIN mg ON w.doc_id = mg.doc_id
+      LEFT JOIN st ON w.doc_id = st.doc_id
+      WHERE w.doc_id % 2 = 1
+      ORDER BY w.doc_id"""),
+    (s, dir) => {
+      val p12 = "quark glint moss fjord ember dune crag veld tarn wisp " +
+        "onyx rill"
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0 || col("doc_id") % 3 === 0,
+              lit(" " + p12)).otherwise(lit(""))).as("t"))
+      val index = graft.ops.TextAnalysis.strideGramSpans(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "t", n = 10)
+        .select(graft.functions.TextFns.hash64(col("g")).as("_gh"))
+        .distinct()
+        .repartition(col("_gh")).persist()
+      // materialize ONCE, before the first micro-batch would otherwise
+      // charge the index build to itself (the q248/q267 discipline)
+      index.count()
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q285-stage").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q285-out").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-q285-cp").toString
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.TextAnalysis.substringScreen(batch, index,
+            "doc_id", "t", n = 10, maxPpm = 25000L)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      index.unpersist()
+      s.read.parquet(out).orderBy("doc_id")
+    })
+
   def all: Seq[Q] = Seq(q18, q19, q33, q34, q35, q56, q70, q75, q84, q113,
     q129, q130, q134, q157, q166, q174, q235, q244, q248, q257, q267, q271,
-    q278, q283)
+    q278, q283, q285)
 }

@@ -532,6 +532,43 @@ object StreamBench {
         target.unpersist(); source.unpersist()
         ()
       }
+
+      // q285 shape: exact-substring contamination screen against a
+      // frozen gram-hash index, foreachBatch → parquet. Stateless (no
+      // state store — provider-irrelevant, measured once); the index
+      // build (word-volume gram explode + distinct) is OUTSIDE the
+      // drains — per drain: one batch gram synthesis + one hash-keyed
+      // semi-join + the span-union windows.
+      if (provider == "rocksdb") locally {
+        val dir = stage("sscreen", "documents", "batch_000.parquet")
+        val cp = work.resolve("cp_sscreen").toString
+        val docs = graft.Tables.table(spark, sfDir, "documents")
+        val index = graft.ops.TextAnalysis.strideGramSpans(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 10)
+          .select(graft.functions.TextFns.hash64(col("g")).as("_gh"))
+          .distinct()
+          .repartition(col("_gh")).persist()
+        index.count()
+        val out = work.resolve("sscreen-out").toString
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          val q = graft.Tables.dirStream(spark, dir).writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              graft.ops.TextAnalysis.substringScreen(batch, index,
+                "doc_id", "text", n = 10, maxPpm = 25000L)
+                .write.mode("append").parquet(out)
+            }
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        results(s"substring_screen/$provider/cold") = run()
+        redeliver("sscreen", "documents", "batch_001.parquet")
+        results(s"substring_screen/$provider/warm") = run()
+        index.unpersist()
+        ()
+      }
     }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)

@@ -2285,6 +2285,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(1)._9.split("\n").length == 3)
   }
 
+  test("substringScreen: matched spans union against the frozen index, " +
+    "clean docs admit, verdicts are batch-boundary invariant") {
+    import org.apache.spark.sql.functions.col
+    val run10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val ref = Seq((0L, s"ref doc $run10 tail words here")).toDF("doc_id", "t")
+    val index = graft.ops.TextAnalysis
+      .strideGramSpans(ref, "doc_id", "t", n = 10)
+      .select(graft.functions.TextFns.hash64(col("g")).as("_gh"))
+      .distinct()
+    val batch = Seq(
+      (1L, s"pre $run10 post pad pad pad pad pad pad pad pad pad pad " +
+        "pad pad pad pad pad pad pad pad pad pad pad pad pad pad"),
+      (2L, "totally clean document with enough words to carry grams x y"))
+      .toDF("doc_id", "t")
+    def screen(df: org.apache.spark.sql.DataFrame) = graft.ops.TextAnalysis
+      .substringScreen(df, index, "doc_id", "t", n = 10, maxPpm = 100000L)
+      .select("doc_id", "matched_grams", "matched_spans", "covered_chars",
+        "admit")
+    val got = screen(batch).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got(0)._2 == 1L && got(0)._3 == 1L &&
+      got(0)._4 == run10.length.toLong)
+    assert(got(1) == ((2L, 0L, 0L, 0L, true)))
+    // covered 30 chars over a ~143-char doc ≈ 209k ppm > 100k -> rejected
+    assert(!got(0)._5, "contaminated doc must be rejected")
+    // batch-boundary invariance: screening docs one at a time equals
+    // screening them together (verdicts are row-local given the index)
+    val solo = screen(batch.filter(col("doc_id") === 1L))
+      .unionByName(screen(batch.filter(col("doc_id") === 2L)))
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(solo.toSeq == got.toSeq)
+  }
+
   test("softDedupWeights: a family of c copies sums to one doc's token " +
     "mass (minus an integer remainder < c); unique docs keep full weight") {
     val docs = Seq(

@@ -59,6 +59,8 @@ STREAMING_GATES = {
     "q278_streaming_semdedup_admission": "sem_admission",
     # stateless foreachBatch against two frozen censuses (target + source)
     "q283_streaming_dsir_admission": "dsir_admission",
+    # stateless foreachBatch against a frozen gram-hash index
+    "q285_streaming_substring_screen": "substring_screen",
 }
 
 # Gates whose oracle PREDICTS the synthesized round-trip arithmetically
