@@ -75,7 +75,12 @@ object Bench {
     // within-1.5x-of-isolated published figures). Opt out for quick
     // local iteration with SPARK_GRAFT_NO_BREATHER=1.
     val breather = !sys.env.contains("SPARK_GRAFT_NO_BREATHER")
+    TempDirs.sweepStale() // r15 draw2: 472 leftover graft-* dirs in /tmp
+                          // distorted q113 3.5x — clean before, and between
     val results = selected.map { case (name, fn) =>
+      // previous query's scratch dirs (each timed run re-invokes the lambda
+      // and creates fresh ones) — swept OUTSIDE the timed section
+      TempDirs.sweep()
       if (breather) {
         spark.catalog.clearCache()
         System.gc()
@@ -92,6 +97,7 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    TempDirs.sweep() // last query's scratch dirs
     // ms precision: full double repr once overflowed the driver's line
     // capture and truncated the first (alphabetically: q01) entry
     def r3(v: Double): String =

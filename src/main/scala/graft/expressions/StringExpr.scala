@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -216,6 +216,244 @@ case class TopGramCov(child: Expression, n: Int) extends UnaryExpression {
 object TopGramCov {
   def apply(c: Column, n: Int): Column =
     Bridge.column(TopGramCov(Bridge.expression(c.cast("string")), n))
+}
+
+object GramSpansUtil {
+
+  /** All stride-1 word n-grams of `s` with their exact 0-based char
+    * offsets, in one linear pass: element i is (gram_i, st_i) where
+    * gram_i joins words i..i+n−1 with single spaces and st_i is the
+    * running prefix sum Σ_{j<i}(len_j + 1) — len in code points,
+    * matching Spark's `length`. The composed form computed each offset
+    * with aggregate(slice(_wl, 1, i−1)) — an O(i) interpreted fold per
+    * gram, O(words²) long additions per doc (ADVICE r15: the "fixed"
+    * quadratic had only changed units, chars → longs); this is the truly
+    * linear offset pass. Splitting matches split(text, ' ', -1)
+    * (trailing empties kept). Docs shorter than n words yield the empty
+    * array.
+    */
+  def gramSpans(s: UTF8String, n: Int): GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val ng = words.length - (n - 1)
+    if (ng <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](ng)
+    val sb = new java.lang.StringBuilder()
+    var st = 0L
+    var i = 0
+    while (i < ng) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(sb.toString), st))
+      st += words(i).codePointCount(0, words(i).length).toLong + 1L
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native stride-1 gram+offset synthesis (see [[GramSpansUtil.gramSpans]]):
+  * row-local, one pass, O(words) offsets — replaces the interpreted
+  * transform+aggregate(slice) chain in strideGramSpans whose per-gram
+  * offset fold was quadratic in words.
+  */
+case class GramSpans(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("st",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_gram_spans"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramSpansUtil.gramSpans(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GramSpansUtil.gramSpans($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramSpans =
+    copy(child = newChild)
+}
+
+object GramSpans {
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(GramSpans(Bridge.expression(c.cast("string")), n))
+}
+
+object MaxMultiplicityUtil {
+
+  /** Max multiplicity of any value in a long array (0 for empty) — the
+    * native form of the array_sort + run-length aggregate fold ("longest
+    * equal run in the sorted array"), which was CodegenFallback with an
+    * interpreted struct accumulator per element. Sorts a primitive copy,
+    * one run scan; identical result (elements are non-null 60-bit gram
+    * hashes by contract).
+    */
+  def maxMultiplicity(a: ArrayData): Long = {
+    val n = a.numElements()
+    if (n == 0) return 0L
+    val xs = a.toLongArray()
+    java.util.Arrays.sort(xs)
+    var best = 1L
+    var run = 1L
+    var i = 1
+    while (i < n) {
+      if (xs(i) == xs(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best
+  }
+}
+
+/** Native max-gram-multiplicity (see [[MaxMultiplicityUtil]]). */
+case class MaxMultiplicity(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_max_multiplicity"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MaxMultiplicityUtil.maxMultiplicity(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MaxMultiplicityUtil.maxMultiplicity($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MaxMultiplicity =
+    copy(child = newChild)
+}
+
+object MaxMultiplicity {
+  def apply(c: Column): Column =
+    Bridge.column(MaxMultiplicity(Bridge.expression(c)))
+}
+
+object LuhnUtil {
+
+  /** Luhn checksum over a digit string — the native form of the
+    * sequence + substring fold: sum from the right, doubling alternate
+    * digits (−9 on overflow); TRUE iff non-empty and sum % 10 == 0.
+    * A non-digit character yields NULL where the ANSI composed fold
+    * would THROW on the cast — callers feed regexp-extracted digit
+    * runs, so the branch is defensive, never a gate path.
+    */
+  def luhnValid(s: UTF8String): Any = {
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return false
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(n - 1 - i)
+      if (c < '0' || c > '9') return null
+      val d = (c - '0').toLong
+      sum += (if (i % 2 == 0) d else { val t = d * 2; if (t > 9) t - 9 else t })
+      i += 1
+    }
+    sum % 10 == 0
+  }
+}
+
+/** Native Luhn validity (see [[LuhnUtil.luhnValid]]). */
+case class LuhnValid(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // non-digit input
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_luhn_valid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LuhnUtil.luhnValid(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object r = graft.expressions.LuhnUtil.luhnValid($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Boolean) r).booleanValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnValid =
+    copy(child = newChild)
+}
+
+object LuhnValid {
+  def apply(c: Column): Column =
+    Bridge.column(LuhnValid(Bridge.expression(c.cast("string"))))
+}
+
+object MergePairUtil {
+
+  /** Greedy left-to-right single-pass merge of one constant (a,b) symbol
+    * pair — the BPE pass. State machine identical to the composed
+    * aggregate fold it replaces (state = emitted list + one pending
+    * symbol; a merged symbol cannot re-merge in the same pass, so 'aaa'
+    * under (a,a) → ['aa','a']). The fold was CodegenFallback AND copied
+    * the accumulator array per element (array_append) — O(len²) per word;
+    * this is one linear pass with no copies.
+    */
+  def mergePair(syms: ArrayData, a: UTF8String, b: UTF8String,
+                ab: UTF8String): GenericArrayData = {
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var pending: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val x = syms.getUTF8String(i)
+      if (pending == null) pending = x
+      else if (pending.equals(a) && x != null && x.equals(b)) {
+        out.add(ab); pending = null
+      } else { out.add(pending); pending = x }
+      i += 1
+    }
+    if (pending != null) out.add(pending)
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native BPE merge pass (see [[MergePairUtil.mergePair]]); the merge
+  * pair is a training-time constant, baked in as reference objects.
+  */
+case class MergePair(child: Expression, a: String, b: String)
+  extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_bpe_merge_pair"
+
+  @transient private lazy val aU = UTF8String.fromString(a)
+  @transient private lazy val bU = UTF8String.fromString(b)
+  @transient private lazy val abU = UTF8String.fromString(a + b)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MergePairUtil.mergePair(input.asInstanceOf[ArrayData], aU, bU, abU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mpA", aU, classOf[UTF8String].getName)
+    val bRef = ctx.addReferenceObj("mpB", bU, classOf[UTF8String].getName)
+    val abRef = ctx.addReferenceObj("mpAB", abU, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MergePairUtil.mergePair($c, $aRef, $bRef, $abRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergePair =
+    copy(child = newChild)
+}
+
+object MergePair {
+  def apply(c: Column, a: String, b: String): Column =
+    Bridge.column(MergePair(Bridge.expression(c), a, b))
 }
 
 /** Codegen helper for [[GopherSignals]] — static forwarder callable from

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
 
 /** Codegen helpers for the scaled-integer vector kernels (VectorFns): the
   * composed higher-order forms (zip_with/transform/aggregate) are
@@ -51,6 +51,62 @@ object VecUtil {
       i += 1
     }
     acc
+  }
+
+  /** Exact Σ (a[i]−b[i])² over two array<long> columns — the native form
+    * of aggregate(zip_with(a, b, (x,y)=>(x−y)*(x−y)), 0L, _+_), which is
+    * CodegenFallback (interpreted lambda dispatch per element per row) and
+    * dominated every per-pair stage of the kmeans/SemDeDup family. HOF
+    * parity: null when lengths differ (zip_with pads the shorter side with
+    * null, nulling the sum) or when any element is null.
+    */
+  def sqDistLong(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Nearest cell of a driver-collected codebook by exact BIGINT dist2,
+    * ties to the LOWER cluster id — bit-identical to the crossJoin +
+    * min(struct(d2, cluster)) form it replaces (clusters must be sorted
+    * ascending; strict < keeps the first, i.e. lowest, id on ties).
+    * Cells whose centroid length differs from the vector are skipped —
+    * the callers' uniform-dimensionality contract makes that unreachable
+    * (scaleVec filters to the max width; centroids average those rows).
+    * Returns null when no cell matches (empty codebook handled by the
+    * caller before constructing the expression).
+    */
+  def nearestCell(v: ArrayData, clusters: Array[Long],
+                  cvecs: Array[Array[Long]]): Any = {
+    val n = v.numElements()
+    var best = -1
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cvecs.length) {
+      val cv = cvecs(c)
+      if (cv.length == n) {
+        var acc = 0L
+        var i = 0
+        while (i < n) {
+          val d = v.getLong(i) - cv(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+      }
+      c += 1
+    }
+    if (best < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](clusters(best), bestD))
   }
 
   /** Random-hyperplane signature: bit b = sign of Σ floor(coefs(b)(i) *
@@ -180,4 +236,78 @@ case class PlaneSig(child: Expression, coefs: Array[Array[Long]], scale: Double)
 object PlaneSig {
   def apply(c: Column, coefs: Array[Array[Long]], scale: Double): Column =
     Bridge.column(PlaneSig(Bridge.expression(c), coefs, scale))
+}
+
+/** Σ (a[i]−b[i])² over array<long> as one codegen'd call — see
+  * VecUtil.sqDistLong for the exact HOF-parity contract.
+  */
+case class SqDistLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // length mismatch / null element
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sqdist_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.sqDistLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |Object r = graft.expressions.VecUtil.sqDistLong($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistLong {
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(SqDistLong(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Argmin over a driver-collected codebook as one codegen'd call per row:
+  * struct(cluster, dist2) of the nearest centroid by exact BIGINT dist2,
+  * ties to the lower cluster id. Replaces the per-assignment
+  * crossJoin(broadcast(cents)) + groupBy(min(struct)) — which materialized
+  * n×k rows and paid one exchange per kmeans round — with zero shuffles.
+  * The codebook is model-sized (k = ⌈√n⌉ at the gates), the same relation
+  * the replaced broadcast shipped.
+  */
+case class NearestCell(child: Expression, clusters: Array[Long],
+                       cvecs: Array[Array[Long]])
+  extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // unreachable-width vector
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("dist2", LongType, nullable = false)))
+  override def prettyName: String = "graft_nearest_cell"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.nearestCell(a.asInstanceOf[ArrayData], clusters, cvecs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cl = ctx.addReferenceObj("ncClusters", clusters, "long[]")
+    val cv = ctx.addReferenceObj("ncCvecs", cvecs, "long[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |Object r = graft.expressions.VecUtil.nearestCell($a, $cl, $cv);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
+object NearestCell {
+  def apply(c: Column, clusters: Array[Long], cvecs: Array[Array[Long]]): Column =
+    Bridge.column(NearestCell(Bridge.expression(c), clusters, cvecs))
 }

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed stream caches: every read/write spins
+  // up (and deletes) a temp file. All payloads here are in-memory byte
+  // arrays, so the cache is pure I/O overhead in the per-row decode hot
+  // path — switch the JVM to memory-backed streams once, at first touch
+  // of this object (runs on each executor too). Purely a buffering
+  // choice; decoded bits are identical.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaFeature(doc_id: Long, n_bytes: Long, format: String,
                           checksum: String, decoded: Boolean,
                           width: Int, height: Int, channels: Int,
@@ -168,12 +176,11 @@ object Multimodal {
   def pngBytes(width: Int, height: Int, rgb: Int): Array[Byte] = {
     val im = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { im.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
+    // one Arrays.fill of the INT_RGB backing buffer instead of w*h
+    // setRGB color-model round-trips — same 24-bit pixel values (callers
+    // pass 0xRRGGBB with a zero top byte, exactly what setRGB stored)
+    java.util.Arrays.fill(im.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData, rgb & 0xffffff)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(im, "png", bos)
     bos.toByteArray
@@ -187,12 +194,16 @@ object Multimodal {
                    gray: (Int, Int) => Int): Array[Byte] = {
     val im = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // write the INT_RGB backing buffer directly (same 24-bit values the
+    // setRGB loop stored, minus w*h color-model round-trips)
+    val buf = im.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
         val v = gray(x, y) & 0xff
-        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        buf(y * width + x) = (v << 16) | (v << 8) | v
         x += 1
       }
       y += 1
@@ -604,12 +615,10 @@ object Multimodal {
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g = gray & 0xff
     val rgb = (g << 16) | (g << 8) | g
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { im.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
+    // one Arrays.fill of the INT_RGB backing buffer — same 24-bit pixels
+    // the setRGB loop stored, so the JPEG encoder sees identical input
+    java.util.Arrays.fill(im.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData, rgb)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(im, "jpg", bos)
     bos.toByteArray
@@ -689,17 +698,32 @@ object Multimodal {
                 val stepY = math.max(1, h / 256)
                 var sum = 0.0
                 var n = 0L
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val rgb = im.getRGB(x, y)
+                if (stepX == 1 && stepY == 1) {
+                  // full-raster probe: ONE bulk getRGB instead of w*h
+                  // per-pixel color-model calls — identical values, same
+                  // row-major summation order, so the double is bit-equal
+                  val px = im.getRGB(0, 0, w, h, null, 0, w)
+                  var j = 0
+                  while (j < px.length) {
+                    val rgb = px(j)
                     sum += 0.299 * ((rgb >>> 16) & 0xff) +
                       0.587 * ((rgb >>> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                    n += 1
-                    x += stepX
+                    j += 1
                   }
-                  y += stepY
+                  n = px.length.toLong
+                } else {
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = im.getRGB(x, y)
+                      sum += 0.299 * ((rgb >>> 16) & 0xff) +
+                        0.587 * ((rgb >>> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                      n += 1
+                      x += stepX
+                    }
+                    y += stepY
+                  }
                 }
                 VideoFrame(id, i, w, h, sum / n)
               }

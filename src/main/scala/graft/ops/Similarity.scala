@@ -354,19 +354,47 @@ object Similarity {
   }
 
   /** kmeansFit's loop body: nearest centroid per vector by exact BIGINT
-    * dist2 (ties to the lower cluster id), via a broadcast of the k-row
-    * codebook. */
+    * dist2 (ties to the lower cluster id).
+    *
+    * Round-16 shape: the codebook is model-sized (k = ⌈√n⌉ at every
+    * call site — the same relation the old form collected to the driver
+    * to BROADCAST), so collect it once and evaluate the argmin as ONE
+    * whole-stage-codegen kernel per corpus row
+    * ([[graft.expressions.NearestCell]]). The old
+    * crossJoin(broadcast) + groupBy(min(struct)) materialized n×k rows
+    * through an interpreted zip_with/aggregate (CodegenFallback) and
+    * paid one exchange PER ASSIGNMENT CALL (per Lloyd round); this pays
+    * zero shuffles and touches each vector once. Bit-identical: exact
+    * long arithmetic, ties to the lower cluster id (codebook sorted
+    * ascending, strict <).
+    */
   private def assignSv(sv: DataFrame, idCol: String,
-                       cents: DataFrame): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("svec"), col("cvec"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    sv.crossJoin(broadcast(cents))
-      .withColumn("_d2", d2)
-      .groupBy(col(idCol), col("svec"))
-      .agg(min(struct(col("_d2"), col("cluster"))).as("_m"))
+                       cents: DataFrame): DataFrame =
+    assignCollected(sv, idCol, collectCodebook(cents))
+
+  /** Model-sized collect of a (cluster, cvec) relation, sorted ascending
+    * by cluster (the tie-break order) — bounded exactly like the
+    * broadcast relation the old crossJoin form shipped. Null-cvec rows
+    * (unreachable by construction) are skipped.
+    */
+  private def collectCodebook(cents: DataFrame): Array[(Long, Array[Long])] =
+    cents.select(col("cluster").cast("long"), col("cvec"))
+      .collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+
+  /** The argmin projection over an already-collected codebook. */
+  private def assignCollected(sv: DataFrame, idCol: String,
+                              cb: Array[(Long, Array[Long])]): DataFrame = {
+    if (cb.isEmpty)
+      return sv.select(col(idCol), col("svec"),
+        lit(0L).as("cluster"), lit(0L).as("dist2")).limit(0)
+    sv.withColumn("_m",
+        graft.expressions.NearestCell(col("svec"),
+          cb.map(_._1), cb.map(_._2)))
       .select(col(idCol), col("svec"),
-        col("_m.cluster").as("cluster"), col("_m._d2").as("dist2"))
+        col("_m.cluster").as("cluster"), col("_m.dist2").as("dist2"))
   }
 
   /** Assign vectors to a FROZEN codebook — [[kmeansFit]]'s final-round
@@ -382,15 +410,18 @@ object Similarity {
                        scale: Double = 1e6): DataFrame = {
     require(scale > 0 && scale <= 1e7,
       s"scale must be in (0, 1e7], got $scale")
-    val dprobe = cents.select(max(size(col("cvec")))).head()
-    if (dprobe.isNullAt(0))
+    // ONE action: the codebook collect also answers the dimensionality
+    // probe (the old separate max(size(cvec)) head() executed the full
+    // centroid plan a second time when cents wasn't cached)
+    val cb = collectCodebook(cents)
+    if (cb.isEmpty)
       return vecs.select(col(idCol),
         array().cast("array<long>").as("svec"),
         lit(0L).as("cluster"), lit(0L).as("dist2")).limit(0)
-    val d = dprobe.getInt(0)
+    val d = cb.iterator.map(_._2.length).max
     val sv = vecs.filter(size(col(vecCol)) === d)
       .select(col(idCol), scaleVec(col(vecCol), scale).as("svec"))
-    assignSv(sv, idCol, cents)
+    assignCollected(sv, idCol, cb)
   }
 
   /** SemDeDup ADMISSION against a frozen codebook + per-cell keep set —
@@ -426,9 +457,8 @@ object Similarity {
     val asg = assignToCodebook(newVecs, idCol, vecCol, cents, scale)
     val idx = index.select(col("cluster").as("_ci"), col(idCol).as("_ii"),
       col("dist2").as("_di"), col("svec").as("_vi"))
-    val pd2 = aggregate(
-      zip_with(col("svec"), col("_vi"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    // native codegen kernel — HOF-parity exact (see VecUtil.sqDistLong)
+    val pd2 = graft.expressions.SqDistLong(col("svec"), col("_vi"))
     val doms = asg.join(idx, col("cluster") === col("_ci"))
       .withColumn("_pd2", pd2)
       .filter(col("_pd2") <= maxDist2)
@@ -474,9 +504,8 @@ object Similarity {
     val b = m.select(col("cluster").as("_cb"), col(idCol).as("id_b"),
       col("svec").as("vb"))
     a.join(b, col("cluster") === col("_cb") && col("id_a") < col("id_b"))
-      .withColumn("dist2", aggregate(
-        zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("dist2",
+        graft.expressions.SqDistLong(col("va"), col("vb")))
       .filter(col("dist2") <= maxDist2)
       .select(col("cluster"), col("id_a"), col("id_b"), col("dist2"))
   }
@@ -508,9 +537,19 @@ object Similarity {
     */
   def semDedup(embs: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, maxDist2: Long,
-               scale: Double = 1e6): DataFrame = {
+               scale: Double = 1e6,
+               centsOpt: Option[DataFrame] = None): DataFrame = {
     require(maxDist2 >= 0L, s"maxDist2 must be >= 0, got $maxDist2")
-    val fin = kmeansFit(embs, idCol, vecCol, k, iters, scale)
+    // centsOpt: a caller that already trained THIS codebook
+    // (kmeansCentroids with the same args — q277/q278 persist it for the
+    // admission passes) can hand it in so the fit is not re-derived;
+    // kmeansFit(embs,…) ≡ assignToCodebook(embs, kmeansCentroids(embs,…))
+    // by construction (deterministic training), so results are identical.
+    val fin = centsOpt match {
+      case Some(cb) => assignToCodebook(embs, idCol, vecCol, cb, scale)
+        .select(col(idCol), col("cluster"), col("dist2"))
+      case None => kmeansFit(embs, idCol, vecCol, k, iters, scale)
+    }
     val probe = embs.select(max(size(col(vecCol))).as("d")).head()
     if (probe.isNullAt(0))
       return fin.select(col(idCol), col("cluster"), col("dist2"),
@@ -534,9 +573,8 @@ object Similarity {
       .join(b, col("cluster") === col("_cb") &&
         (col("_da") > col("_db") ||
           (col("_da") === col("_db") && col("_ia") < col("_ib"))))
-      .withColumn("_pd2", aggregate(
-        zip_with(col("_va"), col("_vb"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("_pd2",
+        graft.expressions.SqDistLong(col("_va"), col("_vb")))
       .filter(col("_pd2") <= maxDist2)
       .groupBy(col("_ib"))
       .agg(min(struct((-col("_da")).as("_nd"), col("_ia").as("_ia")))
@@ -690,17 +728,13 @@ object Similarity {
       .groupBy(col("cluster"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         x => x.getField("c")).as("cvec"))
-    val d2 = aggregate(
-      zip_with(col("svec"), col("cvec"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val d2 = graft.expressions.SqDistLong(col("svec"), col("cvec"))
     val intra = sv.join(broadcast(cents), "cluster")
       .withColumn("_d2", d2)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
         sum("_d2").as("intra_sum_sq"))
-    val cd2 = aggregate(
-      zip_with(col("cvec"), col("_ovec"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val cd2 = graft.expressions.SqDistLong(col("cvec"), col("_ovec"))
     val inter = cents
       .join(cents.select(col("cluster").as("_oc"), col("cvec").as("_ovec")),
         col("cluster") =!= col("_oc"))
@@ -799,9 +833,7 @@ object Similarity {
       .select(col("_id"), col("cluster"))
     var cents = sv.join(broadcast(seeds), "_id")
       .select(col("sub"), col("cluster"), col("_sv").as("_cv"))
-    val d2 = aggregate(
-      zip_with(col("_sv"), col("_cv"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val d2 = graft.expressions.SqDistLong(col("_sv"), col("_cv"))
     // the sub-vector rides THROUGH the argmin aggregate (kmeansFit's
     // shape) so the centroid update needs no corpus-to-corpus re-join
     def assign(cb: DataFrame): DataFrame =
@@ -873,9 +905,8 @@ object Similarity {
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("_d2"), col("_id"))
     val exact = sv.crossJoin(broadcast(q))
-      .withColumn("_d2", aggregate(
-        zip_with(col("_svec"), col("_qvec"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("_d2",
+        graft.expressions.SqDistLong(col("_svec"), col("_qvec")))
       .withColumn("_r", row_number().over(rankW))
       .filter(col("_r") <= topK)
       .select(col("q_id"), col("_id").as("vec_id"))

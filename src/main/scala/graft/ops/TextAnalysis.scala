@@ -237,18 +237,11 @@ object TextAnalysis {
     * digits from the right, −9 on overflow), no UDF; mirrored term by
     * term in the oracle's list_transform, so validity is engine-portable.
     */
-  def luhnValid(digits: Column): Column = {
-    val n = length(digits)
-    val sum = aggregate(
-      sequence(lit(0), n - 1),
-      lit(0L),
-      (acc, i) => {
-        val d = substring(digits, n - i, lit(1)).cast("long")
-        acc + when(i % 2 === 0, d)
-          .otherwise(d * 2 - when(d * 2 > 9, 9L).otherwise(0L))
-      })
-    n >= 1 && sum % 10 === 0
-  }
+  def luhnValid(digits: Column): Column =
+    // native single pass (graft_luhn_valid) — the sequence+substring fold
+    // was CodegenFallback; term-by-term identical (non-digit → NULL,
+    // empty → FALSE)
+    graft.expressions.LuhnValid(digits)
 
   /** Validated-PII census: card-shaped digit runs (len 13–19, the regex
     * recall pass) split by Luhn validity, per group — the triage metric
@@ -387,18 +380,10 @@ object TextAnalysis {
       size(array_distinct(w)).cast("long").as("n_distinct_words"),
       TextFns.shingleHashes(col(textCol), 2).as("_g"))
     val g = col("_g")
-    // longest equal run in the sorted array = max multiplicity of any gram
-    val maxRun = aggregate(
-      array_sort(g),
-      struct(lit(null).cast("long").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(acc.getField("prev") === x, acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    // max multiplicity of any gram — native sort+run-scan kernel
+    // (graft_max_multiplicity); the array_sort + struct-accumulator fold
+    // it replaces was CodegenFallback, interpreted per element
+    val maxRun = graft.expressions.MaxMultiplicity(g)
     pre.select(
       col(idCol), col("n_words"), col("n_distinct_words"),
       size(g).cast("long").as("_ng"),
@@ -1169,25 +1154,11 @@ object TextAnalysis {
     * same pass, so 'aaa' under (a,a) becomes ['aa','a'] — the standard
     * BPE pass semantics.
     */
-  private def mergePair(syms: Column, a: Column, b: Column): Column = {
-    val zero = struct(lit(Array.empty[String]).as("out"),
-      lit(null).cast("string").as("pending"))
-    aggregate(syms, zero,
-      (acc, x) => {
-        val out = acc.getField("out"); val p = acc.getField("pending")
-        val isMerge = p === a && x === b
-        struct(
-          when(p.isNull, out)
-            .when(isMerge, array_append(out, concat(a, b)))
-            .otherwise(array_append(out, p)).as("out"),
-          when(p.isNull, x)
-            .when(isMerge, lit(null).cast("string"))
-            .otherwise(x).as("pending"))
-      },
-      acc => when(acc.getField("pending").isNull, acc.getField("out"))
-        .otherwise(array_append(acc.getField("out"),
-          acc.getField("pending"))))
-  }
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    // native single pass (graft_bpe_merge_pair) — the composed aggregate
+    // fold was CodegenFallback and array_append-copied the accumulator
+    // per symbol (O(len²) per word); state machine is bit-identical
+    graft.expressions.MergePair(syms, a, b)
 
   /** The actual BPE TRAINING LOOP, `rounds` merges deep: each round scores
     * adjacent symbol pairs over the collapsed vocabulary (q93's ordering —
@@ -1236,7 +1207,7 @@ object TextAnalysis {
           (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
         merges += ((round, l, r, cnt))
         val next = vocab.withColumn("syms",
-          mergePair(col("syms"), lit(l), lit(r))).persist()
+          mergePair(col("syms"), l, r)).persist()
         next.count()
         vocab.unpersist()
         vocab = next
@@ -1282,7 +1253,7 @@ object TextAnalysis {
         sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))))
     val encoded = merges.foldLeft(vocab0) { case (v, (l, r)) =>
-      v.withColumn("syms", mergePair(col("syms"), lit(l), lit(r)))
+      v.withColumn("syms", mergePair(col("syms"), l, r))
     }
     val seg = if (broadcastVocab) broadcast(encoded) else encoded
     // document order is CARRIED, not assumed: the non-broadcast path
@@ -2488,26 +2459,13 @@ object TextAnalysis {
     */
   def strideGramSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val nGrams = greatest(size(ws) - (n - 1), lit(0))
-    docs.select(col(idCol), ws.as("_ws"),
-      // per-word char stride (len + 1 separator): gram i's 0-based
-      // offset is the prefix sum Σ_{j<i}(len_j + 1) — summing LONGS
-      // instead of materializing the O(words²)-char prefix joins the
-      // first cut paid (length(array_join(ws[1:i-1]))) — measured
-      // 37 → 14 s on the q285 10× cold drain
-      transform(ws, w => (length(w) + 1).cast("long")).as("_wl"),
-      nGrams.as("_ng"))
-      .select(col(idCol),
-        // sequence(1, 0) DESCENDS in Spark — docs shorter than n words
-        // must slice the synthesized array down to empty instead
-        explode(slice(transform(
-          sequence(lit(1), greatest(col("_ng"), lit(1))),
-          i => struct(
-            array_join(slice(col("_ws"), i, lit(n)), " ").as("g"),
-            aggregate(slice(col("_wl"), lit(1), i - 1), lit(0L),
-              (a, x) => a + x).as("st"))),
-          lit(1), col("_ng"))).as("_gr"))
+    // ONE native pass per doc (graft_gram_spans): grams and their exact
+    // prefix-sum offsets together. The composed transform+aggregate(slice)
+    // form paid an O(i) interpreted fold per gram — O(words²) per doc even
+    // after the r15 longs-not-chars rework (ADVICE r16 item 1); this is
+    // linear in words (gram text volume itself is inherent).
+    docs.select(col(idCol),
+        explode(graft.expressions.GramSpans(col(textCol), n)).as("_gr"))
       .select(col(idCol), col("_gr.g").as("g"), col("_gr.st").as("st"),
         (col("_gr.st") + length(col("_gr.g"))).as("en"))
   }

@@ -4580,7 +4580,7 @@ object Extensions {
                AS text_xor
       FROM documents GROUP BY 1 ORDER BY lang"""),
     (s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-q207")
+      val path = graft.TempDirs.create("graft-q207")
         .toString + "/docs_orc"
       Formats.orcRoundTrip(t(s, dir, "documents"), path, "lang")
         .withColumn("_h", graft.functions.TextFns.hash64(col("text")))
@@ -4620,7 +4620,7 @@ object Extensions {
                AS payload_xor
       FROM m GROUP BY 1 ORDER BY lang_bucket"""),
     (s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-q208")
+      val path = graft.TempDirs.create("graft-q208")
         .toString + "/docs_jsonl"
       val lines = t(s, dir, "documents")
         .select(col("doc_id"), to_json(struct(col("doc_id"), col("lang"),
@@ -4888,7 +4888,7 @@ object Extensions {
                AS text_xor
       FROM documents GROUP BY 1 ORDER BY lang"""),
     (s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-q214")
+      val path = graft.TempDirs.create("graft-q214")
         .toString + "/docs_avro"
       Formats.avroRoundTrip(t(s, dir, "documents"), path)
         .withColumn("_h", graft.functions.TextFns.hash64(col("text")))
@@ -5278,7 +5278,7 @@ object Extensions {
       FROM events WHERE event_type IN ('click', 'purchase')
       GROUP BY 1 ORDER BY event_type"""),
     (s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-q224")
+      val path = graft.TempDirs.create("graft-q224")
         .toString + "/events_by_type"
       Output.writeHivePartitioned(
         t(s, dir, "events").select("event_type", "value", "user_id"),
@@ -5447,7 +5447,7 @@ object Extensions {
         CAST(sum(length(payload)) AS BIGINT) AS sum_len
       FROM g GROUP BY 1 ORDER BY lang"""),
     (s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-q228")
+      val path = graft.TempDirs.create("graft-q228")
         .toString + "/docs_csv"
       val payload = when(col("doc_id") % 4 === 0,
           concat(lit("a,\"b\" "), col("text")))
@@ -5668,7 +5668,7 @@ object Extensions {
         CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY 1 ORDER BY lang"""),
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-q232")
+      val root = graft.TempDirs.create("graft-q232")
         .toString + "/docs_evolved"
       val docs = t(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0)
@@ -7637,7 +7637,8 @@ object Extensions {
         val cents = Similarity.kmeansCentroids(evens, "vec_id",
           "embedding", k = k, iters = 2).cache()
         val kept = Similarity.semDedup(evens, "vec_id", "embedding",
-          k = k, iters = 2, maxDist2 = Q277MaxDist2)
+          k = k, iters = 2, maxDist2 = Q277MaxDist2,
+          centsOpt = Some(cents)) // reuse the frozen codebook — no refit
           .filter(col("keep"))
           .select(col("vec_id"), col("cluster"), col("dist2"))
         val index0 = kept

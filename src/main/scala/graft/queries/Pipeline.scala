@@ -194,7 +194,7 @@ object Pipeline {
       SELECT event_type, count(*) AS n_records
       FROM events GROUP BY event_type ORDER BY event_type"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q33-cp").toString
+      val cp = graft.TempDirs.create("graft-q33-cp").toString
       val stream = eventsStream(s, dir)
         .withColumn("hash",
           Etl.recordHash(lit("DRM"), col("event_id").cast("string")))
@@ -225,7 +225,7 @@ object Pipeline {
              count(*) AS n_records
       FROM events GROUP BY 1, 2, 3 ORDER BY device_id, bucket_start"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q56-cp").toString
+      val cp = graft.TempDirs.create("graft-q56-cp").toString
       val stream = eventsStream(s, dir)
         .select(col("event_type").as("device_id"), col("ts").as("start"))
       val agg = graft.streaming.IncrementalIngest.dayBucketCounts(stream, "12:00:00")
@@ -377,7 +377,7 @@ object Pipeline {
       WHERE n_chars >= 150 AND lang IN ('de', 'en', 'fr')
       GROUP BY lang ORDER BY lang"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q75-cp").toString
+      val cp = graft.TempDirs.create("graft-q75-cp").toString
       val curated = graft.streaming.IncrementalIngest.curateDocuments(
         Tables.tableStream(s, dir, "documents.parquet"),
         minChars = 150, langs = Seq("de", "en", "fr"))
@@ -409,7 +409,7 @@ object Pipeline {
         AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q113-cp").toString
+      val cp = graft.TempDirs.create("graft-q113-cp").toString
       val ev = eventsStream(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
@@ -460,7 +460,7 @@ object Pipeline {
       FROM b, wm WHERE bs + INTERVAL 24 HOUR <= w
       ORDER BY device_id, bucket_start"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q129-cp").toString
+      val cp = graft.TempDirs.create("graft-q129-cp").toString
       val stream = eventsStream(s, dir)
         .select(col("event_type").as("device_id"), col("ts").as("start"))
       val agg = graft.streaming.IncrementalIngest.dayBucketCounts(
@@ -513,7 +513,7 @@ object Pipeline {
       FROM g, wm WHERE s_end <= w
       ORDER BY device_id, session_start"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q130-cp").toString
+      val cp = graft.TempDirs.create("graft-q130-cp").toString
       val stream = eventsStream(s, dir)
         .select(col("user_id").as("device_id"), col("ts").as("start"))
       val agg = graft.streaming.IncrementalIngest.sessionCounts(
@@ -547,7 +547,7 @@ object Pipeline {
       SELECT event_type AS device_type, count(*) AS n_records
       FROM events GROUP BY 1 ORDER BY 1"""),
     (s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-q134")
+      val work = graft.TempDirs.create("graft-q134")
       val src = work.resolve("src")
       java.nio.file.Files.createDirectories(src)
       // stage the events table (projected to the ledger-record shape the
@@ -590,7 +590,7 @@ object Pipeline {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY 1 ORDER BY c_mktsegment"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q157-cp").toString
+      val cp = graft.TempDirs.create("graft-q157-cp").toString
       val dim = Tables.table(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val agg = eventsStream(s, dir)
@@ -641,7 +641,7 @@ object Pipeline {
       WHERE g.sid < m.max_sid OR g.last_ms + 1800000 <= wm.w
       ORDER BY g.user_id, start_ms"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q166-cp").toString
+      val cp = graft.TempDirs.create("graft-q166-cp").toString
       import s.implicits._
       // null key/ts rows excluded before keying/watermarking (q257's
       // policy, applied here too — the shared latent gap from r13 advice)
@@ -679,7 +679,7 @@ object Pipeline {
       SELECT event_type, count(*) AS n_records
       FROM events GROUP BY 1 ORDER BY 1"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q174-cp").toString
+      val cp = graft.TempDirs.create("graft-q174-cp").toString
       val doubled = eventsStream(s, dir).unionByName(eventsStream(s, dir))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
@@ -728,7 +728,7 @@ object Pipeline {
           AS n_admitted
       FROM scan GROUP BY 1 ORDER BY user_id"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q235-cp")
+      val cp = graft.TempDirs.create("graft-q235-cp")
         .toString
       import s.implicits._
       val stream = eventsStream(s, dir)
@@ -786,7 +786,7 @@ object Pipeline {
       FROM j CROSS JOIN wm WHERE day_ms + 86400000 <= wm.w
       ORDER BY day_ms"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q244-cp")
+      val cp = graft.TempDirs.create("graft-q244-cp")
         .toString
       import s.implicits._
       // Reference profile: the category census — bounded by event_type
@@ -843,12 +843,12 @@ object Pipeline {
       // Materialize the index ONCE, before the first micro-batch would
       // otherwise charge the build to itself.
       idxBands.count()
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-q248-stage").toString
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q248-out").toString
-      val cp = java.nio.file.Files
-        .createTempDirectory("graft-q248-cp").toString
+      val stage = graft.TempDirs
+        .create("graft-q248-stage").toString
+      val out = graft.TempDirs
+        .create("graft-q248-out").toString
+      val cp = graft.TempDirs
+        .create("graft-q248-cp").toString
       docs.filter(col("doc_id") % 2 === 1)
         .repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(stage)
@@ -909,7 +909,7 @@ object Pipeline {
       WHERE g.sid < m.max_sid OR g.end_ms + 1800000 <= wm.w
       ORDER BY user_id, start_ms"""),
     (s, dir) => {
-      val cp = java.nio.file.Files.createTempDirectory("graft-q257-cp")
+      val cp = graft.TempDirs.create("graft-q257-cp")
         .toString
       import s.implicits._
       // null key/ts rows are excluded BEFORE keying and watermarking —
@@ -959,12 +959,12 @@ object Pipeline {
       // materialize ONCE, before the first micro-batch would otherwise
       // charge the census build to itself (the q248 index discipline)
       census.count()
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-q267-stage").toString
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q267-out").toString
-      val cp = java.nio.file.Files
-        .createTempDirectory("graft-q267-cp").toString
+      val stage = graft.TempDirs
+        .create("graft-q267-stage").toString
+      val out = graft.TempDirs
+        .create("graft-q267-out").toString
+      val cp = graft.TempDirs
+        .create("graft-q267-cp").toString
       docs.filter(col("doc_id") % 2 === 1)
         .repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(stage)
@@ -1002,12 +1002,12 @@ object Pipeline {
       val docs = Tables.table(s, dir, "documents")
       def census(df: DataFrame) =
         graft.ops.TextAnalysis.unigramCensus(df, "text")
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-q271-stage").toString
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q271-out").toString
-      val cp = java.nio.file.Files
-        .createTempDirectory("graft-q271-cp").toString
+      val stage = graft.TempDirs
+        .create("graft-q271-stage").toString
+      val out = graft.TempDirs
+        .create("graft-q271-out").toString
+      val cp = graft.TempDirs
+        .create("graft-q271-cp").toString
       var cur = census(docs.filter(col("doc_id") % 4 === 0))
         .repartition(col("w")).persist()
       cur.count() // materialize before the drain would charge it to itself
@@ -1083,7 +1083,8 @@ object Pipeline {
           "embedding", k = k, iters = 2).cache()
         cents.count() // materialize before the first drain (q248/q267)
         val index0 = graft.ops.Similarity.semDedup(evens, "vec_id",
-          "embedding", k = k, iters = 2, maxDist2 = maxDist2)
+          "embedding", k = k, iters = 2, maxDist2 = maxDist2,
+          centsOpt = Some(cents)) // reuse the frozen codebook — no refit
           .filter(col("keep"))
           .select(col("vec_id"), col("cluster"), col("dist2"))
           .join(graft.ops.Similarity.scaledVectors(evens, "vec_id",
@@ -1091,12 +1092,12 @@ object Pipeline {
           .repartition(col("cluster")).persist()
         index0.count()
         var idx = index0
-        val stage = java.nio.file.Files
-          .createTempDirectory("graft-q278-stage").toString
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-q278-out").toString
-        val cp = java.nio.file.Files
-          .createTempDirectory("graft-q278-cp").toString
+        val stage = graft.TempDirs
+          .create("graft-q278-stage").toString
+        val out = graft.TempDirs
+          .create("graft-q278-out").toString
+        val cp = graft.TempDirs
+          .create("graft-q278-cp").toString
         e.filter(col("vec_id") % 4 === 1).coalesce(1)
           .write.mode("overwrite").parquet(stage)
         val schema = s.read.parquet(stage).schema
@@ -1204,12 +1205,12 @@ object Pipeline {
       // materialize BOTH before the first micro-batch would otherwise
       // charge the census builds to itself (the q248/q267 discipline)
       target.count(); source.count()
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-q283-stage").toString
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q283-out").toString
-      val cp = java.nio.file.Files
-        .createTempDirectory("graft-q283-cp").toString
+      val stage = graft.TempDirs
+        .create("graft-q283-stage").toString
+      val out = graft.TempDirs
+        .create("graft-q283-out").toString
+      val cp = graft.TempDirs
+        .create("graft-q283-cp").toString
       docs.filter(col("doc_id") % 2 === 1)
         .repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(stage)
@@ -1310,12 +1311,12 @@ object Pipeline {
       // materialize ONCE, before the first micro-batch would otherwise
       // charge the index build to itself (the q248/q267 discipline)
       index.count()
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-q285-stage").toString
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q285-out").toString
-      val cp = java.nio.file.Files
-        .createTempDirectory("graft-q285-cp").toString
+      val stage = graft.TempDirs
+        .create("graft-q285-stage").toString
+      val out = graft.TempDirs
+        .create("graft-q285-out").toString
+      val cp = graft.TempDirs
+        .create("graft-q285-cp").toString
       docs.filter(col("doc_id") % 2 === 1)
         .repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(stage)

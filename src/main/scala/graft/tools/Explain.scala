@@ -31,9 +31,16 @@ object Explain {
       })
     for (round <- 1 to 2) { // round 1 absorbs JIT/codegen; round 2 is steady
       stages.clear()
+      // time construction + force together, like the bench: streaming
+      // gates drain and collect-based gates train INSIDE the lambda
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[explain] $name round $round forced in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val dfr = SparkEntry.queries(name)(spark, sfDir)
+      val t1 = System.nanoTime()
+      dfr.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      println(f"[explain] $name round $round construct ${(t1 - t0) / 1e9}%.2f s" +
+        f" + force ${(t2 - t1) / 1e9}%.2f s = ${(t2 - t0) / 1e9}%.2f s")
+      graft.TempDirs.sweep()
     }
     Thread.sleep(500) // let the listener bus drain
     stages.sortBy(_._2).foreach { case (id, sub, done, n, nm) =>

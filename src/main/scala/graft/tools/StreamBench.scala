@@ -66,6 +66,7 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.TempDirs.sweepStale() // litter from crashed earlier runs
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (provider <- Seq("hdfs", "rocksdb")) {
@@ -569,6 +570,10 @@ object StreamBench {
         index.unpersist()
         ()
       }
+
+      // every shape in this provider pass is drained — delete its work
+      // tree (checkpoints, staged feeds, outputs) before the next pass
+      graft.TempDirs.deleteRecursively(work)
     }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)

@@ -329,14 +329,21 @@ class PlanIntegritySpec extends SparkSpec {
       "grams must fold row-locally, not explode")
   }
 
-  test("q91: k-means assignment broadcasts the model-sized centroids") {
+  test("q91: k-means assignment is one codegen argmin kernel, no join") {
     val p = plan("q91_kmeans_fit")
-    // every round's assign stage is corpus x broadcast(k centroids); a
-    // SortMergeJoin here means the CORPUS is being shuffled per round
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"centroid assignment must ride a broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"the corpus must never shuffle into the assignment:\n$p")
+    // round-16 shape: the model-sized codebook is collected once and the
+    // assignment is ONE native argmin projection per corpus row
+    // (graft_nearest_cell) — the r15 shape materialized n×k rows through
+    // BroadcastNestedLoopJoin + groupBy(min(struct)) and paid one
+    // exchange per Lloyd round
+    assert(p.contains("graft_nearest_cell"),
+      s"assignment must be the native argmin kernel:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"assignment must not join the corpus against the codebook:\n$p")
+    // the only allowed exchange is the gate's deterministic ORDER BY
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assignment must not shuffle the corpus:\n$p")
   }
 
   test("q92: posting-list self-join is an equi join on term, never all-" +
