@@ -32,10 +32,20 @@ object Fuzzy {
     // the self-join shuffle or the pair dedup. A hash collision merely
     // merges two buckets: extra candidates, removed by the verify below;
     // equal variants always hash equal, so completeness is unaffected.
-    val v = df.select(
-      col(idCol) +: blockCols.map(col) :+
-        explode(DeletionNeighborhood(col(strCol), maxDist)).as("_v"): _*)
+    // the ~O(len^k) variant fan-out is the CPU stage: rebalance the narrow
+    // input rows first so it never runs at the SCAN's parallelism (a small
+    // single-file table is one input split — measured: the whole explode
+    // serialized on 1 of 32 cores; guide §2.5 input-skew rule)
+    val v = df.select(col(idCol) +: blockCols.map(col) :+ col(strCol): _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol) +: blockCols.map(col) :+
+          explode(DeletionNeighborhood(col(strCol), maxDist)).as("_v"): _*)
       .select(col(idCol) +: blockCols.map(col) :+ xxhash64(col("_v")).as("_vh"): _*)
+    // (measured r16: checkpointing this relation to dedup the two join
+    // sides' explodes saves one fan-out stage but pays it back in RDD
+    // materialization + two shuffle-writes of the cached rows — net zero
+    // at bench scale, so the subtree stays lazy)
     val a = v.select(col(idCol).as("id_a") +: col("_vh") +: blockCols.map(col): _*)
     val b = v.select(col(idCol).as("id_b") +: col("_vh").as("_vh_b") +:
       blockCols.map(c => col(c).as(s"_b_$c")): _*)

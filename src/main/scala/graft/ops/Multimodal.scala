@@ -763,19 +763,36 @@ object Multimodal {
             val stepY = math.max(1, h / 256)
             val sums = new Array[Double](4) // r, g, b, a from packed ARGB
             var n = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = im.getRGB(x, y)
+            if (stepX == 1 && stepY == 1) {
+              // full-raster probe: ONE bulk getRGB instead of w*h
+              // per-pixel color-model calls; integer-valued double sums
+              // are order-exact, so the feature is bit-identical
+              val px = im.getRGB(0, 0, w, h, null, 0, w)
+              var j = 0
+              while (j < px.length) {
+                val rgb = px(j)
                 sums(0) += (rgb >>> 16) & 0xff
                 sums(1) += (rgb >>> 8) & 0xff
                 sums(2) += rgb & 0xff
                 sums(3) += (rgb >>> 24) & 0xff
-                n += 1
-                x += stepX
+                j += 1
               }
-              y += stepY
+              n = px.length.toLong
+            } else {
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = im.getRGB(x, y)
+                  sums(0) += (rgb >>> 16) & 0xff
+                  sums(1) += (rgb >>> 8) & 0xff
+                  sums(2) += rgb & 0xff
+                  sums(3) += (rgb >>> 24) & 0xff
+                  n += 1
+                  x += stepX
+                }
+                y += stepY
+              }
             }
             val feature = Array.tabulate(dim)(i =>
               if (i < sums.length) (sums(i) / (n * 255.0)).toFloat else 0f)
