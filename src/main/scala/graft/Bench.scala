@@ -126,6 +126,27 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"overhead_s":${r3(overhead)},"n_queries":${results.size},"queries_file":"$outPath","sf":"$sfDir"}""")
+    // r16 verdict item 2: the driver keeps only a small stdout TAIL, so the
+    // ~8 KB full line above never parses ("parsed": null since ~r10). Emit
+    // the per-query map AGAIN as the FINAL stdout lines in <= 2 KB chunks —
+    // each line a complete JSON object — so any tail window ends with whole
+    // objects a parser can use. Additions-only: the contract line and the
+    // compact summary above are unchanged.
+    val entries = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer[String]())
+    var len = 0
+    entries.foreach { e =>
+      if (len + e.length > 1800) {
+        chunks += scala.collection.mutable.ArrayBuffer[String](); len = 0
+      }
+      chunks.last += e; len += e.length + 1
+    }
+    val nParts = chunks.size
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_part","part":${i + 1},"n_parts":$nParts,"sf":"$sfDir","queries":${c.mkString("{", ",", "}")}}""")
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"overhead_s":${r3(overhead)},"n_queries":${results.size},"n_parts":$nParts,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

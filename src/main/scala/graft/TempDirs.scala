@@ -61,16 +61,23 @@ object TempDirs {
 
   /** Delete stale graft-* dirs a crashed earlier run left in
     * java.io.tmpdir — call once at main startup, before any query runs.
-    * Single-runner assumption (documented): two concurrent graft mains on
-    * one machine would race; the harness never does that.
+    * Only dirs whose mtime is over an hour old are touched (r16 ADVICE):
+    * a graft main running CONCURRENTLY (sbt test alongside Bench, Verify
+    * overlapping StreamBench) must not lose live checkpoints/staging —
+    * its dirs are minutes old; true crash litter is hours old by the
+    * next run.
     */
   def sweepStale(): Unit = {
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir", "/tmp"))
+    val cutoff = System.currentTimeMillis() - 60L * 60L * 1000L
     try {
       import scala.jdk.CollectionConverters._
       Files.list(tmp).iterator().asScala
         .filter(_.getFileName.toString.startsWith("graft-"))
+        .filter(p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: Exception => false })
         .foreach(deleteRecursively)
     } catch { case _: Exception => () }
   }

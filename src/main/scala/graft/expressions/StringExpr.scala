@@ -301,6 +301,18 @@ object MaxMultiplicityUtil {
   def maxMultiplicity(a: ArrayData): Long = {
     val n = a.numElements()
     if (n == 0) return 0L
+    // loud contract check (r16 ADVICE): toLongArray NPEs on a null
+    // element in GenericArrayData and silently reads 0 slots in
+    // UnsafeArrayData — a violated non-null contract must fail clearly,
+    // not corrupt the count
+    var j = 0
+    while (j < n) {
+      if (a.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"graft_max_multiplicity: null element at index $j — input " +
+            "arrays must be non-null (60-bit gram hashes by contract)")
+      j += 1
+    }
     val xs = a.toLongArray()
     java.util.Arrays.sort(xs)
     var best = 1L

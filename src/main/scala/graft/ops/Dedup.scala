@@ -590,7 +590,13 @@ object Dedup {
     * distance to each component's minimum doubles per round — O(log
     * diameter) rounds. Each round is one join + one hash-aggregate on
     * (node), both on uniform keys; lineage is truncated per round
-    * (localCheckpoint) so plans stay flat.
+    * (localCheckpoint) so plans stay flat. The edge set is CACHED in a
+    * dst-partitioned layout (the pageRank/labelPropagation posture), so
+    * after round 1 only the node-sized label relation shuffles — at
+    * 100 TB the per-round exchange is O(nodes), never O(edges). CACHE
+    * CONTRACT: the edge layout stays persisted for the returned lazy
+    * plan (same as [[prefixJaccardPairs]]); sessions clustering many
+    * graphs should `spark.catalog.clearCache()` between them.
     *
     * If the label loop still hasn't converged after `maxRounds` (an
     * adversarial graph whose diameter exceeds 2^maxRounds — not a shape
@@ -606,14 +612,24 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           outIdCol: String = "doc_id",
                           maxRounds: Int = 25): DataFrame = {
+    // r17: the per-round join reads the edge set through a CACHED
+    // dst-partitioned layout (the pageRank/labelPropagation reuse
+    // posture) — the edges never re-exchange after round 1; only the
+    // node-sized label relation shuffles per round. The old
+    // localCheckpoint(true) edge materialization paid one eager action
+    // AND re-shuffled the full edge set inside every round's join.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .repartition(col("dst")).sortWithinPartitions("dst")
+      .persist()
+    // lazy cut: the seed is referenced twice per round (edge join + own-
+    // label union) — the localCheckpoint dedups it at the RDD level, and
+    // the labelSum action below materializes it (no separate eager job)
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // convergence checksum over xxhash64 of the label, NOT a numeric cast
     // of the label itself: string doc ids cast to NULL, which summed to
     // NULL -> ZERO every round and declared convergence after round 1
@@ -640,12 +656,18 @@ object Dedup {
       // pointer jumping: follow label -> label(label) so the hop distance
       // to each component's minimum DOUBLES per round — O(log diameter)
       // rounds instead of O(diameter) (a label is always a node id, so the
-      // lookup is a self-join on the same frame)
+      // lookup is a self-join on the same frame; exchange reuse dedups the
+      // shared subtree below the aggregate)
+      //
+      // LAZY checkpoint + the labelSum action = ONE job per round that
+      // materializes the round AND observes the fixpoint sum (the LPA
+      // converge-mode shape) — the old eager checkpoint-then-sum paid two
+      // jobs per round of a loop whose sf0.1 cost is pure scheduling floor
       val next = neighborMin
         .join(neighborMin.select(col("node").as("_l"), col("label").as("_l2")),
           col("label") === col("_l"), "left")
         .select(col("node"), coalesce(col("_l2"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // labels only ever decrease, so an unchanged (exact decimal) sum IS
       // the fixpoint — one cheap aggregate instead of a join per round
       val curSum = labelSum(next)

@@ -35,9 +35,20 @@ object Fuzzy {
     // the ~O(len^k) variant fan-out is the CPU stage: rebalance the narrow
     // input rows first so it never runs at the SCAN's parallelism (a small
     // single-file table is one input split — measured: the whole explode
-    // serialized on 1 of 32 cores; guide §2.5 input-skew rule)
+    // serialized on 1 of 32 cores; guide §2.5 input-skew rule). r17: the
+    // partition count is INPUT-AWARE — ~64 KB of narrow rows per task
+    // (≈ a few hundred ms of deletion-explode CPU), capped at the session
+    // parallelism — instead of the unconditional defaultParallelism that
+    // over-fanned a ~300 KB relation into 32 tasks (r16 verdict: q47 ran
+    // 0.49× at 32 cores vs 8 at bench scale; big inputs still get the
+    // full fan-out).
+    val fanParts = {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val cap = BigInt(df.sparkSession.sparkContext.defaultParallelism)
+      ((est / (64L * 1024L)) + 1).min(cap).max(BigInt(1)).toInt
+    }
     val v = df.select(col(idCol) +: blockCols.map(col) :+ col(strCol): _*)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .repartition(fanParts)
       .select(
         col(idCol) +: blockCols.map(col) :+
           explode(DeletionNeighborhood(col(strCol), maxDist)).as("_v"): _*)
@@ -76,21 +87,25 @@ object Fuzzy {
     * phonetic code, sorted-bigram prefix) is the standard recall/cost
     * trade, passed in explicitly so the trade is visible at the call site.
     *
-    * Scale shape — TRIANGLE-SALTED pairing, not a naive per-block
-    * self-join: a hot block's O(n²) pair enumeration is the classic
-    * skew-killer (q173's data has 8 first-token blocks, so a plain
-    * equi-join leaves 24 of 32 threads idle and the hottest block's 3.3M
-    * pairs on ONE task). Each row gets a deterministic bucket
-    * g = hash(id) mod `salt`; the block's pair set decomposes exactly into
-    * salt·(salt+1)/2 cells (i ≤ j): cell (i,j) pairs bucket-i rows against
-    * bucket-j rows (diagonal cells orient by id_a < id_b; off-diagonal
-    * cells are already unordered-unique, output re-oriented via
-    * least/greatest). Every within-block pair lands in EXACTLY one cell,
-    * so results are identical to the naive join while per-task pair work
-    * drops ~salt² and cells spread over all cores. Shuffle volume grows
-    * only (salt+1)/2 × rows — rows, not pairs. At 100 TB, raise `salt`
-    * with expected block size; the decomposition is what keeps a hot key
-    * from becoming a single-task quadratic blow-up.
+    * Scale shape — kernel per DISTINCT name pair (r17), TRIANGLE-SALTED:
+    * JW depends only on the strings, so the quadratic enumeration runs
+    * over the distinct (block, name) relation and ids re-attach by two
+    * name-keyed joins after the threshold filter — on q173's data that
+    * is 288 kernel pairs instead of 25.0M row pairs; an all-unique
+    * corpus pays one extra distinct exchange and nothing else. The
+    * distinct-name pairing itself is triangle-salted, not a naive
+    * per-block self-join: a hot block's O(n²) pair enumeration is the
+    * classic skew-killer. Each distinct name gets a deterministic bucket
+    * g = hash(name) mod `salt`; the block's pair set decomposes exactly
+    * into salt·(salt+1)/2 cells (i ≤ j): cell (i,j) pairs bucket-i names
+    * against bucket-j names (diagonal cells orient by name; equal names
+    * in distinct rows are the separately-enumerated SELF pair, also
+    * kernel-scored). Every within-block name pair lands in EXACTLY one
+    * cell, so results are identical to the naive row-pair join while
+    * per-task pair work drops ~salt² and cells spread over all cores.
+    * At 100 TB, raise `salt` with expected distinct-name block size; the
+    * decomposition is what keeps a hot key from becoming a single-task
+    * quadratic blow-up.
     *
     * A SOUND length prefilter runs inside the join before the kernel:
     * JW ≥ θ forces jaro ≥ (θ−0.4)/0.6 (prefix boost caps at 0.4·(1−J)),
@@ -106,17 +121,30 @@ object Fuzzy {
                        blockCol: org.apache.spark.sql.Column,
                        minSimPpm: Long, salt: Int = 16): DataFrame = {
     require(salt >= 1, s"salt must be >= 1: $salt")
-    val side = df.select(blockCol.as("_blk"), col(idCol), col(strCol),
-      pmod(xxhash64(col(idCol)), lit(salt.toLong)).cast("int").as("_g"))
+    val side = df.select(blockCol.as("_blk"), col(idCol), col(strCol))
+    // r17 (§3 pre-join reduction): JW(a,b) depends only on the STRINGS,
+    // and record-linkage corpora repeat values heavily (q173's data:
+    // 25.0M within-block row pairs collapse to 288 distinct name pairs),
+    // so the kernel runs once per DISTINCT (block, name) pair — the
+    // triangle-salted cell join below enumerates distinct-name pairs —
+    // and ids re-attach afterwards by two name-keyed joins. On an
+    // all-unique corpus this costs one extra distinct exchange and the
+    // candidate volume is unchanged; everywhere else the quadratic
+    // kernel stage shrinks by the square of the repetition factor.
+    val dn = side.select(col("_blk"), col(strCol)).distinct()
+      .withColumn("_g",
+        pmod(xxhash64(col(strCol)), lit(salt.toLong)).cast("int"))
     // left role in cells (g, x) for x >= g; right role in cells (x, g)
-    // for x <= g — the diagonal (g, g) gets both roles, orient by id.
-    val a = side.select(col("_blk"), col("_g").as("_ci"),
+    // for x <= g — the diagonal (g, g) gets both roles, orient by the
+    // string (equal strings always share a bucket, so the strict < is
+    // complete; the equal-name case is the SELF pair handled below).
+    val a = dn.select(col("_blk"), col("_g").as("_ci"),
         explode(sequence(col("_g"), lit(salt - 1))).as("_cj"),
-        col(idCol).as("id_a"), col(strCol).as("_s_a"))
-    val b = side.select(col("_blk").as("_blk_b"),
+        col(strCol).as("_s_a"))
+    val b = dn.select(col("_blk").as("_blk_b"),
         explode(sequence(lit(0), col("_g"))).as("_ci_b"),
         col("_g").as("_cj_b"),
-        col(idCol).as("id_b"), col(strCol).as("_s_b"))
+        col(strCol).as("_s_b"))
     // JW ≥ θ ⇒ byte-length ratio ≥ 3·(θ−0.4)/0.6 − 2 (see scaladoc);
     // −1 ppm slack covers the half-up rounding of jw_ppm.
     val jminPpm = ((minSimPpm - 1 - 400000L) * 10L) / 6L
@@ -128,20 +156,47 @@ object Fuzzy {
         greatest(octet_length(col("_s_a")), octet_length(col("_s_b")))
           .cast("long") * ratioPpm
     // EXPLICIT repartition on the cell key: this join's INPUT is tiny
-    // (rows × (salt+1)/2) but its OUTPUT is the quadratic pair stream —
-    // the expansion-join rule, see [[Expansion.parts]].
+    // (distinct names × (salt+1)/2) but its OUTPUT is the quadratic pair
+    // stream — the expansion-join rule, see [[Expansion.parts]].
     val nParts = Expansion.parts(df.sparkSession)
     val aP = a.repartition(nParts, col("_blk"), col("_ci"), col("_cj"))
     val bP = b.repartition(nParts, col("_blk_b"), col("_ci_b"), col("_cj_b"))
-    aP.join(bP.hint("shuffle_hash"),
+    val namePairs = aP.join(bP.hint("shuffle_hash"),
         col("_blk") === col("_blk_b") &&
         col("_ci") === col("_ci_b") && col("_cj") === col("_cj_b") &&
-        (col("_ci") =!= col("_cj") || col("id_a") < col("id_b")) &&
+        (col("_ci") =!= col("_cj") || col("_s_a") < col("_s_b")) &&
         lenOk)
       .withColumn("jw_ppm", jwPpmOnce(col("_s_a"), col("_s_b")))
       .filter(col("jw_ppm") >= minSimPpm)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("jw_ppm"))
+      .select(col("_blk"), col("_s_a"), col("_s_b"), col("jw_ppm"))
+    // equal names in DISTINCT rows are a qualifying pair too — via the
+    // kernel, not a shortcut: JW(s, s) is 1e6 except the pinned
+    // empty-vs-empty 0 (see jwPpmOnce caller contract)
+    val selfPairs = dn
+      .withColumn("jw_ppm", jwPpmOnce(col(strCol), col(strCol)))
+      .filter(col("jw_ppm") >= minSimPpm)
+      .select(col("_blk"), col(strCol).as("_s_a"),
+        col(strCol).as("_s_b"), col("jw_ppm"))
+    // id re-attachment: qualifying name pairs are a filtered model-sized
+    // relation; the two joins stream the row relation through them and
+    // the OUTPUT is the answer itself (expansion is the result, not a
+    // candidate stage)
+    val ra = side.select(col("_blk").as("_bka"), col(strCol).as("_na"),
+      col(idCol).as("_ida"))
+    val rb = side.select(col("_blk").as("_bkb"), col(strCol).as("_nb"),
+      col(idCol).as("_idb"))
+    val cross = namePairs
+      .join(ra, col("_blk") === col("_bka") && col("_s_a") === col("_na"))
+      .join(rb, col("_blk") === col("_bkb") && col("_s_b") === col("_nb"))
+      .select(least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"), col("jw_ppm"))
+    val self = selfPairs
+      .join(ra, col("_blk") === col("_bka") && col("_s_a") === col("_na"))
+      .join(rb, col("_blk") === col("_bkb") && col("_s_b") === col("_nb"))
+      .filter(col("_ida") < col("_idb"))
+      .select(col("_ida").as("id_a"), col("_idb").as("id_b"),
+        col("jw_ppm"))
+    cross.unionByName(self)
   }
 
   /** JW ppm behind a one-element explode: Generate is a predicate-pushdown

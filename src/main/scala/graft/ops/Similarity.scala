@@ -269,20 +269,41 @@ object Similarity {
     * Output: the final assignment (idCol, cluster, dist2).
     */
   def kmeansFit(embs: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+                k: Int, iters: Int, scale: Double = 1e6): DataFrame =
+    kmeansFitFull(embs, idCol, vecCol, k, iters, scale)
+      .select(col(idCol), col("cluster"), col("dist2"))
+
+  /** [[kmeansFit]] keeping the scaled vector: (idCol, svec, cluster,
+    * dist2). The family's pair scans ([[kmeansNearDupPairs]],
+    * [[semDedup]]) read the assignment AND the scaled vectors — this
+    * hands both over in one relation, instead of the old re-scan of the
+    * corpus plus an id-keyed join back (one full exchange saved per
+    * consumer; identical rows under the family's unique-id contract).
+    * ONE probe action, ONE persisted sv relation shared by the Lloyd
+    * rounds and the final assignment (r16 verdict: the eager per-round
+    * codebook collects re-derived sv from parquet every round).
+    */
+  private[ops] def kmeansFitFull(embs: DataFrame, idCol: String,
+                                 vecCol: String, k: Int, iters: Int,
+                                 scale: Double = 1e6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale > 0 && scale <= 1e7,
+      s"scale must be in (0, 1e7], got $scale")
     val probe = embs.select(max(size(col(vecCol))).as("d")).head()
-    if (probe.isNullAt(0)) {
-      require(k > 0, s"k must be positive, got $k")
-      require(iters >= 1, s"iters must be >= 1, got $iters")
-      return embs.select(col(idCol), lit(0L).as("cluster"), lit(0L).as("dist2"))
-        .limit(0)
-    }
+    if (probe.isNullAt(0))
+      return embs.select(col(idCol),
+        array().cast("array<long>").as("svec"),
+        lit(0L).as("cluster"), lit(0L).as("dist2")).limit(0)
     val d = probe.getInt(0)
+    // persisted: the seed job, every Lloyd round's update and the final
+    // assignment all read this relation (guide §5) — deliberately NOT
+    // unpersisted, the returned plan is lazy over it (the
+    // prefixJaccardPairs cache contract; Bench clears caches per gate)
     val sv = embs.filter(size(col(vecCol)) === d)
       .select(col(idCol), scaleVec(col(vecCol), scale).as("svec"))
-    assignSv(sv, idCol,
-      kmeansCentroids(embs, idCol, vecCol, k, iters, scale))
-      .select(col(idCol), col("cluster"), col("dist2"))
+      .persist()
+    assignSv(sv, idCol, centroidsFromSv(sv, idCol, d, k, iters))
   }
 
   /** The FROZEN codebook [[kmeansFit]] trains: the (cluster, cvec)
@@ -306,8 +327,29 @@ object Similarity {
       return embs.select(lit(0L).as("cluster"),
         array().cast("array<long>").as("cvec")).limit(0)
     val d = probe.getInt(0)
+    // persisted across the Lloyd rounds (each round's codebook collect is
+    // a driver action that would otherwise re-scan + re-scale the corpus
+    // from parquet — the r16-verdict q277 regression); lazy plan contract
+    // as in kmeansFitFull
     val sv = embs.filter(size(col(vecCol)) === d)
       .select(col(idCol), scaleVec(col(vecCol), scale).as("svec"))
+      .persist()
+    centroidsFromSv(sv, idCol, d, k, iters)
+  }
+
+  /** The Lloyd loop over a prepared (idCol, svec) relation — `d` is the
+    * (already probed) dimensionality, `sv` should be persisted by the
+    * caller (every round reads it).
+    *
+    * Round-17 update shape: ONE wide aggregate per round — d per-element
+    * long sums + the member count, keyed by cluster (map-side combined,
+    * one exchange of k×(d+1) values) — replacing the posexplode +
+    * (cluster, dim) aggregate + (cluster) re-aggregate chain: two
+    * exchanges and an n×d row blow-up per round. floor(sum/count) per
+    * element is expression-identical, so centroids are bit-equal.
+    */
+  private def centroidsFromSv(sv: DataFrame, idCol: String, d: Int,
+                              k: Int, iters: Int): DataFrame = {
     // k seed rows: distributed top-k by (hash, id), then a k-row window
     // hands out cluster ids — never a global sort of the corpus
     val seedW = Window.orderBy(col("_h"), col(idCol))
@@ -317,14 +359,14 @@ object Similarity {
       .withColumn("cluster", (row_number().over(seedW) - 1).cast("long"))
       .select(col("cluster"), col("svec").as("cvec"))
     for (round <- 1 until iters) {
+      val sums = (0 until d).map(i => sum(col("svec")(i)).as(s"_s$i"))
       cents = assignSv(sv, idCol, cents)
-        .select(col("cluster"), posexplode(col("svec")).as(Seq("i", "s")))
-        .groupBy(col("cluster"), col("i"))
-        .agg(floor(sum(col("s")).cast("double") /
-          count(lit(1)).cast("double")).cast("long").as("c"))
         .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-          x => x.getField("c")).as("cvec"))
+        .agg(count(lit(1)).as("_n"), sums: _*)
+        .select(col("cluster"),
+          array((0 until d).map(i =>
+            floor(col(s"_s$i").cast("double") / col("_n").cast("double"))
+              .cast("long")): _*).as("cvec"))
     }
     cents
   }
@@ -384,7 +426,14 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
 
-  /** The argmin projection over an already-collected codebook. */
+  /** The argmin projection over an already-collected codebook.
+    *
+    * PRECONDITION (r16 ADVICE made explicit): `sv` ids are UNIQUE — this
+    * is a pure projection, so a duplicate (id, svec) row yields a
+    * duplicate assignment row (the old groupBy form collapsed them),
+    * multiplying rows through downstream joins. Every gate feeds
+    * table-keyed ids; violating callers own the cardinality change.
+    */
   private def assignCollected(sv: DataFrame, idCol: String,
                               cb: Array[(Long, Array[Long])]): DataFrame = {
     if (cb.isEmpty)
@@ -490,16 +539,11 @@ object Similarity {
   def kmeansNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
                          k: Int, iters: Int, maxDist2: Long,
                          scale: Double = 1e6): DataFrame = {
-    val asg = kmeansFit(embs, idCol, vecCol, k, iters, scale)
-    val probe = embs.select(max(size(col(vecCol))).as("d")).head()
-    if (probe.isNullAt(0)) return asg.select(col("cluster"),
-      col(idCol).as("id_a"), col(idCol).as("id_b"), col("dist2")).limit(0)
-    val d = probe.getInt(0)
-    val sv = embs.filter(size(col(vecCol)) === d)
-      .select(col(idCol),
-        transform(col(vecCol),
-          v => floor(v.cast("double") * scale).cast("long")).as("svec"))
-    val m = asg.join(sv, idCol).select(col("cluster"), col(idCol), col("svec"))
+    // the assignment relation carries svec — no re-scan of the corpus and
+    // no id-keyed join back (r17; identical rows under the unique-id
+    // contract, and one probe action instead of two)
+    val m = kmeansFitFull(embs, idCol, vecCol, k, iters, scale)
+      .select(col("cluster"), col(idCol), col("svec"))
     val a = m.select(col("cluster"), col(idCol).as("id_a"), col("svec").as("va"))
     val b = m.select(col("cluster").as("_cb"), col(idCol).as("id_b"),
       col("svec").as("vb"))
@@ -545,24 +589,17 @@ object Similarity {
     // admission passes) can hand it in so the fit is not re-derived;
     // kmeansFit(embs,…) ≡ assignToCodebook(embs, kmeansCentroids(embs,…))
     // by construction (deterministic training), so results are identical.
-    val fin = centsOpt match {
+    // the assignment relation carries svec either way (r17) — the old
+    // re-scan + id-keyed join back is gone, and so is the extra probe
+    // action (empty input flows through the lazy plan as zero rows with
+    // the same schema)
+    val full = centsOpt match {
       case Some(cb) => assignToCodebook(embs, idCol, vecCol, cb, scale)
-        .select(col(idCol), col("cluster"), col("dist2"))
-      case None => kmeansFit(embs, idCol, vecCol, k, iters, scale)
+      case None => kmeansFitFull(embs, idCol, vecCol, k, iters, scale)
     }
-    val probe = embs.select(max(size(col(vecCol))).as("d")).head()
-    if (probe.isNullAt(0))
-      return fin.select(col(idCol), col("cluster"), col("dist2"),
-        lit(true).as("keep"),
-        lit(null).cast(embs.schema(idCol).dataType).as("dup_of"))
-        .limit(0)
-    val d = probe.getInt(0)
-    val sv = embs.filter(size(col(vecCol)) === d)
-      .select(col(idCol).as("_svid"),
-        transform(col(vecCol),
-          v => floor(v.cast("double") * scale).cast("long")).as("_svec"))
-    val m = fin.join(sv, fin(idCol) === sv("_svid"))
-      .select(col(idCol), col("cluster"), col("dist2"), col("_svec"))
+    val fin = full.select(col(idCol), col("cluster"), col("dist2"))
+    val m = full.select(col(idCol), col("cluster"), col("dist2"),
+      col("svec").as("_svec"))
     val a = m.select(col("cluster"), col(idCol).as("_ia"),
       col("dist2").as("_da"), col("_svec").as("_va"))
     val b = m.select(col("cluster").as("_cb"), col(idCol).as("_ib"),

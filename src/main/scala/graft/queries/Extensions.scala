@@ -7624,15 +7624,20 @@ object Extensions {
     (s, dir) => {
       val e = t(s, dir, "embeddings")
       val evens = e.filter(col("vec_id") % 2 === 0)
-      val probe = evens.select(max(size(col("embedding")))).head()
-      if (probe.isNullAt(0))
+      // ONE action answers the dimensionality probe AND the k sizing
+      // (r16 verdict: batch the admission gates' driver collects) — the
+      // per-size distinct counts are a handful of rows; d = the max
+      // size, nE = its group's distinct-id count, exactly the old
+      // probe + filtered countDistinct pair
+      val sz = evens.groupBy(size(col("embedding")).as("_d"))
+        .agg(countDistinct(col("vec_id")).as("_n"))
+        .collect().filter(!_.isNullAt(0)).map(r => (r.getInt(0), r.getLong(1)))
+      if (sz.isEmpty)
         e.select(col("vec_id"), lit(1L).as("batch"), lit(0L).as("cluster"),
           lit(0L).as("dist2"), lit(true).as("keep"),
           lit(null).cast("long").as("dup_of")).limit(0)
       else {
-        val d = probe.getInt(0)
-        val nE = evens.filter(size(col("embedding")) === d)
-          .select(countDistinct(col("vec_id"))).head().getLong(0)
+        val nE = sz.maxBy(_._1)._2
         val k = math.ceil(math.sqrt(nE.toDouble)).toInt
         val cents = Similarity.kmeansCentroids(evens, "vec_id",
           "embedding", k = k, iters = 2).cache()

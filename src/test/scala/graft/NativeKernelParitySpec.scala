@@ -70,7 +70,11 @@ class NativeKernelParitySpec extends SparkSpec {
   test("GramSpans equals the composed gram+prefix-sum construction") {
     val wordGen = Gen.oneOf(Gen.const(""), Gen.const("a"),
       Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
-      Gen.const("日本語"))
+      Gen.const("日本語"),
+      // supplementary (astral-plane) char: U+1D11E is 2 UTF-16 code units
+      // but ONE code point — pins that GramSpans' offsets count code
+      // points exactly like Spark's length() (r16 ADVICE)
+      Gen.const("a𝄞b"))
     val docGen = Gen.choose(0, 12).flatMap(k =>
       Gen.listOfN(k, wordGen).map(_.mkString(" ")))
     val docs = (seeded(docGen, 200, 31L) ++ Seq("", "a b c", "aa bb cc dd"))
@@ -188,5 +192,16 @@ class NativeKernelParitySpec extends SparkSpec {
         graft.expressions.LuhnValid(dcol).as("fast"), spec.as("spec"))
       .filter(!(col("fast") <=> col("spec"))).count()
     assert(mism == 0)
+  }
+
+  test("LuhnValid returns NULL on non-digit input (deliberate divergence " +
+    "from the ANSI fold, which throws; out-of-contract — callers feed " +
+    "regexp-extracted digit runs)") {
+    val rows = Seq((1L, "4532a15112830366"), (2L, "12-34"), (3L, " 123"))
+    val df = rows.toDF("id", "digits")
+    val out = df.select(graft.expressions.LuhnValid(col("digits")).as("v"))
+      .collect()
+    assert(out.forall(_.isNullAt(0)),
+      "non-digit input must yield NULL, not a verdict or an exception")
   }
 }
