@@ -4337,10 +4337,15 @@ object Extensions {
       FROM sp GROUP BY 1, 2 ORDER BY lang, split"""),
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      // stage 1: exact dedup, canonical (min-id) survivors
-      val surv1 = docs.join(
-        Dedup.exact(docs, "doc_id", "text")
-          .select(col("canonical_id").as("doc_id")), "doc_id")
+      // stage 1: exact dedup, canonical (min-id) survivors. The survivor
+      // ID MANIFEST is persisted (r17): the sha256 aggregate over the
+      // full corpus text feeds three consumers (the SimHash pass via the
+      // CC edge materialization, the keep-best join, the quality gate) —
+      // one narrow id relation cached instead of three sha-agg replays
+      // (§6 scan reuse; ids only, never the text)
+      val ex = Dedup.exact(docs, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id")).persist()
+      val surv1 = docs.join(ex, "doc_id")
       // stage 2: near-dup families keep the longest member
       val sigs = Dedup.simHash(surv1, "doc_id", "text", bits = 32)
       val pairs = Dedup.simHashPairs(sigs, "doc_id", maxHamming = 2,
